@@ -1,0 +1,117 @@
+package graft.config
+
+import java.time.Duration
+
+import graft.time.Granularity
+
+/** Engine configuration mirroring the reference's user-facing schema language:
+  * the Druid ingestion spec JSON that tranquility parses in
+  * core/.../config/DataSourceConfig.scala + druid/DruidBeams.scala#fromConfig
+  * (see SURVEY.md §1.2). The case classes are the engine's IR; a Jackson loader
+  * ([[SpecLoader]]) accepts the same JSON shape.
+  */
+
+/** Timestamp extraction spec (druid-api TimestampSpec — SURVEY §2.2).
+  * `format` ∈ auto | iso | posix | millis | &lt;java time pattern&gt;.
+  */
+final case class TimestampSpec(
+    column: String = "timestamp",
+    format: String = "auto",
+    missingValue: Option[String] = scala.None)
+
+/** One synthesized spatial dimension: `fieldNames` joined as "lat,lon".
+  * Upstream: DruidRollup.scala#MultipleFieldDruidSpatialDimension (single-field
+  * variant is the degenerate one-element list).
+  */
+final case class SpatialDimension(dimName: String, dims: Seq[String])
+
+/** Dimension selection — the two reference modes (DruidRollup.scala):
+  * fixed schema (SpecificDruidDimensions) vs schemaless
+  * (SchemalessDruidDimensions: everything minus exclusions minus metric
+  * inputs becomes a string dimension).
+  */
+sealed trait DimensionsSpec {
+  def spatialDimensions: Seq[SpatialDimension]
+}
+final case class SpecificDimensions(
+    dimensions: Seq[String],
+    spatialDimensions: Seq[SpatialDimension] = Nil) extends DimensionsSpec
+final case class SchemalessDimensions(
+    dimensionExclusions: Seq[String] = Nil,
+    spatialDimensions: Seq[SpatialDimension] = Nil) extends DimensionsSpec
+
+/** Aggregator declaration (metricsSpec entry). The set matches what appears in
+  * tranquility's docs/tests (SURVEY §2.4): count, longSum, doubleSum, longMin,
+  * longMax, doubleMin, doubleMax, hyperUnique, cardinality, approxHistogram,
+  * plus the `filtered` wrapper. `javascript` is NOT supported — the engine's
+  * extension point for custom folds is a Spark `Aggregator` (see
+  * [[graft.functions.CustomAggregators]]).
+  */
+final case class AggregatorSpec(
+    aggType: String,
+    name: String,
+    fieldName: Option[String] = scala.None,
+    /** for `filtered`: dimension == value predicate */
+    filterDimension: Option[String] = scala.None,
+    filterValue: Option[String] = scala.None,
+    /** delegate for `filtered` */
+    aggregator: Option[AggregatorSpec] = scala.None,
+    /** for approxHistogram / percentile outputs */
+    probabilities: Seq[Double] = Nil)
+
+final case class GranularitySpec(
+    segmentGranularity: Granularity = Granularity.Hour,
+    queryGranularity: Granularity = Granularity.None,
+    rollup: Boolean = true)
+
+/** Tuning knobs with the reference's defaults
+  * (beam/ClusteredBeamTuning.scala + tranquilizer/Tranquilizer.scala — see
+  * BASELINE.md). `partitions`/`replicants` become shuffle-partitioning hints;
+  * replication itself is delegated to the storage layer (SURVEY §2.10).
+  */
+final case class Tuning(
+    windowPeriod: Duration = Duration.ofMinutes(10),
+    partitions: Int = 1,
+    replicants: Int = 1,
+    maxBatchSize: Int = 2000,
+    maxPendingBatches: Int = 5,
+    lingerMillis: Long = 0L,
+    warmingPeriod: Duration = Duration.ZERO)
+
+final case class DataSchema(
+    dataSource: String,
+    timestampSpec: TimestampSpec,
+    dimensionsSpec: DimensionsSpec,
+    aggregators: Seq[AggregatorSpec],
+    granularitySpec: GranularitySpec = GranularitySpec())
+
+final case class IngestionSpec(
+    dataSchema: DataSchema,
+    tuning: Tuning = Tuning()) {
+
+  /** Reject name collisions between dimensions, aggregator output names and the
+    * timestamp column — semantics of upstream DruidRollup.scala#validate
+    * (SURVEY §2.2 "validation predicate"). Analyzer-time: throws before any
+    * query starts.
+    */
+  def validate(): this.type = {
+    val aggNames = dataSchema.aggregators.map(_.name)
+    val dimNames = dataSchema.dimensionsSpec match {
+      case SpecificDimensions(dims, spatial) => dims ++ spatial.map(_.dimName)
+      case SchemalessDimensions(_, spatial)  => spatial.map(_.dimName)
+    }
+    val all = (aggNames ++ dimNames) :+ dataSchema.timestampSpec.column
+    val dups = all.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Duplicate field names in ingestion spec: ${dups.mkString(", ")}")
+    val exclusionClash = dataSchema.dimensionsSpec match {
+      case SchemalessDimensions(excl, _) => excl.intersect(aggNames)
+      case _                             => Nil
+    }
+    if (exclusionClash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"dimensionExclusions collide with metric names: ${exclusionClash.mkString(", ")}")
+    this
+  }
+}

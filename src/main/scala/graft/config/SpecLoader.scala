@@ -1,0 +1,123 @@
+package graft.config
+
+import java.time.Duration
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.time.Granularity
+
+/** Parses the Druid-ingestion-spec-shaped JSON config the reference accepts
+  * (upstream: druid/DruidBeams.scala#fromConfig +
+  * config/DataSourceConfig.scala; SURVEY §1.2). Hand-rolled tree walk over
+  * Jackson so unknown/extra keys are tolerated exactly like the reference's
+  * lenient config parsing.
+  *
+  * Accepted shape (all sections optional except dataSource):
+  * {{{
+  * { "dataSchema": {
+  *     "dataSource": "foo",
+  *     "parser": { "parseSpec": {
+  *       "timestampSpec": {"column": "ts", "format": "auto"},
+  *       "dimensionsSpec": {"dimensions": ["d1"],
+  *                          "dimensionExclusions": [],
+  *                          "spatialDimensions": [{"dimName":"coord","dims":["lat","lon"]}] } } },
+  *     "metricsSpec": [ {"type":"count","name":"cnt"},
+  *                      {"type":"doubleSum","name":"v","fieldName":"value"} ],
+  *     "granularitySpec": {"segmentGranularity":"HOUR","queryGranularity":"MINUTE","rollup":true} },
+  *   "tuning": {"windowPeriod":"PT10M","partitions":2,"maxBatchSize":2000} }
+  * }}}
+  */
+object SpecLoader {
+  private val mapper = new ObjectMapper()
+
+  def fromJson(json: String): IngestionSpec = fromNode(mapper.readTree(json))
+
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n).flatMap(x => Option(x.get(field)))
+
+  private def str(n: JsonNode, field: String, default: String): String =
+    opt(n, field).map(_.asText).getOrElse(default)
+
+  private def fromNode(root: JsonNode): IngestionSpec = {
+    val ds = opt(root, "dataSchema").getOrElse(
+      throw new IllegalArgumentException("missing dataSchema"))
+    val dataSource = str(ds, "dataSource", "")
+    require(dataSource.nonEmpty, "dataSchema.dataSource is required")
+
+    val parseSpec = opt(ds, "parser").flatMap(opt(_, "parseSpec"))
+
+    val tsSpec = parseSpec.flatMap(opt(_, "timestampSpec")).map { t =>
+      TimestampSpec(
+        column = str(t, "column", "timestamp"),
+        format = str(t, "format", "auto"),
+        missingValue = opt(t, "missingValue").map(_.asText))
+    }.getOrElse(TimestampSpec())
+
+    val dimSpec: DimensionsSpec = parseSpec.flatMap(opt(_, "dimensionsSpec")).map { d =>
+      val spatial = opt(d, "spatialDimensions").toSeq
+        .flatMap(_.elements.asScala)
+        .map { s =>
+          val dims = opt(s, "dims").toSeq.flatMap(_.elements.asScala).map(_.asText)
+          val nm = str(s, "dimName", "")
+          SpatialDimension(nm, if (dims.nonEmpty) dims else Seq(nm))
+        }
+      opt(d, "dimensions").filter(x => x.isArray && x.size > 0) match {
+        case Some(dims) =>
+          SpecificDimensions(dims.elements.asScala.map(_.asText).toSeq, spatial)
+        case scala.None =>
+          val excl = opt(d, "dimensionExclusions").toSeq
+            .flatMap(_.elements.asScala).map(_.asText)
+          SchemalessDimensions(excl, spatial)
+      }
+    }.getOrElse(SchemalessDimensions())
+
+    val metrics = opt(ds, "metricsSpec").toSeq
+      .flatMap(_.elements.asScala).map(parseAgg)
+
+    val gran = opt(ds, "granularitySpec").map { g =>
+      GranularitySpec(
+        segmentGranularity = Granularity.fromString(str(g, "segmentGranularity", "HOUR")),
+        queryGranularity = Granularity.fromString(str(g, "queryGranularity", "NONE")),
+        rollup = opt(g, "rollup").forall(_.asBoolean))
+    }.getOrElse(GranularitySpec())
+
+    val tuning = opt(root, "tuning").map { t =>
+      Tuning(
+        windowPeriod = Duration.parse(str(t, "windowPeriod", "PT10M")),
+        partitions = opt(t, "partitions").map(_.asInt).getOrElse(1),
+        replicants = opt(t, "replicants").map(_.asInt).getOrElse(1),
+        maxBatchSize = opt(t, "maxBatchSize").map(_.asInt).getOrElse(2000),
+        maxPendingBatches = opt(t, "maxPendingBatches").map(_.asInt).getOrElse(5),
+        lingerMillis = opt(t, "lingerMillis").map(_.asLong).getOrElse(0L),
+        warmingPeriod = Duration.parse(str(t, "warmingPeriod", "PT0M")))
+    }.getOrElse(Tuning())
+
+    IngestionSpec(
+      DataSchema(dataSource, tsSpec, dimSpec, metrics, gran), tuning).validate()
+  }
+
+  private def parseAgg(n: JsonNode): AggregatorSpec = {
+    val t = str(n, "type", "")
+    if (t == "filtered") {
+      val f = opt(n, "filter").getOrElse(
+        throw new IllegalArgumentException("filtered aggregator needs a filter"))
+      val delegate = parseAgg(opt(n, "aggregator").getOrElse(
+        throw new IllegalArgumentException("filtered aggregator needs a delegate")))
+      AggregatorSpec(
+        aggType = "filtered",
+        name = str(n, "name", delegate.name),
+        filterDimension = opt(f, "dimension").map(_.asText),
+        filterValue = opt(f, "value").map(_.asText),
+        aggregator = Some(delegate))
+    } else {
+      AggregatorSpec(
+        aggType = t,
+        name = str(n, "name", ""),
+        fieldName = opt(n, "fieldName").map(_.asText),
+        probabilities = opt(n, "probabilities").toSeq
+          .flatMap(_.elements.asScala).map(_.asDouble))
+    }
+  }
+}

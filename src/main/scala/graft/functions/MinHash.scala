@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] MinHash + LSH near-duplicate detection (SURVEY §2.11 north star;
+  * classic shingle → minhash → band → bucket-join construction).
+  *
+  * All column-level steps are higher-order functions (codegen'd); the only
+  * shuffle is the band-bucket groupBy/self-join — at 100 TB that shuffle
+  * carries (docId, bandHash) pairs, i.e. `numBands × n` small rows, not
+  * documents. Candidate verification re-joins the shingle sets only for
+  * bucket-colliding pairs.
+  */
+object MinHash {
+
+  /** w-word shingles of a text column (space-tokenized). */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val words = split(text, " ")
+    when(size(words) < w, array(concat_ws(" ", words)))
+      .otherwise(
+        transform(sequence(lit(0), size(words) - w),
+          i => concat_ws(" ", slice(words, i + 1, lit(w)))))
+  }
+
+  /** k minhash values: min over shingles of xxhash64(seed_j ++ shingle). */
+  def signature(shingleCol: Column, k: Int = 32): Column =
+    array((0 until k).map { j =>
+      array_min(transform(shingleCol, sh => xxhash64(lit(j), sh)))
+    }: _*)
+
+  /** band hashes: signature split into `bands` rows of length r = k/bands. */
+  def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until r).map(i => element_at(sig, b * r + i + 1)): _*)
+    }: _*)
+  }
+
+  /** End-to-end candidate-pair pipeline.
+    *
+    * @param df input with (idCol, textCol)
+    * @return (id_a, id_b, jaccard) for pairs whose bands collide and whose
+    *         exact shingle-set jaccard ≥ threshold
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val withSig = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", array_distinct(shingles(col("text"), shingleWidth)))
+      .withColumn("sig", signature(col("sh"), k))
+      .withColumn("bands", bandHashes(col("sig"), k, bands))
+
+    // explode to (id, bandIdx, bandHash): the LSH bucket key. The self-join
+    // shuffles ONLY these slim rows; shingle sets are joined back afterwards
+    // for the (much smaller) candidate set.
+    val buckets = withSig.select(col("id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+
+    val a = buckets.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
+    val b = buckets.select(col("id").as("id_b"), col("band_idx"), col("band_hash"))
+
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val shingleSets = withSig.select(col("id"), col("sh"))
+    candidates
+      .join(shingleSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingleSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

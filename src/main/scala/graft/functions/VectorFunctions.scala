@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** [EXT] Vector similarity primitives over `array<float>` embedding columns
+  * (SURVEY §2.11). All are higher-order-function compositions
+  * (`zip_with`/`aggregate`/`transform`) — native Catalyst expressions, no
+  * Scala UDFs, so they stay inside codegen and serialize nothing per row.
+  *
+  * Determinism: products and sums are forced to DOUBLE before accumulation and
+  * fold left-to-right in element order, so results are bit-stable and
+  * reproducible against an oracle computing the same left-associated chain.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ as an in-order double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine similarity in [-1, 1]; NULL for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0 || nb === 0, lit(null)).otherwise(d / (na * nb))
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val diff = x.cast("double") - y.cast("double")
+        diff * diff
+      }),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Random-hyperplane (sign) LSH bucket id with `bits` hyperplanes.
+    *
+    * Hyperplane components are deterministic pseudo-random ±1 derived from
+    * `xxhash64(planeIdx, dimIdx, seed)` — no stored model, so the same bucket
+    * function runs identically on every executor with zero broadcast state.
+    * Bucketing cost is O(bits × dim) per row; at 100 TB the bucket id becomes
+    * the shuffle key and candidate search touches only same-bucket rows
+    * (brute force within bucket), turning O(n²) ANN into
+    * O(n²/2^bits) expected.
+    */
+  def lshBucket(v: Column, bits: Int = 8, seed: Int = 42): Column =
+    lshBucketImpl(v, bits, seed)
+
+  /** zip the vector with its index to evaluate Σ v[i]·sign(hash(j,i));
+    * bucket bit j = (projection_j >= 0).
+    */
+  private def lshBucketImpl(v: Column, bits: Int, seed: Int): Column = {
+    val indexed = zip_with(v, sequence(lit(0), size(v) - 1),
+      (x, i) => struct(x.cast("double").as("x"), i.as("i")))
+    val bitVals = (0 until bits).map { j =>
+      val proj = aggregate(indexed, lit(0.0), (acc, e) => {
+        val sign = when(pmod(xxhash64(lit(seed), lit(j), e.getField("i")), lit(2)) === 0,
+          lit(1.0)).otherwise(lit(-1.0))
+        acc + e.getField("x") * sign
+      })
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitVals.reduce(_ + _).as("lsh_bucket")
+  }
+}

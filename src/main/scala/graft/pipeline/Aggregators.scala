@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.config.AggregatorSpec
+
+/** Maps reference aggregator declarations (metricsSpec — SURVEY §2.4, upstream
+  * serialized by druid/DruidBeamMaker.scala#taskBytes) to native Spark
+  * aggregate Columns. All are `org.apache.spark.sql.functions` built-ins →
+  * whole-stage codegen'd, partial+final split by HashAggregateExec for free —
+  * no UDAFs in the hot path.
+  */
+object Aggregators {
+
+  def toColumn(spec: AggregatorSpec): Column = spec.aggType match {
+    case "count"     => count(lit(1)).as(spec.name)
+    case "longSum"   => sum(field(spec)).cast(LongType).as(spec.name)
+    case "doubleSum" => sum(field(spec).cast(DoubleType)).as(spec.name)
+    case "longMin"   => min(field(spec)).cast(LongType).as(spec.name)
+    case "longMax"   => max(field(spec)).cast(LongType).as(spec.name)
+    case "doubleMin" => min(field(spec).cast(DoubleType)).as(spec.name)
+    case "doubleMax" => max(field(spec).cast(DoubleType)).as(spec.name)
+    // HLL sketch: mergeable approximate distinct (upstream `hyperUnique` /
+    // `cardinality`). Exact variant (`exactCardinality`) exists so the DuckDB
+    // oracle can hash-match; approx is the 100TB-scale path.
+    case "hyperUnique" | "cardinality" => approx_count_distinct(field(spec)).as(spec.name)
+    case "exactCardinality"            => count_distinct(field(spec)).as(spec.name)
+    case "approxHistogram" =>
+      val probs = if (spec.probabilities.nonEmpty) spec.probabilities
+                  else Seq(0.25, 0.5, 0.75, 0.95)
+      percentile_approx(field(spec), array(probs.map(lit): _*), lit(10000)).as(spec.name)
+    case "filtered" =>
+      val delegate = spec.aggregator.getOrElse(
+        throw new IllegalArgumentException(s"filtered agg ${spec.name} lacks delegate"))
+      val cond = col(spec.filterDimension.get) === lit(spec.filterValue.get)
+      // sum(when(cond, x)) — map-side partial filtered aggregation, no
+      // separate pass over the data (SURVEY §2.4 `filtered` wrapper)
+      filteredColumn(cond, delegate).as(spec.name)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported aggregator type: $other")
+  }
+
+  private def filteredColumn(cond: Column, d: AggregatorSpec): Column = d.aggType match {
+    case "count"     => count(when(cond, lit(1)))
+    case "longSum"   => sum(when(cond, field(d))).cast(LongType)
+    case "doubleSum" => sum(when(cond, field(d).cast(DoubleType)))
+    case "longMin"   => min(when(cond, field(d))).cast(LongType)
+    case "longMax"   => max(when(cond, field(d))).cast(LongType)
+    case "doubleMin" => min(when(cond, field(d).cast(DoubleType)))
+    case "doubleMax" => max(when(cond, field(d).cast(DoubleType)))
+    case "hyperUnique" | "cardinality" => approx_count_distinct(when(cond, field(d)))
+    case "exactCardinality"            => count_distinct(when(cond, field(d)))
+    case other =>
+      throw new IllegalArgumentException(s"filtered wrapper unsupported for: $other")
+  }
+
+  /** Input columns an aggregator reads (for projection / schemaless exclusion). */
+  def inputFields(spec: AggregatorSpec): Seq[String] =
+    spec.fieldName.toSeq ++ spec.filterDimension.toSeq ++
+      spec.aggregator.toSeq.flatMap(inputFields)
+
+  private def field(spec: AggregatorSpec): Column =
+    col(spec.fieldName.getOrElse(
+      throw new IllegalArgumentException(s"aggregator ${spec.name} needs fieldName")))
+}

@@ -1,0 +1,189 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config._
+
+/** The engine's core: config → declarative DataFrame stages.
+  *
+  * Re-expresses the reference's ingest path (SURVEY §3.1: Tranquilizer →
+  * ClusteredBeam → HashPartitionBeam → DruidBeam, upstream
+  * core/.../tranquilizer/Tranquilizer.scala + beam/ClusteredBeam.scala) as a
+  * logical-plan pipeline: parse → timestamp → window filter (with drop
+  * accounting) → dimension projection → rollup aggregation. Every stage is a
+  * pure `DataFrame => DataFrame`, so Catalyst sees one plan and can push
+  * filters into the scan, prune columns, and pick partial+final hash
+  * aggregation — the scale story at 100 TB is "one shuffle, on the grouping
+  * key, with map-side combine", which this construction guarantees.
+  *
+  * Column-name conventions: `__ts` = extracted event timestamp; `segment` =
+  * segmentGranularity bucket (output partition key — the analog of the
+  * reference's per-chunk beam/task, SURVEY §2.9).
+  */
+class Pipeline(val spec: IngestionSpec) extends Serializable {
+  spec.validate()
+
+  import Pipeline._
+
+  private def schema = spec.dataSchema
+  private def gran = schema.granularitySpec
+
+  // ---------------------------------------------------------------- timestamp
+
+  /** Timestamp extraction per TimestampSpec (SURVEY §2.2; upstream
+    * druid/DruidBeams.scala#Builder.timestampSpec). Produces `__ts`.
+    */
+  def extractTimestamp(df: DataFrame): DataFrame = {
+    val ts = schema.timestampSpec
+    val c = col(ts.column)
+    val parsed: Column = ts.format match {
+      case "auto"   =>
+        df.schema(ts.column).dataType match {
+          case TimestampType          => c
+          case LongType | IntegerType => millisOrSeconds(c)
+          case _ => coalesce(try_to_timestamp(c),
+                      millisOrSeconds(expr(s"try_cast(`${ts.column}` AS BIGINT)")))
+        }
+      case "iso"    => to_timestamp(c)
+      case "posix"  => timestamp_seconds(c.cast(LongType))
+      case "millis" => timestamp_millis(c.cast(LongType))
+      case fmt      => to_timestamp(c, fmt)
+    }
+    val withMissing = ts.missingValue match {
+      case Some(mv) => coalesce(parsed, to_timestamp(lit(mv)))
+      case None     => parsed
+    }
+    df.withColumn(TsCol, withMissing)
+  }
+
+  /** heuristic for "auto" numeric timestamps: >= 10^12 → millis, else seconds */
+  private def millisOrSeconds(c: Column): Column =
+    when(c >= 1000000000000L, timestamp_millis(c)).otherwise(timestamp_seconds(c))
+
+  // ------------------------------------------------------------ window period
+
+  /** windowPeriod acceptance predicate: ts ∈ [now − w, now + w]. Upstream
+    * ClusteredBeam.scala#sendAll drops events outside the window and resolves
+    * their futures `sent=false` (SURVEY §2.2) — drop accounting is
+    * reference-visible behavior, so we `observe` received/sent counts rather
+    * than silently filtering. `now` is injected (test clock = lit; production =
+    * current_timestamp()) mirroring the reference's TestingTimekeeper.
+    */
+  def windowFilter(df: DataFrame, now: Column,
+                   observationName: String = "graft_window"): DataFrame = {
+    val w = spec.tuning.windowPeriod.getSeconds
+    val cond = col(TsCol).isNotNull &&
+      col(TsCol) >= now - expr(s"INTERVAL $w SECOND") &&
+      col(TsCol) <= now + expr(s"INTERVAL $w SECOND")
+    df.observe(observationName,
+        count(lit(1)).as("received"),
+        count(when(cond, 1)).as("sent"),
+        count(when(!cond, 1)).as("dropped"))
+      .filter(cond)
+  }
+
+  // ---------------------------------------------------------------- projection
+
+  /** Dimension projection (SURVEY §2.2): specific → select declared dims;
+    * schemaless → every other column (minus exclusions, metric inputs, metric
+    * names) cast to string. Spatial dims synthesized via concat_ws (upstream
+    * MultipleFieldDruidSpatialDimension).
+    */
+  def project(df: DataFrame): DataFrame = {
+    val aggInputs = schema.aggregators.flatMap(Aggregators.inputFields).distinct
+    val spatial = schema.dimensionsSpec.spatialDimensions.map { s =>
+      concat_ws(",", s.dims.map(d => col(d).cast(StringType)): _*).as(s.dimName)
+    }
+    val dims: Seq[Column] = schema.dimensionsSpec match {
+      case SpecificDimensions(names, _) => names.map(col)
+      case SchemalessDimensions(excl, spatialDims) =>
+        val reserved = (excl ++ aggInputs ++ schema.aggregators.map(_.name) ++
+          spatialDims.flatMap(_.dims) :+ schema.timestampSpec.column :+ TsCol).toSet
+        df.columns.toSeq.filterNot(reserved)
+          .map(c => col(c).cast(StringType).as(c))
+    }
+    val metricCols = aggInputs.filter(df.columns.contains).map(col)
+    df.select((col(TsCol) +: (dims ++ spatial ++ metricCols)): _*)
+  }
+
+  /** Schemaless projection over a MapType payload column: non-excluded map
+    * entries become string dims via map_filter (SURVEY §2.8), keeping the t2
+    * surface deterministic (no per-batch schema inference).
+    */
+  def projectMapPayload(df: DataFrame, mapColumn: String): DataFrame = {
+    val excl = schema.dimensionsSpec match {
+      case SchemalessDimensions(e, _) => e
+      case SpecificDimensions(d, _)   => Nil
+    }
+    val exclArr = array((excl ++ schema.aggregators.map(_.name)).map(lit): _*)
+    df.withColumn(mapColumn,
+      map_filter(col(mapColumn), (k, _) => !array_contains(exclArr, k)))
+  }
+
+  // -------------------------------------------------------------------- rollup
+
+  /** Segment bucket column (upstream ClusteredBeamTuning#segmentBucket):
+    * drives output partitioning — the analog of one Druid task per chunk.
+    */
+  def withSegment(df: DataFrame): DataFrame =
+    df.withColumn(SegmentCol, gran.segmentGranularity.truncate(col(TsCol)))
+
+  /** Ingest-time rollup (the heart of the reference — SURVEY §2.4):
+    * groupBy(truncate(ts, queryGranularity), dims…).agg(aggregators…).
+    * With rollup=false, raw rows are appended unmodified (upstream
+    * DruidRollup.isRollup), pre-shuffled by (segment, dims) to maximize
+    * locality — the GenericTimeAndDimsPartitioner analog (SURVEY §2.10);
+    * for the rollup path Catalyst's shuffle-before-HashAggregate already
+    * colocates by grouping key, so no explicit repartition is added.
+    */
+  def rollup(df: DataFrame): DataFrame = {
+    val dimCols = dimensionNames(df).map(col)
+    if (!gran.rollup) {
+      val out = withSegment(df)
+      if (spec.tuning.partitions > 1)
+        out.repartition(spec.tuning.partitions, col(SegmentCol) +: dimCols: _*)
+      else out
+    } else {
+      val bucketed = df.withColumn(TsCol, gran.queryGranularity.truncate(col(TsCol)))
+      val aggs = schema.aggregators.map(Aggregators.toColumn) match {
+        case Nil => Seq(count(lit(1)).as("rows"))
+        case xs  => xs
+      }
+      bucketed.groupBy(col(TsCol) +: dimCols: _*).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** Declared dimension names present in `df` (post-projection). */
+  def dimensionNames(df: DataFrame): Seq[String] = {
+    val spatial = schema.dimensionsSpec.spatialDimensions.map(_.dimName)
+    schema.dimensionsSpec match {
+      case SpecificDimensions(names, _) => (names ++ spatial).filter(df.columns.contains)
+      case SchemalessDimensions(_, _) =>
+        val aggInputs = schema.aggregators.flatMap(Aggregators.inputFields).toSet
+        val reserved = aggInputs ++ schema.aggregators.map(_.name) +
+          TsCol + SegmentCol + schema.timestampSpec.column
+        df.columns.toSeq.filterNot(reserved.contains)
+    }
+  }
+
+  // ------------------------------------------------------------------ combined
+
+  /** Full batch pipeline: timestamp → windowFilter(now) → project → rollup →
+    * segment column. The single composition point the sinks/sources use.
+    * `decorate` mirrors the reference's beamDecorateFn hook
+    * (druid/DruidBeams.scala#Builder — SURVEY §2.8).
+    */
+  def apply(df: DataFrame, now: Column,
+            decorate: DataFrame => DataFrame = identity): DataFrame = {
+    val staged = rollup(project(windowFilter(extractTimestamp(df), now)))
+    val out = if (gran.rollup) withSegment(staged) else staged
+    decorate(out)
+  }
+}
+
+object Pipeline {
+  val TsCol = "__ts"
+  val SegmentCol = "segment"
+}

@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Engine-surface relational operators (SURVEY §2.3, §2.5–§2.8): the
+  * reference has no joins/windows/sorts/set-ops, so these expose Spark's
+  * built-ins as declared inventory over the TPC-H-ish tables.
+  *
+  * Scale notes baked into each query:
+  *  - dimension tables (region/nation/supplier/part) are `broadcast()` —
+  *    at 100 TB the fact tables shuffle once on their join key at most;
+  *  - aggregations run partial+final (map-side combine) automatically;
+  *  - top-k is orderBy+limit → TakeOrderedAndProject (no global sort).
+  */
+object RelationalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -- TPC-H Q1-style scan+agg (pushdown showcase) ------------------------
+    QueryDef("q1_pricing_summary", (s, dir) => {
+      Tables.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2"""), headline = true),
+
+    // -- 5-way star join (Q5-style): facts shuffle, dims broadcast ----------
+    QueryDef("q5_star_join", (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+      val o = Tables.t(s, dir, "orders")
+      val c = Tables.t(s, dir, "customer")
+      val n = broadcast(Tables.t(s, dir, "nation"))
+      val r = broadcast(Tables.t(s, dir, "region"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("line_count"))
+    },
+    Some("""SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS line_count
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' GROUP BY 1"""), headline = true),
+
+    // -- explicit broadcast join against a filtered dim ---------------------
+    QueryDef("join_broadcast_part", (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+      val p = broadcast(Tables.t(s, dir, "part").filter(col("p_size") >= 20))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+          sum(col("l_quantity")).cast(LongType).as("qty"))
+    },
+    Some("""SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue,
+             CAST(sum(l_quantity) AS BIGINT) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size >= 20 GROUP BY 1"""), headline = true),
+
+    // -- left semi join (EXISTS) --------------------------------------------
+    QueryDef("join_semi", (s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+      val o = Tables.t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("big_spenders"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS big_spenders FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+            GROUP BY 1""")),
+
+    // -- left anti join (NOT EXISTS) ----------------------------------------
+    QueryDef("join_anti", (s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+      val o = Tables.t(s, dir, "orders")
+      val n = broadcast(Tables.t(s, dir, "nation"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("customers_without_orders"))
+    },
+    Some("""SELECT n_name, count(*) AS customers_without_orders FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY 1""")),
+
+    // -- left outer join with null-aware aggregation ------------------------
+    QueryDef("join_left_outer", (s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+      val o = Tables.t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("order_count"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS order_count,
+             round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1""")),
+
+    // -- window: row_number top-N per group ---------------------------------
+    QueryDef("window_rank_topn", (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders) WHERE rn <= 3"""), headline = true),
+
+    // -- window: lag ---------------------------------------------------------
+    QueryDef("window_lag", (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.t(s, dir, "orders")
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          round(col("prev_price"), 2).as("prev_price"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey), 2) AS prev_price
+            FROM orders""")),
+
+    // -- window: running sum (frame) ----------------------------------------
+    QueryDef("window_running_sum", (s, dir) => {
+      // o_orderkey is unique → total order inside each frame is deterministic
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.t(s, dir, "orders")
+        .withColumn("running_spend", sum(col("o_totalprice")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("running_spend"), 2).as("running_spend"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+            FROM orders""")),
+
+    // -- top-k with total order (TakeOrderedAndProject) ---------------------
+    QueryDef("topk_orders", (s, dir) => {
+      Tables.t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+    },
+    Some("""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // -- set ops -------------------------------------------------------------
+    QueryDef("set_union_all", (s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val a = ev.filter(col("event_type") === "click").select(col("event_id"), col("event_type"))
+      val b = ev.filter(col("event_type") === "purchase").select(col("event_id"), col("event_type"))
+      a.union(b)
+    },
+    Some("""SELECT event_id, event_type FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_id, event_type FROM events WHERE event_type = 'purchase'""")),
+
+    QueryDef("set_intersect", (s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'""")),
+
+    QueryDef("set_except", (s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .except(ev.filter(col("event_type") === "error").select(col("user_id")))
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error'""")),
+
+    // -- scalar: string functions -------------------------------------------
+    QueryDef("scalar_string", (s, dir) => {
+      Tables.t(s, dir, "part")
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+          length(col("p_name")).as("name_len"),
+          regexp_extract(col("p_type"), "[A-Z]+", 0).as("type_word"))
+    },
+    Some("""SELECT p_partkey, upper(substr(p_name, 1, 8)) AS name_prefix,
+             CAST(length(p_name) AS INT) AS name_len,
+             regexp_extract(p_type, '[A-Z]+', 0) AS type_word
+            FROM part WHERE p_name LIKE '%red%'""")),
+
+    // -- scalar: date functions ---------------------------------------------
+    QueryDef("scalar_date", (s, dir) => {
+      Tables.t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("orders"),
+          round(avg(datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate")))), 4)
+            .as("avg_age_days"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo, count(*) AS orders,
+             round(avg(datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')), 4) AS avg_age_days
+            FROM orders GROUP BY 1, 2""")),
+
+    // -- scalar: math functions ---------------------------------------------
+    QueryDef("scalar_math", (s, dir) => {
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(ceil(col("l_extendedprice"))).cast(LongType).as("sum_ceil"),
+          sum(floor(col("l_extendedprice"))).cast(LongType).as("sum_floor"),
+          round(sum(abs(col("l_discount") - 0.05)), 4).as("sum_absdev"),
+          round(sum(pow(col("l_quantity"), 2)), 2).as("sum_sq"))
+    },
+    Some("""SELECT l_returnflag,
+             CAST(sum(ceil(l_extendedprice)) AS BIGINT) AS sum_ceil,
+             CAST(sum(floor(l_extendedprice)) AS BIGINT) AS sum_floor,
+             round(sum(abs(l_discount - 0.05)), 4) AS sum_absdev,
+             round(sum(pow(l_quantity, 2)), 2) AS sum_sq
+            FROM lineitem GROUP BY 1""")),
+
+    // -- SQL ROLLUP (grouping sets) -----------------------------------------
+    QueryDef("grouping_rollup", (s, dir) => {
+      Tables.t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
+    // -- HAVING --------------------------------------------------------------
+    QueryDef("group_having", (s, dir) => {
+      Tables.t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("spend"))
+        .filter(col("n") >= 15)
+    },
+    Some("""SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS spend
+            FROM orders GROUP BY 1 HAVING count(*) >= 15""")),
+
+    // -- DISTINCT ------------------------------------------------------------
+    QueryDef("distinct_pairs", (s, dir) => {
+      Tables.t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey")).distinct()
+    },
+    Some("SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")),
+
+    // -- CASE WHEN bucketing -------------------------------------------------
+    QueryDef("case_when_buckets", (s, dir) => {
+      Tables.t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+    },
+    Some("""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                        WHEN o_totalprice < 150000 THEN 'medium'
+                        ELSE 'large' END AS bucket,
+             count(*) AS cnt, round(avg(o_totalprice), 2) AS avg_price
+            FROM orders GROUP BY 1""")),
+
+    // -- exact percentile (continuous interpolation) ------------------------
+    QueryDef("percentile_exact", (s, dir) => {
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+    },
+    Some("""SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+            FROM lineitem GROUP BY 1""")),
+
+    // -- stddev / variance ---------------------------------------------------
+    QueryDef("stats_stddev", (s, dir) => {
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"))
+    },
+    Some("""SELECT l_linestatus, round(stddev_samp(l_quantity), 4) AS sd_qty,
+             round(var_samp(l_discount), 6) AS var_disc
+            FROM lineitem GROUP BY 1""")),
+
+    // -- time-series: orders per month --------------------------------------
+    QueryDef("orders_per_month", (s, dir) => {
+      Tables.t(s, dir, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
+        .agg(count(lit(1)).as("orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+    },
+    Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             count(*) AS orders, round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1"""), headline = true),
+
+    // -- correlated-style subquery via join: parts above their brand avg ----
+    QueryDef("subquery_above_avg", (s, dir) => {
+      val p = Tables.t(s, dir, "part")
+      val brandAvg = p.groupBy(col("p_brand").as("b"))
+        .agg(avg(col("p_retailprice")).as("brand_avg"))
+      p.join(broadcast(brandAvg), col("p_brand") === col("b"))
+        .filter(col("p_retailprice") > col("brand_avg"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("above_avg_parts"))
+    },
+    Some("""SELECT p_brand, count(*) AS above_avg_parts FROM part p1
+            WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part p2
+                                   WHERE p2.p_brand = p1.p_brand)
+            GROUP BY 1"""))
+  )
+}

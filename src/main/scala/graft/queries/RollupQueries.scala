@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.config._
+import graft.pipeline.Pipeline
+import graft.time.Granularity
+
+/** Reference-parity queries: ingest-time rollup, window-period filtering,
+  * schemaless projection, timestamp handling — the behaviors of SURVEY §2.2,
+  * §2.4, §2.9 expressed over the `events` table. Each runs through the real
+  * [[graft.pipeline.Pipeline]] (not ad-hoc DataFrame code) so the correctness
+  * gate exercises the engine itself.
+  */
+object RollupQueries {
+
+  private val fmtHour = "yyyy-MM-dd HH:mm:ss"
+
+  /** spec used by several queries: count/sum/min/max by event_type. */
+  private def baseSpec(qg: Granularity, rollupOn: Boolean = true) = IngestionSpec(
+    DataSchema(
+      dataSource = "events",
+      timestampSpec = TimestampSpec(column = "ts", format = "auto"),
+      dimensionsSpec = SpecificDimensions(Seq("event_type")),
+      aggregators = Seq(
+        AggregatorSpec("count", "cnt"),
+        AggregatorSpec("doubleSum", "sum_value", Some("value")),
+        AggregatorSpec("doubleMin", "min_value", Some("value")),
+        AggregatorSpec("doubleMax", "max_value", Some("value"))),
+      granularitySpec = GranularitySpec(Granularity.Hour, qg, rollupOn)))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -- core rollup at HOUR queryGranularity -------------------------------
+    QueryDef("rollup_hour", (s, dir) => {
+      val p = new Pipeline(baseSpec(Granularity.Hour))
+      val ev = Tables.t(s, dir, "events")
+      p.rollup(p.project(p.extractTimestamp(ev)))
+        .select(
+          date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("event_type"), col("cnt"),
+          round(col("sum_value"), 2).as("sum_value"),
+          round(col("min_value"), 2).as("min_value"),
+          round(col("max_value"), 2).as("max_value"))
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, count(*) AS cnt,
+             round(sum(value), 2) AS sum_value,
+             round(min(value), 2) AS min_value,
+             round(max(value), 2) AS max_value
+            FROM events GROUP BY 1, 2"""), headline = true),
+
+    // -- DAY granularity + exact cardinality (hyperUnique's oracle twin) ----
+    QueryDef("rollup_day_distinct", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
+        Seq(AggregatorSpec("count", "cnt"),
+            AggregatorSpec("exactCardinality", "uniq_users", Some("user_id"))),
+        GranularitySpec(Granularity.Day, Granularity.Day)))
+      val p = new Pipeline(spec)
+      p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events"))))
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("event_type"), col("cnt"), col("uniq_users"))
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, count(*) AS cnt,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+            FROM events GROUP BY 1, 2""")),
+
+    // -- fixed-width FIVE_MINUTE granularity (epoch arithmetic path) --------
+    QueryDef("rollup_five_minute", (s, dir) => {
+      val p = new Pipeline(baseSpec(Granularity.FiveMinute))
+      p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events"))))
+        .select(unix_timestamp(col(Pipeline.TsCol)).cast(LongType).as("bucket_epoch"),
+          col("event_type"), col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+    },
+    Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_epoch,
+             event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2"""), headline = true),
+
+    // -- filtered aggregator wrapper ----------------------------------------
+    QueryDef("rollup_filtered_agg", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Nil),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("filtered", "purchase_revenue",
+            filterDimension = Some("event_type"), filterValue = Some("purchase"),
+            aggregator = Some(AggregatorSpec("doubleSum", "purchase_revenue", Some("value")))),
+          AggregatorSpec("filtered", "purchase_cnt",
+            filterDimension = Some("event_type"), filterValue = Some("purchase"),
+            aggregator = Some(AggregatorSpec("count", "purchase_cnt")))),
+        GranularitySpec(Granularity.Day, Granularity.Day)))
+      val p = new Pipeline(spec)
+      p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events"))))
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("cnt"), round(col("purchase_revenue"), 2).as("purchase_revenue"),
+          col("purchase_cnt"))
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             count(*) AS cnt,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_revenue,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_cnt
+            FROM events GROUP BY 1""")),
+
+    // -- windowPeriod accept/drop predicate (injected clock — SURVEY §2.2) --
+    QueryDef("window_period_filter", (s, dir) => {
+      val spec = IngestionSpec(
+        DataSchema("events", TimestampSpec("ts"),
+          SpecificDimensions(Seq("event_type")),
+          Seq(AggregatorSpec("count", "kept")),
+          GranularitySpec(Granularity.All, Granularity.All)),
+        Tuning(windowPeriod = java.time.Duration.ofHours(48)))
+      val p = new Pipeline(spec)
+      val now = to_timestamp(lit("2024-01-15 00:00:00"))
+      p.rollup(p.project(p.windowFilter(p.extractTimestamp(Tables.t(s, dir, "events")), now)))
+        .select(col("event_type"), col("kept"))
+    },
+    Some("""SELECT event_type, count(*) AS kept FROM events
+            WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-17 00:00:00'
+            GROUP BY 1""")),
+
+    // -- schemaless dims from a JSON payload (SURVEY §2.2 / §2.8) -----------
+    QueryDef("schemaless_json_dims", (s, dir) => {
+      Tables.t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("k")).cast(LongType).as("sum_k"),
+          count_distinct(col("k")).as("uniq_k"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS uniq_k
+            FROM events GROUP BY 1""")),
+
+    // -- spatial-dimension synthesis: fields joined into one dim ------------
+    QueryDef("spatial_dim_synthesis", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("docs",
+        TimestampSpec("ts"), SpecificDimensions(Nil,
+          Seq(SpatialDimension("coord", Seq("lang", "source")))),
+        Seq(AggregatorSpec("count", "cnt")),
+        GranularitySpec(Granularity.All, Granularity.All)))
+      // documents has no ts; synthesize a constant — spatial synth is the
+      // behavior under test (concat_ws of the declared fields)
+      val p = new Pipeline(spec)
+      val docs = Tables.t(s, dir, "documents")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      p.rollup(p.project(p.extractTimestamp(docs)))
+        .select(col("coord"), col("cnt"))
+    },
+    Some("""SELECT concat_ws(',', lang, source) AS coord, count(*) AS cnt
+            FROM documents GROUP BY 1""")),
+
+    // -- timestampSpec formats: posix + millis round-trip -------------------
+    QueryDef("timestamp_formats", (s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("posix_s", unix_timestamp(col("ts")))
+        .withColumn("millis", unix_millis(col("ts")))
+      val posixSpec = IngestionSpec(DataSchema("e", TimestampSpec("posix_s", "posix"),
+        SpecificDimensions(Nil), Nil))
+      val millisSpec = IngestionSpec(DataSchema("e", TimestampSpec("millis", "millis"),
+        SpecificDimensions(Nil), Nil))
+      val p1 = new Pipeline(posixSpec).extractTimestamp(ev)
+        .select(col("event_id"), date_format(col(Pipeline.TsCol), fmtHour).as("ts_posix"))
+      val p2 = new Pipeline(millisSpec).extractTimestamp(ev)
+        .select(col("event_id"),
+          date_format(col(Pipeline.TsCol), "yyyy-MM-dd HH:mm:ss.SSS").as("ts_millis"))
+      p1.join(p2, "event_id").filter(col("event_id") < 100)
+        .select(col("event_id"), col("ts_posix"), col("ts_millis"))
+    },
+    Some("""SELECT event_id,
+             strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_posix,
+             strftime(date_trunc('millisecond', ts), '%Y-%m-%d %H:%M:%S.%g') AS ts_millis
+            FROM events WHERE event_id < 100""")),
+
+    // -- isRollup=false raw-append path (SURVEY §2.4) -----------------------
+    QueryDef("raw_append_segments", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
+        Seq(AggregatorSpec("doubleSum", "v", Some("value"))),
+        GranularitySpec(Granularity.Hour, Granularity.None, rollup = false)),
+        Tuning(partitions = 4))
+      val p = new Pipeline(spec)
+      p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events"))))
+        .groupBy(date_format(col(Pipeline.SegmentCol), fmtHour).as("segment"))
+        .agg(count(lit(1)).as("rows_in_segment"),
+          round(sum(col("value")), 2).as("v"))
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS segment,
+             count(*) AS rows_in_segment, round(sum(value), 2) AS v
+            FROM events GROUP BY 1"""), headline = true),
+
+    // -- HLL sketch path: approx_count_distinct (bench-only, no oracle) -----
+    QueryDef("rollup_hll_approx", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
+        Seq(AggregatorSpec("hyperUnique", "approx_users", Some("user_id"))),
+        GranularitySpec(Granularity.Day, Granularity.Day)))
+      val p = new Pipeline(spec)
+      p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events"))))
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("event_type"), col("approx_users"))
+    }, None),
+
+    // -- approxHistogram → percentile_approx (bench-only, no oracle) --------
+    QueryDef("rollup_approx_histogram", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
+        Seq(AggregatorSpec("approxHistogram", "value_hist", Some("value"),
+          probabilities = Seq(0.25, 0.5, 0.75, 0.95))),
+        GranularitySpec(Granularity.All, Granularity.All)))
+      val p = new Pipeline(spec)
+      p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events"))))
+        .select(col("event_type"), col("value_hist"))
+    }, None),
+
+    // -- config round-trip: full ingestion-spec JSON drives the pipeline ----
+    QueryDef("spec_json_roundtrip", (s, dir) => {
+      val json =
+        """{"dataSchema": {"dataSource": "events",
+             "parser": {"parseSpec": {
+               "timestampSpec": {"column": "ts", "format": "auto"},
+               "dimensionsSpec": {"dimensions": ["event_type"]}}},
+             "metricsSpec": [{"type": "count", "name": "cnt"},
+                             {"type": "longSum", "name": "users", "fieldName": "user_id"}],
+             "granularitySpec": {"segmentGranularity": "DAY", "queryGranularity": "DAY"}},
+            "tuning": {"windowPeriod": "PT10M", "partitions": 2}}"""
+      val p = new Pipeline(SpecLoaderRef.load(json))
+      p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events"))))
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("event_type"), col("cnt"), col("users"))
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS users
+            FROM events GROUP BY 1, 2"""))
+  )
+
+  /** indirection so the queries file reads clean */
+  private object SpecLoaderRef {
+    def load(json: String): IngestionSpec = graft.config.SpecLoader.fromJson(json)
+  }
+}

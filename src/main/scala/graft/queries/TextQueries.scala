@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** [EXT] Training-data text pipeline (SURVEY §2.11 north star): exact dedup,
+  * near-dup candidates, language-ID heuristic, quality scoring, token
+  * counting, fingerprinting — over `documents` (and `events` for exact-dup
+  * material, since the synthetic documents are all unique).
+  *
+  * Scale design: every op is a single scan + one hash shuffle on the dedup
+  * key. MinHash/LSH (see [[graft.functions.MinHash]]) replaces the O(n²)
+  * pairwise comparison with band-bucket joins — the only pairwise work left is
+  * within buckets. The exact-jaccard query restricts to a doc_id prefix so the
+  * oracle stays cheap; the MinHash path is the 100 TB route.
+  */
+object TextQueries {
+
+  private val TokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -- exact dedup: hash-groupBy, keep min id (events has real dups) ------
+    QueryDef("dedup_exact_groups", (s, dir) => {
+      Tables.t(s, dir, "events")
+        .groupBy(col("event_type"), col("props"))
+        .agg(count(lit(1)).as("copies"), min(col("event_id")).as("keeper_id"))
+        .filter(col("copies") > 1)
+    },
+    Some("""SELECT event_type, props, count(*) AS copies,
+             CAST(min(event_id) AS BIGINT) AS keeper_id
+            FROM events GROUP BY 1, 2 HAVING count(*) > 1""")),
+
+    // -- exact dedup keep-first via window (row_number dedup idiom) ---------
+    QueryDef("dedup_keep_first", (s, dir) => {
+      val w = Window.partitionBy(col("event_type"), col("props")).orderBy(col("event_id"))
+      Tables.t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("distinct_payloads"))
+    },
+    Some("""SELECT event_type, count(*) AS distinct_payloads
+            FROM (SELECT event_type,
+                    row_number() OVER (PARTITION BY event_type, props
+                                       ORDER BY event_id) AS rn
+                  FROM events) WHERE rn = 1 GROUP BY 1""")),
+
+    // -- content fingerprint (md5) dedup over documents ---------------------
+    QueryDef("doc_fingerprint", (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .select(col("source"),
+          substring(md5(col("text")), 1, 16).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"), count_distinct(col("fp")).as("distinct_fp"))
+    },
+    Some("""SELECT source, count(*) AS docs,
+             CAST(count(DISTINCT substr(md5(text), 1, 16)) AS BIGINT) AS distinct_fp
+            FROM documents GROUP BY 1""")),
+
+    // -- exact n-gram (word-set) jaccard near-dup pairs on a bounded prefix -
+    QueryDef("ngram_jaccard_pairs", (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("words"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("words").as("wa"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("words").as("wb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("jac",
+          size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb"))))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+    },
+    Some("""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+                       FROM documents WHERE doc_id < 200)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.words, b.words))), 4) AS jac
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.words, b.words))) >= 0.5""")),
+
+    // -- language-ID heuristic (stopword n-gram voting) ---------------------
+    QueryDef("lang_id_heuristic", (s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      def hits(words: Seq[String]) =
+        words.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+          .reduce(_ + _)
+      d.withColumn("en_score", hits(Seq("the", "and", "of", "is")))
+        .withColumn("guess", when(col("en_score") >= 1, "en").otherwise("other"))
+        .groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("docs"))
+    },
+    Some("""SELECT lang,
+             CASE WHEN (CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END +
+                        CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END +
+                        CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END +
+                        CASE WHEN ' ' || text || ' ' LIKE '% is %' THEN 1 ELSE 0 END) >= 1
+                  THEN 'en' ELSE 'other' END AS guess,
+             count(*) AS docs
+            FROM documents GROUP BY 1, 2""")),
+
+    // -- quality scoring: length / punct / stopword ratios ------------------
+    QueryDef("text_quality_scores", (s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val nWords = size(split(col("text"), " "))
+      val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+      d.select(col("lang"), nWords.as("n_words"), nPunct.as("n_punct"),
+          col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          round(avg(col("n_words")), 4).as("avg_words"),
+          round(avg(col("n_punct").cast("double") / col("n_chars")), 6).as("punct_ratio"),
+          round(avg(col("n_chars").cast("double") / col("n_words")), 4).as("chars_per_word"))
+    },
+    Some("""SELECT lang, count(*) AS docs,
+             round(avg(len(string_split(text, ' '))), 4) AS avg_words,
+             round(avg(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / n_chars), 6) AS punct_ratio,
+             round(avg(CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))), 4) AS chars_per_word
+            FROM documents GROUP BY 1""")),
+
+    // -- BPE-ish token counting ---------------------------------------------
+    QueryDef("token_counts", (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .select(col("source"),
+          size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).as("tokens"),
+          col("n_chars"))
+        .groupBy(col("source"))
+        .agg(sum(col("tokens")).cast(LongType).as("total_tokens"),
+          round(avg(col("n_chars").cast("double") / col("tokens")), 4).as("chars_per_token"))
+    },
+    Some(s"""SELECT source,
+              CAST(sum(len(regexp_extract_all(text, '$TokenPattern'))) AS BIGINT) AS total_tokens,
+              round(avg(CAST(n_chars AS DOUBLE) /
+                len(regexp_extract_all(text, '$TokenPattern'))), 4) AS chars_per_token
+             FROM documents GROUP BY 1""")),
+
+    // -- whitespace token count + longest word ------------------------------
+    QueryDef("word_stats", (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_words"),
+          array_max(transform(split(col("text"), " "), w => length(w))).as("max_word_len"),
+          element_at(split(col("text"), " "), 1).as("first_word"))
+        .filter(col("doc_id") < 100)
+    },
+    Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+             CAST(list_max(list_transform(string_split(text, ' '), w -> length(w))) AS INT)
+               AS max_word_len,
+             string_split(text, ' ')[1] AS first_word
+            FROM documents WHERE doc_id < 100"""))
+  )
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHash, TextFunctions, VectorFunctions}
+
+/** [EXT] Similarity search + fingerprint queries over `embeddings` /
+  * `documents` (SURVEY §2.11). Brute-force cosine top-k is the correctness
+  * baseline (oracle-checked bit-stable double arithmetic — see
+  * [[graft.functions.VectorFunctions]]); the LSH-bucketed variant is the
+  * 100 TB scale path (bucket id = shuffle key; search touches one bucket).
+  */
+object VectorQueries {
+
+  private val Dim = 64
+
+  /** left-associated explicit dot product for the DuckDB oracle — the same
+    * in-order double fold VectorFunctions.dot performs, so both engines
+    * produce bit-identical doubles.
+    */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -- brute-force cosine top-k against a stored query vector -------------
+    QueryDef("ann_bruteforce_topk", (s, dir) => {
+      val e = Tables.t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos_raw", VectorFunctions.cosine(col("embedding"), col("qv")))
+        .orderBy(col("cos_raw").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+              d AS (SELECT e.vec_id,
+                      (${dotSql("e.embedding", "q.qv")}) AS dot,
+                      sqrt((${dotSql("e.embedding", "e.embedding")})) AS na,
+                      sqrt((${dotSql("q.qv", "q.qv")})) AS nq
+                    FROM embeddings e, q WHERE e.vec_id <> 0)
+             SELECT vec_id, round(dot / (na * nq), 6) AS cos_sim
+             FROM d ORDER BY dot / (na * nq) DESC, vec_id LIMIT 10"""),
+      headline = true),
+
+    // -- pairwise near-dup embeddings (bounded prefix, oracle-checked) ------
+    QueryDef("embedding_near_dups", (s, dir) => {
+      val e = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 100)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos_raw", VectorFunctions.cosine(col("va"), col("vb")))
+        .filter(col("cos_raw") > 0.5)
+        .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+              p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      (${dotSql("a.embedding", "b.embedding")}) AS dot,
+                      sqrt((${dotSql("a.embedding", "a.embedding")})) AS na,
+                      sqrt((${dotSql("b.embedding", "b.embedding")})) AS nb
+                    FROM t a JOIN t b ON a.vec_id < b.vec_id)
+             SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos_sim
+             FROM p WHERE dot / (na * nb) > 0.5""")),
+
+    // -- centroid distance per label (groupBy over vector aggregation) ------
+    QueryDef("label_centroid_norms", (s, dir) => {
+      val e = Tables.t(s, dir, "embeddings")
+      // mean vector per label via posexplode + groupBy(label, dim)
+      e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("mean_x"))
+        .groupBy(col("label"))
+        .agg(round(sum(col("mean_x") * col("mean_x")), 6).as("centroid_sq_norm"),
+          count(lit(1)).as("dims"))
+    },
+    Some("""SELECT label,
+             round(sum(mean_x * mean_x), 6) AS centroid_sq_norm,
+             count(*) AS dims
+            FROM (SELECT label, i AS dim, avg(CAST(embedding[i] AS DOUBLE)) AS mean_x
+                  FROM embeddings, range(1, 65) AS r(i)
+                  GROUP BY 1, 2)
+            GROUP BY 1""")),
+
+    // -- LSH-bucketed ANN (scale path; rows-only — bucketing is engine-defined)
+    QueryDef("ann_lsh_buckets", (s, dir) => {
+      val e = Tables.t(s, dir, "embeddings")
+        .withColumn("bucket", VectorFunctions.lshBucket(col("embedding"), bits = 8))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("bucket"))
+      // probe only the query's bucket — the O(n/2^bits) search path
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos_raw", VectorFunctions.cosine(col("embedding"), col("qv")))
+        .orderBy(col("cos_raw").desc, col("vec_id"))
+        .limit(10)
+        .select(col("bucket"), col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+    }, None),
+
+    // -- MinHash-LSH near-dup candidate pairs (rows-only; exact-jaccard
+    //    verification inside — the ngram_jaccard_pairs oracle covers the
+    //    ground truth on the bounded prefix)
+    QueryDef("minhash_near_dups", (s, dir) => {
+      MinHash.nearDupPairs(
+        Tables.t(s, dir, "documents"), "doc_id", "text",
+        k = 32, bands = 8, shingleWidth = 3, threshold = 0.3)
+    }, None),
+
+    // -- SimHash fingerprints + hamming near-dups (rows-only) ---------------
+    QueryDef("simhash_fingerprints", (s, dir) => {
+      val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextFunctions.simhash(col("text")).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("hamming", TextFunctions.hammingDistance(col("sh_a"), col("sh_b")))
+        .filter(col("hamming") <= 16)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }, None),
+
+    // -- rolling-hash fingerprint distribution (rows-only) ------------------
+    QueryDef("rolling_fingerprints", (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .select(col("source"), TextFunctions.rollingFingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(count_distinct(col("fp")).as("distinct_fp"), count(lit(1)).as("docs"))
+    }, None)
+  )
+}

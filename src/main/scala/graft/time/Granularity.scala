@@ -1,0 +1,100 @@
+package graft.time
+
+import java.time.{Instant, ZoneOffset, ZonedDateTime}
+import java.time.temporal.ChronoField
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Time granularities of the reference's ingestion spec.
+  *
+  * Mirrors the granularity set tranquility accepts for
+  * `segmentGranularity` / `queryGranularity` (upstream:
+  * core/src/main/scala/com/metamx/tranquility/beam/ClusteredBeamTuning.scala#segmentBucket
+  * and core/.../druid/DruidRollup.scala#indexGranularity — see SURVEY.md §0 for
+  * the citation convention). Truncation is the primary key of the whole system:
+  * routing, rollup bucketing, and output partitioning all derive from it.
+  *
+  * Spark-first design: fixed-width granularities truncate via integer epoch
+  * arithmetic (stays inside whole-stage codegen, no UDF); calendar-based ones
+  * (week/month/quarter/year) use `date_trunc`. Both are pure Column
+  * expressions, so Catalyst can constant-fold and push surrounding filters.
+  */
+sealed abstract class Granularity(
+    val name: String,
+    /** Fixed width in seconds, or -1 for calendar-based units. */
+    val widthSeconds: Long,
+    /** date_trunc unit for calendar-based units. */
+    val truncUnit: String) extends Serializable {
+
+  /** Truncate a TimestampType column down to this granularity. */
+  def truncate(ts: Column): Column =
+    if (this == Granularity.All) to_timestamp(lit("1970-01-01 00:00:00"))
+    else if (this == Granularity.None) ts
+    else if (widthSeconds > 0)
+      // floor(epoch / w) * w — codegen-friendly, no calendar lookup
+      timestamp_seconds(floor(unix_timestamp(ts) / widthSeconds).cast("long") * widthSeconds)
+    else date_trunc(truncUnit, ts)
+
+  /** Pure Scala twin of [[truncate]] for driver-side logic and tests. */
+  def truncateInstant(i: Instant): Instant =
+    if (this == Granularity.All) Instant.EPOCH
+    else if (this == Granularity.None) i
+    else if (widthSeconds > 0) {
+      val e = i.getEpochSecond
+      Instant.ofEpochSecond(math.floorDiv(e, widthSeconds) * widthSeconds)
+    } else {
+      val z = ZonedDateTime.ofInstant(i, ZoneOffset.UTC)
+      val d = truncUnit match {
+        case "week" =>
+          z.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+            .`with`(ChronoField.DAY_OF_WEEK, 1)
+        case "month" =>
+          z.truncatedTo(java.time.temporal.ChronoUnit.DAYS).withDayOfMonth(1)
+        case "quarter" =>
+          val m = ((z.getMonthValue - 1) / 3) * 3 + 1
+          z.truncatedTo(java.time.temporal.ChronoUnit.DAYS).withDayOfMonth(1).withMonth(m)
+        case "year" =>
+          z.truncatedTo(java.time.temporal.ChronoUnit.DAYS).withDayOfYear(1)
+      }
+      d.toInstant
+    }
+
+  /** End (exclusive) of the bucket containing instant `i`. */
+  def bucketEnd(i: Instant): Instant =
+    if (widthSeconds > 0) truncateInstant(i).plusSeconds(widthSeconds)
+    else {
+      val z = ZonedDateTime.ofInstant(truncateInstant(i), ZoneOffset.UTC)
+      (truncUnit match {
+        case "week"    => z.plusWeeks(1)
+        case "month"   => z.plusMonths(1)
+        case "quarter" => z.plusMonths(3)
+        case "year"    => z.plusYears(1)
+      }).toInstant
+    }
+}
+
+object Granularity {
+  case object None          extends Granularity("NONE", 0, "")
+  case object Second        extends Granularity("SECOND", 1, "")
+  case object Minute        extends Granularity("MINUTE", 60, "")
+  case object FiveMinute    extends Granularity("FIVE_MINUTE", 300, "")
+  case object TenMinute     extends Granularity("TEN_MINUTE", 600, "")
+  case object FifteenMinute extends Granularity("FIFTEEN_MINUTE", 900, "")
+  case object ThirtyMinute  extends Granularity("THIRTY_MINUTE", 1800, "")
+  case object Hour          extends Granularity("HOUR", 3600, "")
+  case object SixHour       extends Granularity("SIX_HOUR", 21600, "")
+  case object Day           extends Granularity("DAY", 86400, "")
+  case object Week          extends Granularity("WEEK", -1, "week")
+  case object Month         extends Granularity("MONTH", -1, "month")
+  case object Quarter       extends Granularity("QUARTER", -1, "quarter")
+  case object Year          extends Granularity("YEAR", -1, "year")
+  case object All           extends Granularity("ALL", -1, "")
+
+  val values: Seq[Granularity] = Seq(None, Second, Minute, FiveMinute, TenMinute,
+    FifteenMinute, ThirtyMinute, Hour, SixHour, Day, Week, Month, Quarter, Year, All)
+
+  def fromString(s: String): Granularity =
+    values.find(_.name.equalsIgnoreCase(s.replaceAll("-", "_")))
+      .getOrElse(throw new IllegalArgumentException(s"unknown granularity: $s"))
+}
