@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Stream sources (SURVEY §2.1): the engine-side analogs of the reference's
+  * ingestion daemons.
+  *
+  *  - library send (`Tranquilizer.send`)     → MemoryStream (tests) or any
+  *    `DataFrame` handed to [[graft.streaming.IngestStream.start]]
+  *  - Kafka consumer daemon (KafkaConsumer.java) → `readStream.format("kafka")`
+  *    (wiring below; needs a broker — the checkpoint IS the offset-commit
+  *    contract: offsets advance only after the sink commit, exactly the
+  *    reference's commit-after-flush at-least-once linchpin, SURVEY §3.3)
+  *  - HTTP ingest server (TranquilityServlet)  → file-drop directory (v1):
+  *    producers drop JSON files; `fileStream` tails the dir. Same NDJSON/
+  *    JSON-array bodies, minus the socket.
+  */
+object Sources {
+
+  /** File-drop streaming source over newline-delimited JSON with an explicit
+    * schema (schema inference is banned in streams for determinism —
+    * SURVEY §7 hard part (c)).
+    */
+  def jsonFileStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Parquet-drop streaming source (used to replay the testdata `events`
+    * table as a stream; ns-timestamp handling mirrors
+    * [[graft.queries.Tables.t]]).
+    */
+  def parquetFileStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Replay the driver's events table as a file stream: stage the single
+    * parquet file into a directory (file sources need a dir), then stream it.
+    * Returns the streaming DataFrame with `ts` as a proper TimestampType.
+    */
+  def eventsReplay(spark: SparkSession, sfDir: String, stagingDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staging = new java.io.File(stagingDir)
+    staging.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$stagingDir/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    parquetFileStream(spark, stagingDir, schema)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Kafka wiring (v2 — no broker in this environment, kept as the documented
+    * construction): subscribe + JSON value parsing with explicit schema.
+    */
+  def kafkaStream(spark: SparkSession, bootstrap: String, topicPattern: String,
+      valueSchema: StructType, maxOffsetsPerTrigger: Long = 10000): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribePattern", topicPattern)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+      .select(from_json(col("value").cast("string"), valueSchema).as("e"))
+      .select(col("e.*"))
+}

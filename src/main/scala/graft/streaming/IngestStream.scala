@@ -1,10 +1,8 @@
 package graft.streaming
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.config.IngestionSpec
 import graft.pipeline.Pipeline
@@ -18,9 +16,9 @@ import graft.pipeline.Pipeline
   *    the engine's, not a client buffer (SURVEY §4).
   *  - ClusteredBeam chunk routing           → tumbling segment buckets in the
   *    pipeline; no ZK — the checkpoint dir is the beam metadata (SURVEY §2.9).
-  *  - windowPeriod late/future drops        → watermark (late side) + explicit
-  *    predicate vs injected `now` (future side), with `observe` drop counters —
-  *    the SendResult(sent=false) accounting surface.
+  *  - windowPeriod late/future drops        → explicit predicate vs injected
+  *    `now` on both sides, with `observe` drop counters — the
+  *    SendResult(sent=false) accounting surface (SURVEY §2.2).
   *  - flush()/stop() ordered shutdown       → Trigger.AvailableNow drain, then
   *    query.stop().
   */
@@ -33,26 +31,6 @@ final class IngestStream(
 
   @volatile private var query: Option[StreamingQuery] = None
 
-  /** Cumulative {received, sent, dropped} across micro-batches — the
-    * Tranquilizer counter surface (`received/sent` of the HTTP reply,
-    * SURVEY §3.2).
-    */
-  val counters = new ConcurrentHashMap[String, Long]()
-
-  private val listener = new StreamingQueryListener {
-    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-      val obs = e.progress.observedMetrics
-      if (obs.containsKey("graft_window")) {
-        val row = obs.get("graft_window")
-        Seq("received", "sent", "dropped").foreach { k =>
-          counters.merge(k, row.getAs[Long](k), (a, b) => a + b)
-        }
-      }
-    }
-  }
-
   /** Start the ingest query: source stream → pipeline → segment-partitioned
     * Parquet. `now` defaults to processing time; tests inject a literal clock
     * (the TestingTimekeeper analog — SURVEY §5).
@@ -62,8 +40,12 @@ final class IngestStream(
       outputPath: String,
       now: Column = current_timestamp(),
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    spark.streams.addListener(listener)
-    val q = source.writeStream
+    // Row-wise stages run on the STREAMING DataFrame so the `observe` drop
+    // counters surface in StreamingQueryProgress.observedMetrics (inside
+    // foreachBatch they'd belong to a detached batch query and vanish).
+    val staged = pipeline.project(
+      pipeline.windowFilter(pipeline.extractTimestamp(source), now))
+    val q = staged.writeStream
       .queryName(s"graft-${spec.dataSchema.dataSource}")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -72,7 +54,9 @@ final class IngestStream(
         // time (sum of partial sums per segment dir) or via compaction —
         // matching the reference, where each send batch lands incrementally
         // in the realtime task and Druid merges at query time.
-        val out = pipeline(batch, now)
+        val rolled = pipeline.rollup(batch)
+        val out = if (spec.dataSchema.granularitySpec.rollup)
+          pipeline.withSegment(rolled) else rolled
         graft.sink.SegmentSink.writeMicroBatch(outputPath)(out, batchId)
       }
       .start()
@@ -83,16 +67,25 @@ final class IngestStream(
   /** Drain all available input then stop — flush()+stop() semantics
     * (upstream Tranquilizer.scala#flush / SimpleTranquilizerAdapter).
     */
-  def flushAndStop(): Unit = {
-    query.foreach { q =>
-      q.processAllAvailable()
-      q.stop()
-      q.awaitTermination()
-    }
-    spark.streams.removeListener(listener)
+  def flushAndStop(): Unit = query.foreach { q =>
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
   }
 
-  def received: Long = counters.getOrDefault("received", 0L)
-  def sent: Long = counters.getOrDefault("sent", 0L)
-  def dropped: Long = counters.getOrDefault("dropped", 0L)
+  /** Cumulative {received, sent, dropped} — the Tranquilizer counter surface
+    * (`{received, sent}` of the reference's HTTP reply, SURVEY §3.2). Summed
+    * from per-batch observed metrics in `recentProgress`; for queries longer
+    * than `spark.sql.streaming.numRecentProgressUpdates` batches, attach a
+    * StreamingQueryListener and accumulate instead.
+    */
+  private def metric(name: String): Long =
+    query.toSeq.flatMap(_.recentProgress).map { p =>
+      val om = p.observedMetrics
+      if (om.containsKey("graft_window")) om.get("graft_window").getAs[Long](name) else 0L
+    }.sum
+
+  def received: Long = metric("received")
+  def sent: Long = metric("sent")
+  def dropped: Long = metric("dropped")
 }

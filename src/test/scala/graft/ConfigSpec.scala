@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+import graft.time.Granularity
+
+/** SpecLoader parsing + validate() collision semantics
+  * (upstream DruidRollupTest analog — SURVEY §5).
+  */
+class ConfigSpec extends AnyFunSuite {
+
+  private val fullJson =
+    """{"dataSchema": {
+         "dataSource": "wiki",
+         "parser": {"parseSpec": {
+           "timestampSpec": {"column": "t", "format": "posix", "missingValue": "2024-01-01"},
+           "dimensionsSpec": {"dimensions": ["page", "user"],
+             "spatialDimensions": [{"dimName": "coord", "dims": ["lat", "lon"]}]}}},
+         "metricsSpec": [
+           {"type": "count", "name": "cnt"},
+           {"type": "doubleSum", "name": "added", "fieldName": "delta"},
+           {"type": "filtered", "name": "bot_edits",
+            "filter": {"dimension": "user", "value": "bot"},
+            "aggregator": {"type": "count", "name": "bot_edits"}}],
+         "granularitySpec": {"segmentGranularity": "SIX_HOUR",
+                             "queryGranularity": "FIVE_MINUTE", "rollup": true}},
+        "tuning": {"windowPeriod": "PT30M", "partitions": 3, "replicants": 2,
+                   "maxBatchSize": 500}}"""
+
+  test("parses the full Druid-style ingestion spec") {
+    val spec = SpecLoader.fromJson(fullJson)
+    assert(spec.dataSchema.dataSource == "wiki")
+    assert(spec.dataSchema.timestampSpec == TimestampSpec("t", "posix", Some("2024-01-01")))
+    spec.dataSchema.dimensionsSpec match {
+      case SpecificDimensions(dims, spatial) =>
+        assert(dims == Seq("page", "user"))
+        assert(spatial == Seq(SpatialDimension("coord", Seq("lat", "lon"))))
+      case other => fail(s"wrong dims: $other")
+    }
+    assert(spec.dataSchema.aggregators.map(_.aggType) == Seq("count", "doubleSum", "filtered"))
+    val filtered = spec.dataSchema.aggregators.last
+    assert(filtered.filterDimension.contains("user"))
+    assert(filtered.aggregator.get.aggType == "count")
+    assert(spec.dataSchema.granularitySpec ==
+      GranularitySpec(Granularity.SixHour, Granularity.FiveMinute, rollup = true))
+    assert(spec.tuning.windowPeriod == java.time.Duration.ofMinutes(30))
+    assert(spec.tuning.partitions == 3)
+    assert(spec.tuning.maxBatchSize == 500)
+  }
+
+  test("empty dimensions array means schemaless") {
+    val spec = SpecLoader.fromJson(
+      """{"dataSchema": {"dataSource": "x",
+           "parser": {"parseSpec": {"dimensionsSpec":
+             {"dimensions": [], "dimensionExclusions": ["secret"]}}}}}""")
+    spec.dataSchema.dimensionsSpec match {
+      case SchemalessDimensions(excl, _) => assert(excl == Seq("secret"))
+      case other => fail(s"expected schemaless: $other")
+    }
+  }
+
+  test("validate rejects dimension/metric name collisions (DruidRollup#validate)") {
+    val bad = IngestionSpec(DataSchema("x", TimestampSpec("ts"),
+      SpecificDimensions(Seq("foo")),
+      Seq(AggregatorSpec("count", "foo"))))
+    intercept[IllegalArgumentException](bad.validate())
+  }
+
+  test("validate rejects timestamp-column collision") {
+    val bad = IngestionSpec(DataSchema("x", TimestampSpec("ts"),
+      SpecificDimensions(Seq("ts")), Nil))
+    intercept[IllegalArgumentException](bad.validate())
+  }
+
+  test("validate rejects exclusion/metric clash in schemaless mode") {
+    val bad = IngestionSpec(DataSchema("x", TimestampSpec("ts"),
+      SchemalessDimensions(Seq("cnt")),
+      Seq(AggregatorSpec("count", "cnt"))))
+    intercept[IllegalArgumentException](bad.validate())
+  }
+
+  test("defaults mirror the reference (ClusteredBeamTuning/Tranquilizer)") {
+    val t = Tuning()
+    assert(t.windowPeriod == java.time.Duration.ofMinutes(10))
+    assert(t.partitions == 1 && t.replicants == 1)
+    assert(t.maxBatchSize == 2000 && t.maxPendingBatches == 5 && t.lingerMillis == 0L)
+    assert(GranularitySpec().segmentGranularity == Granularity.Hour)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** [EXT] function-library semantics: cosine vs hand-computed values, MinHash
+  * LSH recall on planted near-dups, SimHash locality, tokenizer counts.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine similarity matches hand computation") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0)
+    ).toDF("a", "b", "want")
+    val got = df.select(VectorFunctions.cosine($"a", $"b").as("c"), $"want")
+      .as[(Double, Double)].collect()
+    got.foreach { case (c, want) => assert(math.abs(c - want) < 1e-9) }
+  }
+
+  test("cosine of zero vector is null") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine($"a", $"b")).collect().head.isNullAt(0))
+  }
+
+  test("l2 distance") {
+    val df = Seq((Array(0.0f, 3.0f), Array(4.0f, 0.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.l2Distance($"a", $"b")).as[Double].head() == 5.0)
+  }
+
+  test("lsh bucket is deterministic and groups identical vectors") {
+    val v = Array.tabulate(16)(i => (i * 0.37f) - 2f)
+    val df = Seq(("a", v), ("b", v), ("c", v.map(-_))).toDF("id", "vec")
+    val buckets = df.select($"id", VectorFunctions.lshBucket($"vec", bits = 8).as("b"))
+      .as[(String, Long)].collect().toMap
+    assert(buckets("a") == buckets("b"))
+    assert(buckets("a") != buckets("c")) // antipodal vector flips every sign bit
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips distinct docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val distinct = (100 to 140).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, distinct)).toDF("id", "text")
+    val pairs = MinHash.nearDupPairs(df, "id", "text", k = 32, bands = 8, threshold = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("shingles: w-word windows, short docs degrade to whole-text shingle") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(MinHash.shingles($"text", 3).as("s")).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("simhash: near-identical docs within small hamming distance, distinct docs far") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val similar = base.replace("tok30", "XXX")
+    val other = (200 to 260).map(i => s"q$i").mkString(" ")
+    val df = Seq(base, similar, other).toDF("text")
+    val hashes = df.select(TextFunctions.simhash($"text").as("h")).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(0), hashes(1)) <= 12)
+    assert(ham(hashes(0), hashes(2)) > 16)
+  }
+
+  test("tokenizer: letter runs, digit runs, punctuation") {
+    val df = Seq("hello world-42, ok!").toDF("text")
+    val toks = df.select(TextFunctions.tokenize($"text").as("t")).as[Seq[String]].head()
+    assert(toks == Seq("hello", "world", "-", "42", ",", "ok", "!"))
+  }
+
+  test("rolling fingerprint is order-sensitive") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+    val fps = df.select(TextFunctions.rollingFingerprint($"text").as("f")).as[Long].collect()
+    assert(fps(0) != fps(1))
+    assert(fps(0) == fps(2))
+  }
+
+  test("multimodal stub decode: partition-wise feature extraction") {
+    val df = Seq((1L, "src", "x" * 2500)).toDF("doc_id", "source", "text")
+      .select($"doc_id", $"source", $"text".cast("binary").as("payload"))
+    val feats = MultimodalFunctions.extractFeatures(spark, df)
+      .as[MultimodalFunctions.AssetFeatures].head()
+    assert(feats.n_bytes == 2500)
+    assert(feats.first_byte == 'x'.toInt)
+    assert(feats.frame_count == 3)
+    val frames = MultimodalFunctions.sampleFrames(spark,
+      df.select($"doc_id", $"payload"), everyK = 2).count()
+    assert(frames == 2) // frames 0 and 2
+  }
+}

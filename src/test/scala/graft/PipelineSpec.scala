@@ -1,0 +1,139 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+import graft.config._
+import graft.pipeline.Pipeline
+import graft.time.Granularity
+
+/** Batch-pipeline semantics: timestamp formats, windowPeriod accept/drop with
+  * observed counts (SendResult parity — SURVEY §2.2), projection modes,
+  * rollup golden values (DirectDruidTest-style fixtures, FIXTURES.md §A).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val simpleSpec = IngestionSpec(
+    DataSchema("simple", TimestampSpec("ts"),
+      SpecificDimensions(Seq("foo")),
+      Seq(AggregatorSpec("count", "cnt"),
+        AggregatorSpec("longSum", "barr", Some("bar")),
+        AggregatorSpec("doubleMax", "bazmax", Some("baz"))),
+      GranularitySpec(Granularity.Hour, Granularity.Minute)),
+    Tuning(windowPeriod = java.time.Duration.ofMinutes(10)))
+
+  test("rollup produces golden aggregated rows") {
+    val events = Seq(
+      (ts("2024-01-01 10:00:10"), "x", 1L, 0.5),
+      (ts("2024-01-01 10:00:50"), "x", 2L, 2.5),
+      (ts("2024-01-01 10:00:55"), "y", 4L, 1.0),
+      (ts("2024-01-01 10:01:10"), "x", 8L, 0.25)
+    ).toDF("ts", "foo", "bar", "baz")
+    val p = new Pipeline(simpleSpec)
+    val out = p.rollup(p.project(p.extractTimestamp(events)))
+      .orderBy("__ts", "foo")
+      .select(date_format($"__ts", "HH:mm:ss").as("m"), $"foo", $"cnt", $"barr", $"bazmax")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("10:00:00", "x", 2L, 3L, 2.5),
+      ("10:00:00", "y", 1L, 4L, 1.0),
+      ("10:01:00", "x", 1L, 8L, 0.25)))
+  }
+
+  test("windowPeriod drops late and future events with exact accounting") {
+    // FIXTURES.md §A: events at now−20m (late), now (keep), now+20m (future)
+    val now = ts("2024-01-01 12:00:00")
+    val events = Seq(
+      (ts("2024-01-01 11:40:00"), "late", 1L, 0.0),
+      (ts("2024-01-01 12:00:00"), "ok", 1L, 0.0),
+      (ts("2024-01-01 12:20:00"), "future", 1L, 0.0)
+    ).toDF("ts", "foo", "bar", "baz")
+    val p = new Pipeline(simpleSpec)
+    val obs = Observation("win")
+    val filtered = p.extractTimestamp(events)
+      .observe(obs,
+        count(lit(1)).as("received"),
+        count(when(col("__ts").between(
+          lit(now) - expr("INTERVAL 10 MINUTE"),
+          lit(now) + expr("INTERVAL 10 MINUTE")), 1)).as("sent"))
+    val kept = p.windowFilter(filtered, lit(now)).select($"foo").as[String].collect().toSeq
+    assert(kept == Seq("ok"))
+    assert(obs.get("received") == 3L && obs.get("sent") == 1L)
+  }
+
+  test("schemaless projection: all non-reserved columns become string dims") {
+    val spec = IngestionSpec(DataSchema("s", TimestampSpec("ts"),
+      SchemalessDimensions(dimensionExclusions = Seq("ignored")),
+      Seq(AggregatorSpec("doubleSum", "v", Some("value")))))
+    val df = Seq((ts("2024-01-01 00:00:00"), "a", 7, "drop-me", 1.5))
+      .toDF("ts", "dim1", "dim2", "ignored", "value")
+    val p = new Pipeline(spec)
+    val out = p.project(p.extractTimestamp(df))
+    assert(out.columns.toSeq == Seq("__ts", "dim1", "dim2", "value"))
+    // dims cast to string (Druid schemaless semantics), metric input kept
+    val row = out.collect().head
+    assert(row.getAs[String]("dim2") == "7")
+    assert(row.getAs[Double]("value") == 1.5)
+  }
+
+  test("spatial dimension synthesis joins fields with comma") {
+    val spec = IngestionSpec(DataSchema("s", TimestampSpec("ts"),
+      SpecificDimensions(Seq("name"), Seq(SpatialDimension("coord", Seq("lat", "lon")))),
+      Nil))
+    val df = Seq((ts("2024-01-01 00:00:00"), "p1", 51.5, -0.1))
+      .toDF("ts", "name", "lat", "lon")
+    val p = new Pipeline(spec)
+    val out = p.project(p.extractTimestamp(df)).collect().head
+    assert(out.getAs[String]("coord") == "51.5,-0.1")
+  }
+
+  test("timestampSpec formats: posix, millis, custom pattern, missingValue") {
+    def extract(fmt: String, df: org.apache.spark.sql.DataFrame,
+        missing: Option[String] = None) = {
+      val spec = IngestionSpec(DataSchema("s",
+        TimestampSpec("t", fmt, missing), SpecificDimensions(Nil), Nil))
+      new Pipeline(spec).extractTimestamp(df)
+        .select(date_format($"__ts", "yyyy-MM-dd HH:mm:ss").as("s")).as[String].collect().toSeq
+    }
+    assert(extract("posix", Seq(1704110400L).toDF("t")) == Seq("2024-01-01 12:00:00"))
+    assert(extract("millis", Seq(1704110400123L).toDF("t")) == Seq("2024-01-01 12:00:00"))
+    assert(extract("yyyy/MM/dd HH:mm", Seq("2024/01/01 12:00").toDF("t")) ==
+      Seq("2024-01-01 12:00:00"))
+    assert(extract("iso", Seq("2024-01-01T12:00:00").toDF("t")) == Seq("2024-01-01 12:00:00"))
+    // auto: string ISO, and null → missingValue
+    assert(extract("auto", Seq[Option[String]](Some("2024-01-01 12:00:00"), None)
+      .toDF("t"), Some("1999-12-31 00:00:00")) ==
+      Seq("2024-01-01 12:00:00", "1999-12-31 00:00:00"))
+  }
+
+  test("isRollup=false appends raw rows with segment buckets") {
+    val spec = simpleSpec.copy(dataSchema = simpleSpec.dataSchema.copy(
+      granularitySpec = GranularitySpec(Granularity.Hour, Granularity.None, rollup = false)))
+    val events = Seq(
+      (ts("2024-01-01 10:15:00"), "x", 1L, 0.5),
+      (ts("2024-01-01 11:45:00"), "y", 2L, 1.5)
+    ).toDF("ts", "foo", "bar", "baz")
+    val p = new Pipeline(spec)
+    val out = p.rollup(p.project(p.extractTimestamp(events)))
+    assert(out.count() == 2) // no aggregation
+    val segs = out.select(date_format(col(Pipeline.SegmentCol), "HH:mm").as("s"))
+      .as[String].collect().toSet
+    assert(segs == Set("10:00", "11:00"))
+  }
+
+  test("full pipeline composition with decorate hook") {
+    val p = new Pipeline(simpleSpec)
+    val events = Seq((ts("2024-01-01 12:00:00"), "x", 1L, 0.5))
+      .toDF("ts", "foo", "bar", "baz")
+    val out = p(events, lit(ts("2024-01-01 12:00:00")),
+      decorate = _.withColumn("decorated", lit(true)))
+    assert(out.columns.contains("decorated"))
+    assert(out.columns.contains(Pipeline.SegmentCol))
+    assert(out.count() == 1)
+  }
+}

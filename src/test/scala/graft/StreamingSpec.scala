@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.config._
+import graft.streaming.IngestStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.time.Granularity
+
+/** Streaming E2E: MemoryStream → IngestStream → segment-partitioned parquet,
+  * with drop accounting — the DirectDruidTest/ClusteredBeamTest analog without
+  * Druid (SURVEY §5; injected clock replaces TestingTimekeeper).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(ts: Timestamp, etype: String, value: Double)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val spec = IngestionSpec(
+    DataSchema("stream_events", TimestampSpec("ts"),
+      SpecificDimensions(Seq("etype")),
+      Seq(AggregatorSpec("count", "cnt"),
+        AggregatorSpec("doubleSum", "total", Some("value"))),
+      GranularitySpec(Granularity.Hour, Granularity.Hour)),
+    Tuning(windowPeriod = java.time.Duration.ofMinutes(30)))
+
+  test("memory stream → rollup → segment parquet with drop accounting") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val now = ts("2024-03-01 12:00:00")
+
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    val q = ingest.start(input.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+
+    input.addData(
+      Ev(ts("2024-03-01 11:50:00"), "click", 1.0),   // keep (−10m)
+      Ev(ts("2024-03-01 12:10:00"), "click", 2.0),   // keep (+10m)
+      Ev(ts("2024-03-01 12:10:30"), "view", 4.0),    // keep
+      Ev(ts("2024-03-01 10:00:00"), "click", 8.0),   // late → drop
+      Ev(ts("2024-03-01 14:00:00"), "view", 16.0))   // future → drop
+    q.processAllAvailable()
+
+    // second micro-batch: appends to the same segment dirs
+    input.addData(Ev(ts("2024-03-01 12:20:00"), "click", 32.0))
+    ingest.flushAndStop()
+
+    assert(ingest.received == 6 && ingest.sent == 4 && ingest.dropped == 2)
+
+    val out = spark.read.parquet(s"$tmp/out")
+    // 11:00 bucket: click(1.0); 12:00 bucket: click(2.0)+view(4.0), then click(32.0)
+    // (segment partition values are the sink's dir-safe strings)
+    val agg = out.groupBy(substring($"segment", 12, 5).as("seg"), $"etype")
+      .agg(sum($"cnt").as("cnt"), sum($"total").as("total"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(agg == Set(
+      ("11.00", "click", 1L, 1.0),
+      ("12.00", "click", 2L, 34.0),
+      ("12.00", "view", 1L, 4.0)))
+    // partition layout: one directory per segment bucket
+    val dirs = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("segment=")).sorted
+    assert(dirs.length == 2)
+  }
+
+  test("restart from checkpoint does not duplicate delivered batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-restart").toString
+    val now = ts("2024-03-01 12:00:00")
+
+    val ingest1 = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    val q1 = ingest1.start(input.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    input.addData(Ev(ts("2024-03-01 12:00:00"), "click", 1.0))
+    ingest1.flushAndStop()
+
+    // restart against the same checkpoint: already-committed offsets replayed
+    // into foreachBatch are skipped by the engine's batchId tracking
+    val ingest2 = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    val q2 = ingest2.start(input.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    input.addData(Ev(ts("2024-03-01 12:01:00"), "view", 2.0))
+    ingest2.flushAndStop()
+
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.agg(sum($"cnt")).as[Long].head() == 2L)
+  }
+}
