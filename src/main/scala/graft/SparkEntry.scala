@@ -13,8 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   val registry: Seq[QueryDef] =
-    RollupQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
-      VectorQueries.all ++ MultimodalQueries.all
+    RollupQueries.all ++ RelationalQueries.all ++ WindowingQueries.all ++
+      TextQueries.all ++ VectorQueries.all ++ MultimodalQueries.all
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")
