@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, SparkSessionExtensionsProvider}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native Catalyst expressions.
+  *
+  * Two entry points:
+  *  - [[GraftExtensions]]: `SparkSessionExtensions` provider — enable with
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` so every session
+  *    (incl. SQL-only users) gets the functions.
+  *  - [[GraftFunctions.register]]: imperative per-session registration for
+  *    library use.
+  */
+class GraftExtensions extends SparkSessionExtensionsProvider {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injections.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private[graft] val injections
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(a, b) takes 2 arguments")
+        CosineSimilarity(args(0), args(1))
+      }))
+
+  /** Imperative registration for sessions created without the extension. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    injections.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MinHash, TextFunctions, VectorFunctions}
+import graft.functions.{CosineSimilarity, GraftFunctions, MinHash, TextFunctions, VectorFunctions}
 
 /** [EXT] Similarity search + fingerprint queries over `embeddings` /
   * `documents` (SURVEY §2.11). Brute-force cosine top-k is the correctness
@@ -26,11 +26,12 @@ object VectorQueries {
 
     // -- brute-force cosine top-k against a stored query vector -------------
     QueryDef("ann_bruteforce_topk", (s, dir) => {
+      GraftFunctions.register(s)
       val e = Tables.t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0)
-        .withColumn("cos_raw", VectorFunctions.cosine(col("embedding"), col("qv")))
+        .withColumn("cos_raw", CosineSimilarity(col("embedding"), col("qv")))
         .orderBy(col("cos_raw").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
@@ -47,11 +48,12 @@ object VectorQueries {
 
     // -- pairwise near-dup embeddings (bounded prefix, oracle-checked) ------
     QueryDef("embedding_near_dups", (s, dir) => {
+      GraftFunctions.register(s)
       val e = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 100)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos_raw", VectorFunctions.cosine(col("va"), col("vb")))
+        .withColumn("cos_raw", CosineSimilarity(col("va"), col("vb")))
         .filter(col("cos_raw") > 0.5)
         .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
     },

@@ -83,6 +83,39 @@ class FunctionsSpec extends SparkSpec {
     assert(fps(0) == fps(2))
   }
 
+  test("native cosine_sim Expression: bit-identical to the HOF fold, SQL-callable") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = vecs.toDF("id", "v")
+    val a = df.select($"id".as("ia"), $"v".as("va"))
+    val b = df.select($"id".as("ib"), $"v".as("vb"))
+    val both = a.join(b, $"ia" < $"ib")
+      .select(
+        CosineSimilarity($"va", $"vb").as("native"),
+        VectorFunctions.cosine($"va", $"vb").as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) => assert(n == h, s"bit mismatch: $n vs $h") }
+
+    // SQL surface via the registry
+    df.createOrReplaceTempView("vecs_test")
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(v, v) AS c FROM vecs_test").as[Double].collect()
+    viaSql.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+
+    // zero vector -> null through the native path
+    val z = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+    assert(z.select(CosineSimilarity($"a", $"b")).collect().head.isNullAt(0))
+
+    // type check rejects non-array inputs at analysis time
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(1, 2)").collect()
+    }
+  }
+
   test("multimodal stub decode: partition-wise feature extraction") {
     val df = Seq((1L, "src", "x" * 2500)).toDF("doc_id", "source", "text")
       .select($"doc_id", $"source", $"text".cast("binary").as("payload"))
