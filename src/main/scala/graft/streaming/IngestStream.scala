@@ -31,6 +31,9 @@ final class IngestStream(
 
   @volatile private var query: Option[StreamingQuery] = None
 
+  /** handle to the running query (None before start). */
+  def activeQuery: Option[StreamingQuery] = query
+
   /** Start the ingest query: source stream → pipeline → segment-partitioned
     * Parquet. `now` defaults to processing time; tests inject a literal clock
     * (the TestingTimekeeper analog — SURVEY §5).
@@ -59,6 +62,53 @@ final class IngestStream(
           pipeline.withSegment(rolled) else rolled
         graft.sink.SegmentSink.writeMicroBatch(outputPath)(out, batchId)
       }
+      .start()
+    query = Some(q)
+    q
+  }
+
+  /** Watermarked streaming rollup: cross-batch FINAL aggregation via the
+    * state store, emitted once per bucket when the event-time watermark
+    * (= windowPeriod, the reference's lateness bound — SURVEY §2.9) passes the
+    * bucket end. Use this mode when the aggregator set contains sketches
+    * (hyperUnique/approxHistogram), whose finalized outputs per-batch partials
+    * can't re-merge ([[graft.sink.SegmentStore]] docs).
+    *
+    * Requires a fixed-width queryGranularity (streaming `window()` takes
+    * literal durations, not calendar periods).
+    */
+  def startWatermarked(
+      source: DataFrame,
+      outputPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val gran = spec.dataSchema.granularitySpec
+    require(gran.queryGranularity.widthSeconds > 0,
+      s"watermarked mode needs fixed-width queryGranularity, got ${gran.queryGranularity.name}")
+    require(gran.rollup, "watermarked mode is a rollup mode (isRollup=true)")
+    val wmSeconds = spec.tuning.windowPeriod.getSeconds
+
+    val staged = pipeline.project(pipeline.extractTimestamp(source))
+      .withWatermark(Pipeline.TsCol, s"$wmSeconds seconds")
+    val dims = pipeline.dimensionNames(staged).map(col)
+    val aggs = spec.dataSchema.aggregators.map(graft.pipeline.Aggregators.toColumn)
+    val rolled = staged
+      .groupBy(window(col(Pipeline.TsCol),
+        s"${gran.queryGranularity.widthSeconds} seconds") +: dims: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(Pipeline.TsCol, col("window.start"))
+      .drop("window")
+    val out = pipeline.withSegment(rolled)
+      .withColumn(Pipeline.SegmentCol,
+        date_format(col(Pipeline.SegmentCol), "yyyy-MM-dd'T'HH.mm.ss"))
+
+    val q = out.writeStream
+      .queryName(s"graft-wm-${spec.dataSchema.dataSource}")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outputPath)
+      .partitionBy(Pipeline.SegmentCol)
+      .outputMode("append")
+      .trigger(trigger)
+      .format("parquet")
       .start()
     query = Some(q)
     q

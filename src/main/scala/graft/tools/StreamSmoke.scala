@@ -18,8 +18,9 @@ import graft.time.Granularity
   */
 object StreamSmoke {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val outDir = args.lift(1).getOrElse(
+    val positional = args.filterNot(_.startsWith("--"))
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = positional.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-smoke").toString)
 
     val spark = SparkSession.builder()
@@ -30,12 +31,17 @@ object StreamSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val watermarked = args.contains("--watermarked")
+    // sketches only in watermarked mode (per-batch partials can't re-merge
+    // finalized HLL values — SegmentStore docs)
+    val aggs = Seq(
+      AggregatorSpec("count", "cnt"),
+      AggregatorSpec("doubleSum", "total_value", Some("value"))) ++
+      (if (watermarked) Seq(AggregatorSpec("hyperUnique", "approx_users", Some("user_id")))
+       else Nil)
     val spec = IngestionSpec(
       DataSchema("events", TimestampSpec("ts"),
-        SpecificDimensions(Seq("event_type")),
-        Seq(AggregatorSpec("count", "cnt"),
-          AggregatorSpec("doubleSum", "total_value", Some("value")),
-          AggregatorSpec("hyperUnique", "approx_users", Some("user_id"))),
+        SpecificDimensions(Seq("event_type")), aggs,
         GranularitySpec(Granularity.Day, Granularity.Hour)),
       // events span 2024-01; "now" anchored mid-range with a wide window so
       // the run is deterministic (the TestingTimekeeper pattern)
@@ -43,17 +49,26 @@ object StreamSmoke {
 
     val source = Sources.eventsReplay(spark, sfDir, s"$outDir/staging")
     val ingest = new IngestStream(spark, spec, s"$outDir/checkpoint")
-    val now = to_timestamp(lit("2024-01-15 00:00:00"))
-    ingest.start(source, s"$outDir/out", now = now)
+    if (watermarked) ingest.startWatermarked(source, s"$outDir/out")
+    else {
+      val now = to_timestamp(lit("2024-01-15 00:00:00"))
+      ingest.start(source, s"$outDir/out", now = now)
+    }
     ingest.flushAndStop()
 
     val out = spark.read.parquet(s"$outDir/out")
     val rows = out.count()
     val segments = out.select("segment").distinct().count()
-    println(s"""{"received":${ingest.received},"sent":${ingest.sent},""" +
-      s""""dropped":${ingest.dropped},"segments":$segments,"rows":$rows,"out":"$outDir"}""")
+    val merged = if (watermarked) rows
+      else graft.sink.SegmentStore.read(spark, s"$outDir/out", spec).count()
+    println(s"""{"mode":"${if (watermarked) "watermarked" else "perBatch"}",""" +
+      s""""received":${ingest.received},"sent":${ingest.sent},""" +
+      s""""dropped":${ingest.dropped},"segments":$segments,"rows":$rows,""" +
+      s""""merged_rows":$merged,"out":"$outDir"}""")
     spark.stop()
-    assert(rows > 0 && ingest.received == ingest.sent + ingest.dropped,
-      "drop-count conservation violated")
+    assert(rows > 0, "no output rows")
+    if (!watermarked)
+      assert(ingest.received == ingest.sent + ingest.dropped,
+        "drop-count conservation violated")
   }
 }

@@ -93,4 +93,62 @@ class StreamingSpec extends SparkSpec {
     val out = spark.read.parquet(s"$tmp/out")
     assert(out.agg(sum($"cnt")).as[Long].head() == 2L)
   }
+
+  test("per-batch partials re-merge to the batch-mode rollup (SegmentStore)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-merge").toString
+    val now = ts("2024-03-01 12:00:00")
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    // same (bucket, dim) split across two micro-batches
+    input.addData(Ev(ts("2024-03-01 12:01:00"), "click", 1.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:02:00"), "click", 2.0),
+      Ev(ts("2024-03-01 12:03:00"), "view", 4.0))
+    ingest.flushAndStop()
+
+    // raw store has per-batch partials: click appears twice for the bucket
+    val raw = spark.read.parquet(s"$tmp/out")
+    assert(raw.filter($"etype" === "click").count() == 2)
+    // merged read collapses to final rollup
+    val merged = graft.sink.SegmentStore.read(spark, s"$tmp/out", spec)
+      .select($"etype", $"cnt", $"total").as[(String, Long, Double)].collect().toSet
+    assert(merged == Set(("click", 2L, 3.0), ("view", 1L, 4.0)))
+  }
+
+  test("watermarked mode: state-store merge emits each bucket once, finalized") {
+    implicit val sqlCtx = spark.sqlContext
+    val wmSpec = IngestionSpec(
+      DataSchema("wm_events", TimestampSpec("ts"),
+        SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("doubleSum", "total", Some("value")),
+          AggregatorSpec("hyperUnique", "approx_vals", Some("value"))),
+        GranularitySpec(Granularity.Hour, Granularity.Minute)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(2)))
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-wm").toString
+    val ingest = new IngestStream(spark, wmSpec, s"$tmp/checkpoint")
+    ingest.startWatermarked(input.toDF(), s"$tmp/out",
+      trigger = Trigger.ProcessingTime(50))
+
+    // bucket 12:00 gets rows in two separate micro-batches
+    input.addData(Ev(ts("2024-03-01 12:00:10"), "click", 1.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:00:40"), "click", 2.0))
+    ingest.activeQuery.get.processAllAvailable()
+    // advance watermark past 12:00 + gran + windowPeriod -> bucket finalizes
+    input.addData(Ev(ts("2024-03-01 12:10:00"), "view", 8.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:20:00"), "view", 16.0))
+    ingest.flushAndStop()
+
+    val out = spark.read.parquet(s"$tmp/out")
+      .filter($"etype" === "click")
+      .select($"cnt", $"total", $"approx_vals").as[(Long, Double, Long)].collect()
+    // exactly ONE finalized row for the 12:00 bucket, merged across batches
+    assert(out.toSeq == Seq((2L, 3.0, 2L)))
+  }
 }
