@@ -328,6 +328,47 @@ object RelationalQueries {
              count(*) AS orders, round(sum(o_totalprice), 2) AS revenue
             FROM orders GROUP BY 1"""), headline = true),
 
+    // -- TPC-H Q3 shape: join + filter + agg + top-k ------------------------
+    QueryDef("q3_shipping_priority", (s, dir) => {
+      val c = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      val li = Tables.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey LIMIT 10"""), headline = true),
+
+    // -- explode (Generator/UDTF surface): word frequency over documents ----
+    QueryDef("explode_word_freq", (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word"))
+        .limit(20)
+    },
+    Some("""SELECT u.word, count(*) AS freq
+            FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+            GROUP BY 1 ORDER BY freq DESC, word LIMIT 20""")),
+
     // -- correlated-style subquery via join: parts above their brand avg ----
     QueryDef("subquery_above_avg", (s, dir) => {
       val p = Tables.t(s, dir, "part")
