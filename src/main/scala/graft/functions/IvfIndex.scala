@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] IVF-flat approximate nearest neighbour index (SURVEY builder prompt:
+  * "an IVF or LSH-bucketed variant as the scale path").
+  *
+  * Classic inverted-file construction, Spark-first:
+  *  1. deterministic seed centroids (first k vectors by id — reproducible, no
+  *     RNG state) refined by `iterations` Lloyd passes, each pass one
+  *     distributed assignment (broadcast centroids, no shuffle of the
+  *     vectors) + one distributed mean (posexplode → groupBy(cluster, dim));
+  *  2. every vector stored with its cluster id — at scale this column is the
+  *     partition/bucket key, so a query touches only `nProbe` clusters:
+  *     expected probe cost O(nProbe · n / k) instead of O(n).
+  *
+  * The centroid table (k × dim doubles) is the only driver-side state —
+  * bounded by k, independent of n, broadcast to executors for assignment.
+  */
+final class IvfIndex private (
+    val indexed: DataFrame, // (id, vec, cluster)
+    val centroids: Array[(Int, Array[Double])]) extends Serializable {
+
+  /** Top-k cosine search probing the nProbe clusters nearest to the query. */
+  def search(spark: SparkSession, query: Array[Float], topK: Int, nProbe: Int): DataFrame = {
+    val probes = centroids
+      .map { case (cid, c) => (cid, IvfIndex.cosineLocal(query.map(_.toDouble), c)) }
+      .sortBy { case (_, sim) => -sim }
+      .take(nProbe).map(_._1)
+    indexed
+      .filter(col("cluster").isin(probes.toSeq: _*))
+      .withColumn("cos_sim", CosineSimilarity(col("vec"), typedlit(query)))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(topK)
+      .select(col("id"), col("cluster"), col("cos_sim"))
+  }
+}
+
+object IvfIndex {
+
+  private[functions] def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Build the index over (idCol: long, vecCol: array<float>). */
+  def build(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int = 1): IvfIndex = {
+    GraftFunctions.register(spark)
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+
+    // deterministic seeds: first k vectors by id
+    var cents: Array[(Int, Array[Double])] = base.orderBy("id").limit(k)
+      .select(col("vec")).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](0).map(_.toDouble).toArray)
+      }
+
+    var assigned = assign(spark, base, cents)
+    for (_ <- 0 until iterations) {
+      // distributed mean per (cluster, dim) -> new centroids
+      cents = assigned
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cluster"), col("pairs.m").as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      assigned = assign(spark, base, cents)
+    }
+    new IvfIndex(assigned, cents)
+  }
+
+  /** Distributed assignment: nearest centroid by cosine, vectors unshuffled
+    * (centroid argmin evaluated per row against the broadcast literal table).
+    */
+  private def assign(spark: SparkSession, base: DataFrame,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    // argmin over k centroid literals, computed as a fold over (cid, sim)
+    val simCols = cents.map { case (cid, c) =>
+      struct(CosineSimilarity(col("vec"), typedlit(c)).as("sim"), lit(cid).as("cid"))
+    }
+    base.withColumn("cluster",
+      greatest(simCols: _*).getField("cid"))
+  }
+}

@@ -100,6 +100,19 @@ object VectorQueries {
         .select(col("bucket"), col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
     }, None),
 
+    // -- IVF-flat ANN (scale path #2: cluster-pruned probe; rows-only) ------
+    QueryDef("ann_ivf_topk", (s, dir) => {
+      import org.apache.spark.sql.{functions => F}
+      val e = Tables.t(s, dir, "embeddings")
+      val idx = graft.functions.IvfIndex.build(s, e, "vec_id", "embedding",
+        k = 8, iterations = 1)
+      val query = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+      idx.search(s, query, topK = 10, nProbe = 3)
+        .select(col("id").as("vec_id"), col("cluster"),
+          F.round(col("cos_sim"), 6).as("cos_sim"))
+    }, None),
+
     // -- MinHash-LSH near-dup candidate pairs (rows-only; exact-jaccard
     //    verification inside — the ngram_jaccard_pairs oracle covers the
     //    ground truth on the bounded prefix)

@@ -44,10 +44,12 @@ object SegmentStore {
   }
 
   /** Read a segment store written in per-batch mode and produce the final
-    * rollup (one row per bucket × dims).
+    * rollup (one row per bucket × dims). `mergeSchema=true` tolerates schema
+    * evolution across chunks (new dims appear as nulls in old segments —
+    * SURVEY §2.9 schema-evolution row).
     */
   def read(spark: SparkSession, path: String, spec: IngestionSpec): DataFrame = {
-    val df = spark.read.parquet(path)
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
     val dimNames = df.columns.toSeq.filterNot { c =>
       c == Pipeline.TsCol || c == Pipeline.SegmentCol || c == "__batch_id" ||
         spec.dataSchema.aggregators.exists(_.name == c)
@@ -55,5 +57,17 @@ object SegmentStore {
     val merges = spec.dataSchema.aggregators.map(mergeColumn)
     df.groupBy((Pipeline.TsCol +: Pipeline.SegmentCol +: dimNames).map(col): _*)
       .agg(merges.head, merges.tail: _*)
+  }
+
+  /** Compaction: rewrite per-batch partials as finals, one pass per store —
+    * the analog of Druid segment compaction. At scale this is the periodic
+    * job that keeps read amplification bounded: input rows = partials
+    * (segments × dims × batches), output = finals, partitioned by the same
+    * segment key so readers and partition pruning are unaffected.
+    */
+  def compact(spark: SparkSession, path: String, spec: IngestionSpec,
+      outPath: String): Unit = {
+    read(spark, path, spec)
+      .write.mode("overwrite").partitionBy(Pipeline.SegmentCol).parquet(outPath)
   }
 }

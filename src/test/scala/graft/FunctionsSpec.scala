@@ -116,6 +116,34 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("IVF index: deterministic build, cluster-pruned search, sane recall") {
+    val sf = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = IvfIndex.build(spark, e, "vec_id", "embedding", k = 8, iterations = 1)
+    assert(idx.centroids.length == 8)
+    // every vector got exactly one cluster
+    assert(idx.indexed.count() == e.count())
+
+    val query = e.filter($"vec_id" === 0).select($"embedding")
+      .as[Array[Float]].head()
+    val ivfTop = idx.search(spark, query, topK = 11, nProbe = 3)
+      .as[(Long, Int, Double)].collect().map(_._1).filterNot(_ == 0L).take(10)
+
+    // brute-force ground truth via the same native expression
+    GraftFunctions.register(spark)
+    val bruteTop = e.filter($"vec_id" =!= 0)
+      .withColumn("c", CosineSimilarity($"embedding", typedlit(query)))
+      .orderBy($"c".desc, $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect()
+
+    val overlap = ivfTop.toSet.intersect(bruteTop.toSet).size
+    assert(overlap >= 4, s"IVF recall too low: $overlap/10 (ivf=${ivfTop.toSeq})")
+    // determinism: rebuilding yields identical clusters
+    val idx2 = IvfIndex.build(spark, e, "vec_id", "embedding", k = 8, iterations = 1)
+    assert(idx2.indexed.select("id", "cluster").collect().toSet ==
+      idx.indexed.select("id", "cluster").collect().toSet)
+  }
+
   test("multimodal stub decode: partition-wise feature extraction") {
     val df = Seq((1L, "src", "x" * 2500)).toDF("doc_id", "source", "text")
       .select($"doc_id", $"source", $"text".cast("binary").as("payload"))

@@ -19,6 +19,7 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   case class Ev(ts: Timestamp, etype: String, value: Double)
+  case class Ev2(ts: Timestamp, etype: String, region: String, value: Double)
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
@@ -150,5 +151,83 @@ class StreamingSpec extends SparkSpec {
       .select($"cnt", $"total", $"approx_vals").as[(Long, Double, Long)].collect()
     // exactly ONE finalized row for the 12:00 bucket, merged across batches
     assert(out.toSeq == Seq((2L, 3.0, 2L)))
+  }
+
+  test("schema evolution across chunks: new dim applies to new segments only") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-evolve").toString
+    val now = ts("2024-03-01 12:00:00")
+    // v1 spec: dims = etype
+    val ingest1 = new IngestStream(spark, spec, s"$tmp/cp1")
+    val in1 = MemoryStream[Ev]
+    ingest1.start(in1.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    in1.addData(Ev(ts("2024-03-01 11:30:00"), "click", 1.0))
+    ingest1.flushAndStop()
+
+    // v2 spec adds a `region` dimension; lands in a NEW chunk
+    val spec2 = spec.copy(dataSchema = spec.dataSchema.copy(
+      dimensionsSpec = SpecificDimensions(Seq("etype", "region"))))
+    val ingest2 = new IngestStream(spark, spec2, s"$tmp/cp2")
+    val in2 = MemoryStream[Ev2]
+    ingest2.start(in2.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    in2.addData(Ev2(ts("2024-03-01 12:30:00"), "click", "eu", 2.0))
+    ingest2.flushAndStop()
+
+    // merged read: old chunk has region = null, new chunk carries it
+    val merged = graft.sink.SegmentStore.read(spark, s"$tmp/out", spec2)
+      .select($"etype", $"region", $"cnt").as[(String, Option[String], Long)]
+      .collect().toSet
+    assert(merged == Set(("click", None, 1L), ("click", Some("eu"), 1L)))
+  }
+
+  test("compaction rewrites partials as finals, preserving segment layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val now = ts("2024-03-01 12:00:00")
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    input.addData(Ev(ts("2024-03-01 12:01:00"), "click", 1.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:02:00"), "click", 2.0))
+    ingest.flushAndStop()
+
+    graft.sink.SegmentStore.compact(spark, s"$tmp/out", spec, s"$tmp/compacted")
+    val out = spark.read.parquet(s"$tmp/compacted")
+    assert(out.count() == 1) // two partials -> one final
+    val row = out.select($"cnt", $"total").as[(Long, Double)].head()
+    assert(row == ((2L, 3.0)))
+    // re-reading the compacted store through SegmentStore is idempotent
+    val again = graft.sink.SegmentStore.read(spark, s"$tmp/compacted", spec)
+    assert(again.count() == 1)
+  }
+
+  test("streaming session windows (engine surface, state store)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = input.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window($"ts", "5 minutes").as("w"), $"etype")
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"w.start", "HH:mm:ss").as("start"),
+        date_format($"w.end", "HH:mm:ss").as("end"), $"etype", $"n")
+    val q = sessions.writeStream.format("memory").queryName("graft_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    // one session 12:00:00-12:03:00 (events 1m apart), then silence, then a
+    // late bucket far ahead to close the watermark
+    input.addData(
+      Ev(ts("2024-03-01 12:00:00"), "click", 1.0),
+      Ev(ts("2024-03-01 12:01:00"), "click", 1.0),
+      Ev(ts("2024-03-01 12:03:00"), "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 13:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("graft_sessions")
+      .as[(String, String, String, Long)].collect().toSet
+    assert(rows.contains(("12:00:00", "12:08:00", "click", 3L)))
   }
 }
