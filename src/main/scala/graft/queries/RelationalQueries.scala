@@ -369,6 +369,38 @@ object RelationalQueries {
             FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
             GROUP BY 1 ORDER BY freq DESC, word LIMIT 20""")),
 
+    // -- pivot (engine surface): event counts by type per day --------------
+    QueryDef("pivot_event_types", (s, dir) => {
+      Tables.t(s, dir, "events")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+            FROM events GROUP BY 1""")),
+
+    // -- higher-order array functions: filter/exists/transform --------------
+    QueryDef("array_higher_order", (s, dir) => {
+      val words = split(col("text"), " ")
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(words, w => length(w) >= 6)).as("long_words"),
+          exists(words, w => w === "query").cast("int").as("mentions_query"),
+          size(array_distinct(transform(words, w => substring(w, 1, 1)))).as("initials"))
+        .filter(col("doc_id") < 100)
+    },
+    Some("""SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> length(w) >= 6)) AS INT) AS long_words,
+             CAST(CASE WHEN list_has_any(string_split(text, ' '), ['query']) THEN 1 ELSE 0 END AS INT) AS mentions_query,
+             CAST(len(list_distinct(list_transform(string_split(text, ' '), w -> substr(w, 1, 1)))) AS INT) AS initials
+            FROM documents WHERE doc_id < 100""")),
+
     // -- correlated-style subquery via join: parts above their brand avg ----
     QueryDef("subquery_above_avg", (s, dir) => {
       val p = Tables.t(s, dir, "part")

@@ -138,4 +138,13 @@ final class IngestStream(
   def received: Long = metric("received")
   def sent: Long = metric("sent")
   def dropped: Long = metric("dropped")
+
+  /** Late rows discarded by the watermark in [[startWatermarked]] mode — the
+    * lateness half of the drop accounting there (the state store, not the
+    * windowFilter predicate, enforces the bound).
+    */
+  def watermarkDropped: Long =
+    query.toSeq.flatMap(_.recentProgress)
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
 }

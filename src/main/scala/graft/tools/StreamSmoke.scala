@@ -47,6 +47,7 @@ object StreamSmoke {
       // the run is deterministic (the TestingTimekeeper pattern)
       Tuning(windowPeriod = java.time.Duration.ofDays(10)))
 
+    val t0 = System.nanoTime()
     val source = Sources.eventsReplay(spark, sfDir, s"$outDir/staging")
     val ingest = new IngestStream(spark, spec, s"$outDir/checkpoint")
     if (watermarked) ingest.startWatermarked(source, s"$outDir/out")
@@ -61,10 +62,13 @@ object StreamSmoke {
     val segments = out.select("segment").distinct().count()
     val merged = if (watermarked) rows
       else graft.sink.SegmentStore.read(spark, s"$outDir/out", spec).count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val throughput = if (elapsed > 0) (ingest.received / elapsed).toLong else 0L
     println(s"""{"mode":"${if (watermarked) "watermarked" else "perBatch"}",""" +
       s""""received":${ingest.received},"sent":${ingest.sent},""" +
       s""""dropped":${ingest.dropped},"segments":$segments,"rows":$rows,""" +
-      s""""merged_rows":$merged,"out":"$outDir"}""")
+      s""""merged_rows":$merged,"elapsed_sec":${f"$elapsed%.2f"},""" +
+      s""""events_per_sec":$throughput,"out":"$outDir"}""")
     spark.stop()
     assert(rows > 0, "no output rows")
     if (!watermarked)

@@ -143,8 +143,13 @@ class StreamingSpec extends SparkSpec {
     // advance watermark past 12:00 + gran + windowPeriod -> bucket finalizes
     input.addData(Ev(ts("2024-03-01 12:10:00"), "view", 8.0))
     ingest.activeQuery.get.processAllAvailable()
+    // too-late event (watermark is now 12:08): dropped by the state store,
+    // visible in the lateness accounting
+    input.addData(Ev(ts("2024-03-01 12:00:50"), "click", 99.0))
+    ingest.activeQuery.get.processAllAvailable()
     input.addData(Ev(ts("2024-03-01 12:20:00"), "view", 16.0))
     ingest.flushAndStop()
+    assert(ingest.watermarkDropped >= 1L)
 
     val out = spark.read.parquet(s"$tmp/out")
       .filter($"etype" === "click")
