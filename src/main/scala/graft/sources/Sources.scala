@@ -42,17 +42,17 @@ object Sources {
       .parquet(dir)
 
   /** Replay the driver's events table as a file stream: stage the single
-    * parquet file into a directory (file sources need a dir), then stream it.
-    * Returns the streaming DataFrame with `ts` as a proper TimestampType.
+    * parquet file into a directory as `splits` files (file sources need a
+    * dir; multiple files + maxFilesPerTrigger=1 → sustained micro-batches,
+    * the send-batch cadence of the reference). Returns the streaming
+    * DataFrame with `ts` as a proper TimestampType.
     */
-  def eventsReplay(spark: SparkSession, sfDir: String, stagingDir: String): DataFrame = {
+  def eventsReplay(spark: SparkSession, sfDir: String, stagingDir: String,
+      splits: Int = 8): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staging = new java.io.File(stagingDir)
-    staging.mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      java.nio.file.Paths.get(s"$stagingDir/events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(splits)
+      .write.mode("overwrite").parquet(stagingDir)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
