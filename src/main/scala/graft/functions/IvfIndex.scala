@@ -83,7 +83,7 @@ object IvfIndex {
   private def assign(spark: SparkSession, base: DataFrame,
       cents: Array[(Int, Array[Double])]): DataFrame = {
     // argmin over k centroid literals, computed as a fold over (cid, sim)
-    val simCols = cents.map { case (cid, c) =>
+    val simCols = cents.toSeq.map { case (cid, c) =>
       struct(CosineSimilarity(col("vec"), typedlit(c)).as("sim"), lit(cid).as("cid"))
     }
     base.withColumn("cluster",
