@@ -28,8 +28,10 @@ object Bench {
 
     val results = qs.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { q.run(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      // failed queries are reported as -1, never as a plausible timing
+      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -31,6 +31,10 @@ object MinHash {
 
   /** band hashes: signature split into `bands` rows of length r = k/bands. */
   def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands): r=0 would hash only the " +
+        "band index (every pair collides) and a remainder would silently drop " +
+        "signature elements")
     val r = k / bands
     array((0 until bands).map { b =>
       xxhash64(lit(b) +: (0 until r).map(i => element_at(sig, b * r + i + 1)): _*)

@@ -104,7 +104,15 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
         df.columns.toSeq.filterNot(reserved)
           .map(c => col(c).cast(StringType).as(c))
     }
-    val metricCols = aggInputs.filter(df.columns.contains).map(col)
+    // an aggregator input that is ALSO a declared dimension must not be
+    // selected twice (AMBIGUOUS_REFERENCE in the downstream groupBy)
+    val dimNamesSelected = schema.dimensionsSpec match {
+      case SpecificDimensions(names, _) => names.toSet
+      case _                            => Set.empty[String]
+    }
+    val metricCols = aggInputs
+      .filterNot(dimNamesSelected.contains)
+      .filter(df.columns.contains).map(col)
     df.select((col(TsCol) +: (dims ++ spatial ++ metricCols)): _*)
   }
 

@@ -34,7 +34,11 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    // convert only when ts actually read as a nanos long (re-written copies
+    // of the table, e.g. ScaleProbe staging, already carry TimestampType)
+    if (name == "events" &&
+        df.schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
       // integer `div`, not `/`: ns epoch values overflow double precision
       df.withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

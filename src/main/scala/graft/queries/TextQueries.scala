@@ -4,6 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import graft.functions.TextFunctions
+
 /** [EXT] Training-data text pipeline (SURVEY §2.11 north star): exact dedup,
   * near-dup candidates, language-ID heuristic, quality scoring, token
   * counting, fingerprinting — over `documents` (and `events` for exact-dup
@@ -17,7 +19,7 @@ import org.apache.spark.sql.types.LongType
   */
 object TextQueries {
 
-  private val TokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  private val TokenPattern = TextFunctions.TokenPattern
 
   val all: Seq[QueryDef] = Seq(
 
@@ -127,7 +129,7 @@ object TextQueries {
     QueryDef("token_counts", (s, dir) => {
       Tables.t(s, dir, "documents")
         .select(col("source"),
-          size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).as("tokens"),
+          TextFunctions.tokenCount(col("text")).as("tokens"),
           col("n_chars"))
         .groupBy(col("source"))
         .agg(sum(col("tokens")).cast(LongType).as("total_tokens"),

@@ -76,6 +76,14 @@ final class IngestStream(
     *
     * Requires a fixed-width queryGranularity (streaming `window()` takes
     * literal durations, not calendar periods).
+    *
+    * KNOWN DELTA vs the reference's flush(): buckets still within
+    * windowPeriod of the max observed event time remain in the state store on
+    * [[flushAndStop]] — append mode only emits watermark-finalized buckets.
+    * The tail is emitted when the stream resumes (checkpointed state) or
+    * never, if the stream truly ends. A bounded replay that must account for
+    * every event should use [[start]] (per-batch partials + SegmentStore
+    * merge), which drains completely.
     */
   def startWatermarked(
       source: DataFrame,
@@ -88,9 +96,16 @@ final class IngestStream(
     val wmSeconds = spec.tuning.windowPeriod.getSeconds
 
     val staged = pipeline.project(pipeline.extractTimestamp(source))
+      .observe("graft_window",
+        count(lit(1)).as("received"),
+        count(lit(1)).as("sent"),      // lateness drops happen in the state
+        count(when(lit(false), 1)).as("dropped")) // store → watermarkDropped
       .withWatermark(Pipeline.TsCol, s"$wmSeconds seconds")
     val dims = pipeline.dimensionNames(staged).map(col)
-    val aggs = spec.dataSchema.aggregators.map(graft.pipeline.Aggregators.toColumn)
+    val aggs = spec.dataSchema.aggregators.map(graft.pipeline.Aggregators.toColumn) match {
+      case Nil => Seq(count(lit(1)).as("rows")) // same fallback as Pipeline.rollup
+      case xs  => xs
+    }
     val rolled = staged
       .groupBy(window(col(Pipeline.TsCol),
         s"${gran.queryGranularity.widthSeconds} seconds") +: dims: _*)

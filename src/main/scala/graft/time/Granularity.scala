@@ -29,7 +29,7 @@ sealed abstract class Granularity(
 
   /** Truncate a TimestampType column down to this granularity. */
   def truncate(ts: Column): Column =
-    if (this == Granularity.All) to_timestamp(lit("1970-01-01 00:00:00"))
+    if (this == Granularity.All) timestamp_seconds(lit(0)) // TZ-independent epoch
     else if (this == Granularity.None) ts
     else if (widthSeconds > 0)
       // floor(epoch / w) * w — codegen-friendly, no calendar lookup
@@ -60,9 +60,14 @@ sealed abstract class Granularity(
       d.toInstant
     }
 
-  /** End (exclusive) of the bucket containing instant `i`. */
+  /** End (exclusive) of the bucket containing instant `i`. NONE is a
+    * zero-width bucket (end = the instant itself); ALL is one unbounded
+    * bucket (end = Instant.MAX).
+    */
   def bucketEnd(i: Instant): Instant =
-    if (widthSeconds > 0) truncateInstant(i).plusSeconds(widthSeconds)
+    if (this == Granularity.None) i
+    else if (this == Granularity.All) Instant.MAX
+    else if (widthSeconds > 0) truncateInstant(i).plusSeconds(widthSeconds)
     else {
       val z = ZonedDateTime.ofInstant(truncateInstant(i), ZoneOffset.UTC)
       (truncUnit match {

@@ -56,8 +56,10 @@ object ScaleProbe {
     qs.foreach(q => try q.run(spark, out).count() catch { case _: Throwable => () })
     val results = qs.map { q =>
       val s0 = System.nanoTime()
-      try q.run(spark, out).count() catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - s0) / 1e9
+      val ok = try { q.run(spark, out).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[scale] ${q.name} FAILED: ${e.getMessage}"); false }
+      q.name -> (if (ok) (System.nanoTime() - s0) / 1e9 else -1.0)
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(f"""{"scale_x":$n,"gen_sec":$genSec%.1f,"total_sec":${results.map(_._2).sum}%.3f,"queries":$qJson}""")

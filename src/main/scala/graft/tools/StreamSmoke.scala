@@ -62,17 +62,18 @@ object StreamSmoke {
     val segments = out.select("segment").distinct().count()
     val merged = if (watermarked) rows
       else graft.sink.SegmentStore.read(spark, s"$outDir/out", spec).count()
+    val wmDropped = ingest.watermarkDropped
     val elapsed = (System.nanoTime() - t0) / 1e9
     val throughput = if (elapsed > 0) (ingest.received / elapsed).toLong else 0L
     println(s"""{"mode":"${if (watermarked) "watermarked" else "perBatch"}",""" +
       s""""received":${ingest.received},"sent":${ingest.sent},""" +
-      s""""dropped":${ingest.dropped},"segments":$segments,"rows":$rows,""" +
+      s""""dropped":${ingest.dropped},"wm_dropped":$wmDropped,""" +
+      s""""segments":$segments,"rows":$rows,""" +
       s""""merged_rows":$merged,"elapsed_sec":${f"$elapsed%.2f"},""" +
       s""""events_per_sec":$throughput,"out":"$outDir"}""")
     spark.stop()
     assert(rows > 0, "no output rows")
-    if (!watermarked)
-      assert(ingest.received == ingest.sent + ingest.dropped,
-        "drop-count conservation violated")
+    assert(ingest.received == ingest.sent + ingest.dropped,
+      "drop-count conservation violated")
   }
 }

@@ -126,6 +126,36 @@ class PipelineSpec extends SparkSpec {
     assert(segs == Set("10:00", "11:00"))
   }
 
+  test("dimension that is also an aggregator input projects once (no ambiguity)") {
+    // standard Druid spec shape: filtered aggregator keyed on a declared dim
+    val spec = IngestionSpec(DataSchema("s", TimestampSpec("ts"),
+      SpecificDimensions(Seq("foo")),
+      Seq(AggregatorSpec("count", "cnt"),
+        AggregatorSpec("filtered", "x_bar",
+          filterDimension = Some("foo"), filterValue = Some("x"),
+          aggregator = Some(AggregatorSpec("longSum", "x_bar", Some("bar")))))))
+    val events = Seq(
+      (ts("2024-01-01 10:00:10"), "x", 1L),
+      (ts("2024-01-01 10:00:20"), "y", 2L)
+    ).toDF("ts", "foo", "bar")
+    val p = new Pipeline(spec)
+    val out = p.rollup(p.project(p.extractTimestamp(events)))
+      .select($"foo", $"cnt", $"x_bar").as[(String, Long, Option[Long])]
+      .collect().toSet
+    assert(out == Set(("x", 1L, Some(1L)), ("y", 1L, None)))
+  }
+
+  test("All/None granularity edges: bucketEnd total, truncate TZ-independent") {
+    import graft.time.Granularity
+    val i = java.time.Instant.parse("2024-06-01T12:34:56Z")
+    assert(Granularity.None.bucketEnd(i) == i)
+    assert(Granularity.All.bucketEnd(i) == java.time.Instant.MAX)
+    assert(Granularity.All.truncateInstant(i) == java.time.Instant.EPOCH)
+    val got = Seq(java.sql.Timestamp.from(i)).toDF("ts")
+      .select(Granularity.All.truncate($"ts")).collect().head.getTimestamp(0)
+    assert(got.toInstant == java.time.Instant.EPOCH)
+  }
+
   test("full pipeline composition with decorate hook") {
     val p = new Pipeline(simpleSpec)
     val events = Seq((ts("2024-01-01 12:00:00"), "x", 1L, 0.5))
