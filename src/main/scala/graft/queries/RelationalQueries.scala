@@ -369,6 +369,47 @@ object RelationalQueries {
             FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
             GROUP BY 1 ORDER BY freq DESC, word LIMIT 20""")),
 
+    // -- scalar: string functions round 2 (trim/pad/translate/position) -----
+    QueryDef("scalar_string2", (s, dir) => {
+      Tables.t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          initcap(lower(col("n_name"))).as("pretty"),
+          lpad(col("n_nationkey").cast("string"), 4, "0").as("padded"),
+          translate(col("n_name"), "AEIOU", "aeiou").as("xlated"),
+          instr(col("n_name"), "A").as("first_a"),
+          reverse(col("n_name")).as("rev"),
+          expr("repeat('-', n_regionkey + 1)").as("bars"))
+    },
+    Some("""SELECT n_nationkey,
+             -- DuckDB lacks initcap; per-word title case
+             array_to_string(list_transform(string_split(lower(n_name), ' '),
+               w -> upper(w[1]) || w[2:]), ' ') AS pretty,
+             lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+             translate(n_name, 'AEIOU', 'aeiou') AS xlated,
+             CAST(instr(n_name, 'A') AS INT) AS first_a,
+             reverse(n_name) AS rev,
+             repeat('-', n_regionkey + 1) AS bars
+            FROM nation""")),
+
+    // -- scalar: math functions round 2 (sqrt/ln/exp/least/greatest) --------
+    QueryDef("scalar_math2", (s, dir) => {
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(sum(sqrt(col("l_quantity"))), 4).as("sum_sqrt_qty"),
+          round(sum(log(col("l_extendedprice"))), 4).as("sum_ln_price"),
+          round(avg(least(col("l_discount"), col("l_tax"))), 6).as("avg_least"),
+          round(avg(greatest(col("l_discount"), col("l_tax"))), 6).as("avg_greatest"),
+          round(sum(exp(col("l_discount"))), 4).as("sum_exp_disc"))
+    },
+    Some("""SELECT l_linestatus,
+             round(sum(sqrt(l_quantity)), 4) AS sum_sqrt_qty,
+             round(sum(ln(l_extendedprice)), 4) AS sum_ln_price,
+             round(avg(least(l_discount, l_tax)), 6) AS avg_least,
+             round(avg(greatest(l_discount, l_tax)), 6) AS avg_greatest,
+             round(sum(exp(l_discount)), 4) AS sum_exp_disc
+            FROM lineitem GROUP BY 1""")),
+
     // -- pivot (engine surface): event counts by type per day --------------
     QueryDef("pivot_event_types", (s, dir) => {
       Tables.t(s, dir, "events")

@@ -28,7 +28,11 @@ object SegmentSink {
     // stable string form for directory names (avoid raw timestamp encoding)
     df.withColumn(SegmentCol,
         date_format(col(SegmentCol), "yyyy-MM-dd'T'HH.mm.ss"))
-      .write.mode("append").partitionBy(SegmentCol).parquet(path)
+      .write.mode("append").partitionBy(SegmentCol)
+      // zstd ≈ 2× smaller than snappy at comparable read speed — at 100 TB
+      // ingest the storage/IO saving dominates the extra encode CPU
+      .option("compression", "zstd")
+      .parquet(path)
   }
 
   /** foreachBatch body for streaming writes; batchId recorded for idempotence
