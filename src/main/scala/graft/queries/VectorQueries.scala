@@ -100,6 +100,21 @@ object VectorQueries {
         .select(col("bucket"), col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
     }, None),
 
+    // -- int8-quantized top-k (storage-compressed search; rows-only) --------
+    QueryDef("ann_quantized_topk", (s, dir) => {
+      GraftFunctions.register(s)
+      val e = Tables.t(s, dir, "embeddings")
+        .withColumn("deq", VectorFunctions.dequantize(
+          VectorFunctions.quantizeInt8(col("embedding"))))
+      val q = e.filter(col("vec_id") === 0).select(col("deq").as("qv"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos_raw", VectorFunctions.cosine(col("deq"), col("qv")))
+        .orderBy(col("cos_raw").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+    }, None),
+
     // -- IVF-flat ANN (scale path #2: cluster-pruned probe; rows-only) ------
     QueryDef("ann_ivf_topk", (s, dir) => {
       import org.apache.spark.sql.{functions => F}

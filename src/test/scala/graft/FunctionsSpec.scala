@@ -116,6 +116,31 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: 4x compression, cosine preserved to ~1e-2") {
+    val sf = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
+    val q = e.select($"vec_id",
+        $"embedding",
+        VectorFunctions.dequantize(VectorFunctions.quantizeInt8($"embedding")).as("deq"))
+      .select($"vec_id",
+        VectorFunctions.cosine($"embedding", $"deq").as("self_sim"))
+      .as[(Long, Double)].collect()
+    q.foreach { case (id, sim) =>
+      assert(sim > 0.999, s"vec $id distorted: $sim") }
+
+    // pairwise similarity on quantized vs exact: error bounded
+    val a = e.limit(20).select($"vec_id".as("ia"), $"embedding".as("va"),
+      VectorFunctions.dequantize(VectorFunctions.quantizeInt8($"embedding")).as("qa"))
+    val b = e.limit(20).select($"vec_id".as("ib"), $"embedding".as("vb"),
+      VectorFunctions.dequantize(VectorFunctions.quantizeInt8($"embedding")).as("qb"))
+    val errs = a.join(b, $"ia" < $"ib")
+      .select((VectorFunctions.cosine($"va", $"vb") -
+        VectorFunctions.cosine($"qa", $"qb")).as("err"))
+      .as[Double].collect()
+    assert(errs.nonEmpty)
+    errs.foreach(err => assert(math.abs(err) < 0.01, s"cosine drift $err"))
+  }
+
   test("IVF index: deterministic build, cluster-pruned search, sane recall") {
     val sf = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
