@@ -27,6 +27,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim(a, b) takes 2 arguments")
         CosineSimilarity(args(0), args(1))
+      }),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(text) takes 1 argument")
+        SimHash64(args(0))
       }))
 
   /** Imperative registration for sessions created without the extension. */

@@ -17,14 +17,19 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokenize(text))
 
-  /** 64-bit SimHash over space-separated words.
-    *
-    * bit j of the result = majority vote over words of bit j of
-    * xxhash64(word). Computed as 64 in-order folds over the word array —
-    * O(64·n_words) per doc, embarrassingly parallel, no state. Near-dup
-    * distance = popcount(simhash(a) XOR simhash(b)).
+  /** 64-bit SimHash: bit j = majority vote over words of bit j of
+    * xxhash64(word); near-dup distance = popcount(a XOR b). Native
+    * single-pass implementation ([[SimHash64]]) — requires
+    * [[GraftFunctions.register]] (or the GraftExtensions session extension).
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash64", text)
+
+  /** Higher-order-function twin of [[simhash]] (64 separate folds; kept as
+    * the registration-free reference implementation and for cross-checking
+    * the native expression — bit-identical results).
+    */
+  def simhashHof(text: Column): Column = {
     val words = split(text, " ")
     val bitVals = (0 until 64).map { j =>
       val vote = aggregate(words, lit(0),

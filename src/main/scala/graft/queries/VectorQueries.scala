@@ -139,6 +139,7 @@ object VectorQueries {
 
     // -- SimHash fingerprints + hamming near-dups (rows-only) ---------------
     QueryDef("simhash_fingerprints", (s, dir) => {
+      GraftFunctions.register(s)
       val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"), TextFunctions.simhash(col("text")).as("sh"))
       val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))

@@ -24,6 +24,11 @@ object BenchCompare {
 
     def events = graft.queries.Tables.t(spark, sfDir, "events")
     def li = graft.queries.Tables.t(spark, sfDir, "lineitem")
+    graft.functions.GraftFunctions.register(spark)
+    // replicate documents x40 (~20k docs) so per-doc text costs dominate
+    val docs = graft.queries.Tables.t(spark, sfDir, "documents")
+      .crossJoin(spark.range(40)).select(col("doc_id"), col("text")).cache()
+    docs.count()
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "distinct_exact" -> (() => events
@@ -38,7 +43,13 @@ object BenchCompare {
       "agg_prerepartitioned" -> (() => graft.pipeline.Partitioners
         .repartitionByHash(li, cpus.toInt, Seq(col("l_returnflag"), col("l_linestatus")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")), sum(col("l_extendedprice")))))
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice")))),
+      "simhash_native" -> (() => docs
+        .select(graft.functions.TextFunctions.simhash(col("text")).as("h"))
+        .groupBy().agg(count_distinct(col("h")))),
+      "simhash_hof" -> (() => docs
+        .select(graft.functions.TextFunctions.simhashHof(col("text")).as("h"))
+        .groupBy().agg(count_distinct(col("h")))))
 
     variants.foreach { case (name, f) => f().count() } // warm-up all
     variants.foreach { case (name, f) =>

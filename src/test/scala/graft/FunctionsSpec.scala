@@ -60,6 +60,7 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("simhash: near-identical docs within small hamming distance, distinct docs far") {
+    GraftFunctions.register(spark)
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val similar = base.replace("tok30", "XXX")
     val other = (200 to 260).map(i => s"q$i").mkString(" ")
@@ -68,6 +69,18 @@ class FunctionsSpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(hashes(0), hashes(1)) <= 12)
     assert(ham(hashes(0), hashes(2)) > 16)
+  }
+
+  test("native simhash64 is bit-identical to the HOF reference") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      "the quick brown fox", "a b c", "", "single",
+      (1 to 200).map(i => s"w${i % 37}").mkString(" "))
+    val df = docs.toDF("text")
+    val both = df.select(TextFunctions.simhash($"text").as("native"),
+      TextFunctions.simhashHof($"text").as("hof"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (n, h) => assert(n == h, s"simhash mismatch: $n vs $h") }
   }
 
   test("tokenizer: letter runs, digit runs, punctuation") {
