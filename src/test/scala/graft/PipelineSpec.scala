@@ -156,6 +156,19 @@ class PipelineSpec extends SparkSpec {
     assert(got.toInstant == java.time.Instant.EPOCH)
   }
 
+  test("hyperUnique (HLL) stays within 5% of exact cardinality on real data") {
+    val ev = graft.queries.Tables.t(spark, "/root/testdata/sf0.01", "events")
+    val rows = ev.groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx"),
+        count_distinct($"user_id").as("exact"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, approx, exact) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err <= 0.05, s"$t: approx=$approx exact=$exact err=$err")
+    }
+  }
+
   test("full pipeline composition with decorate hook") {
     val p = new Pipeline(simpleSpec)
     val events = Seq((ts("2024-01-01 12:00:00"), "x", 1L, 0.5))
