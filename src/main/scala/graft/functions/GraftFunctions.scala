@@ -33,6 +33,17 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(text) takes 1 argument")
         SimHash64(args(0))
+      }),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig(shingles, k) takes 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig k must be an integer literal, got $other")
+        }
+        MinHashSig(args(0), k)
       }))
 
   /** Imperative registration for sessions created without the extension. */

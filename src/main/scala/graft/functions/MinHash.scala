@@ -23,8 +23,16 @@ object MinHash {
           i => concat_ws(" ", slice(words, i + 1, lit(w)))))
   }
 
-  /** k minhash values: min over shingles of xxhash64(seed_j ++ shingle). */
+  /** k minhash values: min over shingles of xxhash64(seed_j ++ shingle).
+    * Native one-pass [[MinHashSig]] (requires [[GraftFunctions.register]]).
+    */
   def signature(shingleCol: Column, k: Int = 32): Column =
+    org.apache.spark.sql.functions.call_function("minhash_sig", shingleCol, lit(k))
+
+  /** HOF twin of [[signature]] (k folds; registration-free reference,
+    * bit-identical — cross-checked in FunctionsSpec).
+    */
+  def signatureHof(shingleCol: Column, k: Int = 32): Column =
     array((0 until k).map { j =>
       array_min(transform(shingleCol, sh => xxhash64(lit(j), sh)))
     }: _*)
@@ -55,6 +63,7 @@ object MinHash {
       bands: Int = 8,
       shingleWidth: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", array_distinct(shingles(col("text"), shingleWidth)))

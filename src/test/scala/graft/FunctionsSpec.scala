@@ -71,6 +71,17 @@ class FunctionsSpec extends SparkSpec {
     assert(ham(hashes(0), hashes(2)) > 16)
   }
 
+  test("native minhash_sig is bit-identical to the HOF reference") {
+    GraftFunctions.register(spark)
+    val docs = Seq("a b c d e f g", "one two three", "x")
+    val df = docs.toDF("text")
+      .select(MinHash.shingles($"text", 3).as("sh"))
+    val both = df.select(MinHash.signature($"sh", 16).as("native"),
+      MinHash.signatureHof($"sh", 16).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (n, h) => assert(n == h, s"minhash mismatch: $n vs $h") }
+  }
+
   test("native simhash64 is bit-identical to the HOF reference") {
     GraftFunctions.register(spark)
     val docs = Seq(

@@ -235,4 +235,30 @@ class StreamingSpec extends SparkSpec {
       .as[(String, String, String, Long)].collect().toSet
     assert(rows.contains(("12:00:00", "12:08:00", "click", 3L)))
   }
+
+  test("segment layout prunes partitions: a segment filter reads only its dir") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-prune").toString
+    val now = ts("2024-03-01 12:00:00")
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    input.addData(
+      Ev(ts("2024-03-01 11:40:00"), "click", 1.0),   // segment 11:00
+      Ev(ts("2024-03-01 12:10:00"), "click", 2.0))   // segment 12:00
+    ingest.flushAndStop()
+
+    val pruned = spark.read.parquet(s"$tmp/out")
+      .filter($"segment" === "2024-03-01T12.00.00")
+    // physical proof: the scan's partition count after pruning is 1 of 2
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined, "expected a FileSourceScanExec leaf")
+    assert(scan.get.relation.partitionSchema.fieldNames.contains("segment"))
+    val selected = scan.get.selectedPartitions.partitionCount
+    assert(selected == 1, s"expected 1 pruned partition, scanned $selected")
+    assert(pruned.count() == 1)
+  }
 }
