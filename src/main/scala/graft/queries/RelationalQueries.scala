@@ -442,6 +442,56 @@ object RelationalQueries {
              CAST(len(list_distinct(list_transform(string_split(text, ' '), w -> substr(w, 1, 1)))) AS INT) AS initials
             FROM documents WHERE doc_id < 100""")),
 
+    // -- cast matrix + null handling ----------------------------------------
+    QueryDef("cast_null_matrix", (s, dir) => {
+      Tables.t(s, dir, "customer")
+        .select(col("c_custkey"),
+          col("c_custkey").cast("string").as("key_str"),
+          round(col("c_acctbal"), 0).cast("long").as("bal_long"),
+          expr("try_cast(c_name AS DOUBLE)").as("name_as_num"),
+          coalesce(expr("try_cast(c_name AS DOUBLE)"), lit(-1.0)).as("name_num_dflt"),
+          nullif(col("c_nationkey"), lit(0)).as("nation_nullif0"))
+        .filter(col("c_custkey") < 200)
+    },
+    Some("""SELECT c_custkey,
+             CAST(c_custkey AS VARCHAR) AS key_str,
+             CAST(round(c_acctbal, 0) AS BIGINT) AS bal_long,
+             try_cast(c_name AS DOUBLE) AS name_as_num,
+             coalesce(try_cast(c_name AS DOUBLE), -1.0) AS name_num_dflt,
+             nullif(c_nationkey, 0) AS nation_nullif0
+            FROM customer WHERE c_custkey < 200""")),
+
+    // -- grouped string aggregation (sorted, deterministic) -----------------
+    QueryDef("group_concat_segments", (s, dir) => {
+      Tables.t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+          count(lit(1)).as("customers"))
+    },
+    Some("""SELECT c_nationkey,
+             string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+             count(*) AS customers
+            FROM customer GROUP BY 1""")),
+
+    // -- as-of (prior-event attribution): latest preceding click per user ---
+    QueryDef("asof_prior_click", (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.t(s, dir, "events")
+        .withColumn("prior_click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("prior_click_id"))
+    },
+    Some("""SELECT event_id, user_id, prior_click_id FROM (
+              SELECT event_id, user_id, event_type,
+                last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click_id
+              FROM events)
+            WHERE event_type = 'purchase'""")),
+
     // -- correlated-style subquery via join: parts above their brand avg ----
     QueryDef("subquery_above_avg", (s, dir) => {
       val p = Tables.t(s, dir, "part")
