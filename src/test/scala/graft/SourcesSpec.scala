@@ -63,4 +63,34 @@ class SourcesSpec extends SparkSpec {
       .select($"etype", $"cnt", $"total").as[(String, Long, Double)].collect().toSet
     assert(merged == Set(("click", 2L, 3.0), ("view", 1L, 8.0)))
   }
+
+  test("production clock path: rate source with processing-time now keeps all rows") {
+    val tmp = Files.createTempDirectory("graft-rate").toString
+    val spec = IngestionSpec(
+      DataSchema("rate_events", TimestampSpec("ts"),
+        SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("count", "cnt")),
+        GranularitySpec(Granularity.Hour, Granularity.Minute)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(10)))
+    // rate source: rows stamped with current event time -> always in-window
+    val source = spark.readStream.format("rate")
+      .option("rowsPerSecond", 50).load()
+      .select(col("timestamp").as("ts"),
+        concat(lit("e"), col("value") % 3).as("etype"))
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    // default now = current_timestamp(): the production clock
+    val q = ingest.start(source, s"$tmp/out",
+      trigger = Trigger.ProcessingTime(100))
+    // let a few batches flow
+    val deadline = System.currentTimeMillis() + 15000
+    while (ingest.received < 20 && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable(); Thread.sleep(200)
+    }
+    ingest.flushAndStop()
+    assert(ingest.received >= 20, s"rate source produced ${ingest.received}")
+    assert(ingest.dropped == 0) // wall-clock event times are inside the window
+    assert(ingest.sent == ingest.received)
+    assert(spark.read.parquet(s"$tmp/out").agg(sum($"cnt")).as[Long].head()
+      == ingest.sent)
+  }
 }
