@@ -57,7 +57,12 @@ final case class AggregatorSpec(
     /** delegate for `filtered` */
     aggregator: Option[AggregatorSpec] = scala.None,
     /** for approxHistogram / percentile outputs */
-    probabilities: Seq[Double] = Nil)
+    probabilities: Seq[Double] = Nil,
+    /** approxHistogram sketch resolution (GK summary 1/relativeError). The
+      * default matches Spark's `percentile_approx`; raise above 2·n to make the
+      * sketch exact (no sample ever compresses away) for oracle comparison.
+      */
+    accuracy: Option[Int] = scala.None)
 
 final case class GranularitySpec(
     segmentGranularity: Granularity = Granularity.Hour,

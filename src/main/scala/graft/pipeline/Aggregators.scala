@@ -30,7 +30,8 @@ object Aggregators {
     case "approxHistogram" =>
       val probs = if (spec.probabilities.nonEmpty) spec.probabilities
                   else Seq(0.25, 0.5, 0.75, 0.95)
-      percentile_approx(field(spec), array(probs.map(lit): _*), lit(10000)).as(spec.name)
+      percentile_approx(field(spec), array(probs.map(lit): _*),
+        lit(spec.accuracy.getOrElse(10000))).as(spec.name)
     case "filtered" =>
       val delegate = spec.aggregator.getOrElse(
         throw new IllegalArgumentException(s"filtered agg ${spec.name} lacks delegate"))

@@ -204,17 +204,36 @@ object RollupQueries {
           col("event_type"), col("approx_users"))
     }, None),
 
-    // -- approxHistogram → percentile_approx (bench-only, no oracle) --------
+    // -- approxHistogram → percentile_approx, exploded to one scalar row per
+    // quantile so the oracle gate can hash it. Accuracy is raised above 2·n at
+    // gate scale, which makes the GK summary exact (no sample compresses away:
+    // merge threshold 2·relErr·n < 1), so percentile_approx deterministically
+    // returns the element at 1-based rank ceil(q·n) — the oracle computes the
+    // same rank with a window. Production use keeps the default accuracy
+    // (approx, mergeable, O(accuracy) state — the 100TB path).
     QueryDef("rollup_approx_histogram", (s, dir) => {
+      val probs = Seq(0.25, 0.5, 0.75, 0.95)
       val spec = IngestionSpec(DataSchema("events",
         TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
         Seq(AggregatorSpec("approxHistogram", "value_hist", Some("value"),
-          probabilities = Seq(0.25, 0.5, 0.75, 0.95))),
+          probabilities = probs, accuracy = Some(2_000_000))),
         GranularitySpec(Granularity.All, Granularity.All)))
       val p = new Pipeline(spec)
       p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events"))))
-        .select(col("event_type"), col("value_hist"))
-    }, None),
+        .select(col("event_type"), posexplode(col("value_hist")).as(Seq("pos", "value_q")))
+        .select(col("event_type"),
+          element_at(array(probs.map(lit): _*), col("pos") + 1).as("prob"),
+          col("value_q"))
+    },
+    Some("""WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type, prob, value AS value_q
+            FROM ranked
+            CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS prob) probs
+            WHERE rk = CAST(ceil(prob * n) AS BIGINT)""")),
 
     // -- config round-trip: full ingestion-spec JSON drives the pipeline ----
     QueryDef("spec_json_roundtrip", (s, dir) => {
