@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.streaming.IngestStream
+
+/** HTTP ingest receiver — the reference's HTTP server surface
+  * (server/.../TranquilityServlet.scala#doPost, SURVEY §3.2): POST
+  * `/v1/post/{dataSource}` with a JSON-array or NDJSON body, reply
+  * `{"result":{"received":N,"sent":M}}`.
+  *
+  * Spark-first shape: the socket handler does NO processing — it normalizes
+  * the body to NDJSON and spools it atomically into the directory a
+  * [[Sources.jsonFileStream]] ingest query tails. The streaming engine (one
+  * logical plan, checkpointed) stays the only data path; the receiver is a
+  * thin producer, so a fleet of receivers can feed one cluster-wide query —
+  * the 100 TB story is "N stateless receivers → object store → one stream",
+  * not per-socket pipelines.
+  *
+  * Reply semantics match the servlet: `async=true` returns immediately with
+  * `sent=0` (fire-and-forget); the sync default drains the attached query and
+  * reports the sent/dropped deltas observed by the engine's counters — the
+  * reference's per-batch send() future wait.
+  */
+final class HttpIngestServer(
+    spoolDir: String,
+    attach: Option[IngestStream] = None) {
+
+  private val mapper = new ObjectMapper
+  @volatile private var server: Option[HttpServer] = None
+
+  /** Bind (port 0 = ephemeral) and serve. Returns the bound port. */
+  def start(port: Int = 0): Int = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    s.createContext("/v1/post", (ex: HttpExchange) => handle(ex))
+    s.start()
+    server = Some(s)
+    s.getAddress.getPort
+  }
+
+  def stop(): Unit = { server.foreach(_.stop(0)); server = None }
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") { reply(ex, 405, """{"error":"POST only"}"""); return }
+      val dataSource = ex.getRequestURI.getPath.stripPrefix("/v1/post").stripPrefix("/")
+      if (dataSource.isEmpty) { reply(ex, 404, """{"error":"missing dataSource"}"""); return }
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val lines = try normalize(body) catch {
+        case NonFatal(e) => reply(ex, 400, s"""{"error":${quote(e.getMessage)}}"""); return
+      }
+      val async = Option(ex.getRequestURI.getQuery).exists(_.contains("async=true"))
+      // serialized so sync counter deltas from concurrent posts don't interleave
+      val result = synchronized {
+        val (sent0, dropped0) = attach.map(i => (i.sent, i.dropped)).getOrElse((0L, 0L))
+        spool(dataSource, lines)
+        if (async || attach.isEmpty) (lines.size.toLong, 0L)
+        else {
+          val ingest = attach.get
+          ingest.activeQuery.foreach(_.processAllAvailable())
+          (lines.size.toLong, ingest.sent - sent0)
+        }
+      }
+      reply(ex, 200, s"""{"result":{"received":${result._1},"sent":${result._2}}}""")
+    } catch {
+      case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+
+  /** Body → NDJSON lines. Accepts a JSON array of objects or
+    * newline-delimited JSON objects; anything else throws (→ 400, the
+    * servlet's malformed-body behavior).
+    */
+  private[sources] def normalize(body: String): Seq[String] = {
+    val trimmed = body.trim
+    if (trimmed.isEmpty) Seq.empty
+    else if (trimmed.startsWith("[")) {
+      val node = mapper.readTree(trimmed)
+      require(node.isArray, "top-level JSON must be an array or NDJSON")
+      node.elements().asScala.map { e =>
+        require(e.isObject, s"array element is not an object: $e")
+        mapper.writeValueAsString(e)
+      }.toSeq
+    } else {
+      trimmed.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val e = mapper.readTree(line)
+        require(e.isObject, s"NDJSON line is not an object: $line")
+        mapper.writeValueAsString(e)
+      }.toSeq
+    }
+  }
+
+  /** Atomic spool: write hidden temp in the watched dir's filesystem, then
+    * rename — the file source only ever lists complete files.
+    */
+  private def spool(dataSource: String, lines: Seq[String]): Unit = {
+    if (lines.isEmpty) return
+    val dir = Paths.get(spoolDir, dataSource)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".inflight-${UUID.randomUUID()}")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    Files.move(tmp, dir.resolve(s"post-${UUID.randomUUID()}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def quote(s: String): String = mapper.writeValueAsString(s)
+
+  private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
+  }
+}

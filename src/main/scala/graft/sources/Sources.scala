@@ -61,17 +61,40 @@ object Sources {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** The record shape Spark's kafka source produces — also the contract any
+    * broker-less test double must emit (KafkaContractSpec drives this schema
+    * through [[parseKafkaRecords]] + the checkpoint commit contract).
+    */
+  val kafkaRecordSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType), StructField("value", BinaryType),
+    StructField("topic", StringType), StructField("partition", IntegerType),
+    StructField("offset", LongType), StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** Value-parsing stage of the Kafka path, split out so it is testable
+    * without a broker: JSON value bytes → typed columns via explicit schema
+    * (no inference — SURVEY §7 hard part (c)). Malformed values yield an
+    * all-null struct, preserved so drop accounting sees them (upstream
+    * KafkaConsumer.java routes unparseable messages to its own counter).
+    */
+  def parseKafkaRecords(raw: DataFrame, valueSchema: StructType): DataFrame =
+    raw.select(from_json(col("value").cast("string"), valueSchema).as("e"))
+      .select(col("e.*"))
+
   /** Kafka wiring (v2 — no broker in this environment, kept as the documented
     * construction): subscribe + JSON value parsing with explicit schema.
+    * The checkpoint IS the offset-commit contract — offsets advance only
+    * after the sink commit (commit-after-flush, SURVEY §3.3), proven without
+    * a broker in KafkaContractSpec.
     */
   def kafkaStream(spark: SparkSession, bootstrap: String, topicPattern: String,
       valueSchema: StructType, maxOffsetsPerTrigger: Long = 10000): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribePattern", topicPattern)
-      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
-      .load()
-      .select(from_json(col("value").cast("string"), valueSchema).as("e"))
-      .select(col("e.*"))
+    parseKafkaRecords(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribePattern", topicPattern)
+        .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+        .load(),
+      valueSchema)
 }

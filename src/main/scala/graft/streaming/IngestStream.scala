@@ -42,12 +42,16 @@ final class IngestStream(
       source: DataFrame,
       outputPath: String,
       now: Column = current_timestamp(),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      writer: Option[(DataFrame, Long) => Unit] = None): StreamingQuery = {
     // Row-wise stages run on the STREAMING DataFrame so the `observe` drop
     // counters surface in StreamingQueryProgress.observedMetrics (inside
     // foreachBatch they'd belong to a detached batch query and vanish).
     val staged = pipeline.project(
       pipeline.windowFilter(pipeline.extractTimestamp(source), now))
+    // `writer` is a test seam (fault injection for the Kafka commit-contract
+    // spec); production always takes the SegmentSink default.
+    val write = writer.getOrElse(graft.sink.SegmentSink.writeMicroBatch(outputPath) _)
     val q = staged.writeStream
       .queryName(s"graft-${spec.dataSchema.dataSource}")
       .option("checkpointLocation", checkpointDir)
@@ -60,7 +64,7 @@ final class IngestStream(
         val rolled = pipeline.rollup(batch)
         val out = if (spec.dataSchema.granularitySpec.rollup)
           pipeline.withSegment(rolled) else rolled
-        graft.sink.SegmentSink.writeMicroBatch(outputPath)(out, batchId)
+        write(out, batchId)
       }
       .start()
     query = Some(q)
@@ -95,11 +99,12 @@ final class IngestStream(
     require(gran.rollup, "watermarked mode is a rollup mode (isRollup=true)")
     val wmSeconds = spec.tuning.windowPeriod.getSeconds
 
+    // Only `received` is observable row-wise here: lateness drops happen
+    // inside the state store and surface as numRowsDroppedByWatermark, which
+    // [[dropped]] folds into the same received = sent + dropped invariant
+    // (the reference's per-event SendResult(sent=false) accounting, SURVEY §2.2).
     val staged = pipeline.project(pipeline.extractTimestamp(source))
-      .observe("graft_window",
-        count(lit(1)).as("received"),
-        count(lit(1)).as("sent"),      // lateness drops happen in the state
-        count(when(lit(false), 1)).as("dropped")) // store → watermarkDropped
+      .observe("graft_window", count(lit(1)).as("received"))
       .withWatermark(Pipeline.TsCol, s"$wmSeconds seconds")
     val dims = pipeline.dimensionNames(staged).map(col)
     val aggs = spec.dataSchema.aggregators.map(graft.pipeline.Aggregators.toColumn) match {
@@ -147,12 +152,23 @@ final class IngestStream(
   private def metric(name: String): Long =
     query.toSeq.flatMap(_.recentProgress).map { p =>
       val om = p.observedMetrics
-      if (om.containsKey("graft_window")) om.get("graft_window").getAs[Long](name) else 0L
+      if (om.containsKey("graft_window")) {
+        val row = om.get("graft_window")
+        // watermarked mode observes `received` only — missing fields are 0
+        if (row.schema != null && row.schema.fieldNames.contains(name))
+          row.getAs[Long](name)
+        else 0L
+      } else 0L
     }.sum
 
   def received: Long = metric("received")
-  def sent: Long = metric("sent")
-  def dropped: Long = metric("dropped")
+  /** windowFilter drops (start mode) + state-store lateness drops
+    * (watermarked mode) — one surface for both pipelines. */
+  def dropped: Long = metric("dropped") + watermarkDropped
+  /** received − dropped: identical to the observed `sent` count in start
+    * mode (the windowFilter counts all three), and derives the watermarked
+    * mode's sent count where only the state store knows the drops. */
+  def sent: Long = received - dropped
 
   /** Late rows discarded by the watermark in [[startWatermarked]] mode — the
     * lateness half of the drop accounting there (the state store, not the

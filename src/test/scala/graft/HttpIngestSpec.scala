@@ -1,0 +1,92 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.config._
+import graft.sources.{HttpIngestServer, Sources}
+import graft.streaming.IngestStream
+import graft.time.Granularity
+
+/** E2E over the real socket: POST JSON-array and NDJSON bodies to the
+  * receiver, drain through the streaming engine, check the `{received,sent}`
+  * replies and the receiver↔engine conservation invariant — the
+  * TranquilityServlet#doPost surface (SURVEY §3.2).
+  */
+class HttpIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("receiver → spool → stream: replies, drops, conservation") {
+    val tmp = Files.createTempDirectory("graft-http").toString
+    val spool = s"$tmp/spool"
+    Files.createDirectories(Paths.get(spool, "events"))
+    val schema = StructType(Seq(StructField("ts", StringType),
+      StructField("etype", StringType), StructField("value", DoubleType)))
+    val spec = IngestionSpec(
+      DataSchema("events", TimestampSpec("ts"),
+        SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("doubleSum", "total", Some("value"))),
+        GranularitySpec(Granularity.Hour, Granularity.Hour)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(30)))
+
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    ingest.start(Sources.jsonFileStream(spark, s"$spool/events", schema),
+      s"$tmp/out", now = lit(Timestamp.valueOf("2024-03-01 12:00:00")),
+      trigger = Trigger.ProcessingTime(50))
+    val server = new HttpIngestServer(spool, Some(ingest))
+    val port = server.start()
+    try {
+      // NDJSON body: 4 events, one outside the ±30m window → sent=3
+      val (c1, b1) = post(port, "/v1/post/events",
+        """{"ts":"2024-03-01 11:50:00","etype":"click","value":1.0}
+          |{"ts":"2024-03-01 12:10:00","etype":"click","value":2.0}
+          |{"ts":"2024-03-01 12:15:00","etype":"view","value":4.0}
+          |{"ts":"2024-03-01 11:00:00","etype":"click","value":8.0}""".stripMargin)
+      assert(c1 == 200 && b1 == """{"result":{"received":4,"sent":3}}""")
+
+      // JSON-array body, same endpoint
+      val (c2, b2) = post(port, "/v1/post/events",
+        """[{"ts":"2024-03-01 12:20:00","etype":"click","value":16.0},
+          | {"ts":"2024-03-01 12:25:00","etype":"view","value":32.0}]""".stripMargin)
+      assert(c2 == 200 && b2 == """{"result":{"received":2,"sent":2}}""")
+
+      // async: fire-and-forget reply (sent=0), drained on the next trigger
+      val (c3, b3) = post(port, "/v1/post/events?async=true",
+        """{"ts":"2024-03-01 12:29:00","etype":"click","value":64.0}""")
+      assert(c3 == 200 && b3 == """{"result":{"received":1,"sent":0}}""")
+      ingest.activeQuery.get.processAllAvailable()
+
+      // malformed body → 400, nothing spooled
+      val (c4, _) = post(port, "/v1/post/events", """{"broken": """)
+      assert(c4 == 400)
+      // non-object NDJSON line → 400 too
+      val (c5, _) = post(port, "/v1/post/events", "[1, 2, 3]")
+      assert(c5 == 400)
+
+      // conservation across the socket: received = sent + dropped
+      ingest.flushAndStop()
+      assert(ingest.received == 7 && ingest.sent == 6 && ingest.dropped == 1)
+      val out = spark.read.parquet(s"$tmp/out")
+      assert(out.agg(sum($"cnt")).as[Long].head() == 6L)
+      assert(out.agg(sum($"total")).as[Double].head() == 1.0 + 2 + 4 + 16 + 32 + 64)
+    } finally server.stop()
+  }
+}

@@ -149,7 +149,12 @@ class StreamingSpec extends SparkSpec {
     ingest.activeQuery.get.processAllAvailable()
     input.addData(Ev(ts("2024-03-01 12:20:00"), "view", 16.0))
     ingest.flushAndStop()
-    assert(ingest.watermarkDropped >= 1L)
+    // lateness accounting: the state-store drop shows up in the SAME
+    // received/sent/dropped surface as start-mode windowFilter drops
+    assert(ingest.received == 5)
+    assert(ingest.dropped == 1, s"expected the one too-late event dropped, got ${ingest.dropped}")
+    assert(ingest.sent == 4)
+    assert(ingest.watermarkDropped == 1L)
 
     val out = spark.read.parquet(s"$tmp/out")
       .filter($"etype" === "click")
