@@ -64,11 +64,16 @@ object MinHash {
       shingleWidth: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    // persisted: this subtree feeds THREE consumers (two bucket branches +
+    // the candidate verification join) — without it the shingle+signature
+    // pass, the dominant cost, runs three times. At cluster scale the same
+    // role is played by checkpointing signatures to storage.
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", array_distinct(shingles(col("text"), shingleWidth)))
       .withColumn("sig", signature(col("sh"), k))
       .withColumn("bands", bandHashes(col("sig"), k, bands))
+      .persist()
 
     // explode to (id, bandIdx, bandHash): the LSH bucket key. The self-join
     // shuffles ONLY these slim rows; shingle sets are joined back afterwards

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Hamming-LSH banding over 64-bit SimHash fingerprints — the scale
+  * path for simhash near-dup detection (the Manku/Charikar web-dedup
+  * construction; SURVEY §2.11).
+  *
+  * Pigeonhole guarantee: split the 64 bits into `bands` contiguous chunks;
+  * two fingerprints with hamming distance ≤ maxHamming < bands differ in at
+  * most maxHamming bands, so at least one band is bit-identical — recall is
+  * exact, not probabilistic. The self-join shuffles slim
+  * (id, fingerprint, bandIdx, bandValue) rows; candidates are verified with
+  * exact `bit_count(a XOR b)`. At 100 TB the bucket key space per band is
+  * 2^(64/bands) (65536 for 4 bands), so candidate pairs stay
+  * O(n²/2^bandWidth) per band instead of the all-pairs O(n²).
+  */
+object SimHashLsh {
+
+  /** The `bands` band values of a 64-bit fingerprint: contiguous bit chunks
+    * (band i = bits [i·w, (i+1)·w), w = 64/bands).
+    */
+  def bandValues(sh: Column, bands: Int): Seq[Column] = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands): a remainder chunk would weaken the " +
+        "pigeonhole guarantee for the bits it drops")
+    val w = 64 / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    (0 until bands).map(i => shiftright(sh, i * w).bitwiseAND(lit(mask)))
+  }
+
+  /** Banded near-dup pairs over precomputed fingerprints:
+    * (id_a, id_b, hamming) for all pairs with hamming ≤ maxHamming —
+    * exact-recall by the pigeonhole argument (requires bands > maxHamming).
+    */
+  def nearDupsFromFingerprints(
+      df: DataFrame,
+      idCol: String,
+      shCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(bands > maxHamming,
+      s"pigeonhole recall guarantee needs bands > maxHamming (got bands=$bands, " +
+        s"maxHamming=$maxHamming): $maxHamming differing bits could otherwise " +
+        "touch every band and the pair would never collide")
+    val withBands = df.select(col(idCol).as("id"), col(shCol).as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array(bandValues(col("sh"), bands): _*)).as(Seq("band_idx", "band_val")))
+    val a = withBands.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("band_idx"), col("band_val"))
+    val b = withBands.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("band_idx"), col("band_val"))
+    // fingerprints are 8 bytes — cheaper to carry through the bucket join
+    // than to re-join them onto candidates (contrast MinHash's shingle sets)
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", TextFunctions.hammingDistance(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** End-to-end: text → SimHash64 → banded candidate pairs → exact hamming. */
+  def nearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    nearDupsFromFingerprints(
+      df.select(col(idCol).as("id"), TextFunctions.simhash(col(textCol)).as("sh")),
+      "id", "sh", maxHamming, bands)
+  }
+}

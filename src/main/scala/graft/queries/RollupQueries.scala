@@ -235,6 +235,38 @@ object RollupQueries {
             CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS prob) probs
             WHERE rk = CAST(ceil(prob * n) AS BIGINT)""")),
 
+    // -- streaming replay: events as a file stream → IngestStream micro-batch
+    // rollup → SegmentStore merge — and the ORACLE is the plain batch SQL:
+    // the streamed result must hash-match DuckDB's one-shot rollup, proving
+    // stream ≡ batch regardless of micro-batch splits (SURVEY §2.9). Also a
+    // bench headliner so the streaming path has a guarded plan+timing.
+    QueryDef("streaming_rollup_replay", (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val spec = IngestionSpec(DataSchema("events_replay",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("doubleSum", "sum_value", Some("value"))),
+        GranularitySpec(Granularity.Day, Granularity.Hour)),
+        // replay of historical data: window wide open, nothing drops.
+        // partitions=8 → per-batch writes spread ~30 Day-segment dirs over 8
+        // tasks instead of one task serializing 30 zstd file opens (~2s/batch)
+        Tuning(windowPeriod = java.time.Duration.ofDays(3650), partitions = 8))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
+      val stream = graft.sources.Sources.eventsReplay(s, dir, s"$tmp/staging", splits = 8)
+      val ingest = new graft.streaming.IngestStream(s, spec, s"$tmp/checkpoint")
+      ingest.start(stream, s"$tmp/out",
+        now = to_timestamp(lit("2024-01-15 00:00:00")),
+        trigger = Trigger.AvailableNow())
+      ingest.flushAndStop()
+      graft.sink.SegmentStore.read(s, s"$tmp/out", spec)
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("event_type"), col("cnt"),
+          round(col("sum_value"), 2).as("sum_value"))
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2"""), headline = true),
+
     // -- config round-trip: full ingestion-spec JSON drives the pipeline ----
     QueryDef("spec_json_roundtrip", (s, dir) => {
       val json =

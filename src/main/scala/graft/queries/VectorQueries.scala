@@ -135,19 +135,16 @@ object VectorQueries {
       MinHash.nearDupPairs(
         Tables.t(s, dir, "documents"), "doc_id", "text",
         k = 32, bands = 8, shingleWidth = 3, threshold = 0.3)
-    }, None),
+    }, None, headline = true),
 
-    // -- SimHash fingerprints + hamming near-dups (rows-only) ---------------
-    QueryDef("simhash_fingerprints", (s, dir) => {
-      GraftFunctions.register(s)
-      val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), TextFunctions.simhash(col("text")).as("sh"))
-      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("hamming", TextFunctions.hammingDistance(col("sh_a"), col("sh_b")))
-        .filter(col("hamming") <= 16)
-        .select(col("id_a"), col("id_b"), col("hamming"))
+    // -- SimHash near-dups via Hamming-LSH banding (rows-only; unbounded —
+    //    the banded bucket join replaces round 1's all-pairs shape, with
+    //    exact recall for hamming ≤ 3 by the pigeonhole guarantee and a
+    //    planted-dup spec in FunctionsSpec)
+    QueryDef("simhash_near_dups", (s, dir) => {
+      graft.functions.SimHashLsh.nearDups(
+        Tables.t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bands = 4)
     }, None),
 
     // -- rolling-hash fingerprint distribution (rows-only) ------------------

@@ -63,7 +63,14 @@ final class IngestStream(
         // in the realtime task and Druid merges at query time.
         val rolled = pipeline.rollup(batch)
         val out = if (spec.dataSchema.granularitySpec.rollup)
-          pipeline.withSegment(rolled) else rolled
+          // bound output files: without this, every segment dir collects up
+          // to shuffle.partitions tiny files PER BATCH (a small-file storm at
+          // any scale). tuning.partitions = write parallelism, per the
+          // SegmentSink contract; the non-rollup path repartitions inside
+          // Pipeline.rollup already.
+          pipeline.withSegment(rolled)
+            .repartition(math.max(1, spec.tuning.partitions), col(Pipeline.SegmentCol))
+        else rolled
         write(out, batchId)
       }
       .start()

@@ -59,6 +59,40 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1) == Seq("a b"))
   }
 
+  test("simhash Hamming-LSH: pigeonhole guarantee on adversarial bit flips") {
+    // worst case for 4 bands: flips spread across DIFFERENT bands (positions
+    // 0, 16, 32 — three bands touched, the fourth must still collide)
+    val base = 0x0123456789abcdefL
+    val pairs = Seq(
+      (0L, base, base),                                   // hamming 0
+      (1L, base, base ^ 1L),                              // 1 flip
+      (2L, base, base ^ ((1L << 0) | (1L << 16))),        // 2 bands touched
+      (3L, base, base ^ ((1L << 0) | (1L << 16) | (1L << 32))), // 3 bands
+      // 4 flips in 4 different bands: no band collides AND hamming > 3 —
+      // must be absent
+      (4L, base, base ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48))))
+    val df = pairs.flatMap { case (g, a, b) => Seq((g * 2, g, a), (g * 2 + 1, g, b)) }
+      .toDF("id", "grp", "sh")
+    val found = graft.functions.SimHashLsh
+      .nearDupsFromFingerprints(df, "id", "sh", maxHamming = 3, bands = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // every ≤3-hamming pair found (incl. the 3-band worst case), plus the
+    // hamming-0 cross-group collisions of identical base values
+    for (g <- 0L to 3L) assert(found.contains((g * 2, g * 2 + 1)), s"missing pair of group $g")
+    assert(!found.contains((8L, 9L)), "hamming-4 pair must be filtered")
+  }
+
+  test("simhash LSH finds planted near-duplicate texts, skips distinct docs") {
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok100", "CHANGED")
+    val other = (500 to 700).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "text")
+    val pairs = graft.functions.SimHashLsh.nearDups(df, "id", "text",
+      maxHamming = 3, bands = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("simhash: near-identical docs within small hamming distance, distinct docs far") {
     GraftFunctions.register(spark)
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
