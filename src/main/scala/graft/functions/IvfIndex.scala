@@ -46,19 +46,36 @@ object IvfIndex {
     if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Build the index over (idCol: long, vecCol: array<float>). */
+  /** Build the index over (idCol: long, vecCol: array<float>).
+    *
+    * Seeding is deterministic farthest-first (the k-means++ spreading idea
+    * minus its RNG): seed 1 = vector with the smallest xxhash64(id)
+    * (arbitrary-but-stable, not biased toward low ids); each next seed
+    * maximizes cosine distance to its nearest chosen seed, ties broken by
+    * hash then id. Each pick is one distributed argmax over the broadcast
+    * seed list — k scans at build time, no vector shuffle, driver state
+    * still O(k·dim).
+    */
   def build(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iterations: Int = 1): IvfIndex = {
+      k: Int, iterations: Int = 5): IvfIndex = {
     GraftFunctions.register(spark)
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
 
-    // deterministic seeds: first k vectors by id
-    var cents: Array[(Int, Array[Double])] = base.orderBy("id").limit(k)
-      .select(col("vec")).collect()
-      .zipWithIndex
-      .map { case (r, i) =>
-        (i, r.getSeq[Float](0).map(_.toDouble).toArray)
-      }
+    val hashed = base.withColumn("__h", xxhash64(col("id")))
+    def vecOf(df0: DataFrame): Array[Double] =
+      df0.limit(1).select(col("vec")).collect().head
+        .getSeq[Float](0).map(_.toDouble).toArray
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      vecOf(hashed.orderBy(col("__h"), col("id"))))
+    while (seeds.length < k) {
+      val distCols = seeds.toSeq.map(c =>
+        lit(1.0) - CosineSimilarity(col("vec"), typedlit(c)))
+      val minDist = if (distCols.size == 1) distCols.head else least(distCols: _*)
+      seeds += vecOf(hashed.withColumn("__mind", minDist)
+        .orderBy(col("__mind").desc, col("__h"), col("id")))
+    }
+    var cents: Array[(Int, Array[Double])] =
+      seeds.zipWithIndex.map { case (c, i) => (i, c) }.toArray
 
     var assigned = assign(spark, base, cents)
     for (_ <- 0 until iterations) {

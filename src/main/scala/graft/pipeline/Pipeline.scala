@@ -97,7 +97,16 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
       concat_ws(",", s.dims.map(d => col(d).cast(StringType)): _*).as(s.dimName)
     }
     val dims: Seq[Column] = schema.dimensionsSpec match {
-      case SpecificDimensions(names, _) => names.map(col)
+      // multi-value string dims (Druid ArrayType mapping — SURVEY §1.3):
+      // normalized to sorted distinct values at ingest, Druid's default
+      // SORTED_ARRAY multi-value handling, so rollup groups by the SET of
+      // values; per-value groupBy semantics = [[explodeMultiValueDim]]
+      case SpecificDimensions(names, _) => names.map { n =>
+        df.schema.fields.find(_.name == n).map(_.dataType) match {
+          case Some(ArrayType(_, _)) => array_sort(array_distinct(col(n))).as(n)
+          case _                     => col(n)
+        }
+      }
       case SchemalessDimensions(excl, spatialDims) =>
         val reserved = (excl ++ aggInputs ++ schema.aggregators.map(_.name) ++
           spatialDims.flatMap(_.dims) :+ schema.timestampSpec.column :+ TsCol).toSet
@@ -115,6 +124,14 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
       .filter(df.columns.contains).map(col)
     df.select((col(TsCol) +: (dims ++ spatial ++ metricCols)): _*)
   }
+
+  /** Druid groupBy semantics over a multi-value dimension: each row
+    * contributes once per distinct value (the values were already deduped by
+    * [[project]]'s SORTED_ARRAY normalization). Run between project and
+    * rollup when per-value grouping is wanted instead of set grouping.
+    */
+  def explodeMultiValueDim(df: DataFrame, dim: String): DataFrame =
+    df.withColumn(dim, explode(col(dim)))
 
   /** Schemaless projection over a MapType payload column: non-excluded map
     * entries become string dims via map_filter (SURVEY §2.8), keeping the t2

@@ -235,6 +235,47 @@ object RollupQueries {
             CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS prob) probs
             WHERE rk = CAST(ceil(prob * n) AS BIGINT)""")),
 
+    // -- multi-value string dimension, SET semantics (SURVEY §1.3): the
+    // array dim is normalized to sorted distinct values at ingest (Druid's
+    // SORTED_ARRAY) and rollup groups by the whole set. The deliberate
+    // duplicate in the synthesized tags proves the dedup+sort. Output is
+    // array_join'ed so the gate hashes scalars.
+    QueryDef("multivalue_dim_rollup", (s, dir) => {
+      val ev = Tables.t(s, dir, "events").withColumn("tags",
+        array(col("event_type"), concat(lit("u"), col("user_id") % 3), col("event_type")))
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("tags")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("doubleSum", "sum_value", Some("value"))),
+        GranularitySpec(Granularity.All, Granularity.All)))
+      val p = new Pipeline(spec)
+      p.rollup(p.project(p.extractTimestamp(ev)))
+        .select(array_join(col("tags"), ",").as("tags"), col("cnt"),
+          round(col("sum_value"), 2).as("sum_value"))
+    },
+    Some("""SELECT array_to_string(list_sort(list_distinct(
+               [event_type, 'u' || CAST(user_id % 3 AS VARCHAR), event_type])), ',') AS tags,
+             count(*) AS cnt, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1""")),
+
+    // -- multi-value string dimension, PER-VALUE semantics: Druid groupBy
+    // over a multi-value dim — each row contributes once per distinct value
+    QueryDef("multivalue_dim_explode", (s, dir) => {
+      val ev = Tables.t(s, dir, "events").withColumn("tags",
+        array(col("event_type"), concat(lit("u"), col("user_id") % 3), col("event_type")))
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("tags")),
+        Seq(AggregatorSpec("count", "cnt")),
+        GranularitySpec(Granularity.All, Granularity.All)))
+      val p = new Pipeline(spec)
+      p.rollup(p.explodeMultiValueDim(p.project(p.extractTimestamp(ev)), "tags"))
+        .select(col("tags").as("tag"), col("cnt"))
+    },
+    Some("""WITH exploded AS (SELECT unnest(list_distinct(
+              [event_type, 'u' || CAST(user_id % 3 AS VARCHAR), event_type])) AS tag
+            FROM events)
+            SELECT tag, count(*) AS cnt FROM exploded GROUP BY 1""")),
+
     // -- streaming replay: events as a file stream → IngestStream micro-batch
     // rollup → SegmentStore merge — and the ORACLE is the plain batch SQL:
     // the streamed result must hash-match DuckDB's one-shot rollup, proving

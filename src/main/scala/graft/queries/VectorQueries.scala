@@ -120,7 +120,7 @@ object VectorQueries {
       import org.apache.spark.sql.{functions => F}
       val e = Tables.t(s, dir, "embeddings")
       val idx = graft.functions.IvfIndex.build(s, e, "vec_id", "embedding",
-        k = 8, iterations = 1)
+        k = 8, iterations = 5)
       val query = e.filter(col("vec_id") === 0)
         .select(col("embedding")).collect().head.getSeq[Float](0).toArray
       idx.search(s, query, topK = 10, nProbe = 3)

@@ -199,30 +199,35 @@ class FunctionsSpec extends SparkSpec {
     errs.foreach(err => assert(math.abs(err) < 0.01, s"cosine drift $err"))
   }
 
-  test("IVF index: deterministic build, cluster-pruned search, sane recall") {
-    val sf = "/root/testdata/sf0.001"
+  test("IVF index: deterministic build, cluster-pruned search, recall@10 ≥ 0.9") {
+    // sf0.1 embeddings: 2000 near-uniform random vectors — the WORST case
+    // for IVF (no cluster structure, neighbours spread everywhere); real
+    // embedding corpora cluster far better, so this bound is conservative
+    val sf = "/root/testdata/sf0.1"
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
-    val idx = IvfIndex.build(spark, e, "vec_id", "embedding", k = 8, iterations = 1)
+    val idx = IvfIndex.build(spark, e, "vec_id", "embedding", k = 8, iterations = 5)
     assert(idx.centroids.length == 8)
     // every vector got exactly one cluster
     assert(idx.indexed.count() == e.count())
 
-    val query = e.filter($"vec_id" === 0).select($"embedding")
-      .as[Array[Float]].head()
-    val ivfTop = idx.search(spark, query, topK = 11, nProbe = 3)
-      .as[(Long, Int, Double)].collect().map(_._1).filterNot(_ == 0L).take(10)
-
-    // brute-force ground truth via the same native expression
     GraftFunctions.register(spark)
-    val bruteTop = e.filter($"vec_id" =!= 0)
-      .withColumn("c", CosineSimilarity($"embedding", typedlit(query)))
-      .orderBy($"c".desc, $"vec_id").limit(10)
-      .select($"vec_id").as[Long].collect()
-
-    val overlap = ivfTop.toSet.intersect(bruteTop.toSet).size
-    assert(overlap >= 4, s"IVF recall too low: $overlap/10 (ivf=${ivfTop.toSeq})")
+    val recalls = Seq(0L, 7L, 42L, 99L, 250L).map { qid =>
+      val query = e.filter($"vec_id" === qid).select($"embedding")
+        .as[Array[Float]].head()
+      val ivfTop = idx.search(spark, query, topK = 11, nProbe = 5)
+        .as[(Long, Int, Double)].collect().map(_._1).filterNot(_ == qid).take(10)
+      // brute-force ground truth via the same native expression
+      val bruteTop = e.filter($"vec_id" =!= qid)
+        .withColumn("c", CosineSimilarity($"embedding", typedlit(query)))
+        .orderBy($"c".desc, $"vec_id").limit(10)
+        .select($"vec_id").as[Long].collect()
+      ivfTop.toSet.intersect(bruteTop.toSet).size
+    }
+    val mean = recalls.sum / 10.0 / recalls.size
+    assert(mean >= 0.9, s"IVF mean recall@10 too low: $mean (per-query: $recalls)")
+    assert(recalls.min >= 7, s"IVF worst-case recall@10 too low: $recalls")
     // determinism: rebuilding yields identical clusters
-    val idx2 = IvfIndex.build(spark, e, "vec_id", "embedding", k = 8, iterations = 1)
+    val idx2 = IvfIndex.build(spark, e, "vec_id", "embedding", k = 8, iterations = 5)
     assert(idx2.indexed.select("id", "cluster").collect().toSet ==
       idx.indexed.select("id", "cluster").collect().toSet)
   }
