@@ -22,17 +22,59 @@ import org.apache.spark.sql.functions._
 object SegmentSink {
   import graft.pipeline.Pipeline.SegmentCol
 
-  /** Batch append, partitioned by segment bucket (expects SegmentCol present). */
+  /** Zone-map sidecar dir: `_`-prefixed so Spark's parquet reader ignores it
+    * on normal reads of the store.
+    */
+  val StatsDir = "_graft_stats"
+
+  /** Batch append, partitioned by segment bucket (expects SegmentCol present).
+    * Alongside the data, appends a per-(segment, string-dim) min/max zone-map
+    * row to [[StatsDir]] — [[SegmentStore.pruneSegments]] turns a dim
+    * predicate into a segment list BEFORE the scan, extending partition
+    * pruning beyond the time key (Druid dims are strings, so string columns
+    * are exactly the prunable set; lexicographic min/max is sound there).
+    * The stats agg runs over the already-rolled micro-batch (tiny) and
+    * min/max merge is idempotent, so an at-least-once replay can only widen
+    * nothing — duplicate stats rows collapse in the prune-time re-merge.
+    */
   def writeBatch(df: DataFrame, path: String): Unit = {
     require(df.columns.contains(SegmentCol), s"missing $SegmentCol column")
-    // stable string form for directory names (avoid raw timestamp encoding)
-    df.withColumn(SegmentCol,
-        date_format(col(SegmentCol), "yyyy-MM-dd'T'HH.mm.ss"))
-      .write.mode("append").partitionBy(SegmentCol)
-      // zstd ≈ 2× smaller than snappy at comparable read speed — at 100 TB
-      // ingest the storage/IO saving dominates the extra encode CPU
-      .option("compression", "zstd")
-      .parquet(path)
+    // stable string form for directory names (avoid raw timestamp encoding).
+    // persisted: the data write and the stats agg are TWO actions — without
+    // the cache the second re-executes the batch plan, which would both
+    // redo the rollup and double-count upstream `observe` metrics.
+    val out = df.withColumn(SegmentCol,
+      date_format(col(SegmentCol), "yyyy-MM-dd'T'HH.mm.ss")).persist()
+    try {
+      out.write.mode("append").partitionBy(SegmentCol)
+        // zstd ≈ 2× smaller than snappy at comparable read speed — at 100 TB
+        // ingest the storage/IO saving dominates the extra encode CPU
+        .option("compression", "zstd")
+        .parquet(path)
+      appendStats(out, path)
+    } finally out.unpersist()
+  }
+
+  /** Append per-(segment, string-column) min/max rows to the sidecar.
+    * Expects SegmentCol already in dir-string form.
+    */
+  private[sink] def appendStats(out: DataFrame, path: String): Unit = {
+    val statCols = out.schema.fields.filter(f =>
+      f.name != SegmentCol && f.name != "__batch_id" &&
+        f.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+    if (statCols.nonEmpty) {
+      val wide = out.groupBy(col(SegmentCol)).agg(
+        min(col(statCols.head)).as(s"__min_${statCols.head}"),
+        statCols.tail.flatMap(c =>
+          Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))) :+
+          max(col(statCols.head)).as(s"__max_${statCols.head}"): _*)
+      wide.select(col(SegmentCol),
+          explode(array(statCols.toSeq.map(c => struct(lit(c).as("column"),
+            col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"))): _*)).as("s"))
+        .select(col(SegmentCol), col("s.column"), col("s.min_val"), col("s.max_val"))
+        .coalesce(1)
+        .write.mode("append").parquet(s"$path/$StatsDir")
+    }
   }
 
   /** foreachBatch body for streaming writes; batchId recorded for idempotence

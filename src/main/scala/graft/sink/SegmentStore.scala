@@ -48,8 +48,9 @@ object SegmentStore {
     * evolution across chunks (new dims appear as nulls in old segments —
     * SURVEY §2.9 schema-evolution row).
     */
-  def read(spark: SparkSession, path: String, spec: IngestionSpec): DataFrame = {
-    val df = spark.read.option("mergeSchema", "true").parquet(path)
+  def read(spark: SparkSession, path: String, spec: IngestionSpec,
+      baseFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val df = baseFilter(spark.read.option("mergeSchema", "true").parquet(path))
     val dimNames = df.columns.toSeq.filterNot { c =>
       c == Pipeline.TsCol || c == Pipeline.SegmentCol || c == "__batch_id" ||
         spec.dataSchema.aggregators.exists(_.name == c)
@@ -57,6 +58,49 @@ object SegmentStore {
     val merges = spec.dataSchema.aggregators.map(mergeColumn)
     df.groupBy((Pipeline.TsCol +: Pipeline.SegmentCol +: dimNames).map(col): _*)
       .agg(merges.head, merges.tail: _*)
+  }
+
+  /** Segments whose zone-map admits `dim = value` (min ≤ value ≤ max), from
+    * the [[SegmentSink.StatsDir]] sidecar. Per-batch stats rows re-merge here
+    * (min of mins / max of maxes), so replays and multi-batch segments are
+    * handled. A segment with NO stats row for `dim` is kept conservatively
+    * (schema evolution: the dim may not exist in old chunks).
+    */
+  def pruneSegments(spark: SparkSession, path: String, dim: String,
+      value: String): Seq[String] = {
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/${SegmentSink.StatsDir}")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath)) // no sidecar (pre-zone-map store): keep all
+      return fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath.getName).filter(_.startsWith(s"${Pipeline.SegmentCol}="))
+        .map(_.stripPrefix(s"${Pipeline.SegmentCol}=")).toSeq.sorted
+    // glob the part files: `_`-prefixed dirs are hidden from Spark's listing
+    // even as an explicit root, which is exactly what keeps the sidecar out
+    // of normal store reads
+    val stats = spark.read.parquet(s"$path/${SegmentSink.StatsDir}/*.parquet")
+    val known = stats.filter(col("column") === dim)
+      .groupBy(col(Pipeline.SegmentCol))
+      .agg(min(col("min_val")).as("lo"), max(col("max_val")).as("hi"))
+    val admitted = known
+      .filter(lit(value) >= col("lo") && lit(value) <= col("hi"))
+      .select(col(Pipeline.SegmentCol)).collect().map(_.getString(0))
+    val all = stats.select(col(Pipeline.SegmentCol)).distinct()
+      .collect().map(_.getString(0))
+    val covered = known.select(col(Pipeline.SegmentCol)).collect().map(_.getString(0))
+    (admitted ++ all.diff(covered)).toSeq.distinct.sorted
+  }
+
+  /** [[read]] restricted to the segments the zone-map admits for
+    * `dim = value` — the predicate turns into partition pruning on the
+    * `segment=` directory key, so excluded segments are never listed or
+    * scanned. Driver state is the segment list (bounded by time chunks,
+    * not data).
+    */
+  def readPruned(spark: SparkSession, path: String, spec: IngestionSpec,
+      dim: String, value: String): DataFrame = {
+    val segs = pruneSegments(spark, path, dim, value)
+    read(spark, path, spec, df =>
+      df.filter(col(Pipeline.SegmentCol).isin(segs: _*) && col(dim) === value))
   }
 
   /** Compaction: rewrite per-batch partials as finals, one pass per store —
@@ -67,7 +111,10 @@ object SegmentStore {
     */
   def compact(spark: SparkSession, path: String, spec: IngestionSpec,
       outPath: String): Unit = {
-    read(spark, path, spec)
-      .write.mode("overwrite").partitionBy(Pipeline.SegmentCol).parquet(outPath)
+    val finals = read(spark, path, spec)
+    finals.write.mode("overwrite").partitionBy(Pipeline.SegmentCol).parquet(outPath)
+    // regenerate the zone-map for the compacted store (segment already in
+    // dir-string form here)
+    SegmentSink.appendStats(finals, outPath)
   }
 }

@@ -241,6 +241,54 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("12:00:00", "12:08:00", "click", 3L)))
   }
 
+  test("zone-map prunes segments on a DIM predicate, beyond the time key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-zonemap").toString
+    val now = ts("2024-03-01 12:00:00")
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    // two batches → two hour segments with disjoint dim value ranges
+    input.addData(Ev(ts("2024-03-01 11:40:00"), "alpha", 1.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:10:00"), "zulu", 2.0))
+    ingest.flushAndStop()
+
+    // the `_`-prefixed sidecar is invisible to the normal merged read
+    assert(graft.sink.SegmentStore.read(spark, s"$tmp/out", spec).count() == 2)
+
+    assert(graft.sink.SegmentStore.pruneSegments(spark, s"$tmp/out", "etype", "alpha")
+      == Seq("2024-03-01T11.00.00"))
+    // physical proof: the admitted-segment filter readPruned applies turns
+    // into partition pruning — only one directory is scanned (checked on the
+    // pre-aggregation scan; the merged read's agg plan is AQE-wrapped)
+    val admitted = graft.sink.SegmentStore.pruneSegments(spark, s"$tmp/out", "etype", "alpha")
+    val base = spark.read.parquet(s"$tmp/out").filter($"segment".isin(admitted: _*))
+    val scan = base.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined)
+    assert(scan.get.selectedPartitions.partitionCount == 1,
+      s"expected 1 zone-map-admitted partition, scanned ${scan.get.selectedPartitions.partitionCount}")
+    val pruned = graft.sink.SegmentStore.readPruned(spark, s"$tmp/out", spec,
+      "etype", "alpha")
+    assert(pruned.select($"etype", $"cnt").as[(String, Long)].collect().toSeq
+      == Seq(("alpha", 1L)))
+
+    // conservative fallback: with the sidecar removed, every segment is kept
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(s"$tmp/out/${graft.sink.SegmentSink.StatsDir}"))
+    assert(graft.sink.SegmentStore.pruneSegments(spark, s"$tmp/out", "etype", "alpha")
+      == Seq("2024-03-01T11.00.00", "2024-03-01T12.00.00"))
+
+    // compaction regenerates the zone-map over the compacted store
+    graft.sink.SegmentStore.compact(spark, s"$tmp/out", spec, s"$tmp/compacted")
+    assert(graft.sink.SegmentStore.pruneSegments(spark, s"$tmp/compacted", "etype", "zulu")
+      == Seq("2024-03-01T12.00.00"))
+  }
+
   test("segment layout prunes partitions: a segment filter reads only its dir") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
