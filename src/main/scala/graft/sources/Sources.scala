@@ -49,16 +49,18 @@ object Sources {
     */
   def eventsReplay(spark: SparkSession, sfDir: String, stagingDir: String,
       splits: Int = 8): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .repartition(splits)
+    // ns→µs conversion happens at stage time (same rule as Tables.t: only
+    // when ts was physically read as a nanos long — re-written copies of the
+    // table already carry TimestampType), so the staged files and the stream
+    // schema are uniformly TimestampType.
+    val raw = graft.queries.Tables.t(spark, sfDir, "events")
+    raw.repartition(splits)
       .write.mode("overwrite").parquet(stagingDir)
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     parquetFileStream(spark, stagingDir, schema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** The record shape Spark's kafka source produces — also the contract any
