@@ -52,14 +52,17 @@ object SimHashLsh {
     val b = withBands.select(col("id").as("id_b"), col("sh").as("sh_b"),
       col("band_idx"), col("band_val"))
     // fingerprints are 8 bytes — cheaper to carry through the bucket join
-    // than to re-join them onto candidates (contrast MinHash's shingle sets)
+    // than to re-join them onto candidates (contrast MinHash's shingle sets).
+    // The exact-hamming filter runs BEFORE the dedup shuffle: bit_count is a
+    // codegen'd per-row op, so false candidates never reach the exchange and
+    // the distinct dedups only true near-dup pairs (a pair can surface from
+    // up to `bands` buckets).
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .distinct()
       .withColumn("hamming", TextFunctions.hammingDistance(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** End-to-end: text → SimHash64 → banded candidate pairs → exact hamming. */

@@ -76,18 +76,16 @@ object SegmentStore {
         .map(_.stripPrefix(s"${Pipeline.SegmentCol}=")).toSeq.sorted
     // glob the part files: `_`-prefixed dirs are hidden from Spark's listing
     // even as an explicit root, which is exactly what keeps the sidecar out
-    // of normal store reads
+    // of normal store reads. One aggregation job: per segment, the dim's
+    // merged (lo, hi) — null when the segment has no stats row for the dim
+    // (schema evolution) → kept conservatively.
     val stats = spark.read.parquet(s"$path/${SegmentSink.StatsDir}/*.parquet")
-    val known = stats.filter(col("column") === dim)
-      .groupBy(col(Pipeline.SegmentCol))
-      .agg(min(col("min_val")).as("lo"), max(col("max_val")).as("hi"))
-    val admitted = known
-      .filter(lit(value) >= col("lo") && lit(value) <= col("hi"))
+    stats.groupBy(col(Pipeline.SegmentCol))
+      .agg(min(when(col("column") === dim, col("min_val"))).as("lo"),
+        max(when(col("column") === dim, col("max_val"))).as("hi"))
+      .filter(col("lo").isNull || (lit(value) >= col("lo") && lit(value) <= col("hi")))
       .select(col(Pipeline.SegmentCol)).collect().map(_.getString(0))
-    val all = stats.select(col(Pipeline.SegmentCol)).distinct()
-      .collect().map(_.getString(0))
-    val covered = known.select(col(Pipeline.SegmentCol)).collect().map(_.getString(0))
-    (admitted ++ all.diff(covered)).toSeq.distinct.sorted
+      .toSeq.sorted
   }
 
   /** [[read]] restricted to the segments the zone-map admits for

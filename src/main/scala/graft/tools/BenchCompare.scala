@@ -30,7 +30,59 @@ object BenchCompare {
       .crossJoin(spark.range(40)).select(col("doc_id"), col("text")).cache()
     docs.count()
 
+    // simhash near-dup corpora: ids remapped per copy so replicated texts are
+    // distinct docs — every 40-copy group is a planted exact-dup cluster, so
+    // the 200k corpus's TRUE pair count is ~5000·C(40,2) ≈ 3.9M: the banded
+    // run does real quadratic-in-group work that all-pairs (20B comparisons
+    // at 200k docs) could never attempt. 2k subset for the all-pairs side
+    val shDocs = graft.queries.Tables.t(spark, sfDir, "documents")
+      .crossJoin(spark.range(40).withColumnRenamed("id", "__c"))
+      .select((col("doc_id") + col("__c") * 1000000L).as("id"),
+        graft.functions.TextFunctions.simhash(col("text")).as("sh")).cache()
+    shDocs.count()
+    val shSmall = shDocs.filter(col("id") % 1000000L < 500 && col("id") < 4000000L).cache()
+    shSmall.count() // 2000 docs
+
+    // zone-map benefit: a RAW (rollup=false) Day-segmented store — rows per
+    // segment stay high, so scan savings are visible — whose extra dim is
+    // perfectly time-correlated (one value per segment), the selective-dim
+    // best case. Both variants compute the same filtered aggregate; the
+    // pruned one restricts the scan to zone-map-admitted segment dirs first.
+    val zmPath = java.nio.file.Files.createTempDirectory("graft-zm-bench").toString + "/store"
+    val zmSpec = graft.config.IngestionSpec(graft.config.DataSchema("events",
+      graft.config.TimestampSpec("ts"),
+      graft.config.SpecificDimensions(Seq("daydim", "event_type")),
+      Seq(graft.config.AggregatorSpec("doubleSum", "v", Some("value"))),
+      graft.config.GranularitySpec(graft.time.Granularity.Day,
+        graft.time.Granularity.None, rollup = false)),
+      graft.config.Tuning(windowPeriod = java.time.Duration.ofDays(3650), partitions = 8))
+    val zmPipe = new graft.pipeline.Pipeline(zmSpec)
+    val zmIn = events.withColumn("daydim", concat(lit("d"), dayofmonth(col("ts"))))
+    graft.sink.SegmentSink.writeBatch(
+      zmPipe.rollup(zmPipe.project(zmPipe.extractTimestamp(zmIn))), zmPath)
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
+      "simhash_nd_allpairs_2k" -> (() => {
+        val a = shSmall.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        val b = shSmall.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .filter(graft.functions.TextFunctions
+            .hammingDistance(col("sh_a"), col("sh_b")) <= 3)
+      }),
+      "simhash_nd_banded_2k" -> (() => graft.functions.SimHashLsh
+        .nearDupsFromFingerprints(shSmall, "id", "sh", maxHamming = 3, bands = 4)),
+      "simhash_nd_banded_200k" -> (() => graft.functions.SimHashLsh
+        .nearDupsFromFingerprints(shDocs, "id", "sh", maxHamming = 3, bands = 4)),
+      "zonemap_full_scan" -> (() => spark.read.parquet(zmPath)
+        .filter(col("daydim") === "d5").groupBy(col("event_type"))
+        .agg(sum(col("value")))),
+      "zonemap_pruned" -> (() => {
+        val segs = graft.sink.SegmentStore.pruneSegments(spark, zmPath, "daydim", "d5")
+        spark.read.parquet(zmPath)
+          .filter(col(graft.pipeline.Pipeline.SegmentCol).isin(segs: _*) &&
+            col("daydim") === "d5")
+          .groupBy(col("event_type")).agg(sum(col("value")))
+      }),
       "distinct_exact" -> (() => events
         .groupBy(date_trunc("day", col("ts")), col("event_type"))
         .agg(count_distinct(col("user_id")))),
