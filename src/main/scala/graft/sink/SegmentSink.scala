@@ -77,9 +77,28 @@ object SegmentSink {
     }
   }
 
-  /** foreachBatch body for streaming writes; batchId recorded for idempotence
-    * diagnostics (the checkpoint, not this column, enforces exactly-once).
+  /** foreachBatch body for streaming writes. Exactly-once storage, not just
+    * exactly-once bookkeeping: the write is keyed by (segment, __batch_id)
+    * with DYNAMIC partition overwrite, so a batch replayed after a crash
+    * between data write and checkpoint commit OVERWRITES its own partitions
+    * instead of appending duplicates — append mode alone would leave the
+    * half-written attempt beside the replay. Other batches' partitions are
+    * untouched (dynamic mode only overwrites partitions present in the
+    * incoming batch). The zone-map sidecar stays append-only: min/max
+    * re-merge, so duplicate stats rows are harmless.
     */
-  def writeMicroBatch(path: String)(df: DataFrame, batchId: Long): Unit =
-    writeBatch(df.withColumn("__batch_id", lit(batchId)), path)
+  def writeMicroBatch(path: String)(df: DataFrame, batchId: Long): Unit = {
+    require(df.columns.contains(SegmentCol), s"missing $SegmentCol column")
+    val out = df.withColumn("__batch_id", lit(batchId))
+      .withColumn(SegmentCol, date_format(col(SegmentCol), "yyyy-MM-dd'T'HH.mm.ss"))
+      .persist() // two actions (data + stats) — see writeBatch
+    try {
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(SegmentCol, "__batch_id")
+        .option("compression", "zstd")
+        .parquet(path)
+      appendStats(out, path)
+    } finally out.unpersist()
+  }
 }

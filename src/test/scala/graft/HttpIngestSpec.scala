@@ -33,6 +33,104 @@ class HttpIngestSpec extends SparkSpec {
     (resp.statusCode(), resp.body())
   }
 
+  test("concurrent posts: conservation holds under parallel producers") {
+    val tmp = Files.createTempDirectory("graft-http-conc").toString
+    val spool = s"$tmp/spool"
+    Files.createDirectories(Paths.get(spool, "events"))
+    val schema = StructType(Seq(StructField("ts", StringType),
+      StructField("etype", StringType), StructField("value", DoubleType)))
+    val spec = IngestionSpec(
+      DataSchema("events", TimestampSpec("ts"),
+        SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("count", "cnt")),
+        GranularitySpec(Granularity.Hour, Granularity.Hour)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(30)))
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    ingest.start(Sources.jsonFileStream(spark, s"$spool/events", schema,
+      maxFilesPerTrigger = 8),
+      s"$tmp/out", now = lit(Timestamp.valueOf("2024-03-01 12:00:00")),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+    val server = new HttpIngestServer(spool, Some(ingest))
+    val port = server.start()
+    try {
+      // 8 producers × 5 async posts × 3 events, all in-window
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val results = (0 until 40).map { i =>
+        pool.submit(new java.util.concurrent.Callable[(Int, String)] {
+          def call() = post(port, "/v1/post/events?async=true",
+            (0 until 3).map(j =>
+              s"""{"ts":"2024-03-01 12:${10 + i % 15}:0$j","etype":"e${i % 4}","value":1.0}""")
+              .mkString("\n"))
+        })
+      }.map(_.get())
+      pool.shutdown()
+      assert(results.forall { case (code, body) =>
+        code == 200 && body == """{"result":{"received":3,"sent":0}}""" })
+      ingest.activeQuery.get.processAllAvailable()
+      ingest.flushAndStop()
+      assert(ingest.received == 120 && ingest.sent == 120 && ingest.dropped == 0)
+      val out = spark.read.parquet(s"$tmp/out")
+      assert(out.agg(sum($"cnt")).as[Long].head() == 120L)
+    } finally server.stop()
+  }
+
+  test("forwarding beam → receiver → engine: two-hop E2E over the socket") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-beam").toString
+    val spool = s"$tmp/spool"
+    Files.createDirectories(Paths.get(spool, "events"))
+    val schema = StructType(Seq(StructField("ts", StringType),
+      StructField("etype", StringType), StructField("value", DoubleType)))
+    val spec = IngestionSpec(
+      DataSchema("events", TimestampSpec("ts"),
+        SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("doubleSum", "total", Some("value"))),
+        GranularitySpec(Granularity.Hour, Granularity.Hour)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(30)))
+
+    // hop 2: receiver + its ingest query
+    val receiver = new IngestStream(spark, spec, s"$tmp/checkpoint-recv")
+    receiver.start(Sources.jsonFileStream(spark, s"$spool/events", schema),
+      s"$tmp/out", now = lit(Timestamp.valueOf("2024-03-01 12:00:00")),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+    val server = new HttpIngestServer(spool, Some(receiver))
+    val port = server.start()
+    try {
+      // hop 1: a sender stream forwarding through the beam (chunk size 2 →
+      // 3 events exercise the chunking path)
+      case class E(ts: String, etype: String, value: Double)
+      val input = MemoryStream[(String, String, Double)]
+      val sender = input.toDF().toDF("ts", "etype", "value")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/checkpoint-send")
+        .foreachBatch(graft.sink.HttpForwardBeam.forward(
+          s"http://127.0.0.1:$port/v1/post/events", maxBatchSize = 2) _)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+        .start()
+      input.addData(
+        ("2024-03-01 12:01:00", "click", 1.0),
+        ("2024-03-01 12:02:00", "click", 2.0),
+        ("2024-03-01 12:03:00", "view", 4.0))
+      sender.processAllAvailable()
+      sender.stop()
+      receiver.activeQuery.get.processAllAvailable()
+      receiver.flushAndStop()
+
+      assert(receiver.received == 3 && receiver.sent == 3)
+      val out = spark.read.parquet(s"$tmp/out")
+      val agg = out.groupBy($"etype").agg(sum($"cnt").as("cnt"), sum($"total").as("t"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(agg == Set(("click", 2L, 3.0), ("view", 1L, 4.0)))
+
+      // at-least-once: a dead endpoint fails the micro-batch loudly
+      intercept[Exception] {
+        graft.sink.HttpForwardBeam.post(s"http://127.0.0.1:1/v1/post/x", "{}", attempts = 1)
+      }
+    } finally server.stop()
+  }
+
   test("receiver → spool → stream: replies, drops, conservation") {
     val tmp = Files.createTempDirectory("graft-http").toString
     val spool = s"$tmp/spool"

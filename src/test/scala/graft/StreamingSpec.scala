@@ -241,6 +241,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("12:00:00", "12:08:00", "click", 3L)))
   }
 
+  test("batch replay overwrites its own partitions — exactly-once storage") {
+    val tmp = Files.createTempDirectory("graft-replay-idem").toString
+    val b0 = Seq(("click", 1L, ts("2024-03-01 12:00:00")))
+      .toDF("etype", "cnt", graft.pipeline.Pipeline.SegmentCol)
+    graft.sink.SegmentSink.writeMicroBatch(s"$tmp/out")(b0, 7)
+    // crash-between-write-and-commit replay: same batchId written again
+    graft.sink.SegmentSink.writeMicroBatch(s"$tmp/out")(b0, 7)
+    assert(spark.read.parquet(s"$tmp/out").count() == 1,
+      "replayed batch must overwrite, not append")
+    // a different batch lands beside it (dynamic overwrite is per-partition)
+    val b1 = Seq(("view", 2L, ts("2024-03-01 12:00:00")))
+      .toDF("etype", "cnt", graft.pipeline.Pipeline.SegmentCol)
+    graft.sink.SegmentSink.writeMicroBatch(s"$tmp/out")(b1, 8)
+    assert(spark.read.parquet(s"$tmp/out").count() == 2)
+  }
+
   test("zone-map prunes segments on a DIM predicate, beyond the time key") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
