@@ -505,6 +505,58 @@ object RelationalQueries {
     Some("""SELECT p_brand, count(*) AS above_avg_parts FROM part p1
             WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part p2
                                    WHERE p2.p_brand = p1.p_brand)
-            GROUP BY 1"""))
+            GROUP BY 1""")),
+
+    // -- Druid timeBoundary query analog: min/max event time, one scan ------
+    QueryDef("time_boundary", (s, dir) => {
+      Tables.t(s, dir, "events").agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_time"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_time"),
+        count(lit(1)).as("rows"))
+    },
+    Some("""SELECT strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS min_time,
+             strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS max_time,
+             count(*) AS rows FROM events""")),
+
+    // -- Druid search query analog: dimension values matching a pattern,
+    // with per-value counts, across several dims -----------------------------
+    QueryDef("search_dims", (s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      val byPrio = o.filter(col("o_orderpriority").contains("URGENT"))
+        .groupBy(lit("o_orderpriority").as("dimension"),
+          col("o_orderpriority").as("value")).agg(count(lit(1)).as("cnt"))
+      val byStatus = o.filter(col("o_orderstatus").contains("O"))
+        .groupBy(lit("o_orderstatus").as("dimension"),
+          col("o_orderstatus").as("value")).agg(count(lit(1)).as("cnt"))
+      byPrio.unionAll(byStatus)
+    },
+    Some("""SELECT 'o_orderpriority' AS dimension, o_orderpriority AS value, count(*) AS cnt
+            FROM orders WHERE o_orderpriority LIKE '%URGENT%' GROUP BY 2
+            UNION ALL
+            SELECT 'o_orderstatus', o_orderstatus, count(*)
+            FROM orders WHERE o_orderstatus LIKE '%O%' GROUP BY 2""")),
+
+    // -- Druid topN query analog: top-2 dimension values per time bucket by
+    // a metric (WindowGroupLimit pushes the per-bucket limit below the
+    // shuffle — same plan win as window_rank_topn) ---------------------------
+    QueryDef("topn_by_bucket", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day")).orderBy(col("revenue").desc, col("event_type"))
+      Tables.t(s, dir, "events")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(round(sum(col("value")), 2).as("revenue"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("day"), col("event_type"), col("revenue"), col("rk"))
+    },
+    Some("""SELECT day, event_type, revenue, rk FROM (
+              SELECT day, event_type, revenue,
+                CAST(row_number() OVER (PARTITION BY day ORDER BY revenue DESC, event_type)
+                  AS INT) AS rk
+              FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      event_type, round(sum(value), 2) AS revenue
+                    FROM events GROUP BY 1, 2))
+            WHERE rk <= 2"""))
   )
 }
