@@ -101,6 +101,48 @@ object SegmentStore {
       df.filter(col(Pipeline.SegmentCol).isin(segs: _*) && col(dim) === value))
   }
 
+  /** Interval-restricted read — the Druid query `intervals` clause
+    * (every Druid query carries one). Segment dir names are
+    * chronologically sortable (`yyyy-MM-dd'T'HH.mm.ss`), so the interval
+    * becomes a string range filter on the partition key: excluded time
+    * chunks are pruned before the scan, no zone-map needed for the time
+    * dimension. Rolled rows carry their queryGranularity BUCKET timestamp,
+    * so (as in Druid) interval resolution is the bucket: any bucket
+    * intersecting [from, to) is returned whole.
+    */
+  def readInterval(spark: SparkSession, path: String, spec: IngestionSpec,
+      from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH.mm.ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val gran = spec.dataSchema.granularitySpec
+    val fromSeg = java.sql.Timestamp.from(
+      gran.segmentGranularity.truncateInstant(from.toInstant))
+    val fromBucket = java.sql.Timestamp.from(
+      gran.queryGranularity.truncateInstant(from.toInstant))
+    read(spark, path, spec, df =>
+      df.filter(col(Pipeline.SegmentCol) >= fmt.format(fromSeg) &&
+        col(Pipeline.SegmentCol) <= fmt.format(to))
+        .filter(col(Pipeline.TsCol) >= lit(fromBucket) && col(Pipeline.TsCol) < lit(to)))
+  }
+
+  /** Per-segment metadata — the Druid segmentMetadata query analog: row
+    * count, batch count, and merged dim value ranges from the zone-map
+    * sidecar. Input is already-reduced partials, so this is a cheap scan.
+    */
+  def metadata(spark: SparkSession, path: String): DataFrame = {
+    val rows = spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(col(Pipeline.SegmentCol))
+      .agg(count(lit(1)).as("rows"),
+        count_distinct(col("__batch_id")).as("batches"))
+    val stats = spark.read.parquet(s"$path/${SegmentSink.StatsDir}/*.parquet")
+      .groupBy(col(Pipeline.SegmentCol), col("column"))
+      .agg(min(col("min_val")).as("min_val"), max(col("max_val")).as("max_val"))
+      .groupBy(col(Pipeline.SegmentCol))
+      .agg(sort_array(collect_list(struct(col("column"), col("min_val"),
+        col("max_val")))).as("dim_ranges"))
+    rows.join(stats, Seq(Pipeline.SegmentCol), "left")
+  }
+
   /** Compaction: rewrite per-batch partials as finals, one pass per store —
     * the analog of Druid segment compaction. At scale this is the periodic
     * job that keeps read amplification bounded: input rows = partials

@@ -241,6 +241,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("12:00:00", "12:08:00", "click", 3L)))
   }
 
+  test("interval-pruned read + segmentMetadata analog") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-interval").toString
+    val now = ts("2024-03-01 12:00:00")
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    input.addData(
+      Ev(ts("2024-03-01 11:40:00"), "click", 1.0),   // segment 11:00
+      Ev(ts("2024-03-01 12:10:00"), "click", 2.0),   // segment 12:00
+      Ev(ts("2024-03-01 12:20:00"), "view", 4.0))    // segment 12:00
+    ingest.flushAndStop()
+
+    // interval resolution = queryGranularity bucket (Druid semantics on
+    // rolled data): [12:05, 12:15) intersects the whole 12:00 hour bucket,
+    // so both its rows return; the 11:00 bucket is excluded
+    val got = graft.sink.SegmentStore.readInterval(spark, s"$tmp/out", spec,
+      ts("2024-03-01 12:05:00"), ts("2024-03-01 12:15:00"))
+      .select($"etype", $"cnt").as[(String, Long)].collect().toSet
+    assert(got == Set(("click", 1L), ("view", 1L)))
+    // interval spanning everything returns the full rollup
+    assert(graft.sink.SegmentStore.readInterval(spark, s"$tmp/out", spec,
+      ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")).count() == 3)
+
+    val meta = graft.sink.SegmentStore.metadata(spark, s"$tmp/out")
+      .orderBy($"segment")
+      .select($"segment", $"rows", $"batches").as[(String, Long, Long)].collect().toSeq
+    assert(meta == Seq(("2024-03-01T11.00.00", 1L, 1L), ("2024-03-01T12.00.00", 2L, 1L)))
+    // dim ranges from the zone-map sidecar surface per segment
+    val ranges = graft.sink.SegmentStore.metadata(spark, s"$tmp/out")
+      .filter($"segment" === "2024-03-01T12.00.00")
+      .select(explode($"dim_ranges").as("r")).select($"r.column", $"r.min_val", $"r.max_val")
+      .as[(String, String, String)].collect().toSet
+    assert(ranges == Set(("etype", "click", "view")))
+  }
+
   test("batch replay overwrites its own partitions — exactly-once storage") {
     val tmp = Files.createTempDirectory("graft-replay-idem").toString
     val b0 = Seq(("click", 1L, ts("2024-03-01 12:00:00")))
