@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] Near-dup DEDUPLICATION — from candidate pairs to a deduped corpus
+  * (SURVEY §2.11 north star: the pair list is only half the operator; a
+  * training pipeline needs the survivors).
+  *
+  * Connected components over the pair graph by iterative min-label
+  * propagation: each round, every node takes the min label among itself and
+  * its neighbours — one join + one aggregation per round, converging in
+  * O(component diameter) rounds (near-dup clusters are shallow; the loop is
+  * a driver-side CONTROL loop, all data stays distributed). Convergence is
+  * detected by the monotonically decreasing label sum — one cheap agg, no
+  * row-wise diff join.
+  */
+object Dedup {
+
+  /** (id, canonical) for every node of `pairs` (both columns), canonical =
+    * min id in the node's connected component.
+    */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionAll(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      iter += 1
+      val neighbourMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighbourMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      val sumNow = next.agg(sum(col("label"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = sumNow == prevSum // labels only ever decrease
+      prevSum = sumNow
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("canonical"))
+  }
+
+  /** Deduped corpus assignment: every doc of `docs` mapped to its cluster
+    * canonical (docs without any near-dup partner are their own canonical),
+    * plus the survivor flag. Keep `is_survivor` rows for the deduped corpus.
+    */
+  def assignCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val comp = components(pairs, aCol, bCol)
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("canonical"), col("id")).as("canonical"))
+      .withColumn("is_survivor", (col(idCol) === col("canonical")).cast("int"))
+  }
+}

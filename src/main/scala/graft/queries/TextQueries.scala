@@ -84,6 +84,38 @@ object TextQueries {
             WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
                   len(list_distinct(list_concat(a.words, b.words))) >= 0.5""")),
 
+    // -- near-dup DEDUP: pair graph → connected components → survivors.
+    // The oracle computes the same components with a recursive CTE, so the
+    // distributed min-label propagation is hash-checked end-to-end (the
+    // full dedup operator, not just pair enumeration).
+    QueryDef("dedup_near_components", (s, dir) => {
+      val docs = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+      val w = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("words"))
+      val a = w.select(col("doc_id").as("doc_a"), col("words").as("wa"))
+      val b = w.select(col("doc_id").as("doc_b"), col("words").as("wb"))
+      val pairs = a.join(b, col("doc_a") < col("doc_b"))
+        .filter(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      graft.functions.Dedup.assignCanonical(docs, "doc_id", pairs, "doc_a", "doc_b")
+    },
+    Some("""WITH RECURSIVE
+            t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+                  FROM documents WHERE doc_id < 200),
+            e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                  FROM t a JOIN t b ON a.doc_id <> b.doc_id
+                  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+                        len(list_distinct(list_concat(a.words, b.words))) >= 0.5),
+            reach(id, root) AS (
+              SELECT doc_id, doc_id FROM t
+              UNION
+              SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id)
+            SELECT CAST(id AS BIGINT) AS doc_id,
+                   CAST(min(root) AS BIGINT) AS canonical,
+                   CAST(CASE WHEN id = min(root) THEN 1 ELSE 0 END AS INT) AS is_survivor
+            FROM reach GROUP BY id""")),
+
     // -- language-ID heuristic (stopword n-gram voting) ---------------------
     QueryDef("lang_id_heuristic", (s, dir) => {
       val d = Tables.t(s, dir, "documents")

@@ -59,6 +59,19 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1) == Seq("a b"))
   }
 
+  test("near-dup components: transitive clusters, isolated docs survive alone") {
+    // chain 1-2-3 (1 and 3 are NOT directly paired — transitivity required),
+    // cluster {10, 11}, isolated 99
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val got = graft.functions.Dedup.assignCanonical(docs, "doc_id", pairs, "a", "b")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0),
+      (10L, 10L, 1), (11L, 10L, 0),
+      (99L, 99L, 1)))
+  }
+
   test("simhash Hamming-LSH: pigeonhole guarantee on adversarial bit flips") {
     // worst case for 4 bands: flips spread across DIFFERENT bands (positions
     // 0, 16, 32 — three bands touched, the fourth must still collide)
