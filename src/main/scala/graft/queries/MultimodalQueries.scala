@@ -36,13 +36,18 @@ object MultimodalQueries {
              CAST(min(ascii(substr(text, 1, 1))) AS INT) AS min_first_byte
             FROM documents GROUP BY 1""")),
 
-    // -- frame sampling: every k-th synthetic frame (rows-only) -------------
+    // -- frame sampling: every k-th synthetic frame. The stub's frame count
+    // is arithmetic on byte length, so the flatMap-shaped decode IS
+    // oracle-checkable: every-4th of (len/1000 + 1) frames = len/1000/4 + 1
     QueryDef("multimodal_frame_sample", (s, dir) => {
       val raw = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       MultimodalFunctions.sampleFrames(s, raw, everyK = 4)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("sampled_frames"))
-    }, None)
+    },
+    Some("""SELECT doc_id,
+             CAST((strlen(text) // 1000) // 4 + 1 AS BIGINT) AS sampled_frames
+            FROM documents"""))
   )
 }
