@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 import graft.config.AggregatorSpec
 
@@ -27,6 +27,14 @@ object Aggregators {
     // oracle can hash-match; approx is the 100TB-scale path.
     case "hyperUnique" | "cardinality" => approx_count_distinct(field(spec)).as(spec.name)
     case "exactCardinality"            => count_distinct(field(spec)).as(spec.name)
+    // hyperUnique's mergeable-STORAGE form (Druid stores the sketch in the
+    // segment, not the estimate): per-batch partials carry the DataSketches
+    // HLL binary, SegmentStore re-merges with hll_union_agg and estimates at
+    // query time — so per-batch mode supports sketches too, not only the
+    // watermarked state-store mode.
+    // input cast to string: Druid's hyperUnique hashes the string form, and
+    // hll_sketch_agg accepts only int/long/string/binary
+    case "hllSketch" => hll_sketch_agg(field(spec).cast(StringType)).as(spec.name)
     case "approxHistogram" =>
       val probs = if (spec.probabilities.nonEmpty) spec.probabilities
                   else Seq(0.25, 0.5, 0.75, 0.95)

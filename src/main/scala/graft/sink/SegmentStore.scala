@@ -26,22 +26,29 @@ import graft.pipeline.Pipeline
   */
 object SegmentStore {
 
-  def mergeColumn(spec: AggregatorSpec): Column = spec.aggType match {
-    case "count" | "longSum" => sum(col(spec.name)).cast(LongType).as(spec.name)
-    case "doubleSum"         => sum(col(spec.name)).as(spec.name)
-    case "longMin"           => min(col(spec.name)).cast(LongType).as(spec.name)
-    case "longMax"           => max(col(spec.name)).cast(LongType).as(spec.name)
-    case "doubleMin"         => min(col(spec.name)).as(spec.name)
-    case "doubleMax"         => max(col(spec.name)).as(spec.name)
-    case "filtered" =>
-      val d = spec.aggregator.getOrElse(
-        throw new IllegalArgumentException(s"filtered ${spec.name} lacks delegate"))
-      mergeColumn(d.copy(name = spec.name))
-    case other =>
-      throw new IllegalArgumentException(
-        s"aggregator '$other' (${spec.name}) is not re-mergeable from finalized " +
-          "values; ingest it with startWatermarked (state-store merge) instead")
-  }
+  def mergeColumn(spec: AggregatorSpec, finalizeSketches: Boolean = true): Column =
+    spec.aggType match {
+      case "count" | "longSum" => sum(col(spec.name)).cast(LongType).as(spec.name)
+      case "doubleSum"         => sum(col(spec.name)).as(spec.name)
+      case "longMin"           => min(col(spec.name)).cast(LongType).as(spec.name)
+      case "longMax"           => max(col(spec.name)).cast(LongType).as(spec.name)
+      case "doubleMin"         => min(col(spec.name)).as(spec.name)
+      case "doubleMax"         => max(col(spec.name)).as(spec.name)
+      // stored sketches re-merge losslessly; estimate only at the final read
+      // (compaction keeps the binary so compacted stores stay mergeable)
+      case "hllSketch" =>
+        val merged = hll_union_agg(col(spec.name))
+        (if (finalizeSketches) hll_sketch_estimate(merged) else merged).as(spec.name)
+      case "filtered" =>
+        val d = spec.aggregator.getOrElse(
+          throw new IllegalArgumentException(s"filtered ${spec.name} lacks delegate"))
+        mergeColumn(d.copy(name = spec.name), finalizeSketches)
+      case other =>
+        throw new IllegalArgumentException(
+          s"aggregator '$other' (${spec.name}) is not re-mergeable from finalized " +
+            "values; use hllSketch (stored sketch) or ingest with " +
+            "startWatermarked (state-store merge) instead")
+    }
 
   /** Read a segment store written in per-batch mode and produce the final
     * rollup (one row per bucket × dims). `mergeSchema=true` tolerates schema
@@ -49,13 +56,14 @@ object SegmentStore {
     * SURVEY §2.9 schema-evolution row).
     */
   def read(spark: SparkSession, path: String, spec: IngestionSpec,
-      baseFilter: DataFrame => DataFrame = identity): DataFrame = {
+      baseFilter: DataFrame => DataFrame = identity,
+      finalizeSketches: Boolean = true): DataFrame = {
     val df = baseFilter(spark.read.option("mergeSchema", "true").parquet(path))
     val dimNames = df.columns.toSeq.filterNot { c =>
       c == Pipeline.TsCol || c == Pipeline.SegmentCol || c == "__batch_id" ||
         spec.dataSchema.aggregators.exists(_.name == c)
     }
-    val merges = spec.dataSchema.aggregators.map(mergeColumn)
+    val merges = spec.dataSchema.aggregators.map(mergeColumn(_, finalizeSketches))
     df.groupBy((Pipeline.TsCol +: Pipeline.SegmentCol +: dimNames).map(col): _*)
       .agg(merges.head, merges.tail: _*)
   }
@@ -151,7 +159,8 @@ object SegmentStore {
     */
   def compact(spark: SparkSession, path: String, spec: IngestionSpec,
       outPath: String): Unit = {
-    val finals = read(spark, path, spec)
+    // sketches stay binary through compaction — compacted stores re-merge
+    val finals = read(spark, path, spec, finalizeSketches = false)
     finals.write.mode("overwrite").partitionBy(Pipeline.SegmentCol).parquet(outPath)
     // regenerate the zone-map for the compacted store (segment already in
     // dir-string form here)

@@ -241,6 +241,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("12:00:00", "12:08:00", "click", 3L)))
   }
 
+  test("stored HLL sketches: per-batch partials re-merge losslessly, compaction keeps them mergeable") {
+    implicit val sqlCtx = spark.sqlContext
+    val skSpec = IngestionSpec(
+      DataSchema("hll_events", TimestampSpec("ts"),
+        SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("hllSketch", "uniq_vals", Some("value"))),
+        GranularitySpec(Granularity.Hour, Granularity.Hour)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(30)))
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-hll").toString
+    val ingest = new IngestStream(spark, skSpec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(ts("2024-03-01 12:00:00")),
+      trigger = Trigger.ProcessingTime(50))
+    // same (bucket, dim) across two batches with an overlapping value: a
+    // finalized estimate could NOT merge this correctly (2 + 2 ≠ 3) — only
+    // the stored binary sketch can
+    input.addData(Ev(ts("2024-03-01 12:01:00"), "click", 1.0),
+      Ev(ts("2024-03-01 12:02:00"), "click", 2.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:03:00"), "click", 2.0),
+      Ev(ts("2024-03-01 12:04:00"), "click", 3.0))
+    ingest.flushAndStop()
+
+    val merged = graft.sink.SegmentStore.read(spark, s"$tmp/out", skSpec)
+      .select($"cnt", $"uniq_vals").as[(Long, Long)].collect().toSeq
+    assert(merged == Seq((4L, 3L)), s"sketch union must dedup across batches: $merged")
+
+    // compaction keeps the binary sketch → compacted store still merges
+    graft.sink.SegmentStore.compact(spark, s"$tmp/out", skSpec, s"$tmp/compacted")
+    val again = graft.sink.SegmentStore.read(spark, s"$tmp/compacted", skSpec)
+      .select($"cnt", $"uniq_vals").as[(Long, Long)].collect().toSeq
+    assert(again == Seq((4L, 3L)))
+  }
+
   test("interval-pruned read + segmentMetadata analog") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
