@@ -117,7 +117,8 @@ object SpecLoader {
         name = str(n, "name", ""),
         fieldName = opt(n, "fieldName").map(_.asText),
         probabilities = opt(n, "probabilities").toSeq
-          .flatMap(_.elements.asScala).map(_.asDouble))
+          .flatMap(_.elements.asScala).map(_.asDouble),
+        accuracy = opt(n, "accuracy").map(_.asInt))
     }
   }
 }

@@ -49,6 +49,22 @@ class ConfigSpec extends AnyFunSuite {
     assert(spec.tuning.maxBatchSize == 500)
   }
 
+  test("loader parses approxHistogram accuracy and hllSketch") {
+    val spec = SpecLoader.fromJson(
+      """{"dataSchema": {"dataSource": "e",
+           "parser": {"parseSpec": {
+             "timestampSpec": {"column": "ts"},
+             "dimensionsSpec": {"dimensions": ["d"]}}},
+           "metricsSpec": [
+             {"type": "approxHistogram", "name": "h", "fieldName": "v",
+              "probabilities": [0.5, 0.9], "accuracy": 123456},
+             {"type": "hllSketch", "name": "u", "fieldName": "x"}]}}""")
+    val aggs = spec.dataSchema.aggregators
+    assert(aggs(0).accuracy.contains(123456))
+    assert(aggs(0).probabilities == Seq(0.5, 0.9))
+    assert(aggs(1).aggType == "hllSketch" && aggs(1).accuracy.isEmpty)
+  }
+
   test("empty dimensions array means schemaless") {
     val spec = SpecLoader.fromJson(
       """{"dataSchema": {"dataSource": "x",
