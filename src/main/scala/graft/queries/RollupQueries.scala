@@ -308,6 +308,37 @@ object RollupQueries {
              event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2"""), headline = true),
 
+    // -- stored-sketch rollup through the real streaming store: hllSketch
+    // partials written per batch, union-merged at read. At 50 distinct
+    // values per group the DataSketches HLL is still in coupon (sparse)
+    // mode, where the estimate is EXACT — so the full binary-sketch
+    // store→merge→estimate path is hash-checkable against count(DISTINCT).
+    QueryDef("rollup_hll_sketch_stored", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("hllSketch", "uniq_bucket", Some("user_bucket"))),
+        GranularitySpec(Granularity.Day, Granularity.Day)))
+      val p = new Pipeline(spec)
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("user_bucket", col("user_id") % 50)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hllstore").toString
+      // two half-stores stand in for two micro-batches of the same buckets
+      graft.sink.SegmentSink.writeMicroBatch(tmp)(
+        p.withSegment(p.rollup(p.project(p.extractTimestamp(
+          ev.filter(col("event_id") % 2 === 0))))), 0L)
+      graft.sink.SegmentSink.writeMicroBatch(tmp)(
+        p.withSegment(p.rollup(p.project(p.extractTimestamp(
+          ev.filter(col("event_id") % 2 === 1))))), 1L)
+      graft.sink.SegmentStore.read(s, tmp, spec)
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("event_type"), col("cnt"), col("uniq_bucket"))
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, count(*) AS cnt,
+             CAST(count(DISTINCT user_id % 50) AS BIGINT) AS uniq_bucket
+            FROM events GROUP BY 1, 2""")),
+
     // -- config round-trip: full ingestion-spec JSON drives the pipeline ----
     QueryDef("spec_json_roundtrip", (s, dir) => {
       val json =
