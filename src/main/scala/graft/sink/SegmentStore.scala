@@ -75,7 +75,14 @@ object SegmentStore {
     * (schema evolution: the dim may not exist in old chunks).
     */
   def pruneSegments(spark: SparkSession, path: String, dim: String,
-      value: String): Seq[String] = {
+      value: String): Seq[String] =
+    pruneSegmentsRange(spark, path, dim, value, value)
+
+  /** Range form: segments whose zone-map interval [lo, hi] overlaps
+    * [lower, upper] (dim BETWEEN predicates).
+    */
+  def pruneSegmentsRange(spark: SparkSession, path: String, dim: String,
+      lower: String, upper: String): Seq[String] = {
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/${SegmentSink.StatsDir}")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(statsPath)) // no sidecar (pre-zone-map store): keep all
@@ -91,7 +98,7 @@ object SegmentStore {
     stats.groupBy(col(Pipeline.SegmentCol))
       .agg(min(when(col("column") === dim, col("min_val"))).as("lo"),
         max(when(col("column") === dim, col("max_val"))).as("hi"))
-      .filter(col("lo").isNull || (lit(value) >= col("lo") && lit(value) <= col("hi")))
+      .filter(col("lo").isNull || (lit(upper) >= col("lo") && lit(lower) <= col("hi")))
       .select(col(Pipeline.SegmentCol)).collect().map(_.getString(0))
       .toSeq.sorted
   }

@@ -364,6 +364,13 @@ class StreamingSpec extends SparkSpec {
     assert(pruned.select($"etype", $"cnt").as[(String, Long)].collect().toSeq
       == Seq(("alpha", 1L)))
 
+    // range predicates use interval overlap: ["a","b"] touches only the
+    // alpha segment, ["alpha","zzz"] touches both
+    assert(graft.sink.SegmentStore.pruneSegmentsRange(spark, s"$tmp/out", "etype", "a", "b")
+      == Seq("2024-03-01T11.00.00"))
+    assert(graft.sink.SegmentStore.pruneSegmentsRange(spark, s"$tmp/out", "etype", "alpha", "zzz")
+      == Seq("2024-03-01T11.00.00", "2024-03-01T12.00.00"))
+
     // conservative fallback: with the sidecar removed, every segment is kept
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
