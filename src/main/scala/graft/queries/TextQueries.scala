@@ -116,6 +116,92 @@ object TextQueries {
                    CAST(CASE WHEN id = min(root) THEN 1 ELSE 0 END AS INT) AS is_survivor
             FROM reach GROUP BY id""")),
 
+    // -- END-TO-END CURATION PIPELINE: the [EXT] operators composed the way
+    // a training-data pipeline uses them — language gate → quality gate →
+    // near-dup dedup (connected components, survivors only) → per-language
+    // token stats. The ENTIRE composition is hash-checked against one
+    // DuckDB query (recursive CTE for the dedup stage).
+    QueryDef("curation_pipeline", (s, dir) => {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val enScore = Seq("the", "and", "of", "is")
+        .map(w => when(padded.contains(s" $w "), 1).otherwise(0)).reduce(_ + _)
+      val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+      val base = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .filter(enScore >= 1 && col("n_words") >= 30 &&
+          nPunct.cast("double") / length(col("text")) < 0.1)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_words"))
+      val w = base.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("words"))
+      val a = w.select(col("doc_id").as("doc_a"), col("words").as("wa"))
+      val b = w.select(col("doc_id").as("doc_b"), col("words").as("wb"))
+      val pairs = a.join(b, col("doc_a") < col("doc_b"))
+        .filter(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val canon = graft.functions.Dedup.assignCanonical(base, "doc_id", pairs, "doc_a", "doc_b")
+      base.join(canon.filter(col("is_survivor") === 1).select(col("doc_id")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("survivors"), round(avg(col("n_words")), 4).as("avg_words"))
+    },
+    Some("""WITH RECURSIVE
+            base AS (
+              SELECT doc_id, lang, text,
+                     len(string_split(text, ' ')) AS n_words,
+                     list_distinct(string_split(text, ' ')) AS words
+              FROM documents
+              WHERE doc_id < 200
+                AND (' ' || text || ' ' LIKE '% the %' OR ' ' || text || ' ' LIKE '% and %'
+                     OR ' ' || text || ' ' LIKE '% of %' OR ' ' || text || ' ' LIKE '% is %')
+                AND len(string_split(text, ' ')) >= 30
+                AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                    / length(text) < 0.1),
+            e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                  FROM base a JOIN base b ON a.doc_id <> b.doc_id
+                  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+                        len(list_distinct(list_concat(a.words, b.words))) >= 0.5),
+            reach(id, root) AS (
+              SELECT doc_id, doc_id FROM base
+              UNION
+              SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id),
+            canon AS (SELECT id, min(root) AS canonical FROM reach GROUP BY id)
+            SELECT b.lang, count(*) AS survivors, round(avg(b.n_words), 4) AS avg_words
+            FROM base b JOIN canon c ON b.doc_id = c.id
+            WHERE c.canonical = b.doc_id
+            GROUP BY 1""")),
+
+    // -- deterministic stratified sampling: per-stratum rate via key modulo
+    // (reproducible across runs and engines — the training-data sampling
+    // primitive; a salted xxhash64 threshold is the production form, modulo
+    // here so DuckDB can mirror it exactly)
+    QueryDef("stratified_sample", (s, dir) => {
+      val thr = when(col("event_type") === "purchase", 10)
+        .when(col("event_type") === "click", 3).otherwise(1)
+      Tables.t(s, dir, "events")
+        .filter(col("event_id") % 10 < thr)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("sampled"),
+          round(sum(col("value")), 2).as("sampled_value"))
+    },
+    Some("""SELECT event_type, count(*) AS sampled,
+             round(sum(value), 2) AS sampled_value
+            FROM events
+            WHERE event_id % 10 < (CASE event_type WHEN 'purchase' THEN 10
+                                   WHEN 'click' THEN 3 ELSE 1 END)
+            GROUP BY 1""")),
+
+    // -- length-distribution histogram (corpus stats primitive) -------------
+    QueryDef("length_histogram", (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .withColumn("bucket", least(floor(col("n_chars") / 200), lit(9L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    },
+    Some("""SELECT CAST(least(floor(n_chars / 200), 9) AS BIGINT) AS bucket,
+             count(*) AS docs,
+             CAST(min(n_chars) AS INT) AS min_chars, CAST(max(n_chars) AS INT) AS max_chars
+            FROM documents GROUP BY 1""")),
+
     // -- language-ID heuristic (stopword n-gram voting) ---------------------
     QueryDef("lang_id_heuristic", (s, dir) => {
       val d = Tables.t(s, dir, "documents")
