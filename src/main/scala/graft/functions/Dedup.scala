@@ -27,6 +27,12 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
+    // empty pair graph (nothing near-duplicated): no components to compute —
+    // and sum() over an empty frame is NULL, so bail before the loop
+    if (labels.isEmpty) {
+      edges.unpersist()
+      return labels.select(col("id"), col("label").as("canonical"))
+    }
     var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var iter = 0

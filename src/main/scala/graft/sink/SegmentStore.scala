@@ -145,10 +145,13 @@ object SegmentStore {
     * sidecar. Input is already-reduced partials, so this is a cheap scan.
     */
   def metadata(spark: SparkSession, path: String): DataFrame = {
-    val rows = spark.read.option("mergeSchema", "true").parquet(path)
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    // batch-mode stores (writeBatch) carry no __batch_id partition key
+    val batches = if (df.columns.contains("__batch_id"))
+      count_distinct(col("__batch_id")) else lit(1L)
+    val rows = df
       .groupBy(col(Pipeline.SegmentCol))
-      .agg(count(lit(1)).as("rows"),
-        count_distinct(col("__batch_id")).as("batches"))
+      .agg(count(lit(1)).as("rows"), batches.as("batches"))
     val stats = spark.read.parquet(s"$path/${SegmentSink.StatsDir}/*.parquet")
       .groupBy(col(Pipeline.SegmentCol), col("column"))
       .agg(min(col("min_val")).as("min_val"), max(col("max_val")).as("max_val"))

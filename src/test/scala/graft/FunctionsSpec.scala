@@ -59,6 +59,14 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1) == Seq("a b"))
   }
 
+  test("near-dup components: empty pair graph means everyone survives") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val got = graft.functions.Dedup.assignCanonical(docs, "doc_id", pairs, "a", "b")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 1L, 1), (2L, 2L, 1)))
+  }
+
   test("near-dup components: transitive clusters, isolated docs survive alone") {
     // chain 1-2-3 (1 and 3 are NOT directly paired — transitivity required),
     // cluster {10, 11}, isolated 99
