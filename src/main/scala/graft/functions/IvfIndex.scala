@@ -61,13 +61,19 @@ object IvfIndex {
     GraftFunctions.register(spark)
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
 
+    // k is capped at n: with fewer vectors than requested clusters the
+    // farthest-first loop would re-pick already-chosen vectors forever
+    // (duplicate centroids, empty clusters)
+    val n = base.count()
+    require(n > 0, "IvfIndex.build: input has no vectors")
+    val kEff = math.min(k, n).toInt
     val hashed = base.withColumn("__h", xxhash64(col("id")))
     def vecOf(df0: DataFrame): Array[Double] =
       df0.limit(1).select(col("vec")).collect().head
         .getSeq[Float](0).map(_.toDouble).toArray
     val seeds = scala.collection.mutable.ArrayBuffer(
       vecOf(hashed.orderBy(col("__h"), col("id"))))
-    while (seeds.length < k) {
+    while (seeds.length < kEff) {
       val distCols = seeds.toSeq.map(c =>
         lit(1.0) - CosineSimilarity(col("vec"), typedlit(c)))
       val minDist = if (distCols.size == 1) distCols.head else least(distCols: _*)

@@ -14,8 +14,11 @@ import org.apache.spark.sql.DataFrame
   * straight from the executor — no driver collect, parallelism = upstream
   * partitioning. A non-2xx reply or connect failure throws, so Spark's task
   * retry → micro-batch retry → checkpoint replay gives the reference's
-  * at-least-once forwarding contract; the receiving engine's
-  * (segment, batch)-keyed sink de-duplicates on its side.
+  * at-least-once forwarding contract. As with the reference's HttpBeam,
+  * at-least-once means a failed-then-retried send can re-deliver chunks
+  * that already reached the receiver — the receiver spools each POST as
+  * new events, so exactly-once across the hop requires idempotency keys in
+  * the payload (dedup downstream on an event id), not transport tricks.
   */
 object HttpForwardBeam {
 

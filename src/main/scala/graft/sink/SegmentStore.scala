@@ -83,24 +83,37 @@ object SegmentStore {
     */
   def pruneSegmentsRange(spark: SparkSession, path: String, dim: String,
       lower: String, upper: String): Seq[String] = {
+    val segDirs = listSegmentDirs(spark, path)
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/${SegmentSink.StatsDir}")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(statsPath)) // no sidecar (pre-zone-map store): keep all
-      return fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        .map(_.getPath.getName).filter(_.startsWith(s"${Pipeline.SegmentCol}="))
-        .map(_.stripPrefix(s"${Pipeline.SegmentCol}=")).toSeq.sorted
+      return segDirs
     // glob the part files: `_`-prefixed dirs are hidden from Spark's listing
     // even as an explicit root, which is exactly what keeps the sidecar out
     // of normal store reads. One aggregation job: per segment, the dim's
     // merged (lo, hi) — null when the segment has no stats row for the dim
     // (schema evolution) → kept conservatively.
     val stats = spark.read.parquet(s"$path/${SegmentSink.StatsDir}/*.parquet")
-    stats.groupBy(col(Pipeline.SegmentCol))
+    val byStats = stats.groupBy(col(Pipeline.SegmentCol))
       .agg(min(when(col("column") === dim, col("min_val"))).as("lo"),
         max(when(col("column") === dim, col("max_val"))).as("hi"))
+    val admitted = byStats
       .filter(col("lo").isNull || (lit(upper) >= col("lo") && lit(lower) <= col("hi")))
       .select(col(Pipeline.SegmentCol)).collect().map(_.getString(0))
-      .toSeq.sorted
+    val covered = byStats.select(col(Pipeline.SegmentCol)).collect().map(_.getString(0))
+    // segments on disk but ABSENT from the sidecar (written before the
+    // zone-map existed, or by a stats-less writer) are kept conservatively —
+    // the sidecar can only prune what it has covered
+    (admitted ++ segDirs.diff(covered.toSeq)).toSeq.distinct.sorted
+  }
+
+  /** `segment=` partition directory names under `path`. */
+  private def listSegmentDirs(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(s"${Pipeline.SegmentCol}="))
+      .map(_.stripPrefix(s"${Pipeline.SegmentCol}=")).toSeq.sorted
   }
 
   /** [[read]] restricted to the segments the zone-map admits for
@@ -127,8 +140,13 @@ object SegmentStore {
     */
   def readInterval(spark: SparkSession, path: String, spec: IngestionSpec,
       from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
+    // render bounds in the SESSION timezone — segment dir names were
+    // produced by date_format under it, so a non-UTC consumer session still
+    // compares like with like
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH.mm.ss")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID)))
     val gran = spec.dataSchema.granularitySpec
     val fromSeg = java.sql.Timestamp.from(
       gran.segmentGranularity.truncateInstant(from.toInstant))
@@ -152,6 +170,11 @@ object SegmentStore {
     val rows = df
       .groupBy(col(Pipeline.SegmentCol))
       .agg(count(lit(1)).as("rows"), batches.as("batches"))
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/${SegmentSink.StatsDir}")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath)) // stats-less store: dim_ranges = null
+      return rows.withColumn("dim_ranges", lit(null).cast(
+        "array<struct<column:string,min_val:string,max_val:string>>"))
     val stats = spark.read.parquet(s"$path/${SegmentSink.StatsDir}/*.parquet")
       .groupBy(col(Pipeline.SegmentCol), col("column"))
       .agg(min(col("min_val")).as("min_val"), max(col("max_val")).as("max_val"))
@@ -169,11 +192,16 @@ object SegmentStore {
     */
   def compact(spark: SparkSession, path: String, spec: IngestionSpec,
       outPath: String): Unit = {
-    // sketches stay binary through compaction — compacted stores re-merge
-    val finals = read(spark, path, spec, finalizeSketches = false)
-    finals.write.mode("overwrite").partitionBy(Pipeline.SegmentCol).parquet(outPath)
-    // regenerate the zone-map for the compacted store (segment already in
-    // dir-string form here)
-    SegmentSink.appendStats(finals, outPath)
+    // sketches stay binary through compaction — compacted stores re-merge.
+    // persisted: the data write and stats regen are two actions, and the
+    // expensive full-store merge must not run twice
+    val finals = read(spark, path, spec, finalizeSketches = false).persist()
+    try {
+      finals.write.mode("overwrite").partitionBy(Pipeline.SegmentCol)
+        .option("compression", "zstd").parquet(outPath)
+      // regenerate the zone-map for the compacted store (segment already in
+      // dir-string form here)
+      SegmentSink.appendStats(finals, outPath)
+    } finally finals.unpersist()
   }
 }

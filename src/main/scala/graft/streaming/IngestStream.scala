@@ -156,33 +156,51 @@ final class IngestStream(
     * than `spark.sql.streaming.numRecentProgressUpdates` batches, attach a
     * StreamingQueryListener and accumulate instead.
     */
-  private def metric(name: String): Long =
-    query.toSeq.flatMap(_.recentProgress).map { p =>
-      val om = p.observedMetrics
-      if (om.containsKey("graft_window")) {
-        val row = om.get("graft_window")
-        // watermarked mode observes `received` only — missing fields are 0
-        if (row.schema != null && row.schema.fieldNames.contains(name))
-          row.getAs[Long](name)
-        else 0L
-      } else 0L
-    }.sum
+  // Cumulative counters, folded incrementally from recentProgress on every
+  // read (batchIds are monotonic, so each batch is counted exactly once).
+  // Unlike a plain sum over recentProgress, this survives the bounded
+  // progress buffer on long-running queries — as long as ANY counter is
+  // read at least once per `spark.sql.streaming.numRecentProgressUpdates`
+  // data-bearing batches; attach a StreamingQueryListener for fully
+  // asynchronous accumulation beyond that.
+  private[this] var lastSeenBatch = -1L
+  private[this] var accReceived, accDropped, accWmDropped = 0L
 
-  def received: Long = metric("received")
+  private def refresh(): Unit = synchronized {
+    query.toSeq.flatMap(_.recentProgress).sortBy(_.batchId).foreach { p =>
+      // no-data triggers surface as an entry with the NEXT batch's id and no
+      // observed metrics, possibly BEFORE the data entry of the same id — so
+      // the cursor advances only on data-bearing entries (the only ones that
+      // can carry counts: state-store drops count input rows, and no-data
+      // batches have none)
+      if (p.batchId > lastSeenBatch && p.observedMetrics.containsKey("graft_window")) {
+        lastSeenBatch = p.batchId
+        val row = p.observedMetrics.get("graft_window")
+        // watermarked mode observes `received` only — missing fields are 0
+        def g(n: String): Long =
+          if (row.schema != null && row.schema.fieldNames.contains(n))
+            row.getAs[Long](n)
+          else 0L
+        accReceived += g("received")
+        accDropped += g("dropped")
+        accWmDropped += Option(p.stateOperators).toSeq
+          .flatMap(_.toSeq).map(_.numRowsDroppedByWatermark).sum
+      }
+    }
+  }
+
+  def received: Long = { refresh(); accReceived }
   /** windowFilter drops (start mode) + state-store lateness drops
     * (watermarked mode) — one surface for both pipelines. */
-  def dropped: Long = metric("dropped") + watermarkDropped
+  def dropped: Long = { refresh(); accDropped + accWmDropped }
   /** received − dropped: identical to the observed `sent` count in start
     * mode (the windowFilter counts all three), and derives the watermarked
     * mode's sent count where only the state store knows the drops. */
-  def sent: Long = received - dropped
+  def sent: Long = { refresh(); accReceived - accDropped - accWmDropped }
 
   /** Late rows discarded by the watermark in [[startWatermarked]] mode — the
     * lateness half of the drop accounting there (the state store, not the
     * windowFilter predicate, enforces the bound).
     */
-  def watermarkDropped: Long =
-    query.toSeq.flatMap(_.recentProgress)
-      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
-      .map(_.numRowsDroppedByWatermark).sum
+  def watermarkDropped: Long = { refresh(); accWmDropped }
 }
