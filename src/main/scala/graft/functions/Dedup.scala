@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * a driver-side CONTROL loop, all data stays distributed). Convergence is
   * detected by the monotonically decreasing label sum — one cheap agg, no
   * row-wise diff join.
+  *
+  * The converged labels frame stays cached for the result's lifetime (the
+  * loop unpersists every predecessor); batch pipelines deduplicating many
+  * corpora in one session should write each result out and clear caches
+  * between corpora.
   */
 object Dedup {
 

@@ -66,8 +66,10 @@ object MinHash {
     GraftFunctions.register(df.sparkSession)
     // persisted: this subtree feeds THREE consumers (two bucket branches +
     // the candidate verification join) — without it the shingle+signature
-    // pass, the dominant cost, runs three times. At cluster scale the same
-    // role is played by checkpointing signatures to storage.
+    // pass, the dominant cost, runs three times. The cache is retained for
+    // the result's lifetime (callers looping over many corpora should
+    // checkpoint signatures to storage and pass precomputed pairs instead —
+    // that is also the 100 TB shape).
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", array_distinct(shingles(col("text"), shingleWidth)))
