@@ -46,9 +46,14 @@ object Dedup {
       val neighbourMin = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      // localCheckpoint (eager => also persisted) truncates lineage: the
+      // self-referencing join otherwise DOUBLES the logical plan every round
+      // (2^rounds tree nodes — planner blows up near round ~12, long before
+      // any data-size limit). On a cluster with spark.checkpoint.dir set,
+      // reliable .checkpoint() is the executor-loss-safe variant.
       val next = labels.join(neighbourMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       val sumNow = next.agg(sum(col("label"))).head().getLong(0)
       labels.unpersist()
       labels = next
@@ -56,6 +61,17 @@ object Dedup {
       prevSum = sumNow
     }
     edges.unpersist()
+    // Unconverged exit would return labels that LOOK like components but are
+    // wrong for any component whose diameter exceeds maxIterations (min-label
+    // moves one hop per round). Silent wrong answers are worse than failure:
+    // refuse, and tell the caller which knob to turn.
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"Dedup.components did not converge after $maxIterations iterations; " +
+          "a connected component's diameter exceeds the cap. Raise maxIterations " +
+          "(rounds needed ~= largest component diameter).")
+    }
     labels.select(col("id"), col("label").as("canonical"))
   }
 

@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   * bounded by k, independent of n, broadcast to executors for assignment.
   */
 final class IvfIndex private (
-    val indexed: DataFrame, // (id, vec, cluster)
+    val indexed: DataFrame, // (id, vec, cluster) — persisted by build()
     val centroids: Array[(Int, Array[Double])]) extends Serializable {
+
+  /** Release the persisted assignment when the index is no longer needed. */
+  def close(): Unit = { indexed.unpersist(); () }
 
   /** Top-k cosine search probing the nProbe clusters nearest to the query. */
   def search(spark: SparkSession, query: Array[Float], topK: Int, nProbe: Int): DataFrame = {
@@ -67,7 +70,11 @@ object IvfIndex {
     val n = base.count()
     require(n > 0, "IvfIndex.build: input has no vectors")
     val kEff = math.min(k, n).toInt
+    // the farthest-first loop below runs kEff distributed argmax scans and
+    // each Lloyd pass two more passes over the same rows — persist once so
+    // build time is O(k) over a cached frame, not k re-reads of the source
     val hashed = base.withColumn("__h", xxhash64(col("id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def vecOf(df0: DataFrame): Array[Double] =
       df0.limit(1).select(col("vec")).collect().head
         .getSeq[Float](0).map(_.toDouble).toArray
@@ -83,7 +90,10 @@ object IvfIndex {
     var cents: Array[(Int, Array[Double])] =
       seeds.zipWithIndex.map { case (c, i) => (i, c) }.toArray
 
-    var assigned = assign(spark, base, cents)
+    // Lloyd passes read the same rows as seeding: route them through the
+    // cached frame (Spark's cache manager substitutes the persisted subtree)
+    val cachedBase = hashed.drop("__h")
+    var assigned = assign(spark, cachedBase, cents)
     for (_ <- 0 until iterations) {
       // distributed mean per (cluster, dim) -> new centroids
       cents = assigned
@@ -95,9 +105,15 @@ object IvfIndex {
         .select(col("cluster"), col("pairs.m").as("centroid"))
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      assigned = assign(spark, base, cents)
+      assigned = assign(spark, cachedBase, cents)
     }
-    new IvfIndex(assigned, cents)
+    // materialize the final assignment before releasing the build cache so
+    // the index doesn't silently re-read the source k+iterations times later
+    val index = new IvfIndex(assigned.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), cents)
+    index.indexed.count()
+    hashed.unpersist()
+    index
   }
 
   /** Distributed assignment: nearest centroid by cosine, vectors unshuffled

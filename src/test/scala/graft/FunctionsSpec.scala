@@ -80,6 +80,20 @@ class FunctionsSpec extends SparkSpec {
       (99L, 99L, 1)))
   }
 
+  test("near-dup components: unconverged exit throws instead of returning wrong labels") {
+    // a 12-hop chain needs ~12 propagation rounds; cap at 3 must REFUSE, not
+    // hand back labels that look like components but split the chain
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      graft.functions.Dedup.components(chain, "a", "b", maxIterations = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // same chain with sufficient budget converges to one component
+    val ok = graft.functions.Dedup.components(chain, "a", "b", maxIterations = 20)
+      .as[(Long, Long)].collect().toSet
+    assert(ok == (1L to 12L).map(i => (i, 1L)).toSet)
+  }
+
   test("simhash Hamming-LSH: pigeonhole guarantee on adversarial bit flips") {
     // worst case for 4 bands: flips spread across DIFFERENT bands (positions
     // 0, 16, 32 — three bands touched, the fourth must still collide)
