@@ -44,6 +44,29 @@ object GraftFunctions {
             s"minhash_sig k must be an integer literal, got $other")
         }
         MinHashSig(args(0), k)
+      }),
+    (new FunctionIdentifier("hist_sketch_agg"),
+      new ExpressionInfo(classOf[HistSketchAgg].getName, "hist_sketch_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hist_sketch_agg(value, k) takes 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hist_sketch_agg k must be an integer literal, got $other")
+        }
+        HistSketchAgg(args(0), k)
+      }),
+    (new FunctionIdentifier("hist_merge_agg"),
+      new ExpressionInfo(classOf[HistSketchMergeAgg].getName, "hist_merge_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hist_merge_agg(sketch) takes 1 argument")
+        HistSketchMergeAgg(args(0))
+      }),
+    (new FunctionIdentifier("hist_quantiles"),
+      new ExpressionInfo(classOf[HistQuantiles].getName, "hist_quantiles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hist_quantiles(sketch, probs) takes 2 arguments")
+        HistQuantiles(args(0), args(1))
       }))
 
   /** Imperative registration for sessions created without the extension. */

@@ -35,6 +35,15 @@ object Aggregators {
     // input cast to string: Druid's hyperUnique hashes the string form, and
     // hll_sketch_agg accepts only int/long/string/binary
     case "hllSketch" => hll_sketch_agg(field(spec).cast(StringType)).as(spec.name)
+    // approxHistogram's mergeable-STORAGE form (Druid stores the histogram
+    // sketch in the segment — SURVEY §2.4): per-batch partials carry the
+    // centroid-histogram binary ([[graft.functions.HistSketch]]),
+    // SegmentStore re-merges with hist_merge_agg and finalizes to quantiles
+    // at query time. `accuracy` = max bins k (Druid's resolution knob).
+    // Requires graft function registration (Pipeline.rollup registers).
+    case "histogramSketch" =>
+      call_function("hist_sketch_agg", field(spec).cast(DoubleType),
+        lit(spec.accuracy.getOrElse(128))).as(spec.name)
     case "approxHistogram" =>
       val probs = if (spec.probabilities.nonEmpty) spec.probabilities
                   else Seq(0.25, 0.5, 0.75, 0.95)

@@ -164,6 +164,9 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
     * colocates by grouping key, so no explicit repartition is added.
     */
   def rollup(df: DataFrame): DataFrame = {
+    // idempotent: sketch aggregators (histogramSketch) resolve through the
+    // session function registry
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val dimCols = dimensionNames(df).map(col)
     if (!gran.rollup) {
       val out = withSegment(df)

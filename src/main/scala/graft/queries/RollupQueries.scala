@@ -339,6 +339,52 @@ object RollupQueries {
              CAST(count(DISTINCT user_id % 50) AS BIGINT) AS uniq_bucket
             FROM events GROUP BY 1, 2""")),
 
+    // -- stored-sketch histogram through the real streaming store: centroid
+    // histogram partials (binary) written per batch, hist_merge_agg at read,
+    // quantiles finalized last. The metric has 40 distinct values against
+    // k=64 bins, so the sketch never compacts (sparse-exact regime) and the
+    // full store→merge→finalize path hash-checks against the oracle's rank
+    // arithmetic. Production keeps raw doubles against k=128 (approx path).
+    QueryDef("rollup_histogram_sketch_stored", (s, dir) => {
+      val probs = Seq(0.25, 0.5, 0.75, 0.95)
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("histogramSketch", "value_hist", Some("user_bucket"),
+            probabilities = probs, accuracy = Some(64))),
+        GranularitySpec(Granularity.Day, Granularity.Day)))
+      val p = new Pipeline(spec)
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("user_bucket", col("user_id") % 40)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-histstore").toString
+      // two half-stores stand in for two micro-batches of the same buckets
+      graft.sink.SegmentSink.writeMicroBatch(tmp)(
+        p.withSegment(p.rollup(p.project(p.extractTimestamp(
+          ev.filter(col("event_id") % 2 === 0))))), 0L)
+      graft.sink.SegmentSink.writeMicroBatch(tmp)(
+        p.withSegment(p.rollup(p.project(p.extractTimestamp(
+          ev.filter(col("event_id") % 2 === 1))))), 1L)
+      graft.sink.SegmentStore.read(s, tmp, spec)
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("event_type"), col("cnt"),
+          posexplode(col("value_hist")).as(Seq("pos", "value_q")))
+        .select(col("bucket"), col("event_type"), col("cnt"),
+          element_at(array(probs.map(lit): _*), col("pos") + 1).as("prob"),
+          col("value_q"))
+    },
+    Some("""WITH ranked AS (
+              SELECT date_trunc('day', ts) AS bday, event_type,
+                     CAST(user_id % 40 AS DOUBLE) AS v,
+                     row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                        ORDER BY user_id % 40) AS rk,
+                     count(*) OVER (PARTITION BY date_trunc('day', ts), event_type) AS n
+              FROM events)
+            SELECT strftime(bday, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+                   n AS cnt, prob, v AS value_q
+            FROM ranked
+            CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS prob) probs
+            WHERE rk = CAST(ceil(prob * n) AS BIGINT)""")),
+
     // -- config round-trip: full ingestion-spec JSON drives the pipeline ----
     QueryDef("spec_json_roundtrip", (s, dir) => {
       val json =

@@ -39,6 +39,13 @@ object SegmentStore {
       case "hllSketch" =>
         val merged = hll_union_agg(col(spec.name))
         (if (finalizeSketches) hll_sketch_estimate(merged) else merged).as(spec.name)
+      case "histogramSketch" =>
+        val merged = call_function("hist_merge_agg", col(spec.name))
+        val probs = if (spec.probabilities.nonEmpty) spec.probabilities
+                    else Seq(0.25, 0.5, 0.75, 0.95)
+        (if (finalizeSketches)
+          call_function("hist_quantiles", merged, array(probs.map(lit): _*))
+        else merged).as(spec.name)
       case "filtered" =>
         val d = spec.aggregator.getOrElse(
           throw new IllegalArgumentException(s"filtered ${spec.name} lacks delegate"))
@@ -58,6 +65,7 @@ object SegmentStore {
   def read(spark: SparkSession, path: String, spec: IngestionSpec,
       baseFilter: DataFrame => DataFrame = identity,
       finalizeSketches: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // sketch merge functions
     val df = baseFilter(spark.read.option("mergeSchema", "true").parquet(path))
     val dimNames = df.columns.toSeq.filterNot { c =>
       c == Pipeline.TsCol || c == Pipeline.SegmentCol || c == "__batch_id" ||

@@ -267,6 +267,34 @@ class FunctionsSpec extends SparkSpec {
       idx.indexed.select("id", "cluster").collect().toSet)
   }
 
+  test("hist sketch: capacity compaction bounds bins, preserves mass, round-trips") {
+    import graft.functions.HistSketch
+    val b = new HistSketch.Buffer(32)
+    val rnd = new scala.util.Random(7) // seeded — deterministic
+    val xs = Array.fill(1000)(rnd.nextDouble() * 100)
+    xs.foreach(b.add(_, 1L))
+    assert(b.size <= 32, s"bins must stay bounded, got ${b.size}")
+    assert(b.totalCount == 1000L, "compaction must not lose mass")
+    val med = HistSketch.quantiles(b, Array(0.5))(0)
+    val exact = xs.sorted.apply(499)
+    assert(math.abs(med - exact) < 10.0, s"median estimate $med too far from $exact")
+    val rt = HistSketch.deserialize(HistSketch.serialize(b))
+    assert(rt.size == b.size && rt.totalCount == 1000L && rt.k == 32)
+  }
+
+  test("hist sketch: sparse-regime merge is order-independent and bit-identical") {
+    import graft.functions.HistSketch
+    def mk(vs: Seq[Double]) = {
+      val b = new HistSketch.Buffer(64); vs.foreach(b.add(_, 1L)); b
+    }
+    val ab = mk(Seq(1, 5, 3)); ab.mergeWith(mk(Seq(2, 5)))
+    val ba = mk(Seq(2, 5)); ba.mergeWith(mk(Seq(1, 5, 3)))
+    assert(HistSketch.serialize(ab).toSeq == HistSketch.serialize(ba).toSeq)
+    // {1, 2, 3, 5, 5}: lower-rank quantiles at (.2, .5, .8, 1.0) → (1, 3, 5, 5)
+    assert(HistSketch.quantiles(ab, Array(0.2, 0.5, 0.8, 1.0)).toSeq ==
+      Seq(1.0, 3.0, 5.0, 5.0))
+  }
+
   test("multimodal stub decode: partition-wise feature extraction") {
     val df = Seq((1L, "src", "x" * 2500)).toDF("doc_id", "source", "text")
       .select($"doc_id", $"source", $"text".cast("binary").as("payload"))

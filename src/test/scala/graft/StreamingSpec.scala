@@ -276,6 +276,45 @@ class StreamingSpec extends SparkSpec {
     assert(again == Seq((4L, 3L)))
   }
 
+  test("stored histogram sketches: per-batch partials re-merge, compaction keeps them mergeable") {
+    implicit val sqlCtx = spark.sqlContext
+    val hSpec = IngestionSpec(
+      DataSchema("hist_events", TimestampSpec("ts"),
+        SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("histogramSketch", "value_hist", Some("value"),
+            probabilities = Seq(0.25, 0.5, 0.75, 0.95), accuracy = Some(64))),
+        GranularitySpec(Granularity.Hour, Granularity.Hour)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(30)))
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-hist").toString
+    val ingest = new IngestStream(spark, hSpec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(ts("2024-03-01 12:00:00")),
+      trigger = Trigger.ProcessingTime(50))
+    // same (bucket, dim) across two batches: finalized quantiles could NOT
+    // merge (median of medians ≠ median) — only the stored sketch can.
+    // Combined multiset {1, 2, 2, 3, 10}, N=5 → lower-rank quantiles at
+    // (.25, .5, .75, .95) are ranks (2, 3, 4, 5) → (2, 2, 3, 10).
+    input.addData(Ev(ts("2024-03-01 12:01:00"), "click", 1.0),
+      Ev(ts("2024-03-01 12:02:00"), "click", 2.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:03:00"), "click", 2.0),
+      Ev(ts("2024-03-01 12:04:00"), "click", 3.0),
+      Ev(ts("2024-03-01 12:05:00"), "click", 10.0))
+    ingest.flushAndStop()
+
+    val merged = graft.sink.SegmentStore.read(spark, s"$tmp/out", hSpec)
+      .select($"cnt", $"value_hist").as[(Long, Seq[Double])].collect().toSeq
+    assert(merged == Seq((5L, Seq(2.0, 2.0, 3.0, 10.0))),
+      s"sketch merge must see the union multiset: $merged")
+
+    // compaction keeps the binary sketch → compacted store still finalizes
+    graft.sink.SegmentStore.compact(spark, s"$tmp/out", hSpec, s"$tmp/compacted")
+    val again = graft.sink.SegmentStore.read(spark, s"$tmp/compacted", hSpec)
+      .select($"cnt", $"value_hist").as[(Long, Seq[Double])].collect().toSeq
+    assert(again == Seq((5L, Seq(2.0, 2.0, 3.0, 10.0))))
+  }
+
   test("interval-pruned read + segmentMetadata analog") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
