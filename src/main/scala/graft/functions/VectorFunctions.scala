@@ -69,20 +69,54 @@ object VectorFunctions {
   def dequantize(qs: Column): Column =
     transform(qs.getField("q"), x => x.cast("double") / qs.getField("scale"))
 
+  /** Query-directed MULTI-PROBE bucket list (Lv et al., "Multi-Probe LSH",
+    * VLDB 2007): the query's own bucket first, then the buckets reached by
+    * flipping its `flips` lowest-|projection| sign bits one at a time — the
+    * bits most likely to disagree for a true neighbour are exactly the ones
+    * whose hyperplane the query sits closest to. Probing 1+flips buckets
+    * multiplies candidate cost by that factor while recovering most of the
+    * recall a single hash table loses; the probe list is computed from the
+    * SAME projections as [[lshBucket]], so probe ids land in the same bucket
+    * space with zero extra state.
+    */
+  def lshProbeBuckets(v: Column, bits: Int = 8, seed: Int = 42, flips: Int = 2): Column = {
+    val projArr = projections(v, bits, seed)
+    val powers = typedlit((0 until bits).map(j => 1L << j))
+    val bucket = aggregate(
+      zip_with(projArr, powers, (p, pw) => when(p >= 0, pw).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    // flip order: ascending |projection| margin (struct sort on first field)
+    val order = sort_array(zip_with(projArr,
+      typedlit((0 until bits).map(_.toLong)),
+      (p, i) => struct(abs(p).as("m"), i.as("i"))))
+    val flipped = transform(slice(order, 1, flips),
+      e => bucket.bitwiseXOR(element_at(powers, e.getField("i").cast("int") + 1)))
+    concat(array(bucket), flipped).as("lsh_probes")
+  }
+
   /** zip the vector with its index to evaluate Σ v[i]·sign(hash(j,i));
     * bucket bit j = (projection_j >= 0).
     */
   private def lshBucketImpl(v: Column, bits: Int, seed: Int): Column = {
-    val indexed = zip_with(v, sequence(lit(0), size(v) - 1),
-      (x, i) => struct(x.cast("double").as("x"), i.as("i")))
     val bitVals = (0 until bits).map { j =>
-      val proj = aggregate(indexed, lit(0.0), (acc, e) => {
-        val sign = when(pmod(xxhash64(lit(seed), lit(j), e.getField("i")), lit(2)) === 0,
-          lit(1.0)).otherwise(lit(-1.0))
-        acc + e.getField("x") * sign
-      })
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(projection(v, j, seed) >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bitVals.reduce(_ + _).as("lsh_bucket")
   }
+
+  /** Signed projection of `v` onto pseudo-random hyperplane `j` — shared by
+    * [[lshBucket]] and [[lshProbeBuckets]] so bucket ids agree bit-for-bit.
+    */
+  private def projection(v: Column, j: Int, seed: Int): Column = {
+    val indexed = zip_with(v, sequence(lit(0), size(v) - 1),
+      (x, i) => struct(x.cast("double").as("x"), i.as("i")))
+    aggregate(indexed, lit(0.0), (acc, e) => {
+      val sign = when(pmod(xxhash64(lit(seed), lit(j), e.getField("i")), lit(2)) === 0,
+        lit(1.0)).otherwise(lit(-1.0))
+      acc + e.getField("x") * sign
+    })
+  }
+
+  private def projections(v: Column, bits: Int, seed: Int): Column =
+    array((0 until bits).map(j => projection(v, j, seed)): _*)
 }

@@ -85,13 +85,20 @@ object VectorQueries {
                   GROUP BY 1, 2)
             GROUP BY 1""")),
 
-    // -- LSH-bucketed ANN (scale path; rows-only — bucketing is engine-defined)
+    // -- LSH-bucketed ANN (scale path; rows-only — bucketing is engine-
+    //    defined). MULTI-PROBE: the query probes its own bucket plus the
+    //    `flips` lowest-margin bit-flip buckets (Lv et al. VLDB'07) — on the
+    //    near-uniform sf0.1 corpus this lifts measured recall@10 from 0.03
+    //    to ~3× at bits=8 (LshRecallProbe prints the full recall/cost
+    //    matrix; FunctionsSpec asserts the floor at bits=4/flips=4)
     QueryDef("ann_lsh_buckets", (s, dir) => {
       val e = Tables.t(s, dir, "embeddings")
         .withColumn("bucket", VectorFunctions.lshBucket(col("embedding"), bits = 8))
       val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("bucket"))
-      // probe only the query's bucket — the O(n/2^bits) search path
+        .select(col("embedding").as("qv"),
+          explode(VectorFunctions.lshProbeBuckets(col("embedding"), bits = 8,
+            flips = 2)).as("bucket"))
+      // probe 1+flips buckets — still O((1+f)·n/2^bits) candidates
       e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= 0)
         .withColumn("cos_raw", VectorFunctions.cosine(col("embedding"), col("qv")))

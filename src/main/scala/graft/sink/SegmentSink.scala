@@ -55,26 +55,49 @@ object SegmentSink {
     } finally out.unpersist()
   }
 
-  /** Append per-(segment, string-column) min/max rows to the sidecar.
-    * Expects SegmentCol already in dir-string form.
+  /** Append per-(segment, column) min/max rows to the sidecar, typed by
+    * family: `string` columns in lexicographic `min_val`/`max_val` (sound
+    * for Druid-style string dims), integral columns in `min_lng`/`max_lng`
+    * (exact long bounds — no 2⁵³ double rounding), floating columns in
+    * `min_dbl`/`max_dbl`. One aggregation over the already-rolled batch,
+    * one struct-explode, one append. Expects SegmentCol already in
+    * dir-string form. Min/max merge is idempotent, so at-least-once replays
+    * only re-state the same bounds.
     */
   private[sink] def appendStats(out: DataFrame, path: String): Unit = {
-    val statCols = out.schema.fields.filter(f =>
-      f.name != SegmentCol && f.name != "__batch_id" &&
-        f.dataType == org.apache.spark.sql.types.StringType).map(_.name)
-    if (statCols.nonEmpty) {
-      val wide = out.groupBy(col(SegmentCol)).agg(
-        min(col(statCols.head)).as(s"__min_${statCols.head}"),
-        statCols.tail.flatMap(c =>
-          Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))) :+
-          max(col(statCols.head)).as(s"__max_${statCols.head}"): _*)
-      wide.select(col(SegmentCol),
-          explode(array(statCols.toSeq.map(c => struct(lit(c).as("column"),
-            col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"))): _*)).as("s"))
-        .select(col(SegmentCol), col("s.column"), col("s.min_val"), col("s.max_val"))
-        .coalesce(1)
-        .write.mode("append").parquet(s"$path/$StatsDir")
+    import org.apache.spark.sql.types._
+    def family(dt: DataType): Option[String] = dt match {
+      case StringType => Some("string")
+      case ByteType | ShortType | IntegerType | LongType => Some("long")
+      case FloatType | DoubleType => Some("double")
+      case _ => None // timestamps ride the segment key; binary sketches unbounded
     }
+    val statCols = out.schema.fields
+      .filter(f => f.name != SegmentCol && f.name != "__batch_id")
+      .flatMap(f => family(f.dataType).map(f.name -> _)).toSeq
+    if (statCols.isEmpty) return
+    val aggs = statCols.flatMap { case (c, _) =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")) }
+    val wide = out.groupBy(col(SegmentCol)).agg(aggs.head, aggs.tail: _*)
+    val nullS = lit(null).cast(StringType)
+    val nullL = lit(null).cast(LongType)
+    val nullD = lit(null).cast(DoubleType)
+    val rows = statCols.map { case (c, fam) =>
+      val (lo, hi) = (col(s"__min_$c"), col(s"__max_$c"))
+      val (minS, maxS) = if (fam == "string") (lo, hi) else (nullS, nullS)
+      val (minL, maxL) = if (fam == "long")
+        (lo.cast(LongType), hi.cast(LongType)) else (nullL, nullL)
+      val (minD, maxD) = if (fam == "double")
+        (lo.cast(DoubleType), hi.cast(DoubleType)) else (nullD, nullD)
+      struct(lit(c).as("column"), lit(fam).as("col_type"),
+        minS.as("min_val"), maxS.as("max_val"),
+        minL.as("min_lng"), maxL.as("max_lng"),
+        minD.as("min_dbl"), maxD.as("max_dbl"))
+    }
+    wide.select(col(SegmentCol), explode(array(rows: _*)).as("s"))
+      .select(col(SegmentCol), col("s.*"))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/$StatsDir")
   }
 
   /** foreachBatch body for streaming writes. Exactly-once storage, not just

@@ -87,28 +87,77 @@ object SegmentStore {
     pruneSegmentsRange(spark, path, dim, value, value)
 
   /** Range form: segments whose zone-map interval [lo, hi] overlaps
-    * [lower, upper] (dim BETWEEN predicates).
+    * [lower, upper] (dim BETWEEN predicates). String-typed: only `string`
+    * stats rows answer (lexicographic min/max is sound there); a numeric
+    * column queried through this form has no string rows → kept
+    * conservatively (use [[pruneSegmentsNumericRange]] instead).
     */
   def pruneSegmentsRange(spark: SparkSession, path: String, dim: String,
-      lower: String, upper: String): Seq[String] = {
+      lower: String, upper: String): Seq[String] =
+    pruneWith(spark, path) { stats =>
+      val isDim = col("column") === dim && typeOf(stats) === "string"
+      val byStats = stats.groupBy(col(Pipeline.SegmentCol))
+        .agg(min(when(isDim, col("min_val"))).as("lo"),
+          max(when(isDim, col("max_val"))).as("hi"))
+      byStats.filter(col("lo").isNull ||
+        (lit(upper) >= col("lo") && lit(lower) <= col("hi")))
+    }
+
+  /** Numeric range pruning: segments whose typed min/max overlaps
+    * [lower, upper]. Long-family bounds compare in exact long space
+    * (predicate bounds floor/ceil'd — no 2⁵³ double-rounding false
+    * exclusions); double-family bounds compare directly. A segment with no
+    * numeric stats row for the column (legacy sidecar, evolved schema) is
+    * kept conservatively.
+    */
+  def pruneSegmentsNumericRange(spark: SparkSession, path: String, column: String,
+      lower: Double, upper: Double): Seq[String] = {
+    // saturating floor/ceil: exact long comparisons for integral columns
+    val loL = if (lower <= Long.MinValue.toDouble) Long.MinValue else math.floor(lower).toLong
+    val upL = if (upper >= Long.MaxValue.toDouble) Long.MaxValue else math.ceil(upper).toLong
+    pruneWith(spark, path) { stats =>
+      val isCol = col("column") === column
+      val byStats = stats.groupBy(col(Pipeline.SegmentCol)).agg(
+        min(when(isCol && typeOf(stats) === "long", col("min_lng"))).as("lo_l"),
+        max(when(isCol && typeOf(stats) === "long", col("max_lng"))).as("hi_l"),
+        min(when(isCol && typeOf(stats) === "double", col("min_dbl"))).as("lo_d"),
+        max(when(isCol && typeOf(stats) === "double", col("max_dbl"))).as("hi_d"))
+      byStats.filter(
+        (col("lo_l").isNull && col("lo_d").isNull) ||
+          (col("lo_l").isNotNull && col("lo_l") <= lit(upL) && col("hi_l") >= lit(loL)) ||
+          (col("lo_d").isNotNull && col("lo_d") <= lit(upper) && col("hi_d") >= lit(lower)))
+    }
+  }
+
+  /** Legacy sidecars (pre-typed zone-maps) carry no `col_type`; every row
+    * they wrote was a string dim.
+    */
+  private def typeOf(stats: DataFrame): Column =
+    if (stats.columns.contains("col_type")) coalesce(col("col_type"), lit("string"))
+    else lit("string")
+
+  /** Shared prune scaffold: list segment dirs, read the sidecar (absent →
+    * keep all), apply `admit` to per-segment merged stats, and keep any
+    * segment the sidecar has never covered. `_`-prefixed dirs are hidden
+    * from Spark's listing even as an explicit root — hence the part-file
+    * glob — which is exactly what keeps the sidecar out of normal store
+    * reads. Driver state is the segment list (bounded by time chunks).
+    */
+  private def pruneWith(spark: SparkSession, path: String)(
+      admit: DataFrame => DataFrame): Seq[String] = {
     val segDirs = listSegmentDirs(spark, path)
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/${SegmentSink.StatsDir}")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(statsPath)) // no sidecar (pre-zone-map store): keep all
       return segDirs
-    // glob the part files: `_`-prefixed dirs are hidden from Spark's listing
-    // even as an explicit root, which is exactly what keeps the sidecar out
-    // of normal store reads. One aggregation job: per segment, the dim's
-    // merged (lo, hi) — null when the segment has no stats row for the dim
-    // (schema evolution) → kept conservatively.
-    val stats = spark.read.parquet(s"$path/${SegmentSink.StatsDir}/*.parquet")
-    val byStats = stats.groupBy(col(Pipeline.SegmentCol))
-      .agg(min(when(col("column") === dim, col("min_val"))).as("lo"),
-        max(when(col("column") === dim, col("max_val"))).as("hi"))
-    val admitted = byStats
-      .filter(col("lo").isNull || (lit(upper) >= col("lo") && lit(lower) <= col("hi")))
+    // mergeSchema: a store written across sidecar versions keeps old rows
+    // readable (missing typed columns surface as nulls → conservative)
+    val stats = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/${SegmentSink.StatsDir}/*.parquet")
+    val admitted = admit(stats)
       .select(col(Pipeline.SegmentCol)).collect().map(_.getString(0))
-    val covered = byStats.select(col(Pipeline.SegmentCol)).collect().map(_.getString(0))
+    val covered = stats.select(col(Pipeline.SegmentCol)).distinct()
+      .collect().map(_.getString(0))
     // segments on disk but ABSENT from the sidecar (written before the
     // zone-map existed, or by a stats-less writer) are kept conservatively —
     // the sidecar can only prune what it has covered
@@ -135,6 +184,24 @@ object SegmentStore {
     val segs = pruneSegments(spark, path, dim, value)
     read(spark, path, spec, df =>
       df.filter(col(Pipeline.SegmentCol).isin(segs: _*) && col(dim) === value))
+  }
+
+  /** [[read]] restricted to segments the NUMERIC zone-map admits for
+    * `column BETWEEN lower AND upper`, with the row-level predicate applied
+    * on the stored rows. Row semantics: sound for numeric dimension columns
+    * and for raw-append (isRollup=false) stores, where stored rows are the
+    * queryable values. For per-batch ROLLUP stores note the row filter sees
+    * partial metric values, not the merged final — filter after [[read]]
+    * when the predicate targets merged metrics (the segment-level prune is
+    * then still a valid superset, since every partial lies within the
+    * segment's bounds).
+    */
+  def readPrunedNumeric(spark: SparkSession, path: String, spec: IngestionSpec,
+      column: String, lower: Double, upper: Double): DataFrame = {
+    val segs = pruneSegmentsNumericRange(spark, path, column, lower, upper)
+    read(spark, path, spec, df =>
+      df.filter(col(Pipeline.SegmentCol).isin(segs: _*) &&
+        col(column) >= lit(lower) && col(column) <= lit(upper)))
   }
 
   /** Interval-restricted read — the Druid query `intervals` clause
@@ -183,9 +250,21 @@ object SegmentStore {
     if (!fs.exists(statsPath)) // stats-less store: dim_ranges = null
       return rows.withColumn("dim_ranges", lit(null).cast(
         "array<struct<column:string,min_val:string,max_val:string>>"))
-    val stats = spark.read.parquet(s"$path/${SegmentSink.StatsDir}/*.parquet")
-      .groupBy(col(Pipeline.SegmentCol), col("column"))
-      .agg(min(col("min_val")).as("min_val"), max(col("max_val")).as("max_val"))
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/${SegmentSink.StatsDir}/*.parquet")
+    // merge bounds per family FIRST (lexicographic min over stringified
+    // numbers would say "10" < "9"), then render to strings for the report
+    val typed = raw.columns.contains("min_lng")
+    val merged = raw.groupBy(col(Pipeline.SegmentCol), col("column"))
+      .agg(min(col("min_val")).as("ms"), max(col("max_val")).as("xs"),
+        (if (typed) min(col("min_lng")) else min(lit(null).cast(LongType))).as("ml"),
+        (if (typed) max(col("max_lng")) else max(lit(null).cast(LongType))).as("xl"),
+        (if (typed) min(col("min_dbl")) else min(lit(null).cast("double"))).as("md"),
+        (if (typed) max(col("max_dbl")) else max(lit(null).cast("double"))).as("xd"))
+    val stats = merged
+      .select(col(Pipeline.SegmentCol), col("column"),
+        coalesce(col("ms"), col("ml").cast("string"), col("md").cast("string")).as("min_val"),
+        coalesce(col("xs"), col("xl").cast("string"), col("xd").cast("string")).as("max_val"))
       .groupBy(col(Pipeline.SegmentCol))
       .agg(sort_array(collect_list(struct(col("column"), col("min_val"),
         col("max_val")))).as("dim_ranges"))

@@ -267,6 +267,51 @@ class FunctionsSpec extends SparkSpec {
       idx.indexed.select("id", "cluster").collect().toSet)
   }
 
+  test("sign-LSH ANN: multi-probe recall floor, and recall beats random sampling") {
+    // sf0.1 embeddings: 2000 near-uniform random vectors — the worst case
+    // for sign-LSH top-k (true neighbours sit at cos ≈ 0.35, where each
+    // hyperplane agrees only ~0.6 of the time). Measured by LshRecallProbe:
+    // bits=4 single-probe 0.135 recall @ 6% candidates; flips=4 multi-probe
+    // 0.455 @ 32% — a 1.44× lift over brute-forcing a random 32% sample,
+    // which is the honest locality signal on structureless data. All hashes
+    // and data are deterministic, so these numbers are stable, not flaky.
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select($"vec_id", $"embedding").cache()
+    val n = e.count()
+    val queries = e.filter($"vec_id" % 100 === 0).limit(20)
+      .select($"vec_id".as("qid"), $"embedding".as("qv")).cache()
+    val truth = queries.crossJoin(e).filter($"vec_id" =!= $"qid")
+      .withColumn("c", VectorFunctions.cosine($"embedding", $"qv"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"c".desc, $"vec_id")))
+      .filter($"rk" <= 10).select($"qid", $"vec_id")
+      .as[(Long, Long)].collect().toSet
+
+    def run(flips: Int): (Double, Double) = {
+      val bucketed = e.withColumn("bucket",
+        VectorFunctions.lshBucket($"embedding", bits = 4))
+      val probes = queries.select($"qid", $"qv",
+        explode(VectorFunctions.lshProbeBuckets($"qv", bits = 4, flips = flips))
+          .as("bucket"))
+      val cand = bucketed.join(probes, Seq("bucket")).filter($"vec_id" =!= $"qid")
+      val frac = cand.count().toDouble / (queries.count() * (n - 1))
+      val got = cand.withColumn("c", VectorFunctions.cosine($"embedding", $"qv"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"c".desc, $"vec_id")))
+        .filter($"rk" <= 10).select($"qid", $"vec_id")
+        .as[(Long, Long)].collect().toSet
+      (got.intersect(truth).size.toDouble / truth.size, frac)
+    }
+    val (single, _) = run(flips = 0)
+    val (multi, multiFrac) = run(flips = 4)
+    assert(multi >= 0.4, s"multi-probe recall@10 floor: $multi")
+    assert(multi > single * 2, s"multi-probe must beat single-probe: $multi vs $single")
+    assert(multi >= multiFrac * 1.2,
+      s"LSH must beat random-sample recall at equal cost: $multi vs frac $multiFrac")
+    e.unpersist(); queries.unpersist()
+  }
+
   test("hist sketch: capacity compaction bounds bins, preserves mass, round-trips") {
     import graft.functions.HistSketch
     val b = new HistSketch.Buffer(32)

@@ -349,7 +349,9 @@ class StreamingSpec extends SparkSpec {
       .filter($"segment" === "2024-03-01T12.00.00")
       .select(explode($"dim_ranges").as("r")).select($"r.column", $"r.min_val", $"r.max_val")
       .as[(String, String, String)].collect().toSet
-    assert(ranges == Set(("etype", "click", "view")))
+    // typed zone-maps: numeric metric bounds surface beside the string dim
+    assert(ranges == Set(("etype", "click", "view"),
+      ("cnt", "1", "1"), ("total", "2.0", "4.0")))
   }
 
   test("batch replay overwrites its own partitions — exactly-once storage") {
@@ -421,6 +423,48 @@ class StreamingSpec extends SparkSpec {
     graft.sink.SegmentStore.compact(spark, s"$tmp/out", spec, s"$tmp/compacted")
     assert(graft.sink.SegmentStore.pruneSegments(spark, s"$tmp/compacted", "etype", "zulu")
       == Seq("2024-03-01T12.00.00"))
+  }
+
+  test("NUMERIC zone-map prunes segments on a metric range predicate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-zonemap-num").toString
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(ts("2024-03-01 12:00:00")),
+      trigger = Trigger.ProcessingTime(50))
+    // two batches → two hour segments with disjoint numeric value ranges
+    input.addData(Ev(ts("2024-03-01 11:40:00"), "alpha", 1.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:10:00"), "zulu", 100.0))
+    ingest.flushAndStop()
+
+    // double-family bounds: total BETWEEN [0, 10] admits only the 11:00
+    // segment — a string zone-map could NOT say this ("100.0" < "2.0" lex)
+    assert(graft.sink.SegmentStore.pruneSegmentsNumericRange(
+      spark, s"$tmp/out", "total", 0.0, 10.0) == Seq("2024-03-01T11.00.00"))
+    // long-family bounds (cnt is LongType): both segments carry cnt=1
+    assert(graft.sink.SegmentStore.pruneSegmentsNumericRange(
+      spark, s"$tmp/out", "cnt", 1.0, 1.0).size == 2)
+    // disjoint range admits nothing
+    assert(graft.sink.SegmentStore.pruneSegmentsNumericRange(
+      spark, s"$tmp/out", "total", 500.0, 900.0).isEmpty)
+    // a column with no numeric stats rows is kept conservatively
+    assert(graft.sink.SegmentStore.pruneSegmentsNumericRange(
+      spark, s"$tmp/out", "etype", 0.0, 1.0).size == 2)
+
+    // physical proof: the admitted list turns into partition pruning — one
+    // directory scanned (pre-aggregation scan, as in the string spec)
+    val segs = graft.sink.SegmentStore.pruneSegmentsNumericRange(
+      spark, s"$tmp/out", "total", 0.0, 10.0)
+    val base = spark.read.parquet(s"$tmp/out").filter($"segment".isin(segs: _*))
+    val scan = base.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined && scan.get.selectedPartitions.partitionCount == 1,
+      s"expected 1 admitted partition, got ${scan.map(_.selectedPartitions.partitionCount)}")
+    val got = graft.sink.SegmentStore.readPrunedNumeric(spark, s"$tmp/out", spec,
+      "total", 0.0, 10.0).select($"etype", $"cnt").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("alpha", 1L)))
   }
 
   test("segment layout prunes partitions: a segment filter reads only its dir") {
