@@ -110,18 +110,53 @@ object SegmentSink {
     * incoming batch). The zone-map sidecar stays append-only: min/max
     * re-merge, so duplicate stats rows are harmless.
     */
-  def writeMicroBatch(path: String)(df: DataFrame, batchId: Long): Unit = {
+  def writeMicroBatch(path: String, withStats: Boolean = true)(
+      df: DataFrame, batchId: Long): Unit = {
     require(df.columns.contains(SegmentCol), s"missing $SegmentCol column")
     val out = df.withColumn("__batch_id", lit(batchId))
       .withColumn(SegmentCol, date_format(col(SegmentCol), "yyyy-MM-dd'T'HH.mm.ss"))
-      .persist() // two actions (data + stats) — see writeBatch
-    try {
-      out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(SegmentCol, "__batch_id")
-        .option("compression", "zstd")
-        .parquet(path)
-      appendStats(out, path)
-    } finally out.unpersist()
+    if (withStats) {
+      // two actions (data + stats) — see writeBatch for why the persist
+      val cached = out.persist()
+      try {
+        writeData(cached, path)
+        appendStats(cached, path)
+      } finally cached.unpersist()
+    } else {
+      // deferred-stats mode (streaming hot path): ONE action per batch — no
+      // persist materialization, no per-batch stats job/append. The sidecar
+      // is advisory (absent → conservative keep-all), so the stream owner
+      // rebuilds it once at flush via [[regenerateStats]]; a crash before
+      // that loses pruning hints, never data.
+      writeData(out, path)
+    }
+  }
+
+  private def writeData(out: DataFrame, path: String): Unit =
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(SegmentCol, "__batch_id")
+      // partial micro-batch files are small and short-lived (compaction
+      // rewrites them zstd); the codec stays tunable for latency-sensitive
+      // ingest — zstd default keeps the 100 TB storage argument
+      .option("compression",
+        out.sparkSession.conf.get("spark.graft.partialCompression", "zstd"))
+      .parquet(path)
+
+  /** Rebuild the zone-map sidecar from the store itself, one aggregation
+    * over already-reduced partials — the flush-time companion of the
+    * deferred-stats streaming mode, also usable to repair/upgrade any
+    * store's sidecar. Overwrites: the sidecar is a derived index, so a
+    * fresh exact build (no replay duplicates) is strictly better than
+    * appending.
+    */
+  def regenerateStats(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) ||
+      !fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$SegmentCol=")))
+      return // nothing written — nothing to index
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$StatsDir"), true)
+    appendStats(spark.read.parquet(path), path)
   }
 }

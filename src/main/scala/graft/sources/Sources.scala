@@ -55,7 +55,9 @@ object Sources {
     // schema are uniformly TimestampType.
     val raw = graft.queries.Tables.t(spark, sfDir, "events")
     raw.repartition(splits)
-      .write.mode("overwrite").parquet(stagingDir)
+      // staging is transient replay scratch (read back once, then dead) —
+      // snappy's cheaper encode beats zstd's smaller files here
+      .write.mode("overwrite").option("compression", "snappy").parquet(stagingDir)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),

@@ -50,8 +50,13 @@ final class IngestStream(
     val staged = pipeline.project(
       pipeline.windowFilter(pipeline.extractTimestamp(source), now))
     // `writer` is a test seam (fault injection for the Kafka commit-contract
-    // spec); production always takes the SegmentSink default.
-    val write = writer.getOrElse(graft.sink.SegmentSink.writeMicroBatch(outputPath) _)
+    // spec); production always takes the SegmentSink default, in
+    // deferred-stats mode: one action per batch (no persist, no per-batch
+    // sidecar job) — [[flushAndStop]] rebuilds the zone-map once at drain.
+    val write = writer.getOrElse {
+      statsPath = Some(outputPath)
+      graft.sink.SegmentSink.writeMicroBatch(outputPath, withStats = false) _
+    }
     val q = staged.writeStream
       .queryName(s"graft-${spec.dataSchema.dataSource}")
       .option("checkpointLocation", checkpointDir)
@@ -141,13 +146,19 @@ final class IngestStream(
     q
   }
 
+  // set when start() installs the default (deferred-stats) writer
+  @volatile private var statsPath: Option[String] = None
+
   /** Drain all available input then stop — flush()+stop() semantics
-    * (upstream Tranquilizer.scala#flush / SimpleTranquilizerAdapter).
+    * (upstream Tranquilizer.scala#flush / SimpleTranquilizerAdapter). In
+    * deferred-stats mode, rebuilds the store's zone-map sidecar once here
+    * (exact, replay-dedup'd) instead of once per micro-batch.
     */
   def flushAndStop(): Unit = query.foreach { q =>
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
+    statsPath.foreach(graft.sink.SegmentSink.regenerateStats(spark, _))
   }
 
   /** Cumulative {received, sent, dropped} — the Tranquilizer counter surface

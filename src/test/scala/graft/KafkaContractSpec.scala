@@ -35,8 +35,8 @@ case class KRec(key: Array[Byte], value: Array[Byte], topic: String,
 class KafkaContractSpec extends SparkSpec {
   import spark.implicits._
 
-  private def rec(offset: Long, json: String) =
-    KRec(null, json.getBytes("UTF-8"), "events", 0, offset,
+  private def rec(offset: Long, json: String, topic: String = "events") =
+    KRec(null, json.getBytes("UTF-8"), topic, 0, offset,
       Timestamp.valueOf("2024-03-01 12:00:00"), 0)
 
   private val valueSchema = StructType(Seq(
@@ -112,5 +112,62 @@ class KafkaContractSpec extends SparkSpec {
     // and the store holds each event exactly once despite the replay
     val out = spark.read.parquet(s"$tmp/out")
     assert(out.agg(sum($"cnt")).as[Long].head() == 3L)
+  }
+
+  test("topicPattern routing: two topics → two dataSources, commits stay independent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.KafkaRouter
+    val input = MemoryStream[KRec]
+    val tmp = Files.createTempDirectory("graft-kafka-router").toString
+
+    def specFor(ds: String) = spec.copy(dataSchema = spec.dataSchema.copy(dataSource = ds))
+    val routes = Map(
+      "clicks" -> KafkaRouter.Route(specFor("clicks_ds"), s"$tmp/clicks", valueSchema),
+      "views"  -> KafkaRouter.Route(specFor("views_ds"), s"$tmp/views", valueSchema))
+
+    // one-shot fault in the CLICKS writer only — views must commit anyway
+    @volatile var failClicksOnce = true
+    def writerFor(topic: String): Option[(DataFrame, Long) => Unit] = Some {
+      (df, id) =>
+        if (topic == "clicks" && failClicksOnce) {
+          failClicksOnce = false; throw new RuntimeException("injected clicks failure")
+        }
+        graft.sink.SegmentSink.writeMicroBatch(s"$tmp/$topic")(df, id)
+    }
+
+    // interleaved offsets across topics, plus an UNROUTED topic that must
+    // be ignored (matches the subscribe pattern, no dataSource configured)
+    input.addData(
+      rec(0, """{"ts":"2024-03-01 12:00:00","etype":"c1","value":1.0}""", "clicks"),
+      rec(1, """{"ts":"2024-03-01 12:01:00","etype":"v1","value":2.0}""", "views"),
+      rec(2, """{"ts":"2024-03-01 12:02:00","etype":"c2","value":3.0}""", "clicks"),
+      rec(3, """{"ts":"2024-03-01 12:03:00","etype":"x1","value":9.0}""", "other"))
+
+    val streams1 = KafkaRouter.start(spark, input.toDF(), routes, s"$tmp/cp",
+      now = lit(Timestamp.valueOf("2024-03-01 12:00:00")),
+      trigger = Trigger.ProcessingTime(50), writerFor = writerFor)
+    // clicks dies before its commit; views drains and commits
+    intercept[StreamingQueryException] {
+      streams1("clicks").activeQuery.get.processAllAvailable()
+    }
+    streams1("views").flushAndStop()
+    assert(spark.read.parquet(s"$tmp/views").agg(sum($"cnt")).as[Long].head() == 1L,
+      "views must commit independently of the clicks failure")
+
+    // restart over the SAME checkpoints: clicks replays its uncommitted
+    // offsets; views has committed and redelivers nothing
+    val streams2 = KafkaRouter.start(spark, input.toDF(), routes, s"$tmp/cp",
+      now = lit(Timestamp.valueOf("2024-03-01 12:00:00")),
+      trigger = Trigger.ProcessingTime(50), writerFor = writerFor)
+    KafkaRouter.stopAll(streams2)
+
+    val clicks = spark.read.parquet(s"$tmp/clicks")
+      .select($"etype", $"cnt").as[(String, Long)].collect().toSet
+    val views = spark.read.parquet(s"$tmp/views")
+      .select($"etype", $"cnt").as[(String, Long)].collect().toSet
+    assert(clicks == Set(("c1", 1L), ("c2", 1L)), s"clicks store: $clicks")
+    assert(views == Set(("v1", 1L)), s"views store exactly-once: $views")
+    // the unrouted topic's record landed nowhere
+    assert(!new java.io.File(s"$tmp/other").exists)
   }
 }
