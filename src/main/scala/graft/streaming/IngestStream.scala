@@ -83,6 +83,44 @@ final class IngestStream(
     q
   }
 
+  /** Mode ROUTING for a spec's streaming ingest (SURVEY §2.9; closes the
+    * calendar-granularity gap): which path can honour the aggregator set at
+    * the declared queryGranularity?
+    *
+    *  - FINALIZED sketches (`hyperUnique`/`cardinality`/`approxHistogram` —
+    *    estimates, not mergeable) need cross-batch state: the watermarked
+    *    state store. That mode needs a fixed-width bucket (streaming
+    *    `window()` takes literal durations), so it covers SECOND..DAY.
+    *  - Calendar granularities (WEEK/MONTH/QUARTER/YEAR/ALL) stream through
+    *    the per-batch path: `date_trunc` bucketing is an ordinary batch
+    *    expression, and cross-batch merge happens at read (sums/min/max) —
+    *    including sketches, IF they are the STORED forms (`hllSketch` /
+    *    `histogramSketch`, binary partials re-merged by SegmentStore).
+    *  - Finalized sketches at calendar granularity are the one impossible
+    *    combination — the router rejects it and names the stored-form fix.
+    */
+  def startRouted(
+      source: DataFrame,
+      outputPath: String,
+      now: Column = current_timestamp(),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val gran = spec.dataSchema.granularitySpec
+    val finalized = Set("hyperUnique", "cardinality", "approxHistogram")
+    val needsState = spec.dataSchema.aggregators.exists(a => finalized(a.aggType))
+    if (needsState && gran.queryGranularity.widthSeconds > 0 && gran.rollup)
+      startWatermarked(source, outputPath, trigger)
+    else {
+      require(!needsState,
+        s"queryGranularity ${gran.queryGranularity.name} has no watermarked path " +
+          "(calendar periods aren't streaming window widths) and aggregators " +
+          s"${spec.dataSchema.aggregators.filter(a => finalized(a.aggType)).map(_.aggType).mkString(",")} " +
+          "don't re-merge from finalized per-batch values. Use the stored sketch " +
+          "forms instead (hyperUnique→hllSketch, approxHistogram→histogramSketch): " +
+          "binary partials re-merge at read for ANY granularity.")
+      start(source, outputPath, now, trigger)
+    }
+  }
+
   /** Watermarked streaming rollup: cross-batch FINAL aggregation via the
     * state store, emitted once per bucket when the event-time watermark
     * (= windowPeriod, the reference's lateness bound — SURVEY §2.9) passes the

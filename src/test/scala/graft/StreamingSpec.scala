@@ -315,6 +315,62 @@ class StreamingSpec extends SparkSpec {
     assert(again == Seq((5L, Seq(2.0, 2.0, 3.0, 10.0))))
   }
 
+  test("MONTH granularity sketch rollup streams via the routed per-batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    val mSpec = IngestionSpec(
+      DataSchema("month_events", TimestampSpec("ts"),
+        SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("hllSketch", "uniq_vals", Some("value")),
+          AggregatorSpec("histogramSketch", "vals_hist", Some("value"),
+            probabilities = Seq(0.5), accuracy = Some(64))),
+        GranularitySpec(Granularity.Month, Granularity.Month)),
+      Tuning(windowPeriod = java.time.Duration.ofDays(3650)))
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-month").toString
+    val ingest = new IngestStream(spark, mSpec, s"$tmp/checkpoint")
+    // router: calendar granularity + STORED sketches → per-batch mode
+    val q = ingest.startRouted(input.toDF(), s"$tmp/out",
+      now = lit(ts("2024-03-20 12:00:00")), trigger = Trigger.ProcessingTime(50))
+    assert(q.name == "graft-month_events", "calendar spec must take the per-batch path")
+    // same MONTH bucket fed from two batches with an overlapping value;
+    // multiset for March = {1, 1, 2, 3} → median rank 2 → 1.0, distinct 3
+    input.addData(Ev(ts("2024-03-01 10:00:00"), "click", 1.0),
+      Ev(ts("2024-03-15 10:00:00"), "click", 2.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-20 10:00:00"), "click", 1.0),
+      Ev(ts("2024-03-25 10:00:00"), "click", 3.0),
+      Ev(ts("2024-04-02 10:00:00"), "click", 9.0)) // second month bucket
+    ingest.flushAndStop()
+
+    val got = graft.sink.SegmentStore.read(spark, s"$tmp/out", mSpec)
+      .orderBy($"segment")
+      .select($"segment", $"cnt", $"uniq_vals", element_at($"vals_hist", 1))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("2024-03-01T00.00.00", 4L, 3L, 1.0),
+      ("2024-04-01T00.00.00", 1L, 1L, 9.0)), s"month rollup: $got")
+
+    // router: FINALIZED sketch + fixed-width granularity → watermarked mode
+    val wmSpec = mSpec.copy(dataSchema = mSpec.dataSchema.copy(
+      aggregators = Seq(AggregatorSpec("hyperUnique", "u", Some("value"))),
+      granularitySpec = GranularitySpec(Granularity.Hour, Granularity.Hour)))
+    val wmIngest = new IngestStream(spark, wmSpec, s"$tmp/cp-wm")
+    val wmQ = wmIngest.startRouted(MemoryStream[Ev].toDF(), s"$tmp/out-wm",
+      trigger = Trigger.ProcessingTime(50))
+    assert(wmQ.name == "graft-wm-month_events")
+    wmIngest.flushAndStop()
+
+    // router: finalized sketch + calendar granularity = impossible — the
+    // error must name the stored-form fix
+    val badSpec = mSpec.copy(dataSchema = mSpec.dataSchema.copy(
+      aggregators = Seq(AggregatorSpec("approxHistogram", "h", Some("value")))))
+    val err = intercept[IllegalArgumentException] {
+      new IngestStream(spark, badSpec, s"$tmp/cp-bad")
+        .startRouted(MemoryStream[Ev].toDF(), s"$tmp/out-bad")
+    }
+    assert(err.getMessage.contains("histogramSketch"))
+  }
+
   test("interval-pruned read + segmentMetadata analog") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
