@@ -67,6 +67,23 @@ final case class AggregatorSpec(
       */
     accuracy: Option[Int] = scala.None)
 
+/** Druid postAggregations entry (upstream metricsSpec companion — Druid's
+  * arithmetic / fieldAccess / constant post-aggregators): computed AFTER
+  * rollup, over finalized metric columns. `arithmetic` with fn `/` follows
+  * Druid's rule (0 when the divisor is 0); `quotient` is plain floating
+  * division (NaN/Infinity propagate).
+  */
+final case class PostAggregatorSpec(
+    paType: String, // arithmetic | fieldAccess | constant
+    name: String,
+    /** for arithmetic: +, -, *, /, quotient */
+    fn: String = "",
+    fields: Seq[PostAggregatorSpec] = Nil,
+    /** for fieldAccess: the finalized metric column to read */
+    fieldName: Option[String] = scala.None,
+    /** for constant */
+    value: Option[Double] = scala.None)
+
 final case class GranularitySpec(
     segmentGranularity: Granularity = Granularity.Hour,
     queryGranularity: Granularity = Granularity.None,
@@ -91,7 +108,8 @@ final case class DataSchema(
     timestampSpec: TimestampSpec,
     dimensionsSpec: DimensionsSpec,
     aggregators: Seq[AggregatorSpec],
-    granularitySpec: GranularitySpec = GranularitySpec())
+    granularitySpec: GranularitySpec = GranularitySpec(),
+    postAggregations: Seq[PostAggregatorSpec] = Nil)
 
 final case class IngestionSpec(
     dataSchema: DataSchema,

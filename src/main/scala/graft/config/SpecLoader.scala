@@ -76,6 +76,9 @@ object SpecLoader {
     val metrics = opt(ds, "metricsSpec").toSeq
       .flatMap(_.elements.asScala).map(parseAgg)
 
+    val postAggs = opt(ds, "postAggregations").toSeq
+      .flatMap(_.elements.asScala).map(parsePostAgg)
+
     val gran = opt(ds, "granularitySpec").map { g =>
       GranularitySpec(
         segmentGranularity = Granularity.fromString(str(g, "segmentGranularity", "HOUR")),
@@ -95,8 +98,21 @@ object SpecLoader {
     }.getOrElse(Tuning())
 
     IngestionSpec(
-      DataSchema(dataSource, tsSpec, dimSpec, metrics, gran), tuning).validate()
+      DataSchema(dataSource, tsSpec, dimSpec, metrics, gran, postAggs), tuning).validate()
   }
+
+  /** Druid postAggregations shape: {"type":"arithmetic","name":"avg","fn":"/",
+    * "fields":[{"type":"fieldAccess","fieldName":"sum_v"},
+    *           {"type":"fieldAccess","fieldName":"cnt"}]}
+    */
+  private def parsePostAgg(n: JsonNode): PostAggregatorSpec =
+    PostAggregatorSpec(
+      paType = str(n, "type", ""),
+      name = str(n, "name", ""),
+      fn = str(n, "fn", ""),
+      fields = opt(n, "fields").toSeq.flatMap(_.elements.asScala).map(parsePostAgg),
+      fieldName = opt(n, "fieldName").map(_.asText),
+      value = opt(n, "value").map(_.asDouble))
 
   private def parseAgg(n: JsonNode): AggregatorSpec = {
     val t = str(n, "type", "")

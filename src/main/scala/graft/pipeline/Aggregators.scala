@@ -74,6 +74,31 @@ object Aggregators {
       throw new IllegalArgumentException(s"filtered wrapper unsupported for: $other")
   }
 
+  /** Druid postAggregations → Column over FINALIZED metric columns (applied
+    * after rollup/merge — [[Pipeline.postAggregate]]). Division follows
+    * Druid: `/` yields 0 on a zero divisor; `quotient` is raw floating
+    * division. Pure Column arithmetic — codegen'd, no extra pass.
+    */
+  def postAggColumn(p: graft.config.PostAggregatorSpec): Column = p.paType match {
+    case "fieldAccess" => col(p.fieldName.getOrElse(p.name)).cast(DoubleType)
+    case "constant" => lit(p.value.getOrElse(
+      throw new IllegalArgumentException(s"constant postAgg ${p.name} needs value")))
+    case "arithmetic" =>
+      val cs = p.fields.map(postAggColumn)
+      require(cs.nonEmpty, s"arithmetic postAgg ${p.name} needs fields")
+      p.fn match {
+        case "+" => cs.reduce(_ + _)
+        case "-" => cs.reduce(_ - _)
+        case "*" => cs.reduce(_ * _)
+        case "/" => cs.reduce((a, b) => when(b === 0, lit(0.0)).otherwise(a / b))
+        case "quotient" => cs.reduce(_ / _)
+        case other => throw new IllegalArgumentException(
+          s"unsupported postAgg fn '$other' (${p.name})")
+      }
+    case other =>
+      throw new IllegalArgumentException(s"unsupported postAggregator type: $other")
+  }
+
   /** Input columns an aggregator reads (for projection / schemaless exclusion). */
   def inputFields(spec: AggregatorSpec): Seq[String] =
     spec.fieldName.toSeq ++ spec.filterDimension.toSeq ++

@@ -183,6 +183,15 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
     }
   }
 
+  /** Apply the spec's Druid-style postAggregations over FINALIZED metric
+    * columns (after [[rollup]] or [[graft.sink.SegmentStore.read]] — post
+    * aggs never see partials, matching Druid where they run at query time
+    * on merged results). No-op for a spec without postAggregations.
+    */
+  def postAggregate(df: DataFrame): DataFrame =
+    schema.postAggregations.foldLeft(df)((d, p) =>
+      d.withColumn(p.name, Aggregators.postAggColumn(p)))
+
   /** Declared dimension names present in `df` (post-projection). */
   def dimensionNames(df: DataFrame): Seq[String] = {
     val spatial = schema.dimensionsSpec.spatialDimensions.map(_.dimName)

@@ -557,6 +557,60 @@ object RelationalQueries {
               FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                       event_type, round(sum(value), 2) AS revenue
                     FROM events GROUP BY 1, 2))
-            WHERE rk <= 2"""))
+            WHERE rk <= 2""")),
+
+    // -- Druid extractionFn analogs (r3): substring / timeFormat / regex
+    // dimension extraction applied AT QUERY TIME over raw dims — grouping on
+    // the extracted values (upstream dimension-spec extraction functions).
+    // All plain Column expressions: codegen'd, pushdown-friendly ------------
+    QueryDef("dim_extraction_fns", (s, dir) => {
+      Tables.t(s, dir, "events")
+        .groupBy(
+          substring(col("event_type"), 1, 3).as("etype3"),
+          date_format(col("ts"), "HH").as("hour_of_day"),
+          length(regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1))
+            .cast(org.apache.spark.sql.types.LongType).as("k_digits"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+    Some("""SELECT substr(event_type, 1, 3) AS etype3,
+             strftime(ts, '%H') AS hour_of_day,
+             CAST(length(regexp_extract(props, '"k":\s*([0-9]+)', 1)) AS BIGINT) AS k_digits,
+             count(*) AS cnt
+            FROM events GROUP BY 1, 2, 3""")),
+
+    // -- Druid lookup (registered map) dimension extraction: map literal →
+    // element_at with replaceMissingValueWith default; at scale a LARGE
+    // lookup becomes a broadcast join, same semantics ------------------------
+    QueryDef("lookup_map_dim", (s, dir) => {
+      val lookup = typedlit(Map(
+        "click" -> "engagement", "view" -> "engagement",
+        "purchase" -> "revenue", "signup" -> "growth"))
+      Tables.t(s, dir, "events")
+        .groupBy(coalesce(element_at(lookup, col("event_type")), lit("other"))
+          .as("department"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+    },
+    Some("""SELECT CASE event_type
+              WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+              WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
+              ELSE 'other' END AS department,
+             count(*) AS cnt, round(sum(value), 2) AS total
+            FROM events GROUP BY 1""")),
+
+    // -- Druid scan-query pagination: stable total order + offset/limit
+    // (the reference's select/scan queries page through raw rows; the
+    // (ts, event_id) order is total because event_id is unique) -------------
+    QueryDef("scan_paginated", (s, dir) => {
+      Tables.t(s, dir, "events")
+        .orderBy(col("ts"), col("event_id"))
+        .offset(200).limit(100)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("event_type"), round(col("value"), 2).as("value"))
+    },
+    Some("""SELECT event_id,
+             strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+             event_type, round(value, 2) AS value
+            FROM events ORDER BY ts, event_id LIMIT 100 OFFSET 200"""))
   )
 }

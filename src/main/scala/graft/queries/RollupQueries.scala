@@ -385,6 +385,82 @@ object RollupQueries {
             CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS prob) probs
             WHERE rk = CAST(ceil(prob * n) AS BIGINT)""")),
 
+    // -- Druid postAggregations (r3): arithmetic over FINALIZED metrics,
+    // declared in the spec JSON (fieldAccess / constant / arithmetic, with
+    // Druid's divide-by-zero→0 rule), applied after rollup ------------------
+    QueryDef("post_aggregations", (s, dir) => {
+      val json =
+        """{"dataSchema": {"dataSource": "events",
+             "parser": {"parseSpec": {
+               "timestampSpec": {"column": "ts", "format": "auto"},
+               "dimensionsSpec": {"dimensions": ["event_type"]}}},
+             "metricsSpec": [{"type": "count", "name": "cnt"},
+                             {"type": "doubleSum", "name": "sum_value", "fieldName": "value"}],
+             "postAggregations": [
+               {"type": "arithmetic", "name": "avg_value", "fn": "/",
+                "fields": [{"type": "fieldAccess", "fieldName": "sum_value"},
+                           {"type": "fieldAccess", "fieldName": "cnt"}]},
+               {"type": "arithmetic", "name": "zero_guard", "fn": "/",
+                "fields": [{"type": "fieldAccess", "fieldName": "sum_value"},
+                           {"type": "arithmetic", "name": "z", "fn": "-",
+                            "fields": [{"type": "fieldAccess", "fieldName": "cnt"},
+                                       {"type": "fieldAccess", "fieldName": "cnt"}]}]},
+               {"type": "arithmetic", "name": "scaled_cnt", "fn": "*",
+                "fields": [{"type": "fieldAccess", "fieldName": "cnt"},
+                           {"type": "constant", "name": "f", "value": 2.5}]}],
+             "granularitySpec": {"segmentGranularity": "DAY", "queryGranularity": "DAY"}}}"""
+      val p = new Pipeline(SpecLoaderRef.load(json))
+      p.postAggregate(p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events")))))
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("event_type"), col("cnt"),
+          round(col("avg_value"), 6).as("avg_value"),
+          col("zero_guard"), col("scaled_cnt"))
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, count(*) AS cnt,
+             round(sum(value) / count(*), 6) AS avg_value,
+             0.0 AS zero_guard,
+             count(*) * 2.5 AS scaled_cnt
+            FROM events GROUP BY 1, 2""")),
+
+    // -- Druid timeseries ZERO-FILLING (r3): a timeseries query emits every
+    // bucket of the interval, zero-filled where no rows rolled up (upstream
+    // timeseries semantics). Buckets come from one sequence() over the
+    // table's hour bounds; the sparse rollup left-joins in (the bucket
+    // frame is ~interval/granularity rows — broadcast side at any scale) ----
+    QueryDef("timeseries_zero_fill", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Nil),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("doubleSum", "sum_value", Some("value"))),
+        GranularitySpec(Granularity.Hour, Granularity.Hour)))
+      val p = new Pipeline(spec)
+      val ev = Tables.t(s, dir, "events")
+      // sparse subset: ~1/997 of users → most hour buckets are EMPTY
+      val rolled = p.rollup(p.project(p.extractTimestamp(
+        ev.filter(col("user_id") % 997 === 0))))
+      val buckets = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as(Pipeline.TsCol))
+      buckets.join(rolled, Seq(Pipeline.TsCol), "left")
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          round(coalesce(col("sum_value"), lit(0.0)), 2).as("sum_value"))
+    },
+    Some("""WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                                   date_trunc('hour', max(ts)) AS hi FROM events),
+              buckets AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                          FROM bounds),
+              rolled AS (SELECT date_trunc('hour', ts) AS h, count(*) AS c,
+                                sum(value) AS sv
+                         FROM events WHERE user_id % 997 = 0 GROUP BY 1)
+            SELECT strftime(b.h, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   CAST(coalesce(r.c, 0) AS BIGINT) AS cnt,
+                   round(coalesce(r.sv, 0), 2) AS sum_value
+            FROM buckets b LEFT JOIN rolled r ON b.h = r.h""")),
+
     // -- config round-trip: full ingestion-spec JSON drives the pipeline ----
     QueryDef("spec_json_roundtrip", (s, dir) => {
       val json =

@@ -65,6 +65,33 @@ class ConfigSpec extends AnyFunSuite {
     assert(aggs(1).aggType == "hllSketch" && aggs(1).accuracy.isEmpty)
   }
 
+  test("loader parses nested postAggregations (arithmetic/fieldAccess/constant)") {
+    val spec = SpecLoader.fromJson(
+      """{"dataSchema": {"dataSource": "e",
+           "parser": {"parseSpec": {
+             "timestampSpec": {"column": "ts"},
+             "dimensionsSpec": {"dimensions": ["d"]}}},
+           "metricsSpec": [{"type": "count", "name": "cnt"},
+                           {"type": "doubleSum", "name": "sv", "fieldName": "v"}],
+           "postAggregations": [
+             {"type": "arithmetic", "name": "avg", "fn": "/",
+              "fields": [{"type": "fieldAccess", "fieldName": "sv"},
+                         {"type": "arithmetic", "name": "n2", "fn": "*",
+                          "fields": [{"type": "fieldAccess", "fieldName": "cnt"},
+                                     {"type": "constant", "name": "two", "value": 2.0}]}]}]}}""")
+    val pa = spec.dataSchema.postAggregations
+    assert(pa.size == 1 && pa.head.name == "avg" && pa.head.fn == "/")
+    assert(pa.head.fields.map(_.paType) == Seq("fieldAccess", "arithmetic"))
+    assert(pa.head.fields(1).fields(1).value.contains(2.0))
+    // unknown fn fails at column-build time with a named error
+    val bad = graft.config.PostAggregatorSpec("arithmetic", "x", fn = "^",
+      fields = Seq(graft.config.PostAggregatorSpec("constant", "c", value = Some(1.0))))
+    val err = intercept[IllegalArgumentException] {
+      graft.pipeline.Aggregators.postAggColumn(bad)
+    }
+    assert(err.getMessage.contains("^"))
+  }
+
   test("empty dimensions array means schemaless") {
     val spec = SpecLoader.fromJson(
       """{"dataSchema": {"dataSource": "x",
