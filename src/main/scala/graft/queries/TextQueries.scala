@@ -272,6 +272,105 @@ object TextQueries {
              CAST(list_max(list_transform(string_split(text, ' '), w -> length(w))) AS INT)
                AS max_word_len,
              string_split(text, ' ')[1] AS first_word
-            FROM documents WHERE doc_id < 100"""))
+            FROM documents WHERE doc_id < 100""")),
+
+    // -- text normalization + masking (r3): the pre-dedup canonicalization
+    // pass every curation pipeline runs (lowercase, collapse whitespace,
+    // mask digit runs) — all codegen'd string expressions, one scan --------
+    QueryDef("text_normalize_mask", (s, dir) => {
+      val norm = regexp_replace(
+        regexp_replace(lower(trim(col("text"))), "[0-9]+", "<num>"),
+        "\\s+", " ")
+      Tables.t(s, dir, "documents")
+        .select(col("source"), norm.as("norm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          count_distinct(col("norm")).as("distinct_norm"),
+          sum(length(col("norm"))).cast(LongType).as("norm_chars"))
+    },
+    Some("""SELECT source, count(*) AS docs,
+             CAST(count(DISTINCT regexp_replace(regexp_replace(lower(trim(text)),
+               '[0-9]+', '<num>', 'g'), '\s+', ' ', 'g')) AS BIGINT) AS distinct_norm,
+             CAST(sum(length(regexp_replace(regexp_replace(lower(trim(text)),
+               '[0-9]+', '<num>', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS norm_chars
+            FROM documents GROUP BY 1""")),
+
+    // -- repetition-ratio quality signals (r3, Gopher-style): duplicate-word
+    // fraction and top-word fraction per doc — higher-order array lambdas,
+    // no UDFs (the O(w²) top-word count is per-row over ~150-word docs) -----
+    QueryDef("repetition_stats", (s, dir) => {
+      val words = split(col("text"), " ")
+      val total = size(words)
+      val dupFrac = lit(1.0) - size(array_distinct(words)).cast("double") / total
+      val topFrac = array_max(transform(array_distinct(words),
+        w => size(filter(words, x => x === w)))).cast("double") / total
+      Tables.t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          round(dupFrac, 6).as("dup_word_frac"),
+          round(topFrac, 6).as("top_word_frac"))
+    },
+    Some("""SELECT doc_id,
+             round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS dup_word_frac,
+             round(CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+                 w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS top_word_frac
+            FROM documents WHERE doc_id < 50""")),
+
+    // -- benchmark decontamination (r3): remove training docs sharing any
+    // 5-word shingle with the held-out set (doc_id % 100 == 0 stands in for
+    // the benchmark). The benchmark shingle set is the BROADCAST side — the
+    // C4/Dolma-style decontamination join shape at any corpus size ----------
+    QueryDef("decontaminate_ngram_overlap", (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val words = split(col("text"), " ")
+      val shingles = when(size(words) >= 5,
+        transform(sequence(lit(1), size(words) - 4),
+          i => concat_ws(" ", slice(words, i, lit(5))))).otherwise(array())
+      val sh = docs.select(col("doc_id"), explode(shingles).as("s"))
+      val bench = sh.filter(col("doc_id") % 100 === 0).select(col("s")).distinct()
+      val contaminated = sh.filter(col("doc_id") % 100 =!= 0)
+        .join(broadcast(bench), Seq("s")).select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") % 100 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("survivors"))
+    },
+    Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+                       FROM documents),
+              sh AS (SELECT doc_id, array_to_string(words[i:i+4], ' ') AS s
+                     FROM w, unnest(range(1, greatest(len(words) - 3, 1))) AS t(i)),
+              b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0),
+              bad AS (SELECT DISTINCT t.doc_id FROM sh t JOIN b ON t.s = b.s
+                      WHERE t.doc_id % 100 <> 0)
+            SELECT source, count(*) AS survivors FROM documents d
+            WHERE doc_id % 100 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
+            GROUP BY 1""")),
+
+    // -- token-budget sequence packing (r3): assign docs to fixed-budget
+    // training bins by running token count — contiguous streaming packing,
+    // per source shard so the window parallelizes (global packing would
+    // serialize; per-shard is how a 100 TB corpus actually packs) -----------
+    QueryDef("sequence_packing", (s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("tokens"))
+        .withColumn("bin",
+          floor(coalesce(sum(col("tokens")).over(w), lit(0L)) / 2000).cast(LongType))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("docs"), sum(col("tokens")).cast(LongType).as("bin_tokens"))
+    },
+    Some("""SELECT source, CAST(floor(coalesce(cum_before, 0) / 2000) AS BIGINT) AS bin,
+             count(*) AS docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
+            FROM (SELECT source, doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+                      PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+                  FROM documents)
+            GROUP BY 1, 2"""))
   )
 }
