@@ -43,10 +43,12 @@ final case class SchemalessDimensions(
 /** Aggregator declaration (metricsSpec entry). The set matches what appears in
   * tranquility's docs/tests (SURVEY §2.4): count, longSum, doubleSum, longMin,
   * longMax, doubleMin, doubleMax, hyperUnique, cardinality, approxHistogram,
-  * plus the `filtered` wrapper, plus the mergeable STORAGE forms `hllSketch`
-  * and `histogramSketch` (binary sketch kept in the segment, merged at read —
-  * for histogramSketch, `accuracy` = max centroid bins and `probabilities` =
-  * quantiles finalized at query time). `javascript` is NOT supported — the engine's
+  * plus the `filtered` wrapper, plus the mergeable STORAGE forms `hllSketch`,
+  * `histogramSketch` and `thetaSketch` (binary sketch kept in the segment,
+  * merged at read — for histogramSketch, `accuracy` = max centroid bins and
+  * `probabilities` = quantiles finalized at query time; for thetaSketch,
+  * `accuracy` = k retained minimum hashes, supporting distinct estimates AND
+  * set intersection). `javascript` is NOT supported — the engine's
   * extension point for custom folds is a Spark `Aggregator` (see
   * [[graft.functions.CustomAggregators]]).
   */

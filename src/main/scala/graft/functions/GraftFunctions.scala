@@ -67,6 +67,35 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "hist_quantiles(sketch, probs) takes 2 arguments")
         HistQuantiles(args(0), args(1))
+      }),
+    (new FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "theta_sketch_agg(value, k) takes 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"theta_sketch_agg k must be an integer literal, got $other")
+        }
+        ThetaSketchAgg(args(0), k)
+      }),
+    (new FunctionIdentifier("theta_union_agg"),
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "theta_union_agg(sketch) takes 1 argument")
+        ThetaUnionAgg(args(0))
+      }),
+    (new FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "theta_estimate(sketch) takes 1 argument")
+        ThetaEstimate(args(0))
+      }),
+    (new FunctionIdentifier("theta_intersect"),
+      new ExpressionInfo(classOf[ThetaIntersect].getName, "theta_intersect"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "theta_intersect(a, b) takes 2 arguments")
+        ThetaIntersect(args(0), args(1))
       }))
 
   /** Imperative registration for sessions created without the extension. */

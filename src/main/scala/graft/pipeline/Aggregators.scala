@@ -44,6 +44,12 @@ object Aggregators {
     case "histogramSketch" =>
       call_function("hist_sketch_agg", field(spec).cast(DoubleType),
         lit(spec.accuracy.getOrElse(128))).as(spec.name)
+    // thetaSketch: Druid's set-algebra sketch (distinct + intersection) in
+    // its mergeable STORAGE form; input hashed from the string form like
+    // hllSketch; `accuracy` = k (retained minimum hashes)
+    case "thetaSketch" =>
+      call_function("theta_sketch_agg", field(spec).cast(StringType),
+        lit(spec.accuracy.getOrElse(4096))).as(spec.name)
     case "approxHistogram" =>
       val probs = if (spec.probabilities.nonEmpty) spec.probabilities
                   else Seq(0.25, 0.5, 0.75, 0.95)

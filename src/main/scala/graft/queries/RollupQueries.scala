@@ -385,6 +385,67 @@ object RollupQueries {
             CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS prob) probs
             WHERE rk = CAST(ceil(prob * n) AS BIGINT)""")),
 
+    // -- theta sketch SET ALGEBRA (r3): Druid thetaSketch's capability HLL
+    // lacks — audience overlap via sketch intersection. k=4096 ≫ 150
+    // distinct users/type keeps the KMV sketch sparse-exact, so estimates
+    // and intersections hash-match exact DISTINCT arithmetic. At scale the
+    // same query runs on stored sketch binaries (see theta_sketch_stored)
+    // with bounded error instead of a second pass over raw data.
+    QueryDef("theta_audience_overlap", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val sk = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(call_function("theta_sketch_agg",
+          col("user_id").cast("string"), lit(4096)).as("sk"))
+      val a = sk.select(col("event_type").as("etype_a"), col("sk").as("ska"))
+      val b = sk.select(col("event_type").as("etype_b"), col("sk").as("skb"))
+      a.join(b, col("etype_a") < col("etype_b"))
+        .select(col("etype_a"), col("etype_b"),
+          call_function("theta_estimate", col("ska")).cast(LongType).as("uniq_a"),
+          call_function("theta_estimate", col("skb")).cast(LongType).as("uniq_b"),
+          call_function("theta_intersect", col("ska"), col("skb"))
+            .cast(LongType).as("overlap"))
+    },
+    Some("""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+              c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS u FROM d GROUP BY 1),
+              o AS (SELECT x.event_type AS ea, y.event_type AS eb,
+                           CAST(count(*) AS BIGINT) AS ov
+                    FROM d x JOIN d y ON x.user_id = y.user_id
+                         AND x.event_type < y.event_type
+                    GROUP BY 1, 2)
+            SELECT o.ea AS etype_a, o.eb AS etype_b,
+                   ca.u AS uniq_a, cb.u AS uniq_b, o.ov AS overlap
+            FROM o JOIN c ca ON ca.event_type = o.ea
+                   JOIN c cb ON cb.event_type = o.eb""")),
+
+    // -- theta sketch STORAGE form through the real streaming store: binary
+    // KMV partials per batch, theta_union_agg at read, estimate last --------
+    QueryDef("theta_sketch_stored", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("thetaSketch", "uniq_users", Some("user_id"),
+            accuracy = Some(4096))),
+        GranularitySpec(Granularity.Day, Granularity.Day)))
+      val p = new Pipeline(spec)
+      val ev = Tables.t(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-thetastore").toString
+      graft.sink.SegmentSink.writeMicroBatch(tmp)(
+        p.withSegment(p.rollup(p.project(p.extractTimestamp(
+          ev.filter(col("event_id") % 2 === 0))))), 0L)
+      graft.sink.SegmentSink.writeMicroBatch(tmp)(
+        p.withSegment(p.rollup(p.project(p.extractTimestamp(
+          ev.filter(col("event_id") % 2 === 1))))), 1L)
+      graft.sink.SegmentStore.read(s, tmp, spec)
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("event_type"), col("cnt"),
+          col("uniq_users").cast(LongType).as("uniq_users"))
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, count(*) AS cnt,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+            FROM events GROUP BY 1, 2""")),
+
     // -- Druid postAggregations (r3): arithmetic over FINALIZED metrics,
     // declared in the spec JSON (fieldAccess / constant / arithmetic, with
     // Druid's divide-by-zero→0 rule), applied after rollup ------------------

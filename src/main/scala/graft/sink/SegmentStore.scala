@@ -46,6 +46,10 @@ object SegmentStore {
         (if (finalizeSketches)
           call_function("hist_quantiles", merged, array(probs.map(lit): _*))
         else merged).as(spec.name)
+      case "thetaSketch" =>
+        val merged = call_function("theta_union_agg", col(spec.name))
+        (if (finalizeSketches) call_function("theta_estimate", merged)
+        else merged).as(spec.name)
       case "filtered" =>
         val d = spec.aggregator.getOrElse(
           throw new IllegalArgumentException(s"filtered ${spec.name} lacks delegate"))

@@ -340,6 +340,37 @@ class FunctionsSpec extends SparkSpec {
       Seq(1.0, 3.0, 5.0, 5.0))
   }
 
+  test("theta sketch: sparse exactness, capacity estimates, intersection accuracy") {
+    import graft.functions.ThetaSketch
+    import org.apache.spark.unsafe.types.UTF8String
+    def mk(k: Int, vs: Seq[String]) = {
+      val b = new ThetaSketch.Buffer(k)
+      vs.foreach(v => b.add(ThetaSketch.hash(UTF8String.fromString(v))))
+      b
+    }
+    // sparse regime: union + intersection are EXACT
+    val a = mk(64, Seq("a", "b", "c")); val b = mk(64, Seq("b", "c", "d"))
+    assert(ThetaSketch.intersectEstimate(a, b) == 2.0)
+    a.mergeWith(b)
+    assert(ThetaSketch.estimate(a) == 4.0, "sparse union must be exact")
+    val rt = ThetaSketch.deserialize(ThetaSketch.serialize(a))
+    assert(ThetaSketch.estimate(rt) == 4.0 && rt.k == 64)
+
+    // capacity regime: KMV estimator within 5% at k=1024 over 10k distinct
+    val big = mk(1024, (0 until 10000).map(i => s"v$i"))
+    val est = ThetaSketch.estimate(big)
+    assert(math.abs(est - 10000) / 10000.0 < 0.05, s"estimate off: $est")
+    // overlapping capacity sketches: intersection within 15% of true 5000
+    val left = mk(1024, (0 until 10000).map(i => s"v$i"))
+    val right = mk(1024, (5000 until 15000).map(i => s"v$i"))
+    val inter = ThetaSketch.intersectEstimate(left, right)
+    assert(math.abs(inter - 5000) / 5000.0 < 0.15, s"intersection off: $inter")
+    // union of mismatched k adopts the smaller bound
+    val small = mk(256, (0 until 500).map(i => s"w$i"))
+    left.mergeWith(small)
+    assert(left.k == 256 && left.size <= 256)
+  }
+
   test("multimodal stub decode: partition-wise feature extraction") {
     val df = Seq((1L, "src", "x" * 2500)).toDF("doc_id", "source", "text")
       .select($"doc_id", $"source", $"text".cast("binary").as("payload"))
