@@ -275,6 +275,59 @@ object SegmentStore {
     rows.join(stats, Seq(Pipeline.SegmentCol), "left")
   }
 
+  /** Retention rules — the Druid drop-rule analog (coordinator `dropBefore` /
+    * period load rules): delete segment directories whose time chunk ends
+    * before `keepFrom`. Chunk membership comes from the sortable dir-name
+    * encoding, so this is a pure fs-metadata operation — no data scan; the
+    * zone-map sidecar rows for dropped segments become dead weight that the
+    * next [[SegmentSink.regenerateStats]]/compaction clears (pruning reads
+    * only intersect covered segments, so stale rows are harmless).
+    * Returns the dropped segment names.
+    */
+  def applyRetention(spark: SparkSession, path: String, spec: IngestionSpec,
+      keepFrom: java.sql.Timestamp): Seq[String] = {
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH.mm.ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID)))
+    // a segment whose CHUNK END is at or before the bound holds only expired
+    // rows; the chunk containing keepFrom is retained whole (Druid drops
+    // whole segments, never partial)
+    val gran = spec.dataSchema.granularitySpec.segmentGranularity
+    val keepSeg = fmt.format(java.sql.Timestamp.from(
+      gran.truncateInstant(keepFrom.toInstant)))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropped = listSegmentDirs(spark, path).filter(_ < keepSeg)
+    dropped.foreach { seg =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/${Pipeline.SegmentCol}=$seg"), true)
+    }
+    dropped
+  }
+
+  /** Union-datasource read — the Druid `union` datasource: one logical
+    * rollup over several stores sharing a spec (e.g. per-topic stores from
+    * [[graft.sources.KafkaRouter]] queried as one). Partials from every
+    * store re-merge in the same groupBy, so the result is identical to
+    * having ingested into a single store.
+    */
+  def readUnion(spark: SparkSession, paths: Seq[String], spec: IngestionSpec,
+      finalizeSketches: Boolean = true): DataFrame = {
+    require(paths.nonEmpty, "readUnion needs at least one store path")
+    graft.functions.GraftFunctions.register(spark)
+    val parts = paths.map(p =>
+      spark.read.option("mergeSchema", "true").parquet(p).drop("__batch_id"))
+    val df = parts.reduce(_ unionByName (_, allowMissingColumns = true))
+    val dimNames = df.columns.toSeq.filterNot { c =>
+      c == Pipeline.TsCol || c == Pipeline.SegmentCol ||
+        spec.dataSchema.aggregators.exists(_.name == c)
+    }
+    val merges = spec.dataSchema.aggregators.map(mergeColumn(_, finalizeSketches))
+    df.groupBy((Pipeline.TsCol +: Pipeline.SegmentCol +: dimNames).map(col): _*)
+      .agg(merges.head, merges.tail: _*)
+  }
+
   /** Compaction: rewrite per-batch partials as finals, one pass per store —
     * the analog of Druid segment compaction. At scale this is the periodic
     * job that keeps read amplification bounded: input rows = partials

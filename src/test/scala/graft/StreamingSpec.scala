@@ -315,6 +315,37 @@ class StreamingSpec extends SparkSpec {
     assert(again == Seq((5L, Seq(2.0, 2.0, 3.0, 10.0))))
   }
 
+  test("retention rules drop expired segment chunks; union datasource reads merge stores") {
+    val rSpec = IngestionSpec(DataSchema("ret_events", TimestampSpec("ts"),
+      SpecificDimensions(Seq("etype")), Seq(AggregatorSpec("count", "cnt")),
+      GranularitySpec(Granularity.Hour, Granularity.Hour)))
+    val mk = (base: String, etype: String, ts0: String, cnt: Long) =>
+      graft.sink.SegmentSink.writeMicroBatch(base)(
+        Seq((etype, cnt, ts(ts0), ts(ts0))).toDF("etype", "cnt",
+          graft.pipeline.Pipeline.TsCol, graft.pipeline.Pipeline.SegmentCol), 0)
+    val tmp = Files.createTempDirectory("graft-retention").toString
+
+    // three hour chunks; drop everything before 12:30 → only 11:00 goes
+    // (the chunk CONTAINING the bound is retained whole, Druid-style)
+    mk(s"$tmp/a", "click", "2024-03-01 11:00:00", 1L)
+    mk(s"$tmp/a", "click", "2024-03-01 12:00:00", 2L)
+    mk(s"$tmp/a", "view", "2024-03-01 13:00:00", 3L)
+    val dropped = graft.sink.SegmentStore.applyRetention(spark, s"$tmp/a", rSpec,
+      ts("2024-03-01 12:30:00"))
+    assert(dropped == Seq("2024-03-01T11.00.00"), s"dropped: $dropped")
+    val left = graft.sink.SegmentStore.read(spark, s"$tmp/a", rSpec)
+      .select($"etype", $"cnt").as[(String, Long)].collect().toSet
+    assert(left == Set(("click", 2L), ("view", 3L)))
+
+    // union datasource: second store shares a (bucket, dim) with the first —
+    // partials re-merge across stores exactly as within one store
+    mk(s"$tmp/b", "click", "2024-03-01 12:00:00", 10L)
+    val union = graft.sink.SegmentStore.readUnion(spark,
+      Seq(s"$tmp/a", s"$tmp/b"), rSpec)
+      .select($"etype", $"cnt").as[(String, Long)].collect().toSet
+    assert(union == Set(("click", 12L), ("view", 3L)), s"union: $union")
+  }
+
   test("MONTH granularity sketch rollup streams via the routed per-batch path") {
     implicit val sqlCtx = spark.sqlContext
     val mSpec = IngestionSpec(
