@@ -18,7 +18,14 @@ object ExplainDump {
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.SparkEntry.headlines.foreach { q =>
+    // 2nd arg: comma-separated query names (default: the bench headliners)
+    val picked = args.drop(1).headOption match {
+      case Some(names) =>
+        val want = names.split(",").toSet
+        graft.SparkEntry.registry.filter(q => want(q.name))
+      case None => graft.SparkEntry.headlines
+    }
+    picked.foreach { q =>
       println(s"\n========== ${q.name} ==========")
       println(q.run(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
