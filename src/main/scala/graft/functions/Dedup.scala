@@ -46,14 +46,18 @@ object Dedup {
       val neighbourMin = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      // localCheckpoint (eager => also persisted) truncates lineage: the
-      // self-referencing join otherwise DOUBLES the logical plan every round
-      // (2^rounds tree nodes — planner blows up near round ~12, long before
-      // any data-size limit). On a cluster with spark.checkpoint.dir set,
-      // reliable .checkpoint() is the executor-loss-safe variant.
-      val next = labels.join(neighbourMin, Seq("id"), "left")
+      // Lineage truncation: the self-referencing join otherwise DOUBLES the
+      // logical plan every round (2^rounds tree nodes — planner blows up
+      // near round ~12, long before any data-size limit). Wrapping the
+      // round's RDD in a fresh LogicalRDD keeps the plan O(1) while the
+      // persist stays a normal CacheManager entry — unlike localCheckpoint,
+      // whose RDD-level blocks Dataset.unpersist cannot release (they'd
+      // accumulate one full label snapshot per round). The RDD chain grows
+      // linearly; for very deep graphs on a cluster, a periodic reliable
+      // .checkpoint() bounds recompute depth.
+      val round = labels.join(neighbourMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val next = labels.sparkSession.createDataFrame(round.rdd, round.schema).persist()
       val sumNow = next.agg(sum(col("label"))).head().getLong(0)
       labels.unpersist()
       labels = next

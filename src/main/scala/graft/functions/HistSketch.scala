@@ -154,7 +154,13 @@ case class HistSketchAgg(
 
   override def update(buf: HistSketch.Buffer, input: InternalRow): HistSketch.Buffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[Double], 1L)
+    // NaN is skipped like null: it has no rank, and one NaN would break the
+    // sorted-centroid invariant (every comparison false), silently
+    // corrupting the whole group's quantiles
+    if (v != null) {
+      val d = v.asInstanceOf[Double]
+      if (!d.isNaN) buf.add(d, 1L)
+    }
     buf
   }
 

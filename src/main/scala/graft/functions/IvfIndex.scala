@@ -64,17 +64,20 @@ object IvfIndex {
     GraftFunctions.register(spark)
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
 
-    // k is capped at n: with fewer vectors than requested clusters the
-    // farthest-first loop would re-pick already-chosen vectors forever
-    // (duplicate centroids, empty clusters)
-    val n = base.count()
-    require(n > 0, "IvfIndex.build: input has no vectors")
-    val kEff = math.min(k, n).toInt
     // the farthest-first loop below runs kEff distributed argmax scans and
     // each Lloyd pass two more passes over the same rows — persist once so
     // build time is O(k) over a cached frame, not k re-reads of the source
     val hashed = base.withColumn("__h", xxhash64(col("id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // k is capped at n: with fewer vectors than requested clusters the
+    // farthest-first loop would re-pick already-chosen vectors forever
+    // (duplicate centroids, empty clusters). Counting the PERSISTED frame
+    // warms the cache — the count pass is also the cache fill, not an
+    // extra read of the source.
+    val n = hashed.count()
+    if (n == 0) { hashed.unpersist(); throw new IllegalArgumentException(
+      "IvfIndex.build: input has no vectors") }
+    val kEff = math.min(k, n).toInt
     def vecOf(df0: DataFrame): Array[Double] =
       df0.limit(1).select(col("vec")).collect().head
         .getSeq[Float](0).map(_.toDouble).toArray

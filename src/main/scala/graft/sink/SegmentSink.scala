@@ -150,6 +150,19 @@ object SegmentSink {
     * fresh exact build (no replay duplicates) is strictly better than
     * appending.
     */
+  /** Remove the sidecar. A deferred-stats stream calls this ON START: while
+    * the stream appends without per-batch stats rows, an existing sidecar
+    * would be COVERED-BUT-STALE for the segments it re-enters — pruned
+    * reads would silently drop the new rows. Absent sidecar = conservative
+    * keep-all, which is always safe; [[regenerateStats]] restores exact
+    * bounds at flush.
+    */
+  def dropStats(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$StatsDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true); ()
+  }
+
   def regenerateStats(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -222,15 +222,18 @@ object SegmentStore {
     // render bounds in the SESSION timezone — segment dir names were
     // produced by date_format under it, so a non-UTC consumer session still
     // compares like with like
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH.mm.ss")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone(
-      spark.conf.get("spark.sql.session.timeZone",
-        java.util.TimeZone.getDefault.getID)))
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(tz))
     val gran = spec.dataSchema.granularitySpec
+    // calendar truncation in the SESSION zone, matching the dir names /
+    // bucket values date_trunc produced (see applyRetention)
+    val zone = java.time.ZoneId.of(tz)
     val fromSeg = java.sql.Timestamp.from(
-      gran.segmentGranularity.truncateInstant(from.toInstant))
+      gran.segmentGranularity.truncateInstant(from.toInstant, zone))
     val fromBucket = java.sql.Timestamp.from(
-      gran.queryGranularity.truncateInstant(from.toInstant))
+      gran.queryGranularity.truncateInstant(from.toInstant, zone))
     read(spark, path, spec, df =>
       df.filter(col(Pipeline.SegmentCol) >= fmt.format(fromSeg) &&
         col(Pipeline.SegmentCol) <= fmt.format(to))
@@ -286,16 +289,18 @@ object SegmentStore {
     */
   def applyRetention(spark: SparkSession, path: String, spec: IngestionSpec,
       keepFrom: java.sql.Timestamp): Seq[String] = {
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH.mm.ss")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone(
-      spark.conf.get("spark.sql.session.timeZone",
-        java.util.TimeZone.getDefault.getID)))
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(tz))
     // a segment whose CHUNK END is at or before the bound holds only expired
     // rows; the chunk containing keepFrom is retained whole (Druid drops
-    // whole segments, never partial)
+    // whole segments, never partial). Calendar truncation runs in the
+    // SESSION zone — dir names came from date_trunc under it, so a UTC
+    // truncation could name a nonexistent boundary and drop the live chunk.
     val gran = spec.dataSchema.granularitySpec.segmentGranularity
     val keepSeg = fmt.format(java.sql.Timestamp.from(
-      gran.truncateInstant(keepFrom.toInstant)))
+      gran.truncateInstant(keepFrom.toInstant, java.time.ZoneId.of(tz))))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dropped = listSegmentDirs(spark, path).filter(_ < keepSeg)

@@ -55,6 +55,10 @@ final class IngestStream(
     // sidecar job) — [[flushAndStop]] rebuilds the zone-map once at drain.
     val write = writer.getOrElse {
       statsPath = Some(outputPath)
+      // an existing sidecar (previous run's flush) would be covered-but-
+      // stale for segments this run re-enters — drop it now (absence is
+      // conservative keep-all); flushAndStop rebuilds it exact
+      graft.sink.SegmentSink.dropStats(spark, outputPath)
       graft.sink.SegmentSink.writeMicroBatch(outputPath, withStats = false) _
     }
     val q = staged.writeStream
@@ -106,8 +110,11 @@ final class IngestStream(
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val gran = spec.dataSchema.granularitySpec
     val finalized = Set("hyperUnique", "cardinality", "approxHistogram")
-    val needsState = spec.dataSchema.aggregators.exists(a => finalized(a.aggType))
-    if (needsState && gran.queryGranularity.widthSeconds > 0 && gran.rollup)
+    // only ROLLUP specs evaluate aggregators — isRollup=false appends raw
+    // rows, so finalized sketches in the spec are inert there
+    val needsState = gran.rollup &&
+      spec.dataSchema.aggregators.exists(a => finalized(a.aggType))
+    if (needsState && gran.queryGranularity.widthSeconds > 0)
       startWatermarked(source, outputPath, trigger)
     else {
       require(!needsState,

@@ -36,15 +36,21 @@ sealed abstract class Granularity(
       timestamp_seconds(floor(unix_timestamp(ts) / widthSeconds).cast("long") * widthSeconds)
     else date_trunc(truncUnit, ts)
 
-  /** Pure Scala twin of [[truncate]] for driver-side logic and tests. */
-  def truncateInstant(i: Instant): Instant =
+  /** Pure Scala twin of [[truncate]] for driver-side logic and tests.
+    * `zone` matters only for CALENDAR granularities (fixed widths truncate
+    * in epoch space): the Column form's `date_trunc` works in the SESSION
+    * timezone, so driver-side logic comparing against dir names produced by
+    * it must pass the session zone — UTC default keeps epoch/UTC callers
+    * unchanged.
+    */
+  def truncateInstant(i: Instant, zone: java.time.ZoneId = ZoneOffset.UTC): Instant =
     if (this == Granularity.All) Instant.EPOCH
     else if (this == Granularity.None) i
     else if (widthSeconds > 0) {
       val e = i.getEpochSecond
       Instant.ofEpochSecond(math.floorDiv(e, widthSeconds) * widthSeconds)
     } else {
-      val z = ZonedDateTime.ofInstant(i, ZoneOffset.UTC)
+      val z = ZonedDateTime.ofInstant(i, zone)
       val d = truncUnit match {
         case "week" =>
           z.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
@@ -64,12 +70,12 @@ sealed abstract class Granularity(
     * zero-width bucket (end = the instant itself); ALL is one unbounded
     * bucket (end = Instant.MAX).
     */
-  def bucketEnd(i: Instant): Instant =
+  def bucketEnd(i: Instant, zone: java.time.ZoneId = ZoneOffset.UTC): Instant =
     if (this == Granularity.None) i
     else if (this == Granularity.All) Instant.MAX
     else if (widthSeconds > 0) truncateInstant(i).plusSeconds(widthSeconds)
     else {
-      val z = ZonedDateTime.ofInstant(truncateInstant(i), ZoneOffset.UTC)
+      val z = ZonedDateTime.ofInstant(truncateInstant(i, zone), zone)
       (truncUnit match {
         case "week"    => z.plusWeeks(1)
         case "month"   => z.plusMonths(1)

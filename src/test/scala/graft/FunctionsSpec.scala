@@ -327,6 +327,17 @@ class FunctionsSpec extends SparkSpec {
     assert(rt.size == b.size && rt.totalCount == 1000L && rt.k == 32)
   }
 
+  test("hist sketch agg skips NaN inputs (sorted-centroid invariant survives)") {
+    GraftFunctions.register(spark)
+    val df = Seq(1.0, Double.NaN, 2.0, 2.0, Double.NaN, 3.0).toDF("v")
+    val got = df.agg(call_function("hist_quantiles",
+        call_function("hist_sketch_agg", $"v", lit(16)),
+        array(lit(0.25), lit(0.5), lit(1.0))))
+      .as[Seq[Double]].head()
+    // multiset {1, 2, 2, 3}: ranks (1, 2, 4) → (1, 2, 3); NaNs contributed nothing
+    assert(got == Seq(1.0, 2.0, 3.0), s"got $got")
+  }
+
   test("hist sketch: sparse-regime merge is order-independent and bit-identical") {
     import graft.functions.HistSketch
     def mk(vs: Seq[Double]) = {

@@ -48,9 +48,22 @@ class GranularitySpec extends SparkSpec {
     grans.foreach { g =>
       val got = df.select(g.truncate(col("ts")).as("t")).collect()
         .map(_.getTimestamp(0).toInstant).toSeq
-      val want = micro.map(g.truncateInstant)
+      val want = micro.map(i => g.truncateInstant(i))
       assert(got == want, s"column/scala disagree for $g")
     }
+  }
+
+  test("calendar truncation honours the zone argument (session-tz boundaries)") {
+    import java.time.{Instant, ZoneId}
+    val ny = ZoneId.of("America/New_York")
+    // Mar 1 01:00 UTC = Feb 28 20:00 in New York: the NY month bucket is
+    // Feb 1 00:00 NY (= Feb 1 05:00 UTC), NOT the UTC month boundary —
+    // getting this wrong made retention drop the live month chunk
+    val i = Instant.parse("2024-03-01T01:00:00Z")
+    assert(Granularity.Month.truncateInstant(i) == Instant.parse("2024-03-01T00:00:00Z"))
+    assert(Granularity.Month.truncateInstant(i, ny) == Instant.parse("2024-02-01T05:00:00Z"))
+    // fixed widths are zone-independent epoch arithmetic
+    assert(Granularity.Hour.truncateInstant(i, ny) == Granularity.Hour.truncateInstant(i))
   }
 
   test("fromString round-trips and rejects junk") {

@@ -391,6 +391,18 @@ class StreamingSpec extends SparkSpec {
     assert(wmQ.name == "graft-wm-month_events")
     wmIngest.flushAndStop()
 
+    // router: rollup=false never evaluates aggregators — finalized sketches
+    // in the spec are inert, the raw-append path must start
+    val rawSpec = mSpec.copy(dataSchema = mSpec.dataSchema.copy(
+      aggregators = Seq(AggregatorSpec("hyperUnique", "u", Some("value"))),
+      granularitySpec = GranularitySpec(Granularity.Hour, Granularity.None,
+        rollup = false)))
+    val rawIngest = new IngestStream(spark, rawSpec, s"$tmp/cp-raw")
+    val rawQ = rawIngest.startRouted(MemoryStream[Ev].toDF(), s"$tmp/out-raw",
+      now = lit(ts("2024-03-20 12:00:00")), trigger = Trigger.ProcessingTime(50))
+    assert(rawQ.name == "graft-month_events", "raw-append spec takes the per-batch path")
+    rawIngest.flushAndStop()
+
     // router: finalized sketch + calendar granularity = impossible — the
     // error must name the stored-form fix
     val badSpec = mSpec.copy(dataSchema = mSpec.dataSchema.copy(
