@@ -96,6 +96,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "theta_intersect(a, b) takes 2 arguments")
         ThetaIntersect(args(0), args(1))
+      }),
+    (new FunctionIdentifier("theta_difference"),
+      new ExpressionInfo(classOf[ThetaDifference].getName, "theta_difference"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "theta_difference(a, b) takes 2 arguments")
+        ThetaDifference(args(0), args(1))
       }))
 
   /** Imperative registration for sessions created without the extension. */

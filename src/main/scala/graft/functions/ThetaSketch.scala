@@ -95,6 +95,27 @@ object ThetaSketch {
     if (theta >= 1.0) common.toDouble else common.toDouble / theta
   }
 
+  /** Theta difference estimate |A ∖ B|: A's hashes below θ that B lacks,
+    * scaled by 1/θ — exact when both sketches are sparse.
+    */
+  def differenceEstimate(a: Buffer, b: Buffer): Double = {
+    val cutA = if (a.size == a.k && a.size > 0) a.hashes(a.size - 1) else Long.MaxValue
+    val cutB = if (b.size == b.k && b.size > 0) b.hashes(b.size - 1) else Long.MaxValue
+    val cut = math.min(cutA, cutB)
+    var i = 0; var j = 0; var only = 0
+    while (i < a.size) {
+      val x = a.hashes(i)
+      if (x > cut) { i = a.size } // beyond θ: stop (ascending order)
+      else {
+        while (j < b.size && b.hashes(j) < x) j += 1
+        if (j >= b.size || b.hashes(j) != x) only += 1
+        i += 1
+      }
+    }
+    val theta = math.min(a.theta, b.theta)
+    if (theta >= 1.0) only.toDouble else only.toDouble / theta
+  }
+
   /** ver byte | int k | int size | size × long (flipped hashes, ascending) */
   def serialize(b: Buffer): Array[Byte] = {
     val buf = ByteBuffer.allocate(1 + 4 + 4 + b.size * 8)
@@ -236,4 +257,23 @@ case class ThetaIntersect(left: Expression, right: Expression)
       ThetaSketch.deserialize(b.asInstanceOf[Array[Byte]]))
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): ThetaIntersect = copy(left = newLeft, right = newRight)
+}
+
+/** `theta_difference(a, b)` → double estimate of |A ∖ B| (Druid theta
+  * set-op `NOT`; exact while both sketches are sparse).
+  */
+case class ThetaDifference(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_difference"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("theta_difference expects (binary, binary)")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSketch.differenceEstimate(
+      ThetaSketch.deserialize(a.asInstanceOf[Array[Byte]]),
+      ThetaSketch.deserialize(b.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ThetaDifference = copy(left = newLeft, right = newRight)
 }

@@ -76,6 +76,16 @@ object Aggregators {
     case "doubleMax" => max(when(cond, field(d).cast(DoubleType)))
     case "hyperUnique" | "cardinality" => approx_count_distinct(when(cond, field(d)))
     case "exactCardinality"            => count_distinct(when(cond, field(d)))
+    // stored-sketch forms: rows failing the predicate become nulls, which
+    // every sketch agg skips — same map-side single-pass shape as the
+    // numeric wrappers (Druid allows `filtered` around any aggregator)
+    case "hllSketch" => hll_sketch_agg(when(cond, field(d).cast(StringType)))
+    case "histogramSketch" =>
+      call_function("hist_sketch_agg", when(cond, field(d).cast(DoubleType)),
+        lit(d.accuracy.getOrElse(128)))
+    case "thetaSketch" =>
+      call_function("theta_sketch_agg", when(cond, field(d).cast(StringType)),
+        lit(d.accuracy.getOrElse(4096)))
     case other =>
       throw new IllegalArgumentException(s"filtered wrapper unsupported for: $other")
   }

@@ -404,7 +404,9 @@ object RollupQueries {
           call_function("theta_estimate", col("ska")).cast(LongType).as("uniq_a"),
           call_function("theta_estimate", col("skb")).cast(LongType).as("uniq_b"),
           call_function("theta_intersect", col("ska"), col("skb"))
-            .cast(LongType).as("overlap"))
+            .cast(LongType).as("overlap"),
+          call_function("theta_difference", col("ska"), col("skb"))
+            .cast(LongType).as("only_a"))
     },
     Some("""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
               c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS u FROM d GROUP BY 1),
@@ -414,9 +416,35 @@ object RollupQueries {
                          AND x.event_type < y.event_type
                     GROUP BY 1, 2)
             SELECT o.ea AS etype_a, o.eb AS etype_b,
-                   ca.u AS uniq_a, cb.u AS uniq_b, o.ov AS overlap
+                   ca.u AS uniq_a, cb.u AS uniq_b, o.ov AS overlap,
+                   ca.u - o.ov AS only_a
             FROM o JOIN c ca ON ca.event_type = o.ea
                    JOIN c cb ON cb.event_type = o.eb""")),
+
+    // -- filtered wrapper around a STORED sketch aggregator (Druid allows
+    // `filtered` around any aggregator): purchase-only distinct users via
+    // a filtered hllSketch, estimated at read — sparse-exact at 50 buckets
+    QueryDef("rollup_filtered_sketch", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Nil),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("filtered", "purchase_uniq",
+            filterDimension = Some("event_type"), filterValue = Some("purchase"),
+            aggregator = Some(AggregatorSpec("hllSketch", "purchase_uniq",
+              Some("user_bucket"))))),
+        GranularitySpec(Granularity.Day, Granularity.Day)))
+      val p = new Pipeline(spec)
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("user_bucket", col("user_id") % 50)
+      p.rollup(p.project(p.extractTimestamp(ev)))
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"), col("cnt"),
+          hll_sketch_estimate(col("purchase_uniq")).as("purchase_uniq"))
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             count(*) AS cnt,
+             CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+               THEN user_id % 50 END) AS BIGINT) AS purchase_uniq
+            FROM events GROUP BY 1""")),
 
     // -- theta sketch STORAGE form through the real streaming store: binary
     // KMV partials per batch, theta_union_agg at read, estimate last --------

@@ -351,6 +351,26 @@ class FunctionsSpec extends SparkSpec {
       Seq(1.0, 3.0, 5.0, 5.0))
   }
 
+  test("filtered wrapper composes with sketch aggregators (hist + theta)") {
+    GraftFunctions.register(spark)
+    import graft.config.AggregatorSpec
+    val df = Seq(("a", 1.0), ("b", 9.0), ("a", 3.0), ("a", 3.0)).toDF("t", "v")
+    def filtered(delegate: AggregatorSpec) =
+      AggregatorSpec("filtered", delegate.name, filterDimension = Some("t"),
+        filterValue = Some("a"), aggregator = Some(delegate))
+    val row = df.agg(
+      graft.pipeline.Aggregators.toColumn(filtered(
+        AggregatorSpec("histogramSketch", "h", Some("v"), accuracy = Some(16)))),
+      graft.pipeline.Aggregators.toColumn(filtered(
+        AggregatorSpec("thetaSketch", "u", Some("v"), accuracy = Some(64)))))
+    val (qs, uniq) = row.select(
+        call_function("hist_quantiles", $"h", array(lit(0.5), lit(1.0))),
+        call_function("theta_estimate", $"u"))
+      .as[(Seq[Double], Double)].head()
+    // predicate keeps {1, 3, 3}: median rank 2 → 3, max → 3; distinct → 2
+    assert(qs == Seq(3.0, 3.0) && uniq == 2.0, s"got $qs / $uniq")
+  }
+
   test("theta sketch: sparse exactness, capacity estimates, intersection accuracy") {
     import graft.functions.ThetaSketch
     import org.apache.spark.unsafe.types.UTF8String
@@ -376,6 +396,11 @@ class FunctionsSpec extends SparkSpec {
     val right = mk(1024, (5000 until 15000).map(i => s"v$i"))
     val inter = ThetaSketch.intersectEstimate(left, right)
     assert(math.abs(inter - 5000) / 5000.0 < 0.15, s"intersection off: $inter")
+    // difference |A ∖ B| (true 5000) within the same tolerance; sparse exact
+    val diff = ThetaSketch.differenceEstimate(left, right)
+    assert(math.abs(diff - 5000) / 5000.0 < 0.15, s"difference off: $diff")
+    assert(ThetaSketch.differenceEstimate(
+      mk(64, Seq("a", "b", "c")), mk(64, Seq("b", "c", "d"))) == 1.0)
     // union of mismatched k adopts the smaller bound
     val small = mk(256, (0 until 500).map(i => s"w$i"))
     left.mergeWith(small)
