@@ -31,9 +31,17 @@ import graft.streaming.IngestStream
   * reports the sent/dropped deltas observed by the engine's counters — the
   * reference's per-batch send() future wait.
   */
+/** @param attach single attached ingest query (legacy/simple deployments)
+  * @param routes per-dataSource ingest queries — the servlet's
+  *   dataSource→beam routing (upstream TranquilityServlet resolves the URL
+  *   path against its beam map): each routed dataSource's sync reply drains
+  *   and reports ITS stream's counters; unrouted dataSources fall back to
+  *   `attach`, else spool-only (fire-and-forget counters)
+  */
 final class HttpIngestServer(
     spoolDir: String,
-    attach: Option[IngestStream] = None) {
+    attach: Option[IngestStream] = None,
+    routes: Map[String, IngestStream] = Map.empty) {
 
   private val mapper = new ObjectMapper
   @volatile private var server: Option[HttpServer] = None
@@ -59,13 +67,14 @@ final class HttpIngestServer(
         case NonFatal(e) => reply(ex, 400, s"""{"error":${quote(e.getMessage)}}"""); return
       }
       val async = Option(ex.getRequestURI.getQuery).exists(_.contains("async=true"))
+      val target = routes.get(dataSource).orElse(attach)
       // serialized so sync counter deltas from concurrent posts don't interleave
       val result = synchronized {
-        val (sent0, dropped0) = attach.map(i => (i.sent, i.dropped)).getOrElse((0L, 0L))
+        val sent0 = target.map(_.sent).getOrElse(0L)
         spool(dataSource, lines)
-        if (async || attach.isEmpty) (lines.size.toLong, 0L)
+        if (async || target.isEmpty) (lines.size.toLong, 0L)
         else {
-          val ingest = attach.get
+          val ingest = target.get
           ingest.activeQuery.foreach(_.processAllAvailable())
           (lines.size.toLong, ingest.sent - sent0)
         }

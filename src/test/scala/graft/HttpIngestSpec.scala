@@ -74,6 +74,52 @@ class HttpIngestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("dataSource routing: one server, two specs, independent counters and stores") {
+    val tmp = Files.createTempDirectory("graft-http-routes").toString
+    val spool = s"$tmp/spool"
+    Seq("clicks_ds", "views_ds").foreach(d => Files.createDirectories(Paths.get(spool, d)))
+    val schema = StructType(Seq(StructField("ts", StringType),
+      StructField("etype", StringType), StructField("value", DoubleType)))
+    def specFor(ds: String) = IngestionSpec(
+      DataSchema(ds, TimestampSpec("ts"), SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("count", "cnt")),
+        GranularitySpec(Granularity.Hour, Granularity.Hour)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(30)))
+    def startFor(ds: String): IngestStream = {
+      val ingest = new IngestStream(spark, specFor(ds), s"$tmp/cp-$ds")
+      ingest.start(Sources.jsonFileStream(spark, s"$spool/$ds", schema),
+        s"$tmp/out-$ds", now = lit(Timestamp.valueOf("2024-03-01 12:00:00")),
+        trigger = Trigger.ProcessingTime(50))
+      ingest
+    }
+    val clicks = startFor("clicks_ds")
+    val views = startFor("views_ds")
+    val server = new HttpIngestServer(spool,
+      routes = Map("clicks_ds" -> clicks, "views_ds" -> views))
+    val port = server.start()
+    try {
+      // sync posts: each reply reports the TARGET stream's delta only
+      val (c1, b1) = post(port, "/v1/post/clicks_ds",
+        """[{"ts":"2024-03-01 12:01:00","etype":"c","value":1.0},
+            {"ts":"2024-03-01 12:02:00","etype":"c","value":2.0}]""")
+      assert(c1 == 200 && b1 == """{"result":{"received":2,"sent":2}}""")
+      val (c2, b2) = post(port, "/v1/post/views_ds",
+        """{"ts":"2024-03-01 12:03:00","etype":"v","value":3.0}""")
+      assert(c2 == 200 && b2 == """{"result":{"received":1,"sent":1}}""")
+      // an unrouted dataSource spools fire-and-forget (no attached stream)
+      val (c3, b3) = post(port, "/v1/post/other_ds",
+        """{"ts":"2024-03-01 12:04:00","etype":"x","value":9.0}""")
+      assert(c3 == 200 && b3 == """{"result":{"received":1,"sent":0}}""")
+
+      clicks.flushAndStop(); views.flushAndStop()
+      assert(clicks.sent == 2 && views.sent == 1)
+      assert(spark.read.parquet(s"$tmp/out-clicks_ds")
+        .agg(sum($"cnt")).as[Long].head() == 2L)
+      assert(spark.read.parquet(s"$tmp/out-views_ds")
+        .agg(sum($"cnt")).as[Long].head() == 1L)
+    } finally server.stop()
+  }
+
   test("forwarding beam → receiver → engine: two-hop E2E over the socket") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
