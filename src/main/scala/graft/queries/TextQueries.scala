@@ -346,7 +346,7 @@ object TextQueries {
             SELECT source, count(*) AS survivors FROM documents d
             WHERE doc_id % 100 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM bad)
-            GROUP BY 1""")),
+            GROUP BY 1"""), headline = true),
 
     // -- token-budget sequence packing (r3): assign docs to fixed-budget
     // training bins by running token count — contiguous streaming packing,
