@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.current_timestamp
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.config.{IngestionSpec, SpecLoader}
+import graft.sources.{HttpIngestServer, Sources}
+import graft.streaming.IngestStream
+
+/** The tranquility-server analog (upstream server/.../Main + its
+  * dataSource-config property files, SURVEY §3.2): one process serving HTTP
+  * ingest for N dataSources, each declared by a Druid-shaped ingestion-spec
+  * JSON file and backed by its own routed streaming query + segment store.
+  *
+  * Wiring: per spec file → [[IngestStream.startRouted]] (mode picked from
+  * the spec) tailing the dataSource's spool dir, all registered in one
+  * [[HttpIngestServer]] routing map. `run` is the testable core; `main`
+  * parses args and blocks until terminated.
+  *
+  * Usage:
+  *   runMain graft.Daemon <workDir> <valueSchemaDDL> <spec.json> [spec2.json ...]
+  *   (workDir gets spool/, checkpoints/, stores/; schema DDL like
+  *    "ts STRING, etype STRING, value DOUBLE" — explicit, never inferred)
+  */
+object Daemon {
+
+  final case class Handle(server: HttpIngestServer, port: Int,
+      streams: Map[String, IngestStream]) {
+    /** Ordered shutdown: stop accepting, drain every query, rebuild stats. */
+    def close(): Unit = {
+      server.stop()
+      streams.values.foreach(_.flushAndStop())
+    }
+  }
+
+  /** Start receivers + ingest queries for `specs` (keyed by dataSource). */
+  def run(spark: SparkSession, workDir: String, valueSchema: StructType,
+      specs: Seq[IngestionSpec], port: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime(500),
+      now: org.apache.spark.sql.Column = current_timestamp()): Handle = {
+    val streams = specs.map { spec =>
+      val ds = spec.dataSchema.dataSource
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$workDir/spool/$ds"))
+      val ingest = new IngestStream(spark, spec, s"$workDir/checkpoints/$ds")
+      ingest.startRouted(
+        Sources.jsonFileStream(spark, s"$workDir/spool/$ds", valueSchema,
+          maxFilesPerTrigger = 16),
+        s"$workDir/stores/$ds", now = now, trigger = trigger)
+      ds -> ingest
+    }.toMap
+    val server = new HttpIngestServer(s"$workDir/spool", routes = streams)
+    val boundPort = server.start(port)
+    Handle(server, boundPort, streams)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: Daemon <workDir> <valueSchemaDDL> <spec.json> [spec2.json ...]")
+    val Array(workDir, ddl, specPaths @ _*) = args.toSeq.toArray[String]
+    val specs = specPaths.map(p => SpecLoader.fromJson(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val schema = DataType.fromDDL(ddl).asInstanceOf[StructType]
+    val handle = run(spark, workDir, schema, specs)
+    println(s"DAEMON_PORT=${handle.port}")
+    sys.addShutdownHook(handle.close())
+    handle.streams.values.foreach(_.activeQuery.foreach(_.awaitTermination()))
+  }
+}

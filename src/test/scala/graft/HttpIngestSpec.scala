@@ -120,6 +120,39 @@ class HttpIngestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("Daemon: spec-JSON files → routed HTTP server → per-dataSource stores") {
+    val tmp = Files.createTempDirectory("graft-daemon").toString
+    def specJson(ds: String) =
+      s"""{"dataSchema": {"dataSource": "$ds",
+            "parser": {"parseSpec": {
+              "timestampSpec": {"column": "ts", "format": "auto"},
+              "dimensionsSpec": {"dimensions": ["etype"]}}},
+            "metricsSpec": [{"type": "count", "name": "cnt"},
+                            {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+            "granularitySpec": {"segmentGranularity": "HOUR", "queryGranularity": "HOUR"}},
+           "tuning": {"windowPeriod": "PT30M"}}"""
+    val specs = Seq("clicks_ds", "views_ds").map(ds =>
+      graft.config.SpecLoader.fromJson(specJson(ds)))
+    val schema = StructType(Seq(StructField("ts", StringType),
+      StructField("etype", StringType), StructField("value", DoubleType)))
+    val handle = graft.Daemon.run(spark, tmp, schema, specs,
+      trigger = Trigger.ProcessingTime(50),
+      now = lit(Timestamp.valueOf("2024-03-01 12:00:00")))
+    try {
+      val (c1, b1) = post(handle.port, "/v1/post/clicks_ds",
+        """[{"ts":"2024-03-01 12:01:00","etype":"c","value":1.0},
+            {"ts":"2024-03-01 12:02:00","etype":"c","value":2.0}]""")
+      assert(c1 == 200 && b1 == """{"result":{"received":2,"sent":2}}""")
+      val (c2, b2) = post(handle.port, "/v1/post/views_ds",
+        """{"ts":"2024-03-01 12:03:00","etype":"v","value":4.0}""")
+      assert(c2 == 200 && b2 == """{"result":{"received":1,"sent":1}}""")
+    } finally handle.close()
+    val clicks = spark.read.parquet(s"$tmp/stores/clicks_ds")
+    assert(clicks.agg(sum($"cnt"), sum($"total")).as[(Long, Double)].head() == ((2L, 3.0)))
+    val views = spark.read.parquet(s"$tmp/stores/views_ds")
+    assert(views.agg(sum($"cnt"), sum($"total")).as[(Long, Double)].head() == ((1L, 4.0)))
+  }
+
   test("forwarding beam → receiver → engine: two-hop E2E over the socket") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
