@@ -28,10 +28,20 @@ object Daemon {
 
   final case class Handle(server: HttpIngestServer, port: Int,
       streams: Map[String, IngestStream]) {
-    /** Ordered shutdown: stop accepting, drain every query, rebuild stats. */
+    /** Ordered shutdown: stop accepting, drain every query, rebuild stats.
+      * A stream whose query already died must not abort its siblings'
+      * drains — every stream is attempted, then the first failure rethrows.
+      */
     def close(): Unit = {
       server.stop()
-      streams.values.foreach(_.flushAndStop())
+      val failures = streams.toSeq.flatMap { case (ds, s) =>
+        scala.util.Try(s.flushAndStop()).failed.toOption.map(ds -> _)
+      }
+      failures.headOption.foreach { case (ds, e) =>
+        throw new RuntimeException(
+          s"daemon shutdown: ${failures.size} stream(s) failed to drain " +
+            s"(first: $ds)", e)
+      }
     }
   }
 
@@ -40,6 +50,9 @@ object Daemon {
       specs: Seq[IngestionSpec], port: Int = 0,
       trigger: Trigger = Trigger.ProcessingTime(500),
       now: org.apache.spark.sql.Column = current_timestamp()): Handle = {
+    val names = specs.map(_.dataSchema.dataSource)
+    require(names.distinct.size == names.size,
+      s"duplicate dataSource across spec files: ${names.diff(names.distinct).distinct.mkString(",")}")
     val streams = specs.map { spec =>
       val ds = spec.dataSchema.dataSource
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$workDir/spool/$ds"))
@@ -58,7 +71,7 @@ object Daemon {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: Daemon <workDir> <valueSchemaDDL> <spec.json> [spec2.json ...]")
-    val Array(workDir, ddl, specPaths @ _*) = args.toSeq.toArray[String]
+    val Array(workDir, ddl, specPaths @ _*) = args
     val specs = specPaths.map(p => SpecLoader.fromJson(
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -415,11 +415,14 @@ object RollupQueries {
                     FROM d x JOIN d y ON x.user_id = y.user_id
                          AND x.event_type < y.event_type
                     GROUP BY 1, 2)
-            SELECT o.ea AS etype_a, o.eb AS etype_b,
-                   ca.u AS uniq_a, cb.u AS uniq_b, o.ov AS overlap,
-                   ca.u - o.ov AS only_a
-            FROM o JOIN c ca ON ca.event_type = o.ea
-                   JOIN c cb ON cb.event_type = o.eb""")),
+            -- every ordered pair, LEFT join: a disjoint pair must still
+            -- appear with overlap 0, exactly as the sketch side emits it
+            SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+                   a.u AS uniq_a, b.u AS uniq_b,
+                   CAST(coalesce(o.ov, 0) AS BIGINT) AS overlap,
+                   a.u - CAST(coalesce(o.ov, 0) AS BIGINT) AS only_a
+            FROM c a JOIN c b ON a.event_type < b.event_type
+            LEFT JOIN o ON o.ea = a.event_type AND o.eb = b.event_type""")),
 
     // -- filtered wrapper around a STORED sketch aggregator (Druid allows
     // `filtered` around any aggregator): purchase-only distinct users via

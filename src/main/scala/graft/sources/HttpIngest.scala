@@ -44,18 +44,28 @@ final class HttpIngestServer(
     routes: Map[String, IngestStream] = Map.empty) {
 
   private val mapper = new ObjectMapper
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   @volatile private var server: Option[HttpServer] = None
+  @volatile private var pool: Option[java.util.concurrent.ExecutorService] = None
 
   /** Bind (port 0 = ephemeral) and serve. Returns the bound port. */
   def start(port: Int = 0): Int = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.createContext("/v1/post", (ex: HttpExchange) => handle(ex))
+    // without an executor the JDK server handles requests on ONE thread,
+    // serializing posts across dataSources despite the per-ds locks
+    val p = java.util.concurrent.Executors.newFixedThreadPool(8)
+    s.setExecutor(p)
     s.start()
     server = Some(s)
+    pool = Some(p)
     s.getAddress.getPort
   }
 
-  def stop(): Unit = { server.foreach(_.stop(0)); server = None }
+  def stop(): Unit = {
+    server.foreach(_.stop(0)); server = None
+    pool.foreach(_.shutdown()); pool = None
+  }
 
   private def handle(ex: HttpExchange): Unit =
     try {
@@ -68,15 +78,21 @@ final class HttpIngestServer(
       }
       val async = Option(ex.getRequestURI.getQuery).exists(_.contains("async=true"))
       val target = routes.get(dataSource).orElse(attach)
-      // serialized so sync counter deltas from concurrent posts don't interleave
-      val result = synchronized {
+      // serialized PER dataSource so sync counter deltas from concurrent
+      // posts don't interleave — posts to other dataSources (their own
+      // streams, their own counters) proceed in parallel
+      val lock = locks.computeIfAbsent(dataSource, _ => new Object)
+      val result = lock.synchronized {
         val sent0 = target.map(_.sent).getOrElse(0L)
         spool(dataSource, lines)
         if (async || target.isEmpty) (lines.size.toLong, 0L)
         else {
           val ingest = target.get
           ingest.activeQuery.foreach(_.processAllAvailable())
-          (lines.size.toLong, ingest.sent - sent0)
+          // the drain may also flush BACKLOG from earlier async posts; the
+          // reply is per-request (servlet contract: sent ≤ received), so cap
+          // — the cumulative engine counters report the backlog
+          (lines.size.toLong, math.min(lines.size.toLong, ingest.sent - sent0))
         }
       }
       reply(ex, 200, s"""{"result":{"received":${result._1},"sent":${result._2}}}""")

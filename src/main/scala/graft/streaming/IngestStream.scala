@@ -110,10 +110,14 @@ final class IngestStream(
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val gran = spec.dataSchema.granularitySpec
     val finalized = Set("hyperUnique", "cardinality", "approxHistogram")
+    // unwrap `filtered` wrappers: filtered(hyperUnique) needs the state
+    // store exactly like bare hyperUnique (a per-batch store of finalized
+    // estimates would ingest fine and then throw on every read)
+    def finalizedIn(a: graft.config.AggregatorSpec): Boolean =
+      finalized(a.aggType) || a.aggregator.exists(finalizedIn)
     // only ROLLUP specs evaluate aggregators — isRollup=false appends raw
     // rows, so finalized sketches in the spec are inert there
-    val needsState = gran.rollup &&
-      spec.dataSchema.aggregators.exists(a => finalized(a.aggType))
+    val needsState = gran.rollup && spec.dataSchema.aggregators.exists(finalizedIn)
     if (needsState && gran.queryGranularity.widthSeconds > 0)
       startWatermarked(source, outputPath, trigger)
     else {

@@ -111,12 +111,21 @@ class HttpIngestSpec extends SparkSpec {
         """{"ts":"2024-03-01 12:04:00","etype":"x","value":9.0}""")
       assert(c3 == 200 && b3 == """{"result":{"received":1,"sent":0}}""")
 
+      // async backlog is NOT credited to the next sync reply (sent ≤
+      // received per request; cumulative counters report the backlog)
+      val (c4, _) = post(port, "/v1/post/views_ds?async=true",
+        """{"ts":"2024-03-01 12:05:00","etype":"v","value":1.0}""")
+      assert(c4 == 200)
+      val (c5, b5) = post(port, "/v1/post/views_ds",
+        """{"ts":"2024-03-01 12:06:00","etype":"v","value":1.0}""")
+      assert(c5 == 200 && b5 == """{"result":{"received":1,"sent":1}}""")
+
       clicks.flushAndStop(); views.flushAndStop()
-      assert(clicks.sent == 2 && views.sent == 1)
+      assert(clicks.sent == 2 && views.sent == 3)
       assert(spark.read.parquet(s"$tmp/out-clicks_ds")
         .agg(sum($"cnt")).as[Long].head() == 2L)
       assert(spark.read.parquet(s"$tmp/out-views_ds")
-        .agg(sum($"cnt")).as[Long].head() == 1L)
+        .agg(sum($"cnt")).as[Long].head() == 3L)
     } finally server.stop()
   }
 

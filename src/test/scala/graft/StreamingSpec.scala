@@ -391,6 +391,20 @@ class StreamingSpec extends SparkSpec {
     assert(wmQ.name == "graft-wm-month_events")
     wmIngest.flushAndStop()
 
+    // router unwraps `filtered` wrappers: filtered(hyperUnique) needs the
+    // state store exactly like bare hyperUnique
+    val fwSpec = mSpec.copy(dataSchema = mSpec.dataSchema.copy(
+      aggregators = Seq(AggregatorSpec("filtered", "u",
+        filterDimension = Some("etype"), filterValue = Some("click"),
+        aggregator = Some(AggregatorSpec("hyperUnique", "u", Some("value"))))),
+      granularitySpec = GranularitySpec(Granularity.Hour, Granularity.Hour)))
+    val fwIngest = new IngestStream(spark, fwSpec, s"$tmp/cp-fw")
+    val fwQ = fwIngest.startRouted(MemoryStream[Ev].toDF(), s"$tmp/out-fw",
+      trigger = Trigger.ProcessingTime(50))
+    assert(fwQ.name == "graft-wm-month_events",
+      "filtered(finalized sketch) must route to the state store")
+    fwIngest.flushAndStop()
+
     // router: rollup=false never evaluates aggregators — finalized sketches
     // in the spec are inert, the raw-append path must start
     val rawSpec = mSpec.copy(dataSchema = mSpec.dataSchema.copy(
