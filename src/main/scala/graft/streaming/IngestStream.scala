@@ -203,31 +203,46 @@ final class IngestStream(
     * deferred-stats mode, rebuilds the store's zone-map sidecar once here
     * (exact, replay-dedup'd) instead of once per micro-batch.
     */
-  def flushAndStop(): Unit = query.foreach { q =>
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
-    statsPath.foreach(graft.sink.SegmentSink.regenerateStats(spark, _))
+  def flushAndStop(): Unit = {
+    query.foreach { q =>
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+      statsPath.foreach(graft.sink.SegmentSink.regenerateStats(spark, _))
+    }
+    // release the session-wide listener (counters remain readable — each
+    // read still folds the remaining progress buffer synchronously)
+    spark.streams.removeListener(progressListener)
   }
 
   /** Cumulative {received, sent, dropped} — the Tranquilizer counter surface
-    * (`{received, sent}` of the reference's HTTP reply, SURVEY §3.2). Summed
-    * from per-batch observed metrics in `recentProgress`; for queries longer
-    * than `spark.sql.streaming.numRecentProgressUpdates` batches, attach a
-    * StreamingQueryListener and accumulate instead.
+    * (`{received, sent}` of the reference's HTTP reply, SURVEY §3.2). Two
+    * feeds share one monotonic fold: a StreamingQueryListener accumulates
+    * every progress event as it arrives (so counters survive ANY query
+    * length — the progress buffer holds only the last
+    * `spark.sql.streaming.numRecentProgressUpdates` entries), and each read
+    * synchronously folds `recentProgress` as well (listener events are
+    * async — a counter read right after processAllAvailable must not lag).
+    * The batchId-monotonic guard makes double delivery harmless.
     */
-  // Cumulative counters, folded incrementally from recentProgress on every
-  // read (batchIds are monotonic, so each batch is counted exactly once).
-  // Unlike a plain sum over recentProgress, this survives the bounded
-  // progress buffer on long-running queries — as long as ANY counter is
-  // read at least once per `spark.sql.streaming.numRecentProgressUpdates`
-  // data-bearing batches; attach a StreamingQueryListener for fully
-  // asynchronous accumulation beyond that.
   private[this] var lastSeenBatch = -1L
   private[this] var accReceived, accDropped, accWmDropped = 0L
 
-  private def refresh(): Unit = synchronized {
-    query.toSeq.flatMap(_.recentProgress).sortBy(_.batchId).foreach { p =>
+  private val progressListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      // the session delivers every query's events — fold only OURS
+      if (query.exists(_.id == e.progress.id)) accumulate(Seq(e.progress))
+  }
+  // registered for the object's lifetime (start may be called after a
+  // restart); removed when the session would otherwise leak it
+  spark.streams.addListener(progressListener)
+
+  private def accumulate(ps: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])
+      : Unit = synchronized {
+    ps.sortBy(_.batchId).foreach { p =>
       // no-data triggers surface as an entry with the NEXT batch's id and no
       // observed metrics, possibly BEFORE the data entry of the same id — so
       // the cursor advances only on data-bearing entries (the only ones that
@@ -248,6 +263,9 @@ final class IngestStream(
       }
     }
   }
+
+  private def refresh(): Unit =
+    accumulate(query.toSeq.flatMap(_.recentProgress))
 
   def received: Long = { refresh(); accReceived }
   /** windowFilter drops (start mode) + state-store lateness drops

@@ -315,6 +315,29 @@ class StreamingSpec extends SparkSpec {
     assert(again == Seq((5L, Seq(2.0, 2.0, 3.0, 10.0))))
   }
 
+  test("counters survive beyond the bounded progress buffer (listener feed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2")
+    try {
+      val input = MemoryStream[Ev]
+      val tmp = Files.createTempDirectory("graft-counters").toString
+      val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+      ingest.start(input.toDF(), s"$tmp/out",
+        now = lit(ts("2024-03-01 12:00:00")), trigger = Trigger.ProcessingTime(50))
+      // 6 data-bearing batches with NO counter read in between: a buffer of
+      // 2 has long evicted the early entries by the time we read — only the
+      // async listener feed can still account for them
+      (1 to 6).foreach { i =>
+        input.addData(Ev(ts(s"2024-03-01 12:0$i:00"), "click", i.toDouble))
+        ingest.activeQuery.get.processAllAvailable()
+      }
+      ingest.flushAndStop()
+      assert(ingest.received == 6 && ingest.sent == 6 && ingest.dropped == 0,
+        s"got received=${ingest.received} sent=${ingest.sent}")
+    } finally spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev)
+  }
+
   test("retention rules drop expired segment chunks; union datasource reads merge stores") {
     val rSpec = IngestionSpec(DataSchema("ret_events", TimestampSpec("ts"),
       SpecificDimensions(Seq("etype")), Seq(AggregatorSpec("count", "cnt")),
