@@ -4,6 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import graft.functions.RangeJoin
+
 /** Engine-surface relational operators (SURVEY §2.3, §2.5–§2.8): the
   * reference has no joins/windows/sorts/set-ops, so these expose Spark's
   * built-ins as declared inventory over the TPC-H-ish tables.
@@ -611,6 +613,88 @@ object RelationalQueries {
     Some("""SELECT event_id,
              strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
              event_type, round(value, 2) AS value
-            FROM events ORDER BY ts, event_id LIMIT 100 OFFSET 200"""))
+            FROM events ORDER BY ts, event_id LIMIT 100 OFFSET 200""")),
+
+    // -- full outer join: both-side-unmatched semantics (filtered sides so
+    // left-only AND right-only rows exist; aggregation is null-aware) -------
+    QueryDef("join_full_outer", (s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables.t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"))
+        .agg(max(col("c_name")).as("name"),
+          count(col("o_orderkey")).as("big_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+    },
+    Some("""SELECT coalesce(c_custkey, o_custkey) AS custkey,
+             max(c_name) AS name,
+             count(o_orderkey) AS big_orders,
+             round(coalesce(sum(o_totalprice), 0), 2) AS spend
+            FROM (SELECT c_custkey, c_name FROM customer
+                  WHERE c_mktsegment = 'BUILDING') c
+            FULL OUTER JOIN (SELECT * FROM orders
+                             WHERE o_totalprice > 150000) o
+              ON c_custkey = o_custkey
+            GROUP BY 1""")),
+
+    // -- Druid movingAverage query analog: bucketed agg, then a trailing
+    // 3-bucket rows frame per series (buckets are unique per series → the
+    // window order is total; one shuffle on event_type) ---------------------
+    QueryDef("window_moving_avg", (s, dir) => {
+      // engine-deterministic averaging: the frame average of 2-decimal sums
+      // lands EXACTLY on .005 ties (sum/2), where Spark's BigDecimal round
+      // and DuckDB's exact-decimal round disagree on the same double — so
+      // the window runs over integer CENTS and divides at 6-decimal
+      // precision, where halves/thirds of integers can never tie
+      val hourly = Tables.t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(round(sum(col("value")), 2).as("hour_value"))
+        .withColumn("hv_cents", round(col("hour_value") * 100, 0).cast(LongType))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(-2, Window.currentRow)
+      hourly
+        .withColumn("mov_avg",
+          round(sum(col("hv_cents")).over(w) / (count(lit(1)).over(w) * lit(100.0)), 6))
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_s"),
+          col("hour_value"), col("mov_avg"))
+    },
+    Some("""WITH h AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     round(sum(value), 2) AS hour_value
+              FROM events GROUP BY 1, 2),
+            hc AS (
+              SELECT *, CAST(round(hour_value * 100, 0) AS BIGINT) AS hv_cents
+              FROM h)
+            SELECT event_type,
+              strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_s,
+              hour_value,
+              round(sum(hv_cents) OVER w / (count(*) OVER w * 100.0), 6) AS mov_avg
+            FROM hc
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""")),
+
+    // -- interval/range join WITHOUT an equi key: clicks in the minute
+    // before each purchase, across ALL users (RangeJoin turns the pure
+    // range condition into a bucketed SortMergeJoin — the naive ON-range
+    // form is a BroadcastNestedLoopJoin, O(|L|·|R|); see RangeJoin.scala) ---
+    QueryDef("range_join_recent_clicks", (s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"))
+      RangeJoin.trailing(purchases, clicks, "p_ts", "c_ts", 60L, "left_outer")
+        .groupBy(col("p_id"))
+        .agg(count(col("c_id")).as("clicks_in_prior_minute"))
+    },
+    Some("""SELECT p.event_id AS p_id,
+             count(c.event_id) AS clicks_in_prior_minute
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.ts >= p.ts - INTERVAL 60 SECOND AND c.ts < p.ts
+            GROUP BY 1"""))
   )
 }

@@ -419,4 +419,43 @@ class FunctionsSpec extends SparkSpec {
       df.select($"doc_id", $"payload"), everyK = 2).count()
     assert(frames == 2) // frames 0 and 2
   }
+
+  test("range join: half-open boundaries, cross-bucket matches, equi-join plan") {
+    import java.sql.Timestamp
+    def t(x: String) = Timestamp.valueOf(x)
+    val purchases = Seq(
+      (1L, t("2024-01-01 00:02:00")), // window [00:01:00, 00:02:00)
+      (2L, t("2024-01-01 05:00:00")), // no clicks anywhere near
+      (3L, t("2024-01-01 00:02:30"))  // window [00:01:30, 00:02:30)
+    ).toDF("p_id", "p_ts")
+    val clicks = Seq(
+      (10L, t("2024-01-01 00:01:00")), // = p1 lower bound → included (closed)
+      (11L, t("2024-01-01 00:01:30")), // in p1; = p3 lower bound → both
+      (12L, t("2024-01-01 00:02:00")), // = p1 upper bound → excluded (open); in p3
+      (13L, t("2024-01-01 00:00:59")), // just below p1's window
+      (14L, t("2024-01-01 00:02:10"))  // same-bucket match for p3
+    ).toDF("c_id", "c_ts")
+
+    val counts = RangeJoin
+      .trailing(purchases, clicks, "p_ts", "c_ts", 60L, "left_outer")
+      .groupBy($"p_id").agg(count($"c_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 0L, 3L -> 3L))
+
+    val pairs = RangeJoin.trailing(purchases, clicks, "p_ts", "c_ts", 60L)
+      .select($"p_id", $"c_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L), (1L, 11L), (3L, 11L), (3L, 12L), (3L, 14L)))
+
+    // the bucketed rewrite must surface an equi conjunct — a shuffle join,
+    // never the nested-loop shape the raw range condition would plan to
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = RangeJoin.trailing(purchases, clicks, "p_ts", "c_ts", 60L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+      assert(!plan.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
