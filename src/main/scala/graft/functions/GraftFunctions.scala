@@ -102,6 +102,29 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "theta_difference(a, b) takes 2 arguments")
         ThetaDifference(args(0), args(1))
+      }),
+    (new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bloom_agg(value, numBits, numHashes) takes 3 arguments")
+        val lits = args.drop(1).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bloom_agg numBits/numHashes must be integer literals, got $other")
+        }
+        BloomAgg(args(0), lits(0), lits(1))
+      }),
+    (new FunctionIdentifier("bloom_union_agg"),
+      new ExpressionInfo(classOf[BloomUnionAgg].getName, "bloom_union_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bloom_union_agg(sketch) takes 1 argument")
+        BloomUnionAgg(args(0))
+      }),
+    (new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bloom_might_contain(filter, value) takes 2 arguments")
+        BloomMightContain(args(0), args(1))
       }))
 
   /** Imperative registration for sessions created without the extension. */

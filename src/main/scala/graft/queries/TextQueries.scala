@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.TextFunctions
+import graft.functions.{GraftFunctions, TextFunctions}
 
 /** [EXT] Training-data text pipeline (SURVEY §2.11 north star): exact dedup,
   * near-dup candidates, language-ID heuristic, quality scoring, token
@@ -347,6 +347,45 @@ object TextQueries {
             WHERE doc_id % 100 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM bad)
             GROUP BY 1"""), headline = true),
+
+    // -- decontamination, Bloom-prefiltered: same answer as the exact query
+    // (Bloom has NO false negatives; false positives are removed by the
+    // exact verify join on the surviving sliver). The 100 TB shape: a
+    // benchmark set too big to broadcast raw compresses to a ~128 KB filter
+    // binary built in ONE scan (bloom_agg partials OR map-side), and the
+    // training corpus never shuffles for the prefilter ----------------------
+    QueryDef("decontaminate_bloom", (s, dir) => {
+      GraftFunctions.register(s)
+      val docs = Tables.t(s, dir, "documents")
+      val words = split(col("text"), " ")
+      val shingles = when(size(words) >= 5,
+        transform(sequence(lit(1), size(words) - 4),
+          i => concat_ws(" ", slice(words, i, lit(5))))).otherwise(array())
+      val sh = docs.select(col("doc_id"), explode(shingles).as("s"))
+      val bench = sh.filter(col("doc_id") % 100 === 0).select(col("s")).distinct()
+      // the one driver-side value: a bounded 2^20-bit filter binary (~128 KB)
+      val bloomBytes = bench
+        .agg(call_function("bloom_agg", col("s"), lit(1 << 20), lit(7)).as("b"))
+        .head().getAs[Array[Byte]](0)
+      val candidates = sh.filter(col("doc_id") % 100 =!= 0)
+        .filter(call_function("bloom_might_contain", lit(bloomBytes), col("s")))
+      val contaminated = candidates.join(broadcast(bench), Seq("s"))
+        .select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") % 100 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("survivors"))
+    },
+    Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+                       FROM documents),
+              sh AS (SELECT doc_id, array_to_string(words[i:i+4], ' ') AS s
+                     FROM w, unnest(range(1, greatest(len(words) - 3, 1))) AS t(i)),
+              b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0),
+              bad AS (SELECT DISTINCT t.doc_id FROM sh t JOIN b ON t.s = b.s
+                      WHERE t.doc_id % 100 <> 0)
+            SELECT source, count(*) AS survivors FROM documents d
+            WHERE doc_id % 100 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
+            GROUP BY 1""")),
 
     // -- token-budget sequence packing (r3): assign docs to fixed-budget
     // training bins by running token count — contiguous streaming packing,

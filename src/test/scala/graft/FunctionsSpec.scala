@@ -420,6 +420,77 @@ class FunctionsSpec extends SparkSpec {
     assert(frames == 2) // frames 0 and 2
   }
 
+  test("bloom sketch: no false negatives, bounded false positives, mergeable") {
+    GraftFunctions.register(spark)
+    val n = 5000L
+    val items = spark.range(n).selectExpr("CAST(id AS STRING) AS s")
+    val bits = 1 << 17
+    val bytes = items
+      .agg(call_function("bloom_agg", $"s", lit(bits), lit(7)).as("b"))
+      .head().getAs[Array[Byte]](0)
+
+    // a Bloom filter NEVER drops a member
+    val misses = items
+      .filter(!call_function("bloom_might_contain", lit(bytes), $"s")).count()
+    assert(misses == 0)
+
+    // disjoint keys: observed fp rate well under 1% at ~26 bits/item, k=7
+    // (theoretical ~4e-5; the bound is generous to stay non-flaky)
+    val absent = spark.range(n, 3 * n).selectExpr("CAST(id AS STRING) AS s")
+    val fps = absent
+      .filter(call_function("bloom_might_contain", lit(bytes), $"s")).count()
+    assert(fps.toDouble / (2 * n) < 0.01, s"fp rate ${fps.toDouble / (2 * n)}")
+
+    // partials OR together: two half-filters unioned == one-shot filter,
+    // bit for bit (the storage re-merge path, like hll/theta union)
+    def bloomOf(lo: Long, hi: Long): Array[Byte] = spark.range(lo, hi)
+      .selectExpr("CAST(id AS STRING) AS s")
+      .agg(call_function("bloom_agg", $"s", lit(bits), lit(7)).as("b"))
+      .head().getAs[Array[Byte]](0)
+    val merged = Seq(bloomOf(0, n / 2), bloomOf(n / 2, n)).toDF("sk")
+      .agg(call_function("bloom_union_agg", $"sk").as("b"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, bytes))
+
+    // sizing helpers: textbook optima in sane ranges
+    val m = BloomSketch.optimalBits(1000000L, 0.01)
+    assert(m > 9000000 && m < 10000000) // ≈ 9.59M bits for 1M items @1%
+    assert(BloomSketch.optimalHashes(1000000L, m) == 7)
+  }
+
+  test("GraftExtensions: spark.sql.extensions session serves pure-SQL users") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    // fresh session built THROUGH the SparkSessionExtensions injection hook —
+    // no imperative register() call anywhere. (The equivalent string config
+    // `spark.sql.extensions=graft.functions.GraftExtensions` is a STATIC conf
+    // read at SparkContext creation, so it can't be exercised on this suite's
+    // shared context; withExtensions drives the identical injectFunction path.)
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      assert(s2 ne spark)
+      val distinct = s2.sql(
+        """SELECT CAST(theta_estimate(theta_sketch_agg(CAST(id AS STRING), 64))
+          |  AS BIGINT) AS d FROM range(40)""".stripMargin).head().getLong(0)
+      assert(distinct == 40L) // sparse-exact regime
+      val row = s2.sql(
+        """SELECT bloom_might_contain(b, '7')  AS hit,
+          |       bloom_might_contain(b, 'certainly-absent-key') AS miss
+          |FROM (SELECT bloom_agg(s, 4096, 5) AS b
+          |      FROM (SELECT CAST(id AS STRING) AS s FROM range(20)))""".stripMargin)
+        .head()
+      assert(row.getBoolean(0) && !row.getBoolean(1))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("range join: half-open boundaries, cross-bucket matches, equi-join plan") {
     import java.sql.Timestamp
     def t(x: String) = Timestamp.valueOf(x)
