@@ -37,4 +37,28 @@ object Partitioners {
 
   /** RoundRobinBeam analog: even spread, no key affinity. */
   def roundRobin(df: DataFrame, n: Int): DataFrame = df.repartition(n)
+
+  /** Skew-relief equi join (100 TB tool): a hot key that would pile one
+    * reducer with most of the fact table is spread across `salt` sub-keys;
+    * the other side — small enough to replicate `salt`×, too big or too
+    * dynamic to broadcast — is exploded over every salt value, so the join
+    * key becomes (key, salt) and the hot key's rows land on `salt` reducers.
+    *
+    * Result-identical to `fact.join(dim, key)`: every fact row matches
+    * exactly the dim rows it would have matched (each under one salt value).
+    * Duplicate dim keys are fine — replication is per dim row. AQE's skew
+    * split covers sort-merge joins adaptively; salting stays the explicit
+    * tool when the skew is known ahead (and for deterministic layouts).
+    *
+    * The salt assignment only spreads rows — any per-row value works; it
+    * hashes a unique id so runs are reproducible modulo row order.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
+    require(salt > 1, s"salt must be > 1, got $salt")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

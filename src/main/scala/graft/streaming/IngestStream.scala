@@ -43,12 +43,31 @@ final class IngestStream(
       outputPath: String,
       now: Column = current_timestamp(),
       trigger: Trigger = Trigger.AvailableNow(),
-      writer: Option[(DataFrame, Long) => Unit] = None): StreamingQuery = {
+      writer: Option[(DataFrame, Long) => Unit] = None,
+      dedupKeys: Seq[String] = Nil): StreamingQuery = {
     // Row-wise stages run on the STREAMING DataFrame so the `observe` drop
     // counters surface in StreamingQueryProgress.observedMetrics (inside
     // foreachBatch they'd belong to a detached batch query and vanish).
-    val staged = pipeline.project(
+    val projected = pipeline.project(
       pipeline.windowFilter(pipeline.extractTimestamp(source), now))
+    // Optional at-source event dedup (exactly-once EVENTS on top of the
+    // sink's exactly-once BATCHES): duplicate deliveries of the same key —
+    // producer retries, replayed upstreams — collapse in the state store.
+    // The dedup horizon is windowPeriod, deliberately the same bound the
+    // lateness filter enforces: a duplicate arriving later than windowPeriod
+    // would be dropped as late anyway, so state never needs to outlive it.
+    // Keys must survive projection (i.e. be declared dimensions). Removal
+    // happens AFTER the send accounting — `sent` counts admitted rows,
+    // duplicates included, mirroring the reference's per-send counters.
+    val staged = if (dedupKeys.isEmpty) projected
+    else {
+      val missing = dedupKeys.filterNot(projected.columns.contains)
+      require(missing.isEmpty,
+        s"dedupKeys must be projected dimensions; missing: ${missing.mkString(",")}")
+      projected
+        .withWatermark(Pipeline.TsCol, s"${spec.tuning.windowPeriod.getSeconds} seconds")
+        .dropDuplicatesWithinWatermark(dedupKeys)
+    }
     // `writer` is a test seam (fault injection for the Kafka commit-contract
     // spec); production always takes the SegmentSink default, in
     // deferred-stats mode: one action per batch (no persist, no per-batch

@@ -61,6 +61,21 @@ object BenchCompare {
     graft.sink.SegmentSink.writeBatch(
       zmPipe.rollup(zmPipe.project(zmPipe.extractTimestamp(zmIn))), zmPath)
 
+    // skewed join corpus: ~20M fact rows, 90% on one key (x33 lineitem —
+    // below ~10M the fixed scan/shuffle cost drowns the single-reducer tail
+    // on 32 local threads; at 100 TB the same shape is an OOM/spill, so the
+    // local ratio understates the win)
+    val skewFact = li.crossJoin(spark.range(33))
+      .select(
+        when(pmod(xxhash64(col("l_orderkey"), col("l_partkey"), col("id")),
+          lit(10)) < 9, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(1000))).as("k"),
+        col("l_quantity").as("q")).cache()
+    skewFact.count()
+    val skewDim = spark.range(1000)
+      .select(col("id").as("k"), (col("id") * 7).cast("double").as("w")).cache()
+    skewDim.count()
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "simhash_nd_allpairs_2k" -> (() => {
         val a = shSmall.select(col("id").as("id_a"), col("sh").as("sh_a"))
@@ -110,10 +125,40 @@ object BenchCompare {
         .groupBy().agg(count_distinct(col("h")))),
       "simhash_hof" -> (() => docs
         .select(graft.functions.TextFunctions.simhashHof(col("text")).as("h"))
-        .groupBy().agg(count_distinct(col("h")))))
+        .groupBy().agg(count_distinct(col("h")))),
+      // -- skew-join relief: 90%-hot-key fact ⋈ 1k-key dim. These three run
+      // LAST: each pins its own AQE state, and both disable auto-broadcast
+      // (a broadcast join would sidestep the shuffle being measured — at
+      // real scale the dim side is too big/dynamic to broadcast) ------------
+      "skew_join_plain_aqe_off" -> (() => {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        skewFact.join(skewDim, Seq("k"))
+          .groupBy(col("k")).agg(sum(col("q") * col("w")))
+      }),
+      "skew_join_salted_aqe_off" -> (() => {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        graft.pipeline.Partitioners.saltedJoin(skewFact, skewDim, "k", cpus.toInt)
+          .groupBy(col("k")).agg(sum(col("q") * col("w")))
+      }),
+      "skew_join_plain_aqe_on" -> (() => {
+        // AQE's own skew handling, same join — the adaptive baseline
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        skewFact.join(skewDim, Seq("k"))
+          .groupBy(col("k")).agg(sum(col("q") * col("w")))
+      }))
 
-    variants.foreach { case (name, f) => f().count() } // warm-up all
+    // session defaults between variants (skew variants pin their own state)
+    def resetConf(): Unit = {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    variants.foreach { case (name, f) => resetConf(); f().count() } // warm-up all
     variants.foreach { case (name, f) =>
+      resetConf()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f().count(); (System.nanoTime() - t0) / 1e9
       }

@@ -47,6 +47,26 @@ class PartitionerSpec extends SparkSpec {
     assert(counts.length == 4 && counts.forall(c => c >= 200 && c <= 300))
   }
 
+  test("salted join: result-identical to the plain join, hot key spread over reducers") {
+    // 90% of fact rows share key 0 — the shape that piles one reducer
+    val fact = (1 to 2000).map(i => (if (i % 10 != 0) 0L else (i % 7).toLong, i))
+      .toDF("k", "v")
+    val dim = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (2L, "b2"), (5L, "c"))
+      .toDF("k", "w") // note the DUPLICATE dim key 2
+    val plain = fact.join(dim, Seq("k"))
+      .select($"k", $"v", $"w").as[(Long, Int, String)].collect().sorted
+    val salted = Partitioners.saltedJoin(fact, dim, "k", 8)
+      .select($"k", $"v", $"w").as[(Long, Int, String)].collect().sorted
+    assert(salted.sameElements(plain))
+
+    // the hot key's rows really do scatter across several salt buckets
+    val spread = fact.filter($"k" === 0L)
+      .withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(8)).cast("int"))
+      .select($"__salt").distinct().count()
+    assert(spread >= 6, s"hot key used only $spread of 8 salt buckets")
+  }
+
   test("schemaless map payload projection filters excluded keys") {
     import graft.config._
     val spec = IngestionSpec(DataSchema("m", TimestampSpec("ts"),

@@ -20,6 +20,9 @@ class StreamingSpec extends SparkSpec {
 
   case class Ev(ts: Timestamp, etype: String, value: Double)
   case class Ev2(ts: Timestamp, etype: String, region: String, value: Double)
+  case class EvD(ts: Timestamp, id: Long, etype: String, value: Double)
+  case class Click(cts: Timestamp, cuser: Long, cid: Long)
+  case class Purchase(pts: Timestamp, puser: Long, pid: Long)
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
@@ -69,6 +72,79 @@ class StreamingSpec extends SparkSpec {
     val dirs = new java.io.File(s"$tmp/out").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("segment=")).sorted
     assert(dirs.length == 2)
+  }
+
+  test("cross-batch event dedup: duplicate deliveries collapse within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val dSpec = IngestionSpec(
+      DataSchema("dedup_events", TimestampSpec("ts"),
+        SpecificDimensions(Seq("id", "etype")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("doubleSum", "total", Some("value"))),
+        GranularitySpec(Granularity.Hour, Granularity.Hour)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(30)))
+    val input = MemoryStream[EvD]
+    val tmp = Files.createTempDirectory("graft-dedup-stream").toString
+    val now = ts("2024-03-01 12:00:00")
+
+    val ingest = new IngestStream(spark, dSpec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50), dedupKeys = Seq("id"))
+
+    input.addData(
+      EvD(ts("2024-03-01 11:50:00"), 1L, "click", 1.0),
+      EvD(ts("2024-03-01 12:10:00"), 2L, "view", 2.0))
+    ingest.activeQuery.get.processAllAvailable()
+    // second delivery of id=1 (producer retry) + one genuinely new event;
+    // the duplicate is inside the watermark horizon → state-store hit
+    input.addData(
+      EvD(ts("2024-03-01 11:50:00"), 1L, "click", 1.0),
+      EvD(ts("2024-03-01 12:20:00"), 3L, "click", 4.0))
+    ingest.flushAndStop()
+
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.agg(sum($"cnt")).as[Long].head() == 3L)          // 3 unique events
+    assert(out.agg(sum($"total")).as[Double].head() == 7.0)     // 1 + 2 + 4
+    assert(out.select($"id").distinct().count() == 3)
+    // send accounting is PRE-dedup by design (reference counts admits):
+    assert(ingest.received == 4 && ingest.sent == 4 && ingest.dropped == 0)
+
+    // dedupKeys must be projected dimensions — actionable error otherwise
+    val bad = new IngestStream(spark, dSpec, s"$tmp/checkpoint2")
+    val e = intercept[IllegalArgumentException] {
+      bad.start(input.toDF(), s"$tmp/out2", now = lit(now),
+        dedupKeys = Seq("nonexistent_key"))
+    }
+    assert(e.getMessage.contains("nonexistent_key"))
+  }
+
+  test("stream-stream interval join: purchases enriched with prior clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    // equality key + event-time range: Spark's state-store interval join —
+    // watermarks bound both buffers (the no-equi-key batch variant is
+    // RangeJoin.trailing; stream-stream REQUIRES the key for state hashing)
+    val joined = clicks.toDF().withWatermark("cts", "10 minutes")
+      .join(purchases.toDF().withWatermark("pts", "10 minutes"),
+        expr("cuser = puser AND cts >= pts - INTERVAL 60 SECONDS AND cts < pts"),
+        "inner")
+    val q = joined.writeStream.format("memory").queryName("graft_ssj")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      clicks.addData(
+        Click(ts("2024-03-01 12:00:30"), 7L, 100L), // in p200's window
+        Click(ts("2024-03-01 12:01:00"), 7L, 101L), // == purchase ts → excluded
+        Click(ts("2024-03-01 12:00:00"), 8L, 102L), // user 8: too early for p201
+        Click(ts("2024-03-01 12:00:50"), 9L, 103L)) // wrong user
+      purchases.addData(
+        Purchase(ts("2024-03-01 12:01:00"), 7L, 200L),
+        Purchase(ts("2024-03-01 12:05:00"), 8L, 201L))
+      q.processAllAvailable()
+      val pairs = spark.table("graft_ssj").select($"pid", $"cid")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs == Set((200L, 100L)))
+    } finally q.stop()
   }
 
   test("restart from checkpoint does not duplicate delivered batches") {
