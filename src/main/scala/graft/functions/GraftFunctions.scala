@@ -14,8 +14,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    library use.
   */
 class GraftExtensions extends SparkSessionExtensionsProvider {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    // automatic zone-map segment pruning for plain reads of graft stores
+    ext.injectOptimizerRule(s => new graft.plans.SegmentPruneRule(s))
+  }
 }
 
 object GraftFunctions {
@@ -119,6 +122,29 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "bloom_union_agg(sketch) takes 1 argument")
         BloomUnionAgg(args(0))
+      }),
+    (new FunctionIdentifier("freq_sketch_agg"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "freq_sketch_agg(item, k) takes 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"freq_sketch_agg k must be an integer literal, got $other")
+        }
+        FreqSketchAgg(args(0), k)
+      }),
+    (new FunctionIdentifier("freq_merge_agg"),
+      new ExpressionInfo(classOf[FreqMergeAgg].getName, "freq_merge_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "freq_merge_agg(sketch) takes 1 argument")
+        FreqMergeAgg(args(0))
+      }),
+    (new FunctionIdentifier("freq_topk"),
+      new ExpressionInfo(classOf[FreqTopK].getName, "freq_topk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "freq_topk(sketch, n) takes 2 arguments")
+        FreqTopK(args(0), args(1))
       }),
     (new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),

@@ -55,6 +55,26 @@ object Aggregators {
                   else Seq(0.25, 0.5, 0.75, 0.95)
       percentile_approx(field(spec), array(probs.map(lit): _*),
         lit(spec.accuracy.getOrElse(10000))).as(spec.name)
+    // frequentItems (Druid DataSketches frequent-items analog): mergeable
+    // Misra-Gries heavy-hitters binary; `accuracy` = counter capacity k
+    // (guarantee: items above n/(k+1) frequency always present)
+    case "frequentItems" =>
+      call_function("freq_sketch_agg", field(spec).cast(StringType),
+        lit(spec.accuracy.getOrElse(64))).as(spec.name)
+    // Druid first/last family (upstream double/long/stringFirst-Last
+    // aggregators): Druid stores the (timestamp, value) PAIR in the segment
+    // so partials re-merge. Here the partial IS the pair — a struct ordered
+    // lexicographically by (t, v), so min/max of the struct selects the
+    // earliest/latest row AND re-merges by the same min/max
+    // (SegmentStore.mergeColumn). Ties on the full (t, v) pair carry the
+    // same v, so the finalized output is always deterministic (Druid leaves
+    // same-timestamp ties undefined). Null values don't participate.
+    case "doubleFirst" => firstLast(lit(true), spec, first = true, DoubleType).as(spec.name)
+    case "doubleLast"  => firstLast(lit(true), spec, first = false, DoubleType).as(spec.name)
+    case "longFirst"   => firstLast(lit(true), spec, first = true, LongType).as(spec.name)
+    case "longLast"    => firstLast(lit(true), spec, first = false, LongType).as(spec.name)
+    case "stringFirst" => firstLast(lit(true), spec, first = true, StringType).as(spec.name)
+    case "stringLast"  => firstLast(lit(true), spec, first = false, StringType).as(spec.name)
     case "filtered" =>
       val delegate = spec.aggregator.getOrElse(
         throw new IllegalArgumentException(s"filtered agg ${spec.name} lacks delegate"))
@@ -86,8 +106,27 @@ object Aggregators {
     case "thetaSketch" =>
       call_function("theta_sketch_agg", when(cond, field(d).cast(StringType)),
         lit(d.accuracy.getOrElse(4096)))
+    case "frequentItems" =>
+      call_function("freq_sketch_agg", when(cond, field(d).cast(StringType)),
+        lit(d.accuracy.getOrElse(64)))
+    case "doubleFirst" => firstLast(cond, d, first = true, DoubleType)
+    case "doubleLast"  => firstLast(cond, d, first = false, DoubleType)
+    case "longFirst"   => firstLast(cond, d, first = true, LongType)
+    case "longLast"    => firstLast(cond, d, first = false, LongType)
+    case "stringFirst" => firstLast(cond, d, first = true, StringType)
+    case "stringLast"  => firstLast(cond, d, first = false, StringType)
     case other =>
       throw new IllegalArgumentException(s"filtered wrapper unsupported for: $other")
+  }
+
+  /** (t, v)-struct partial for the first/last family; `cond` is the
+    * `filtered` wrapper predicate (lit(true) for the bare forms). Unnamed —
+    * callers alias. */
+  private def firstLast(cond: Column, spec: AggregatorSpec, first: Boolean,
+      t: org.apache.spark.sql.types.DataType): Column = {
+    val pair = when(cond && field(spec).isNotNull,
+      struct(col(Pipeline.RawTsCol).as("t"), field(spec).cast(t).as("v")))
+    if (first) min(pair) else max(pair)
   }
 
   /** Druid postAggregations → Column over FINALIZED metric columns (applied

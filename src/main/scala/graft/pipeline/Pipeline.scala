@@ -174,7 +174,10 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
         out.repartition(spec.tuning.partitions, col(SegmentCol) +: dimCols: _*)
       else out
     } else {
-      val bucketed = df.withColumn(TsCol, gran.queryGranularity.truncate(col(TsCol)))
+      // keep the raw event time for order-sensitive aggregators (first/last)
+      // before the bucket key overwrites it
+      val bucketed = df.withColumn(RawTsCol, col(TsCol))
+        .withColumn(TsCol, gran.queryGranularity.truncate(col(TsCol)))
       val aggs = schema.aggregators.map(Aggregators.toColumn) match {
         case Nil => Seq(count(lit(1)).as("rows"))
         case xs  => xs
@@ -222,5 +225,8 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
 
 object Pipeline {
   val TsCol = "__ts"
+  /** pre-truncation event time, visible to order-sensitive aggregators
+    * (first/last) inside the rollup groupBy — the bucket key is TsCol. */
+  val RawTsCol = "__graft_raw_ts"
   val SegmentCol = "segment"
 }

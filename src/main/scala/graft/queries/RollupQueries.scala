@@ -68,6 +68,62 @@ object RollupQueries {
              CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
             FROM events GROUP BY 1, 2""")),
 
+    // -- frequent-items sketch, SPARSE-EXACT regime: distinct users (~150)
+    // stay under k=256 counters so no Misra-Gries decrement ever fires —
+    // counts are exact and the top-5 hash-matches the exact GROUP BY
+    // (ties broken (count desc, item asc) on both sides) --------------------
+    QueryDef("freq_topk_users", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(call_function("freq_sketch_agg",
+          col("user_id").cast("string"), lit(256)).as("sk"))
+        .select(col("event_type"),
+          explode(call_function("freq_topk", col("sk"), lit(5))).as("e"))
+        .select(col("event_type"), col("e.item").as("usr"), col("e.cnt").as("cnt"))
+    },
+    Some("""WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS usr,
+                        count(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+              r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY cnt DESC, usr) AS rn FROM c)
+            SELECT event_type, usr, cnt FROM r WHERE rn <= 5""")),
+
+    // -- Druid first/last aggregators through the real pipeline: the partial
+    // is a (raw_ts, value) struct, min/max-ordered by (t, v) — so ties on
+    // the full pair are value-identical and the output is deterministic ----
+    QueryDef("rollup_first_last", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
+        Seq(AggregatorSpec("count", "cnt"),
+            AggregatorSpec("doubleFirst", "first_value", Some("value")),
+            AggregatorSpec("doubleLast", "last_value", Some("value")),
+            AggregatorSpec("longLast", "last_user", Some("user_id"))),
+        GranularitySpec(Granularity.Hour, Granularity.Hour)))
+      val p = new Pipeline(spec)
+      p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events"))))
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("event_type"), col("cnt"),
+          round(col("first_value").getField("v"), 2).as("first_value"),
+          round(col("last_value").getField("v"), 2).as("last_value"),
+          col("last_user").getField("v").as("last_user"))
+    },
+    Some("""WITH f AS (
+              SELECT event_type, date_trunc('hour', ts) AS b, value, user_id,
+                row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                  ORDER BY ts, value) AS rf,
+                row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                  ORDER BY ts DESC, value DESC) AS rl,
+                row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                  ORDER BY ts DESC, user_id DESC) AS ru
+              FROM events)
+            SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+              count(*) AS cnt,
+              round(max(CASE WHEN rf = 1 THEN value END), 2) AS first_value,
+              round(max(CASE WHEN rl = 1 THEN value END), 2) AS last_value,
+              CAST(max(CASE WHEN ru = 1 THEN user_id END) AS BIGINT) AS last_user
+            FROM f GROUP BY 1, 2""")),
+
     // -- fixed-width FIVE_MINUTE granularity (epoch arithmetic path) --------
     QueryDef("rollup_five_minute", (s, dir) => {
       val p = new Pipeline(baseSpec(Granularity.FiveMinute))

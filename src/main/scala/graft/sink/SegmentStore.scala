@@ -50,6 +50,19 @@ object SegmentStore {
         val merged = call_function("theta_union_agg", col(spec.name))
         (if (finalizeSketches) call_function("theta_estimate", merged)
         else merged).as(spec.name)
+      case "frequentItems" =>
+        val merged = call_function("freq_merge_agg", col(spec.name))
+        (if (finalizeSketches)
+          call_function("freq_topk", merged, lit(spec.accuracy.getOrElse(64)))
+        else merged).as(spec.name)
+      // first/last partials are (t, v) structs ordered by (t, v) — re-merge
+      // is the same lexicographic min/max; finalize unwraps the value
+      case "doubleFirst" | "longFirst" | "stringFirst" =>
+        val merged = min(col(spec.name))
+        (if (finalizeSketches) merged.getField("v") else merged).as(spec.name)
+      case "doubleLast" | "longLast" | "stringLast" =>
+        val merged = max(col(spec.name))
+        (if (finalizeSketches) merged.getField("v") else merged).as(spec.name)
       case "filtered" =>
         val d = spec.aggregator.getOrElse(
           throw new IllegalArgumentException(s"filtered ${spec.name} lacks delegate"))

@@ -185,6 +185,9 @@ final class IngestStream(
     // (the reference's per-event SendResult(sent=false) accounting, SURVEY §2.2).
     val staged = pipeline.project(pipeline.extractTimestamp(source))
       .observe("graft_window", count(lit(1)).as("received"))
+      // raw event time for order-sensitive aggregators (first/last) — the
+      // window() bucket replaces TsCol as the group key below
+      .withColumn(Pipeline.RawTsCol, col(Pipeline.TsCol))
       .withWatermark(Pipeline.TsCol, s"$wmSeconds seconds")
     val dims = pipeline.dimensionNames(staged).map(col)
     val aggs = spec.dataSchema.aggregators.map(graft.pipeline.Aggregators.toColumn) match {

@@ -458,6 +458,45 @@ class FunctionsSpec extends SparkSpec {
     assert(BloomSketch.optimalHashes(1000000L, m) == 7)
   }
 
+  test("freq sketch: sparse exactness, heavy-hitter guarantee, mergeable partials") {
+    GraftFunctions.register(spark)
+    // sparse regime: 20 distinct items under k=64 → exact counts
+    val sparse = spark.range(200).selectExpr("CAST(id % 20 AS STRING) AS s")
+    val sk = sparse.agg(call_function("freq_sketch_agg", $"s", lit(64)).as("b"))
+      .head().getAs[Array[Byte]](0)
+    val top = FreqSketch.deserialize(sk).topK(100)
+    assert(top.size == 20 && top.forall(_._2 == 10L))
+
+    // merge of halves == one-shot (sparse ⇒ bit-identical serialized form:
+    // deterministic (count desc, item asc) entry order)
+    def skOf(lo: Int, hi: Int): Array[Byte] = spark.range(lo, hi)
+      .selectExpr("CAST(id % 20 AS STRING) AS s")
+      .agg(call_function("freq_sketch_agg", $"s", lit(64)).as("b"))
+      .head().getAs[Array[Byte]](0)
+    val merged = Seq(skOf(0, 100), skOf(100, 200)).toDF("sk")
+      .agg(call_function("freq_merge_agg", $"sk").as("b"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, sk))
+
+    // capacity regime: planted heavy item among adversarial distinct noise —
+    // frequency 2000/12000 >> n/(k+1) = 12000/17, MUST survive with k=16
+    val heavy = spark.range(10000).selectExpr("CAST(id AS STRING) AS s")
+      .union(spark.range(2000).selectExpr("'HEAVY' AS s"))
+    val hsk = heavy.agg(call_function("freq_sketch_agg", $"s", lit(16)).as("b"))
+      .head().getAs[Array[Byte]](0)
+    val htop = FreqSketch.deserialize(hsk).topK(1)
+    assert(htop.head._1 == "HEAVY",
+      s"heavy hitter must survive capacity pressure: $htop")
+    // MG counts are lower bounds within n/(k+1)
+    assert(htop.head._2 <= 2000L && htop.head._2 >= 2000L - 12000L / 17)
+
+    // freq_topk is SQL-surfaced and deterministically ordered
+    val rows = Seq(sk).toDF("sk")
+      .selectExpr("inline(freq_topk(sk, 3))")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("0", 10L), ("1", 10L), ("10", 10L)))
+  }
+
   test("GraftExtensions: spark.sql.extensions session serves pure-SQL users") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

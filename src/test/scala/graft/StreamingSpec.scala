@@ -352,6 +352,73 @@ class StreamingSpec extends SparkSpec {
     assert(again == Seq((4L, 3L)))
   }
 
+  test("frequentItems sketch: per-batch partials re-merge through the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val fqSpec = IngestionSpec(
+      DataSchema("fq_events", TimestampSpec("ts"),
+        SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("frequentItems", "top_vals", Some("value"),
+            accuracy = Some(8))),
+        GranularitySpec(Granularity.Hour, Granularity.Hour)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(30)))
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-freq").toString
+    val ingest = new IngestStream(spark, fqSpec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(ts("2024-03-01 12:00:00")),
+      trigger = Trigger.ProcessingTime(50))
+    // the true top item ("2.0", 3 total) is split ACROSS batches — only the
+    // mergeable counter sketch ranks it first after re-merge
+    input.addData(Ev(ts("2024-03-01 12:01:00"), "click", 1.0),
+      Ev(ts("2024-03-01 12:02:00"), "click", 2.0),
+      Ev(ts("2024-03-01 12:03:00"), "click", 2.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:04:00"), "click", 2.0),
+      Ev(ts("2024-03-01 12:05:00"), "click", 3.0))
+    ingest.flushAndStop()
+
+    val out = graft.sink.SegmentStore.read(spark, s"$tmp/out", fqSpec)
+      .selectExpr("cnt", "inline(top_vals)")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((5L, "2.0", 3L), (5L, "1.0", 1L), (5L, "3.0", 1L)),
+      s"merged heavy-hitter ranking wrong: $out")
+  }
+
+  test("first/last aggregators: (t,v) partials re-merge across batches and compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val flSpec = IngestionSpec(
+      DataSchema("fl_events", TimestampSpec("ts"),
+        SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("doubleFirst", "first_v", Some("value")),
+          AggregatorSpec("doubleLast", "last_v", Some("value"))),
+        GranularitySpec(Granularity.Hour, Granularity.Hour)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(30)))
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-fl").toString
+    val ingest = new IngestStream(spark, flSpec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(ts("2024-03-01 12:00:00")),
+      trigger = Trigger.ProcessingTime(50))
+    // batch 1 holds the bucket's LATEST event, batch 2 its EARLIEST — merged
+    // finals must pick across batches, which finalized values could not
+    input.addData(Ev(ts("2024-03-01 12:05:00"), "click", 5.0),
+      Ev(ts("2024-03-01 12:09:00"), "click", 9.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:01:00"), "click", 1.0),
+      Ev(ts("2024-03-01 12:07:00"), "click", 7.0))
+    ingest.flushAndStop()
+
+    val merged = graft.sink.SegmentStore.read(spark, s"$tmp/out", flSpec)
+      .select($"cnt", $"first_v", $"last_v").as[(Long, Double, Double)].collect().toSeq
+    assert(merged == Seq((4L, 1.0, 9.0)),
+      s"first=12:01 value, last=12:09 value expected: $merged")
+
+    graft.sink.SegmentStore.compact(spark, s"$tmp/out", flSpec, s"$tmp/compacted")
+    val again = graft.sink.SegmentStore.read(spark, s"$tmp/compacted", flSpec)
+      .select($"cnt", $"first_v", $"last_v").as[(Long, Double, Double)].collect().toSeq
+    assert(again == Seq((4L, 1.0, 9.0)))
+  }
+
   test("stored histogram sketches: per-batch partials re-merge, compaction keeps them mergeable") {
     implicit val sqlCtx = spark.sqlContext
     val hSpec = IngestionSpec(
@@ -677,6 +744,63 @@ class StreamingSpec extends SparkSpec {
     val got = graft.sink.SegmentStore.readPrunedNumeric(spark, s"$tmp/out", spec,
       "total", 0.0, 10.0).select($"etype", $"cnt").as[(String, Long)].collect().toSeq
     assert(got == Seq(("alpha", 1L)))
+  }
+
+  test("SegmentPruneRule: a PLAIN filter over a store auto-prunes via the sidecar") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-autoprune").toString
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(ts("2024-03-01 12:00:00")),
+      trigger = Trigger.ProcessingTime(50))
+    input.addData(Ev(ts("2024-03-01 11:40:00"), "alpha", 1.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:10:00"), "zulu", 100.0))
+    ingest.flushAndStop()
+
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+
+    // the SAME read through a session WITHOUT the rule scans both segments
+    assert(scanOf(spark.read.parquet(s"$tmp/out").filter($"etype" === "alpha"))
+      .selectedPartitions.partitionCount == 2)
+
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      // string dim equality: no readPruned call, no segment predicate — the
+      // optimizer injects the admitted-segment IN from the sidecar
+      val q1 = s2.read.parquet(s"$tmp/out").filter(col("etype") === "alpha")
+      assert(scanOf(q1).selectedPartitions.partitionCount == 1,
+        "auto-prune must cut the scan to the admitted segment dir")
+      assert(q1.select(col("etype")).collect().map(_.getString(0)).toSeq == Seq("alpha"))
+
+      // numeric range on a metric column (typed zone-map family)
+      val q2 = s2.read.parquet(s"$tmp/out")
+        .filter(col("total") >= 0.0 && col("total") <= 10.0)
+      assert(scanOf(q2).selectedPartitions.partitionCount == 1)
+
+      // disjoint range: nothing admitted, nothing scanned, empty result
+      val q3 = s2.read.parquet(s"$tmp/out")
+        .filter(col("total") >= 500.0 && col("total") <= 900.0)
+      assert(q3.count() == 0)
+
+      // an explicit segment predicate disables the rewrite (user knows best)
+      val q4 = s2.read.parquet(s"$tmp/out")
+        .filter(col("segment") === "2024-03-01T12.00.00" && col("etype") === "alpha")
+      assert(scanOf(q4).selectedPartitions.partitionCount == 1 && q4.count() == 0)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
   }
 
   test("segment layout prunes partitions: a segment filter reads only its dir") {
