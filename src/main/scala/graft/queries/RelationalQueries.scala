@@ -676,6 +676,22 @@ object RelationalQueries {
             WINDOW w AS (PARTITION BY event_type ORDER BY bucket
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""")),
 
+    // -- Druid groupBy limitSpec analog: metric-ordered LIMIT over grouped
+    // results (DefaultLimitSpec{columns, limit}) — TakeOrderedAndProject
+    // above the aggregation, so the sort never materializes globally;
+    // (event_type, user_id) unique ⇒ the order is total --------------------
+    QueryDef("group_limit_spec", (s, dir) => {
+      Tables.t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("cnt").desc, col("event_type"), col("user_id"))
+        .limit(20)
+    },
+    Some("""SELECT event_type, user_id, count(*) AS cnt,
+             round(sum(value), 2) AS total
+            FROM events GROUP BY 1, 2
+            ORDER BY cnt DESC, event_type, user_id LIMIT 20""")),
+
     // -- interval/range join WITHOUT an equi key: clicks in the minute
     // before each purchase, across ALL users (RangeJoin turns the pure
     // range condition into a bucketed SortMergeJoin — the naive ON-range
