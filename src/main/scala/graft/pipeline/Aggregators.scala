@@ -55,6 +55,12 @@ object Aggregators {
                   else Seq(0.25, 0.5, 0.75, 0.95)
       percentile_approx(field(spec), array(probs.map(lit): _*),
         lit(spec.accuracy.getOrElse(10000))).as(spec.name)
+    // doubleMean (Druid's mean aggregator): a finalized mean can't re-merge,
+    // so the partial is the (sum, count) pair — re-merged by pointwise sum,
+    // finalized to s/c at read (SegmentStore.mergeColumn)
+    case "doubleMean" =>
+      struct(sum(field(spec).cast(DoubleType)).as("s"),
+        count(field(spec)).as("c")).as(spec.name)
     // frequentItems (Druid DataSketches frequent-items analog): mergeable
     // Misra-Gries heavy-hitters binary; `accuracy` = counter capacity k
     // (guarantee: items above n/(k+1) frequency always present)
@@ -109,6 +115,9 @@ object Aggregators {
     case "frequentItems" =>
       call_function("freq_sketch_agg", when(cond, field(d).cast(StringType)),
         lit(d.accuracy.getOrElse(64)))
+    case "doubleMean" =>
+      struct(sum(when(cond, field(d).cast(DoubleType))).as("s"),
+        count(when(cond, field(d))).as("c"))
     case "doubleFirst" => firstLast(cond, d, first = true, DoubleType)
     case "doubleLast"  => firstLast(cond, d, first = false, DoubleType)
     case "longFirst"   => firstLast(cond, d, first = true, LongType)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{NumericType, StringType}
+import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
 
 import graft.pipeline.Pipeline
 import graft.sink.{SegmentSink, SegmentStore}
@@ -45,7 +45,7 @@ class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if segmentAttr(rel).isDefined &&
             !cond.references.exists(_.name == Pipeline.SegmentCol) =>
         rootPath(rel) match {
-          case Some(path) if sidecarMtime(path) > 0 =>
+          case Some(path) =>
             admitted(path, cond) match {
               case Some(segs) =>
                 val extra =
@@ -86,32 +86,100 @@ class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Intersection of per-conjunct admitted segment lists; None when no
-    * conjunct is zone-map-answerable. */
+    * conjunct is answerable. Dim/metric conjuncts need the zone-map sidecar;
+    * a time-interval conjunct on the bucket column needs only the segment
+    * layout itself (dir names encode chunk starts — the Druid `intervals`
+    * clause answered at planning, like the broker's segment timeline). */
   private def admitted(path: String, cond: Expression): Option[Seq[String]] = {
     val conjuncts = splitAnd(cond)
-    val stringEq = conjuncts.collect {
+    val statsReady = sidecarMtime(path) > 0
+    val stringEq = if (!statsReady) Nil else conjuncts.collect {
       case EqualTo(a: AttributeReference, Literal(v, StringType)) if v != null =>
         (a.name, v.toString)
       case EqualTo(Literal(v, StringType), a: AttributeReference) if v != null =>
         (a.name, v.toString)
     }
-    val numericBounds = collectNumericBounds(conjuncts)
-    if (stringEq.isEmpty && numericBounds.isEmpty) return None
+    val numericBounds = if (!statsReady) Nil else collectNumericBounds(conjuncts)
+    val tsBounds = collectTsBounds(conjuncts)
+    if (stringEq.isEmpty && numericBounds.isEmpty && tsBounds.isEmpty) return None
 
     val key = s"$path@${sidecarMtime(path)}|" +
       (stringEq.map(e => s"s:${e._1}=${e._2}") ++
-        numericBounds.map(b => s"n:${b._1}∈[${b._2},${b._3}]")).sorted.mkString("&")
-    Some(cache.computeIfAbsent(key, _ => {
+        numericBounds.map(b => s"n:${b._1}∈[${b._2},${b._3}]") ++
+        tsBounds.map(b => s"t:[${b._1},${b._2}]")).sorted.mkString("&")
+    val segs = cache.computeIfAbsent(key, _ => {
       inRule.set(true)
       try {
         val lists =
           stringEq.map { case (d, v) =>
             SegmentStore.pruneSegments(spark, path, d, v).toSet } ++
           numericBounds.map { case (c, lo, hi) =>
-            SegmentStore.pruneSegmentsNumericRange(spark, path, c, lo, hi).toSet }
-        lists.reduce(_ intersect _).toSeq.sorted
+            SegmentStore.pruneSegmentsNumericRange(spark, path, c, lo, hi).toSet } ++
+          tsBounds.flatMap { case (lo, hi) => timeAdmitted(path, lo, hi) }
+        if (lists.isEmpty) AllSegments
+        else lists.reduce(_ intersect _).toSeq.sorted
       } finally inRule.set(false)
-    }))
+    })
+    if (segs eq AllSegments) None else Some(segs)
+  }
+
+  /** Segments whose chunk can overlap [lo, hi] micros on the bucket column.
+    * A chunk's rows satisfy start_i ≤ ts < start_{i+1} (equal fixed widths
+    * per store; gaps only over-admit), so: admit iff start_i ≤ hi and the
+    * NEXT chunk's start > lo (last chunk: unbounded above). Unparseable dir
+    * names (not a graft store after all) → no time answer. */
+  private def timeAdmitted(path: String, lo: Long, hi: Long): Option[Set[String]] = {
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH.mm.ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(tz))
+    val names = SegmentStore.listSegmentDirs(spark, path)
+    val starts = names.map { n =>
+      try Some(fmt.parse(n).getTime * 1000L) catch { case _: Exception => None }
+    }
+    if (names.isEmpty || starts.exists(_.isEmpty)) return None
+    val s = starts.map(_.get)
+    Some(names.indices.collect {
+      case i if s(i) <= hi && (i == names.size - 1 || s(i + 1) > lo) => names(i)
+    }.toSet)
+  }
+
+  /** [lo, hi] micros over the bucket column from timestamp comparisons. */
+  private def collectTsBounds(conjuncts: Seq[Expression]): Option[(Long, Long)] = {
+    def tsAttr(e: Expression): Boolean = e match {
+      case a: AttributeReference =>
+        a.name == Pipeline.TsCol && a.dataType == TimestampType
+      case _ => false
+    }
+    def micros(l: Literal): Option[Long] = l.value match {
+      case v: java.lang.Long if l.dataType == TimestampType => Some(v)
+      case _ => None
+    }
+    var lo = Long.MinValue; var hi = Long.MaxValue; var seen = false
+    conjuncts.foreach {
+      case EqualTo(e, l: Literal) if tsAttr(e) =>
+        micros(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v); seen = true }
+      case EqualTo(l: Literal, e) if tsAttr(e) =>
+        micros(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v); seen = true }
+      case GreaterThanOrEqual(e, l: Literal) if tsAttr(e) =>
+        micros(l).foreach { v => lo = math.max(lo, v); seen = true }
+      case GreaterThan(e, l: Literal) if tsAttr(e) =>
+        micros(l).foreach { v => lo = math.max(lo, v); seen = true }
+      case LessThanOrEqual(e, l: Literal) if tsAttr(e) =>
+        micros(l).foreach { v => hi = math.min(hi, v); seen = true }
+      case LessThan(e, l: Literal) if tsAttr(e) =>
+        micros(l).foreach { v => hi = math.min(hi, v); seen = true }
+      case GreaterThanOrEqual(l: Literal, e) if tsAttr(e) =>
+        micros(l).foreach { v => hi = math.min(hi, v); seen = true }
+      case GreaterThan(l: Literal, e) if tsAttr(e) =>
+        micros(l).foreach { v => hi = math.min(hi, v); seen = true }
+      case LessThanOrEqual(l: Literal, e) if tsAttr(e) =>
+        micros(l).foreach { v => lo = math.max(lo, v); seen = true }
+      case LessThan(l: Literal, e) if tsAttr(e) =>
+        micros(l).foreach { v => lo = math.max(lo, v); seen = true }
+      case _ => ()
+    }
+    if (seen) Some((lo, hi)) else None
   }
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {
@@ -175,4 +243,8 @@ object SegmentPruneRule {
   /** (path, predicate, sidecar-mtime) → admitted segments. Bounded: distinct
     * stores × distinct predicates actually planned. */
   private val cache = new ConcurrentHashMap[String, Seq[String]]()
+
+  /** Sentinel: every prune was conservative (keep-all) — no rewrite, cached
+    * so re-optimization doesn't recompute. */
+  private[plans] val AllSegments: Seq[String] = Seq(" __all__")
 }

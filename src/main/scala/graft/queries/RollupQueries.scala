@@ -68,6 +68,27 @@ object RollupQueries {
              CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
             FROM events GROUP BY 1, 2""")),
 
+    // -- doubleMean through the pipeline: the partial is the re-mergeable
+    // (sum, count) pair; numerators rounded before the division on both
+    // sides so the quotient is bit-identical cross-engine ------------------
+    QueryDef("rollup_mean", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
+        Seq(AggregatorSpec("count", "cnt"),
+            AggregatorSpec("doubleMean", "mean_v", Some("value"))),
+        GranularitySpec(Granularity.Day, Granularity.Day)))
+      val p = new Pipeline(spec)
+      p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events"))))
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("event_type"), col("cnt"),
+          round(round(col("mean_v").getField("s"), 2) /
+            col("mean_v").getField("c"), 6).as("mean_value"))
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, count(*) AS cnt,
+             round(round(sum(value), 2) / count(value), 6) AS mean_value
+            FROM events GROUP BY 1, 2""")),
+
     // -- frequent-items sketch, SPARSE-EXACT regime: distinct users (~150)
     // stay under k=256 counters so no Misra-Gries decrement ever fires —
     // counts are exact and the top-5 hash-matches the exact GROUP BY

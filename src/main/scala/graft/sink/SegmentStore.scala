@@ -55,6 +55,14 @@ object SegmentStore {
         (if (finalizeSketches)
           call_function("freq_topk", merged, lit(spec.accuracy.getOrElse(64)))
         else merged).as(spec.name)
+      // doubleMean partials are (sum, count) pairs — pointwise sum, finalize
+      // to s/c only at the final read (null when no rows contributed)
+      case "doubleMean" =>
+        val merged = struct(sum(col(spec.name).getField("s")).as("s"),
+          sum(col(spec.name).getField("c")).as("c"))
+        (if (finalizeSketches)
+          merged.getField("s") / merged.getField("c")
+        else merged).as(spec.name)
       // first/last partials are (t, v) structs ordered by (t, v) — re-merge
       // is the same lexicographic min/max; finalize unwraps the value
       case "doubleFirst" | "longFirst" | "stringFirst" =>
@@ -182,7 +190,7 @@ object SegmentStore {
   }
 
   /** `segment=` partition directory names under `path`. */
-  private def listSegmentDirs(spark: SparkSession, path: String): Seq[String] = {
+  private[graft] def listSegmentDirs(spark: SparkSession, path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p).map(_.getPath.getName)

@@ -497,6 +497,68 @@ class FunctionsSpec extends SparkSpec {
     assert(rows == Seq(("0", 10L), ("1", 10L), ("10", 10L)))
   }
 
+  test("sketch merge laws: bloom/freq/theta commutative + associative (seeded random)") {
+    // pure-JVM property pass over the Buffer types (no Spark) — the
+    // TypedImperativeAggregate contract merges partials in arbitrary order
+    // and grouping, so order-independence of the serialized form (in the
+    // regimes that promise it) is load-bearing, not cosmetic
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val sets = Seq.fill(3)(Seq.fill(rnd.nextInt(200) + 1)(
+        "item-" + rnd.nextInt(500)))
+
+      // bloom: OR is commutative/associative and equals the one-shot build
+      def bloomOf(items: Seq[String]*): Array[Byte] = {
+        val b = new BloomSketch.Buffer(4096, 5)
+        items.flatten.foreach { s =>
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          b.add(BloomSketch.hash1(u), BloomSketch.hash2(u))
+        }
+        BloomSketch.serialize(b)
+      }
+      def bloomMerge(parts: Seq[Array[Byte]]): Array[Byte] = {
+        val acc = new BloomSketch.Buffer(0, 0)
+        parts.foreach(p => acc.mergeWith(BloomSketch.deserialize(p)))
+        BloomSketch.serialize(acc)
+      }
+      val bParts = sets.map(s => bloomOf(s))
+      assert(java.util.Arrays.equals(bloomMerge(bParts), bloomMerge(bParts.reverse)))
+      assert(java.util.Arrays.equals(bloomMerge(bParts), bloomOf(sets: _*)))
+
+      // freq (sparse regime: k=1000 > 500 possible distinct): counts exact,
+      // serialized form order-independent and equal to the one-shot build
+      def freqOf(items: Seq[String]*): Array[Byte] = {
+        val b = new FreqSketch.Buffer(1000)
+        items.flatten.foreach(b.add(_))
+        FreqSketch.serialize(b)
+      }
+      def freqMerge(parts: Seq[Array[Byte]]): Array[Byte] = {
+        val acc = new FreqSketch.Buffer(0)
+        parts.foreach(p => acc.mergeWith(FreqSketch.deserialize(p)))
+        FreqSketch.serialize(acc)
+      }
+      val fParts = sets.map(s => freqOf(s))
+      assert(java.util.Arrays.equals(freqMerge(fParts), freqMerge(fParts.reverse)))
+      assert(java.util.Arrays.equals(freqMerge(fParts), freqOf(sets: _*)))
+
+      // theta (sparse regime: k=1024 > distinct): same guarantees
+      def thetaOf(items: Seq[String]*): Array[Byte] = {
+        val b = new ThetaSketch.Buffer(1024)
+        items.flatten.foreach(s => b.add(ThetaSketch.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))))
+        ThetaSketch.serialize(b)
+      }
+      def thetaMerge(parts: Seq[Array[Byte]]): Array[Byte] = {
+        val acc = new ThetaSketch.Buffer(0)
+        parts.foreach(p => acc.mergeWith(ThetaSketch.deserialize(p)))
+        ThetaSketch.serialize(acc)
+      }
+      val tParts = sets.map(s => thetaOf(s))
+      assert(java.util.Arrays.equals(thetaMerge(tParts), thetaMerge(tParts.reverse)))
+      assert(java.util.Arrays.equals(thetaMerge(tParts), thetaOf(sets: _*)))
+    }
+  }
+
   test("GraftExtensions: spark.sql.extensions session serves pure-SQL users") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

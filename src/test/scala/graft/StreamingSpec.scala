@@ -391,7 +391,8 @@ class StreamingSpec extends SparkSpec {
         SpecificDimensions(Seq("etype")),
         Seq(AggregatorSpec("count", "cnt"),
           AggregatorSpec("doubleFirst", "first_v", Some("value")),
-          AggregatorSpec("doubleLast", "last_v", Some("value"))),
+          AggregatorSpec("doubleLast", "last_v", Some("value")),
+          AggregatorSpec("doubleMean", "mean_v", Some("value"))),
         GranularitySpec(Granularity.Hour, Granularity.Hour)),
       Tuning(windowPeriod = java.time.Duration.ofMinutes(30)))
     val input = MemoryStream[Ev]
@@ -409,14 +410,16 @@ class StreamingSpec extends SparkSpec {
     ingest.flushAndStop()
 
     val merged = graft.sink.SegmentStore.read(spark, s"$tmp/out", flSpec)
-      .select($"cnt", $"first_v", $"last_v").as[(Long, Double, Double)].collect().toSeq
-    assert(merged == Seq((4L, 1.0, 9.0)),
-      s"first=12:01 value, last=12:09 value expected: $merged")
+      .select($"cnt", $"first_v", $"last_v", $"mean_v")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(merged == Seq((4L, 1.0, 9.0, 5.5)),
+      s"first=12:01 value, last=12:09 value, mean=22/4 expected: $merged")
 
     graft.sink.SegmentStore.compact(spark, s"$tmp/out", flSpec, s"$tmp/compacted")
     val again = graft.sink.SegmentStore.read(spark, s"$tmp/compacted", flSpec)
-      .select($"cnt", $"first_v", $"last_v").as[(Long, Double, Double)].collect().toSeq
-    assert(again == Seq((4L, 1.0, 9.0)))
+      .select($"cnt", $"first_v", $"last_v", $"mean_v")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(again == Seq((4L, 1.0, 9.0, 5.5)))
   }
 
   test("stored histogram sketches: per-batch partials re-merge, compaction keeps them mergeable") {
@@ -797,6 +800,17 @@ class StreamingSpec extends SparkSpec {
       val q4 = s2.read.parquet(s"$tmp/out")
         .filter(col("segment") === "2024-03-01T12.00.00" && col("etype") === "alpha")
       assert(scanOf(q4).selectedPartitions.partitionCount == 1 && q4.count() == 0)
+
+      // time-interval predicate: needs NO sidecar — the segment layout
+      // itself answers (Druid `intervals` at planning time)
+      val q5 = s2.read.parquet(s"$tmp/out")
+        .filter(col(graft.pipeline.Pipeline.TsCol) >= lit(ts("2024-03-01 12:00:00")))
+      assert(scanOf(q5).selectedPartitions.partitionCount == 1,
+        "ts lower bound must exclude the earlier hour chunk")
+      assert(q5.select($"etype").collect().map(_.getString(0)).toSeq == Seq("zulu"))
+      val q6 = s2.read.parquet(s"$tmp/out")
+        .filter(col(graft.pipeline.Pipeline.TsCol) < lit(ts("2024-03-01 10:00:00")))
+      assert(q6.count() == 0)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
