@@ -103,7 +103,12 @@ final case class Tuning(
     maxBatchSize: Int = 2000,
     maxPendingBatches: Int = 5,
     lingerMillis: Long = 0L,
-    warmingPeriod: Duration = Duration.ZERO)
+    warmingPeriod: Duration = Duration.ZERO,
+    /** at-source event dedup: duplicate deliveries sharing these (projected
+      * dimension) keys collapse within the windowPeriod horizon —
+      * `dropDuplicatesWithinWatermark` state, never outliving what the
+      * lateness filter would drop anyway */
+    dedupKeys: Seq[String] = Nil)
 
 final case class DataSchema(
     dataSource: String,

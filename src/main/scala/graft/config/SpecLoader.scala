@@ -94,7 +94,9 @@ object SpecLoader {
         maxBatchSize = opt(t, "maxBatchSize").map(_.asInt).getOrElse(2000),
         maxPendingBatches = opt(t, "maxPendingBatches").map(_.asInt).getOrElse(5),
         lingerMillis = opt(t, "lingerMillis").map(_.asLong).getOrElse(0L),
-        warmingPeriod = Duration.parse(str(t, "warmingPeriod", "PT0M")))
+        warmingPeriod = Duration.parse(str(t, "warmingPeriod", "PT0M")),
+        dedupKeys = opt(t, "dedupKeys").toSeq
+          .flatMap(_.elements.asScala).map(_.asText))
     }.getOrElse(Tuning())
 
     IngestionSpec(

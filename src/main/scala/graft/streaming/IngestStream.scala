@@ -59,14 +59,17 @@ final class IngestStream(
     // Keys must survive projection (i.e. be declared dimensions). Removal
     // happens AFTER the send accounting — `sent` counts admitted rows,
     // duplicates included, mirroring the reference's per-send counters.
-    val staged = if (dedupKeys.isEmpty) projected
+    // Keys come from the call site or, spec-driven, tuning.dedupKeys (the
+    // JSON surface the Daemon / HTTP / Kafka paths load).
+    val effectiveKeys = if (dedupKeys.nonEmpty) dedupKeys else spec.tuning.dedupKeys
+    val staged = if (effectiveKeys.isEmpty) projected
     else {
-      val missing = dedupKeys.filterNot(projected.columns.contains)
+      val missing = effectiveKeys.filterNot(projected.columns.contains)
       require(missing.isEmpty,
         s"dedupKeys must be projected dimensions; missing: ${missing.mkString(",")}")
       projected
         .withWatermark(Pipeline.TsCol, s"${spec.tuning.windowPeriod.getSeconds} seconds")
-        .dropDuplicatesWithinWatermark(dedupKeys)
+        .dropDuplicatesWithinWatermark(effectiveKeys)
     }
     // `writer` is a test seam (fault injection for the Kafka commit-contract
     // spec); production always takes the SegmentSink default, in
@@ -183,12 +186,18 @@ final class IngestStream(
     // inside the state store and surface as numRowsDroppedByWatermark, which
     // [[dropped]] folds into the same received = sent + dropped invariant
     // (the reference's per-event SendResult(sent=false) accounting, SURVEY §2.2).
-    val staged = pipeline.project(pipeline.extractTimestamp(source))
+    val watermarked = pipeline.project(pipeline.extractTimestamp(source))
       .observe("graft_window", count(lit(1)).as("received"))
       // raw event time for order-sensitive aggregators (first/last) — the
       // window() bucket replaces TsCol as the group key below
       .withColumn(Pipeline.RawTsCol, col(Pipeline.TsCol))
       .withWatermark(Pipeline.TsCol, s"$wmSeconds seconds")
+    // spec-driven event dedup chains BEFORE the windowed aggregation (two
+    // stateful operators — the supported dedup→agg chain), same horizon
+    // semantics as the per-batch mode
+    val staged =
+      if (spec.tuning.dedupKeys.isEmpty) watermarked
+      else watermarked.dropDuplicatesWithinWatermark(spec.tuning.dedupKeys)
     val dims = pipeline.dimensionNames(staged).map(col)
     val aggs = spec.dataSchema.aggregators.map(graft.pipeline.Aggregators.toColumn) match {
       case Nil => Seq(count(lit(1)).as("rows")) // same fallback as Pipeline.rollup

@@ -76,6 +76,15 @@ object BenchCompare {
       .select(col("id").as("k"), (col("id") * 7).cast("double").as("w")).cache()
     skewDim.count()
 
+    def deconShingles: DataFrame = {
+      val d = graft.queries.Tables.t(spark, sfDir, "documents")
+      val words = split(col("text"), " ")
+      val sh = when(size(words) >= 5,
+        transform(sequence(lit(1), size(words) - 4),
+          i => concat_ws(" ", slice(words, i, lit(5))))).otherwise(array())
+      d.select(col("doc_id"), col("source"), explode(sh).as("s"))
+    }
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "simhash_nd_allpairs_2k" -> (() => {
         val a = shSmall.select(col("id").as("id_a"), col("sh").as("sh_a"))
@@ -126,6 +135,35 @@ object BenchCompare {
       "simhash_hof" -> (() => docs
         .select(graft.functions.TextFunctions.simhashHof(col("text")).as("h"))
         .groupBy().agg(count_distinct(col("h")))),
+      // -- decontamination: exact broadcast anti-join vs Bloom prefilter.
+      // Locally the exact set broadcasts fine, so bloom pays an extra build
+      // pass; the bloom shape exists for benchmark sets too big to
+      // broadcast raw (GBs of shingles vs a 128 KB filter) — this measures
+      // the local-regime cost of that insurance, honestly ------------------
+      "decon_exact_broadcast" -> (() => {
+        val sh = deconShingles
+        val bench = sh.filter(col("doc_id") % 100 === 0).select(col("s")).distinct()
+        val bad = sh.filter(col("doc_id") % 100 =!= 0)
+          .join(broadcast(bench), Seq("s")).select(col("doc_id")).distinct()
+        graft.queries.Tables.t(spark, sfDir, "documents")
+          .filter(col("doc_id") % 100 =!= 0)
+          .join(bad, Seq("doc_id"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)))
+      }),
+      "decon_bloom_prefilter" -> (() => {
+        val sh = deconShingles
+        val bench = sh.filter(col("doc_id") % 100 === 0).select(col("s")).distinct()
+        val bloom = bench
+          .agg(call_function("bloom_agg", col("s"), lit(1 << 20), lit(7)).as("b"))
+          .head().getAs[Array[Byte]](0)
+        val cand = sh.filter(col("doc_id") % 100 =!= 0)
+          .filter(call_function("bloom_might_contain", lit(bloom), col("s")))
+        val bad = cand.join(broadcast(bench), Seq("s")).select(col("doc_id")).distinct()
+        graft.queries.Tables.t(spark, sfDir, "documents")
+          .filter(col("doc_id") % 100 =!= 0)
+          .join(bad, Seq("doc_id"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)))
+      }),
       // -- skew-join relief: 90%-hot-key fact ⋈ 1k-key dim. These three run
       // LAST: each pins its own AQE state, and both disable auto-broadcast
       // (a broadcast join would sidestep the shuffle being measured — at

@@ -26,7 +26,7 @@ class ConfigSpec extends AnyFunSuite {
          "granularitySpec": {"segmentGranularity": "SIX_HOUR",
                              "queryGranularity": "FIVE_MINUTE", "rollup": true}},
         "tuning": {"windowPeriod": "PT30M", "partitions": 3, "replicants": 2,
-                   "maxBatchSize": 500}}"""
+                   "maxBatchSize": 500, "dedupKeys": ["page", "user"]}}"""
 
   test("parses the full Druid-style ingestion spec") {
     val spec = SpecLoader.fromJson(fullJson)
@@ -47,6 +47,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(spec.tuning.windowPeriod == java.time.Duration.ofMinutes(30))
     assert(spec.tuning.partitions == 3)
     assert(spec.tuning.maxBatchSize == 500)
+    assert(spec.tuning.dedupKeys == Seq("page", "user"))
   }
 
   test("loader parses approxHistogram accuracy and hllSketch") {

@@ -118,6 +118,42 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("nonexistent_key"))
   }
 
+  test("spec-driven dedupKeys: watermarked mode chains dedup before the agg") {
+    implicit val sqlCtx = spark.sqlContext
+    // keys arrive via tuning (the spec-JSON surface the Daemon loads) — no
+    // call-site parameter; the watermarked path chains
+    // dropDuplicatesWithinWatermark → windowed agg (two stateful operators)
+    val wSpec = IngestionSpec(
+      DataSchema("dedup_wm", TimestampSpec("ts"),
+        SpecificDimensions(Seq("id", "etype")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("doubleSum", "total", Some("value"))),
+        GranularitySpec(Granularity.Hour, Granularity.Minute)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(2),
+        dedupKeys = Seq("id")))
+    val input = MemoryStream[EvD]
+    val tmp = Files.createTempDirectory("graft-dedup-wm").toString
+    val ingest = new IngestStream(spark, wSpec, s"$tmp/checkpoint")
+    ingest.startWatermarked(input.toDF(), s"$tmp/out",
+      trigger = Trigger.ProcessingTime(50))
+
+    input.addData(EvD(ts("2024-03-01 12:00:10"), 1L, "click", 1.0))
+    ingest.activeQuery.get.processAllAvailable()
+    // redelivery of id=1 in a LATER batch + a genuinely new event
+    input.addData(EvD(ts("2024-03-01 12:00:10"), 1L, "click", 1.0),
+      EvD(ts("2024-03-01 12:00:40"), 2L, "click", 2.0))
+    ingest.activeQuery.get.processAllAvailable()
+    // advance the watermark past bucket end + windowPeriod → finalize
+    input.addData(EvD(ts("2024-03-01 12:10:00"), 99L, "view", 8.0))
+    ingest.flushAndStop()
+
+    val out = spark.read.parquet(s"$tmp/out").filter($"etype" === "click")
+      .select($"id", $"cnt", $"total").as[(String, Long, Double)].collect().toSet
+    // without dedup, id=1 would carry cnt=2 total=2.0
+    assert(out == Set(("1", 1L, 1.0), ("2", 1L, 2.0)),
+      s"spec-driven dedup must collapse the redelivery: $out")
+  }
+
   test("stream-stream interval join: purchases enriched with prior clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Click]
