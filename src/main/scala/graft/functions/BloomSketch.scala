@@ -213,6 +213,12 @@ case class BloomUnionAgg(
   * (no false negatives). The filter side is normally a broadcast literal —
   * the deserialized bit array is cached by reference so each task parses the
   * binary once, not per row.
+  *
+  * Sizing note: a literal filter rides in the serialized plan, fine to a few
+  * MB (1 % fpp ≈ 1.2 MB per 10⁶ items). A multi-GB filter should instead be
+  * re-sharded: partition the key space (`pmod(xxhash64(s), N)`), build N
+  * filters, and join probe rows to their shard's filter — each executor then
+  * holds 1/N of the bits.
   */
 case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

@@ -55,6 +55,14 @@ object Aggregators {
                   else Seq(0.25, 0.5, 0.75, 0.95)
       percentile_approx(field(spec), array(probs.map(lit): _*),
         lit(spec.accuracy.getOrElse(10000))).as(spec.name)
+    // Druid ANY family (string/long/doubleAny): "some value, cheapest wins"
+    // — explicitly NO ordering guarantee, matching Druid; re-merges as
+    // any_value of partials. No oracle (nondeterministic by contract).
+    case "stringAny" => any_value(field(spec), lit(true)).as(spec.name)
+    case "longAny" =>
+      any_value(field(spec), lit(true)).cast(LongType).as(spec.name)
+    case "doubleAny" =>
+      any_value(field(spec), lit(true)).cast(DoubleType).as(spec.name)
     // doubleMean (Druid's mean aggregator): a finalized mean can't re-merge,
     // so the partial is the (sum, count) pair — re-merged by pointwise sum,
     // finalized to s/c at read (SegmentStore.mergeColumn)
@@ -118,6 +126,8 @@ object Aggregators {
     case "doubleMean" =>
       struct(sum(when(cond, field(d).cast(DoubleType))).as("s"),
         count(when(cond, field(d))).as("c"))
+    case "stringAny" | "longAny" | "doubleAny" =>
+      any_value(when(cond, field(d)), lit(true))
     case "doubleFirst" => firstLast(cond, d, first = true, DoubleType)
     case "doubleLast"  => firstLast(cond, d, first = false, DoubleType)
     case "longFirst"   => firstLast(cond, d, first = true, LongType)

@@ -117,7 +117,13 @@ class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
             SegmentStore.pruneSegmentsNumericRange(spark, path, c, lo, hi).toSet } ++
           tsBounds.flatMap { case (lo, hi) => timeAdmitted(path, lo, hi) }
         if (lists.isEmpty) AllSegments
-        else lists.reduce(_ intersect _).toSeq.sorted
+        else {
+          val admit = lists.reduce(_ intersect _)
+          // everything admitted → no rewrite: a full-store IN list would
+          // bloat the plan (thousands of chunks) for zero pruning
+          if (SegmentStore.listSegmentDirs(spark, path).forall(admit)) AllSegments
+          else admit.toSeq.sorted
+        }
       } finally inRule.set(false)
     })
     if (segs eq AllSegments) None else Some(segs)

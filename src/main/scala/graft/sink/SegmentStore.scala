@@ -55,6 +55,8 @@ object SegmentStore {
         (if (finalizeSketches)
           call_function("freq_topk", merged, lit(spec.accuracy.getOrElse(64)))
         else merged).as(spec.name)
+      case "stringAny" | "longAny" | "doubleAny" =>
+        any_value(col(spec.name), lit(true)).as(spec.name)
       // doubleMean partials are (sum, count) pairs — pointwise sum, finalize
       // to s/c only at the final read (null when no rows contributed)
       case "doubleMean" =>

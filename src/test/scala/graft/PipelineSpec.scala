@@ -45,6 +45,29 @@ class PipelineSpec extends SparkSpec {
       ("10:01:00", "x", 1L, 8L, 0.25)))
   }
 
+  test("ANY / mean / first-last aggregators: batch rollup semantics") {
+    import graft.config._
+    val events = Seq(
+      (ts("2024-01-01 10:00:10"), "x", 0.5),
+      (ts("2024-01-01 10:00:50"), "x", 2.5),
+      (ts("2024-01-01 10:00:30"), "x", 3.0)
+    ).toDF("ts", "foo", "baz")
+    val spec = IngestionSpec(DataSchema("t", TimestampSpec("ts"),
+      SpecificDimensions(Seq("foo")),
+      Seq(AggregatorSpec("doubleAny", "any_v", Some("baz")),
+        AggregatorSpec("doubleMean", "mean_v", Some("baz")),
+        AggregatorSpec("doubleFirst", "first_v", Some("baz")),
+        AggregatorSpec("doubleLast", "last_v", Some("baz"))),
+      GranularitySpec(Granularity.Hour, Granularity.Minute)))
+    val p = new Pipeline(spec)
+    val row = p.rollup(p.project(p.extractTimestamp(events)))
+      .select($"any_v", $"mean_v.s", $"mean_v.c", $"first_v.v", $"last_v.v")
+      .as[(Double, Double, Long, Double, Double)].head()
+    assert(Set(0.5, 2.5, 3.0).contains(row._1)) // ANY: some input value
+    assert(row._2 == 6.0 && row._3 == 3L)       // mean partial: (sum, count)
+    assert(row._4 == 0.5 && row._5 == 2.5)      // first@10:00:10, last@10:00:50
+  }
+
   test("windowPeriod drops late and future events with exact accounting") {
     // FIXTURES.md §A: events at now−20m (late), now (keep), now+20m (future)
     val now = ts("2024-01-01 12:00:00")
