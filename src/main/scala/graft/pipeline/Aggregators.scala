@@ -126,8 +126,9 @@ object Aggregators {
     case "doubleMean" =>
       struct(sum(when(cond, field(d).cast(DoubleType))).as("s"),
         count(when(cond, field(d))).as("c"))
-    case "stringAny" | "longAny" | "doubleAny" =>
-      any_value(when(cond, field(d)), lit(true))
+    case "stringAny" => any_value(when(cond, field(d)), lit(true))
+    case "longAny"   => any_value(when(cond, field(d)), lit(true)).cast(LongType)
+    case "doubleAny" => any_value(when(cond, field(d)), lit(true)).cast(DoubleType)
     case "doubleFirst" => firstLast(cond, d, first = true, DoubleType)
     case "doubleLast"  => firstLast(cond, d, first = false, DoubleType)
     case "longFirst"   => firstLast(cond, d, first = true, LongType)

@@ -203,7 +203,7 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
       case SchemalessDimensions(_, _) =>
         val aggInputs = schema.aggregators.flatMap(Aggregators.inputFields).toSet
         val reserved = aggInputs ++ schema.aggregators.map(_.name) +
-          TsCol + SegmentCol + schema.timestampSpec.column
+          TsCol + RawTsCol + SegmentCol + schema.timestampSpec.column
         df.columns.toSeq.filterNot(reserved.contains)
     }
   }

@@ -89,24 +89,43 @@ class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * conjunct is answerable. Dim/metric conjuncts need the zone-map sidecar;
     * a time-interval conjunct on the bucket column needs only the segment
     * layout itself (dir names encode chunk starts — the Druid `intervals`
-    * clause answered at planning, like the broker's segment timeline). */
+    * clause answered at planning, like the broker's segment timeline).
+    *
+    * No filesystem work happens unless some conjunct is answerable. The memo
+    * key carries everything the answer depends on: the sidecar mtime (dim /
+    * numeric prunes), the current segment listing (time prunes — a NEW chunk
+    * appearing must invalidate, or its rows would silently vanish behind a
+    * stale IN list), and the session timezone (dir names parse in it). */
   private def admitted(path: String, cond: Expression): Option[Seq[String]] = {
     val conjuncts = splitAnd(cond)
-    val statsReady = sidecarMtime(path) > 0
-    val stringEq = if (!statsReady) Nil else conjuncts.collect {
+    val stringEqAll = conjuncts.collect {
       case EqualTo(a: AttributeReference, Literal(v, StringType)) if v != null =>
         (a.name, v.toString)
       case EqualTo(Literal(v, StringType), a: AttributeReference) if v != null =>
         (a.name, v.toString)
     }
-    val numericBounds = if (!statsReady) Nil else collectNumericBounds(conjuncts)
+    val numericBoundsAll = collectNumericBounds(conjuncts)
     val tsBounds = collectTsBounds(conjuncts)
+    if (stringEqAll.isEmpty && numericBoundsAll.isEmpty && tsBounds.isEmpty)
+      return None // nothing answerable — zero filesystem cost
+
+    val mtime = sidecarMtime(path)
+    val stringEq = if (mtime > 0) stringEqAll else Nil
+    val numericBounds = if (mtime > 0) numericBoundsAll else Nil
     if (stringEq.isEmpty && numericBounds.isEmpty && tsBounds.isEmpty) return None
 
-    val key = s"$path@${sidecarMtime(path)}|" +
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    val names = SegmentStore.listSegmentDirs(spark, path)
+    if (names.isEmpty) return None
+    val key = s"$path@$mtime@$tz@${names.size}:${names.hashCode}|" +
       (stringEq.map(e => s"s:${e._1}=${e._2}") ++
         numericBounds.map(b => s"n:${b._1}∈[${b._2},${b._3}]") ++
         tsBounds.map(b => s"t:[${b._1},${b._2}]")).sorted.mkString("&")
+    // bound the memo: distinct LITERALS create distinct keys (think a
+    // dashboard's moving now()-relative ts ranges) — reset wholesale rather
+    // than LRU-track; recompute cost is one small sidecar/listing job
+    if (cache.size() > 4096) cache.clear()
     val segs = cache.computeIfAbsent(key, _ => {
       inRule.set(true)
       try {
@@ -115,13 +134,13 @@ class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
             SegmentStore.pruneSegments(spark, path, d, v).toSet } ++
           numericBounds.map { case (c, lo, hi) =>
             SegmentStore.pruneSegmentsNumericRange(spark, path, c, lo, hi).toSet } ++
-          tsBounds.flatMap { case (lo, hi) => timeAdmitted(path, lo, hi) }
+          tsBounds.flatMap { case (lo, hi) => timeAdmitted(names, tz, lo, hi) }
         if (lists.isEmpty) AllSegments
         else {
           val admit = lists.reduce(_ intersect _)
           // everything admitted → no rewrite: a full-store IN list would
           // bloat the plan (thousands of chunks) for zero pruning
-          if (SegmentStore.listSegmentDirs(spark, path).forall(admit)) AllSegments
+          if (names.forall(admit)) AllSegments
           else admit.toSeq.sorted
         }
       } finally inRule.set(false)
@@ -134,12 +153,10 @@ class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * per store; gaps only over-admit), so: admit iff start_i ≤ hi and the
     * NEXT chunk's start > lo (last chunk: unbounded above). Unparseable dir
     * names (not a graft store after all) → no time answer. */
-  private def timeAdmitted(path: String, lo: Long, hi: Long): Option[Set[String]] = {
-    val tz = spark.conf.get("spark.sql.session.timeZone",
-      java.util.TimeZone.getDefault.getID)
+  private def timeAdmitted(names: Seq[String], tz: String,
+      lo: Long, hi: Long): Option[Set[String]] = {
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH.mm.ss")
     fmt.setTimeZone(java.util.TimeZone.getTimeZone(tz))
-    val names = SegmentStore.listSegmentDirs(spark, path)
     val starts = names.map { n =>
       try Some(fmt.parse(n).getTime * 1000L) catch { case _: Exception => None }
     }

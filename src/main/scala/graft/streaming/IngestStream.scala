@@ -53,9 +53,13 @@ final class IngestStream(
     // Optional at-source event dedup (exactly-once EVENTS on top of the
     // sink's exactly-once BATCHES): duplicate deliveries of the same key —
     // producer retries, replayed upstreams — collapse in the state store.
-    // The dedup horizon is windowPeriod, deliberately the same bound the
-    // lateness filter enforces: a duplicate arriving later than windowPeriod
-    // would be dropped as late anyway, so state never needs to outlive it.
+    // The dedup horizon is 2 × windowPeriod: the event-time watermark is
+    // maxEventTs − delay, and windowFilter admits ts ∈ [now−w, now+w] — a
+    // future-stamped event (≤ now+w) must never push the watermark above the
+    // oldest still-admissible event (now−w), which needs delay ≥ 2w. With
+    // exactly 2w, anything the dedup watermark discards would have been
+    // dropped as late by the window filter anyway, so no valid event is lost
+    // and state is bounded by the same windowPeriod contract.
     // Keys must survive projection (i.e. be declared dimensions). Removal
     // happens AFTER the send accounting — `sent` counts admitted rows,
     // duplicates included, mirroring the reference's per-send counters.
@@ -68,7 +72,8 @@ final class IngestStream(
       require(missing.isEmpty,
         s"dedupKeys must be projected dimensions; missing: ${missing.mkString(",")}")
       projected
-        .withWatermark(Pipeline.TsCol, s"${spec.tuning.windowPeriod.getSeconds} seconds")
+        .withWatermark(Pipeline.TsCol,
+          s"${2 * spec.tuning.windowPeriod.getSeconds} seconds")
         .dropDuplicatesWithinWatermark(effectiveKeys)
     }
     // `writer` is a test seam (fault injection for the Kafka commit-contract
@@ -186,19 +191,28 @@ final class IngestStream(
     // inside the state store and surface as numRowsDroppedByWatermark, which
     // [[dropped]] folds into the same received = sent + dropped invariant
     // (the reference's per-event SendResult(sent=false) accounting, SURVEY §2.2).
-    val watermarked = pipeline.project(pipeline.extractTimestamp(source))
+    val projected = pipeline.project(pipeline.extractTimestamp(source))
+    // dims from the PROJECTED frame, before helper columns join it — the
+    // schemaless path derives dims from actual columns, and the raw-ts
+    // helper below must never become a dimension
+    val dims = pipeline.dimensionNames(projected).map(col)
+    val watermarked = projected
       .observe("graft_window", count(lit(1)).as("received"))
       // raw event time for order-sensitive aggregators (first/last) — the
       // window() bucket replaces TsCol as the group key below
       .withColumn(Pipeline.RawTsCol, col(Pipeline.TsCol))
       .withWatermark(Pipeline.TsCol, s"$wmSeconds seconds")
     // spec-driven event dedup chains BEFORE the windowed aggregation (two
-    // stateful operators — the supported dedup→agg chain), same horizon
-    // semantics as the per-batch mode
+    // stateful operators — the supported dedup→agg chain); same key
+    // validation as start()
     val staged =
       if (spec.tuning.dedupKeys.isEmpty) watermarked
-      else watermarked.dropDuplicatesWithinWatermark(spec.tuning.dedupKeys)
-    val dims = pipeline.dimensionNames(staged).map(col)
+      else {
+        val missing = spec.tuning.dedupKeys.filterNot(projected.columns.contains)
+        require(missing.isEmpty,
+          s"dedupKeys must be projected dimensions; missing: ${missing.mkString(",")}")
+        watermarked.dropDuplicatesWithinWatermark(spec.tuning.dedupKeys)
+      }
     val aggs = spec.dataSchema.aggregators.map(graft.pipeline.Aggregators.toColumn) match {
       case Nil => Seq(count(lit(1)).as("rows")) // same fallback as Pipeline.rollup
       case xs  => xs

@@ -100,14 +100,23 @@ class StreamingSpec extends SparkSpec {
     input.addData(
       EvD(ts("2024-03-01 11:50:00"), 1L, "click", 1.0),
       EvD(ts("2024-03-01 12:20:00"), 3L, "click", 4.0))
+    ingest.activeQuery.get.processAllAvailable()
+    // a FUTURE-stamped event (admitted: +25m < windowPeriod) must not poison
+    // the dedup watermark: with the 2w horizon, the watermark after this
+    // batch is 12:25 − 60m = 11:25 …
+    input.addData(EvD(ts("2024-03-01 12:25:00"), 50L, "view", 16.0))
+    ingest.activeQuery.get.processAllAvailable()
+    // … so this OLD but window-admissible event (now − 25m) still lands;
+    // a 1w horizon would have watermark 11:55 and silently discard it
+    input.addData(EvD(ts("2024-03-01 11:35:00"), 60L, "click", 32.0))
     ingest.flushAndStop()
 
     val out = spark.read.parquet(s"$tmp/out")
-    assert(out.agg(sum($"cnt")).as[Long].head() == 3L)          // 3 unique events
-    assert(out.agg(sum($"total")).as[Double].head() == 7.0)     // 1 + 2 + 4
-    assert(out.select($"id").distinct().count() == 3)
+    assert(out.agg(sum($"cnt")).as[Long].head() == 5L)          // 5 unique events
+    assert(out.agg(sum($"total")).as[Double].head() == 55.0)    // 1+2+4+16+32
+    assert(out.select($"id").distinct().count() == 5)
     // send accounting is PRE-dedup by design (reference counts admits):
-    assert(ingest.received == 4 && ingest.sent == 4 && ingest.dropped == 0)
+    assert(ingest.received == 6 && ingest.sent == 6 && ingest.dropped == 0)
 
     // dedupKeys must be projected dimensions — actionable error otherwise
     val bad = new IngestStream(spark, dSpec, s"$tmp/checkpoint2")
@@ -152,6 +161,45 @@ class StreamingSpec extends SparkSpec {
     // without dedup, id=1 would carry cnt=2 total=2.0
     assert(out == Set(("1", 1L, 1.0), ("2", 1L, 2.0)),
       s"spec-driven dedup must collapse the redelivery: $out")
+
+    // same actionable error as start() for a key that isn't a dimension
+    val bad = new IngestStream(spark,
+      wSpec.copy(tuning = wSpec.tuning.copy(dedupKeys = Seq("no_such_dim"))),
+      s"$tmp/checkpoint-bad")
+    val e = intercept[IllegalArgumentException] {
+      bad.startWatermarked(MemoryStream[EvD].toDF(), s"$tmp/out-bad")
+    }
+    assert(e.getMessage.contains("no_such_dim"))
+  }
+
+  test("watermarked schemaless: raw-ts helper never becomes a dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val sSpec = IngestionSpec(
+      DataSchema("wm_schemaless", TimestampSpec("ts"),
+        SchemalessDimensions(),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("hyperUnique", "uv", Some("value"))),
+        GranularitySpec(Granularity.Hour, Granularity.Minute)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(2)))
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-wm-schemaless").toString
+    val ingest = new IngestStream(spark, sSpec, s"$tmp/checkpoint")
+    ingest.startWatermarked(input.toDF(), s"$tmp/out",
+      trigger = Trigger.ProcessingTime(50))
+    // two rows, same minute bucket, same schemaless dim (etype) — must roll
+    // up to ONE row; a leaked per-event raw-ts dimension would split them
+    input.addData(Ev(ts("2024-03-01 12:00:10"), "click", 1.0),
+      Ev(ts("2024-03-01 12:00:40"), "click", 2.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:10:00"), "view", 8.0))
+    ingest.flushAndStop()
+
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(!out.columns.contains(graft.pipeline.Pipeline.RawTsCol),
+      s"raw-ts helper leaked into the store schema: ${out.columns.toSeq}")
+    val click = out.filter($"etype" === "click")
+      .select($"cnt", $"uv").as[(Long, Long)].collect().toSeq
+    assert(click == Seq((2L, 2L)), s"schemaless watermarked rollup wrong: $click")
   }
 
   test("stream-stream interval join: purchases enriched with prior clicks") {
@@ -847,6 +895,20 @@ class StreamingSpec extends SparkSpec {
       val q6 = s2.read.parquet(s"$tmp/out")
         .filter(col(graft.pipeline.Pipeline.TsCol) < lit(ts("2024-03-01 10:00:00")))
       assert(q6.count() == 0)
+
+      // a NEW segment appearing must invalidate the memoized prune — a
+      // stale IN list would silently drop the new chunk's rows
+      val in2 = MemoryStream[Ev]
+      val ingest2 = new IngestStream(spark, spec, s"$tmp/checkpoint2")
+      ingest2.start(in2.toDF(), s"$tmp/out", now = lit(ts("2024-03-01 13:30:00")),
+        trigger = Trigger.ProcessingTime(50))
+      in2.addData(Ev(ts("2024-03-01 13:10:00"), "omega", 7.0))
+      ingest2.flushAndStop()
+      val q7 = s2.read.parquet(s"$tmp/out")
+        .filter(col(graft.pipeline.Pipeline.TsCol) >= lit(ts("2024-03-01 12:00:00")))
+      assert(q7.select($"etype").collect().map(_.getString(0)).toSet ==
+        Set("zulu", "omega"),
+        "memoized prune must refresh when the segment layout changes")
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
