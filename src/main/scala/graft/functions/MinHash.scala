@@ -23,6 +23,21 @@ object MinHash {
           i => concat_ws(" ", slice(words, i + 1, lit(w)))))
   }
 
+  /** Strict variant: docs shorter than w words yield NO shingles —
+    * decontamination semantics (a 3-word doc cannot contain a 5-gram),
+    * where [[shingles]] degrades short docs to a whole-text shingle
+    * (near-dup semantics: short docs should still collide). The single
+    * definition keeps the exact query, its Bloom-prefiltered twin, and the
+    * bench variants byte-identical.
+    */
+  def strictShingles(text: Column, w: Int): Column = {
+    val words = split(text, " ")
+    when(size(words) >= w,
+      transform(sequence(lit(1), size(words) - (w - 1)),
+        i => concat_ws(" ", slice(words, i, lit(w)))))
+      .otherwise(array())
+  }
+
   /** k minhash values: min over shingles of xxhash64(seed_j ++ shingle).
     * Native one-pass [[MinHashSig]] (requires [[GraftFunctions.register]]).
     */

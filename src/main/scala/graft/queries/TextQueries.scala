@@ -324,11 +324,8 @@ object TextQueries {
     // C4/Dolma-style decontamination join shape at any corpus size ----------
     QueryDef("decontaminate_ngram_overlap", (s, dir) => {
       val docs = Tables.t(s, dir, "documents")
-      val words = split(col("text"), " ")
-      val shingles = when(size(words) >= 5,
-        transform(sequence(lit(1), size(words) - 4),
-          i => concat_ws(" ", slice(words, i, lit(5))))).otherwise(array())
-      val sh = docs.select(col("doc_id"), explode(shingles).as("s"))
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.MinHash.strictShingles(col("text"), 5)).as("s"))
       val bench = sh.filter(col("doc_id") % 100 === 0).select(col("s")).distinct()
       val contaminated = sh.filter(col("doc_id") % 100 =!= 0)
         .join(broadcast(bench), Seq("s")).select(col("doc_id")).distinct()
@@ -357,11 +354,8 @@ object TextQueries {
     QueryDef("decontaminate_bloom", (s, dir) => {
       GraftFunctions.register(s)
       val docs = Tables.t(s, dir, "documents")
-      val words = split(col("text"), " ")
-      val shingles = when(size(words) >= 5,
-        transform(sequence(lit(1), size(words) - 4),
-          i => concat_ws(" ", slice(words, i, lit(5))))).otherwise(array())
-      val sh = docs.select(col("doc_id"), explode(shingles).as("s"))
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.MinHash.strictShingles(col("text"), 5)).as("s"))
       val bench = sh.filter(col("doc_id") % 100 === 0).select(col("s")).distinct()
       // the one driver-side value: a bounded 2^20-bit filter binary (~128 KB)
       val bloomBytes = bench

@@ -76,14 +76,10 @@ object BenchCompare {
       .select(col("id").as("k"), (col("id") * 7).cast("double").as("w")).cache()
     skewDim.count()
 
-    def deconShingles: DataFrame = {
-      val d = graft.queries.Tables.t(spark, sfDir, "documents")
-      val words = split(col("text"), " ")
-      val sh = when(size(words) >= 5,
-        transform(sequence(lit(1), size(words) - 4),
-          i => concat_ws(" ", slice(words, i, lit(5))))).otherwise(array())
-      d.select(col("doc_id"), col("source"), explode(sh).as("s"))
-    }
+    def deconShingles: DataFrame =
+      graft.queries.Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.MinHash.strictShingles(col("text"), 5)).as("s"))
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "simhash_nd_allpairs_2k" -> (() => {
