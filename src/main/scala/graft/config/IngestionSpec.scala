@@ -110,13 +110,36 @@ final case class Tuning(
       * lateness filter would drop anyway */
     dedupKeys: Seq[String] = Nil)
 
+/** Druid ingestion filter (the `transformSpec.filter` DSL subset users
+  * actually write: selector / in / and / or / not). */
+sealed trait FilterSpec
+final case class SelectorFilter(dimension: String, value: String) extends FilterSpec
+final case class InFilter(dimension: String, values: Seq[String]) extends FilterSpec
+final case class AndFilter(fields: Seq[FilterSpec]) extends FilterSpec
+final case class OrFilter(fields: Seq[FilterSpec]) extends FilterSpec
+final case class NotFilter(field: FilterSpec) extends FilterSpec
+
+/** One derived column. DOCUMENTED DELTA: the expression language is Spark
+  * SQL (codegen'd, no interpreter), not Druid's own expr dialect — same
+  * role (row-level derivations visible to dims and aggregators), richer
+  * function set. */
+final case class TransformField(name: String, expression: String)
+
+/** Druid `transformSpec`: row-level derived columns + an ingest-time row
+  * filter, applied before projection so transforms can feed dimensions AND
+  * aggregator inputs. */
+final case class TransformSpec(
+    transforms: Seq[TransformField] = Nil,
+    filter: Option[FilterSpec] = scala.None)
+
 final case class DataSchema(
     dataSource: String,
     timestampSpec: TimestampSpec,
     dimensionsSpec: DimensionsSpec,
     aggregators: Seq[AggregatorSpec],
     granularitySpec: GranularitySpec = GranularitySpec(),
-    postAggregations: Seq[PostAggregatorSpec] = Nil)
+    postAggregations: Seq[PostAggregatorSpec] = Nil,
+    transformSpec: TransformSpec = TransformSpec())
 
 final case class IngestionSpec(
     dataSchema: DataSchema,

@@ -99,8 +99,32 @@ object SpecLoader {
           .flatMap(_.elements.asScala).map(_.asText))
     }.getOrElse(Tuning())
 
+    val transformSpec = opt(ds, "transformSpec").map { t =>
+      TransformSpec(
+        transforms = opt(t, "transforms").toSeq
+          .flatMap(_.elements.asScala)
+          .map(n => TransformField(str(n, "name", ""), str(n, "expression", ""))),
+        filter = opt(t, "filter").map(parseFilter))
+    }.getOrElse(TransformSpec())
+
     IngestionSpec(
-      DataSchema(dataSource, tsSpec, dimSpec, metrics, gran, postAggs), tuning).validate()
+      DataSchema(dataSource, tsSpec, dimSpec, metrics, gran, postAggs,
+        transformSpec), tuning).validate()
+  }
+
+  /** Druid filter DSL subset: selector / in / and / or / not. */
+  private def parseFilter(n: JsonNode): FilterSpec = str(n, "type", "") match {
+    case "selector" => SelectorFilter(str(n, "dimension", ""), str(n, "value", ""))
+    case "in" => InFilter(str(n, "dimension", ""),
+      opt(n, "values").toSeq.flatMap(_.elements.asScala).map(_.asText))
+    case "and" => AndFilter(opt(n, "fields").toSeq
+      .flatMap(_.elements.asScala).map(parseFilter))
+    case "or" => OrFilter(opt(n, "fields").toSeq
+      .flatMap(_.elements.asScala).map(parseFilter))
+    case "not" => NotFilter(parseFilter(opt(n, "field").getOrElse(
+      throw new IllegalArgumentException("not filter needs a field"))))
+    case other => throw new IllegalArgumentException(
+      s"unsupported filter type '$other' (supported: selector/in/and/or/not)")
   }
 
   /** Druid postAggregations shape: {"type":"arithmetic","name":"avg","fn":"/",

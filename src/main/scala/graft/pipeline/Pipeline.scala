@@ -91,7 +91,37 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
     * names) cast to string. Spatial dims synthesized via concat_ws (upstream
     * MultipleFieldDruidSpatialDimension).
     */
+  /** Druid `transformSpec` analog: row-level derived columns (Spark SQL
+    * expressions — documented delta vs Druid's own expr dialect, see
+    * [[graft.config.TransformField]]) plus the ingest-time row filter.
+    * Runs at the head of [[project]] so transform outputs can serve as
+    * dimensions and aggregator inputs; the filter sees transformed rows
+    * (Druid's order). No-op for specs without a transformSpec.
+    */
+  def transform(df: DataFrame): DataFrame = {
+    val t = schema.transformSpec
+    val withCols = t.transforms.foldLeft(df) { (d, tf) =>
+      require(tf.name.nonEmpty && tf.expression.nonEmpty,
+        s"transform needs name and expression, got $tf")
+      d.withColumn(tf.name, expr(tf.expression))
+    }
+    t.filter.map(f => withCols.filter(filterColumn(f))).getOrElse(withCols)
+  }
+
+  private def filterColumn(f: graft.config.FilterSpec): Column = f match {
+    case graft.config.SelectorFilter(d, v) => col(d) === lit(v)
+    case graft.config.InFilter(d, vs)      => col(d).isin(vs: _*)
+    case graft.config.AndFilter(fs) => fs.map(filterColumn).reduce(_ && _)
+    case graft.config.OrFilter(fs)  => fs.map(filterColumn).reduce(_ || _)
+    case graft.config.NotFilter(x)  => !filterColumn(x)
+  }
+
   def project(df: DataFrame): DataFrame = {
+    val projectable = transform(df)
+    projectImpl(projectable)
+  }
+
+  private def projectImpl(df: DataFrame): DataFrame = {
     val aggInputs = schema.aggregators.flatMap(Aggregators.inputFields).distinct
     val spatial = schema.dimensionsSpec.spatialDimensions.map { s =>
       concat_ws(",", s.dims.map(d => col(d).cast(StringType)): _*).as(s.dimName)

@@ -631,6 +631,37 @@ object RollupQueries {
             FROM buckets b LEFT JOIN rolled r ON b.h = r.h""")),
 
     // -- config round-trip: full ingestion-spec JSON drives the pipeline ----
+    // -- Druid transformSpec through the spec-JSON surface: derived columns
+    // (Spark SQL expression language — documented delta) feeding BOTH a
+    // dimension and an aggregator input, plus the ingest-time not(selector)
+    // row filter, all declared in JSON and run by the real pipeline --------
+    QueryDef("transform_spec_rollup", (s, dir) => {
+      val json =
+        """{"dataSchema": {"dataSource": "events",
+             "parser": {"parseSpec": {
+               "timestampSpec": {"column": "ts", "format": "auto"},
+               "dimensionsSpec": {"dimensions": ["etype_up"]}}},
+             "transformSpec": {
+               "transforms": [
+                 {"name": "etype_up", "expression": "upper(event_type)"},
+                 {"name": "value2", "expression": "value * 2"}],
+               "filter": {"type": "not",
+                 "field": {"type": "selector",
+                   "dimension": "event_type", "value": "error"}}},
+             "metricsSpec": [{"type": "count", "name": "cnt"},
+                             {"type": "doubleSum", "name": "sum2", "fieldName": "value2"}],
+             "granularitySpec": {"segmentGranularity": "DAY", "queryGranularity": "DAY"}},
+            "tuning": {"windowPeriod": "PT10M"}}"""
+      val p = new Pipeline(SpecLoaderRef.load(json))
+      p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events"))))
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("etype_up"), col("cnt"), round(col("sum2"), 2).as("sum2"))
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             upper(event_type) AS etype_up, count(*) AS cnt,
+             round(sum(value * 2), 2) AS sum2
+            FROM events WHERE event_type <> 'error' GROUP BY 1, 2""")),
+
     QueryDef("spec_json_roundtrip", (s, dir) => {
       val json =
         """{"dataSchema": {"dataSource": "events",

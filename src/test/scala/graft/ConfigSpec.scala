@@ -50,6 +50,36 @@ class ConfigSpec extends AnyFunSuite {
     assert(spec.tuning.dedupKeys == Seq("page", "user"))
   }
 
+  test("parses transformSpec: derived columns + nested filter DSL") {
+    val spec = SpecLoader.fromJson(
+      """{"dataSchema": {"dataSource": "t",
+           "parser": {"parseSpec": {
+             "timestampSpec": {"column": "ts"},
+             "dimensionsSpec": {"dimensions": ["up"]}}},
+           "transformSpec": {
+             "transforms": [{"name": "up", "expression": "upper(raw)"}],
+             "filter": {"type": "and", "fields": [
+               {"type": "in", "dimension": "lang", "values": ["en", "de"]},
+               {"type": "not", "field":
+                 {"type": "selector", "dimension": "src", "value": "spam"}}]}},
+           "metricsSpec": [{"type": "count", "name": "cnt"}]}}""")
+    assert(spec.dataSchema.transformSpec.transforms ==
+      Seq(TransformField("up", "upper(raw)")))
+    assert(spec.dataSchema.transformSpec.filter.contains(
+      AndFilter(Seq(InFilter("lang", Seq("en", "de")),
+        NotFilter(SelectorFilter("src", "spam"))))))
+    // unknown filter type names the supported set
+    val e = intercept[IllegalArgumentException] {
+      SpecLoader.fromJson(
+        """{"dataSchema": {"dataSource": "t",
+             "parser": {"parseSpec": {"timestampSpec": {"column": "ts"},
+               "dimensionsSpec": {"dimensions": ["d"]}}},
+             "transformSpec": {"filter": {"type": "regex", "dimension": "d"}},
+             "metricsSpec": []}}""")
+    }
+    assert(e.getMessage.contains("regex") && e.getMessage.contains("selector"))
+  }
+
   test("loader parses approxHistogram accuracy and hllSketch") {
     val spec = SpecLoader.fromJson(
       """{"dataSchema": {"dataSource": "e",
