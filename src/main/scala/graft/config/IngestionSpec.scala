@@ -118,6 +118,15 @@ final case class InFilter(dimension: String, values: Seq[String]) extends Filter
 final case class AndFilter(fields: Seq[FilterSpec]) extends FilterSpec
 final case class OrFilter(fields: Seq[FilterSpec]) extends FilterSpec
 final case class NotFilter(field: FilterSpec) extends FilterSpec
+/** Druid `bound` filter: range with open/closed ends, lexicographic (string
+  * compare) or numeric ordering. Absent bounds are unbounded. */
+final case class BoundFilter(
+    dimension: String,
+    lower: Option[String] = scala.None,
+    upper: Option[String] = scala.None,
+    lowerStrict: Boolean = false,
+    upperStrict: Boolean = false,
+    ordering: String = "lexicographic") extends FilterSpec
 
 /** One derived column. DOCUMENTED DELTA: the expression language is Spark
   * SQL (codegen'd, no interpreter), not Druid's own expr dialect — same

@@ -123,8 +123,15 @@ object SpecLoader {
       .flatMap(_.elements.asScala).map(parseFilter))
     case "not" => NotFilter(parseFilter(opt(n, "field").getOrElse(
       throw new IllegalArgumentException("not filter needs a field"))))
+    case "bound" => BoundFilter(
+      dimension = str(n, "dimension", ""),
+      lower = opt(n, "lower").map(_.asText),
+      upper = opt(n, "upper").map(_.asText),
+      lowerStrict = opt(n, "lowerStrict").exists(_.asBoolean),
+      upperStrict = opt(n, "upperStrict").exists(_.asBoolean),
+      ordering = str(n, "ordering", "lexicographic"))
     case other => throw new IllegalArgumentException(
-      s"unsupported filter type '$other' (supported: selector/in/and/or/not)")
+      s"unsupported filter type '$other' (supported: selector/in/and/or/not/bound)")
   }
 
   /** Druid postAggregations shape: {"type":"arithmetic","name":"avg","fn":"/",

@@ -114,6 +114,18 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
     case graft.config.AndFilter(fs) => fs.map(filterColumn).reduce(_ && _)
     case graft.config.OrFilter(fs)  => fs.map(filterColumn).reduce(_ || _)
     case graft.config.NotFilter(x)  => !filterColumn(x)
+    case b: graft.config.BoundFilter =>
+      val c = b.ordering match {
+        case "numeric"       => col(b.dimension).cast(DoubleType)
+        case "lexicographic" => col(b.dimension).cast(StringType)
+        case other => throw new IllegalArgumentException(
+          s"bound filter ordering '$other' (supported: lexicographic/numeric)")
+      }
+      def bound(v: String): Column =
+        if (b.ordering == "numeric") lit(v.toDouble) else lit(v)
+      val lo = b.lower.map(v => if (b.lowerStrict) c > bound(v) else c >= bound(v))
+      val hi = b.upper.map(v => if (b.upperStrict) c < bound(v) else c <= bound(v))
+      (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true))
   }
 
   def project(df: DataFrame): DataFrame = {

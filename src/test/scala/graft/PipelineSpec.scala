@@ -68,6 +68,28 @@ class PipelineSpec extends SparkSpec {
     assert(row._4 == 0.5 && row._5 == 2.5)      // first@10:00:10, last@10:00:50
   }
 
+  test("transformSpec bound filter: numeric vs lexicographic, strict ends") {
+    import graft.config._
+    val df = Seq(("a", "100.0"), ("b", "2.0"), ("c", "30.0")).toDF("k", "v")
+    val base = IngestionSpec(DataSchema("t", TimestampSpec("ts"),
+      SpecificDimensions(Seq("k")), Seq(AggregatorSpec("count", "cnt"))))
+    def keys(f: FilterSpec): Set[String] = new Pipeline(base.copy(
+      dataSchema = base.dataSchema.copy(
+        transformSpec = TransformSpec(filter = Some(f)))))
+      .transform(df).select($"k").collect().map(_.getString(0)).toSet
+
+    // numeric ordering: v >= 3 keeps 100.0 and 30.0
+    assert(keys(BoundFilter("v", Some("3"), scala.None,
+      ordering = "numeric")) == Set("a", "c"))
+    // lexicographic: "100.0" and "2.0" sort below "3" — only "30.0" passes
+    assert(keys(BoundFilter("v", Some("3"), scala.None)) == Set("c"))
+    // strict upper end
+    assert(keys(BoundFilter("v", scala.None, Some("30.0"),
+      upperStrict = true, ordering = "numeric")) == Set("b"))
+    // unbounded both ends = keep all
+    assert(keys(BoundFilter("v")) == Set("a", "b", "c"))
+  }
+
   test("windowPeriod drops late and future events with exact accounting") {
     // FIXTURES.md §A: events at now−20m (late), now (keep), now+20m (future)
     val now = ts("2024-01-01 12:00:00")
