@@ -592,6 +592,30 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("range join: seeded-random cross-check vs the naive O(n²) definition") {
+    val rnd = new scala.util.Random(7)
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    // timestamps spread over ~2h with second-level jitter → plenty of
+    // cross-bucket and exact-boundary pairs at span 90s
+    val lefts = (1 to 200).map(i => (i.toLong, base + rnd.nextInt(7200) * 1000L))
+    val rights = (1 to 300).map(i => (i.toLong + 1000L, base + rnd.nextInt(7200) * 1000L))
+    val span = 90L
+    val expected = (for {
+      (lid, lt) <- lefts
+      (rid, rt) <- rights
+      if rt >= lt - span * 1000 && rt < lt
+    } yield (lid, rid)).toSet
+
+    val lDf = lefts.map { case (id, t) => (id, new java.sql.Timestamp(t)) }
+      .toDF("l_id", "l_ts")
+    val rDf = rights.map { case (id, t) => (id, new java.sql.Timestamp(t)) }
+      .toDF("r_id", "r_ts")
+    val got = RangeJoin.trailing(lDf, rDf, "l_ts", "r_ts", span)
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("range join: half-open boundaries, cross-bucket matches, equi-join plan") {
     import java.sql.Timestamp
     def t(x: String) = Timestamp.valueOf(x)
