@@ -103,7 +103,12 @@ object SpecLoader {
       TransformSpec(
         transforms = opt(t, "transforms").toSeq
           .flatMap(_.elements.asScala)
-          .map(n => TransformField(str(n, "name", ""), str(n, "expression", ""))),
+          .map { n =>
+            val tf = TransformField(str(n, "name", ""), str(n, "expression", ""))
+            require(tf.name.nonEmpty && tf.expression.nonEmpty,
+              s"transform needs name and expression, got $n")
+            tf
+          },
         filter = opt(t, "filter").map(parseFilter))
     }.getOrElse(TransformSpec())
 
@@ -112,24 +117,40 @@ object SpecLoader {
         transformSpec), tuning).validate()
   }
 
-  /** Druid filter DSL subset: selector / in / and / or / not. */
+  /** Druid filter DSL subset: selector / in / and / or / not / bound.
+    * Malformed filters fail HERE, where every other spec error surfaces —
+    * not at first query time. */
   private def parseFilter(n: JsonNode): FilterSpec = str(n, "type", "") match {
     case "selector" => SelectorFilter(str(n, "dimension", ""), str(n, "value", ""))
     case "in" => InFilter(str(n, "dimension", ""),
       opt(n, "values").toSeq.flatMap(_.elements.asScala).map(_.asText))
-    case "and" => AndFilter(opt(n, "fields").toSeq
-      .flatMap(_.elements.asScala).map(parseFilter))
-    case "or" => OrFilter(opt(n, "fields").toSeq
-      .flatMap(_.elements.asScala).map(parseFilter))
+    case "and" =>
+      val fs = opt(n, "fields").toSeq.flatMap(_.elements.asScala).map(parseFilter)
+      require(fs.nonEmpty, "and filter needs a non-empty fields array")
+      AndFilter(fs)
+    case "or" =>
+      val fs = opt(n, "fields").toSeq.flatMap(_.elements.asScala).map(parseFilter)
+      require(fs.nonEmpty, "or filter needs a non-empty fields array")
+      OrFilter(fs)
     case "not" => NotFilter(parseFilter(opt(n, "field").getOrElse(
       throw new IllegalArgumentException("not filter needs a field"))))
-    case "bound" => BoundFilter(
-      dimension = str(n, "dimension", ""),
-      lower = opt(n, "lower").map(_.asText),
-      upper = opt(n, "upper").map(_.asText),
-      lowerStrict = opt(n, "lowerStrict").exists(_.asBoolean),
-      upperStrict = opt(n, "upperStrict").exists(_.asBoolean),
-      ordering = str(n, "ordering", "lexicographic"))
+    case "bound" =>
+      val ordering = str(n, "ordering", "lexicographic")
+      require(ordering == "lexicographic" || ordering == "numeric",
+        s"bound filter ordering '$ordering' (supported: lexicographic/numeric)")
+      val lower = opt(n, "lower").map(_.asText)
+      val upper = opt(n, "upper").map(_.asText)
+      if (ordering == "numeric") (lower ++ upper).foreach { v =>
+        require(scala.util.Try(v.toDouble).isSuccess,
+          s"bound filter numeric ordering needs numeric bounds, got '$v'")
+      }
+      BoundFilter(
+        dimension = str(n, "dimension", ""),
+        lower = lower,
+        upper = upper,
+        lowerStrict = opt(n, "lowerStrict").exists(_.asBoolean),
+        upperStrict = opt(n, "upperStrict").exists(_.asBoolean),
+        ordering = ordering)
     case other => throw new IllegalArgumentException(
       s"unsupported filter type '$other' (supported: selector/in/and/or/not/bound)")
   }

@@ -80,6 +80,40 @@ class ConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("regex") && e.getMessage.contains("selector"))
   }
 
+  test("bound filter JSON: strict ends + ordering parse; malformed specs fail at LOAD") {
+    def load(filter: String) = SpecLoader.fromJson(
+      s"""{"dataSchema": {"dataSource": "t",
+            "parser": {"parseSpec": {"timestampSpec": {"column": "ts"},
+              "dimensionsSpec": {"dimensions": ["d"]}}},
+            "transformSpec": {"filter": $filter},
+            "metricsSpec": [{"type": "count", "name": "cnt"}]}}""")
+    val b = load("""{"type": "bound", "dimension": "d", "lower": "5",
+                     "upper": "10", "lowerStrict": true, "upperStrict": false,
+                     "ordering": "numeric"}""")
+      .dataSchema.transformSpec.filter.get
+    assert(b == BoundFilter("d", Some("5"), Some("10"),
+      lowerStrict = true, upperStrict = false, ordering = "numeric"))
+    // all four malformed shapes fail at spec load, not first query:
+    assert(intercept[IllegalArgumentException] {
+      load("""{"type": "bound", "dimension": "d", "ordering": "alphanumeric"}""")
+    }.getMessage.contains("alphanumeric"))
+    assert(intercept[IllegalArgumentException] {
+      load("""{"type": "bound", "dimension": "d", "lower": "abc",
+               "ordering": "numeric"}""")
+    }.getMessage.contains("abc"))
+    assert(intercept[IllegalArgumentException] {
+      load("""{"type": "and"}""")
+    }.getMessage.contains("non-empty"))
+    assert(intercept[IllegalArgumentException] {
+      SpecLoader.fromJson(
+        """{"dataSchema": {"dataSource": "t",
+             "parser": {"parseSpec": {"timestampSpec": {"column": "ts"},
+               "dimensionsSpec": {"dimensions": ["d"]}}},
+             "transformSpec": {"transforms": [{"name": "x"}]},
+             "metricsSpec": []}}""")
+    }.getMessage.contains("expression"))
+  }
+
   test("loader parses approxHistogram accuracy and hllSketch") {
     val spec = SpecLoader.fromJson(
       """{"dataSchema": {"dataSource": "e",

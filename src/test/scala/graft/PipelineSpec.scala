@@ -90,6 +90,30 @@ class PipelineSpec extends SparkSpec {
     assert(keys(BoundFilter("v")) == Set("a", "b", "c"))
   }
 
+  test("filter DSL null semantics: not() MATCHES null dimensions (Druid rule)") {
+    import graft.config._
+    // Druid: a null dimension never matches selector/in/bound, so it DOES
+    // match their not() complement; Spark's raw three-valued !(NULL) would
+    // silently drop these rows instead
+    val df = Seq(("a", "error"), ("b", null), ("c", "click")).toDF("k", "v")
+    val base = IngestionSpec(DataSchema("t", TimestampSpec("ts"),
+      SpecificDimensions(Seq("k")), Seq(AggregatorSpec("count", "cnt"))))
+    def keys(f: FilterSpec): Set[String] = new Pipeline(base.copy(
+      dataSchema = base.dataSchema.copy(
+        transformSpec = TransformSpec(filter = Some(f)))))
+      .transform(df).select($"k").collect().map(_.getString(0)).toSet
+
+    assert(keys(NotFilter(SelectorFilter("v", "error"))) == Set("b", "c"))
+    assert(keys(NotFilter(InFilter("v", Seq("error", "click")))) == Set("b"))
+    assert(keys(NotFilter(BoundFilter("v", Some("a"), scala.None))) == Set("b"))
+    // a non-numeric value under numeric ordering: no match (try_cast, no
+    // ANSI throw), and not() matches it
+    assert(keys(BoundFilter("v", Some("0"), scala.None,
+      ordering = "numeric")) == Set.empty)
+    assert(keys(NotFilter(BoundFilter("v", Some("0"), scala.None,
+      ordering = "numeric"))) == Set("a", "b", "c"))
+  }
+
   test("windowPeriod drops late and future events with exact accounting") {
     // FIXTURES.md §A: events at now−20m (late), now (keep), now+20m (future)
     val now = ts("2024-01-01 12:00:00")
