@@ -118,6 +118,10 @@ final case class InFilter(dimension: String, values: Seq[String]) extends Filter
 final case class AndFilter(fields: Seq[FilterSpec]) extends FilterSpec
 final case class OrFilter(fields: Seq[FilterSpec]) extends FilterSpec
 final case class NotFilter(field: FilterSpec) extends FilterSpec
+/** Druid `regex` filter: dimension matches a (Java) regex anywhere. */
+final case class RegexFilter(dimension: String, pattern: String) extends FilterSpec
+/** Druid `like` filter: SQL LIKE with % and _ wildcards. */
+final case class LikeFilter(dimension: String, pattern: String) extends FilterSpec
 /** Druid `bound` filter: range with open/closed ends, lexicographic (string
   * compare) or numeric ordering. Absent bounds are unbounded. */
 final case class BoundFilter(

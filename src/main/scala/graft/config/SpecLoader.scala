@@ -134,6 +134,12 @@ object SpecLoader {
       OrFilter(fs)
     case "not" => NotFilter(parseFilter(opt(n, "field").getOrElse(
       throw new IllegalArgumentException("not filter needs a field"))))
+    case "regex" =>
+      val p = str(n, "pattern", "")
+      require(scala.util.Try(java.util.regex.Pattern.compile(p)).isSuccess,
+        s"regex filter pattern does not compile: '$p'")
+      RegexFilter(str(n, "dimension", ""), p)
+    case "like" => LikeFilter(str(n, "dimension", ""), str(n, "pattern", ""))
     case "bound" =>
       val ordering = str(n, "ordering", "lexicographic")
       require(ordering == "lexicographic" || ordering == "numeric",
@@ -152,7 +158,8 @@ object SpecLoader {
         upperStrict = opt(n, "upperStrict").exists(_.asBoolean),
         ordering = ordering)
     case other => throw new IllegalArgumentException(
-      s"unsupported filter type '$other' (supported: selector/in/and/or/not/bound)")
+      s"unsupported filter type '$other' " +
+        "(supported: selector/in/and/or/not/regex/like/bound)")
   }
 
   /** Druid postAggregations shape: {"type":"arithmetic","name":"avg","fn":"/",

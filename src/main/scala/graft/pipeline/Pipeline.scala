@@ -122,6 +122,10 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
     case graft.config.OrFilter(fs) =>
       fs.map(filterColumn).reduceOption(_ || _).getOrElse(lit(false))
     case graft.config.NotFilter(x) => !filterColumn(x)
+    case graft.config.RegexFilter(d, p) =>
+      coalesce(col(d).rlike(p), lit(false))
+    case graft.config.LikeFilter(d, p) =>
+      coalesce(col(d).like(p), lit(false))
     case b: graft.config.BoundFilter =>
       val c = b.ordering match {
         // try_cast, not cast: ANSI mode throws on malformed numerics — a

@@ -102,10 +102,25 @@ object Granularity {
   case object Year          extends Granularity("YEAR", -1, "year")
   case object All           extends Granularity("ALL", -1, "")
 
+  /** Druid `duration` granularity: an arbitrary fixed width. Behaves like
+    * the named fixed-width granularities everywhere (epoch-arithmetic
+    * truncation, watermarked streaming eligibility, segment naming). */
+  final case class Duration(seconds: Long)
+      extends Granularity(s"PT${seconds}S", seconds, "") {
+    require(seconds > 0, s"duration granularity needs positive seconds, got $seconds")
+  }
+
   val values: Seq[Granularity] = Seq(None, Second, Minute, FiveMinute, TenMinute,
     FifteenMinute, ThirtyMinute, Hour, SixHour, Day, Week, Month, Quarter, Year, All)
 
+  /** Named granularities plus ISO-8601 durations ("PT90S", "PT2H" — the
+    * Druid duration-granularity analog; sub-second durations rejected). */
   def fromString(s: String): Granularity =
     values.find(_.name.equalsIgnoreCase(s.replaceAll("-", "_")))
-      .getOrElse(throw new IllegalArgumentException(s"unknown granularity: $s"))
+      .orElse(
+        scala.util.Try(java.time.Duration.parse(s)).toOption
+          .filter(d => d.getSeconds > 0 && d.getNano == 0)
+          .map(d => Duration(d.getSeconds)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown granularity: $s (named, or ISO-8601 whole-second duration)"))
 }

@@ -74,10 +74,31 @@ class ConfigSpec extends AnyFunSuite {
         """{"dataSchema": {"dataSource": "t",
              "parser": {"parseSpec": {"timestampSpec": {"column": "ts"},
                "dimensionsSpec": {"dimensions": ["d"]}}},
-             "transformSpec": {"filter": {"type": "regex", "dimension": "d"}},
+             "transformSpec": {"filter": {"type": "javascript", "dimension": "d"}},
              "metricsSpec": []}}""")
     }
-    assert(e.getMessage.contains("regex") && e.getMessage.contains("selector"))
+    assert(e.getMessage.contains("javascript") && e.getMessage.contains("selector"))
+
+    // regex / like parse (and a non-compiling regex fails at load)
+    val rl = SpecLoader.fromJson(
+      """{"dataSchema": {"dataSource": "t",
+           "parser": {"parseSpec": {"timestampSpec": {"column": "ts"},
+             "dimensionsSpec": {"dimensions": ["d"]}}},
+           "transformSpec": {"filter": {"type": "and", "fields": [
+             {"type": "regex", "dimension": "d", "pattern": "^c.*k$"},
+             {"type": "like", "dimension": "d", "pattern": "c%k"}]}},
+           "metricsSpec": [{"type": "count", "name": "cnt"}]}}""")
+    assert(rl.dataSchema.transformSpec.filter.contains(AndFilter(Seq(
+      RegexFilter("d", "^c.*k$"), LikeFilter("d", "c%k")))))
+    assert(intercept[IllegalArgumentException] {
+      SpecLoader.fromJson(
+        """{"dataSchema": {"dataSource": "t",
+             "parser": {"parseSpec": {"timestampSpec": {"column": "ts"},
+               "dimensionsSpec": {"dimensions": ["d"]}}},
+             "transformSpec": {"filter": {"type": "regex", "dimension": "d",
+               "pattern": "[unclosed"}},
+             "metricsSpec": []}}""")
+    }.getMessage.contains("does not compile"))
   }
 
   test("bound filter JSON: strict ends + ordering parse; malformed specs fail at LOAD") {

@@ -73,4 +73,21 @@ class GranularitySpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](Granularity.fromString("fortnight"))
   }
+
+  test("duration granularity: arbitrary fixed widths behave like the named set") {
+    val g = Granularity.fromString("PT90S")
+    assert(g == Granularity.Duration(90))
+    assert(g.widthSeconds == 90)
+    assert(Granularity.fromString(g.name) == g) // round-trips via its name
+    // same properties the named fixed widths carry
+    for (i <- samples.take(100)) {
+      val t = g.truncateInstant(i)
+      assert(g.truncateInstant(t) == t)
+      assert(!t.isAfter(i) && i.isBefore(g.bucketEnd(t)))
+      assert(t.getEpochSecond % 90 == 0)
+    }
+    // sub-second and junk durations rejected
+    intercept[IllegalArgumentException](Granularity.fromString("PT0.5S"))
+    intercept[IllegalArgumentException](Granularity.fromString("PT-30S"))
+  }
 }

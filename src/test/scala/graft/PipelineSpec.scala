@@ -105,6 +105,10 @@ class PipelineSpec extends SparkSpec {
 
     assert(keys(NotFilter(SelectorFilter("v", "error"))) == Set("b", "c"))
     assert(keys(NotFilter(InFilter("v", Seq("error", "click")))) == Set("b"))
+    assert(keys(RegexFilter("v", "^c.*k$")) == Set("c"))
+    assert(keys(NotFilter(RegexFilter("v", "^c.*k$"))) == Set("a", "b"))
+    assert(keys(LikeFilter("v", "c%k")) == Set("c"))
+    assert(keys(NotFilter(LikeFilter("v", "%r%"))) == Set("b", "c"))
     assert(keys(NotFilter(BoundFilter("v", Some("a"), scala.None))) == Set("b"))
     // a non-numeric value under numeric ordering: no match (try_cast, no
     // ANSI throw), and not() matches it
