@@ -14,7 +14,8 @@ object SparkEntry {
 
   val registry: Seq[QueryDef] =
     RollupQueries.all ++ RelationalQueries.all ++ WindowingQueries.all ++
-      TextQueries.all ++ VectorQueries.all ++ MultimodalQueries.all
+      TextQueries.all ++ VectorQueries.all ++ MultimodalQueries.all ++
+      DruidNativeQueries.all
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")

@@ -56,9 +56,14 @@ final case class AggregatorSpec(
     aggType: String,
     name: String,
     fieldName: Option[String] = scala.None,
-    /** for `filtered`: dimension == value predicate */
+    /** for `filtered`: legacy dimension == value shorthand (kept for
+      * programmatic callers; JSON parses into [[filterSpec]]) */
     filterDimension: Option[String] = scala.None,
     filterValue: Option[String] = scala.None,
+    /** for `filtered`: the FULL Druid filter DSL (selector/in/and/or/not/
+      * regex/like/bound) — Druid allows any query filter inside a filtered
+      * aggregator, not just selector. Wins over the legacy pair when set. */
+    filterSpec: Option[FilterSpec] = scala.None,
     /** delegate for `filtered` */
     aggregator: Option[AggregatorSpec] = scala.None,
     /** for approxHistogram / percentile outputs */

@@ -120,7 +120,7 @@ object SpecLoader {
   /** Druid filter DSL subset: selector / in / and / or / not / bound.
     * Malformed filters fail HERE, where every other spec error surfaces —
     * not at first query time. */
-  private def parseFilter(n: JsonNode): FilterSpec = str(n, "type", "") match {
+  private[graft] def parseFilter(n: JsonNode): FilterSpec = str(n, "type", "") match {
     case "selector" => SelectorFilter(str(n, "dimension", ""), str(n, "value", ""))
     case "in" => InFilter(str(n, "dimension", ""),
       opt(n, "values").toSeq.flatMap(_.elements.asScala).map(_.asText))
@@ -166,7 +166,7 @@ object SpecLoader {
     * "fields":[{"type":"fieldAccess","fieldName":"sum_v"},
     *           {"type":"fieldAccess","fieldName":"cnt"}]}
     */
-  private def parsePostAgg(n: JsonNode): PostAggregatorSpec =
+  private[graft] def parsePostAgg(n: JsonNode): PostAggregatorSpec =
     PostAggregatorSpec(
       paType = str(n, "type", ""),
       name = str(n, "name", ""),
@@ -175,7 +175,7 @@ object SpecLoader {
       fieldName = opt(n, "fieldName").map(_.asText),
       value = opt(n, "value").map(_.asDouble))
 
-  private def parseAgg(n: JsonNode): AggregatorSpec = {
+  private[graft] def parseAgg(n: JsonNode): AggregatorSpec = {
     val t = str(n, "type", "")
     if (t == "filtered") {
       val f = opt(n, "filter").getOrElse(
@@ -185,8 +185,13 @@ object SpecLoader {
       AggregatorSpec(
         aggType = "filtered",
         name = str(n, "name", delegate.name),
-        filterDimension = opt(f, "dimension").map(_.asText),
-        filterValue = opt(f, "value").map(_.asText),
+        // the full filter DSL — same language as transformSpec.filter /
+        // the query filter clause (Druid allows any filter here); a
+        // type-less {"dimension","value"} object is the selector shorthand
+        filterSpec = Some(
+          if (opt(f, "type").isEmpty)
+            SelectorFilter(str(f, "dimension", ""), str(f, "value", ""))
+          else parseFilter(f)),
         aggregator = Some(delegate))
     } else {
       AggregatorSpec(

@@ -92,7 +92,13 @@ object Aggregators {
     case "filtered" =>
       val delegate = spec.aggregator.getOrElse(
         throw new IllegalArgumentException(s"filtered agg ${spec.name} lacks delegate"))
-      val cond = col(spec.filterDimension.get) === lit(spec.filterValue.get)
+      // full DSL when present (any Druid filter wraps an aggregator);
+      // legacy dimension==value pair otherwise
+      val cond = spec.filterSpec.map(Filters.toColumn).getOrElse {
+        require(spec.filterDimension.nonEmpty && spec.filterValue.nonEmpty,
+          s"filtered agg ${spec.name} needs filterSpec or dimension+value")
+        col(spec.filterDimension.get) === lit(spec.filterValue.get)
+      }
       // sum(when(cond, x)) — map-side partial filtered aggregation, no
       // separate pass over the data (SURVEY §2.4 `filtered` wrapper)
       filteredColumn(cond, delegate).as(spec.name)
@@ -177,6 +183,7 @@ object Aggregators {
   /** Input columns an aggregator reads (for projection / schemaless exclusion). */
   def inputFields(spec: AggregatorSpec): Seq[String] =
     spec.fieldName.toSeq ++ spec.filterDimension.toSeq ++
+      spec.filterSpec.toSeq.flatMap(Filters.dimensions) ++
       spec.aggregator.toSeq.flatMap(inputFields)
 
   private def field(spec: AggregatorSpec): Column =

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/** Compiles the Druid filter DSL ([[graft.config.FilterSpec]]) to a Column.
+  * Shared by ingest-time filtering ([[Pipeline.transform]] — Druid's
+  * `transformSpec.filter`) and query-time filtering
+  * ([[graft.queries.DruidQueryCompiler]] — the native query `filter` clause):
+  * in Druid both sides speak the same DSL, so both compile through here.
+  *
+  * Every branch yields a NEVER-NULL boolean — Druid semantics: a null
+  * dimension doesn't match selector/in/bound, and therefore DOES match
+  * their `not()` complement. Spark's three-valued logic would instead
+  * propagate NULL through `!` and silently drop those rows at `filter`.
+  */
+object Filters {
+
+  def toColumn(f: graft.config.FilterSpec): Column = f match {
+    case graft.config.SelectorFilter(d, v) => col(d) <=> lit(v)
+    case graft.config.InFilter(d, vs) =>
+      coalesce(col(d).isin(vs: _*), lit(false))
+    case graft.config.AndFilter(fs) =>
+      fs.map(toColumn).reduceOption(_ && _).getOrElse(lit(true))
+    case graft.config.OrFilter(fs) =>
+      fs.map(toColumn).reduceOption(_ || _).getOrElse(lit(false))
+    case graft.config.NotFilter(x) => !toColumn(x)
+    case graft.config.RegexFilter(d, p) =>
+      coalesce(col(d).rlike(p), lit(false))
+    case graft.config.LikeFilter(d, p) =>
+      coalesce(col(d).like(p), lit(false))
+    case b: graft.config.BoundFilter =>
+      val c = b.ordering match {
+        // try_cast, not cast: ANSI mode throws on malformed numerics — a
+        // non-numeric dimension value should just not match (null → false)
+        case "numeric"       => col(b.dimension).try_cast(DoubleType)
+        case "lexicographic" => col(b.dimension).cast(StringType)
+        case other => throw new IllegalArgumentException(
+          s"bound filter ordering '$other' (supported: lexicographic/numeric)")
+      }
+      def bound(v: String): Column =
+        if (b.ordering == "numeric") lit(v.toDouble) else lit(v)
+      val lo = b.lower.map(v => if (b.lowerStrict) c > bound(v) else c >= bound(v))
+      val hi = b.upper.map(v => if (b.upperStrict) c < bound(v) else c <= bound(v))
+      coalesce((lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true)),
+        lit(false))
+  }
+
+  /** Column names a filter reads — so projection keeps them (e.g. a
+    * filtered-aggregator predicate over a column that isn't a declared
+    * dimension). */
+  def dimensions(f: graft.config.FilterSpec): Seq[String] = f match {
+    case graft.config.SelectorFilter(d, _) => Seq(d)
+    case graft.config.InFilter(d, _)       => Seq(d)
+    case graft.config.AndFilter(fs)        => fs.flatMap(dimensions)
+    case graft.config.OrFilter(fs)         => fs.flatMap(dimensions)
+    case graft.config.NotFilter(x)         => dimensions(x)
+    case graft.config.RegexFilter(d, _)    => Seq(d)
+    case graft.config.LikeFilter(d, _)     => Seq(d)
+    case b: graft.config.BoundFilter       => Seq(b.dimension)
+  }
+}

@@ -108,40 +108,11 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
     t.filter.map(f => withCols.filter(filterColumn(f))).getOrElse(withCols)
   }
 
-  /** Each branch yields a NEVER-NULL boolean — Druid semantics: a null
-    * dimension doesn't match selector/in/bound, and therefore DOES match
-    * their `not()` complement. Spark's three-valued logic would instead
-    * propagate NULL through `!` and silently drop those rows at `filter`.
+  /** Filter DSL compilation lives in [[Filters]] (shared with the query-time
+    * compiler — in Druid `transformSpec.filter` and the native query `filter`
+    * clause speak the same DSL).
     */
-  private def filterColumn(f: graft.config.FilterSpec): Column = f match {
-    case graft.config.SelectorFilter(d, v) => col(d) <=> lit(v)
-    case graft.config.InFilter(d, vs) =>
-      coalesce(col(d).isin(vs: _*), lit(false))
-    case graft.config.AndFilter(fs) =>
-      fs.map(filterColumn).reduceOption(_ && _).getOrElse(lit(true))
-    case graft.config.OrFilter(fs) =>
-      fs.map(filterColumn).reduceOption(_ || _).getOrElse(lit(false))
-    case graft.config.NotFilter(x) => !filterColumn(x)
-    case graft.config.RegexFilter(d, p) =>
-      coalesce(col(d).rlike(p), lit(false))
-    case graft.config.LikeFilter(d, p) =>
-      coalesce(col(d).like(p), lit(false))
-    case b: graft.config.BoundFilter =>
-      val c = b.ordering match {
-        // try_cast, not cast: ANSI mode throws on malformed numerics — a
-        // non-numeric dimension value should just not match (null → false)
-        case "numeric"       => col(b.dimension).try_cast(DoubleType)
-        case "lexicographic" => col(b.dimension).cast(StringType)
-        case other => throw new IllegalArgumentException(
-          s"bound filter ordering '$other' (supported: lexicographic/numeric)")
-      }
-      def bound(v: String): Column =
-        if (b.ordering == "numeric") lit(v.toDouble) else lit(v)
-      val lo = b.lower.map(v => if (b.lowerStrict) c > bound(v) else c >= bound(v))
-      val hi = b.upper.map(v => if (b.upperStrict) c < bound(v) else c <= bound(v))
-      coalesce((lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true)),
-        lit(false))
-  }
+  private def filterColumn(f: graft.config.FilterSpec): Column = Filters.toColumn(f)
 
   def project(df: DataFrame): DataFrame = {
     val projectable = transform(df)

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Druid NATIVE QUERY JSON end-to-end: each query here is a verbatim Druid
+  * query document compiled by [[DruidQueryCompiler]] and hash-matched against
+  * a DuckDB twin — proving the full JSON surface (intervals, filter DSL,
+  * granularity forms, virtualColumns, aggs, postAggs, having, limitSpec,
+  * extraction fns, topN metric specs, scan/search/timeBoundary envelopes),
+  * not just the operators underneath.
+  *
+  * Determinism notes (QueryDef rules): every ordering carries a unique
+  * tiebreak on both sides (the compiler adds dimension-asc to topN and
+  * grouping-key tiebreaks to limitSpec — mirrored in the oracle's
+  * row_number/ORDER BY); double sums round before compare; exact-integer
+  * divisions (longSum / count) are IEEE-deterministic so postAgg quotients
+  * oracle cleanly.
+  */
+object DruidNativeQueries {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** dataSource resolver: testdata tables with `ts` renamed to Druid's
+    * `__time`. */
+  private def resolve(s: SparkSession, dir: String)(name: String): DataFrame = {
+    val df = Tables.t(s, dir, name)
+    if (df.columns.contains("ts")) df.withColumnRenamed("ts", "__time") else df
+  }
+
+  private def run(s: SparkSession, dir: String, json: String): DataFrame =
+    DruidQueryCompiler.compile(json, resolve(s, dir))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -- timeseries: granularity + intervals + in-filter + postAggs ---------
+    // mean_uid = longSum/cnt is an exact-integer division (IEEE-deterministic);
+    // zero_div exercises Druid's `/`-yields-0-on-zero-divisor rule
+    QueryDef("druid_json_timeseries", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "day",
+         "intervals": ["2024-01-05T00:00:00/2024-01-20T00:00:00"],
+         "filter": {"type": "in", "dimension": "event_type",
+                    "values": ["click", "view", "purchase"]},
+         "aggregations": [
+           {"type": "count", "name": "cnt"},
+           {"type": "doubleSum", "name": "sum_v", "fieldName": "value"},
+           {"type": "longSum", "name": "sum_uid", "fieldName": "user_id"}],
+         "postAggregations": [
+           {"type": "arithmetic", "name": "mean_uid", "fn": "/",
+            "fields": [{"type": "fieldAccess", "fieldName": "sum_uid"},
+                       {"type": "fieldAccess", "fieldName": "cnt"}]},
+           {"type": "arithmetic", "name": "zero_div", "fn": "/",
+            "fields": [{"type": "fieldAccess", "fieldName": "cnt"},
+                       {"type": "constant", "name": "z", "value": 0.0}]}]}""")
+        .select(date_format(col("__time"), fmt).as("bucket"),
+          col("cnt"), round(col("sum_v"), 2).as("sum_v"), col("sum_uid"),
+          round(col("mean_uid"), 6).as("mean_uid"), col("zero_div"))
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             count(*) AS cnt, round(sum(value), 2) AS sum_v,
+             CAST(sum(user_id) AS BIGINT) AS sum_uid,
+             round(CAST(sum(user_id) AS DOUBLE) / count(*), 6) AS mean_uid,
+             0.0 AS zero_div
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+              AND event_type IN ('click', 'view', 'purchase')
+            GROUP BY 1""")),
+
+    // -- topN: per-DAY top-3 dimension values by count ----------------------
+    // count ties across types within a day are likely — the compiler's
+    // dimension-asc tiebreak is mirrored in the oracle's row_number
+    QueryDef("druid_json_topn", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "topN", "dataSource": "events",
+         "granularity": "day", "dimension": "event_type", "threshold": 3,
+         "metric": {"type": "numeric", "metric": "cnt"},
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "sum_v", "fieldName": "value"}]}""")
+        .select(date_format(col("__time"), fmt).as("bucket"),
+          col("event_type"), col("cnt"), round(col("sum_v"), 2).as("sum_v"))
+    },
+    Some("""WITH g AS (
+              SELECT date_trunc('day', ts) AS d, event_type,
+                     count(*) AS cnt, round(sum(value), 2) AS sum_v
+              FROM events GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY d
+                    ORDER BY cnt DESC, event_type) AS rn FROM g)
+            SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+                   cnt, sum_v
+            FROM r WHERE rn <= 3""")),
+
+    // -- topN inverted metric: per-week BOTTOM-2 by summed value ------------
+    QueryDef("druid_json_topn_inverted", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "topN", "dataSource": "events",
+         "granularity": "week", "dimension": "event_type", "threshold": 2,
+         "metric": {"type": "inverted",
+                    "metric": {"type": "numeric", "metric": "cnt"}},
+         "aggregations": [{"type": "count", "name": "cnt"}]}""")
+        .select(date_format(col("__time"), fmt).as("bucket"),
+          col("event_type"), col("cnt"))
+    },
+    Some("""WITH g AS (
+              SELECT date_trunc('week', ts) AS d, event_type, count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY d
+                    ORDER BY cnt ASC, event_type) AS rn FROM g)
+            SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS bucket, event_type, cnt
+            FROM r WHERE rn <= 2""")),
+
+    // -- groupBy: virtualColumn + extraction dim + having + limitSpec -------
+    // event-type counts at sf0.01 are all distinct (2017/2014/2006/1982/1981)
+    // and the compiler adds grouping-key tiebreaks regardless
+    QueryDef("druid_json_groupby", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "all",
+         "virtualColumns": [
+           {"type": "expression", "name": "v2", "expression": "value * 2"}],
+         "dimensions": [
+           "event_type",
+           {"type": "extraction", "dimension": "event_type",
+            "outputName": "prefix",
+            "extractionFn": {"type": "substring", "index": 0, "length": 2}}],
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "sum_v2", "fieldName": "v2"}],
+         "having": {"type": "greaterThan", "aggregation": "cnt", "value": 1990},
+         "limitSpec": {"type": "default", "limit": 2,
+           "columns": [{"dimension": "cnt", "direction": "descending"}]}}""")
+        .select(col("event_type"), col("prefix"), col("cnt"),
+          round(col("sum_v2"), 2).as("sum_v2"))
+    },
+    Some("""SELECT event_type, substring(event_type, 1, 2) AS prefix,
+             count(*) AS cnt, round(sum(value * 2), 2) AS sum_v2
+            FROM events GROUP BY 1, 2
+            HAVING count(*) > 1990
+            ORDER BY cnt DESC LIMIT 2""")),
+
+    // -- scan: intervals + selector filter + column projection --------------
+    // limit exceeds the match count, so the unordered result set is exact
+    // (pagination determinism itself is covered by scan_paginated + specs)
+    QueryDef("druid_json_scan", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "scan", "dataSource": "events",
+         "intervals": ["2024-01-10T00:00:00/2024-01-12T00:00:00"],
+         "filter": {"type": "selector", "dimension": "event_type",
+                    "value": "purchase"},
+         "columns": ["__time", "event_id", "user_id", "value"],
+         "limit": 100000}""")
+        .select(date_format(col("__time"), fmt).as("event_ts"),
+          col("event_id"), col("user_id"), round(col("value"), 2).as("value"))
+    },
+    Some("""SELECT strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS event_ts,
+             event_id, user_id, round(value, 2) AS value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+              AND event_type = 'purchase'""")),
+
+    // -- search: insensitive_contains across dimension values ---------------
+    QueryDef("druid_json_search", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "search", "dataSource": "events",
+         "granularity": "all", "searchDimensions": ["event_type"],
+         "query": {"type": "insensitive_contains", "value": "UR"}}""")
+        .select(col("dimension"), col("value"), col("cnt"))
+    },
+    Some("""SELECT 'event_type' AS dimension, event_type AS value,
+             count(*) AS cnt
+            FROM events WHERE contains(lower(event_type), 'ur')
+            GROUP BY 2""")),
+
+    // -- filtered aggregator with the FULL filter DSL (bound + regex) -------
+    // Druid allows any query filter inside `filtered`, not just selector;
+    // the same Filters compiler serves transformSpec, query filter, and here
+    QueryDef("druid_json_filtered_agg", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "all",
+         "aggregations": [
+           {"type": "count", "name": "cnt"},
+           {"type": "filtered", "name": "sum_mid",
+            "filter": {"type": "bound", "dimension": "value",
+                       "lower": "10", "upper": "50", "upperStrict": true,
+                       "ordering": "numeric"},
+            "aggregator": {"type": "doubleSum", "name": "sum_mid",
+                           "fieldName": "value"}},
+           {"type": "filtered", "name": "cnt_cv",
+            "filter": {"type": "regex", "dimension": "event_type",
+                       "pattern": "^(click|view)$"},
+            "aggregator": {"type": "count", "name": "cnt_cv"}}]}""")
+        .select(col("cnt"), round(col("sum_mid"), 2).as("sum_mid"), col("cnt_cv"))
+    },
+    Some("""SELECT count(*) AS cnt,
+             round(sum(CASE WHEN value >= 10 AND value < 50 THEN value END), 2) AS sum_mid,
+             count(CASE WHEN regexp_matches(event_type, '^(click|view)$') THEN 1 END) AS cnt_cv
+            FROM events""")),
+
+    // -- timeBoundary (both bounds) -----------------------------------------
+    QueryDef("druid_json_timeboundary", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "timeBoundary", "dataSource": "events"}""")
+        .select(date_format(col("minTime"), fmt).as("min_time"),
+          date_format(col("maxTime"), fmt).as("max_time"))
+    },
+    Some("""SELECT strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS min_time,
+             strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS max_time
+            FROM events""")),
+
+    // -- dataSourceMetadata: max ingested event time ------------------------
+    QueryDef("druid_json_datasource_metadata", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "dataSourceMetadata", "dataSource": "events"}""")
+        .select(date_format(col("maxIngestedEventTime"), fmt).as("max_ingested"))
+    },
+    Some("""SELECT strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS max_ingested
+            FROM events"""))
+  )
+}

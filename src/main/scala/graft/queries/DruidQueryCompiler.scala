@@ -1,0 +1,451 @@
+package graft.queries
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.config.SpecLoader
+import graft.pipeline.{Aggregators, Filters, Pipeline}
+import graft.time.Granularity
+
+/** Compiles Druid NATIVE QUERY JSON to a DataFrame plan — the query-side
+  * twin of [[graft.config.SpecLoader]] (which compiles the ingestion spec).
+  * Tranquility itself is ingest-only, but every tranquility deployment pairs
+  * it with Druid's query API (SURVEY §2.9 query analogs); this compiler lets
+  * a user run those same query JSONs against the engine's tables/stores.
+  *
+  * Supported queryTypes — the full Druid native set:
+  *  - `timeseries`   granularity bucketing + aggs + postAggs
+  *  - `topN`         per-bucket dimension top-k by metric (numeric /
+  *                   inverted / dimension orderings)
+  *  - `groupBy`      dimensionSpecs (default + extraction fns) + having +
+  *                   limitSpec (metric-ordered limit/offset)
+  *  - `scan`         column projection + time order + limit/offset
+  *                   (`select` is rejected with a pointer here — Druid
+  *                   removed it in 0.17 for the same reason)
+  *  - `search`       per-dimension value matching (contains /
+  *                   insensitive_contains / fragment)
+  *  - `timeBoundary` min/max event time (bound: minTime | maxTime | both)
+  *  - `dataSourceMetadata` max ingested event time
+  *
+  * Shared sub-languages reuse the ingest-side compilers: `filter` →
+  * [[graft.pipeline.Filters]] (Druid null semantics), `aggregations` →
+  * [[graft.pipeline.Aggregators]] (incl. stored-sketch + first/last types),
+  * `postAggregations` → [[Aggregators.postAggColumn]], `granularity` →
+  * [[graft.time.Granularity]] (named / duration / period forms),
+  * `virtualColumns` → Spark SQL expressions (same documented dialect delta
+  * as transformSpec).
+  *
+  * Conventions: the event-time column is Druid's `__time`; every aggregate
+  * query emits its bucket as `__time` (granularity `all` → epoch 0, one
+  * bucket — callers project it away as Druid's result envelope does).
+  * Dimension output keeps the input column's native type (documented delta:
+  * Druid coerces dimensions to string unless told otherwise; a caller
+  * wanting that casts in a virtualColumn).
+  *
+  * Scale shape: aggregate types are one shuffle on (bucket, dims) with
+  * map-side partial agg; topN/limitSpec rank through a bucket-partitioned
+  * window (WindowGroupLimit pushes the threshold below the Exchange);
+  * interval + filter conjuncts sit directly above the scan so Catalyst
+  * pushes them into the parquet reader.
+  */
+object DruidQueryCompiler {
+
+  /** Druid's event-time column; inputs must carry it. */
+  val TimeCol = "__time"
+
+  private val mapper = new ObjectMapper()
+
+  /** Compile `json` against `resolve` (dataSource name → table). Union
+    * datasources resolve each member and unionByName (missing columns
+    * null-filled — Druid's union semantics over mismatched datasources).
+    */
+  def compile(json: String, resolve: String => DataFrame): DataFrame = {
+    val root = mapper.readTree(json)
+    val base = dataSource(opt(root, "dataSource").getOrElse(
+      throw new IllegalArgumentException("query needs a dataSource")), resolve)
+    require(base.columns.contains(TimeCol),
+      s"dataSource is missing the '$TimeCol' event-time column")
+
+    val prepared = filtered(virtual(base, root), root)
+
+    str(root, "queryType", "") match {
+      case "timeseries"         => aggregate(prepared, root, Nil)
+      case "topN"               => topN(prepared, root)
+      case "groupBy"            => groupBy(prepared, root)
+      case "scan"               => scan(prepared, root)
+      case "search"             => search(prepared, root)
+      case "timeBoundary"       => timeBoundary(prepared, root)
+      case "dataSourceMetadata" =>
+        prepared.agg(max(col(TimeCol)).as("maxIngestedEventTime"))
+      case "select" => throw new IllegalArgumentException(
+        "queryType 'select' was removed upstream (Druid 0.17); use 'scan'")
+      case other => throw new IllegalArgumentException(
+        s"unsupported queryType '$other' (timeseries/topN/groupBy/scan/" +
+          "search/timeBoundary/dataSourceMetadata)")
+    }
+  }
+
+  // ------------------------------------------------------------------ inputs
+
+  private def dataSource(n: JsonNode, resolve: String => DataFrame): DataFrame =
+    if (n.isTextual) resolve(n.asText)
+    else str(n, "type", "") match {
+      case "table" => resolve(str(n, "name", ""))
+      case "union" =>
+        val members = opt(n, "dataSources").toSeq.flatMap(_.elements.asScala)
+        require(members.nonEmpty, "union dataSource needs dataSources")
+        members.map(dataSource(_, resolve))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      case other => throw new IllegalArgumentException(
+        s"unsupported dataSource type '$other' (table/union)")
+    }
+
+  /** Druid virtualColumns — expression type only; the expression language is
+    * Spark SQL (the transformSpec delta, [[graft.config.TransformField]]). */
+  private def virtual(df: DataFrame, root: JsonNode): DataFrame =
+    opt(root, "virtualColumns").toSeq.flatMap(_.elements.asScala)
+      .foldLeft(df) { (d, v) =>
+        require(str(v, "type", "expression") == "expression",
+          s"unsupported virtualColumn type '${str(v, "type", "")}'")
+        val name = str(v, "name", "")
+        val e = str(v, "expression", "")
+        require(name.nonEmpty && e.nonEmpty,
+          s"virtualColumn needs name and expression, got $v")
+        d.withColumn(name, expr(e))
+      }
+
+  /** intervals (OR of [start, end) on __time) + the filter DSL. */
+  private def filtered(df: DataFrame, root: JsonNode): DataFrame = {
+    val byInterval = intervalsColumn(root).map(df.filter).getOrElse(df)
+    opt(root, "filter").map(SpecLoader.parseFilter)
+      .map(f => byInterval.filter(Filters.toColumn(f))).getOrElse(byInterval)
+  }
+
+  private[queries] def intervalsColumn(root: JsonNode): Option[Column] = {
+    val specs = opt(root, "intervals").toSeq.flatMap(_.elements.asScala)
+      .map(_.asText)
+    val conds = specs.map { s =>
+      val parts = s.split("/", 2)
+      require(parts.length == 2, s"interval '$s' is not start/end")
+      col(TimeCol) >= tsLit(parts(0)) && col(TimeCol) < tsLit(parts(1))
+    }
+    conds.reduceOption(_ || _)
+  }
+
+  /** ISO-8601 instant literal → timestamp Column. Epoch computed JVM-side so
+    * session-timezone settings can't shift zoned inputs; zone-less inputs
+    * are UTC (Druid's default). */
+  private def tsLit(s: String): Column = {
+    val millis =
+      scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
+        .orElse(scala.util.Try(
+          java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli))
+        .orElse(scala.util.Try(java.time.LocalDateTime.parse(s)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot parse interval endpoint '$s' as an ISO-8601 instant"))
+    timestamp_millis(lit(millis))
+  }
+
+  private def granularity(root: JsonNode): Granularity =
+    opt(root, "granularity") match {
+      case scala.None => Granularity.All
+      case Some(n) if n.isTextual => Granularity.fromString(n.asText)
+      case Some(n) => str(n, "type", "") match {
+        case "duration" =>
+          val ms = opt(n, "duration").map(_.asLong).getOrElse(
+            throw new IllegalArgumentException("duration granularity needs duration"))
+          require(ms > 0 && ms % 1000 == 0,
+            s"duration granularity must be a positive whole-second millis value, got $ms")
+          Granularity.Duration(ms / 1000)
+        case "period" => Granularity.fromString(str(n, "period", ""))
+        case other => throw new IllegalArgumentException(
+          s"unsupported granularity type '$other' (duration/period or a name)")
+      }
+    }
+
+  // ------------------------------------------------------------- aggregation
+
+  /** Shared core of timeseries/topN/groupBy: bucket __time, group by
+    * (bucket, dims), apply aggs + postAggs. */
+  private def aggregate(df: DataFrame, root: JsonNode,
+      dims: Seq[(String, Column)]): DataFrame = {
+    val aggSpecs = opt(root, "aggregations").toSeq.flatMap(_.elements.asScala)
+      .map(SpecLoader.parseAgg).toSeq
+    val aggs = aggSpecs.map(Aggregators.toColumn) match {
+      case Nil => Seq(count(lit(1)).as("rows"))
+      case xs  => xs
+    }
+    graft.functions.GraftFunctions.register(df.sparkSession) // sketch aggs
+    val bucketed = df
+      // keep the raw event time visible to order-sensitive aggregators
+      // (first/last family) — same convention as Pipeline.rollup
+      .withColumn(Pipeline.RawTsCol, col(TimeCol))
+      .withColumn(TimeCol, granularity(root).truncate(col(TimeCol)))
+    val keys = col(TimeCol) +: dims.map { case (n, c) => c.as(n) }
+    val grouped = bucketed.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    opt(root, "postAggregations").toSeq.flatMap(_.elements.asScala)
+      .map(SpecLoader.parsePostAgg)
+      .foldLeft(grouped)((d, p) => d.withColumn(p.name, Aggregators.postAggColumn(p)))
+  }
+
+  // ------------------------------------------------------------------- topN
+
+  private def topN(df: DataFrame, root: JsonNode): DataFrame = {
+    val (name, dcol) = dimensionSpec(opt(root, "dimension").getOrElse(
+      throw new IllegalArgumentException("topN needs a dimension")))
+    val threshold = opt(root, "threshold").map(_.asInt).getOrElse(
+      throw new IllegalArgumentException("topN needs a threshold"))
+    val grouped = aggregate(df, root, Seq(name -> dcol))
+    val ordering = topNOrdering(opt(root, "metric").getOrElse(
+      throw new IllegalArgumentException("topN needs a metric")), name)
+    val w = Window.partitionBy(col(TimeCol)).orderBy(ordering: _*)
+    grouped.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= threshold).drop("__rank")
+  }
+
+  /** Druid topN metric spec → deterministic ordering (dimension ascending
+    * breaks metric ties — Druid leaves ties unspecified). `inverted` flips
+    * the inner metric's direction (double inversion cancels). */
+  private def topNOrdering(m: JsonNode, dim: String,
+      inverted: Boolean = false): Seq[Column] = {
+    def metricOrder(name: String): Seq[Column] =
+      Seq(if (inverted) col(name).asc else col(name).desc, col(dim).asc)
+    if (m.isTextual) metricOrder(m.asText)
+    else str(m, "type", "") match {
+      case "numeric" => metricOrder(str(m, "metric", ""))
+      case "inverted" =>
+        topNOrdering(opt(m, "metric").getOrElse(
+          throw new IllegalArgumentException("inverted metric needs a metric")),
+          dim, !inverted)
+      case "dimension" | "lexicographic" =>
+        Seq(if (inverted) col(dim).desc else col(dim).asc)
+      case other => throw new IllegalArgumentException(
+        s"unsupported topN metric type '$other' (numeric/inverted/dimension)")
+    }
+  }
+
+  // ----------------------------------------------------------------- groupBy
+
+  private def groupBy(df: DataFrame, root: JsonNode): DataFrame = {
+    val dims = opt(root, "dimensions").toSeq.flatMap(_.elements.asScala)
+      .map(dimensionSpec).toSeq
+    val grouped = aggregate(df, root, dims)
+    val having = opt(root, "having").map(havingColumn)
+      .map(grouped.filter).getOrElse(grouped)
+    opt(root, "limitSpec").map(limited(having, _)).getOrElse(having)
+  }
+
+  /** Druid having spec: numeric comparisons on aggregated metrics +
+    * and/or/not composition + `filter` (the query filter DSL over dimension
+    * OUTPUT values — so extraction-fn outputs are filterable too). */
+  private def havingColumn(n: JsonNode): Column = str(n, "type", "") match {
+    case "greaterThan" => col(str(n, "aggregation", "")) > havingValue(n)
+    case "lessThan"    => col(str(n, "aggregation", "")) < havingValue(n)
+    case "equalTo"     => col(str(n, "aggregation", "")) === havingValue(n)
+    case "and" => havingSpecs(n).map(havingColumn).reduceOption(_ && _)
+      .getOrElse(throw new IllegalArgumentException("and having needs havingSpecs"))
+    case "or" => havingSpecs(n).map(havingColumn).reduceOption(_ || _)
+      .getOrElse(throw new IllegalArgumentException("or having needs havingSpecs"))
+    case "not" => !havingColumn(opt(n, "havingSpec").getOrElse(
+      throw new IllegalArgumentException("not having needs a havingSpec")))
+    case "filter" => Filters.toColumn(SpecLoader.parseFilter(
+      opt(n, "filter").getOrElse(
+        throw new IllegalArgumentException("filter having needs a filter"))))
+    case other => throw new IllegalArgumentException(
+      s"unsupported having type '$other' " +
+        "(greaterThan/lessThan/equalTo/and/or/not/filter)")
+  }
+
+  private def havingValue(n: JsonNode): Column =
+    lit(opt(n, "value").map(_.asDouble).getOrElse(
+      throw new IllegalArgumentException(s"having needs a value: $n")))
+
+  private def havingSpecs(n: JsonNode): Seq[JsonNode] =
+    opt(n, "havingSpecs").toSeq.flatMap(_.elements.asScala).toSeq
+
+  /** limitSpec → global orderBy(columns…, then grouping keys as tiebreak) +
+    * offset/limit. The tiebreak makes pagination deterministic (Druid's own
+    * default limitSpec ordering is the grouping key list); with a limit the
+    * plan is TakeOrderedAndProject — no global sort materializes. */
+  private def limited(df: DataFrame, n: JsonNode): DataFrame = {
+    require(str(n, "type", "default") == "default",
+      s"unsupported limitSpec type '${str(n, "type", "")}'")
+    val explicit: Seq[(String, Column)] =
+      opt(n, "columns").toSeq.flatMap(_.elements.asScala).map { c =>
+        if (c.isTextual) c.asText -> col(c.asText).asc
+        else {
+          val d = str(c, "dimension", "")
+          d -> (if (str(c, "direction", "ascending").toLowerCase.startsWith("desc"))
+            col(d).desc else col(d).asc)
+        }
+      }.toSeq
+    val named = explicit.map(_._1).toSet
+    val tiebreak = df.columns.filterNot(named).map(col(_).asc).toSeq
+    val ordered = df.orderBy(explicit.map(_._2) ++ tiebreak: _*)
+    val offset = opt(n, "offset").map(_.asInt).getOrElse(0)
+    val shifted = if (offset > 0) ordered.offset(offset) else ordered
+    opt(n, "limit").map(_.asInt).map(shifted.limit).getOrElse(shifted)
+  }
+
+  // ----------------------------------------------------- dimensions / fns
+
+  /** A dimension reference to `__time` must see the RAW event time, not the
+    * granularity bucket (Druid's rule — e.g. a timeFormat extraction
+    * bucketing by hour-of-day under granularity `all`). [[aggregate]]
+    * preserves it as [[Pipeline.RawTsCol]] before overwriting the bucket. */
+  private def dimCol(name: String): Column =
+    if (name == TimeCol) col(Pipeline.RawTsCol) else col(name)
+
+  /** dimensionSpec: plain string | default | extraction (substring / upper /
+    * lower / regex / timeFormat / strlen). Output name defaults to the
+    * dimension name. */
+  private def dimensionSpec(n: JsonNode): (String, Column) =
+    if (n.isTextual) n.asText -> dimCol(n.asText)
+    else {
+      val d = str(n, "dimension", "")
+      require(d.nonEmpty, s"dimensionSpec needs a dimension: $n")
+      val out = str(n, "outputName", d)
+      str(n, "type", "default") match {
+        case "default" => out -> dimCol(d)
+        case "extraction" =>
+          out -> extraction(dimCol(d), opt(n, "extractionFn").getOrElse(
+            throw new IllegalArgumentException(
+              "extraction dimensionSpec needs an extractionFn")))
+        case other => throw new IllegalArgumentException(
+          s"unsupported dimensionSpec type '$other' (default/extraction)")
+      }
+    }
+
+  private def extraction(c: Column, fn: JsonNode): Column =
+    str(fn, "type", "") match {
+      case "substring" =>
+        // Druid index is 0-based, Spark's is 1-based; absent length = to end
+        val start = opt(fn, "index").map(_.asInt).getOrElse(0)
+        val len = opt(fn, "length").map(_.asInt).getOrElse(Int.MaxValue)
+        substring(c.cast(StringType), start + 1, len)
+      case "upper" => upper(c.cast(StringType))
+      case "lower" => lower(c.cast(StringType))
+      case "strlen" => length(c.cast(StringType)).cast(StringType)
+      case "regex" =>
+        // group 1 when the pattern declares one, else the whole match —
+        // Druid's rule; non-matches keep the input unless replaceMissingValue
+        val pattern = str(fn, "expr", "")
+        require(pattern.nonEmpty, "regex extractionFn needs expr")
+        val group =
+          if (java.util.regex.Pattern.compile(pattern).matcher("").groupCount() > 0) 1
+          else 0
+        val extracted = regexp_extract(c.cast(StringType), pattern, group)
+        val onMiss =
+          if (opt(fn, "replaceMissingValue").exists(_.asBoolean))
+            opt(fn, "replaceMissingValueWith").map(v => lit(v.asText))
+              .getOrElse(lit(null).cast(StringType))
+          else c.cast(StringType)
+        when(extracted =!= "", extracted).otherwise(onMiss)
+      case "timeFormat" =>
+        date_format(c, str(fn, "format", "yyyy-MM-dd'T'HH:mm:ss"))
+      case "lookup" =>
+        // inline map lookup (lookup type `map`): a map literal keeps the
+        // translation inside codegen — the registered-lookup analog for big
+        // tables is a broadcast join (`lookup_map_dim` pattern)
+        val m = opt(fn, "lookup")
+          .filter(l => str(l, "type", "map") == "map")
+          .flatMap(opt(_, "map")).getOrElse(
+            throw new IllegalArgumentException(
+              "lookup extractionFn needs lookup.type=map with a map"))
+        val pairs = m.propertyStream.iterator.asScala.toSeq
+          .flatMap(e => Seq(lit(e.getKey), lit(e.getValue.asText)))
+        require(pairs.nonEmpty, "lookup extractionFn map is empty")
+        val looked = element_at(map(pairs: _*), c.cast(StringType))
+        val onMiss =
+          if (opt(fn, "retainMissingValue").exists(_.asBoolean)) c.cast(StringType)
+          else opt(fn, "replaceMissingValueWith").map(v => lit(v.asText))
+            .getOrElse(lit(null).cast(StringType))
+        coalesce(looked, onMiss)
+      case other => throw new IllegalArgumentException(
+        s"unsupported extractionFn type '$other' " +
+          "(substring/upper/lower/strlen/regex/timeFormat/lookup)")
+    }
+
+  // -------------------------------------------------------------------- scan
+
+  private def scan(df: DataFrame, root: JsonNode): DataFrame = {
+    val cols = opt(root, "columns").toSeq.flatMap(_.elements.asScala)
+      .map(_.asText).toSeq
+    val projected = if (cols.isEmpty) df else df.select(cols.map(col): _*)
+    val ordered = str(root, "order", "none").toLowerCase match {
+      case "none"       => projected
+      case "ascending"  => projected.orderBy(col(TimeCol).asc)
+      case "descending" => projected.orderBy(col(TimeCol).desc)
+      case other => throw new IllegalArgumentException(
+        s"unsupported scan order '$other' (none/ascending/descending)")
+    }
+    val offset = opt(root, "offset").map(_.asInt).getOrElse(0)
+    val shifted = if (offset > 0) ordered.offset(offset) else ordered
+    opt(root, "limit").map(_.asInt).map(shifted.limit).getOrElse(shifted)
+  }
+
+  // ------------------------------------------------------------------ search
+
+  /** search: per-dimension matching values with per-bucket counts — the
+    * row shape of Druid's search result array. One narrow union branch per
+    * searched dimension; each branch is a pruned (2-column) scan. */
+  private def search(df: DataFrame, root: JsonNode): DataFrame = {
+    val dims = opt(root, "searchDimensions").toSeq.flatMap(_.elements.asScala)
+      .map(_.asText).toSeq
+    require(dims.nonEmpty, "search needs searchDimensions")
+    val q = opt(root, "query").getOrElse(
+      throw new IllegalArgumentException("search needs a query"))
+    val matches: Column => Column = str(q, "type", "") match {
+      case "contains" =>
+        val v = str(q, "value", "")
+        if (opt(q, "caseSensitive").forall(_.asBoolean)) c => c.contains(v)
+        else c => lower(c).contains(v.toLowerCase)
+      case "insensitive_contains" =>
+        val v = str(q, "value", "").toLowerCase
+        c => lower(c).contains(v)
+      case "fragment" =>
+        val vs = opt(q, "values").toSeq.flatMap(_.elements.asScala).map(_.asText)
+        require(vs.nonEmpty, "fragment search needs values")
+        val sensitive = opt(q, "caseSensitive").exists(_.asBoolean)
+        c => vs.map { v =>
+          if (sensitive) c.contains(v) else lower(c).contains(v.toLowerCase)
+        }.reduce(_ && _)
+      case other => throw new IllegalArgumentException(
+        s"unsupported search query type '$other' " +
+          "(contains/insensitive_contains/fragment)")
+    }
+    val g = granularity(root)
+    dims.map { d =>
+      df.select(g.truncate(col(TimeCol)).as(TimeCol),
+          lit(d).as("dimension"), col(d).cast(StringType).as("value"))
+        .filter(col("value").isNotNull && matches(col("value")))
+    }.reduce(_.unionAll(_))
+      .groupBy(TimeCol, "dimension", "value").agg(count(lit(1)).as("cnt"))
+  }
+
+  // ----------------------------------------------------------- timeBoundary
+
+  private def timeBoundary(df: DataFrame, root: JsonNode): DataFrame =
+    str(root, "bound", "") match {
+      case "minTime" => df.agg(min(col(TimeCol)).as("minTime"))
+      case "maxTime" => df.agg(max(col(TimeCol)).as("maxTime"))
+      case "" => df.agg(min(col(TimeCol)).as("minTime"),
+        max(col(TimeCol)).as("maxTime"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported timeBoundary bound '$other' (minTime/maxTime)")
+    }
+
+  // ----------------------------------------------------------------- helpers
+
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n).flatMap(x => Option(x.get(field)))
+
+  private def str(n: JsonNode, field: String, default: String): String =
+    opt(n, field).map(_.asText).getOrElse(default)
+}

@@ -40,7 +40,7 @@ class ConfigSpec extends AnyFunSuite {
     }
     assert(spec.dataSchema.aggregators.map(_.aggType) == Seq("count", "doubleSum", "filtered"))
     val filtered = spec.dataSchema.aggregators.last
-    assert(filtered.filterDimension.contains("user"))
+    assert(filtered.filterSpec.contains(SelectorFilter("user", "bot")))
     assert(filtered.aggregator.get.aggType == "count")
     assert(spec.dataSchema.granularitySpec ==
       GranularitySpec(Granularity.SixHour, Granularity.FiveMinute, rollup = true))

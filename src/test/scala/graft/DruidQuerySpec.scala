@@ -1,0 +1,339 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.DruidQueryCompiler
+
+/** [[graft.queries.DruidQueryCompiler]] — the query-side JSON surface. The
+  * oracle-gated behaviors live in DruidNativeQueries; these specs cover the
+  * clauses and failure modes SQL can't (or that need crafted inputs):
+  * interval exclusion, union datasources, granularity object forms,
+  * extraction fns, having composition, limitSpec pagination, scan
+  * order/offset, search fragment, first/last aggs at query time, and the
+  * rejection contract.
+  */
+class DruidQuerySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** class-level so spark.implicits can derive its Encoder (the e2e test) */
+  case class E(ts: Timestamp, etype: String, value: Double)
+
+  /** 6 rows, 2 users, 3 hours of 2024-03-01. */
+  private lazy val events: DataFrame = Seq(
+    (ts("2024-03-01 00:10:00"), "click", "alice", 1.0),
+    (ts("2024-03-01 00:40:00"), "view", "bob", 2.0),
+    (ts("2024-03-01 01:10:00"), "click", "alice", 4.0),
+    (ts("2024-03-01 01:20:00"), "click", "bob", 8.0),
+    (ts("2024-03-01 02:30:00"), "view", "alice", 16.0),
+    (ts("2024-03-01 02:45:00"), "buy", "bob", 32.0)
+  ).toDF("__time", "event_type", "user", "value")
+
+  private def resolve(name: String): DataFrame = name match {
+    case "events" => events
+    case "extra" => Seq((ts("2024-03-01 03:00:00"), "click", "carol", 64.0))
+      .toDF("__time", "event_type", "user", "value")
+    case other => fail(s"unexpected dataSource $other")
+  }
+
+  private def run(json: String): DataFrame =
+    DruidQueryCompiler.compile(json, resolve)
+
+  test("intervals exclude rows outside [start, end) — end exclusive") {
+    val rows = run("""
+      {"queryType": "scan", "dataSource": "events",
+       "intervals": ["2024-03-01T00:40:00/2024-03-01T01:20:00"],
+       "columns": ["__time", "value"]}""").collect()
+    // 00:40 included (start closed), 01:20 excluded (end open)
+    assert(rows.map(_.getDouble(1)).sorted.toSeq == Seq(2.0, 4.0))
+  }
+
+  test("two intervals OR together") {
+    val rows = run("""
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "all",
+       "intervals": ["2024-03-01T00:00:00/2024-03-01T01:00:00",
+                     "2024-03-01T02:00:00/2024-03-01T03:00:00"],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""").collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("cnt") == 4L)
+  }
+
+  test("union dataSource merges member tables") {
+    val rows = run("""
+      {"queryType": "timeseries",
+       "dataSource": {"type": "union", "dataSources": ["events", "extra"]},
+       "granularity": "all",
+       "aggregations": [{"type": "count", "name": "cnt"},
+                        {"type": "doubleSum", "name": "v", "fieldName": "value"}]}""")
+      .collect()
+    assert(rows(0).getAs[Long]("cnt") == 7L)
+    assert(rows(0).getAs[Double]("v") == 127.0)
+  }
+
+  test("granularity object forms: duration millis ≡ named hour; period PT1H too") {
+    val byName = run("""
+      {"queryType": "timeseries", "dataSource": "events", "granularity": "hour",
+       "aggregations": [{"type": "doubleSum", "name": "v", "fieldName": "value"}]}""")
+    val byDuration = run("""
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": {"type": "duration", "duration": 3600000},
+       "aggregations": [{"type": "doubleSum", "name": "v", "fieldName": "value"}]}""")
+    val byPeriod = run("""
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": {"type": "period", "period": "PT1H"},
+       "aggregations": [{"type": "doubleSum", "name": "v", "fieldName": "value"}]}""")
+    val expect = Map("2024-03-01 00:00:00.0" -> 3.0,
+      "2024-03-01 01:00:00.0" -> 12.0, "2024-03-01 02:00:00.0" -> 48.0)
+    Seq(byName, byDuration, byPeriod).foreach { df =>
+      val got = df.collect()
+        .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+      assert(got == expect)
+    }
+  }
+
+  test("non-whole-second duration granularity rejected") {
+    val e = intercept[IllegalArgumentException] { run("""
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": {"type": "duration", "duration": 1500}}""") }
+    assert(e.getMessage.contains("whole-second"))
+  }
+
+  test("extraction fns: regex group, upper, timeFormat, strlen") {
+    val rows = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": [
+         {"type": "extraction", "dimension": "user", "outputName": "initial",
+          "extractionFn": {"type": "regex", "expr": "^(.)"}},
+         {"type": "extraction", "dimension": "event_type", "outputName": "up",
+          "extractionFn": {"type": "upper"}},
+         {"type": "extraction", "dimension": "__time", "outputName": "hh",
+          "extractionFn": {"type": "timeFormat", "format": "HH"}},
+         {"type": "extraction", "dimension": "user", "outputName": "len",
+          "extractionFn": {"type": "strlen"}}],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .collect().map(r => (r.getAs[String]("initial"), r.getAs[String]("up"),
+        r.getAs[String]("hh"), r.getAs[String]("len"), r.getAs[Long]("cnt")))
+    assert(rows.contains(("a", "CLICK", "00", "5", 1L)))
+    assert(rows.contains(("b", "BUY", "02", "3", 1L)))
+  }
+
+  test("regex extraction non-match keeps input; replaceMissingValue nulls it") {
+    val keep = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": [{"type": "extraction", "dimension": "user",
+         "outputName": "x",
+         "extractionFn": {"type": "regex", "expr": "^(z.*)"}}],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .collect().map(_.getAs[String]("x")).toSet
+    assert(keep == Set("alice", "bob")) // no z-names: inputs kept
+    val replaced = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": [{"type": "extraction", "dimension": "user",
+         "outputName": "x",
+         "extractionFn": {"type": "regex", "expr": "^(z.*)",
+           "replaceMissingValue": true, "replaceMissingValueWith": "?"}}],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .collect().map(_.getAs[String]("x")).toSet
+    assert(replaced == Set("?"))
+  }
+
+  test("lookup extractionFn: map hit, retainMissingValue, replaceWith") {
+    def groups(fn: String): Map[String, Long] = run(s"""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": [{"type": "extraction", "dimension": "event_type",
+         "outputName": "kind", "extractionFn": $fn}],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .collect().map(r => ("" + r.getAs[String]("kind")) -> r.getAs[Long]("cnt"))
+      .toMap
+    val base = """{"type": "lookup",
+      "lookup": {"type": "map", "map": {"click": "engage", "view": "engage"}}"""
+    // default: misses → null
+    assert(groups(base + "}") == Map("engage" -> 5L, "null" -> 1L))
+    // retainMissingValue: misses keep the input
+    assert(groups(base + ""","retainMissingValue": true}""") ==
+      Map("engage" -> 5L, "buy" -> 1L))
+    // replaceMissingValueWith
+    assert(groups(base + ""","replaceMissingValueWith": "other"}""") ==
+      Map("engage" -> 5L, "other" -> 1L))
+  }
+
+  test("having: and/not composition + filter-type having on dimension output") {
+    val rows = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": ["event_type"],
+       "aggregations": [{"type": "count", "name": "cnt"},
+                        {"type": "doubleSum", "name": "v", "fieldName": "value"}],
+       "having": {"type": "and", "havingSpecs": [
+         {"type": "greaterThan", "aggregation": "cnt", "value": 1},
+         {"type": "not", "havingSpec":
+           {"type": "equalTo", "aggregation": "v", "value": 18.0}}]}}""")
+      .collect()
+    // click: cnt=3 v=13; view: cnt=2 v=18 (excluded by not-equalTo); buy: cnt=1
+    assert(rows.map(_.getAs[String]("event_type")).toSeq == Seq("click"))
+
+    val viaFilter = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": ["event_type"],
+       "aggregations": [{"type": "count", "name": "cnt"}],
+       "having": {"type": "filter", "filter":
+         {"type": "like", "dimension": "event_type", "pattern": "%i%"}}}""")
+      .collect().map(_.getAs[String]("event_type")).toSet
+    assert(viaFilter == Set("click", "view"))
+  }
+
+  test("limitSpec: metric order + offset pagination is deterministic") {
+    def page(offset: Int) = run(s"""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": ["user", "event_type"],
+       "aggregations": [{"type": "doubleSum", "name": "v", "fieldName": "value"}],
+       "limitSpec": {"type": "default", "limit": 2, "offset": $offset,
+         "columns": [{"dimension": "v", "direction": "descending"}]}}""")
+      .collect().map(r => (r.getAs[String]("user"), r.getAs[Double]("v"))).toSeq
+    // groups: bob/buy 32, alice/view 16, bob/click 8, alice/click 5, bob/view 2
+    assert(page(0) == Seq(("bob", 32.0), ("alice", 16.0)))
+    assert(page(2) == Seq(("bob", 8.0), ("alice", 5.0)))
+    assert(page(4) == Seq(("bob", 2.0)))
+  }
+
+  test("topN: dimension-ordering metric; lexicographic inverted") {
+    val lex = run("""
+      {"queryType": "topN", "dataSource": "events", "granularity": "all",
+       "dimension": "event_type", "threshold": 2,
+       "metric": {"type": "dimension"},
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .collect().map(_.getAs[String]("event_type")).toSeq
+    assert(lex == Seq("buy", "click"))
+    val inv = run("""
+      {"queryType": "topN", "dataSource": "events", "granularity": "all",
+       "dimension": "event_type", "threshold": 2,
+       "metric": {"type": "inverted", "metric": {"type": "dimension"}},
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .collect().map(_.getAs[String]("event_type")).toSeq
+    assert(inv == Seq("view", "click"))
+  }
+
+  test("first/last aggregators work at query time (RawTs plumbing)") {
+    val rows = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": ["user"],
+       "aggregations": [
+         {"type": "doubleFirst", "name": "first_v", "fieldName": "value"},
+         {"type": "doubleLast", "name": "last_v", "fieldName": "value"}]}""")
+      .collect().map(r => r.getAs[String]("user") ->
+        (r.getAs[org.apache.spark.sql.Row]("first_v").getAs[Double]("v"),
+         r.getAs[org.apache.spark.sql.Row]("last_v").getAs[Double]("v"))).toMap
+    assert(rows("alice") == (1.0, 16.0))
+    assert(rows("bob") == (2.0, 32.0))
+  }
+
+  test("scan: descending time order with offset, and column projection") {
+    val rows = run("""
+      {"queryType": "scan", "dataSource": "events",
+       "columns": ["__time", "value"], "order": "descending",
+       "offset": 1, "limit": 2}""").collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(16.0, 8.0))
+    assert(rows.head.schema.fieldNames.toSeq == Seq("__time", "value"))
+  }
+
+  test("search: fragment requires every fragment; case sensitivity honored") {
+    val frag = run("""
+      {"queryType": "search", "dataSource": "events",
+       "searchDimensions": ["event_type", "user"],
+       "query": {"type": "fragment", "values": ["i", "c"]}}""")
+      .collect().map(r => (r.getAs[String]("dimension"), r.getAs[String]("value"),
+        r.getAs[Long]("cnt"))).toSet
+    // "click" has i+c (3 rows); "alice" has i+c (3 rows); "view" lacks c
+    assert(frag == Set(("event_type", "click", 3L), ("user", "alice", 3L)))
+    val sensitive = run("""
+      {"queryType": "search", "dataSource": "events",
+       "searchDimensions": ["event_type"],
+       "query": {"type": "contains", "value": "CLICK", "caseSensitive": true}}""")
+      .collect()
+    assert(sensitive.isEmpty)
+  }
+
+  test("timeBoundary minTime-only bound") {
+    val rows = run("""
+      {"queryType": "timeBoundary", "dataSource": "events",
+       "bound": "minTime"}""").collect()
+    assert(rows(0).schema.fieldNames.toSeq == Seq("minTime"))
+    assert(rows(0).getTimestamp(0) == ts("2024-03-01 00:10:00"))
+  }
+
+  test("end-to-end: ingestion-spec JSON → segments → native query JSON") {
+    import graft.config._
+    import graft.streaming.IngestStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+
+    // the Druid deployment shape: tranquility ingests with a spec, Druid
+    // answers query JSON over the rolled-up segments. Query-time count over
+    // rollup counts SEGMENT rows (Druid's rule) — event counts come from
+    // longSum of the ingest-time count metric, exactly as in Druid.
+    val spec = SpecLoader.fromJson("""
+      {"dataSchema": {
+         "dataSource": "e2e",
+         "parser": {"parseSpec": {
+           "timestampSpec": {"column": "ts"},
+           "dimensionsSpec": {"dimensions": ["etype"]}}},
+         "metricsSpec": [{"type": "count", "name": "cnt"},
+                         {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+         "granularitySpec": {"segmentGranularity": "HOUR",
+                             "queryGranularity": "HOUR"}},
+       "tuning": {"windowPeriod": "PT2H"}}""")
+    val input = MemoryStream[E]
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dq-e2e").toString
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(ts("2024-03-01 12:00:00")),
+      trigger = Trigger.ProcessingTime(50))
+    input.addData(E(ts("2024-03-01 12:01:00"), "click", 1.0),
+      E(ts("2024-03-01 12:02:00"), "click", 2.0))
+    ingest.activeQuery.get.processAllAvailable()
+    // same (bucket, dim) lands again in a second micro-batch → partials
+    input.addData(E(ts("2024-03-01 12:03:00"), "click", 4.0),
+      E(ts("2024-03-01 13:03:00"), "view", 8.0))
+    ingest.flushAndStop()
+
+    val store = graft.sink.SegmentStore
+      .read(spark, s"$tmp/out", spec)
+      .withColumnRenamed(graft.pipeline.Pipeline.TsCol,
+        DruidQueryCompiler.TimeCol)
+      .drop(graft.pipeline.Pipeline.SegmentCol)
+    val rows = DruidQueryCompiler.compile("""
+      {"queryType": "timeseries", "dataSource": "e2e", "granularity": "hour",
+       "aggregations": [{"type": "longSum", "name": "events", "fieldName": "cnt"},
+                        {"type": "doubleSum", "name": "total", "fieldName": "total"}]}""",
+      Map("e2e" -> store)).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getAs[Long]("events"), r.getAs[Double]("total"))).toMap
+    assert(rows == Map(
+      "2024-03-01 12:00:00.0" -> (3L, 7.0),
+      "2024-03-01 13:00:00.0" -> (1L, 8.0)))
+  }
+
+  test("rejections: select pointer, unknown type, missing __time, bad metric") {
+    assert(intercept[IllegalArgumentException] { run(
+      """{"queryType": "select", "dataSource": "events"}""")
+    }.getMessage.contains("scan"))
+    assert(intercept[IllegalArgumentException] { run(
+      """{"queryType": "mystery", "dataSource": "events"}""")
+    }.getMessage.contains("unsupported queryType"))
+    assert(intercept[IllegalArgumentException] {
+      DruidQueryCompiler.compile(
+        """{"queryType": "timeseries", "dataSource": "x", "granularity": "all"}""",
+        _ => Seq((1, "a")).toDF("id", "name"))
+    }.getMessage.contains("__time"))
+    assert(intercept[IllegalArgumentException] { run("""
+      {"queryType": "topN", "dataSource": "events", "granularity": "all",
+       "dimension": "user", "threshold": 1,
+       "metric": {"type": "carto"},
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+    }.getMessage.contains("metric type"))
+  }
+}
