@@ -19,17 +19,21 @@ object Filters {
 
   def toColumn(f: graft.config.FilterSpec): Column = f match {
     case graft.config.SelectorFilter(d, v) => col(d) <=> lit(v)
+    // `isNotNull && pred` rather than `coalesce(pred, false)`: identical
+    // never-NULL semantics for literal match values, but the conjunction
+    // SURVIVES predicate pushdown (IsNotNull + In/StringStartsWith… reach
+    // the parquet scan; a coalesce-wrapped predicate reaches nothing)
     case graft.config.InFilter(d, vs) =>
-      coalesce(col(d).isin(vs: _*), lit(false))
+      col(d).isNotNull && col(d).isin(vs: _*)
     case graft.config.AndFilter(fs) =>
       fs.map(toColumn).reduceOption(_ && _).getOrElse(lit(true))
     case graft.config.OrFilter(fs) =>
       fs.map(toColumn).reduceOption(_ || _).getOrElse(lit(false))
     case graft.config.NotFilter(x) => !toColumn(x)
     case graft.config.RegexFilter(d, p) =>
-      coalesce(col(d).rlike(p), lit(false))
+      col(d).isNotNull && col(d).rlike(p)
     case graft.config.LikeFilter(d, p) =>
-      coalesce(col(d).like(p), lit(false))
+      col(d).isNotNull && col(d).like(p)
     case b: graft.config.BoundFilter =>
       val c = b.ordering match {
         // try_cast, not cast: ANSI mode throws on malformed numerics — a
@@ -43,8 +47,11 @@ object Filters {
         if (b.ordering == "numeric") lit(v.toDouble) else lit(v)
       val lo = b.lower.map(v => if (b.lowerStrict) c > bound(v) else c >= bound(v))
       val hi = b.upper.map(v => if (b.upperStrict) c < bound(v) else c <= bound(v))
-      coalesce((lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true)),
-        lit(false))
+      // same pushdown-friendly shape: on a string dim the lexicographic
+      // cast is a no-op Catalyst erases, so the range comparisons reach the
+      // scan; try_cast-null (unparseable numeric) → isNotNull → no match
+      c.isNotNull &&
+        (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true))
   }
 
   /** Column names a filter reads — so projection keeps them (e.g. a
