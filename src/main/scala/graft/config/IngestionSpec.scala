@@ -66,6 +66,11 @@ final case class AggregatorSpec(
     filterSpec: Option[FilterSpec] = scala.None,
     /** delegate for `filtered` */
     aggregator: Option[AggregatorSpec] = scala.None,
+    /** for `cardinality`/`hyperUnique`/`exactCardinality` over a dimension
+      * TUPLE (Druid's cardinality `fields` with byRow=true: distinct
+      * combinations). byRow=false (union of per-field value sets) is
+      * rejected at load — explode the fields into one column instead. */
+    fields: Seq[String] = Nil,
     /** for approxHistogram / percentile outputs */
     probabilities: Seq[Double] = Nil,
     /** approxHistogram sketch resolution (GK summary 1/relativeError). The
@@ -81,7 +86,7 @@ final case class AggregatorSpec(
   * division (NaN/Infinity propagate).
   */
 final case class PostAggregatorSpec(
-    paType: String, // arithmetic | fieldAccess | constant
+    paType: String, // arithmetic | fieldAccess | constant | expression
     name: String,
     /** for arithmetic: +, -, *, /, quotient */
     fn: String = "",
@@ -89,7 +94,11 @@ final case class PostAggregatorSpec(
     /** for fieldAccess: the finalized metric column to read */
     fieldName: Option[String] = scala.None,
     /** for constant */
-    value: Option[Double] = scala.None)
+    value: Option[Double] = scala.None,
+    /** for `expression`: a row-level expression over finalized metric
+      * columns. Same documented dialect delta as transformSpec — the
+      * language is Spark SQL, not Druid's expr dialect. */
+    expression: Option[String] = scala.None)
 
 final case class GranularitySpec(
     segmentGranularity: Granularity = Granularity.Hour,
@@ -127,6 +136,12 @@ final case class NotFilter(field: FilterSpec) extends FilterSpec
 final case class RegexFilter(dimension: String, pattern: String) extends FilterSpec
 /** Druid `like` filter: SQL LIKE with % and _ wildcards. */
 final case class LikeFilter(dimension: String, pattern: String) extends FilterSpec
+/** Druid `interval` filter: the dimension (typically `__time`, a timestamp
+  * column) falls in any of the ISO-8601 `start/end` intervals — end
+  * exclusive. Endpoints resolve to epoch millis at parse time
+  * ([[graft.time.Intervals]]). */
+final case class IntervalFilter(dimension: String, intervals: Seq[String])
+    extends FilterSpec
 /** Druid `bound` filter: range with open/closed ends, lexicographic (string
   * compare) or numeric ordering. Absent bounds are unbounded. */
 final case class BoundFilter(

@@ -140,6 +140,12 @@ object SpecLoader {
         s"regex filter pattern does not compile: '$p'")
       RegexFilter(str(n, "dimension", ""), p)
     case "like" => LikeFilter(str(n, "dimension", ""), str(n, "pattern", ""))
+    case "interval" =>
+      val ivs = opt(n, "intervals").toSeq.flatMap(_.elements.asScala)
+        .map(_.asText)
+      require(ivs.nonEmpty, "interval filter needs a non-empty intervals array")
+      ivs.foreach(graft.time.Intervals.parse) // malformed endpoints fail at LOAD
+      IntervalFilter(str(n, "dimension", "__time"), ivs)
     case "bound" =>
       val ordering = str(n, "ordering", "lexicographic")
       require(ordering == "lexicographic" || ordering == "numeric",
@@ -159,7 +165,7 @@ object SpecLoader {
         ordering = ordering)
     case other => throw new IllegalArgumentException(
       s"unsupported filter type '$other' " +
-        "(supported: selector/in/and/or/not/regex/like/bound)")
+        "(supported: selector/in/and/or/not/regex/like/bound/interval)")
   }
 
   /** Druid postAggregations shape: {"type":"arithmetic","name":"avg","fn":"/",
@@ -173,7 +179,8 @@ object SpecLoader {
       fn = str(n, "fn", ""),
       fields = opt(n, "fields").toSeq.flatMap(_.elements.asScala).map(parsePostAgg),
       fieldName = opt(n, "fieldName").map(_.asText),
-      value = opt(n, "value").map(_.asDouble))
+      value = opt(n, "value").map(_.asDouble),
+      expression = opt(n, "expression").map(_.asText))
 
   private[graft] def parseAgg(n: JsonNode): AggregatorSpec = {
     val t = str(n, "type", "")
@@ -194,10 +201,18 @@ object SpecLoader {
           else parseFilter(f)),
         aggregator = Some(delegate))
     } else {
+      val fields = opt(n, "fields").toSeq
+        .flatMap(_.elements.asScala).map(_.asText)
+      if (fields.size > 1)
+        require(opt(n, "byRow").exists(_.asBoolean),
+          s"cardinality '$t' over multiple fields supports byRow=true only " +
+            "(tuple cardinality); for byRow=false union semantics, explode " +
+            "the fields into one column first")
       AggregatorSpec(
         aggType = t,
         name = str(n, "name", ""),
         fieldName = opt(n, "fieldName").map(_.asText),
+        fields = fields,
         probabilities = opt(n, "probabilities").toSeq
           .flatMap(_.elements.asScala).map(_.asDouble),
         accuracy = opt(n, "accuracy").map(_.asInt))

@@ -25,8 +25,11 @@ object Aggregators {
     // HLL sketch: mergeable approximate distinct (upstream `hyperUnique` /
     // `cardinality`). Exact variant (`exactCardinality`) exists so the DuckDB
     // oracle can hash-match; approx is the 100TB-scale path.
-    case "hyperUnique" | "cardinality" => approx_count_distinct(field(spec)).as(spec.name)
-    case "exactCardinality"            => count_distinct(field(spec)).as(spec.name)
+    // `fields` (plural) = Druid cardinality byRow: distinct dimension TUPLES
+    // — the input becomes a struct, hashed as one value
+    case "hyperUnique" | "cardinality" =>
+      approx_count_distinct(cardinalityInput(spec)).as(spec.name)
+    case "exactCardinality" => count_distinct(cardinalityInput(spec)).as(spec.name)
     // hyperUnique's mergeable-STORAGE form (Druid stores the sketch in the
     // segment, not the estimate): per-batch partials carry the DataSketches
     // HLL binary, SegmentStore re-merges with hll_union_agg and estimates at
@@ -114,8 +117,9 @@ object Aggregators {
     case "longMax"   => max(when(cond, field(d))).cast(LongType)
     case "doubleMin" => min(when(cond, field(d).cast(DoubleType)))
     case "doubleMax" => max(when(cond, field(d).cast(DoubleType)))
-    case "hyperUnique" | "cardinality" => approx_count_distinct(when(cond, field(d)))
-    case "exactCardinality"            => count_distinct(when(cond, field(d)))
+    case "hyperUnique" | "cardinality" =>
+      approx_count_distinct(when(cond, cardinalityInput(d)))
+    case "exactCardinality" => count_distinct(when(cond, cardinalityInput(d)))
     // stored-sketch forms: rows failing the predicate become nulls, which
     // every sketch agg skips — same map-side single-pass shape as the
     // numeric wrappers (Druid allows `filtered` around any aggregator)
@@ -162,6 +166,11 @@ object Aggregators {
     */
   def postAggColumn(p: graft.config.PostAggregatorSpec): Column = p.paType match {
     case "fieldAccess" => col(p.fieldName.getOrElse(p.name)).cast(DoubleType)
+    // Druid `expression` post-aggregator; language = Spark SQL (the
+    // transformSpec dialect delta), evaluated over finalized metrics
+    case "expression" => expr(p.expression.getOrElse(
+      throw new IllegalArgumentException(
+        s"expression postAgg ${p.name} needs an expression")))
     case "constant" => lit(p.value.getOrElse(
       throw new IllegalArgumentException(s"constant postAgg ${p.name} needs value")))
     case "arithmetic" =>
@@ -180,9 +189,16 @@ object Aggregators {
       throw new IllegalArgumentException(s"unsupported postAggregator type: $other")
   }
 
+  /** Multi-field cardinality input: struct of the fields (byRow tuple);
+    * single-field falls through to the plain column. */
+  private def cardinalityInput(spec: AggregatorSpec): Column =
+    if (spec.fields.size > 1) struct(spec.fields.map(col): _*)
+    else if (spec.fields.size == 1) col(spec.fields.head)
+    else field(spec)
+
   /** Input columns an aggregator reads (for projection / schemaless exclusion). */
   def inputFields(spec: AggregatorSpec): Seq[String] =
-    spec.fieldName.toSeq ++ spec.filterDimension.toSeq ++
+    spec.fieldName.toSeq ++ spec.fields ++ spec.filterDimension.toSeq ++
       spec.filterSpec.toSeq.flatMap(Filters.dimensions) ++
       spec.aggregator.toSeq.flatMap(inputFields)
 

@@ -32,6 +32,13 @@ object Filters {
     case graft.config.NotFilter(x) => !toColumn(x)
     case graft.config.RegexFilter(d, p) =>
       col(d).isNotNull && col(d).rlike(p)
+    case graft.config.IntervalFilter(d, intervals) =>
+      // timestamp-typed dimension (usually __time); millis literals keep the
+      // comparisons pushable and timezone-independent
+      val conds = intervals.map(graft.time.Intervals.parse).map { case (lo, hi) =>
+        col(d) >= timestamp_millis(lit(lo)) && col(d) < timestamp_millis(lit(hi))
+      }
+      col(d).isNotNull && conds.reduceOption(_ || _).getOrElse(lit(false))
     case graft.config.LikeFilter(d, p) =>
       col(d).isNotNull && col(d).like(p)
     case b: graft.config.BoundFilter =>
@@ -65,6 +72,7 @@ object Filters {
     case graft.config.NotFilter(x)         => dimensions(x)
     case graft.config.RegexFilter(d, _)    => Seq(d)
     case graft.config.LikeFilter(d, _)     => Seq(d)
+    case graft.config.IntervalFilter(d, _) => Seq(d)
     case b: graft.config.BoundFilter       => Seq(b.dimension)
   }
 }

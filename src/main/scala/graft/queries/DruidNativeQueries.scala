@@ -197,6 +197,35 @@ object DruidNativeQueries {
              count(CASE WHEN regexp_matches(event_type, '^(click|view)$') THEN 1 END) AS cnt_cv
             FROM events""")),
 
+    // -- interval FILTER (DSL member, not the intervals clause) + expression
+    // postAggregator (Spark SQL over finalized metrics — the documented
+    // dialect delta); longSum/count division is IEEE-deterministic ----------
+    QueryDef("druid_json_interval_expr", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "week",
+         "filter": {"type": "and", "fields": [
+           {"type": "interval", "dimension": "__time",
+            "intervals": ["2024-01-03T00:00:00/2024-01-17T00:00:00",
+                          "2024-01-24T00:00:00/2024-01-27T00:00:00"]},
+           {"type": "not", "field":
+             {"type": "selector", "dimension": "event_type", "value": "error"}}]},
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "longSum", "name": "sum_uid", "fieldName": "user_id"}],
+         "postAggregations": [{"type": "expression", "name": "mean_uid",
+                               "expression": "round(sum_uid / cnt, 6)"}]}""")
+        .select(date_format(col("__time"), fmt).as("bucket"),
+          col("cnt"), col("sum_uid"), col("mean_uid"))
+    },
+    Some("""SELECT strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid,
+             round(CAST(sum(user_id) AS DOUBLE) / count(*), 6) AS mean_uid
+            FROM events
+            WHERE ((ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-17')
+                OR (ts >= TIMESTAMP '2024-01-24' AND ts < TIMESTAMP '2024-01-27'))
+              AND event_type <> 'error'
+            GROUP BY 1""")),
+
     // -- timeBoundary (both bounds) -----------------------------------------
     QueryDef("druid_json_timeboundary", (s, dir) => {
       run(s, dir, """

@@ -68,6 +68,30 @@ object RollupQueries {
              CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
             FROM events GROUP BY 1, 2""")),
 
+    // -- Druid cardinality `fields` (byRow): distinct dimension TUPLES per
+    // bucket — the exact twin oracles the struct-input plumbing the approx
+    // form (hyperUnique fields) shares ------------------------------------
+    QueryDef("cardinality_by_row", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Nil),
+        Seq(AggregatorSpec("count", "cnt"),
+            AggregatorSpec("exactCardinality", "uniq_pairs",
+              fields = Seq("event_type", "user_id"))),
+        GranularitySpec(Granularity.Day, Granularity.Day)))
+      val p = new Pipeline(spec)
+      p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events"))))
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("cnt"), col("uniq_pairs"))
+    },
+    Some("""WITH d AS (SELECT DISTINCT date_trunc('day', ts) AS bucket,
+                        event_type, user_id FROM events)
+            SELECT strftime(b.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   b.cnt, CAST(u.uniq AS BIGINT) AS uniq_pairs
+            FROM (SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt
+                  FROM events GROUP BY 1) b
+            JOIN (SELECT bucket, count(*) AS uniq FROM d GROUP BY 1) u
+              USING (bucket)""")),
+
     // -- doubleMean through the pipeline: the partial is the re-mergeable
     // (sum, count) pair; numerators rounded before the division on both
     // sides so the quotient is bit-identical cross-engine ------------------

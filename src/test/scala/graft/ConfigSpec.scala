@@ -135,6 +135,46 @@ class ConfigSpec extends AnyFunSuite {
     }.getMessage.contains("expression"))
   }
 
+  test("interval filter + cardinality fields + expression postAgg parse rules") {
+    def load(metrics: String, filter: String = "null") = SpecLoader.fromJson(
+      s"""{"dataSchema": {"dataSource": "t",
+            "parser": {"parseSpec": {"timestampSpec": {"column": "ts"},
+              "dimensionsSpec": {"dimensions": ["d"]}}},
+            ${if (filter != "null") s""""transformSpec": {"filter": $filter},""" else ""}
+            "metricsSpec": $metrics}}""")
+    // interval filter: parses, endpoints validated at LOAD
+    val iv = load("""[{"type": "count", "name": "cnt"}]""",
+      """{"type": "interval", "dimension": "__time",
+          "intervals": ["2024-01-01T00:00:00/2024-01-02T00:00:00"]}""")
+      .dataSchema.transformSpec.filter.get
+    assert(iv == IntervalFilter("__time",
+      Seq("2024-01-01T00:00:00/2024-01-02T00:00:00")))
+    assert(intercept[IllegalArgumentException] {
+      load("""[{"type": "count", "name": "cnt"}]""",
+        """{"type": "interval", "intervals": ["yesterday/today"]}""")
+    }.getMessage.contains("ISO-8601"))
+    assert(intercept[IllegalArgumentException] {
+      load("""[{"type": "count", "name": "cnt"}]""",
+        """{"type": "interval", "intervals": []}""")
+    }.getMessage.contains("non-empty"))
+    // cardinality fields: byRow=true required for tuples
+    val card = load("""[{"type": "exactCardinality", "name": "u",
+      "fields": ["a", "b"], "byRow": true}]""").dataSchema.aggregators.head
+    assert(card.fields == Seq("a", "b"))
+    assert(intercept[IllegalArgumentException] {
+      load("""[{"type": "cardinality", "name": "u", "fields": ["a", "b"]}]""")
+    }.getMessage.contains("byRow"))
+    // expression postAgg round-trips
+    val pa = SpecLoader.fromJson(
+      """{"dataSchema": {"dataSource": "e",
+           "parser": {"parseSpec": {"timestampSpec": {"column": "ts"},
+             "dimensionsSpec": {"dimensions": ["d"]}}},
+           "metricsSpec": [{"type": "count", "name": "cnt"}],
+           "postAggregations": [{"type": "expression", "name": "x",
+             "expression": "cnt * 2"}]}}""").dataSchema.postAggregations.head
+    assert(pa.paType == "expression" && pa.expression.contains("cnt * 2"))
+  }
+
   test("loader parses approxHistogram accuracy and hllSketch") {
     val spec = SpecLoader.fromJson(
       """{"dataSchema": {"dataSource": "e",
