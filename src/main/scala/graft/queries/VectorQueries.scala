@@ -160,6 +160,52 @@ object VectorQueries {
         .select(col("source"), TextFunctions.rollingFingerprint(col("text")).as("fp"))
         .groupBy(col("source"))
         .agg(count_distinct(col("fp")).as("distinct_fp"), count(lit(1)).as("docs"))
+    }, None),
+
+    // -- SEMANTIC dedup (SemDeDup, Abbas et al. 2023): within-cluster cosine
+    //    pair graph → connected components → min-id survivors. Here the
+    //    cluster is the stored `label` column (the oracle-checkable form);
+    //    the learned-cluster scale path is semantic_dedup_ivf below. The
+    //    pair join is an EQUI-join on the cluster key — one shuffle, no
+    //    corpus-wide cross product. Threshold 0.3 sits above the within-
+    //    label cosine p99 (~0.295) of the synthetic corpus, so the edge set
+    //    is sparse but non-empty; CosineSimilarity's left-assoc double fold
+    //    is bit-identical to the oracle's explicit sum, making the ≥
+    //    comparison deterministic on both sides.
+    QueryDef("semantic_dedup_survivors", (s, dir) => {
+      GraftFunctions.register(s)
+      val e = Tables.t(s, dir, "embeddings")
+      graft.functions.SemDedup.survivors(e, "vec_id", "embedding", "label", 0.3)
+    },
+    Some(s"""WITH RECURSIVE
+            t AS (SELECT vec_id, label, embedding FROM embeddings),
+            e AS (SELECT a.vec_id AS src, b.vec_id AS dst
+                  FROM t a JOIN t b ON a.label = b.label AND a.vec_id <> b.vec_id
+                  WHERE (${dotSql("a.embedding", "b.embedding")}) /
+                        (sqrt((${dotSql("a.embedding", "a.embedding")})) *
+                         sqrt((${dotSql("b.embedding", "b.embedding")}))) >= 0.3),
+            reach(id, root) AS (
+              SELECT vec_id, vec_id FROM t
+              UNION
+              SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id)
+            SELECT CAST(id AS BIGINT) AS vec_id,
+                   CAST(min(root) AS BIGINT) AS canonical,
+                   CAST(CASE WHEN id = min(root) THEN 1 ELSE 0 END AS INT) AS is_survivor
+            FROM reach GROUP BY id""")),
+
+    // -- SemDeDup scale path: clusters LEARNED by IVF k-means (deterministic
+    //    farthest-first seeding), dedup within learned clusters. Rows-only —
+    //    cluster boundaries are engine-defined; the planted-duplicate spec
+    //    in SemDedupSpec proves exact-dup recall 1 and the survivor law.
+    QueryDef("semantic_dedup_ivf", (s, dir) => {
+      GraftFunctions.register(s)
+      val e = Tables.t(s, dir, "embeddings")
+      graft.functions.SemDedup
+        .survivorsIvf(s, e, "vec_id", "embedding", k = 8, threshold = 0.3)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("members"),
+          sum(col("is_survivor")).as("survivors"))
+        .orderBy(col("cluster"))
     }, None)
   )
 }
