@@ -404,6 +404,109 @@ object TextQueries {
                       PARTITION BY source ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
                   FROM documents)
-            GROUP BY 1, 2"""))
+            GROUP BY 1, 2""")),
+
+    // -- DUPLICATE-PASSAGE detection (the exact-substring dedup shape of
+    // Lee et al. 2021, arXiv:2107.06499, word-gram approximation): a 5-gram
+    // position is "duplicated" when the same 5-gram occurs in ≥2 distinct
+    // docs; per doc report the fraction of gram positions that are
+    // duplicated and flag docs above 20%. Plan shape: one shuffle keyed by
+    // the gram to count distinct docs (partial aggregation map-side), one
+    // join back on the same key, one per-doc aggregation — no pairwise doc
+    // comparison anywhere, so the cost is O(total gram positions), not
+    // O(docs²). At 100 TB the gram string in the shuffle is replaced by its
+    // xxhash64 fingerprint (collision odds ~n²/2⁶⁴); the string form here
+    // keeps the oracle comparison exact. `flagged` compares in exact
+    // integer arithmetic (dup·5 ≥ n) — no float threshold ambiguity.
+    QueryDef("dup_passage_stats", (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val grams = docs.select(col("doc_id"),
+        explode(graft.functions.MinHash.strictShingles(col("text"), 5)).as("gram"))
+      val byGram = grams.groupBy(col("gram"))
+        .agg(count_distinct(col("doc_id")).as("ndocs"))
+      val per = grams.join(byGram, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+          round(col("dup_grams").cast("double") / col("n_grams"), 6).as("dup_frac"),
+          when(col("dup_grams") * 5 >= col("n_grams"), 1).otherwise(0)
+            .cast("int").as("flagged"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                       FROM documents),
+              sh AS (SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+                     FROM w, unnest(range(1, len(words) - 3)) AS t(i)
+                     WHERE len(words) >= 5),
+              g AS (SELECT gram, count(DISTINCT doc_id) AS ndocs
+                    FROM sh GROUP BY 1),
+              per AS (SELECT sh.doc_id, count(*) AS n_grams,
+                        sum(CASE WHEN g.ndocs >= 2 THEN 1 ELSE 0 END) AS dup_grams
+                      FROM sh JOIN g USING (gram) GROUP BY 1)
+            SELECT d.doc_id,
+              CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+              CAST(coalesce(per.dup_grams, 0) AS BIGINT) AS dup_grams,
+              round(CAST(per.dup_grams AS DOUBLE) / per.n_grams, 6) AS dup_frac,
+              CAST(CASE WHEN per.dup_grams * 5 >= per.n_grams THEN 1 ELSE 0 END
+                   AS INT) AS flagged
+            FROM documents d LEFT JOIN per USING (doc_id)""")),
+
+    // -- SOURCE MIXING with temperature α=0.5 (the multilingual-pretraining
+    // exponential-smoothing rule, p_s ∝ T_s^α — XLM-R / mT5 shape) plus the
+    // deterministic resample realizing those weights. Determinism strategy:
+    // everything that crosses the oracle boundary stays in EXACT integer
+    // arithmetic — w_s = floor(sqrt(tokens_s)) (IEEE sqrt is correctly
+    // rounded, so floor∘sqrt is bit-deterministic), the normalizer is an
+    // INTEGER sum (order-free, unlike a float sum), per-source sampling
+    // rates are integer per-mille via integer division, and the sample
+    // predicate is doc_id % 1000 < rate. Plan shape: one small groupBy for
+    // totals, weights table broadcast back onto the corpus — the corpus
+    // itself never shuffles for the resample.
+    QueryDef("source_mixing_weights", (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+      val totals = docs.groupBy(col("source"))
+        .agg(sum(col("tokens")).as("tokens"))
+        .withColumn("w", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+      val withNorm = totals
+        .crossJoin(broadcast(totals.agg(sum(col("w")).as("norm"))))
+        .withColumn("weight", round(col("w").cast("double") / col("norm"), 6))
+        .withColumn("rate_permille", expr("w * 1000L div norm"))
+      val sampled = docs
+        .join(broadcast(withNorm.select(col("source"), col("rate_permille"))),
+          Seq("source"))
+        .filter(col("doc_id") % 1000 < col("rate_permille"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("sampled_docs"),
+          sum(col("tokens")).as("sampled_tokens"))
+      withNorm.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("tokens"), col("weight"), col("rate_permille"),
+          coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+          coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+                       FROM documents),
+              t AS (SELECT source, CAST(sum(tokens) AS BIGINT) AS tokens,
+                      CAST(floor(sqrt(CAST(sum(tokens) AS DOUBLE))) AS BIGINT) AS w
+                    FROM d GROUP BY 1),
+              n AS (SELECT CAST(sum(w) AS BIGINT) AS norm FROM t),
+              r AS (SELECT t.source, t.tokens,
+                      round(CAST(t.w AS DOUBLE) / n.norm, 6) AS weight,
+                      CAST((t.w * 1000) // n.norm AS BIGINT) AS rate_permille
+                    FROM t, n),
+              sm AS (SELECT d.source, count(*) AS sampled_docs,
+                       CAST(sum(d.tokens) AS BIGINT) AS sampled_tokens
+                     FROM d JOIN r ON d.source = r.source
+                     WHERE d.doc_id % 1000 < r.rate_permille GROUP BY 1)
+            SELECT r.source, r.tokens, r.weight, r.rate_permille,
+              CAST(coalesce(sm.sampled_docs, 0) AS BIGINT) AS sampled_docs,
+              CAST(coalesce(sm.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+            FROM r LEFT JOIN sm USING (source)"""))
   )
 }
