@@ -244,6 +244,32 @@ object DruidNativeQueries {
         .select(date_format(col("maxIngestedEventTime"), fmt).as("max_ingested"))
     },
     Some("""SELECT strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') AS max_ingested
-            FROM events"""))
+            FROM events""")),
+
+    // -- groupBy subtotalsSpec: Druid's multi-grouping in one pass ----------
+    // three subtotal sets ((event_type, prefix), (event_type), ()) share one
+    // shuffle through Spark's grouping-sets operator; dims outside a set are
+    // null (Druid's subtotal rendering). The extraction-fn dim inside a
+    // subtotal proves computed dims participate in set membership.
+    QueryDef("druid_json_groupby_subtotals", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "all",
+         "dimensions": [
+           "event_type",
+           {"type": "extraction", "dimension": "event_type",
+            "outputName": "prefix",
+            "extractionFn": {"type": "substring", "index": 0, "length": 2}}],
+         "subtotalsSpec": [["event_type", "prefix"], ["event_type"], []],
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "sum_v", "fieldName": "value"}]}""")
+        .select(col("event_type"), col("prefix"), col("cnt"),
+          round(col("sum_v"), 2).as("sum_v"))
+    },
+    Some("""SELECT event_type, substring(event_type, 1, 2) AS prefix,
+             count(*) AS cnt, round(sum(value), 2) AS sum_v
+            FROM events
+            GROUP BY GROUPING SETS ((event_type, substring(event_type, 1, 2)),
+                                    (event_type), ())"""))
   )
 }

@@ -172,9 +172,16 @@ object DruidQueryCompiler {
   // ------------------------------------------------------------- aggregation
 
   /** Shared core of timeseries/topN/groupBy: bucket __time, group by
-    * (bucket, dims), apply aggs + postAggs. */
+    * (bucket, dims), apply aggs + postAggs. `subtotals` (groupBy's
+    * subtotalsSpec) switches the single grouping to GROUPING SETS — Druid
+    * runs the query once per subtotal dim-list and concatenates, with dims
+    * outside a list nulled; Spark's grouping-sets operator IS that plan in
+    * one pass (each set shares the shuffle; the time bucket belongs to
+    * every set, as Druid's per-run bucketing does).
+    */
   private def aggregate(df: DataFrame, root: JsonNode,
-      dims: Seq[(String, Column)]): DataFrame = {
+      dims: Seq[(String, Column)],
+      subtotals: Option[Seq[Seq[String]]] = None): DataFrame = {
     val aggSpecs = opt(root, "aggregations").toSeq.flatMap(_.elements.asScala)
       .map(SpecLoader.parseAgg).toSeq
     val aggs = aggSpecs.map(Aggregators.toColumn) match {
@@ -187,8 +194,22 @@ object DruidQueryCompiler {
       // (first/last family) — same convention as Pipeline.rollup
       .withColumn(Pipeline.RawTsCol, col(TimeCol))
       .withColumn(TimeCol, granularity(root).truncate(col(TimeCol)))
-    val keys = col(TimeCol) +: dims.map { case (n, c) => c.as(n) }
-    val grouped = bucketed.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val grouped = subtotals match {
+      case None =>
+        val keys = col(TimeCol) +: dims.map { case (n, c) => c.as(n) }
+        bucketed.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      case Some(sets) =>
+        val dimNames = dims.map(_._1)
+        sets.foreach(s => s.foreach(d => require(dimNames.contains(d),
+          s"subtotalsSpec dimension '$d' is not in dimensions $dimNames")))
+        // materialize computed dim columns first so the sets reference them
+        val withDims = dims.foldLeft(bucketed) { case (d, (n, c)) =>
+          d.withColumn(n, c) }
+        withDims.groupingSets(
+          sets.map(s => col(TimeCol) +: s.map(col)).toList,
+          (col(TimeCol) +: dimNames.map(col)): _*)
+          .agg(aggs.head, aggs.tail: _*)
+    }
     opt(root, "postAggregations").toSeq.flatMap(_.elements.asScala)
       .map(SpecLoader.parsePostAgg)
       .foldLeft(grouped)((d, p) => d.withColumn(p.name, Aggregators.postAggColumn(p)))
@@ -235,7 +256,9 @@ object DruidQueryCompiler {
   private def groupBy(df: DataFrame, root: JsonNode): DataFrame = {
     val dims = opt(root, "dimensions").toSeq.flatMap(_.elements.asScala)
       .map(dimensionSpec).toSeq
-    val grouped = aggregate(df, root, dims)
+    val subtotals = opt(root, "subtotalsSpec").map(_.elements.asScala
+      .map(s => s.elements.asScala.map(_.asText).toSeq).toSeq)
+    val grouped = aggregate(df, root, dims, subtotals)
     val having = opt(root, "having").map(havingColumn)
       .map(grouped.filter).getOrElse(grouped)
     opt(root, "limitSpec").map(limited(having, _)).getOrElse(having)

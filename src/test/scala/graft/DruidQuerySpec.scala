@@ -336,4 +336,33 @@ class DruidQuerySpec extends SparkSpec {
        "aggregations": [{"type": "count", "name": "cnt"}]}""")
     }.getMessage.contains("metric type"))
   }
+
+  test("subtotalsSpec: grouping sets with nulled dims; bad dim rejected") {
+    val out = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": ["event_type", "user"],
+       "subtotalsSpec": [["event_type", "user"], ["user"], []],
+       "aggregations": [{"type": "count", "name": "cnt"},
+                        {"type": "doubleSum", "name": "sv", "fieldName": "value"}]}""")
+      .select("event_type", "user", "cnt", "sv").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // full set: one row per (etype, user) pair present
+    assert(out.contains(("click", "alice", 2L, 5.0)))
+    // ["user"] subtotal: event_type nulled, aggregated over it
+    assert(out.contains((null, "alice", 3L, 21.0)))
+    assert(out.contains((null, "bob", 3L, 42.0)))
+    // [] subtotal: grand total within the single `all` bucket
+    assert(out.contains((null, null, 6L, 63.0)))
+    // no rollup-style intermediate that wasn't asked for: ("click", null)
+    // would come from a ["event_type"] set — absent here
+    assert(!out.exists(r => r._1 == "click" && r._2 == null))
+
+    assert(intercept[IllegalArgumentException] { run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": ["event_type"],
+       "subtotalsSpec": [["nope"]],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+    }.getMessage.contains("subtotalsSpec"))
+  }
 }
