@@ -182,8 +182,18 @@ object SpecLoader {
       value = opt(n, "value").map(_.asDouble),
       expression = opt(n, "expression").map(_.asText))
 
+  /** Druid DataSketches-extension type names → canonical engine aggTypes.
+    * `quantilesDoublesSketch` keeps the extension's contract (mergeable
+    * quantile partials re-merged at read) on the engine's centroid-histogram
+    * binary — documented algorithm delta (Ben-Haim/Tom-Toby vs upstream
+    * KLL), same API shape including the `k` size knob.
+    */
+  private val aggTypeAliases = Map(
+    "quantilesDoublesSketch" -> "histogramSketch",
+    "HLLSketchBuild" -> "hllSketch")
+
   private[graft] def parseAgg(n: JsonNode): AggregatorSpec = {
-    val t = str(n, "type", "")
+    val t = aggTypeAliases.getOrElse(str(n, "type", ""), str(n, "type", ""))
     if (t == "filtered") {
       val f = opt(n, "filter").getOrElse(
         throw new IllegalArgumentException("filtered aggregator needs a filter"))
@@ -215,7 +225,9 @@ object SpecLoader {
         fields = fields,
         probabilities = opt(n, "probabilities").toSeq
           .flatMap(_.elements.asScala).map(_.asDouble),
-        accuracy = opt(n, "accuracy").map(_.asInt))
+        // `k` is the DataSketches extensions' size knob — same role as
+        // the engine's `accuracy` (explicit accuracy wins when both set)
+        accuracy = opt(n, "accuracy").orElse(opt(n, "k")).map(_.asInt))
     }
   }
 }

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011): split
+  * each dim-D vector into `m` subvectors, learn a tiny per-subspace k-means
+  * codebook (`ks` codes each), store every vector as `m` small ints — a
+  * 4-byte-per-subspace → (log2 ks)-bit code compression (64-dim float =
+  * 256 B → 8 codes ≈ 8 B at ks=16). Search is ADC (asymmetric distance):
+  * the query precomputes an m×ks table of exact subspace distances (driver-
+  * side, tiny), and each stored vector's approximate L2² is m table lookups
+  * — no float math per row at scan time.
+  *
+  * Spark-first construction mirroring [[IvfIndex]]:
+  *  - training explodes (id, vec) to (id, subspace j, subvector) ONCE and
+  *    persists it; each Lloyd pass is one distributed argmin (codebook
+  *    broadcast as a literal — m·ks·(D/m) doubles, ~1 KB) + one distributed
+  *    mean (posexplode → groupBy(j, code, dim)). All m subspaces train in
+  *    the SAME pass — m independent k-means with zero extra jobs.
+  *  - seeding is deterministic: per subspace, the ks subvectors with the
+  *    smallest xxhash64(id) (rank window per j) — reproducible, no RNG.
+  *  - encode/search stay in DataFrame expressions (HOF lambdas over the
+  *    broadcast codebook/table literals); the only driver-side state is the
+  *    codebook and the per-query distance table, both O(m·ks).
+  *
+  * The distance metric is L2² (the paper's); cosine callers L2-normalize
+  * first (then L2² = 2 − 2·cos, rank-equivalent).
+  */
+final case class PqCodebook(m: Int, ks: Int, subDim: Int,
+    codebook: Array[Array[Array[Double]]]) extends Serializable
+
+object PqIndex {
+
+  /** m slices of `vec`, each subDim wide, as array<array<float>>. */
+  private def slices(vec: Column, m: Int, subDim: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      j => slice(vec, j * subDim + 1, lit(subDim)))
+
+  /** Nearest code (argmin squared L2, first-min tiebreak → deterministic)
+    * for subvector `sub` in subspace `j`, against the codebook literal.
+    */
+  private def nearestCode(cbLit: Column, j: Column, sub: Column): Column = {
+    val dists = transform(element_at(cbLit, j + 1), c =>
+      aggregate(
+        zip_with(sub, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (a, x) => a + x))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train per-subspace codebooks over (idCol, vecCol: array<float>). Vector
+    * length must be divisible by m.
+    */
+  def train(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ks: Int = 16, iterations: Int = 4): PqCodebook = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val dim = base.select(size(col("vec"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(
+        throw new IllegalArgumentException("PqIndex.train: input has no vectors"))
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+
+    // one exploded frame feeds seeding AND every Lloyd pass
+    val subs = base
+      .select(col("id"), posexplode(slices(col("vec"), m, subDim)).as(Seq("j", "sub")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // deterministic seeds: per subspace the ks smallest-hash subvectors
+    val w = Window.partitionBy(col("j")).orderBy(xxhash64(col("id")), col("id"))
+    val seedRows = subs.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= ks)
+      .select(col("j"), col("__r"), col("sub"))
+      .collect()
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val forJ = seedRows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+      require(forJ.nonEmpty, s"no vectors to seed subspace $j")
+      // fewer distinct vectors than ks: reuse cyclically (duplicate codes
+      // are harmless — argmin picks the first)
+      Array.tabulate(ks)(c =>
+        forJ(c % forJ.length).getSeq[Float](2).map(_.toDouble).toArray)
+    }
+
+    for (_ <- 0 until iterations) {
+      val assigned = subs.withColumn("code",
+        nearestCode(typedlit(cb), col("j"), col("sub")))
+      val means = assigned
+        .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("dim", "x")))
+        .groupBy(col("j"), col("code"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("mn"))
+        .collect()
+      val next = cb.map(_.map(_.clone())) // empty codes keep their centroid
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      cb = next
+    }
+    subs.unpersist()
+    PqCodebook(m, ks, subDim, cb)
+  }
+
+  /** Encode every vector to its m codes: (id, codes array<int>). At rest
+    * this is the stored index — ~m·log2(ks) bits per vector.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebook): DataFrame = {
+    val cbLit = typedlit(cb.codebook)
+    df.select(col(idCol).cast("long").as("id"),
+      transform(sequence(lit(0), lit(cb.m - 1)),
+        j => nearestCode(cbLit, j, slice(col(vecCol), j * cb.subDim + 1, lit(cb.subDim))))
+        .as("codes"))
+  }
+
+  /** ADC top-k: approximate L2² = Σ_j table[j][code_j], table exact on the
+    * query side. One scan of the code table, TakeOrderedAndProject top-k —
+    * no per-row float vector math.
+    */
+  def search(encoded: DataFrame, query: Array[Float], cb: PqCodebook,
+      topK: Int): DataFrame = {
+    val dt: Array[Array[Double]] = Array.tabulate(cb.m) { j =>
+      Array.tabulate(cb.ks) { c =>
+        var s = 0.0; var d = 0
+        while (d < cb.subDim) {
+          val diff = query(j * cb.subDim + d).toDouble - cb.codebook(j)(c)(d)
+          s += diff * diff; d += 1
+        }
+        s
+      }
+    }
+    val dtLit = typedlit(dt)
+    encoded
+      .withColumn("approx_dist", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(cb.m - 1)),
+          (c, j) => element_at(element_at(dtLit, j + 1), c + 1)),
+        lit(0.0), (a, x) => a + x))
+      .orderBy(col("approx_dist").asc, col("id"))
+      .limit(topK)
+      .select(col("id"), round(col("approx_dist"), 6).as("approx_dist"))
+  }
+}

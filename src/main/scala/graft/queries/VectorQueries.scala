@@ -197,6 +197,21 @@ object VectorQueries {
     //    farthest-first seeding), dedup within learned clusters. Rows-only —
     //    cluster boundaries are engine-defined; the planted-duplicate spec
     //    in SemDedupSpec proves exact-dup recall 1 and the survivor law.
+    // -- Product-quantization ANN (scale path #3: ADC over 8-byte codes;
+    //    rows-only — codebooks are engine-learned; PqSpec asserts the
+    //    planted-dup rank-1 guarantee, measured recall floor vs exact L2,
+    //    and training determinism)
+    QueryDef("ann_pq_topk", (s, dir) => {
+      val e = Tables.t(s, dir, "embeddings")
+      val cb = graft.functions.PqIndex.train(s, e, "vec_id", "embedding",
+        m = 8, ks = 16, iterations = 4)
+      val codes = graft.functions.PqIndex.encode(e, "vec_id", "embedding", cb)
+      val query = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+      graft.functions.PqIndex.search(codes.filter(col("id") =!= 0), query, cb, topK = 10)
+        .select(col("id").as("vec_id"), col("approx_dist"))
+    }, None),
+
     QueryDef("semantic_dedup_ivf", (s, dir) => {
       GraftFunctions.register(s)
       val e = Tables.t(s, dir, "embeddings")

@@ -191,6 +191,29 @@ class ConfigSpec extends AnyFunSuite {
     assert(aggs(1).aggType == "hllSketch" && aggs(1).accuracy.isEmpty)
   }
 
+  test("DataSketches extension aliases normalize at parse (k → accuracy)") {
+    val spec = SpecLoader.fromJson(
+      """{"dataSchema": {"dataSource": "e",
+           "parser": {"parseSpec": {
+             "timestampSpec": {"column": "ts"},
+             "dimensionsSpec": {"dimensions": ["d"]}}},
+           "metricsSpec": [
+             {"type": "quantilesDoublesSketch", "name": "q", "fieldName": "v",
+              "k": 128, "probabilities": [0.5]},
+             {"type": "HLLSketchBuild", "name": "u", "fieldName": "x"},
+             {"type": "filtered", "name": "qf",
+              "filter": {"dimension": "d", "value": "a"},
+              "aggregator": {"type": "quantilesDoublesSketch", "name": "qd",
+                             "fieldName": "v", "k": 64}}]}}""")
+    val aggs = spec.dataSchema.aggregators
+    assert(aggs(0).aggType == "histogramSketch" && aggs(0).accuracy.contains(128))
+    assert(aggs(1).aggType == "hllSketch")
+    // alias normalizes inside a filtered wrapper too (merge routing keys
+    // off the delegate's canonical aggType)
+    assert(aggs(2).aggregator.exists(_.aggType == "histogramSketch"))
+    assert(aggs(2).aggregator.flatMap(_.accuracy).contains(64))
+  }
+
   test("loader parses nested postAggregations (arithmetic/fieldAccess/constant)") {
     val spec = SpecLoader.fromJson(
       """{"dataSchema": {"dataSource": "e",
