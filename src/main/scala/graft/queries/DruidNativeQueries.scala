@@ -270,6 +270,76 @@ object DruidNativeQueries {
              count(*) AS cnt, round(sum(value), 2) AS sum_v
             FROM events
             GROUP BY GROUPING SETS ((event_type, substring(event_type, 1, 2)),
-                                    (event_type), ())"""))
+                                    (event_type), ())""")),
+
+    // -- segmentMetadata: per-column stats in one pass ----------------------
+    // restricted to string/bigint columns so min/max string rendering is
+    // engine-independent (double formatting differs; the general form is
+    // spec-covered)
+    QueryDef("druid_json_segment_metadata", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "segmentMetadata", "dataSource": "events",
+         "columns": ["event_type", "user_id", "event_id"]}""")
+    },
+    Some("""SELECT 'event_type' AS "column", 'string' AS col_type,
+              count(DISTINCT event_type) AS cardinality,
+              CAST(min(event_type) AS VARCHAR) AS min_value,
+              CAST(max(event_type) AS VARCHAR) AS max_value,
+              count(*) - count(event_type) AS null_count,
+              count(*) AS num_rows FROM events
+            UNION ALL
+            SELECT 'user_id', 'bigint', count(DISTINCT user_id),
+              CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
+              count(*) - count(user_id), count(*) FROM events
+            UNION ALL
+            SELECT 'event_id', 'bigint', count(DISTINCT event_id),
+              CAST(min(event_id) AS VARCHAR), CAST(max(event_id) AS VARCHAR),
+              count(*) - count(event_id), count(*) FROM events""")),
+
+    // -- movingAverage: trailing 4-bucket mean over zero-filled days --------
+    // the interval's first buckets average over data BEFORE the interval
+    // (backward extension) and a zero-filled empty bucket would count as 0;
+    // longSum + doubleMean keeps the window mean an exact-integer division
+    QueryDef("druid_json_moving_average", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "movingAverage", "dataSource": "events",
+         "granularity": "day",
+         "intervals": ["2024-01-08T00:00:00/2024-01-20T00:00:00"],
+         "filter": {"type": "not", "field":
+           {"type": "selector", "dimension": "event_type", "value": "error"}},
+         "aggregations": [
+           {"type": "longSum", "name": "su", "fieldName": "user_id"},
+           {"type": "count", "name": "cnt"}],
+         "averagers": [
+           {"type": "doubleMean", "name": "ma4_su", "fieldName": "su",
+            "buckets": 4},
+           {"type": "longMax", "name": "max2_cnt", "fieldName": "cnt",
+            "buckets": 2}]}""")
+        .select(date_format(col("__time"), fmt).as("bucket"),
+          col("su"), col("cnt"), round(col("ma4_su"), 6).as("ma4_su"),
+          col("max2_cnt"))
+    },
+    Some("""WITH buckets AS (
+              SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+                TIMESTAMP '2024-01-19', INTERVAL 1 DAY)) AS b),
+            agg AS (
+              SELECT date_trunc('day', ts) AS b,
+                CAST(sum(user_id) AS BIGINT) AS su, count(*) AS cnt
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+                AND event_type <> 'error'
+              GROUP BY 1),
+            z AS (SELECT buckets.b, coalesce(su, 0) AS su,
+                    coalesce(cnt, 0) AS cnt
+                  FROM buckets LEFT JOIN agg ON buckets.b = agg.b),
+            m AS (SELECT b, su, cnt,
+                    avg(su) OVER (ORDER BY b
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4_su,
+                    max(cnt) OVER (ORDER BY b
+                      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS max2_cnt
+                  FROM z)
+            SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, su, cnt,
+              round(ma4_su, 6) AS ma4_su, CAST(max2_cnt AS BIGINT) AS max2_cnt
+            FROM m WHERE b >= TIMESTAMP '2024-01-08'"""))
   )
 }

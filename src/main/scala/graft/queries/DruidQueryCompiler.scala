@@ -31,6 +31,11 @@ import graft.time.Granularity
   *                   insensitive_contains / fragment)
   *  - `timeBoundary` min/max event time (bound: minTime | maxTime | both)
   *  - `dataSourceMetadata` max ingested event time
+  *  - `segmentMetadata` per-column type/cardinality/min/max/null-count in
+  *                   one pass (exact cardinality — documented delta)
+  *  - `movingAverage` (upstream extension) trailing-window averagers over
+  *                   a zero-filled timeseries/groupBy, time range extended
+  *                   backward so the first bucket has a full window
   *
   * Shared sub-languages reuse the ingest-side compilers: `filter` →
   * [[graft.pipeline.Filters]] (Druid null semantics), `aggregations` →
@@ -82,11 +87,17 @@ object DruidQueryCompiler {
       case "timeBoundary"       => timeBoundary(prepared, root)
       case "dataSourceMetadata" =>
         prepared.agg(max(col(TimeCol)).as("maxIngestedEventTime"))
+      case "segmentMetadata"    => segmentMetadata(prepared, root)
+      // movingAverage extends the time range backward itself — pass the DSL-
+      // filtered frame WITHOUT the intervals clause applied
+      case "movingAverage"      =>
+        movingAverage(dslFiltered(virtual(base, root), root), root)
       case "select" => throw new IllegalArgumentException(
         "queryType 'select' was removed upstream (Druid 0.17); use 'scan'")
       case other => throw new IllegalArgumentException(
         s"unsupported queryType '$other' (timeseries/topN/groupBy/scan/" +
-          "search/timeBoundary/dataSourceMetadata)")
+          "search/timeBoundary/dataSourceMetadata/segmentMetadata/" +
+          "movingAverage)")
     }
   }
 
@@ -120,11 +131,13 @@ object DruidQueryCompiler {
       }
 
   /** intervals (OR of [start, end) on __time) + the filter DSL. */
-  private def filtered(df: DataFrame, root: JsonNode): DataFrame = {
-    val byInterval = intervalsColumn(root).map(df.filter).getOrElse(df)
+  private def filtered(df: DataFrame, root: JsonNode): DataFrame =
+    dslFiltered(intervalsColumn(root).map(df.filter).getOrElse(df), root)
+
+  /** the filter DSL only (no intervals clause). */
+  private def dslFiltered(df: DataFrame, root: JsonNode): DataFrame =
     opt(root, "filter").map(SpecLoader.parseFilter)
-      .map(f => byInterval.filter(Filters.toColumn(f))).getOrElse(byInterval)
-  }
+      .map(f => df.filter(Filters.toColumn(f))).getOrElse(df)
 
   private[queries] def intervalsColumn(root: JsonNode): Option[Column] = {
     val specs = opt(root, "intervals").toSeq.flatMap(_.elements.asScala)
@@ -137,20 +150,29 @@ object DruidQueryCompiler {
     conds.reduceOption(_ || _)
   }
 
-  /** ISO-8601 instant literal → timestamp Column. Epoch computed JVM-side so
-    * session-timezone settings can't shift zoned inputs; zone-less inputs
-    * are UTC (Druid's default). */
-  private def tsLit(s: String): Column = {
-    val millis =
-      scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
-        .orElse(scala.util.Try(
-          java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli))
-        .orElse(scala.util.Try(java.time.LocalDateTime.parse(s)
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
-        .getOrElse(throw new IllegalArgumentException(
-          s"cannot parse interval endpoint '$s' as an ISO-8601 instant"))
-    timestamp_millis(lit(millis))
-  }
+  /** ISO-8601 instant → epoch millis, JVM-side so session-timezone settings
+    * can't shift zoned inputs; zone-less inputs are UTC (Druid's default).
+    */
+  private def instantMillis(s: String): Long =
+    scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
+      .orElse(scala.util.Try(
+        java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli))
+      .orElse(scala.util.Try(java.time.LocalDateTime.parse(s)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse interval endpoint '$s' as an ISO-8601 instant"))
+
+  /** ISO-8601 instant literal → timestamp Column. */
+  private def tsLit(s: String): Column = timestamp_millis(lit(instantMillis(s)))
+
+  /** parsed `intervals` clause as [start, end) epoch-millis pairs. */
+  private def intervalMillis(root: JsonNode): Seq[(Long, Long)] =
+    opt(root, "intervals").toSeq.flatMap(_.elements.asScala).map(_.asText)
+      .map { s =>
+        val parts = s.split("/", 2)
+        require(parts.length == 2, s"interval '$s' is not start/end")
+        (instantMillis(parts(0)), instantMillis(parts(1)))
+      }
 
   private def granularity(root: JsonNode): Granularity =
     opt(root, "granularity") match {
@@ -463,6 +485,133 @@ object DruidQueryCompiler {
       case other => throw new IllegalArgumentException(
         s"unsupported timeBoundary bound '$other' (minTime/maxTime)")
     }
+
+  // -------------------------------------------------------- segmentMetadata
+
+  /** Druid segmentMetadata analog at dataSource resolution: one row per
+    * analyzed column — type, exact cardinality, min/max (rendered as
+    * strings, the JSON envelope's form), null count, table rows. All
+    * per-column aggregates compute in ONE pass over the data (a single
+    * agg row, unpivoted in-plan); per-SEGMENT resolution lives on
+    * [[graft.sink.SegmentStore.metadata]]. Delta vs upstream: cardinality
+    * is exact (count_distinct), not the sketch estimate.
+    */
+  private def segmentMetadata(df: DataFrame, root: JsonNode): DataFrame = {
+    val wanted = opt(root, "columns").toSeq.flatMap(_.elements.asScala)
+      .map(_.asText)
+    val names =
+      if (wanted.isEmpty) df.columns.toSeq
+      else {
+        wanted.foreach(c => require(df.columns.contains(c),
+          s"segmentMetadata column '$c' does not exist"))
+        wanted
+      }
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aggs = names.flatMap { c => Seq(
+      count_distinct(col(c)).as(s"card__$c"),
+      min(col(c)).cast(StringType).as(s"min__$c"),
+      max(col(c)).cast(StringType).as(s"max__$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls__$c"))
+    } :+ count(lit(1)).as("__rows")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(names.map { c =>
+        struct(lit(c).as("column"),
+          lit(types(c).simpleString).as("col_type"),
+          col(s"card__$c").as("cardinality"),
+          col(s"min__$c").as("min_value"),
+          col(s"max__$c").as("max_value"),
+          coalesce(col(s"nulls__$c"), lit(0L)).as("null_count"),
+          col("__rows").as("num_rows"))
+      }: _*)).as("m"))
+      .select(col("m.*"))
+  }
+
+  // ---------------------------------------------------------- movingAverage
+
+  /** Druid movingAverage extension: trailing-window averagers over a
+    * zero-filled timeseries/groupBy. Upstream semantics reproduced:
+    *  - the underlying query's time range extends BACKWARD by the largest
+    *    averager window so the interval's first bucket averages a full
+    *    window (that is why compile() hands this type the frame WITHOUT
+    *    the intervals clause pre-applied);
+    *  - empty buckets count as zero (the dense bucket frame is generated
+    *    in-plan — sequence + explode, broadcast against the aggregate);
+    *  - only buckets inside the declared interval are emitted.
+    * Requires ONE interval and a fixed-width granularity (calendar windows
+    * have no fixed row width; upstream shares the restriction in practice).
+    * Averagers: double/long Mean/Sum/Max/Min over an aggregation name.
+    */
+  private def movingAverage(df: DataFrame, root: JsonNode): DataFrame = {
+    val gran = granularity(root)
+    require(gran.widthSeconds > 0,
+      "movingAverage needs a fixed-width granularity (second..day/duration)")
+    val widthMs = gran.widthSeconds * 1000L
+    val intervals = intervalMillis(root)
+    require(intervals.length == 1, "movingAverage needs exactly one interval")
+    val (startMs, endMs) = intervals.head
+    require(endMs > startMs, "movingAverage interval is empty")
+
+    val averagers = opt(root, "averagers").toSeq.flatMap(_.elements.asScala).toSeq
+    require(averagers.nonEmpty, "movingAverage needs averagers")
+    val maxBuckets = averagers.map(a => opt(a, "buckets").map(_.asInt).getOrElse(
+      throw new IllegalArgumentException("averager needs buckets"))).max
+    require(maxBuckets >= 1, "averager buckets must be >= 1")
+
+    val dims = opt(root, "dimensions").toSeq.flatMap(_.elements.asScala)
+      .map(dimensionSpec).toSeq
+    val dimNames = dims.map(_._1)
+
+    // underlying aggregation over the backward-extended range
+    val extStartMs = Math.floorDiv(startMs, widthMs) * widthMs -
+      (maxBuckets - 1).toLong * widthMs
+    val extended = df.filter(col(TimeCol) >= timestamp_millis(lit(extStartMs)) &&
+      col(TimeCol) < timestamp_millis(lit(endMs)))
+    val base = aggregate(extended, root, dims)
+
+    // dense bucket frame [extStart, lastBucket], engine-side
+    val lastMs = Math.floorDiv(endMs - 1, widthMs) * widthMs
+    val spark = df.sparkSession
+    val buckets = spark.range(1).select(explode(sequence(
+      timestamp_millis(lit(extStartMs)), timestamp_millis(lit(lastMs)),
+      expr(s"interval ${gran.widthSeconds} second"))).as(TimeCol))
+    val frame =
+      if (dims.isEmpty) buckets
+      else buckets.crossJoin(base.select(dimNames.map(col): _*).distinct())
+
+    // zero-fill the aggregation outputs on missing buckets
+    val aggNames = opt(root, "aggregations").toSeq.flatMap(_.elements.asScala)
+      .map(SpecLoader.parseAgg).map(_.name).toSeq
+    require(aggNames.nonEmpty, "movingAverage needs aggregations")
+    val baseTypes = base.schema.fields.map(f => f.name -> f.dataType).toMap
+    val zeroFilled0 = frame.join(base, TimeCol +: dimNames, "left")
+    val zeroFilled = aggNames.foldLeft(zeroFilled0)((d, n) =>
+      d.withColumn(n, coalesce(col(n), lit(0).cast(baseTypes(n)))))
+
+    val w = Window.partitionBy(dimNames.map(col): _*).orderBy(col(TimeCol))
+    val withAvg = averagers.foldLeft(zeroFilled) { (d, a) =>
+      val name = str(a, "name", "")
+      val fieldN = str(a, "fieldName", "")
+      require(name.nonEmpty && fieldN.nonEmpty,
+        "averager needs name and fieldName")
+      val b = opt(a, "buckets").get.asInt
+      val over = w.rowsBetween(-(b - 1), 0)
+      val c = str(a, "type", "") match {
+        case "doubleMean" | "longMean" => avg(col(fieldN)).over(over)
+        case "doubleSum"               => sum(col(fieldN)).over(over).cast("double")
+        case "longSum"                 => sum(col(fieldN)).over(over).cast("long")
+        case "doubleMax" | "longMax"   => max(col(fieldN)).over(over)
+        case "doubleMin" | "longMin"   => min(col(fieldN)).over(over)
+        case other => throw new IllegalArgumentException(
+          s"unsupported averager type '$other' " +
+            "(double|long Mean/Sum/Max/Min)")
+      }
+      d.withColumn(name, c)
+    }
+    // emit only buckets of the declared interval — its first bucket is the
+    // TRUNCATED start (Druid's timeseries envelope), not the raw instant
+    val firstBucketMs = Math.floorDiv(startMs, widthMs) * widthMs
+    withAvg.filter(col(TimeCol) >= timestamp_millis(lit(firstBucketMs)))
+  }
 
   // ----------------------------------------------------------------- helpers
 

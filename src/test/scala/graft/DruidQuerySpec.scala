@@ -337,6 +337,61 @@ class DruidQuerySpec extends SparkSpec {
     }.getMessage.contains("metric type"))
   }
 
+  test("segmentMetadata: per-column stats, null counting, bad column rejected") {
+    val src = Seq((ts("2024-03-01 00:00:00"), "a", Some(1L)),
+      (ts("2024-03-01 01:00:00"), "b", None),
+      (ts("2024-03-01 02:00:00"), "a", Some(5L)))
+      .toDF("__time", "d", "v")
+    val out = DruidQueryCompiler.compile(
+      """{"queryType": "segmentMetadata", "dataSource": "t",
+          "columns": ["d", "v"]}""", _ => src)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getString(3), r.getString(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(out("d") == (("string", 2L, "a", "b", 0L, 3L)))
+    assert(out("v") == (("bigint", 2L, "1", "5", 1L, 3L)))
+    assert(intercept[IllegalArgumentException] {
+      DruidQueryCompiler.compile(
+        """{"queryType": "segmentMetadata", "dataSource": "t",
+            "columns": ["nope"]}""", _ => src)
+    }.getMessage.contains("does not exist"))
+  }
+
+  test("movingAverage: backward extension + zero-fill + rejections") {
+    // hourly data at 00,01,02 of 2024-03-01; query interval starts at 02 —
+    // the first emitted bucket's window must see 00/01 (backward extension),
+    // and 03 (no data) must emit with zero-filled aggs
+    val out = run("""
+      {"queryType": "movingAverage", "dataSource": "events",
+       "granularity": "hour",
+       "intervals": ["2024-03-01T02:00:00/2024-03-01T04:00:00"],
+       "aggregations": [{"type": "doubleSum", "name": "sv", "fieldName": "value"}],
+       "averagers": [{"type": "doubleMean", "name": "ma3", "fieldName": "sv",
+                      "buckets": 3}]}""")
+      .orderBy(col("__time"))
+      .select(date_format(col("__time"), "HH:mm").as("h"), col("sv"), col("ma3"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // hours: 00→3.0, 01→12.0, 02→48.0, 03→0 (zero-filled)
+    assert(out.toSeq == Seq(
+      ("02:00", 48.0, (3.0 + 12.0 + 48.0) / 3),
+      ("03:00", 0.0, (12.0 + 48.0 + 0.0) / 3)))
+
+    assert(intercept[IllegalArgumentException] { run("""
+      {"queryType": "movingAverage", "dataSource": "events",
+       "granularity": "month",
+       "intervals": ["2024-03-01T00:00:00/2024-04-01T00:00:00"],
+       "aggregations": [{"type": "count", "name": "c"}],
+       "averagers": [{"type": "doubleMean", "name": "m", "fieldName": "c",
+                      "buckets": 2}]}""")
+    }.getMessage.contains("fixed-width"))
+    assert(intercept[IllegalArgumentException] { run("""
+      {"queryType": "movingAverage", "dataSource": "events",
+       "granularity": "hour",
+       "intervals": ["2024-03-01T00:00:00/2024-03-01T02:00:00"],
+       "aggregations": [{"type": "count", "name": "c"}]}""")
+    }.getMessage.contains("averagers"))
+  }
+
   test("subtotalsSpec: grouping sets with nulled dims; bad dim rejected") {
     val out = run("""
       {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
