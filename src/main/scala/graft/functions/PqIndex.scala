@@ -137,4 +137,30 @@ object PqIndex {
       .limit(topK)
       .select(col("id"), round(col("approx_dist"), 6).as("approx_dist"))
   }
+
+  /** ADC shortlist + exact re-rank (the paper's IVFADC+R refinement): the
+    * cheap code scan over-fetches `topK · oversample` candidates, then only
+    * that sliver joins back to the float vectors for exact L2². The scan
+    * cost stays ADC's; the exact math touches O(topK · oversample) rows —
+    * this is how PQ recovers exact-ranking quality on corpora where 8-byte
+    * codes alone can't separate near-ties.
+    */
+  def searchRerank(encoded: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, query: Array[Float], cb: PqCodebook, topK: Int,
+      oversample: Int = 10): DataFrame = {
+    val shortlist = search(encoded, query, cb, topK * oversample)
+      .select(col("id"))
+    val qLit = typedlit(query)
+    vectors
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .join(broadcast(shortlist), Seq("id"))
+      .withColumn("dist", aggregate(
+        zip_with(col("__v"), qLit,
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => a + x))
+      .orderBy(col("dist").asc, col("id"))
+      .limit(topK)
+      .select(col("id"), round(col("dist"), 6).as("dist"))
+  }
 }

@@ -75,4 +75,34 @@ class PqSpec extends SparkSpec {
     // from ADC-shortlist + exact re-rank (the paper's IVFADC+R pattern)
     assert(mean >= 0.25, f"PQ recall collapsed: $mean%.2f")
   }
+
+  test("exact re-rank of the ADC shortlist recovers near-perfect recall") {
+    val cb = PqIndex.train(spark, emb, "vec_id", "embedding", m = 8, ks = 16,
+      iterations = 4)
+    val codes = PqIndex.encode(emb, "vec_id", "embedding", cb).persist()
+    codes.count()
+    val queries = emb.filter(col("vec_id") < 5).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val recalls = queries.map { case (qid, q) =>
+      val truth = emb.filter(col("vec_id") =!= qid)
+        .select(col("vec_id"),
+          aggregate(zip_with(col("embedding"), typedlit(q),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+            lit(0.0), (a, x) => a + x).as("d"))
+        .orderBy(col("d").asc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val got = PqIndex.searchRerank(codes.filter(col("id") =!= qid),
+          emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, cb,
+          topK = 10, oversample = 20)
+        .collect().map(_.getLong(0)).toSet
+      (truth & got).size.toDouble / 10
+    }
+    codes.unpersist()
+    val mean = recalls.sum / recalls.length
+    info(f"PQ+rerank (oversample=20) mean recall@10: $mean%.2f")
+    // 200-candidate shortlist out of 500 on the uniform worst case: the
+    // exact re-rank should recover most of the true top-10
+    assert(mean >= 0.7, f"rerank recall too low: $mean%.2f")
+  }
 }
