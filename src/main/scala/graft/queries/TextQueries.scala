@@ -453,7 +453,8 @@ object TextQueries {
               round(CAST(per.dup_grams AS DOUBLE) / per.n_grams, 6) AS dup_frac,
               CAST(CASE WHEN per.dup_grams * 5 >= per.n_grams THEN 1 ELSE 0 END
                    AS INT) AS flagged
-            FROM documents d LEFT JOIN per USING (doc_id)""")),
+            FROM documents d LEFT JOIN per USING (doc_id)"""),
+    headline = true),
 
     // -- SOURCE MIXING with temperature α=0.5 (the multilingual-pretraining
     // exponential-smoothing rule, p_s ∝ T_s^α — XLM-R / mT5 shape) plus the
