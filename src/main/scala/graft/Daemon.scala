@@ -63,7 +63,21 @@ object Daemon {
         s"$workDir/stores/$ds", now = now, trigger = trigger)
       ds -> ingest
     }.toMap
-    val server = new HttpIngestServer(s"$workDir/spool", routes = streams)
+    // broker-style query endpoint: each dataSource resolves to its store's
+    // merged, finalized rollup view (fresh read per query; Druid's __time
+    // envelope; the segment/bookkeeping columns are storage detail). Sketch
+    // metrics arrive FINALIZED — the query edge's rendering, like the
+    // broker; programmatic callers wanting re-mergeable binaries use
+    // SegmentStore.read(finalizeSketches = false) directly.
+    val queryRoutes = specs.map { spec =>
+      val ds = spec.dataSchema.dataSource
+      ds -> (() => graft.sink.SegmentStore
+        .read(spark, s"$workDir/stores/$ds", spec)
+        .drop(graft.pipeline.Pipeline.SegmentCol)
+        .withColumnRenamed(graft.pipeline.Pipeline.TsCol, "__time"))
+    }.toMap
+    val server = new HttpIngestServer(s"$workDir/spool", routes = streams,
+      queryRoutes = queryRoutes)
     val boundPort = server.start(port)
     Handle(server, boundPort, streams)
   }

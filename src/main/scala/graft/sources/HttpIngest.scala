@@ -37,11 +37,16 @@ import graft.streaming.IngestStream
   *   path against its beam map): each routed dataSource's sync reply drains
   *   and reports ITS stream's counters; unrouted dataSources fall back to
   *   `attach`, else spool-only (fire-and-forget counters)
+  * @param queryRoutes dataSource → fresh queryable DataFrame (must carry
+  *   `__time`), enabling the broker-style `POST /druid/v2` endpoint: native
+  *   query JSON in, JSON row array out (see [[handleQuery]]). Thunks, not
+  *   frames — every query re-reads current store state.
   */
 final class HttpIngestServer(
     spoolDir: String,
     attach: Option[IngestStream] = None,
-    routes: Map[String, IngestStream] = Map.empty) {
+    routes: Map[String, IngestStream] = Map.empty,
+    queryRoutes: Map[String, () => org.apache.spark.sql.DataFrame] = Map.empty) {
 
   private val mapper = new ObjectMapper
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -52,6 +57,8 @@ final class HttpIngestServer(
   def start(port: Int = 0): Int = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.createContext("/v1/post", (ex: HttpExchange) => handle(ex))
+    if (queryRoutes.nonEmpty)
+      s.createContext("/druid/v2", (ex: HttpExchange) => handleQuery(ex))
     // without an executor the JDK server handles requests on ONE thread,
     // serializing posts across dataSources despite the per-ds locks
     val p = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -96,6 +103,43 @@ final class HttpIngestServer(
         }
       }
       reply(ex, 200, s"""{"result":{"received":${result._1},"sent":${result._2}}}""")
+    } catch {
+      case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+
+  /** Broker-style query endpoint (`POST /druid/v2`, the Druid broker's
+    * native-query path): the body is a verbatim Druid query JSON, compiled
+    * by [[graft.queries.DruidQueryCompiler]] against `queryRoutes`. The
+    * response is a JSON array of row objects (timestamps ISO-8601) —
+    * documented delta vs Druid's per-queryType result envelopes; the row
+    * CONTENT matches the compiler's oracle-checked output.
+    *
+    * Read-your-writes: if the queried dataSource also has an ingest route,
+    * its stream drains before the store read, so a sync post followed by a
+    * query sees the posted rows (tighter than upstream's handoff window).
+    * Result size is capped (`context.maxQueryRows`, default 10000) — a
+    * query endpoint must never OOM the server on an unbounded scan.
+    */
+  private def handleQuery(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") { reply(ex, 405, """{"error":"POST only"}"""); return }
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val result = try {
+        val root = mapper.readTree(body)
+        val cap = Option(root.get("context")).flatMap(c =>
+          Option(c.get("maxQueryRows"))).map(_.asInt).getOrElse(10000)
+        require(cap > 0, "context.maxQueryRows must be positive")
+        val df = graft.queries.DruidQueryCompiler.compile(body, name => {
+          routes.get(name).foreach(_.activeQuery.foreach(_.processAllAvailable()))
+          queryRoutes.getOrElse(name, throw new IllegalArgumentException(
+            s"unknown dataSource '$name' (queryable: ${queryRoutes.keys.toSeq.sorted.mkString(",")})"))()
+        })
+        df.limit(cap).toJSON.collect().mkString("[", ",", "]")
+      } catch {
+        case NonFatal(e) =>
+          reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}"""); return
+      }
+      reply(ex, 200, result)
     } catch {
       case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
     } finally ex.close()

@@ -155,9 +155,49 @@ class HttpIngestSpec extends SparkSpec {
       val (c2, b2) = post(handle.port, "/v1/post/views_ds",
         """{"ts":"2024-03-01 12:03:00","etype":"v","value":4.0}""")
       assert(c2 == 200 && b2 == """{"result":{"received":1,"sent":1}}""")
+
+      // broker-style query endpoint (POST /druid/v2): native query JSON over
+      // the just-ingested stores — read-your-writes through the same socket
+      val (qc, qb) = post(handle.port, "/druid/v2",
+        """{"queryType": "timeseries", "dataSource": "clicks_ds",
+            "granularity": "hour",
+            "aggregations": [{"type": "longSum", "name": "n", "fieldName": "cnt"},
+                             {"type": "doubleSum", "name": "t", "fieldName": "total"}]}""")
+      assert(qc == 200, qb)
+      assert(qb.contains("\"n\":2") && qb.contains("\"t\":3.0"), qb)
+      assert(qb.contains("2024-03-01T12:00:00"), qb) // hour bucket, ISO ts
+
+      val (qc2, qb2) = post(handle.port, "/druid/v2",
+        """{"queryType": "scan", "dataSource": "views_ds",
+            "columns": ["__time", "etype", "total"]}""")
+      assert(qc2 == 200 && qb2.contains("\"etype\":\"v\"") &&
+        qb2.contains("\"total\":4.0"), qb2)
+
+      // unknown dataSource and malformed query both reply 400, not 500
+      val (qc3, qb3) = post(handle.port, "/druid/v2",
+        """{"queryType": "timeseries", "dataSource": "nope",
+            "granularity": "all",
+            "aggregations": [{"type": "count", "name": "c"}]}""")
+      assert(qc3 == 400 && qb3.contains("unknown dataSource"), qb3)
+      val (qc4, _) = post(handle.port, "/druid/v2",
+        """{"queryType": "mystery", "dataSource": "clicks_ds"}""")
+      assert(qc4 == 400)
+
+      // result cap honored: a second dimension value makes the store two
+      // rows; maxQueryRows=1 truncates the scan to one
+      post(handle.port, "/v1/post/clicks_ds",
+        """{"ts":"2024-03-01 12:05:00","etype":"d","value":8.0}""")
+      val (qc5a, qb5a) = post(handle.port, "/druid/v2",
+        """{"queryType": "scan", "dataSource": "clicks_ds",
+            "columns": ["__time", "etype"]}""")
+      assert(qc5a == 200 && qb5a.count(_ == '{') == 2, qb5a)
+      val (qc5, qb5) = post(handle.port, "/druid/v2",
+        """{"queryType": "scan", "dataSource": "clicks_ds",
+            "columns": ["__time", "etype"], "context": {"maxQueryRows": 1}}""")
+      assert(qc5 == 200 && qb5.count(_ == '{') == 1, qb5)
     } finally handle.close()
     val clicks = spark.read.parquet(s"$tmp/stores/clicks_ds")
-    assert(clicks.agg(sum($"cnt"), sum($"total")).as[(Long, Double)].head() == ((2L, 3.0)))
+    assert(clicks.agg(sum($"cnt"), sum($"total")).as[(Long, Double)].head() == ((3L, 11.0)))
     val views = spark.read.parquet(s"$tmp/stores/views_ds")
     assert(views.agg(sum($"cnt"), sum($"total")).as[(Long, Double)].head() == ((1L, 4.0)))
   }
