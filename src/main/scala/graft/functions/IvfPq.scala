@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] IVFADC (Jégou et al. TPAMI 2011 §IV): the combined ANN scale path —
+  * IVF coarse clustering PRUNES (a query touches nProbe clusters, the
+  * cluster id is the partition key at scale) and product quantization over
+  * the RESIDUALS (vec − coarse centroid) COMPRESSES (m small ints per
+  * vector). On clustered corpora residual PQ improves on raw PQ (residuals
+  * concentrate near 0, so the codebook budget covers a tighter
+  * distribution); on uniform random vectors the gain vanishes — measured
+  * parity in IvfPqSpec, documented there — while the nProbe pruning remains
+  * the point at scale.
+  *
+  * Search is per-cluster ADC: for each probed cluster c the query builds an
+  * exact m×ks table of || (q − cent_c)_j − codebook_j[k] ||² (driver-side,
+  * O(nProbe·m·ks)); each stored row's approximate distance is m lookups in
+  * ITS cluster's table. The scan is code-table lookups only — no per-row
+  * float vector math, and only over the probed clusters' partitions.
+  *
+  * All driver-side state is O(kCoarse·dim + m·ks·dim/m + nProbe·m·ks).
+  */
+final case class IvfPqIndex(
+    coarse: Array[(Int, Array[Double])],
+    cb: PqCodebook,
+    /** (id, cluster, codes) — persisted by build() */
+    encoded: DataFrame) {
+
+  def close(): Unit = { encoded.unpersist(); () }
+
+  /** Top-k by residual-ADC distance over the nProbe nearest clusters
+    * (coarse nearness by L2², matching the ADC metric).
+    */
+  def search(query: Array[Float], topK: Int, nProbe: Int): DataFrame = {
+    val q = query.map(_.toDouble)
+    def l2sq(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(q.length, c.length)
+      while (i < n) { val d = q(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val probes = coarse.map { case (cid, c) => (cid, l2sq(c)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1)
+
+    // per-probed-cluster ADC tables on the query's residual
+    val tables: Map[Int, Array[Array[Double]]] = probes.map { cid =>
+      val cent = coarse.find(_._1 == cid).get._2
+      val res = Array.tabulate(q.length)(i => q(i) - cent(i))
+      cid -> Array.tabulate(cb.m) { j =>
+        Array.tabulate(cb.ks) { k =>
+          var s = 0.0; var d = 0
+          while (d < cb.subDim) {
+            val diff = res(j * cb.subDim + d) - cb.codebook(j)(k)(d)
+            s += diff * diff; d += 1
+          }
+          s
+        }
+      }
+    }.toMap
+    val tLit = typedlit(tables)
+    encoded
+      .filter(col("cluster").isin(probes.toSeq: _*))
+      .withColumn("approx_dist", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(cb.m - 1)),
+          (c, j) => element_at(element_at(element_at(tLit, col("cluster")),
+            j + 1), c + 1)),
+        lit(0.0), (a, x) => a + x))
+      .orderBy(col("approx_dist").asc, col("id"))
+      .limit(topK)
+      .select(col("id"), col("cluster"), round(col("approx_dist"), 6).as("approx_dist"))
+  }
+}
+
+object IvfPq {
+
+  /** Build: IVF coarse assignment (deterministic farthest-first seeding via
+    * [[IvfIndex]]), residuals against the coarse centroids, PQ codebooks
+    * trained ON the residuals, every vector stored as (cluster, codes).
+    */
+  def build(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+      kCoarse: Int, m: Int = 8, ks: Int = 16, iterations: Int = 4): IvfPqIndex = {
+    val ivf = IvfIndex.build(spark, df, idCol, vecCol, kCoarse, iterations)
+    try {
+      // dense positional table (cluster id → centroid): Lloyd's refit drops
+      // clusters that lost all members, so ids can be sparse — rows never
+      // carry a dropped id, the zero-filled gaps are unreachable
+      val cents: Array[Array[Double]] = {
+        val byId = ivf.centroids.toMap
+        val dim = ivf.centroids.head._2.length
+        Array.tabulate(ivf.centroids.map(_._1).max + 1)(
+          i => byId.getOrElse(i, Array.fill(dim)(0.0)))
+      }
+      val centLit = typedlit(cents)
+      val residuals = ivf.indexed.withColumn("res",
+        zip_with(col("vec"), element_at(centLit, col("cluster") + 1),
+          (x, y) => x.cast("double") - y))
+      val cb = PqIndex.train(spark, residuals, "id", "res", m, ks, iterations)
+      val cbLit = typedlit(cb.codebook)
+      val encoded = residuals
+        .select(col("id"), col("cluster"),
+          transform(sequence(lit(0), lit(cb.m - 1)),
+            j => PqIndex.nearestCode(cbLit, j,
+              slice(col("res"), j * cb.subDim + 1, lit(cb.subDim)))).as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      encoded.count() // materialize before releasing the IVF assignment
+      IvfPqIndex(ivf.centroids, cb, encoded)
+    } finally ivf.close()
+  }
+}

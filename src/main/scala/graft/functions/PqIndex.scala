@@ -34,14 +34,14 @@ final case class PqCodebook(m: Int, ks: Int, subDim: Int,
 object PqIndex {
 
   /** m slices of `vec`, each subDim wide, as array<array<float>>. */
-  private def slices(vec: Column, m: Int, subDim: Int): Column =
+  private[functions] def slices(vec: Column, m: Int, subDim: Int): Column =
     transform(sequence(lit(0), lit(m - 1)),
       j => slice(vec, j * subDim + 1, lit(subDim)))
 
   /** Nearest code (argmin squared L2, first-min tiebreak → deterministic)
     * for subvector `sub` in subspace `j`, against the codebook literal.
     */
-  private def nearestCode(cbLit: Column, j: Column, sub: Column): Column = {
+  private[functions] def nearestCode(cbLit: Column, j: Column, sub: Column): Column = {
     val dists = transform(element_at(cbLit, j + 1), c =>
       aggregate(
         zip_with(sub, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
@@ -78,7 +78,8 @@ object PqIndex {
       // fewer distinct vectors than ks: reuse cyclically (duplicate codes
       // are harmless — argmin picks the first)
       Array.tabulate(ks)(c =>
-        forJ(c % forJ.length).getSeq[Float](2).map(_.toDouble).toArray)
+        // float OR double element type (IvfPq trains on double residuals)
+        forJ(c % forJ.length).getSeq[Number](2).map(_.doubleValue).toArray)
     }
 
     for (_ <- 0 until iterations) {

@@ -212,6 +212,26 @@ object VectorQueries {
         .select(col("id").as("vec_id"), col("approx_dist"))
     }, None),
 
+    // -- IVFADC (scale path #4: coarse-cluster pruning + residual-PQ codes;
+    //    rows-only — IvfPqSpec carries the planted-dup, pruning and recall
+    //    guarantees)
+    QueryDef("ann_ivfpq_topk", (s, dir) => {
+      val e = Tables.t(s, dir, "embeddings")
+      val idx = graft.functions.IvfPq.build(s, e, "vec_id", "embedding",
+        kCoarse = 8, m = 8, ks = 16, iterations = 4)
+      try {
+        val query = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+        val out = idx.search(query, topK = 11, nProbe = 3)
+          .filter(col("id") =!= 0).limit(10)
+          .select(col("id").as("vec_id"), col("cluster"), col("approx_dist"))
+        // materialize the 10-row result as a local frame so close() can
+        // release the code table before the caller writes/act on it
+        s.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally idx.close()
+    }, None),
+
     QueryDef("semantic_dedup_ivf", (s, dir) => {
       GraftFunctions.register(s)
       val e = Tables.t(s, dir, "embeddings")
