@@ -152,6 +152,20 @@ final case class BoundFilter(
     upperStrict: Boolean = false,
     ordering: String = "lexicographic") extends FilterSpec
 
+/** Druid `search` filter: dimension CONTAINS a value ("contains" query
+  * spec, case-sensitive or not). Distinct from the `search` QUERY type. */
+final case class SearchFilter(dimension: String, value: String,
+    caseSensitive: Boolean = false) extends FilterSpec
+/** Druid `columnComparison` filter: two dimension columns are equal (null
+  * == null matches, per Druid). */
+final case class ColumnComparisonFilter(dimensions: Seq[String]) extends FilterSpec
+/** Druid `expression` filter — same documented dialect delta as
+  * [[TransformField]]: the expression is Spark SQL. */
+final case class ExpressionFilter(expression: String) extends FilterSpec
+/** Druid `true` / `false` filters (constant match / drop-all). */
+final case class TrueFilter() extends FilterSpec
+final case class FalseFilter() extends FilterSpec
+
 /** One derived column. DOCUMENTED DELTA: the expression language is Spark
   * SQL (codegen'd, no interpreter), not Druid's own expr dialect — same
   * role (row-level derivations visible to dims and aggregators), richer

@@ -146,6 +146,25 @@ object SpecLoader {
       require(ivs.nonEmpty, "interval filter needs a non-empty intervals array")
       ivs.foreach(graft.time.Intervals.parse) // malformed endpoints fail at LOAD
       IntervalFilter(str(n, "dimension", "__time"), ivs)
+    case "search" =>
+      val q = opt(n, "query").getOrElse(throw new IllegalArgumentException(
+        "search filter needs a query object"))
+      require(str(q, "type", "contains") == "contains",
+        "search filter supports query.type=contains " +
+          "(insensitive_contains = contains with caseSensitive=false)")
+      SearchFilter(str(n, "dimension", ""), str(q, "value", ""),
+        caseSensitive = opt(q, "caseSensitive").exists(_.asBoolean))
+    case "columnComparison" =>
+      val ds = opt(n, "dimensions").toSeq.flatMap(_.elements.asScala)
+        .map(_.asText)
+      require(ds.size >= 2, "columnComparison filter needs >= 2 dimensions")
+      ColumnComparisonFilter(ds)
+    case "expression" =>
+      val e = str(n, "expression", "")
+      require(e.nonEmpty, "expression filter needs an expression")
+      ExpressionFilter(e)
+    case "true"  => TrueFilter()
+    case "false" => FalseFilter()
     case "bound" =>
       val ordering = str(n, "ordering", "lexicographic")
       require(ordering == "lexicographic" || ordering == "numeric",

@@ -41,6 +41,23 @@ object Filters {
       col(d).isNotNull && conds.reduceOption(_ || _).getOrElse(lit(false))
     case graft.config.LikeFilter(d, p) =>
       col(d).isNotNull && col(d).like(p)
+    case graft.config.SearchFilter(d, v, cs) =>
+      // contains; insensitive via lower() on both sides (Druid's
+      // insensitive_contains) — null dim never matches
+      val (lhs, needle) =
+        if (cs) (col(d), lit(v)) else (lower(col(d)), lit(v.toLowerCase))
+      col(d).isNotNull && lhs.contains(needle)
+    case graft.config.ColumnComparisonFilter(ds) =>
+      // Druid matches when ALL named columns carry the same value, nulls
+      // included — exactly `<=>` chained pairwise
+      ds.sliding(2).map { case Seq(a, b) => col(a) <=> col(b) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+    case graft.config.ExpressionFilter(e) =>
+      // documented dialect delta (Spark SQL); coalesce keeps the
+      // never-NULL contract so not(expression) matches null-valued rows
+      coalesce(expr(e).cast("boolean"), lit(false))
+    case graft.config.TrueFilter()  => lit(true)
+    case graft.config.FalseFilter() => lit(false)
     case b: graft.config.BoundFilter =>
       val c = b.ordering match {
         // try_cast, not cast: ANSI mode throws on malformed numerics — a
@@ -74,5 +91,15 @@ object Filters {
     case graft.config.LikeFilter(d, _)     => Seq(d)
     case graft.config.IntervalFilter(d, _) => Seq(d)
     case b: graft.config.BoundFilter       => Seq(b.dimension)
+    case graft.config.SearchFilter(d, _, _)        => Seq(d)
+    case graft.config.ColumnComparisonFilter(ds)   => ds
+    case graft.config.ExpressionFilter(e) =>
+      // unresolved column references of the parsed expression tree
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(e)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }.distinct
+    case graft.config.TrueFilter() | graft.config.FalseFilter() => Seq.empty
   }
 }

@@ -272,6 +272,25 @@ object DruidNativeQueries {
             GROUP BY GROUPING SETS ((event_type, substring(event_type, 1, 2)),
                                     (event_type), ())""")),
 
+    // -- search + expression filters composed (r3d filter-DSL additions) ----
+    QueryDef("druid_json_search_expr_filter", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "all",
+         "dimensions": ["event_type"],
+         "filter": {"type": "and", "fields": [
+           {"type": "search", "dimension": "event_type",
+            "query": {"type": "contains", "value": "U"}},
+           {"type": "expression", "expression": "value > 10"}]},
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "sv", "fieldName": "value"}]}""")
+        .select(col("event_type"), col("cnt"), round(col("sv"), 2).as("sv"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sv
+            FROM events
+            WHERE contains(lower(event_type), 'u') AND value > 10
+            GROUP BY 1""")),
+
     // -- segmentMetadata: per-column stats in one pass ----------------------
     // restricted to string/bigint columns so min/max string rendering is
     // engine-independent (double formatting differs; the general form is

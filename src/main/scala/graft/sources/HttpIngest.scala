@@ -57,8 +57,11 @@ final class HttpIngestServer(
   def start(port: Int = 0): Int = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.createContext("/v1/post", (ex: HttpExchange) => handle(ex))
-    if (queryRoutes.nonEmpty)
+    if (queryRoutes.nonEmpty) {
       s.createContext("/druid/v2", (ex: HttpExchange) => handleQuery(ex))
+      // longest-prefix routing: /druid/v2/sql wins over /druid/v2
+      s.createContext("/druid/v2/sql", (ex: HttpExchange) => handleSql(ex))
+    }
     // without an executor the JDK server handles requests on ONE thread,
     // serializing posts across dataSources despite the per-ds locks
     val p = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -135,6 +138,53 @@ final class HttpIngestServer(
             s"unknown dataSource '$name' (queryable: ${queryRoutes.keys.toSeq.sorted.mkString(",")})"))()
         })
         df.limit(cap).toJSON.collect().mkString("[", ",", "]")
+      } catch {
+        case NonFatal(e) =>
+          reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}"""); return
+      }
+      reply(ex, 200, result)
+    } catch {
+      case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+
+  /** Druid SQL endpoint (`POST /druid/v2/sql`, body `{"query": "..."}`):
+    * each queryable dataSource is exposed as a temp view and the statement
+    * runs through `spark.sql` — Druid's own default `resultFormat`
+    * ("object": a JSON array of row objects) is exactly what the native
+    * endpoint already emits, so both endpoints share the envelope. The SQL
+    * dialect is Spark SQL, the same documented delta as transformSpec /
+    * virtualColumns (Druid SQL's core SELECT surface is a subset).
+    * Referenced ingest streams drain first (read-your-writes); same
+    * `context.maxQueryRows` cap.
+    */
+  private def handleSql(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") { reply(ex, 405, """{"error":"POST only"}"""); return }
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val result = try {
+        val root = mapper.readTree(body)
+        val sqlText = Option(root.get("query")).map(_.asText).getOrElse(
+          throw new IllegalArgumentException("""body must be {"query": "<sql>"}"""))
+        val cap = Option(root.get("context")).flatMap(c =>
+          Option(c.get("maxQueryRows"))).map(_.asInt).getOrElse(10000)
+        require(cap > 0, "context.maxQueryRows must be positive")
+        // drain + publish only the dataSources the statement references
+        val referenced = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parsePlan(sqlText).collect {
+            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+              r.multipartIdentifier.last
+          }.toSet
+        val frames = queryRoutes.filter { case (ds, _) => referenced(ds) }
+        require(frames.nonEmpty, "query references no known dataSource " +
+          s"(queryable: ${queryRoutes.keys.toSeq.sorted.mkString(",")})")
+        var spark: org.apache.spark.sql.SparkSession = null
+        frames.foreach { case (ds, thunk) =>
+          routes.get(ds).foreach(_.activeQuery.foreach(_.processAllAvailable()))
+          val df = thunk()
+          spark = df.sparkSession
+          df.createOrReplaceTempView(ds)
+        }
+        spark.sql(sqlText).limit(cap).toJSON.collect().mkString("[", ",", "]")
       } catch {
         case NonFatal(e) =>
           reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}"""); return

@@ -135,6 +135,57 @@ class ConfigSpec extends AnyFunSuite {
     }.getMessage.contains("expression"))
   }
 
+  test("search/columnComparison/expression/true/false filters: parse + Druid null semantics") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    def parse(json: String) = SpecLoader.fromJson(
+      s"""{"dataSchema": {"dataSource": "t",
+            "parser": {"parseSpec": {"timestampSpec": {"column": "ts"},
+              "dimensionsSpec": {"dimensions": ["d"]}}},
+            "transformSpec": {"filter": $json},
+            "metricsSpec": [{"type": "count", "name": "cnt"}]}}""")
+      .dataSchema.transformSpec.filter.get
+    val df = Seq(("Alpha", Option("Alpha")), ("beta", Option("ALPHA")),
+      (null, Option.empty[String]))
+      .toDF("a", "b")
+
+    // search: insensitive by default, null never matches, not() matches null
+    val ins = parse("""{"type": "search", "dimension": "a",
+                        "query": {"type": "contains", "value": "ALPH"}}""")
+    assert(ins == SearchFilter("a", "ALPH"))
+    assert(df.filter(graft.pipeline.Filters.toColumn(ins)).count() == 1)
+    val cs = SearchFilter("a", "alph", caseSensitive = true)
+    assert(df.filter(graft.pipeline.Filters.toColumn(cs)).count() == 0)
+    assert(df.filter(graft.pipeline.Filters.toColumn(NotFilter(ins))).count() == 2)
+
+    // columnComparison: null == null MATCHES (Druid), a==b row matches
+    val cc = parse("""{"type": "columnComparison", "dimensions": ["a", "b"]}""")
+    assert(df.filter(graft.pipeline.Filters.toColumn(cc)).count() == 2)
+
+    // expression filter: Spark SQL dialect; null expr value → no match,
+    // not() complement matches it
+    val ef = parse("""{"type": "expression", "expression": "length(a) > 4"}""")
+    assert(df.filter(graft.pipeline.Filters.toColumn(ef)).count() == 1)
+    assert(df.filter(graft.pipeline.Filters.toColumn(NotFilter(ef))).count() == 2)
+    assert(graft.pipeline.Filters.dimensions(ef) == Seq("a"))
+
+    // true/false constants
+    assert(df.filter(graft.pipeline.Filters.toColumn(parse("""{"type": "true"}"""))).count() == 3)
+    assert(df.filter(graft.pipeline.Filters.toColumn(parse("""{"type": "false"}"""))).count() == 0)
+
+    // rejections at LOAD
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "search", "dimension": "a",
+               "query": {"type": "fragment", "values": ["x"]}}""")
+    }.getMessage.contains("contains"))
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "columnComparison", "dimensions": ["a"]}""")
+    }.getMessage.contains(">= 2"))
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "expression"}""")
+    }.getMessage.contains("expression"))
+  }
+
   test("interval filter + cardinality fields + expression postAgg parse rules") {
     def load(metrics: String, filter: String = "null") = SpecLoader.fromJson(
       s"""{"dataSchema": {"dataSource": "t",

@@ -195,6 +195,20 @@ class HttpIngestSpec extends SparkSpec {
         """{"queryType": "scan", "dataSource": "clicks_ds",
             "columns": ["__time", "etype"], "context": {"maxQueryRows": 1}}""")
       assert(qc5 == 200 && qb5.count(_ == '{') == 1, qb5)
+
+      // SQL endpoint: Spark SQL over the dataSource views, object rows —
+      // including a cross-dataSource join no native query can express
+      val (sc, sb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT etype, sum(total) AS t FROM clicks_ds GROUP BY etype ORDER BY etype"}""")
+      assert(sc == 200, sb)
+      assert(sb.contains("\"etype\":\"c\"") && sb.contains("\"t\":3.0"), sb)
+      assert(sb.contains("\"etype\":\"d\"") && sb.contains("\"t\":8.0"), sb)
+      val (sc2, sb2) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT c.etype AS ce, v.etype AS ve FROM clicks_ds c JOIN views_ds v ON c.__time = v.__time"}""")
+      assert(sc2 == 200 && sb2.contains("\"ve\":\"v\""), sb2)
+      val (sc3, sb3) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT * FROM unknown_ds"}""")
+      assert(sc3 == 400 && sb3.contains("no known dataSource"), sb3)
     } finally handle.close()
     val clicks = spark.read.parquet(s"$tmp/stores/clicks_ds")
     assert(clicks.agg(sum($"cnt"), sum($"total")).as[(Long, Double)].head() == ((3L, 11.0)))
