@@ -179,6 +179,19 @@ final case class TransformSpec(
     transforms: Seq[TransformField] = Nil,
     filter: Option[FilterSpec] = scala.None)
 
+/** Druid parseSpec format (upstream ParseSpec subclasses): how raw record
+  * VALUES (Kafka bytes, spooled lines) become columns. `json` uses the
+  * declared value schema; `csv`/`tsv`/`delimited` split on `delimiter`
+  * with the schema's field order (a declared `columns` list must match
+  * it — fail at load, not first record); `regex` maps capture group i+1
+  * to schema field i. javascript is out of scope (no JS engine by
+  * design, same stance as the javascript aggregator). */
+final case class ParserSpec(
+    format: String = "json",
+    columns: Seq[String] = Nil,
+    delimiter: String = ",",
+    pattern: Option[String] = scala.None)
+
 final case class DataSchema(
     dataSource: String,
     timestampSpec: TimestampSpec,
@@ -186,7 +199,8 @@ final case class DataSchema(
     aggregators: Seq[AggregatorSpec],
     granularitySpec: GranularitySpec = GranularitySpec(),
     postAggregations: Seq[PostAggregatorSpec] = Nil,
-    transformSpec: TransformSpec = TransformSpec())
+    transformSpec: TransformSpec = TransformSpec(),
+    parser: ParserSpec = ParserSpec())
 
 final case class IngestionSpec(
     dataSchema: DataSchema,

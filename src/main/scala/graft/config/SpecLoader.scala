@@ -112,9 +112,31 @@ object SpecLoader {
         filter = opt(t, "filter").map(parseFilter))
     }.getOrElse(TransformSpec())
 
+    val parser = parseSpec.map { p =>
+      val format = str(p, "format", "json") match {
+        case "tsv" => "delimited" // tsv is delimited with a tab default
+        case f     => f
+      }
+      require(Seq("json", "csv", "delimited", "regex").contains(format),
+        s"unsupported parseSpec format '$format' (json/csv/tsv/delimited/regex)")
+      val pattern = opt(p, "pattern").map(_.asText)
+      if (format == "regex") {
+        val pat = pattern.getOrElse(throw new IllegalArgumentException(
+          "regex parseSpec needs a pattern"))
+        require(scala.util.Try(java.util.regex.Pattern.compile(pat)).isSuccess,
+          s"regex parseSpec pattern does not compile: '$pat'")
+      }
+      ParserSpec(
+        format = format,
+        columns = opt(p, "columns").toSeq.flatMap(_.elements.asScala).map(_.asText),
+        delimiter = str(p, "delimiter",
+          if (str(p, "format", "json") == "tsv") "\t" else ","),
+        pattern = pattern)
+    }.getOrElse(ParserSpec())
+
     IngestionSpec(
       DataSchema(dataSource, tsSpec, dimSpec, metrics, gran, postAggs,
-        transformSpec), tuning).validate()
+        transformSpec, parser), tuning).validate()
   }
 
   /** Druid filter DSL subset: selector / in / and / or / not / bound.

@@ -55,8 +55,10 @@ object KafkaRouter {
     routes.map { case (topic, route) =>
       val ingest = new IngestStream(spark, route.spec, s"$checkpointRoot/$topic")
       ingest.start(
-        Sources.parseKafkaRecords(
-          records.filter(col("topic") === topic), route.valueSchema),
+        // each route parses with ITS spec's parseSpec format (json default)
+        Sources.parseRecords(
+          records.filter(col("topic") === topic), route.valueSchema,
+          route.spec.dataSchema.parser),
         route.outPath, now = now, trigger = trigger, writer = writerFor(topic))
       topic -> ingest
     }

@@ -82,8 +82,52 @@ object Sources {
     * KafkaConsumer.java routes unparseable messages to its own counter).
     */
   def parseKafkaRecords(raw: DataFrame, valueSchema: StructType): DataFrame =
-    raw.select(from_json(col("value").cast("string"), valueSchema).as("e"))
-      .select(col("e.*"))
+    parseRecords(raw, valueSchema, graft.config.ParserSpec())
+
+  /** Druid parseSpec-format record parsing (upstream ParseSpec subclasses —
+    * the Kafka daemon's value formats): raw `value` bytes → typed columns
+    * per the declared schema. Every format preserves the malformed-record
+    * contract: an unparseable value yields an all-null row that drop
+    * accounting counts (json's PERMISSIVE struct; delimited/regex guard
+    * each field with try_cast and a match predicate).
+    *
+    *  - `json`                 from_json with the explicit schema
+    *  - `csv`/`tsv`/`delimited` from_csv, schema field order = column order
+    *    (a declared `columns` list must equal it — checked at LOAD)
+    *  - `regex`                capture group i+1 → schema field i
+    */
+  def parseRecords(raw: DataFrame, valueSchema: StructType,
+      parser: graft.config.ParserSpec): DataFrame = {
+    val value = col("value").cast("string")
+    parser.format match {
+      case "json" =>
+        raw.select(from_json(value, valueSchema).as("e")).select(col("e.*"))
+      case "csv" | "delimited" =>
+        if (parser.columns.nonEmpty)
+          require(parser.columns == valueSchema.fields.map(_.name).toSeq,
+            s"parseSpec columns ${parser.columns.mkString(",")} must match the " +
+              s"value schema order ${valueSchema.fields.map(_.name).mkString(",")}")
+        // parse as all-strings first, then try_cast per field: from_csv's
+        // own type coercion is FAILFAST-ish per malformed FIELD under ANSI;
+        // the contract wants a null field, not a dead query
+        val stringSchema = StructType(valueSchema.fields.map(f =>
+          org.apache.spark.sql.types.StructField(f.name, StringType)))
+        raw.select(from_csv(value, stringSchema,
+            Map("sep" -> parser.delimiter, "mode" -> "PERMISSIVE")).as("e"))
+          .select(valueSchema.fields.toSeq.map(f =>
+            col(s"e.${f.name}").try_cast(f.dataType).as(f.name)): _*)
+      case "regex" =>
+        val pat = parser.pattern.getOrElse(
+          throw new IllegalArgumentException("regex parser needs a pattern"))
+        val matches = value.rlike(pat)
+        raw.select(valueSchema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          when(matches, regexp_extract(value, pat, i + 1))
+            .try_cast(f.dataType).as(f.name)
+        }: _*)
+      case other => throw new IllegalArgumentException(
+        s"unsupported parser format '$other' (json/csv/delimited/regex)")
+    }
+  }
 
   /** Kafka wiring (v2 — no broker in this environment, kept as the documented
     * construction): subscribe + JSON value parsing with explicit schema.
@@ -92,13 +136,14 @@ object Sources {
     * a broker in KafkaContractSpec.
     */
   def kafkaStream(spark: SparkSession, bootstrap: String, topicPattern: String,
-      valueSchema: StructType, maxOffsetsPerTrigger: Long = 10000): DataFrame =
-    parseKafkaRecords(
+      valueSchema: StructType, maxOffsetsPerTrigger: Long = 10000,
+      parser: graft.config.ParserSpec = graft.config.ParserSpec()): DataFrame =
+    parseRecords(
       spark.readStream
         .format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribePattern", topicPattern)
         .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
         .load(),
-      valueSchema)
+      valueSchema, parser)
 }

@@ -64,6 +64,64 @@ class SourcesSpec extends SparkSpec {
     assert(merged == Set(("click", 2L, 3.0), ("view", 1L, 8.0)))
   }
 
+  test("parseSpec formats: csv/tsv/regex parse to typed columns, malformed → all-null") {
+    val schema = StructType(Seq(
+      StructField("ts", StringType), StructField("etype", StringType),
+      StructField("value", DoubleType)))
+    def raw(lines: String*) =
+      lines.toSeq.toDF("s").select(col("s").cast("binary").as("value"))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+
+    val csv = Sources.parseRecords(
+      raw("2024-03-01 12:00:00,click,1.5", "garbage-without-commas"),
+      schema, ParserSpec(format = "csv"))
+    assert(collect(csv).toSeq == Seq(
+      ("2024-03-01 12:00:00", "click", 1.5),
+      ("garbage-without-commas", null, null))) // partial row: missing fields null
+
+    val tsv = Sources.parseRecords(
+      raw("2024-03-01 12:00:00\tview\t2.5"),
+      schema, ParserSpec(format = "delimited", delimiter = "\t"))
+    assert(collect(tsv).toSeq == Seq(("2024-03-01 12:00:00", "view", 2.5)))
+
+    val rx = Sources.parseRecords(
+      raw("[2024-03-01 12:00:00] click value=1.5", "no match at all"),
+      schema, ParserSpec(format = "regex",
+        pattern = Some("""\[([^\]]+)\] (\w+) value=([0-9.]+)""")))
+    assert(collect(rx).toSeq == Seq(
+      ("2024-03-01 12:00:00", "click", 1.5),
+      (null, null, null))) // non-matching record: all-null, counted by drops
+
+    // column list must match schema order — fail at use, loud
+    assert(intercept[IllegalArgumentException] {
+      Sources.parseRecords(raw("a,b,1"), schema,
+        ParserSpec(format = "csv", columns = Seq("etype", "ts", "value")))
+    }.getMessage.contains("must match"))
+
+    // spec-JSON round trip: tsv normalizes to delimited + tab
+    val spec = SpecLoader.fromJson(
+      """{"dataSchema": {"dataSource": "t",
+           "parser": {"parseSpec": {
+             "format": "tsv",
+             "timestampSpec": {"column": "ts"},
+             "dimensionsSpec": {"dimensions": ["etype"]},
+             "columns": ["ts", "etype", "value"]}},
+           "metricsSpec": [{"type": "count", "name": "cnt"}]}}""")
+    assert(spec.dataSchema.parser ==
+      ParserSpec("delimited", Seq("ts", "etype", "value"), "\t", None))
+    assert(intercept[IllegalArgumentException] {
+      SpecLoader.fromJson(
+        """{"dataSchema": {"dataSource": "t",
+             "parser": {"parseSpec": {
+               "format": "regex",
+               "timestampSpec": {"column": "ts"},
+               "dimensionsSpec": {"dimensions": ["d"]}}},
+             "metricsSpec": []}}""")
+    }.getMessage.contains("pattern"))
+  }
+
   test("production clock path: rate source with processing-time now keeps all rows") {
     val tmp = Files.createTempDirectory("graft-rate").toString
     val spec = IngestionSpec(
