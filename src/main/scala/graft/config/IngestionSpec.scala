@@ -186,11 +186,18 @@ final case class TransformSpec(
   * it — fail at load, not first record); `regex` maps capture group i+1
   * to schema field i. javascript is out of scope (no JS engine by
   * design, same stance as the javascript aggregator). */
+/** One flattenSpec field: `name` becomes a column from the JSONPath
+  * `expr` (Druid `path` type; `root` is name-at-top-level shorthand). */
+final case class FlattenField(name: String, expr: String)
+
 final case class ParserSpec(
     format: String = "json",
     columns: Seq[String] = Nil,
     delimiter: String = ",",
-    pattern: Option[String] = scala.None)
+    pattern: Option[String] = scala.None,
+    /** json format only: nested paths lifted to columns (Druid flattenSpec;
+      * non-flattened schema fields keep reading from the root object). */
+    flatten: Seq[FlattenField] = Nil)
 
 final case class DataSchema(
     dataSource: String,

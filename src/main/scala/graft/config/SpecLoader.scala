@@ -126,12 +126,33 @@ object SpecLoader {
         require(scala.util.Try(java.util.regex.Pattern.compile(pat)).isSuccess,
           s"regex parseSpec pattern does not compile: '$pat'")
       }
+      val flatten = opt(p, "flattenSpec").toSeq
+        .flatMap(f => opt(f, "fields").toSeq.flatMap(_.elements.asScala))
+        .map { f =>
+          val name = str(f, "name", "")
+          require(name.nonEmpty, "flattenSpec field needs a name")
+          str(f, "type", "path") match {
+            case "path" => FlattenField(name,
+              opt(f, "expr").map(_.asText).getOrElse(
+                throw new IllegalArgumentException(
+                  s"flattenSpec path field '$name' needs an expr")))
+            case "root" => FlattenField(name, s"$$.$name")
+            case "jq" => throw new IllegalArgumentException(
+              "flattenSpec type 'jq' is not supported — rewrite the jq " +
+                "expression as a JSONPath 'path' field")
+            case other => throw new IllegalArgumentException(
+              s"unsupported flattenSpec field type '$other' (path/root)")
+          }
+        }
+      if (flatten.nonEmpty) require(format == "json",
+        "flattenSpec applies to the json format only")
       ParserSpec(
         format = format,
         columns = opt(p, "columns").toSeq.flatMap(_.elements.asScala).map(_.asText),
         delimiter = str(p, "delimiter",
           if (str(p, "format", "json") == "tsv") "\t" else ","),
-        pattern = pattern)
+        pattern = pattern,
+        flatten = flatten)
     }.getOrElse(ParserSpec())
 
     IngestionSpec(

@@ -394,18 +394,28 @@ object DruidQueryCompiler {
         when(extracted =!= "", extracted).otherwise(onMiss)
       case "timeFormat" =>
         date_format(c, str(fn, "format", "yyyy-MM-dd'T'HH:mm:ss"))
-      case "lookup" =>
-        // inline map lookup (lookup type `map`): a map literal keeps the
-        // translation inside codegen — the registered-lookup analog for big
-        // tables is a broadcast join (`lookup_map_dim` pattern)
-        val m = opt(fn, "lookup")
-          .filter(l => str(l, "type", "map") == "map")
-          .flatMap(opt(_, "map")).getOrElse(
-            throw new IllegalArgumentException(
-              "lookup extractionFn needs lookup.type=map with a map"))
-        val pairs = m.propertyStream.iterator.asScala.toSeq
-          .flatMap(e => Seq(lit(e.getKey), lit(e.getValue.asText)))
-        require(pairs.nonEmpty, "lookup extractionFn map is empty")
+      case "lookup" | "registeredLookup" =>
+        // inline map lookup (lookup type `map`) or a name from the
+        // [[Lookups]] registry: either way a map literal keeps the
+        // translation inside codegen — a lookup too big for a literal
+        // belongs in a broadcast-join dim table (`lookup_map_dim` pattern)
+        val mapping: Seq[(String, String)] =
+          opt(fn, "lookup") match {
+            case Some(l) if l.isTextual => // registeredLookup name form
+              Lookups.get(l.asText).getOrElse(throw new IllegalArgumentException(
+                s"lookup '${l.asText}' is not registered " +
+                  s"(registered: ${Lookups.names.mkString(",")})")).toSeq
+            case Some(l) if str(l, "type", "map") == "map" =>
+              opt(l, "map").getOrElse(throw new IllegalArgumentException(
+                  "lookup extractionFn needs lookup.type=map with a map"))
+                .propertyStream.iterator.asScala.toSeq
+                .map(e => e.getKey -> e.getValue.asText)
+            case _ => throw new IllegalArgumentException(
+              "lookup extractionFn needs lookup.type=map with a map, or a " +
+                "registered lookup name")
+          }
+        require(mapping.nonEmpty, "lookup extractionFn map is empty")
+        val pairs = mapping.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
         val looked = element_at(map(pairs: _*), c.cast(StringType))
         val onMiss =
           if (opt(fn, "retainMissingValue").exists(_.asBoolean)) c.cast(StringType)
@@ -414,7 +424,8 @@ object DruidQueryCompiler {
         coalesce(looked, onMiss)
       case other => throw new IllegalArgumentException(
         s"unsupported extractionFn type '$other' " +
-          "(substring/upper/lower/strlen/regex/timeFormat/lookup)")
+          "(substring/upper/lower/strlen/regex/timeFormat/lookup/" +
+          "registeredLookup)")
     }
 
   // -------------------------------------------------------------------- scan

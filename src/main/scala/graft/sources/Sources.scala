@@ -100,8 +100,17 @@ object Sources {
       parser: graft.config.ParserSpec): DataFrame = {
     val value = col("value").cast("string")
     parser.format match {
-      case "json" =>
+      case "json" if parser.flatten.isEmpty =>
         raw.select(from_json(value, valueSchema).as("e")).select(col("e.*"))
+      case "json" =>
+        // flattenSpec: flattened fields read their JSONPath, the rest read
+        // from the root object — one get_json_object per column (codegen'd),
+        // try_cast keeps a bad path/value a null field, not a dead query
+        val paths = parser.flatten.map(f => f.name -> f.expr).toMap
+        raw.select(valueSchema.fields.toSeq.map { f =>
+          get_json_object(value, paths.getOrElse(f.name, s"$$.${f.name}"))
+            .try_cast(f.dataType).as(f.name)
+        }: _*)
       case "csv" | "delimited" =>
         if (parser.columns.nonEmpty)
           require(parser.columns == valueSchema.fields.map(_.name).toSeq,

@@ -337,6 +337,31 @@ class DruidQuerySpec extends SparkSpec {
     }.getMessage.contains("metric type"))
   }
 
+  test("registeredLookup: name resolves through the registry; unknown name rejected") {
+    graft.queries.Lookups.register("dept",
+      Map("click" -> "engagement", "view" -> "engagement"))
+    try {
+      val out = run("""
+        {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": [
+           {"type": "extraction", "dimension": "event_type",
+            "outputName": "dept",
+            "extractionFn": {"type": "registeredLookup", "lookup": "dept"}}],
+         "aggregations": [{"type": "count", "name": "cnt"}]}""")
+        .select("dept", "cnt")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // click×3 + view×2 map; buy has no entry → null (Druid's default miss)
+      assert(out == Map("engagement" -> 5L, (null: String) -> 1L))
+    } finally graft.queries.Lookups.unregister("dept")
+    assert(intercept[IllegalArgumentException] { run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": [{"type": "extraction", "dimension": "event_type",
+         "outputName": "d",
+         "extractionFn": {"type": "registeredLookup", "lookup": "dept"}}],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+    }.getMessage.contains("not registered"))
+  }
+
   test("segmentMetadata: per-column stats, null counting, bad column rejected") {
     val src = Seq((ts("2024-03-01 00:00:00"), "a", Some(1L)),
       (ts("2024-03-01 01:00:00"), "b", None),

@@ -100,6 +100,16 @@ class SourcesSpec extends SparkSpec {
         ParserSpec(format = "csv", columns = Seq("etype", "ts", "value")))
     }.getMessage.contains("must match"))
 
+    // flattenSpec: nested path + root fields, malformed value all-null
+    val fl = Sources.parseRecords(
+      raw("""{"ts":"2024-03-01 12:00:00","meta":{"kind":"click","v":1.5}}""",
+        "not json at all"),
+      schema, ParserSpec(flatten = Seq(
+        FlattenField("etype", "$.meta.kind"), FlattenField("value", "$.meta.v"))))
+    assert(collect(fl).toSeq == Seq(
+      ("2024-03-01 12:00:00", "click", 1.5),
+      (null, null, null)))
+
     // spec-JSON round trip: tsv normalizes to delimited + tab
     val spec = SpecLoader.fromJson(
       """{"dataSchema": {"dataSource": "t",
@@ -120,6 +130,30 @@ class SourcesSpec extends SparkSpec {
                "dimensionsSpec": {"dimensions": ["d"]}}},
              "metricsSpec": []}}""")
     }.getMessage.contains("pattern"))
+
+    // flattenSpec spec-JSON: path + root forms parse; jq rejected at LOAD
+    val flSpec = SpecLoader.fromJson(
+      """{"dataSchema": {"dataSource": "t",
+           "parser": {"parseSpec": {
+             "format": "json",
+             "flattenSpec": {"fields": [
+               {"type": "path", "name": "etype", "expr": "$.meta.kind"},
+               {"type": "root", "name": "ts"}]},
+             "timestampSpec": {"column": "ts"},
+             "dimensionsSpec": {"dimensions": ["etype"]}}},
+           "metricsSpec": [{"type": "count", "name": "cnt"}]}}""")
+    assert(flSpec.dataSchema.parser.flatten == Seq(
+      FlattenField("etype", "$.meta.kind"), FlattenField("ts", "$.ts")))
+    assert(intercept[IllegalArgumentException] {
+      SpecLoader.fromJson(
+        """{"dataSchema": {"dataSource": "t",
+             "parser": {"parseSpec": {
+               "format": "json",
+               "flattenSpec": {"fields": [{"type": "jq", "name": "x", "expr": ".a"}]},
+               "timestampSpec": {"column": "ts"},
+               "dimensionsSpec": {"dimensions": ["d"]}}},
+             "metricsSpec": []}}""")
+    }.getMessage.contains("jq"))
   }
 
   test("production clock path: rate source with processing-time now keeps all rows") {
