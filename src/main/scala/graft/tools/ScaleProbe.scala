@@ -46,7 +46,10 @@ object ScaleProbe {
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("customer", Seq("c_custkey"))
     replicate("events", Seq("event_id"))
-    Seq("region", "nation", "supplier", "part", "documents", "embeddings").foreach { t =>
+    // text corpus scales too (identical bodies per copy — adversarial for
+    // the gram/shingle shuffles: every key becomes n× hot)
+    replicate("documents", Seq("doc_id"))
+    Seq("region", "nation", "supplier", "part", "embeddings").foreach { t =>
       graft.queries.Tables.t(spark, baseSf, t)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
