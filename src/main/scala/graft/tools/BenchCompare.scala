@@ -81,7 +81,37 @@ object BenchCompare {
         .select(col("doc_id"), col("source"),
           explode(graft.functions.MinHash.strictShingles(col("text"), 5)).as("s"))
 
+    // ANN scan-cost ladder over a 50k-vector corpus (500 × 100 copies, ids
+    // remapped): float brute force vs PQ ADC code-table scan vs IVFADC
+    // probing 2 of 16 clusters. Indices are built ONCE here — the variants
+    // time the search scan, which is what repeats per query in production
+    val vecs = graft.queries.Tables.t(spark, sfDir, "embeddings")
+      .crossJoin(spark.range(100).withColumnRenamed("id", "__c"))
+      .select((col("vec_id") + col("__c") * 1000000L).as("vec_id"),
+        col("embedding")).cache()
+    vecs.count()
+    val annQuery = graft.queries.Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray
+    val pqCb = graft.functions.PqIndex.train(spark, vecs, "vec_id", "embedding",
+      m = 8, ks = 16, iterations = 2)
+    val pqCodes = graft.functions.PqIndex
+      .encode(vecs, "vec_id", "embedding", pqCb).cache()
+    pqCodes.count()
+    val ivfpq = graft.functions.IvfPq.build(spark, vecs, "vec_id", "embedding",
+      kCoarse = 16, m = 8, ks = 16, iterations = 2)
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
+      "ann_brute_50k" -> (() => {
+        val q = org.apache.spark.sql.functions.typedlit(annQuery)
+        vecs.withColumn("cos",
+            graft.functions.CosineSimilarity(col("embedding"), q))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      }),
+      "ann_pq_adc_50k" -> (() =>
+        graft.functions.PqIndex.search(pqCodes, annQuery, pqCb, topK = 10)),
+      "ann_ivfpq_probe2_50k" -> (() =>
+        ivfpq.search(annQuery, topK = 10, nProbe = 2)),
       "simhash_nd_allpairs_2k" -> (() => {
         val a = shSmall.select(col("id").as("id_a"), col("sh").as("sh_a"))
         val b = shSmall.select(col("id").as("id_b"), col("sh").as("sh_b"))
