@@ -31,6 +31,12 @@ object GraftFunctions {
         require(args.length == 2, "cosine_sim(a, b) takes 2 arguments")
         CosineSimilarity(args(0), args(1))
       }),
+    (new FunctionIdentifier("adc_distance"),
+      new ExpressionInfo(classOf[AdcDistance].getName, "adc_distance"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "adc_distance(codes, table) takes 2 arguments")
+        AdcDistance(args(0), args(1))
+      }),
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => {

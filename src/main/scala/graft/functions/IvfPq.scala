@@ -59,13 +59,13 @@ final case class IvfPqIndex(
       }
     }.toMap
     val tLit = typedlit(tables)
+    GraftFunctions.register(encoded.sparkSession)
     encoded
       .filter(col("cluster").isin(probes.toSeq: _*))
-      .withColumn("approx_dist", aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(cb.m - 1)),
-          (c, j) => element_at(element_at(element_at(tLit, col("cluster")),
-            j + 1), c + 1)),
-        lit(0.0), (a, x) => a + x))
+      // per-row table pick by cluster (map literal), then the native
+      // adc_distance kernel — same codegen loop as the flat-PQ path
+      .withColumn("approx_dist", call_function("adc_distance",
+        col("codes"), element_at(tLit, col("cluster"))))
       .orderBy(col("approx_dist").asc, col("id"))
       .limit(topK)
       .select(col("id"), col("cluster"), round(col("approx_dist"), 6).as("approx_dist"))

@@ -128,12 +128,13 @@ object PqIndex {
         s
       }
     }
-    val dtLit = typedlit(dt)
+    // native kernel (adc_distance Expression): the HOF composition
+    // (aggregate∘zip_with∘element_at) is an interpreted lambda per subspace
+    // per row and measured SLOWER than brute-force cosine at 50k vectors
+    GraftFunctions.register(encoded.sparkSession)
     encoded
-      .withColumn("approx_dist", aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(cb.m - 1)),
-          (c, j) => element_at(element_at(dtLit, j + 1), c + 1)),
-        lit(0.0), (a, x) => a + x))
+      .withColumn("approx_dist",
+        call_function("adc_distance", col("codes"), typedlit(dt)))
       .orderBy(col("approx_dist").asc, col("id"))
       .limit(topK)
       .select(col("id"), round(col("approx_dist"), 6).as("approx_dist"))

@@ -76,6 +76,27 @@ class PqSpec extends SparkSpec {
     assert(mean >= 0.25, f"PQ recall collapsed: $mean%.2f")
   }
 
+  test("adc_distance kernel: hand-computed sum, out-of-range code → null, SQL form") {
+    graft.functions.GraftFunctions.register(spark)
+    val table = Array(Array(1.0, 2.0), Array(10.0, 20.0), Array(100.0, 200.0))
+    val df = Seq(
+      (1L, Array(0, 1, 1)),  // 1 + 20 + 200 = 221
+      (2L, Array(1, 0, 0)),  // 2 + 10 + 100 = 112
+      (3L, Array(0, 5, 0))   // 5 out of range → null
+    ).toDF("id", "codes")
+    val got = df.select($"id",
+        call_function("adc_distance", $"codes", typedlit(table)).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(got(1L) == 221.0 && got(2L) == 112.0 && got(3L) == null)
+    // registered for SQL users too
+    df.createOrReplaceTempView("adc_t")
+    val viaSql = spark.sql(
+      "SELECT adc_distance(codes, array(array(1.0D, 2.0D), array(10.0D, 20.0D), " +
+        "array(100.0D, 200.0D))) FROM adc_t WHERE id = 1").head.getDouble(0)
+    assert(viaSql == 221.0)
+  }
+
   test("exact re-rank of the ADC shortlist recovers near-perfect recall") {
     val cb = PqIndex.train(spark, emb, "vec_id", "embedding", m = 8, ks = 16,
       iterations = 4)
