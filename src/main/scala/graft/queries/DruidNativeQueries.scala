@@ -272,6 +272,38 @@ object DruidNativeQueries {
             GROUP BY GROUPING SETS ((event_type, substring(event_type, 1, 2)),
                                     (event_type), ())""")),
 
+    // -- timeseries with skipEmptyBuckets=false (upstream's DEFAULT bucket
+    // contract): 48 hourly buckets over two days, a selective filter makes
+    // most of them empty — every bucket still emits, sums/counts zeroed ----
+    QueryDef("druid_json_timeseries_dense", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "hour",
+         "intervals": ["2024-01-05T00:00:00/2024-01-07T00:00:00"],
+         "filter": {"type": "selector", "dimension": "event_type",
+                    "value": "purchase"},
+         "context": {"skipEmptyBuckets": false},
+         "aggregations": [
+           {"type": "count", "name": "cnt"},
+           {"type": "longSum", "name": "su", "fieldName": "user_id"}]}""")
+        .select(date_format(col("__time"), fmt).as("bucket"),
+          col("cnt"), col("su"))
+    },
+    Some("""WITH buckets AS (
+              SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                TIMESTAMP '2024-01-06 23:00:00', INTERVAL 1 HOUR)) AS b),
+            agg AS (
+              SELECT date_trunc('hour', ts) AS b, count(*) AS cnt,
+                CAST(sum(user_id) AS BIGINT) AS su
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-07'
+                AND event_type = 'purchase'
+              GROUP BY 1)
+            SELECT strftime(buckets.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+              CAST(coalesce(agg.cnt, 0) AS BIGINT) AS cnt,
+              CAST(coalesce(agg.su, 0) AS BIGINT) AS su
+            FROM buckets LEFT JOIN agg ON buckets.b = agg.b""")),
+
     // -- search + expression filters composed (r3d filter-DSL additions) ----
     QueryDef("druid_json_search_expr_filter", (s, dir) => {
       run(s, dir, """

@@ -79,7 +79,7 @@ object DruidQueryCompiler {
     val prepared = filtered(virtual(base, root), root)
 
     str(root, "queryType", "") match {
-      case "timeseries"         => aggregate(prepared, root, Nil)
+      case "timeseries"         => timeseries(prepared, root)
       case "topN"               => topN(prepared, root)
       case "groupBy"            => groupBy(prepared, root)
       case "scan"               => scan(prepared, root)
@@ -235,6 +235,52 @@ object DruidQueryCompiler {
     opt(root, "postAggregations").toSeq.flatMap(_.elements.asScala)
       .map(SpecLoader.parsePostAgg)
       .foldLeft(grouped)((d, p) => d.withColumn(p.name, Aggregators.postAggColumn(p)))
+  }
+
+  // -------------------------------------------------------------- timeseries
+
+  /** timeseries = the shared aggregate core, plus upstream's empty-bucket
+    * contract: with `context.skipEmptyBuckets=false` (Druid's DEFAULT is
+    * false — buckets with no rows are emitted with identity aggregates),
+    * the query's intervals generate a dense bucket frame in-plan and
+    * missing buckets zero-fill sums/counts (other aggregates stay null,
+    * matching the identity Druid renders for them). The engine's default
+    * is skip=true — emitting empties needs explicit intervals and a
+    * fixed-width granularity, so the opt-in keeps the common case free of
+    * that requirement; asking for empties without them is an error, not a
+    * silent skip.
+    */
+  private def timeseries(df: DataFrame, root: JsonNode): DataFrame = {
+    val grouped = aggregate(df, root, Nil)
+    val skipEmpty = opt(root, "context").flatMap(c => opt(c, "skipEmptyBuckets"))
+      .forall(_.asBoolean) // absent → true: the engine default
+    if (skipEmpty) grouped
+    else {
+      val gran = granularity(root)
+      require(gran.widthSeconds > 0,
+        "skipEmptyBuckets=false needs a fixed-width granularity")
+      val intervals = intervalMillis(root)
+      require(intervals.nonEmpty, "skipEmptyBuckets=false needs intervals")
+      val widthMs = gran.widthSeconds * 1000L
+      val spark = df.sparkSession
+      val buckets = intervals.map { case (s, e) =>
+        require(e > s, "empty interval")
+        val first = Math.floorDiv(s, widthMs) * widthMs
+        val last = Math.floorDiv(e - 1, widthMs) * widthMs
+        spark.range(1).select(explode(sequence(
+          timestamp_millis(lit(first)), timestamp_millis(lit(last)),
+          expr(s"interval ${gran.widthSeconds} second"))).as(TimeCol))
+      }.reduce(_ unionAll _).distinct()
+      val aggSpecs = opt(root, "aggregations").toSeq.flatMap(_.elements.asScala)
+        .map(SpecLoader.parseAgg).toSeq
+      val types = grouped.schema.fields.map(f => f.name -> f.dataType).toMap
+      val zeroable = aggSpecs.filter(a =>
+        Seq("count", "longSum", "doubleSum").contains(a.aggType)).map(_.name) ++
+        (if (aggSpecs.isEmpty) Seq("rows") else Nil)
+      val joined = buckets.join(grouped, Seq(TimeCol), "left")
+      zeroable.foldLeft(joined)((d, n) =>
+        d.withColumn(n, coalesce(col(n), lit(0).cast(types(n)))))
+    }
   }
 
   // ------------------------------------------------------------------- topN

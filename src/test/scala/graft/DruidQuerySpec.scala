@@ -337,6 +337,30 @@ class DruidQuerySpec extends SparkSpec {
     }.getMessage.contains("metric type"))
   }
 
+  test("skipEmptyBuckets=false: empty buckets emit zero sums, null min; needs intervals") {
+    val out = run("""
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "hour",
+       "intervals": ["2024-03-01T00:00:00/2024-03-01T04:00:00"],
+       "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+       "context": {"skipEmptyBuckets": false},
+       "aggregations": [{"type": "count", "name": "cnt"},
+                        {"type": "doubleSum", "name": "sv", "fieldName": "value"},
+                        {"type": "doubleMin", "name": "mn", "fieldName": "value"}]}""")
+      .orderBy(col("__time"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    // clicks at 00 (1.0), 01 (4.0, 8.0); hours 02 and 03 are EMPTY but emit
+    assert(out.toSeq == Seq((1L, 1.0, 1.0), (2L, 12.0, 4.0),
+      (0L, 0.0, null), (0L, 0.0, null)))
+
+    assert(intercept[IllegalArgumentException] { run("""
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "hour", "context": {"skipEmptyBuckets": false},
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+    }.getMessage.contains("intervals"))
+  }
+
   test("registeredLookup: name resolves through the registry; unknown name rejected") {
     graft.queries.Lookups.register("dept",
       Map("click" -> "engagement", "view" -> "engagement"))
