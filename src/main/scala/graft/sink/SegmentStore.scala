@@ -362,6 +362,50 @@ object SegmentStore {
     * (segments × dims × batches), output = finals, partitioned by the same
     * segment key so readers and partition pruning are unaffected.
     */
+  /** Reindex: rebuild a store at COARSER granularities and optionally a
+    * dimension subset — the Druid reindex / compaction-with-granularity-
+    * change that coarsens aging data (hour segments → day, drop a
+    * high-cardinality dim) to cut segment counts and storage. Works on the
+    * stored PARTIALS: every aggregator re-merges through [[mergeColumn]]
+    * (sums/min/max re-sum, stored sketches stay re-mergeable binaries), so
+    * no raw data is needed. Dropping a dim just widens the merge groups —
+    * rollup semantics, not sampling.
+    *
+    * Correctness requires the new granularities to be coarser than (or
+    * equal to) the old — truncation composes only downward; fixed-width
+    * pairs are validated here (new width divisible by old), calendar
+    * coarsening (e.g. DAY partials → MONTH) is inherently aligned.
+    */
+  def reindex(spark: SparkSession, path: String, spec: IngestionSpec,
+      outPath: String,
+      segmentGranularity: graft.time.Granularity,
+      queryGranularity: graft.time.Granularity,
+      keepDims: Option[Seq[String]] = scala.None): Unit = {
+    val old = spec.dataSchema.granularitySpec.queryGranularity
+    if (old.widthSeconds > 0 && queryGranularity.widthSeconds > 0)
+      require(queryGranularity.widthSeconds % old.widthSeconds == 0,
+        s"reindex queryGranularity ${queryGranularity.name} is not a " +
+          s"multiple of the store's ${old.name}")
+    val merged = read(spark, path, spec, finalizeSketches = false)
+    val aggNames = spec.dataSchema.aggregators.map(_.name).toSet
+    val dimCols = merged.columns.toSeq.filterNot { c =>
+      c == Pipeline.TsCol || c == Pipeline.SegmentCol || aggNames(c)
+    }
+    keepDims.foreach(ks => ks.foreach(k => require(dimCols.contains(k),
+      s"keepDims column '$k' is not a dimension of the store ($dimCols)")))
+    val kept = keepDims.getOrElse(dimCols)
+    val rebucketed = merged
+      .withColumn(Pipeline.TsCol, queryGranularity.truncate(col(Pipeline.TsCol)))
+      .withColumn(Pipeline.SegmentCol,
+        segmentGranularity.truncate(col(Pipeline.TsCol)))
+    val merges = spec.dataSchema.aggregators
+      .map(mergeColumn(_, finalizeSketches = false))
+    val out = rebucketed
+      .groupBy((Pipeline.TsCol +: Pipeline.SegmentCol +: kept).map(col): _*)
+      .agg(merges.head, merges.tail: _*)
+    SegmentSink.writeBatch(out, outPath)
+  }
+
   def compact(spark: SparkSession, path: String, spec: IngestionSpec,
       outPath: String): Unit = {
     // sketches stay binary through compaction — compacted stores re-merge.

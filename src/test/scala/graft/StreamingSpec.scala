@@ -375,6 +375,56 @@ class StreamingSpec extends SparkSpec {
     assert(again.count() == 1)
   }
 
+  test("reindex coarsens granularity and drops dims; partials re-merge; sketches survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-reindex").toString
+    val now = ts("2024-03-01 12:00:00")
+    // hour-granularity store with a region dim and a stored HLL sketch
+    val spec2 = spec.copy(dataSchema = spec.dataSchema.copy(
+      dimensionsSpec = SpecificDimensions(Seq("etype", "region")),
+      aggregators = spec.dataSchema.aggregators :+
+        AggregatorSpec("hllSketch", "users", Some("region"))))
+    val ingest = new IngestStream(spark, spec2, s"$tmp/cp")
+    val in = MemoryStream[Ev2]
+    ingest.start(in.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    // inside the ±30m window around now=12:00, spanning hours 11 and 12
+    in.addData(
+      Ev2(ts("2024-03-01 11:40:00"), "click", "eu", 1.0),
+      Ev2(ts("2024-03-01 11:50:00"), "click", "us", 2.0),
+      Ev2(ts("2024-03-01 12:10:00"), "click", "eu", 4.0),
+      Ev2(ts("2024-03-01 12:20:00"), "view", "eu", 8.0))
+    ingest.flushAndStop()
+    assert(spark.read.parquet(s"$tmp/out")
+      .select($"segment").distinct().count() == 2) // two hour segments
+
+    // hour → day, dropping the region dim
+    graft.sink.SegmentStore.reindex(spark, s"$tmp/out", spec2,
+      s"$tmp/reindexed", Granularity.Day, Granularity.Day,
+      keepDims = Some(Seq("etype")))
+    val re = spark.read.parquet(s"$tmp/reindexed")
+    assert(re.select($"segment").distinct().count() == 1) // one day segment
+    assert(!re.columns.contains("region"))
+
+    // merged read with the coarsened spec: groups collapse, sums re-merge,
+    // the sketch still estimates 2 distinct regions for click
+    val daySpec = spec2.copy(dataSchema = spec2.dataSchema.copy(
+      dimensionsSpec = SpecificDimensions(Seq("etype")),
+      granularitySpec = GranularitySpec(Granularity.Day, Granularity.Day)))
+    val m = graft.sink.SegmentStore.read(spark, s"$tmp/reindexed", daySpec)
+      .select($"etype", $"cnt", $"total", $"users")
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("click") == ((3L, 7.0, 2L)))
+    assert(m("view") == ((1L, 8.0, 1L)))
+
+    // refusing to refine: day store cannot reindex back to hour
+    assert(intercept[IllegalArgumentException] {
+      graft.sink.SegmentStore.reindex(spark, s"$tmp/reindexed", daySpec,
+        s"$tmp/bad", Granularity.Hour, Granularity.Hour)
+    }.getMessage.contains("multiple"))
+  }
+
   test("streaming session windows (engine surface, state store)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
