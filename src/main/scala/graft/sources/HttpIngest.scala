@@ -62,6 +62,7 @@ final class HttpIngestServer(
       // longest-prefix routing: /druid/v2/sql wins over /druid/v2
       s.createContext("/druid/v2/sql", (ex: HttpExchange) => handleSql(ex))
     }
+    s.createContext("/status", (ex: HttpExchange) => handleStatus(ex))
     // without an executor the JDK server handles requests on ONE thread,
     // serializing posts across dataSources despite the per-ds locks
     val p = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -190,6 +191,23 @@ final class HttpIngestServer(
           reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}"""); return
       }
       reply(ex, 200, result)
+    } catch {
+      case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+
+  /** Health/metrics endpoint (`GET /status`): per-dataSource cumulative
+    * engine counters — the same received/sent/dropped invariant the sync
+    * POST replies report per request, here as process totals (upstream
+    * tranquility-server's status surface).
+    */
+  private def handleStatus(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "GET") { reply(ex, 405, """{"error":"GET only"}"""); return }
+      val all = routes ++ attach.map("_attached" -> _).toMap
+      val per = all.toSeq.sortBy { case (ds, _) => ds }.map { case (ds, s) =>
+        s"""${quote(ds)}:{"received":${s.received},"sent":${s.sent},"dropped":${s.dropped}}"""
+      }
+      reply(ex, 200, per.mkString("""{"dataSources":{""", ",", "}}"))
     } catch {
       case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
     } finally ex.close()

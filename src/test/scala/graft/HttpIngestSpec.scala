@@ -33,6 +33,13 @@ class HttpIngestSpec extends SparkSpec {
     (resp.statusCode(), resp.body())
   }
 
+  private def get(port: Int, path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(s"http://127.0.0.1:$port$path")).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
   test("concurrent posts: conservation holds under parallel producers") {
     val tmp = Files.createTempDirectory("graft-http-conc").toString
     val spool = s"$tmp/spool"
@@ -209,6 +216,14 @@ class HttpIngestSpec extends SparkSpec {
       val (sc3, sb3) = post(handle.port, "/druid/v2/sql",
         """{"query": "SELECT * FROM unknown_ds"}""")
       assert(sc3 == 400 && sb3.contains("no known dataSource"), sb3)
+
+      // GET /status: per-dataSource cumulative counters
+      val (stc, stb) = get(handle.port, "/status")
+      assert(stc == 200, stb)
+      assert(stb.contains(
+        "\"clicks_ds\":{\"received\":3,\"sent\":3,\"dropped\":0}"), stb)
+      assert(stb.contains(
+        "\"views_ds\":{\"received\":1,\"sent\":1,\"dropped\":0}"), stb)
     } finally handle.close()
     val clicks = spark.read.parquet(s"$tmp/stores/clicks_ds")
     assert(clicks.agg(sum($"cnt"), sum($"total")).as[(Long, Double)].head() == ((3L, 11.0)))
