@@ -134,10 +134,63 @@ object DruidQueryCompiler {
   private def filtered(df: DataFrame, root: JsonNode): DataFrame =
     dslFiltered(intervalsColumn(root).map(df.filter).getOrElse(df), root)
 
-  /** the filter DSL only (no intervals clause). */
+  /** the filter DSL only (no intervals clause). Filters carrying an
+    * `extractionFn` (Druid: selector/in/bound compare the EXTRACTED value)
+    * compile here where the extraction compiler lives; plain subtrees
+    * delegate to the shared [[Filters]]/[[SpecLoader]] path.
+    */
   private def dslFiltered(df: DataFrame, root: JsonNode): DataFrame =
-    opt(root, "filter").map(SpecLoader.parseFilter)
-      .map(f => df.filter(Filters.toColumn(f))).getOrElse(df)
+    opt(root, "filter")
+      .map(f => df.filter(filterColumn(f))).getOrElse(df)
+
+  private def hasExtraction(n: JsonNode): Boolean =
+    opt(n, "extractionFn").isDefined ||
+      opt(n, "fields").exists(_.elements.asScala.exists(hasExtraction)) ||
+      opt(n, "field").exists(hasExtraction)
+
+  /** Filter JSON → Column. Extraction-bearing nodes compare the extracted
+    * value with the same never-NULL Druid null semantics as [[Filters]]
+    * (null/missing extraction output never matches, so not() does). */
+  private[queries] def filterColumn(n: JsonNode): Column =
+    if (!hasExtraction(n)) Filters.toColumn(SpecLoader.parseFilter(n))
+    else str(n, "type", "") match {
+      case "and" => opt(n, "fields").toSeq.flatMap(_.elements.asScala)
+        .map(filterColumn).reduceOption(_ && _).getOrElse(lit(true))
+      case "or" => opt(n, "fields").toSeq.flatMap(_.elements.asScala)
+        .map(filterColumn).reduceOption(_ || _).getOrElse(lit(false))
+      case "not" => !filterColumn(opt(n, "field").getOrElse(
+        throw new IllegalArgumentException("not filter needs a field")))
+      case t @ ("selector" | "in" | "bound") =>
+        val fn = opt(n, "extractionFn").getOrElse(
+          throw new IllegalArgumentException(
+            s"extraction filter '$t' reached without extractionFn"))
+        val extracted = extraction(col(str(n, "dimension", "")), fn)
+        val c = t match {
+          case "selector" => extracted <=> lit(str(n, "value", ""))
+          case "in" =>
+            val vs = opt(n, "values").toSeq.flatMap(_.elements.asScala)
+              .map(_.asText)
+            extracted.isNotNull && extracted.isin(vs: _*)
+          case "bound" =>
+            // delegate range semantics to the shared BoundFilter compile by
+            // re-parsing the node minus extractionFn, over a renamed column?
+            // — simpler: lexicographic-only on the extracted string
+            require(str(n, "ordering", "lexicographic") == "lexicographic",
+              "bound filter with extractionFn supports lexicographic ordering")
+            val lo = opt(n, "lower").map(v =>
+              if (opt(n, "lowerStrict").exists(_.asBoolean))
+                extracted > lit(v.asText) else extracted >= lit(v.asText))
+            val hi = opt(n, "upper").map(v =>
+              if (opt(n, "upperStrict").exists(_.asBoolean))
+                extracted < lit(v.asText) else extracted <= lit(v.asText))
+            extracted.isNotNull &&
+              (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+        }
+        c
+      case other => throw new IllegalArgumentException(
+        s"extractionFn is not supported on filter type '$other' " +
+          "(selector/in/bound)")
+    }
 
   private[queries] def intervalsColumn(root: JsonNode): Option[Column] = {
     val specs = opt(root, "intervals").toSeq.flatMap(_.elements.asScala)

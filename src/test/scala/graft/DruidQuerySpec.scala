@@ -337,6 +337,36 @@ class DruidQuerySpec extends SparkSpec {
     }.getMessage.contains("metric type"))
   }
 
+  test("filters with extractionFn: selector/in/bound compare the extracted value") {
+    def cnt(filter: String): Long = run(s"""
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "all", "filter": $filter,
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select("cnt").head.getLong(0)
+    // substring(0,2): click/view/buy → cl/vi/bu
+    assert(cnt("""{"type": "selector", "dimension": "event_type", "value": "cl",
+                   "extractionFn": {"type": "substring", "index": 0, "length": 2}}""") == 3L)
+    // upper(): IN over extracted uppercase
+    assert(cnt("""{"type": "in", "dimension": "event_type",
+                   "values": ["VIEW", "BUY"],
+                   "extractionFn": {"type": "upper"}}""") == 3L)
+    // bound over strlen-as-string? lexicographic bound over upper()
+    assert(cnt("""{"type": "bound", "dimension": "event_type",
+                   "lower": "B", "upper": "C",
+                   "extractionFn": {"type": "upper"}}""") == 1L) // BUY only
+    // composition: not(extraction selector) — plain subtree + extraction mix
+    assert(cnt("""{"type": "and", "fields": [
+        {"type": "not", "field": {"type": "selector", "dimension": "event_type",
+          "value": "cl",
+          "extractionFn": {"type": "substring", "index": 0, "length": 2}}},
+        {"type": "selector", "dimension": "user", "value": "bob"}]}""") == 2L)
+    // extractionFn on an unsupported filter type rejected
+    assert(intercept[IllegalArgumentException] {
+      cnt("""{"type": "regex", "dimension": "event_type", "pattern": "c.*",
+             "extractionFn": {"type": "upper"}}""")
+    }.getMessage.contains("not supported"))
+  }
+
   test("skipEmptyBuckets=false: empty buckets emit zero sums, null min; needs intervals") {
     val out = run("""
       {"queryType": "timeseries", "dataSource": "events",
