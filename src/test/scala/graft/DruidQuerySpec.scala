@@ -471,6 +471,31 @@ class DruidQuerySpec extends SparkSpec {
     }.getMessage.contains("averagers"))
   }
 
+  test("movingAverage with dimensions: per-dim dense frames and windows") {
+    val out = run("""
+      {"queryType": "movingAverage", "dataSource": "events",
+       "granularity": "hour",
+       "intervals": ["2024-03-01T01:00:00/2024-03-01T03:00:00"],
+       "dimensions": ["event_type"],
+       "aggregations": [{"type": "doubleSum", "name": "sv", "fieldName": "value"}],
+       "averagers": [{"type": "doubleMean", "name": "ma2", "fieldName": "sv",
+                      "buckets": 2}]}""")
+      .orderBy(col("event_type"), col("__time"))
+      .select(date_format(col("__time"), "HH:mm").as("h"),
+        col("event_type"), col("sv"), col("ma2"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3)))
+    // click: 00→1.0, 01→12.0, 02→0 (empty, zero-filled per-dim)
+    // view:  00→2.0, 01→0,    02→16.0 ; buy: 02→32.0 (backward ext: 01→0)
+    assert(out.toSeq == Seq(
+      ("01:00", "buy", 0.0, 0.0),
+      ("02:00", "buy", 32.0, 16.0),
+      ("01:00", "click", 12.0, 6.5),
+      ("02:00", "click", 0.0, 6.0),
+      ("01:00", "view", 0.0, 1.0),
+      ("02:00", "view", 16.0, 8.0)))
+  }
+
   test("subtotalsSpec: grouping sets with nulled dims; bad dim rejected") {
     val out = run("""
       {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
