@@ -31,6 +31,30 @@ object GraftFunctions {
         require(args.length == 2, "cosine_sim(a, b) takes 2 arguments")
         CosineSimilarity(args(0), args(1))
       }),
+    (new FunctionIdentifier("lookup"),
+      new ExpressionInfo("graft.queries.Lookups", "lookup"),
+      (args: Seq[Expression]) => {
+        // Druid SQL LOOKUP(expr, 'name'): the registered map resolves at
+        // analysis into a map literal (same plan shape as the inline
+        // extractionFn form); missing key → null, like upstream
+        require(args.length == 2, "lookup(expr, 'name') takes 2 arguments")
+        val name = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+              if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"lookup name must be a string literal, got $other")
+        }
+        val mapping = graft.queries.Lookups.get(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"lookup '$name' is not registered " +
+              s"(registered: ${graft.queries.Lookups.names.mkString(",")})"))
+        import org.apache.spark.sql.catalyst.expressions.{Cast, CreateMap, ElementAt, Literal}
+        val entries = mapping.toSeq.sortBy { case (k, _) => k }
+          .flatMap { case (k, v) => Seq(Literal(k), Literal(v)) }
+        ElementAt(CreateMap(entries),
+          Cast(args(0), org.apache.spark.sql.types.StringType),
+          scala.None, failOnError = false)
+      }),
     (new FunctionIdentifier("adc_distance"),
       new ExpressionInfo(classOf[AdcDistance].getName, "adc_distance"),
       (args: Seq[Expression]) => {

@@ -508,6 +508,74 @@ object TextQueries {
             SELECT r.source, r.tokens, r.weight, r.rate_permille,
               CAST(coalesce(sm.sampled_docs, 0) AS BIGINT) AS sampled_docs,
               CAST(coalesce(sm.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
-            FROM r LEFT JOIN sm USING (source)"""))
+            FROM r LEFT JOIN sm USING (source)""")),
+
+    // -- UNIGRAM LOG-PROBABILITY quality scores (the KenLM-proxy filter a
+    // curation pipeline runs when no LM is available — CCNet uses a real
+    // LM, the unigram form is its self-contained analog): corpus word
+    // frequencies (one shuffle) → per-doc mean log p(w). Low scorers are
+    // rare-word salad / junk; high scorers are stopword soup. The freq
+    // table is vocabulary-sized — broadcast at this SF, SMJ at web scale.
+    // Determinism: ln is within 1 ulp in both engines (~1e-16) and the
+    // distributed mean's summation-order wobble is ~1e-13 — round(…,5)
+    // sits 8 orders of magnitude above both.
+    QueryDef("unigram_logprob_scores", (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val total = freq.agg(sum(col("c")).as("n"))
+      words.join(freq, Seq("w"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(col("c").cast("double") / col("n"))), 5)
+            .as("mean_logprob"))
+    },
+    Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                           FROM documents),
+              freq AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+              t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq)
+            SELECT doc_id, count(*) AS n_tokens,
+              round(avg(ln(CAST(c AS DOUBLE) / n)), 5) AS mean_logprob
+            FROM words JOIN freq USING (w), t
+            GROUP BY 1""")),
+
+    // -- TF-IDF keyword extraction: top-3 terms per doc. The RANKING is
+    // exact-integer — (tf desc, df asc, word asc): same tf ⇒ the rarer
+    // word wins, which is tf-idf's order whenever tf ties — so no float
+    // comparison can flip ranks between engines; the tf·idf score itself
+    // is emitted as a rounded display column. Two shuffles (doc-word tf,
+    // word df) + a window per doc.
+    QueryDef("tfidf_top_terms", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.t(s, dir, "documents")
+      val n = docs.count() // corpus size: one scalar, exact
+      val tf = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("w").asc)
+      tf.join(df_, Seq("w"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w").as("term"),
+          col("tf"), col("df"),
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 5).as("score"))
+    },
+    Some("""WITH tf AS (SELECT doc_id, w, count(*) AS tf
+                        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                              FROM documents)
+                        GROUP BY 1, 2),
+              df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents),
+              ranked AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                           row_number() OVER (PARTITION BY tf.doc_id
+                             ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rank
+                         FROM tf JOIN df USING (w))
+            SELECT doc_id, CAST(rank AS INT) AS rank, w AS term, tf, df,
+              round(tf * ln(CAST(n.n AS DOUBLE) / df), 5) AS score
+            FROM ranked, n WHERE rank <= 3"""))
   )
 }

@@ -416,6 +416,22 @@ class DruidQuerySpec extends SparkSpec {
     }.getMessage.contains("not registered"))
   }
 
+  test("LOOKUP() SQL function resolves the registry; miss → null; bad name errors") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.queries.Lookups.register("dept_sql", Map("click" -> "engagement"))
+    try {
+      events.createOrReplaceTempView("lookup_events")
+      val rows = spark.sql(
+        """SELECT lookup(event_type, 'dept_sql') AS dept, count(*) AS cnt
+           FROM lookup_events GROUP BY 1""")
+        .collect().map(r => Option(r.getString(0)).orNull -> r.getLong(1)).toMap
+      assert(rows == Map("engagement" -> 3L, (null: String) -> 3L))
+      assert(intercept[Exception] {
+        spark.sql("SELECT lookup(event_type, 'nope') FROM lookup_events").collect()
+      }.getMessage.contains("not registered"))
+    } finally graft.queries.Lookups.unregister("dept_sql")
+  }
+
   test("segmentMetadata: per-column stats, null counting, bad column rejected") {
     val src = Seq((ts("2024-03-01 00:00:00"), "a", Some(1L)),
       (ts("2024-03-01 01:00:00"), "b", None),
