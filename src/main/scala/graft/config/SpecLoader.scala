@@ -149,8 +149,11 @@ object SpecLoader {
       ParserSpec(
         format = format,
         columns = opt(p, "columns").toSeq.flatMap(_.elements.asScala).map(_.asText),
+        // upstream defaults: csv splits on comma; tsv AND "delimited"
+        // default to TAB (Druid's DelimitedParseSpec default — a verbatim
+        // delimited spec without a delimiter must not silently null out)
         delimiter = str(p, "delimiter",
-          if (str(p, "format", "json") == "tsv") "\t" else ","),
+          if (str(p, "format", "json") == "csv") "," else "\t"),
         pattern = pattern,
         flatten = flatten)
     }.getOrElse(ParserSpec())
@@ -163,7 +166,19 @@ object SpecLoader {
   /** Druid filter DSL subset: selector / in / and / or / not / bound.
     * Malformed filters fail HERE, where every other spec error surfaces —
     * not at first query time. */
-  private[graft] def parseFilter(n: JsonNode): FilterSpec = str(n, "type", "") match {
+  private[graft] def parseFilter(n: JsonNode): FilterSpec = {
+    // extraction-bearing filters only exist on the query path, where
+    // DruidQueryCompiler.filterColumn compiles them BEFORE reaching here;
+    // anywhere else (ingest transformSpec, filtered aggregators) silently
+    // comparing the RAW dimension would be wrong data — refuse loudly
+    require(opt(n, "extractionFn").isEmpty,
+      s"extractionFn is not supported in '${str(n, "type", "")}' filters " +
+        "here (query-clause filters support it; ingest/filtered-aggregator " +
+        "filters do not)")
+    parseFilterInner(n)
+  }
+
+  private def parseFilterInner(n: JsonNode): FilterSpec = str(n, "type", "") match {
     case "selector" => SelectorFilter(str(n, "dimension", ""), str(n, "value", ""))
     case "in" => InFilter(str(n, "dimension", ""),
       opt(n, "values").toSeq.flatMap(_.elements.asScala).map(_.asText))

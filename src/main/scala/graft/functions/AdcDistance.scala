@@ -50,9 +50,12 @@ case class AdcDistance(left: Expression, right: Expression)
     var s = 0.0
     var j = 0
     while (j < m) {
+      // null ELEMENTS are corrupted input too: a null code would read as 0
+      // (wrong answer), a null table row would NPE — both become null
+      if (codes.isNullAt(j) || table.isNullAt(j)) return null
       val row = table.getArray(j)
       val code = codes.getInt(j)
-      if (code < 0 || code >= row.numElements()) return null
+      if (code < 0 || code >= row.numElements() || row.isNullAt(code)) return null
       s += row.getDouble(code)
       j += 1
     }
@@ -70,10 +73,12 @@ case class AdcDistance(left: Expression, right: Expression)
          |int $m = java.lang.Math.min($c.numElements(), $t.numElements());
          |double $s = 0.0;
          |for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
+         |  if ($c.isNullAt($j) || $t.isNullAt($j)) { ${ev.isNull} = true; continue; }
          |  org.apache.spark.sql.catalyst.util.ArrayData $row = $t.getArray($j);
          |  int $code = $c.getInt($j);
-         |  if ($code < 0 || $code >= $row.numElements()) { ${ev.isNull} = true; }
-         |  else { $s += $row.getDouble($code); }
+         |  if ($code < 0 || $code >= $row.numElements() || $row.isNullAt($code)) {
+         |    ${ev.isNull} = true;
+         |  } else { $s += $row.getDouble($code); }
          |}
          |${ev.value} = $s;
        """.stripMargin

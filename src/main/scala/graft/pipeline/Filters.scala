@@ -45,7 +45,10 @@ object Filters {
       // contains; insensitive via lower() on both sides (Druid's
       // insensitive_contains) — null dim never matches
       val (lhs, needle) =
-        if (cs) (col(d), lit(v)) else (lower(col(d)), lit(v.toLowerCase))
+        if (cs) (col(d), lit(v))
+        // Locale.ROOT: Spark's lower() is locale-independent; a default-
+        // locale toLowerCase diverges under e.g. Turkish ı-dotting
+        else (lower(col(d)), lit(v.toLowerCase(java.util.Locale.ROOT)))
       col(d).isNotNull && lhs.contains(needle)
     case graft.config.ColumnComparisonFilter(ds) =>
       // Druid matches when ALL named columns carry the same value, nulls

@@ -277,13 +277,18 @@ object DruidQueryCompiler {
         val dimNames = dims.map(_._1)
         sets.foreach(s => s.foreach(d => require(dimNames.contains(d),
           s"subtotalsSpec dimension '$d' is not in dimensions $dimNames")))
-        // materialize computed dim columns first so the sets reference them
+        // materialize computed dims under RESERVED temp names — writing the
+        // output name directly would clobber a same-named input column the
+        // aggregators still need (e.g. an extraction dim shadowing the
+        // metric it reads); rename back after the aggregation
+        val tmp = dimNames.map(n => n -> s"__subtotal_$n").toMap
         val withDims = dims.foldLeft(bucketed) { case (d, (n, c)) =>
-          d.withColumn(n, c) }
-        withDims.groupingSets(
-          sets.map(s => col(TimeCol) +: s.map(col)).toList,
-          (col(TimeCol) +: dimNames.map(col)): _*)
+          d.withColumn(tmp(n), c) }
+        val grouped0 = withDims.groupingSets(
+          sets.map(s => col(TimeCol) +: s.map(n => col(tmp(n)))).toList,
+          (col(TimeCol) +: dimNames.map(n => col(tmp(n)))): _*)
           .agg(aggs.head, aggs.tail: _*)
+        dimNames.foldLeft(grouped0)((d, n) => d.withColumnRenamed(tmp(n), n))
     }
     opt(root, "postAggregations").toSeq.flatMap(_.elements.asScala)
       .map(SpecLoader.parsePostAgg)
@@ -314,26 +319,51 @@ object DruidQueryCompiler {
         "skipEmptyBuckets=false needs a fixed-width granularity")
       val intervals = intervalMillis(root)
       require(intervals.nonEmpty, "skipEmptyBuckets=false needs intervals")
-      val widthMs = gran.widthSeconds * 1000L
-      val spark = df.sparkSession
-      val buckets = intervals.map { case (s, e) =>
-        require(e > s, "empty interval")
-        val first = Math.floorDiv(s, widthMs) * widthMs
-        val last = Math.floorDiv(e - 1, widthMs) * widthMs
-        spark.range(1).select(explode(sequence(
-          timestamp_millis(lit(first)), timestamp_millis(lit(last)),
-          expr(s"interval ${gran.widthSeconds} second"))).as(TimeCol))
-      }.reduce(_ unionAll _).distinct()
-      val aggSpecs = opt(root, "aggregations").toSeq.flatMap(_.elements.asScala)
-        .map(SpecLoader.parseAgg).toSeq
-      val types = grouped.schema.fields.map(f => f.name -> f.dataType).toMap
-      val zeroable = aggSpecs.filter(a =>
-        Seq("count", "longSum", "doubleSum").contains(a.aggType)).map(_.name) ++
-        (if (aggSpecs.isEmpty) Seq("rows") else Nil)
+      val buckets = bucketFrame(df.sparkSession, intervals, gran)
       val joined = buckets.join(grouped, Seq(TimeCol), "left")
-      zeroable.foldLeft(joined)((d, n) =>
-        d.withColumn(n, coalesce(col(n), lit(0).cast(types(n)))))
+      zeroFill(joined, root, grouped)
     }
+  }
+
+  /** Dense in-plan bucket frame covering `intervals` at `gran` (first
+    * bucket = truncated interval start). Shared by the dense-timeseries and
+    * movingAverage paths.
+    */
+  private def bucketFrame(spark: org.apache.spark.sql.SparkSession,
+      intervals: Seq[(Long, Long)], gran: Granularity): DataFrame = {
+    val widthMs = gran.widthSeconds * 1000L
+    intervals.map { case (s, e) =>
+      require(e > s, "empty interval")
+      val first = Math.floorDiv(s, widthMs) * widthMs
+      val last = Math.floorDiv(e - 1, widthMs) * widthMs
+      spark.range(1).select(explode(sequence(
+        timestamp_millis(lit(first)), timestamp_millis(lit(last)),
+        expr(s"interval ${gran.widthSeconds} second"))).as(TimeCol))
+    }.reduce(_ unionAll _).distinct()
+  }
+
+  /** Aggregator names whose empty-bucket identity is ZERO: counts and sums,
+    * reaching through `filtered` wrappers to the delegate's type (a
+    * filtered count is still a count). Everything else (min/max, first/
+    * last, sketches) keeps null — the identity Druid renders for no data.
+    */
+  private def zeroableNames(root: JsonNode): Seq[String] = {
+    def effective(a: graft.config.AggregatorSpec): String =
+      if (a.aggType == "filtered") a.aggregator.map(effective).getOrElse("")
+      else a.aggType
+    val aggSpecs = opt(root, "aggregations").toSeq.flatMap(_.elements.asScala)
+      .map(SpecLoader.parseAgg).toSeq
+    aggSpecs.filter(a => Seq("count", "longSum", "doubleSum")
+      .contains(effective(a))).map(_.name) ++
+      (if (aggSpecs.isEmpty) Seq("rows") else Nil)
+  }
+
+  /** coalesce the zeroable aggregator outputs of `joined` to typed zeros. */
+  private def zeroFill(joined: DataFrame, root: JsonNode,
+      typed: DataFrame): DataFrame = {
+    val types = typed.schema.fields.map(f => f.name -> f.dataType).toMap
+    zeroableNames(root).foldLeft(joined)((d, n) =>
+      d.withColumn(n, coalesce(col(n), lit(0).cast(types(n)))))
   }
 
   // ------------------------------------------------------------------- topN
@@ -679,23 +709,28 @@ object DruidQueryCompiler {
     val base = aggregate(extended, root, dims)
 
     // dense bucket frame [extStart, lastBucket], engine-side
-    val lastMs = Math.floorDiv(endMs - 1, widthMs) * widthMs
-    val spark = df.sparkSession
-    val buckets = spark.range(1).select(explode(sequence(
-      timestamp_millis(lit(extStartMs)), timestamp_millis(lit(lastMs)),
-      expr(s"interval ${gran.widthSeconds} second"))).as(TimeCol))
+    val buckets = bucketFrame(df.sparkSession, Seq((extStartMs, endMs)), gran)
     val frame =
       if (dims.isEmpty) buckets
       else buckets.crossJoin(base.select(dimNames.map(col): _*).distinct())
 
-    // zero-fill the aggregation outputs on missing buckets
-    val aggNames = opt(root, "aggregations").toSeq.flatMap(_.elements.asScala)
-      .map(SpecLoader.parseAgg).map(_.name).toSeq
-    require(aggNames.nonEmpty, "movingAverage needs aggregations")
-    val baseTypes = base.schema.fields.map(f => f.name -> f.dataType).toMap
-    val zeroFilled0 = frame.join(base, TimeCol +: dimNames, "left")
-    val zeroFilled = aggNames.foldLeft(zeroFilled0)((d, n) =>
-      d.withColumn(n, coalesce(col(n), lit(0).cast(baseTypes(n)))))
+    require(opt(root, "aggregations").exists(_.elements.asScala.nonEmpty),
+      "movingAverage needs aggregations")
+    // NULL-SAFE dim equality: a null dimension VALUE is a legitimate group
+    // (Druid renders it); a plain equi-join would orphan its base rows and
+    // zero-fill the frame side — silent wrong data
+    val bCols = Seq(col(TimeCol).as("__bt")) ++
+      dimNames.map(n => col(n).as(s"__bd_$n")) ++
+      base.columns.filterNot(c => c == TimeCol || dimNames.contains(c))
+        .toSeq.map(col)
+    val bJoin = base.select(bCols: _*)
+    val cond = (col(TimeCol) === col("__bt")) +: dimNames.map(n =>
+      col(n) <=> col(s"__bd_$n"))
+    val joined = frame.join(bJoin, cond.reduce(_ && _), "left")
+      .drop("__bt").drop(dimNames.map(n => s"__bd_$n"): _*)
+    // empty buckets: counts/sums (incl. through filtered wrappers) become
+    // zero; min/max/first/last/sketches keep null — Druid's identities
+    val zeroFilled = zeroFill(joined, root, base)
 
     val w = Window.partitionBy(dimNames.map(col): _*).orderBy(col(TimeCol))
     val withAvg = averagers.foldLeft(zeroFilled) { (d, a) =>

@@ -128,6 +128,12 @@ object Sources {
       case "regex" =>
         val pat = parser.pattern.getOrElse(
           throw new IllegalArgumentException("regex parser needs a pattern"))
+        // group-count vs schema mismatch would otherwise throw on the FIRST
+        // matching record and kill the stream — fail here, at wiring time
+        val groups = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+        require(groups >= valueSchema.fields.length,
+          s"regex parseSpec pattern has $groups capture group(s) but the " +
+            s"value schema declares ${valueSchema.fields.length} field(s)")
         val matches = value.rlike(pat)
         raw.select(valueSchema.fields.toSeq.zipWithIndex.map { case (f, i) =>
           when(matches, regexp_extract(value, pat, i + 1))

@@ -487,6 +487,59 @@ class DruidQuerySpec extends SparkSpec {
     }.getMessage.contains("averagers"))
   }
 
+  test("review regressions: null-dim groups, filtered zero-fill, min stays null, subtotal shadowing") {
+    // (1) movingAverage with a NULL dimension value: the null group keeps
+    // its real aggregates (null-safe dim join), not zeros
+    val withNullDim = Seq(
+      (ts("2024-03-01 00:30:00"), null.asInstanceOf[String], 5.0),
+      (ts("2024-03-01 01:30:00"), "click", 3.0))
+      .toDF("__time", "event_type", "value")
+    val ma = DruidQueryCompiler.compile("""
+      {"queryType": "movingAverage", "dataSource": "t",
+       "granularity": "hour",
+       "intervals": ["2024-03-01T00:00:00/2024-03-01T02:00:00"],
+       "dimensions": ["event_type"],
+       "aggregations": [{"type": "doubleSum", "name": "sv", "fieldName": "value"}],
+       "averagers": [{"type": "doubleMean", "name": "m2", "fieldName": "sv",
+                      "buckets": 2}]}""", _ => withNullDim)
+      .select(date_format(col("__time"), "HH:mm").as("h"),
+        col("event_type"), col("sv"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(ma.contains(("00:00", null, 5.0)), ma) // not zeroed
+    assert(ma.contains(("01:00", "click", 3.0)), ma)
+
+    // (2) dense timeseries: filtered-wrapped count zero-fills; min stays null
+    val dense = run("""
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "hour",
+       "intervals": ["2024-03-01T02:00:00/2024-03-01T04:00:00"],
+       "context": {"skipEmptyBuckets": false},
+       "aggregations": [
+         {"type": "filtered", "name": "fcnt",
+          "filter": {"dimension": "event_type", "value": "view"},
+          "aggregator": {"type": "count", "name": "fcnt"}},
+         {"type": "doubleMin", "name": "mn", "fieldName": "value"}]}""")
+      .orderBy(col("__time"))
+      .collect().map(r => (r.getLong(1), r.isNullAt(2)))
+    // hour 02 has a view+buy; hour 03 empty: fcnt 0 (not null), mn null
+    assert(dense.toSeq == Seq((1L, false), (0L, true)))
+
+    // (3) subtotals: an extraction dim whose outputName shadows the metric
+    // input must not corrupt the aggregation
+    val shadow = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": [
+         {"type": "extraction", "dimension": "event_type",
+          "outputName": "value",
+          "extractionFn": {"type": "substring", "index": 0, "length": 1}}],
+       "subtotalsSpec": [[], ["value"]],
+       "aggregations": [{"type": "doubleSum", "name": "sv", "fieldName": "value"}]}""")
+      .select(col("value"), col("sv"))
+      .collect().map(r => Option(r.getString(0)).orNull -> r.getDouble(1)).toMap
+    assert(shadow(null) == 63.0, shadow) // grand total sums the METRIC
+    assert(shadow("c") == 13.0 && shadow("v") == 18.0 && shadow("b") == 32.0)
+  }
+
   test("movingAverage with dimensions: per-dim dense frames and windows") {
     val out = run("""
       {"queryType": "movingAverage", "dataSource": "events",

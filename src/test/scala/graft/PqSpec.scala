@@ -95,6 +95,18 @@ class PqSpec extends SparkSpec {
       "SELECT adc_distance(codes, array(array(1.0D, 2.0D), array(10.0D, 20.0D), " +
         "array(100.0D, 200.0D))) FROM adc_t WHERE id = 1").head.getDouble(0)
     assert(viaSql == 221.0)
+
+    // null ELEMENTS are corrupted input: null, not a wrong sum or an NPE
+    val nullCode = spark.sql(
+      "SELECT adc_distance(array(0, CAST(NULL AS INT)), " +
+        "array(array(1.0D), array(2.0D)))")
+    assert(nullCode.head.isNullAt(0))
+    val nullRow = spark.sql(
+      "SELECT adc_distance(array(0), array(CAST(NULL AS ARRAY<DOUBLE>)))")
+    assert(nullRow.head.isNullAt(0))
+    val nullCell = spark.sql(
+      "SELECT adc_distance(array(0), array(array(CAST(NULL AS DOUBLE))))")
+    assert(nullCell.head.isNullAt(0))
   }
 
   test("exact re-rank of the ADC shortlist recovers near-perfect recall") {

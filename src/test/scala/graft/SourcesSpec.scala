@@ -131,6 +131,36 @@ class SourcesSpec extends SparkSpec {
              "metricsSpec": []}}""")
     }.getMessage.contains("pattern"))
 
+    // delimited WITHOUT an explicit delimiter defaults to TAB (upstream
+    // DelimitedParseSpec default — comma would silently null every record)
+    val delimDefault = SpecLoader.fromJson(
+      """{"dataSchema": {"dataSource": "t",
+           "parser": {"parseSpec": {
+             "format": "delimited",
+             "timestampSpec": {"column": "ts"},
+             "dimensionsSpec": {"dimensions": ["etype"]}}},
+           "metricsSpec": [{"type": "count", "name": "cnt"}]}}""")
+    assert(delimDefault.dataSchema.parser.delimiter == "\t")
+
+    // regex group-count vs schema mismatch fails at WIRING, not first record
+    assert(intercept[IllegalArgumentException] {
+      Sources.parseRecords(raw("a,b"), schema,
+        ParserSpec(format = "regex", pattern = Some("(\\w+),(\\w+)")))
+    }.getMessage.contains("capture group"))
+
+    // extractionFn in an ingest filter is refused loudly (silently
+    // comparing the raw dimension would be wrong data)
+    assert(intercept[IllegalArgumentException] {
+      SpecLoader.fromJson(
+        """{"dataSchema": {"dataSource": "t",
+             "parser": {"parseSpec": {
+               "timestampSpec": {"column": "ts"},
+               "dimensionsSpec": {"dimensions": ["d"]}}},
+             "transformSpec": {"filter": {"type": "selector", "dimension": "d",
+               "value": "x", "extractionFn": {"type": "upper"}}},
+             "metricsSpec": []}}""")
+    }.getMessage.contains("extractionFn"))
+
     // flattenSpec spec-JSON: path + root forms parse; jq rejected at LOAD
     val flSpec = SpecLoader.fromJson(
       """{"dataSchema": {"dataSource": "t",
