@@ -539,7 +539,8 @@ object TextQueries {
             SELECT doc_id, count(*) AS n_tokens,
               round(avg(ln(CAST(c AS DOUBLE) / n)), 5) AS mean_logprob
             FROM words JOIN freq USING (w), t
-            GROUP BY 1""")),
+            GROUP BY 1"""),
+    headline = true),
 
     // -- TF-IDF keyword extraction: top-3 terms per doc. The RANKING is
     // exact-integer — (tf desc, df asc, word asc): same tf ⇒ the rarer
