@@ -15,7 +15,7 @@ object SparkEntry {
   val registry: Seq[QueryDef] =
     RollupQueries.all ++ RelationalQueries.all ++ WindowingQueries.all ++
       TextQueries.all ++ VectorQueries.all ++ MultimodalQueries.all ++
-      DruidNativeQueries.all
+      DruidNativeQueries.all ++ DruidSqlQueries.all
 
   require(registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")

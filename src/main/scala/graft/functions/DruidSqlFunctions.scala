@@ -1,0 +1,386 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+import graft.time.Granularity
+
+/** Druid SQL's function surface as Spark analysis-time rewrites, so verbatim
+  * upstream Druid SQL runs on `/druid/v2/sql` (and anywhere else the session
+  * has graft functions registered). Upstream pairs tranquility with Druid SQL
+  * (SURVEY §2.9 query analogs; `server/.../TranquilityServlet.scala` is the
+  * ingest twin of the endpoint) — a real user's first query is
+  * `SELECT TIME_FLOOR(__time, 'PT1H'), APPROX_COUNT_DISTINCT_DS_HLL(user)…`,
+  * and with this shim it runs unmodified.
+  *
+  * Spark-first shape: every function is a BUILDER that rewrites to native
+  * Catalyst expressions at analysis (granularity truncation = the same
+  * epoch-arithmetic `Granularity.truncate` the ingest side uses; DS_HLL =
+  * Spark's own Apache DataSketches `hll_sketch_agg`, the SAME sketch library
+  * Druid uses; theta/quantile sketches = the engine's existing aggregates).
+  * Nothing here adds an execution operator — whole-stage codegen and
+  * pushdown see only built-in expressions.
+  *
+  * Timezone arguments: only UTC is accepted (the engine stores event time as
+  * UTC instants and sessions run UTC — a non-UTC tz is a loud error, not a
+  * silent shift). Origins: TIME_FLOOR/TIME_CEIL accept a custom origin for
+  * fixed-width periods (integer epoch arithmetic; calendar periods have no
+  * origin semantics upstream either).
+  *
+  * Sketch exactness (oracle convention, QueryDef rules): DataSketches HLL
+  * and the theta/centroid sketches are EXACT below their promotion
+  * thresholds, so `druid_sql_*` oracles pin k above the data's cardinality
+  * and hash-match against DuckDB's exact aggregates — the same trick the
+  * `theta_*`/`percentile_exact` oracle rows use.
+  */
+object DruidSqlFunctions {
+
+  private def asCol(e: Expression): Column = GraftSqlBridge.column(e)
+  private def ex(c: Column): Expression = GraftSqlBridge.expression(c)
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(s, StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _)     => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _)        => v.toDouble
+    case Literal(v: Long, _)       => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  /** Druid SQL period literal → engine granularity. ISO-8601 durations and
+    * day-multiples go through [[Granularity.fromString]]; calendar periods
+    * map to the calendar granularities. */
+  private[functions] def period(p: String): Granularity = p.toUpperCase match {
+    case "P1W"  => Granularity.Week
+    case "P1M"  => Granularity.Month
+    case "P3M"  => Granularity.Quarter
+    case "P1Y"  => Granularity.Year
+    case "P1D"  => Granularity.Day
+    case s      => Granularity.fromString(s)
+  }
+
+  /** Only-UTC timezone contract (documented delta — a tz we would silently
+    * ignore must not parse). */
+  private def requireUtc(e: Expression, fn: String): Unit = e match {
+    case Literal(null, _) => ()
+    case other =>
+      val tz = strLit(other, s"$fn timezone")
+      require(Seq("UTC", "Etc/UTC", "Z", "+00:00").contains(tz),
+        s"$fn supports only UTC timezones, got '$tz'")
+  }
+
+  /** ISO-8601 instant literal → epoch millis (driver-side). */
+  private def instantMillis(s: String): Long =
+    scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
+      .orElse(scala.util.Try(
+        java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli))
+      .orElse(scala.util.Try(java.time.LocalDateTime.parse(s)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse origin '$s' as an ISO-8601 instant"))
+
+  /** TIME_FLOOR with a custom origin: integer epoch-millis arithmetic
+    * (x − pmod(x − origin, width)) — exact, codegen-friendly. */
+  private def floorAt(ts: Column, originMs: Long, widthMs: Long): Column = {
+    val x = unix_millis(ts)
+    timestamp_millis(x - pmod(x - lit(originMs), lit(widthMs)))
+  }
+
+  /** Next calendar-bucket start for TIME_CEIL's calendar path (input is the
+    * already-truncated, midnight-aligned bucket start). */
+  private def calendarNext(tr: Column, g: Granularity): Column = g match {
+    case Granularity.Week    => date_add(tr.cast("date"), 7).cast("timestamp")
+    case Granularity.Month   => add_months(tr.cast("date"), 1).cast("timestamp")
+    case Granularity.Quarter => add_months(tr.cast("date"), 3).cast("timestamp")
+    case Granularity.Year    => add_months(tr.cast("date"), 12).cast("timestamp")
+    case other => throw new IllegalArgumentException(
+      s"TIME_CEIL does not support granularity ${other.name}")
+  }
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def fn(name: String, builder: Builder)
+      : (FunctionIdentifier, ExpressionInfo, Builder) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(DruidSqlFunctions.getClass.getName, name), builder)
+
+  private def arity(args: Seq[Expression], fn: String, lo: Int, hi: Int): Unit =
+    require(args.length >= lo && args.length <= hi,
+      s"$fn takes $lo..$hi arguments, got ${args.length}")
+
+  /** True when the argument is syntactically an ARRAY (multi-value) —
+    * builders run pre-analysis so data types are not yet known; Druid SQL
+    * writes multi-value literals as ARRAY[…] / array(…). */
+  private def isArrayArg(e: Expression): Boolean = e match {
+    case _: CreateArray => true
+    case Literal(_, _: ArrayType) => true
+    case f: UnresolvedFunction =>
+      f.nameParts.last.equalsIgnoreCase("array")
+    case _ => false
+  }
+
+  private[graft] val injections
+      : Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+
+    // ------------------------------------------------------ time functions
+    fn("time_floor", args => {
+      arity(args, "time_floor(ts, period[, origin[, tz]])", 2, 4)
+      if (args.length == 4) requireUtc(args(3), "TIME_FLOOR")
+      val g = period(strLit(args(1), "time_floor period"))
+      val origin = args.lift(2).filterNot(_ == Literal(null))
+        .collect { case e @ Literal(s, StringType) if s != null =>
+          instantMillis(strLit(e, "time_floor origin")) }
+      origin match {
+        case None => ex(g.truncate(asCol(args(0))))
+        case Some(o) =>
+          require(g.widthSeconds > 0,
+            "time_floor origin needs a fixed-width period")
+          ex(floorAt(asCol(args(0)), o, g.widthSeconds * 1000L))
+      }
+    }),
+
+    fn("time_ceil", args => {
+      arity(args, "time_ceil(ts, period[, origin[, tz]])", 2, 4)
+      if (args.length == 4) requireUtc(args(3), "TIME_CEIL")
+      val g = period(strLit(args(1), "time_ceil period"))
+      val ts = asCol(args(0))
+      val origin = args.lift(2).filterNot(_ == Literal(null))
+        .collect { case e @ Literal(s, StringType) if s != null =>
+          instantMillis(strLit(e, "time_ceil origin")) }
+      if (g.widthSeconds > 0) {
+        val o = origin.getOrElse(0L)
+        val w = g.widthSeconds * 1000L
+        val x = unix_millis(ts)
+        val r = pmod(x - lit(o), lit(w))
+        ex(timestamp_millis(when(r === 0, x).otherwise(x - r + lit(w))))
+      } else {
+        require(origin.isEmpty, "time_ceil origin needs a fixed-width period")
+        val tr = g.truncate(ts)
+        ex(when(tr === ts, ts).otherwise(calendarNext(tr, g)))
+      }
+    }),
+
+    fn("time_shift", args => {
+      arity(args, "time_shift(ts, period, step[, tz])", 3, 4)
+      if (args.length == 4) requireUtc(args(3), "TIME_SHIFT")
+      val g = period(strLit(args(1), "time_shift period"))
+      val ts = asCol(args(0))
+      val step = asCol(args(2)).cast("long")
+      if (g.widthSeconds > 0)
+        // integer epoch arithmetic — keeps sub-second precision
+        ex(timestamp_millis(unix_millis(ts) + step * lit(g.widthSeconds * 1000L)))
+      else {
+        // calendar shifts preserve time-of-day (timestamp_add, Druid's rule)
+        val (unit, n) = g match {
+          case Granularity.Week    => ("WEEK", 1)
+          case Granularity.Month   => ("MONTH", 1)
+          case Granularity.Quarter => ("MONTH", 3)
+          case Granularity.Year    => ("YEAR", 1)
+          case other => throw new IllegalArgumentException(
+            s"time_shift does not support granularity ${other.name}")
+        }
+        ex(timestamp_add(unit, step * n, ts))
+      }
+    }),
+
+    fn("time_extract", args => {
+      arity(args, "time_extract(ts, unit[, tz])", 2, 3)
+      if (args.length == 3) requireUtc(args(2), "TIME_EXTRACT")
+      val ts = asCol(args(0))
+      val unit = strLit(args(1), "time_extract unit").toUpperCase
+      val c = unit match {
+        case "EPOCH"   => unix_timestamp(ts)
+        case "MILLIS"  => unix_millis(ts)
+        case "SECOND"  => second(ts)
+        case "MINUTE"  => minute(ts)
+        case "HOUR"    => hour(ts)
+        case "DAY"     => dayofmonth(ts)
+        // Druid DOW is ISO: 1 = Monday … 7 = Sunday (Spark weekday is 0-based Monday)
+        case "DOW" | "ISODOW" => weekday(ts) + lit(1)
+        case "DOY"     => dayofyear(ts)
+        case "WEEK"    => weekofyear(ts)
+        case "MONTH"   => month(ts)
+        case "QUARTER" => quarter(ts)
+        case "YEAR" | "ISOYEAR" => year(ts)
+        case other => throw new IllegalArgumentException(
+          s"time_extract unit '$other' not supported (EPOCH/MILLIS/SECOND/" +
+            "MINUTE/HOUR/DAY/DOW/DOY/WEEK/MONTH/QUARTER/YEAR)")
+      }
+      ex(c.cast("long"))
+    }),
+
+    fn("millis_to_timestamp", args => {
+      arity(args, "millis_to_timestamp(millis)", 1, 1)
+      ex(timestamp_millis(asCol(args(0)).cast("long")))
+    }),
+
+    fn("timestamp_to_millis", args => {
+      arity(args, "timestamp_to_millis(ts)", 1, 1)
+      ex(unix_millis(asCol(args(0))))
+    }),
+
+    fn("time_parse", args => {
+      arity(args, "time_parse(str[, pattern[, tz]])", 1, 3)
+      if (args.length == 3) requireUtc(args(2), "TIME_PARSE")
+      // null on failure, Druid's contract (ANSI to_timestamp would throw)
+      if (args.length >= 2 && args(1) != Literal(null))
+        ex(try_to_timestamp(asCol(args(0)), lit(strLit(args(1), "time_parse pattern"))))
+      else ex(try_to_timestamp(asCol(args(0))))
+    }),
+
+    fn("time_format", args => {
+      arity(args, "time_format(ts[, pattern[, tz]])", 1, 3)
+      if (args.length == 3) requireUtc(args(2), "TIME_FORMAT")
+      val pattern =
+        if (args.length >= 2 && args(1) != Literal(null))
+          strLit(args(1), "time_format pattern")
+        else "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'" // Druid's ISO default (UTC)
+      ex(date_format(asCol(args(0)), pattern))
+    }),
+
+    // --------------------------------------------------- sketch aggregates
+    // DS_HLL family = Spark's Apache DataSketches HLL — the same library
+    // Druid's datasketches extension uses. Input cast to string (Druid
+    // hashes the string form; hll_sketch_agg accepts int/long/string/binary).
+    fn("approx_count_distinct_ds_hll", args => {
+      arity(args, "approx_count_distinct_ds_hll(col[, lgK])", 1, 2)
+      val in = asCol(args(0)).cast(StringType)
+      val sketch = if (args.length == 2)
+        hll_sketch_agg(in, intLit(args(1), "lgK")) else hll_sketch_agg(in)
+      ex(round(hll_sketch_estimate(sketch)).cast("long"))
+    }),
+
+    fn("ds_hll", args => {
+      arity(args, "ds_hll(col[, lgK])", 1, 2)
+      val in = asCol(args(0)).cast(StringType)
+      ex(if (args.length == 2) hll_sketch_agg(in, intLit(args(1), "lgK"))
+         else hll_sketch_agg(in))
+    }),
+    // HLL_SKETCH_ESTIMATE is already a native Spark function (same name).
+
+    fn("approx_count_distinct_ds_theta", args => {
+      arity(args, "approx_count_distinct_ds_theta(col[, k])", 1, 2)
+      val k = if (args.length == 2) intLit(args(1), "k") else 16384 // Druid default
+      val agg = ThetaSketchAgg(ex(asCol(args(0)).cast(StringType)), k)
+        .toAggregateExpression()
+      ex(round(asCol(ThetaEstimate(agg))).cast("long"))
+    }),
+
+    fn("ds_theta", args => {
+      arity(args, "ds_theta(col[, k])", 1, 2)
+      val k = if (args.length == 2) intLit(args(1), "k") else 16384
+      ThetaSketchAgg(ex(asCol(args(0)).cast(StringType)), k).toAggregateExpression()
+    }),
+
+    fn("theta_sketch_estimate", args => {
+      arity(args, "theta_sketch_estimate(sketch)", 1, 1)
+      ThetaEstimate(args(0))
+    }),
+
+    // sketch-returning set ops (Druid's contract: the result feeds
+    // THETA_SKETCH_ESTIMATE or further set ops) — exact in the sparse
+    // regime; the engine's scalar theta_intersect/theta_difference remain
+    // the accurate saturated-regime estimates (see ThetaSetOp scaladoc)
+    fn("theta_sketch_intersect", args => {
+      arity(args, "theta_sketch_intersect(a, b)", 2, 2)
+      ThetaSetOp(args(0), args(1), intersect = true)
+    }),
+
+    fn("theta_sketch_not", args => {
+      arity(args, "theta_sketch_not(a, b)", 2, 2)
+      ThetaSetOp(args(0), args(1), intersect = false)
+    }),
+
+    fn("approx_quantile_ds", args => {
+      arity(args, "approx_quantile_ds(col, prob[, k])", 2, 3)
+      val prob = doubleLit(args(1), "approx_quantile_ds prob")
+      require(prob >= 0.0 && prob <= 1.0, s"prob must be in [0,1], got $prob")
+      val k = if (args.length == 3) intLit(args(2), "k") else 128 // Druid default
+      val agg = HistSketchAgg(ex(asCol(args(0)).cast("double")), k)
+        .toAggregateExpression()
+      ex(element_at(asCol(HistQuantiles(agg, CreateArray(Seq(Literal(prob))))), 1))
+    }),
+
+    // -------------------------------------------- multi-value (MV_*) family
+    // Druid's multi-value string dims are the engine's SORTED_ARRAY columns
+    // (Pipeline multi-value handling); MV_* maps onto Spark array functions.
+    fn("mv_length", args => {
+      arity(args, "mv_length(arr)", 1, 1)
+      ex(size(asCol(args(0))))
+    }),
+
+    fn("mv_contains", args => {
+      arity(args, "mv_contains(arr, value-or-array)", 2, 2)
+      // ARRAY second argument = "contains ALL of" (Druid's rule)
+      if (isArrayArg(args(1)))
+        ex(size(array_except(asCol(args(1)), asCol(args(0)))) === 0)
+      else ex(array_contains(asCol(args(0)), asCol(args(1))))
+    }),
+
+    fn("mv_overlap", args => {
+      arity(args, "mv_overlap(arr, value-or-array)", 2, 2)
+      if (isArrayArg(args(1)))
+        ex(arrays_overlap(asCol(args(0)), asCol(args(1))))
+      else ex(array_contains(asCol(args(0)), asCol(args(1))))
+    }),
+
+    fn("mv_offset", args => {
+      arity(args, "mv_offset(arr, i)", 2, 2)
+      // 0-based, null out of bounds — Spark `get` has exactly those semantics
+      ex(get(asCol(args(0)), asCol(args(1))))
+    }),
+
+    fn("mv_ordinal", args => {
+      arity(args, "mv_ordinal(arr, n)", 2, 2)
+      // 1-based, null out of bounds (try_element_at, not ANSI element_at)
+      ex(try_element_at(asCol(args(0)), asCol(args(1))))
+    }),
+
+    fn("mv_offset_of", args => {
+      arity(args, "mv_offset_of(arr, value)", 2, 2)
+      val pos = array_position(asCol(args(0)), asCol(args(1)))
+      ex(when(pos === 0, lit(null)).otherwise(pos - 1).cast("long"))
+    }),
+
+    fn("mv_ordinal_of", args => {
+      arity(args, "mv_ordinal_of(arr, value)", 2, 2)
+      val pos = array_position(asCol(args(0)), asCol(args(1)))
+      ex(when(pos === 0, lit(null)).otherwise(pos).cast("long"))
+    }),
+
+    fn("mv_to_string", args => {
+      arity(args, "mv_to_string(arr, delimiter)", 2, 2)
+      ex(array_join(asCol(args(0)), strLit(args(1), "mv_to_string delimiter")))
+    }),
+
+    fn("string_to_mv", args => {
+      arity(args, "string_to_mv(str, delimiter)", 2, 2)
+      ex(split(asCol(args(0)), strLit(args(1), "string_to_mv delimiter")))
+    }),
+
+    // ------------------------------------------------------- misc Druid SQL
+    fn("safe_divide", args => {
+      arity(args, "safe_divide(x, y)", 2, 2)
+      val (x, y) = (asCol(args(0)), asCol(args(1)))
+      ex(when(y === 0, lit(null)).otherwise(x / y))
+    }))
+}

@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends SparkSessionExtensionsProvider {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    DruidSqlFunctions.injections.foreach(ext.injectFunction)
     // automatic zone-map segment pruning for plain reads of graft stores
     ext.injectOptimizerRule(s => new graft.plans.SegmentPruneRule(s))
   }
@@ -183,12 +184,13 @@ object GraftFunctions {
         BloomMightContain(args(0), args(1))
       }))
 
-  /** Imperative registration for sessions created without the extension. */
+  /** Imperative registration for sessions created without the extension —
+    * graft's native expressions plus the Druid SQL dialect surface. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    injections.foreach { case (ident, info, builder) =>
-      registry.registerFunction(ident, info, builder)
+    (injections ++ DruidSqlFunctions.injections).foreach {
+      case (ident, info, builder) => registry.registerFunction(ident, info, builder)
     }
   }
 }

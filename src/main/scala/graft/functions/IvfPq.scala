@@ -66,7 +66,8 @@ final case class IvfPqIndex(
       // adc_distance kernel — same codegen loop as the flat-PQ path
       .withColumn("approx_dist", call_function("adc_distance",
         col("codes"), element_at(tLit, col("cluster"))))
-      .orderBy(col("approx_dist").asc, col("id"))
+      // NULLS LAST — null ADC distances (corrupted codes) must not rank first
+      .orderBy(col("approx_dist").asc_nulls_last, col("id"))
       .limit(topK)
       .select(col("id"), col("cluster"), round(col("approx_dist"), 6).as("approx_dist"))
   }

@@ -135,7 +135,9 @@ object PqIndex {
     encoded
       .withColumn("approx_dist",
         call_function("adc_distance", col("codes"), typedlit(dt)))
-      .orderBy(col("approx_dist").asc, col("id"))
+      // nulls LAST: adc_distance yields null for corrupted/missing codes and
+      // Spark's asc default is NULLS FIRST — they must not occupy the top-k
+      .orderBy(col("approx_dist").asc_nulls_last, col("id"))
       .limit(topK)
       .select(col("id"), round(col("approx_dist"), 6).as("approx_dist"))
   }
@@ -161,7 +163,7 @@ object PqIndex {
           (x, y) => (x.cast("double") - y.cast("double")) *
             (x.cast("double") - y.cast("double"))),
         lit(0.0), (a, x) => a + x))
-      .orderBy(col("dist").asc, col("id"))
+      .orderBy(col("dist").asc_nulls_last, col("id"))
       .limit(topK)
       .select(col("id"), round(col("dist"), 6).as("dist"))
   }

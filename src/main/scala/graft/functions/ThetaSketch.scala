@@ -277,3 +277,56 @@ case class ThetaDifference(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): ThetaDifference = copy(left = newLeft, right = newRight)
 }
+
+/** `theta_set_op(a, b, op)` → a derived theta SKETCH binary (not an
+  * estimate): the Druid SQL `THETA_SKETCH_INTERSECT` / `THETA_SKETCH_NOT`
+  * contract, whose result feeds `THETA_SKETCH_ESTIMATE` or further set ops.
+  * The derived sketch keeps the hashes below θ = min(θ_a, θ_b) that satisfy
+  * the op, with k = min(k_a, k_b) — exact in the sparse regime (both inputs
+  * under capacity). In the SATURATED regime the serialized Buffer form
+  * cannot carry the θ scale factor, so a downstream estimate reads as the
+  * unscaled sample count — the scalar estimate ops ([[ThetaIntersect]],
+  * [[ThetaDifference]]) are the accurate saturated path; use them when
+  * cardinalities approach k.
+  */
+case class ThetaSetOp(left: Expression, right: Expression, intersect: Boolean)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String =
+    if (intersect) "theta_sketch_intersect" else "theta_sketch_not"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (binary, binary)")
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = ThetaSketch.deserialize(a.asInstanceOf[Array[Byte]])
+    val y = ThetaSketch.deserialize(b.asInstanceOf[Array[Byte]])
+    val cutX = if (x.size == x.k && x.size > 0) x.hashes(x.size - 1) else Long.MaxValue
+    val cutY = if (y.size == y.k && y.size > 0) y.hashes(y.size - 1) else Long.MaxValue
+    val cut = math.min(cutX, cutY)
+    val out = new ThetaSketch.Buffer(
+      if (x.k > 0 && y.k > 0) math.min(x.k, y.k) else math.max(x.k, y.k))
+    var i = 0; var j = 0
+    if (intersect) {
+      while (i < x.size && j < y.size) {
+        val hx = x.hashes(i); val hy = y.hashes(j)
+        if (hx < hy) i += 1
+        else if (hy < hx) j += 1
+        else { if (hx <= cut) out.add(hx); i += 1; j += 1 }
+      }
+    } else {
+      while (i < x.size) {
+        val hx = x.hashes(i)
+        if (hx > cut) i = x.size // ascending: nothing more below θ
+        else {
+          while (j < y.size && y.hashes(j) < hx) j += 1
+          if (j >= y.size || y.hashes(j) != hx) out.add(hx)
+          i += 1
+        }
+      }
+    }
+    ThetaSketch.serialize(out)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ThetaSetOp = copy(left = newLeft, right = newRight)
+}

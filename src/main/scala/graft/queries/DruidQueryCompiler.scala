@@ -290,28 +290,43 @@ object DruidQueryCompiler {
           .agg(aggs.head, aggs.tail: _*)
         dimNames.foldLeft(grouped0)((d, n) => d.withColumnRenamed(tmp(n), n))
     }
+    applyPostAggs(grouped, root)
+  }
+
+  /** postAggregations over a frame that already carries the aggregator
+    * columns. Applied once inside [[aggregate]] and RE-applied after the
+    * dense-bucket zero-fill ([[zeroFill]]): a left join leaves postAgg
+    * columns NULL on empty buckets, but Druid computes postAggs over the
+    * zeroed aggregates — recomputing over the coalesced columns restores
+    * that (order matters: later postAggs may read earlier ones). */
+  private def applyPostAggs(df: DataFrame, root: JsonNode): DataFrame =
     opt(root, "postAggregations").toSeq.flatMap(_.elements.asScala)
       .map(SpecLoader.parsePostAgg)
-      .foldLeft(grouped)((d, p) => d.withColumn(p.name, Aggregators.postAggColumn(p)))
-  }
+      .foldLeft(df)((d, p) => d.withColumn(p.name, Aggregators.postAggColumn(p)))
 
   // -------------------------------------------------------------- timeseries
 
   /** timeseries = the shared aggregate core, plus upstream's empty-bucket
-    * contract: with `context.skipEmptyBuckets=false` (Druid's DEFAULT is
-    * false — buckets with no rows are emitted with identity aggregates),
-    * the query's intervals generate a dense bucket frame in-plan and
-    * missing buckets zero-fill sums/counts (other aggregates stay null,
-    * matching the identity Druid renders for them). The engine's default
-    * is skip=true — emitting empties needs explicit intervals and a
-    * fixed-width granularity, so the opt-in keeps the common case free of
-    * that requirement; asking for empties without them is an error, not a
-    * silent skip.
+    * contract: with `context.skipEmptyBuckets=false` (Druid's DEFAULT —
+    * buckets with no rows are emitted with identity aggregates), the
+    * query's intervals generate a dense bucket frame in-plan and missing
+    * buckets zero-fill sums/counts (other aggregates stay null, matching
+    * the identity Druid renders for them; postAggs recompute over the
+    * zeroed columns).
+    *
+    * Default handling matches Druid WHEN the dense frame is derivable:
+    * absent skipEmptyBuckets + intervals + a fixed-width granularity →
+    * emit empties, like upstream. Without intervals or with a calendar/all
+    * granularity there is no finite bucket frame to generate, so the
+    * default falls back to sparse output; EXPLICIT skipEmptyBuckets=false
+    * in that position stays a loud error rather than a silent skip.
     */
   private def timeseries(df: DataFrame, root: JsonNode): DataFrame = {
     val grouped = aggregate(df, root, Nil)
+    val denseDerivable =
+      granularity(root).widthSeconds > 0 && intervalMillis(root).nonEmpty
     val skipEmpty = opt(root, "context").flatMap(c => opt(c, "skipEmptyBuckets"))
-      .forall(_.asBoolean) // absent → true: the engine default
+      .map(_.asBoolean).getOrElse(!denseDerivable)
     if (skipEmpty) grouped
     else {
       val gran = granularity(root)
@@ -358,12 +373,16 @@ object DruidQueryCompiler {
       (if (aggSpecs.isEmpty) Seq("rows") else Nil)
   }
 
-  /** coalesce the zeroable aggregator outputs of `joined` to typed zeros. */
+  /** coalesce the zeroable aggregator outputs of `joined` to typed zeros,
+    * then recompute postAggregations over the zeroed columns (Druid renders
+    * postAggs on empty buckets from the identity aggregates — a left join
+    * alone would leave them NULL). */
   private def zeroFill(joined: DataFrame, root: JsonNode,
       typed: DataFrame): DataFrame = {
     val types = typed.schema.fields.map(f => f.name -> f.dataType).toMap
-    zeroableNames(root).foldLeft(joined)((d, n) =>
+    val zeroed = zeroableNames(root).foldLeft(joined)((d, n) =>
       d.withColumn(n, coalesce(col(n), lit(0).cast(types(n)))))
+    applyPostAggs(zeroed, root)
   }
 
   // ------------------------------------------------------------------- topN

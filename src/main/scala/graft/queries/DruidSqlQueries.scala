@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Druid SQL DIALECT end-to-end: each query here is Druid SQL text (the
+  * surface a tranquility+Druid user types at `/druid/v2/sql` — upstream
+  * `server/.../TranquilityServlet.scala`'s query twin, SURVEY §2.9) executed
+  * through [[DruidSql.run]] — the exact code path the daemon endpoint
+  * serves — and hash-matched against a DuckDB oracle.
+  *
+  * Sketch-function oracles use the exact regime (QueryDef rules):
+  *  - DataSketches HLL (`APPROX_COUNT_DISTINCT_DS_HLL`) is exact while the
+  *    sketch is in coupon mode — 150 distinct users per event_type vs
+  *    lgK=14 is far below promotion;
+  *  - theta (`APPROX_COUNT_DISTINCT_DS_THETA`) is exact while distinct ≤ k
+  *    (KMV keeps everything);
+  *  - `APPROX_QUANTILE_DS` is exact lower-rank while distinct values per
+  *    group ≤ k centroids (~1.8k distinct vs k=16384) — the DuckDB twin is
+  *    the ranked `rk = ceil(prob·n)` CTE, same as `rollup_approx_histogram`.
+  */
+object DruidSqlQueries {
+
+  /** dataSource frames for the dialect queries: testdata tables with `ts`
+    * renamed to Druid's `__time`, exposed under their table names. */
+  private def frames(s: SparkSession, dir: String,
+      names: String*): Map[String, DataFrame] =
+    names.map { n =>
+      val df = Tables.t(s, dir, n)
+      n -> (if (df.columns.contains("ts")) df.withColumnRenamed("ts", "__time")
+            else df)
+    }.toMap
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -- TIME_FLOOR bucketing + aggregation: the first query every Druid SQL
+    // user runs. Epoch-rendered bucket (fixed-width floor is integer epoch
+    // arithmetic on both sides — the rollup_five_minute idiom) -------------
+    QueryDef("druid_sql_time_floor", (s, dir) => {
+      DruidSql.run(
+        """SELECT TIME_EXTRACT(TIME_FLOOR(__time, 'PT6H'), 'EPOCH') AS bucket_epoch,
+                  event_type,
+                  COUNT(*) AS cnt,
+                  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+           FROM events
+           GROUP BY 1, 2""",
+        frames(s, dir, "events"))
+    },
+    Some("""SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_epoch,
+             event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid
+            FROM events GROUP BY 1, 2"""), headline = true),
+
+    // -- time scalar family per-row: TIME_SHIFT (fixed + calendar),
+    // TIME_CEIL, TIME_EXTRACT units, TIMESTAMP_TO_MILLIS / MILLIS_TO_
+    // TIMESTAMP roundtrip, TIME_FORMAT pattern --------------------------
+    QueryDef("druid_sql_time_scalars", (s, dir) => {
+      DruidSql.run(
+        """SELECT event_id,
+                  TIME_FORMAT(TIME_SHIFT(__time, 'PT1H', 3), 'yyyy-MM-dd HH:mm:ss') AS shifted_3h,
+                  TIME_FORMAT(TIME_SHIFT(__time, 'P1M', -1), 'yyyy-MM-dd HH:mm:ss') AS back_1mo,
+                  TIME_FORMAT(TIME_CEIL(__time, 'P1D'), 'yyyy-MM-dd HH:mm:ss') AS day_ceil,
+                  TIME_EXTRACT(__time, 'DOW') AS dow,
+                  TIME_EXTRACT(__time, 'QUARTER') AS qtr,
+                  TIMESTAMP_TO_MILLIS(__time) AS ms,
+                  TIME_EXTRACT(MILLIS_TO_TIMESTAMP(TIMESTAMP_TO_MILLIS(__time)), 'EPOCH') AS epoch_s
+           FROM events
+           WHERE event_id % 97 = 0""",
+        frames(s, dir, "events"))
+    },
+    Some("""SELECT event_id,
+             strftime(ts + INTERVAL 3 HOUR, '%Y-%m-%d %H:%M:%S') AS shifted_3h,
+             strftime(ts - INTERVAL 1 MONTH, '%Y-%m-%d %H:%M:%S') AS back_1mo,
+             strftime(CASE WHEN date_trunc('day', ts) = ts THEN ts
+                           ELSE date_trunc('day', ts) + INTERVAL 1 DAY END,
+                      '%Y-%m-%d %H:%M:%S') AS day_ceil,
+             CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(quarter(ts) AS BIGINT) AS qtr,
+             epoch_ms(ts) AS ms,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+            FROM events WHERE event_id % 97 = 0""")),
+
+    // -- DataSketches aggregates in the exact regime: HLL + theta both
+    // equal exact COUNT(DISTINCT) at 150 uniques per group ----------------
+    QueryDef("druid_sql_sketches", (s, dir) => {
+      DruidSql.run(
+        """SELECT event_type,
+                  APPROX_COUNT_DISTINCT_DS_HLL(user_id, 14) AS uniq_hll,
+                  APPROX_COUNT_DISTINCT_DS_THETA(user_id, 4096) AS uniq_theta
+           FROM events
+           GROUP BY event_type""",
+        frames(s, dir, "events"))
+    },
+    Some("""SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_hll,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_theta
+            FROM events GROUP BY event_type""")),
+
+    // -- APPROX_QUANTILE_DS in the exact regime (k ≥ group rows): the
+    // sketch is the lower-rank quantile of the full multiset --------------
+    QueryDef("druid_sql_quantile", (s, dir) => {
+      DruidSql.run(
+        """SELECT event_type,
+                  ROUND(APPROX_QUANTILE_DS(value, 0.5, 16384), 4) AS p50,
+                  ROUND(APPROX_QUANTILE_DS(value, 0.95, 16384), 4) AS p95
+           FROM events
+           GROUP BY event_type""",
+        frames(s, dir, "events"))
+    },
+    Some("""WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type,
+             round(max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN value END), 4) AS p50,
+             round(max(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT) THEN value END), 4) AS p95
+            FROM ranked GROUP BY 1""")),
+
+    // -- MV_* multi-value family over STRING_TO_MV-split document text ----
+    QueryDef("druid_sql_mv", (s, dir) => {
+      DruidSql.run(
+        """SELECT doc_id,
+                  CAST(MV_LENGTH(STRING_TO_MV(text, ' ')) AS BIGINT) AS n_tok,
+                  MV_OFFSET(STRING_TO_MV(text, ' '), 0) AS first_tok,
+                  MV_ORDINAL(STRING_TO_MV(text, ' '), 2) AS second_tok,
+                  MV_OFFSET_OF(STRING_TO_MV(text, ' '), 'the') AS the_at,
+                  MV_CONTAINS(STRING_TO_MV(text, ' '), 'the') AS has_the,
+                  MV_TO_STRING(STRING_TO_MV(source, 'c'), '|') AS src_mv
+           FROM documents
+           WHERE doc_id % 7 = 0""",
+        frames(s, dir, "documents"))
+    },
+    Some("""SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             string_split(text, ' ')[1] AS first_tok,
+             string_split(text, ' ')[2] AS second_tok,
+             CAST(nullif(list_position(string_split(text, ' '), 'the'), 0) - 1 AS BIGINT) AS the_at,
+             list_contains(string_split(text, ' '), 'the') AS has_the,
+             array_to_string(string_split(source, 'c'), '|') AS src_mv
+            FROM documents WHERE doc_id % 7 = 0""")))
+}

@@ -382,10 +382,17 @@ object SegmentStore {
       queryGranularity: graft.time.Granularity,
       keepDims: Option[Seq[String]] = scala.None): Unit = {
     val old = spec.dataSchema.granularitySpec.queryGranularity
-    if (old.widthSeconds > 0 && queryGranularity.widthSeconds > 0)
-      require(queryGranularity.widthSeconds % old.widthSeconds == 0,
-        s"reindex queryGranularity ${queryGranularity.name} is not a " +
-          s"multiple of the store's ${old.name}")
+    // truncation composes only downward — and not every "coarser-looking"
+    // pair composes (MONTH partials reindexed to DAY would be LABELED day-
+    // granular while carrying month-truncated timestamps; WEEK straddles
+    // month boundaries). Reject any pair not provably composable.
+    require(graft.time.Granularity.composesTo(old, queryGranularity),
+      s"reindex queryGranularity ${queryGranularity.name} does not compose " +
+        s"over the store's ${old.name} (new buckets must be provably " +
+        "coarser and boundary-aligned)")
+    require(graft.time.Granularity.composesTo(queryGranularity, segmentGranularity),
+      s"reindex segmentGranularity ${segmentGranularity.name} does not " +
+        s"compose over queryGranularity ${queryGranularity.name}")
     val merged = read(spark, path, spec, finalizeSketches = false)
     val aggNames = spec.dataSchema.aggregators.map(_.name).toSet
     val dimCols = merged.columns.toSeq.filterNot { c =>

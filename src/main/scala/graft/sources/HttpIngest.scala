@@ -149,14 +149,25 @@ final class HttpIngestServer(
     } finally ex.close()
 
   /** Druid SQL endpoint (`POST /druid/v2/sql`, body `{"query": "..."}`):
-    * each queryable dataSource is exposed as a temp view and the statement
-    * runs through `spark.sql` — Druid's own default `resultFormat`
-    * ("object": a JSON array of row objects) is exactly what the native
-    * endpoint already emits, so both endpoints share the envelope. The SQL
-    * dialect is Spark SQL, the same documented delta as transformSpec /
-    * virtualColumns (Druid SQL's core SELECT surface is a subset).
-    * Referenced ingest streams drain first (read-your-writes); same
-    * `context.maxQueryRows` cap.
+    * the statement parses to a logical plan and each table reference that
+    * names a queryable dataSource is substituted with that dataSource's
+    * plan DIRECTLY (a `SubqueryAlias` over the route's frame) — no temp
+    * views, so concurrent requests never swap shared session state, nothing
+    * persists across requests, and dataSource names only need to parse as
+    * SQL identifiers, not be unique in some catalog. Druid's own default
+    * `resultFormat` ("object": a JSON array of row objects) is exactly what
+    * the native endpoint already emits, so both endpoints share the
+    * envelope.
+    *
+    * The dialect is Spark SQL EXTENDED with Druid SQL's function surface
+    * ([[graft.functions.DruidSqlFunctions]]: TIME_FLOOR, TIME_SHIFT,
+    * APPROX_COUNT_DISTINCT_DS_HLL, MV_*, …), so common upstream queries run
+    * verbatim; remaining dialect gaps are the same documented delta as
+    * transformSpec / virtualColumns. Referenced ingest streams drain first
+    * (read-your-writes); same `context.maxQueryRows` cap. A CTE named like
+    * a queryable dataSource shadows it here as in Druid (substitution
+    * rewrites only single-part names that resolve to routes; pick distinct
+    * CTE names if both are needed).
     */
   private def handleSql(ex: HttpExchange): Unit =
     try {
@@ -169,23 +180,17 @@ final class HttpIngestServer(
         val cap = Option(root.get("context")).flatMap(c =>
           Option(c.get("maxQueryRows"))).map(_.asInt).getOrElse(10000)
         require(cap > 0, "context.maxQueryRows must be positive")
-        // drain + publish only the dataSources the statement references
-        val referenced = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-          .parsePlan(sqlText).collect {
-            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-              r.multipartIdentifier.last
-          }.toSet
+        // drain + substitute only the dataSources the statement references
+        val referenced = graft.queries.DruidSql.referencedTables(sqlText)
         val frames = queryRoutes.filter { case (ds, _) => referenced(ds) }
+          .map { case (ds, thunk) =>
+            routes.get(ds).foreach(_.activeQuery.foreach(_.processAllAvailable()))
+            ds -> thunk()
+          }
         require(frames.nonEmpty, "query references no known dataSource " +
           s"(queryable: ${queryRoutes.keys.toSeq.sorted.mkString(",")})")
-        var spark: org.apache.spark.sql.SparkSession = null
-        frames.foreach { case (ds, thunk) =>
-          routes.get(ds).foreach(_.activeQuery.foreach(_.processAllAvailable()))
-          val df = thunk()
-          spark = df.sparkSession
-          df.createOrReplaceTempView(ds)
-        }
-        spark.sql(sqlText).limit(cap).toJSON.collect().mkString("[", ",", "]")
+        graft.queries.DruidSql.run(sqlText, frames)
+          .limit(cap).toJSON.collect().mkString("[", ",", "]")
       } catch {
         case NonFatal(e) =>
           reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}"""); return

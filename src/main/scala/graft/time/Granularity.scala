@@ -123,4 +123,34 @@ object Granularity {
           .map(d => Duration(d.getSeconds)))
       .getOrElse(throw new IllegalArgumentException(
         s"unknown granularity: $s (named, or ISO-8601 whole-second duration)"))
+
+  /** True iff truncating to `coarser` COMPOSES over data already truncated
+    * to `finer` — truncate_coarser(truncate_finer(t)) == truncate_coarser(t)
+    * for every t — i.e. no `finer` bucket straddles a `coarser` boundary.
+    * This is the correctness condition for reindex/compaction granularity
+    * changes (truncation only composes downward):
+    *  - NONE (raw) composes into anything; anything composes into ALL;
+    *  - fixed → fixed: coarser width a multiple of finer width;
+    *  - fixed → calendar: finer width must divide a day (calendar
+    *    boundaries are midnight-aligned, so day-aligned buckets never
+    *    straddle them);
+    *  - calendar → fixed: NEVER (month/week starts are not fixed-width
+    *    grid points — a MONTH store reindexed to DAY would be labeled
+    *    day-granular while carrying month-truncated timestamps);
+    *  - calendar → calendar: only month→quarter→year (month boundaries sit
+    *    on quarter/year boundaries); WEEK composes with nothing coarser
+    *    (weeks straddle month boundaries).
+    */
+  def composesTo(finer: Granularity, coarser: Granularity): Boolean =
+    (finer, coarser) match {
+      case (a, b) if a == b   => true
+      case (None, _) | (_, All) => true
+      case (All, _)           => false
+      case (f, c) if f.widthSeconds > 0 && c.widthSeconds > 0 =>
+        c.widthSeconds % f.widthSeconds == 0
+      case (f, c) if f.widthSeconds > 0 && c.widthSeconds < 0 =>
+        86400L % f.widthSeconds == 0
+      case (Month, Quarter) | (Month, Year) | (Quarter, Year) => true
+      case _ => false
+    }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.queries.DruidSql
+
+/** Druid SQL dialect surface ([[graft.functions.DruidSqlFunctions]] through
+  * [[DruidSql.run]] — the `/druid/v2/sql` code path). Oracle-gated behaviors
+  * live in DruidSqlQueries; these specs cover what SQL twins can't: custom
+  * origins, calendar TIME_CEIL/SHIFT edges, MV array-argument forms, theta
+  * set algebra, the UTC-only timezone contract, rejection messages, and the
+  * no-temp-view isolation property of the substitution runner.
+  */
+class DruidSqlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val events: DataFrame = Seq(
+    (ts("2024-03-01 00:10:30"), "click", "alice", 1.0),
+    (ts("2024-03-01 00:40:00"), "view", "bob", 2.0),
+    (ts("2024-03-01 01:10:00"), "click", "alice", 4.0),
+    (ts("2024-03-15 23:59:59"), "click", "bob", 8.0),
+    (ts("2024-06-30 12:00:00"), "view", "carol", 16.0)
+  ).toDF("__time", "event_type", "user", "value")
+
+  private def sql1(q: String): Row =
+    DruidSql.run(q, Map("events" -> events)).head()
+
+  test("TIME_FLOOR with custom origin: buckets anchored at the origin") {
+    // origin 00:05, PT30M → buckets [00:05, 00:35), [00:35, 01:05) …
+    val r = sql1(
+      """SELECT TIME_FORMAT(TIME_FLOOR(__time, 'PT30M', '2024-03-01T00:05:00'),
+                            'HH:mm') AS b
+         FROM events WHERE user = 'bob' AND event_type = 'view'""")
+    assert(r.getString(0) == "00:35")
+    // and an instant exactly on an origin boundary stays put
+    val r2 = sql1(
+      """SELECT TIME_FORMAT(TIME_FLOOR(TIME_PARSE('2024-03-01T00:35:00'),
+                            'PT30M', '2024-03-01T00:05:00'), 'HH:mm') AS b
+         FROM events LIMIT 1""")
+    assert(r2.getString(0) == "00:35")
+  }
+
+  test("TIME_CEIL: fixed-width (boundary stays, interior advances) + calendar") {
+    val r = sql1(
+      """SELECT TIME_FORMAT(TIME_CEIL(__time, 'PT1H'), 'HH:mm') AS hc,
+                TIME_FORMAT(TIME_CEIL(__time, 'P1M'), 'yyyy-MM-dd') AS mc,
+                TIME_FORMAT(TIME_CEIL(TIME_FLOOR(__time, 'P1M'), 'P1M'),
+                            'yyyy-MM-dd') AS mc_onb
+         FROM events WHERE user = 'alice' AND value = 1.0""")
+    assert(r.getString(0) == "01:00")   // 00:10:30 → next hour
+    assert(r.getString(1) == "2024-04-01") // interior of March → April 1
+    assert(r.getString(2) == "2024-03-01") // already on boundary → stays
+  }
+
+  test("TIME_SHIFT calendar periods preserve time-of-day; quarter = 3 months") {
+    val r = sql1(
+      """SELECT TIME_FORMAT(TIME_SHIFT(__time, 'P1M', 2), 'yyyy-MM-dd HH:mm:ss') AS m2,
+                TIME_FORMAT(TIME_SHIFT(__time, 'P3M', 1), 'yyyy-MM-dd HH:mm:ss') AS q1,
+                TIME_FORMAT(TIME_SHIFT(__time, 'P1Y', -1), 'yyyy-MM-dd HH:mm:ss') AS ym1
+         FROM events WHERE user = 'carol'""")
+    assert(r.getString(0) == "2024-08-30 12:00:00")
+    assert(r.getString(1) == "2024-09-30 12:00:00")
+    assert(r.getString(2) == "2023-06-30 12:00:00")
+  }
+
+  test("MV_CONTAINS / MV_OVERLAP with ARRAY argument = all-of / any-of") {
+    val r = sql1(
+      """SELECT MV_CONTAINS(STRING_TO_MV('a,b,c', ','), ARRAY('a','c')) AS all_in,
+                MV_CONTAINS(STRING_TO_MV('a,b,c', ','), ARRAY('a','z')) AS not_all,
+                MV_OVERLAP(STRING_TO_MV('a,b,c', ','), ARRAY('z','c')) AS any_in,
+                MV_OVERLAP(STRING_TO_MV('a,b,c', ','), ARRAY('z','y')) AS none_in
+         FROM events LIMIT 1""")
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && !r.getBoolean(3))
+  }
+
+  test("theta set algebra: estimate / intersect / not over DS_THETA sketches") {
+    val r = sql1(
+      """WITH s AS (SELECT
+           DS_THETA(CASE WHEN event_type = 'click' THEN user END, 1024) AS clicks,
+           DS_THETA(CASE WHEN event_type = 'view'  THEN user END, 1024) AS views
+         FROM events)
+         SELECT CAST(THETA_SKETCH_ESTIMATE(clicks) AS BIGINT) AS c,
+                CAST(THETA_SKETCH_ESTIMATE(THETA_SKETCH_INTERSECT(clicks, views)) AS BIGINT) AS both,
+                CAST(THETA_SKETCH_ESTIMATE(THETA_SKETCH_NOT(clicks, views)) AS BIGINT) AS only_c
+         FROM s""")
+    // clicks users {alice,bob}, views users {bob,carol} → 2 / 1 / 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
+  }
+
+  test("UTC-only timezone contract + rejection messages name the problem") {
+    def err(q: String): String =
+      intercept[Exception] { DruidSql.run(q, Map("events" -> events)).collect() }
+        .getMessage
+    assert(err("SELECT TIME_FLOOR(__time, 'PT1H', NULL, 'Asia/Tokyo') FROM events")
+      .contains("UTC"))
+    assert(err("SELECT TIME_EXTRACT(__time, 'FORTNIGHT') FROM events")
+      .contains("FORTNIGHT"))
+    assert(err("SELECT TIME_FLOOR(__time, 'PT90X') FROM events")
+      .toLowerCase.contains("granularity"))
+    assert(err("SELECT TIME_FLOOR(__time, 'P1M', '2024-01-01T00:00:00') FROM events")
+      .contains("fixed-width"))
+    assert(err("SELECT APPROX_QUANTILE_DS(value, 1.5) FROM events")
+      .contains("[0,1]"))
+  }
+
+  test("TIME_PARSE returns null on unparseable input (no ANSI throw)") {
+    val r = sql1(
+      """SELECT TIME_PARSE('not-a-time') AS a,
+                TIME_FORMAT(TIME_PARSE('2024-03-01T00:10:30'),
+                            'yyyy-MM-dd HH:mm:ss') AS b,
+                TIME_FORMAT(TIME_PARSE('01/Mar/2024', 'dd/MMM/yyyy'),
+                            'yyyy-MM-dd') AS c
+         FROM events LIMIT 1""")
+    assert(r.isNullAt(0) && r.getString(1) == "2024-03-01 00:10:30" &&
+      r.getString(2) == "2024-03-01")
+  }
+
+  test("substitution runner leaves no views behind and honors CTE shadowing") {
+    DruidSql.run("SELECT count(*) AS c FROM events", Map("events" -> events))
+      .collect()
+    assert(!spark.catalog.tableExists("events"))
+    // a CTE named like the dataSource shadows it (Druid's rule too)
+    val r = DruidSql.run(
+      """WITH events AS (SELECT 1 AS one) SELECT sum(one) AS s FROM events""",
+      Map("events" -> events)).head()
+    assert(r.getLong(0) == 1L)
+  }
+}

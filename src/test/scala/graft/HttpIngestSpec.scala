@@ -217,6 +217,19 @@ class HttpIngestSpec extends SparkSpec {
         """{"query": "SELECT * FROM unknown_ds"}""")
       assert(sc3 == 400 && sb3.contains("no known dataSource"), sb3)
 
+      // DRUID-dialect SQL runs verbatim: TIME_FLOOR/TIME_FORMAT +
+      // APPROX_COUNT_DISTINCT_DS_HLL (the first query a real Druid SQL
+      // user posts) — exact at this cardinality (coupon-mode DataSketches)
+      val (dc, db) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT TIME_FORMAT(TIME_FLOOR(__time, 'PT1H'), 'yyyy-MM-dd HH:mm') AS bucket, APPROX_COUNT_DISTINCT_DS_HLL(etype) AS uniq, SAFE_DIVIDE(SUM(total), COUNT(*)) AS avg_total FROM clicks_ds GROUP BY 1 ORDER BY 1"}""")
+      assert(dc == 200, db)
+      assert(db.contains("\"bucket\":\"2024-03-01 12:00\""), db)
+      assert(db.contains("\"uniq\":2"), db) // etypes c,d in the hour
+      // non-UTC timezone argument fails loudly, not silently shifted
+      val (tzc, tzb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT TIME_FLOOR(__time, 'PT1H', NULL, 'America/Los_Angeles') FROM clicks_ds"}""")
+      assert(tzc == 400 && tzb.contains("UTC"), tzb)
+
       // GET /status: per-dataSource cumulative counters
       val (stc, stb) = get(handle.port, "/status")
       assert(stc == 200, stb)

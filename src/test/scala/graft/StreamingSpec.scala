@@ -422,7 +422,29 @@ class StreamingSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       graft.sink.SegmentStore.reindex(spark, s"$tmp/reindexed", daySpec,
         s"$tmp/bad", Granularity.Hour, Granularity.Hour)
-    }.getMessage.contains("multiple"))
+    }.getMessage.contains("compose"))
+    // calendar → fixed-width silently passed the old width-multiple guard:
+    // a MONTH store reindexed to DAY would be LABELED day-granular while
+    // carrying month-truncated timestamps — must reject (and WEEK straddles
+    // month boundaries, so WEEK → MONTH is wrong too)
+    val monthSpec = daySpec.copy(dataSchema = daySpec.dataSchema.copy(
+      granularitySpec = GranularitySpec(Granularity.Month, Granularity.Month)))
+    assert(intercept[IllegalArgumentException] {
+      graft.sink.SegmentStore.reindex(spark, s"$tmp/reindexed", monthSpec,
+        s"$tmp/bad", Granularity.Day, Granularity.Day)
+    }.getMessage.contains("compose"))
+    val weekSpec = daySpec.copy(dataSchema = daySpec.dataSchema.copy(
+      granularitySpec = GranularitySpec(Granularity.Week, Granularity.Week)))
+    assert(intercept[IllegalArgumentException] {
+      graft.sink.SegmentStore.reindex(spark, s"$tmp/reindexed", weekSpec,
+        s"$tmp/bad", Granularity.Month, Granularity.Month)
+    }.getMessage.contains("compose"))
+    // …while genuinely composable coarsenings still pass the guard: DAY
+    // store → MONTH query granularity (calendar boundaries are midnight-
+    // aligned) with YEAR segments
+    graft.sink.SegmentStore.reindex(spark, s"$tmp/reindexed", daySpec,
+      s"$tmp/monthly", Granularity.Year, Granularity.Month)
+    assert(spark.read.parquet(s"$tmp/monthly").count() > 0)
   }
 
   test("streaming session windows (engine surface, state store)") {
