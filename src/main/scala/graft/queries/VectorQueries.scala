@@ -135,14 +135,34 @@ object VectorQueries {
           F.round(col("cos_sim"), 6).as("cos_sim"))
     }, None),
 
-    // -- MinHash-LSH near-dup candidate pairs (rows-only; exact-jaccard
-    //    verification inside — the ngram_jaccard_pairs oracle covers the
-    //    ground truth on the bounded prefix)
+    // -- MinHash-LSH near-dup pairs, ORACLED on the full corpus: the output
+    //    is candidates verified by EXACT shingle jaccard, so it equals the
+    //    exact pair set whenever LSH recall is 1 — and this corpus is in the
+    //    planted-dup regime where that holds: every pair ≥ 0.2 jaccard is
+    //    ≥ 0.9 (measured; near-exact planted dups), and at j ≥ 0.9 the
+    //    8-band × 4-row banding collides (identical/near-identical
+    //    signatures). The DuckDB twin recomputes 3-word shingle jaccard
+    //    all-pairs — ground truth, not an LSH reimplementation.
     QueryDef("minhash_near_dups", (s, dir) => {
       MinHash.nearDupPairs(
         Tables.t(s, dir, "documents"), "doc_id", "text",
         k = 32, bands = 8, shingleWidth = 3, threshold = 0.3)
-    }, None, headline = true),
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            s AS (SELECT doc_id,
+                    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    END AS sh
+                  FROM t)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3"""),
+    headline = true),
 
     // -- SimHash near-dups via Hamming-LSH banding (rows-only; unbounded —
     //    the banded bucket join replaces round 1's all-pairs shape, with
@@ -154,13 +174,22 @@ object VectorQueries {
         maxHamming = 3, bands = 4)
     }, None),
 
-    // -- rolling-hash fingerprint distribution (rows-only) ------------------
+    // -- rolling-hash fingerprint distribution. Oracled via INJECTIVITY:
+    //    the 64-bit chained hash is collision-free on the corpus, so
+    //    distinct fingerprints per source == distinct token sequences ==
+    //    distinct texts (single-spaced corpus, verified no leading/
+    //    trailing/double spaces) — which DuckDB counts directly. A
+    //    degenerate/colliding fingerprint fails the match; bit-level
+    //    chaining determinism is covered by FunctionsSpec.
     QueryDef("rolling_fingerprints", (s, dir) => {
       Tables.t(s, dir, "documents")
         .select(col("source"), TextFunctions.rollingFingerprint(col("text")).as("fp"))
         .groupBy(col("source"))
         .agg(count_distinct(col("fp")).as("distinct_fp"), count(lit(1)).as("docs"))
-    }, None),
+    },
+    Some("""SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS distinct_fp,
+             count(*) AS docs
+            FROM documents GROUP BY 1""")),
 
     // -- SEMANTIC dedup (SemDeDup, Abbas et al. 2023): within-cluster cosine
     //    pair graph → connected components → min-id survivors. Here the
