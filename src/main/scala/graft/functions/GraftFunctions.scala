@@ -24,6 +24,10 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
 
 object GraftFunctions {
 
+  /** LOOKUP() maps at most this many entries inline as a CreateMap literal;
+    * larger registered lookups go through the broadcast-HashMap probe. */
+  val LookupInlineThreshold: Int = 10000
+
   private[graft] val injections
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("cosine_sim"),
@@ -35,9 +39,13 @@ object GraftFunctions {
     (new FunctionIdentifier("lookup"),
       new ExpressionInfo("graft.queries.Lookups", "lookup"),
       (args: Seq[Expression]) => {
-        // Druid SQL LOOKUP(expr, 'name'): the registered map resolves at
-        // analysis into a map literal (same plan shape as the inline
-        // extractionFn form); missing key → null, like upstream
+        // Druid SQL LOOKUP(expr, 'name'), two regimes by registered size:
+        //  - config-sized maps resolve at analysis into a map literal (same
+        //    plan shape as the inline extractionFn form);
+        //  - above the threshold, a broadcast-HashMap probe (LookupValue):
+        //    a 1M-entry CreateMap would bloat the plan tree and every task
+        //    binary by megabytes and probe O(n) per row.
+        // Missing key → null either way, like upstream.
         require(args.length == 2, "lookup(expr, 'name') takes 2 arguments")
         val name = args(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
@@ -50,11 +58,17 @@ object GraftFunctions {
             s"lookup '$name' is not registered " +
               s"(registered: ${graft.queries.Lookups.names.mkString(",")})"))
         import org.apache.spark.sql.catalyst.expressions.{Cast, CreateMap, ElementAt, Literal}
-        val entries = mapping.toSeq.sortBy { case (k, _) => k }
-          .flatMap { case (k, v) => Seq(Literal(k), Literal(v)) }
-        ElementAt(CreateMap(entries),
-          Cast(args(0), org.apache.spark.sql.types.StringType),
-          scala.None, failOnError = false)
+        val key = Cast(args(0), org.apache.spark.sql.types.StringType)
+        if (mapping.size > LookupInlineThreshold) {
+          val spark = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+            throw new IllegalStateException("lookup() needs an active SparkSession"))
+          val (version, bc) = graft.queries.Lookups.broadcastFor(spark, name)
+          LookupValue(key, name, version, bc)
+        } else {
+          val entries = mapping.toSeq.sortBy { case (k, _) => k }
+            .flatMap { case (k, v) => Seq(Literal(k), Literal(v)) }
+          ElementAt(CreateMap(entries), key, scala.None, failOnError = false)
+        }
       }),
     (new FunctionIdentifier("adc_distance"),
       new ExpressionInfo(classOf[AdcDistance].getName, "adc_distance"),

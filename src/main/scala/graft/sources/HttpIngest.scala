@@ -63,6 +63,7 @@ final class HttpIngestServer(
       s.createContext("/druid/v2/sql", (ex: HttpExchange) => handleSql(ex))
     }
     s.createContext("/status", (ex: HttpExchange) => handleStatus(ex))
+    s.createContext("/lookups", (ex: HttpExchange) => handleLookups(ex))
     // without an executor the JDK server handles requests on ONE thread,
     // serializing posts across dataSources despite the per-ds locks
     val p = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -213,6 +214,51 @@ final class HttpIngestServer(
         s"""${quote(ds)}:{"received":${s.received},"sent":${s.sent},"dropped":${s.dropped}}"""
       }
       reply(ex, 200, per.mkString("""{"dataSources":{""", ",", "}}"))
+    } catch {
+      case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+
+  /** Lookup lifecycle endpoints (the Druid coordinator lookup-update API
+    * analog): `POST /lookups/{name}` with a JSON object body registers or
+    * REPLACES the named lookup (version bump — queries compiled afterwards
+    * see the new mapping, including `LOOKUP()` on `/druid/v2/sql` and
+    * `registeredLookup` extractionFns on `/druid/v2`); `DELETE
+    * /lookups/{name}` unregisters; `GET /lookups` lists names with sizes
+    * and versions.
+    */
+  private def handleLookups(ex: HttpExchange): Unit =
+    try {
+      val name = ex.getRequestURI.getPath.stripPrefix("/lookups").stripPrefix("/")
+      (ex.getRequestMethod, name) match {
+        case ("GET", "") =>
+          val rows = graft.queries.Lookups.names.map { n =>
+            val e = graft.queries.Lookups.entry(n).get
+            s"${quote(n)}:{\"entries\":${e.mapping.size},\"version\":${e.version}}"
+          }
+          reply(ex, 200, rows.mkString("""{"lookups":{""", ",", "}}"))
+        case ("POST", n) if n.nonEmpty =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val root = try mapper.readTree(body) catch {
+            case NonFatal(e) =>
+              reply(ex, 400, s"""{"error":${quote(e.getMessage)}}"""); return
+          }
+          if (root == null || !root.isObject) {
+            reply(ex, 400, """{"error":"body must be a JSON object of key->value strings"}""")
+            return
+          }
+          val mapping = root.propertyStream.iterator.asScala
+            .map(e => e.getKey -> e.getValue.asText).toMap
+          if (mapping.isEmpty) {
+            reply(ex, 400, """{"error":"lookup must be non-empty"}"""); return
+          }
+          graft.queries.Lookups.register(n, mapping)
+          val v = graft.queries.Lookups.entry(n).get.version
+          reply(ex, 200, s"""{"result":{"name":${quote(n)},"entries":${mapping.size},"version":$v}}""")
+        case ("DELETE", n) if n.nonEmpty =>
+          graft.queries.Lookups.unregister(n)
+          reply(ex, 200, s"""{"result":"deleted"}""")
+        case _ => reply(ex, 405, """{"error":"GET /lookups, POST|DELETE /lookups/{name}"}""")
+      }
     } catch {
       case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
     } finally ex.close()

@@ -230,6 +230,24 @@ class HttpIngestSpec extends SparkSpec {
         """{"query": "SELECT TIME_FLOOR(__time, 'PT1H', NULL, 'America/Los_Angeles') FROM clicks_ds"}""")
       assert(tzc == 400 && tzb.contains("UTC"), tzb)
 
+      // lookup lifecycle over HTTP: register → LOOKUP() resolves → update
+      // is visible to the NEXT query (Druid coordinator lookup-update analog)
+      val (lc, lb) = post(handle.port, "/lookups/etypes",
+        """{"c": "click", "d": "display"}""")
+      assert(lc == 200 && lb.contains("\"entries\":2"), lb)
+      val (lq, lqb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT LOOKUP(etype, 'etypes') AS label, COUNT(*) AS n FROM clicks_ds GROUP BY 1 ORDER BY 1"}""")
+      assert(lq == 200 && lqb.contains("\"label\":\"click\"") &&
+        lqb.contains("\"label\":\"display\""), lqb)
+      post(handle.port, "/lookups/etypes", """{"c": "CLICK2", "d": "display"}""")
+      val (lq2, lqb2) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT LOOKUP(etype, 'etypes') AS label FROM clicks_ds WHERE etype = 'c' LIMIT 1"}""")
+      assert(lq2 == 200 && lqb2.contains("\"label\":\"CLICK2\""), lqb2)
+      val (ll, llb) = get(handle.port, "/lookups")
+      assert(ll == 200 && llb.contains("\"etypes\":{\"entries\":2"), llb)
+      val (lbad, lbadb) = post(handle.port, "/lookups/empty", "{}")
+      assert(lbad == 400 && lbadb.contains("non-empty"), lbadb)
+
       // GET /status: per-dataSource cumulative counters
       val (stc, stb) = get(handle.port, "/status")
       assert(stc == 200, stb)
