@@ -351,46 +351,77 @@ object DruidNativeQueries {
     // the interval's first buckets average over data BEFORE the interval
     // (backward extension) and a zero-filled empty bucket would count as 0;
     // longSum + doubleMean keeps the window mean an exact-integer division
+    // The full upstream averager surface over a SPARSE hourly series (most
+    // purchase hours are empty): Mean counts empty buckets as zero with a
+    // full-window denominator, MeanNoNulls excludes null buckets (the
+    // doubleMax field stays null on empties — all-null window → null),
+    // Mean over a POSTAGG field proves postAggs recompute after zero-fill
+    // (Druid's `/`-yields-0-on-zero-divisor makes empty-bucket mean_uid 0,
+    // not null), constant emits its value everywhere.
     QueryDef("druid_json_moving_average", (s, dir) => {
       run(s, dir, """
         {"queryType": "movingAverage", "dataSource": "events",
-         "granularity": "day",
-         "intervals": ["2024-01-08T00:00:00/2024-01-20T00:00:00"],
-         "filter": {"type": "not", "field":
-           {"type": "selector", "dimension": "event_type", "value": "error"}},
+         "granularity": "hour",
+         "intervals": ["2024-01-08T00:00:00/2024-01-10T00:00:00"],
+         "filter": {"type": "selector", "dimension": "event_type",
+                    "value": "purchase"},
          "aggregations": [
            {"type": "longSum", "name": "su", "fieldName": "user_id"},
-           {"type": "count", "name": "cnt"}],
+           {"type": "count", "name": "cnt"},
+           {"type": "doubleMax", "name": "mx", "fieldName": "value"}],
+         "postAggregations": [
+           {"type": "arithmetic", "name": "mean_uid", "fn": "/",
+            "fields": [{"type": "fieldAccess", "fieldName": "su"},
+                       {"type": "fieldAccess", "fieldName": "cnt"}]}],
          "averagers": [
            {"type": "doubleMean", "name": "ma4_su", "fieldName": "su",
             "buckets": 4},
+           {"type": "doubleMeanNoNulls", "name": "mnn4_mx", "fieldName": "mx",
+            "buckets": 4},
+           {"type": "doubleMean", "name": "ma4_mu", "fieldName": "mean_uid",
+            "buckets": 4},
+           {"type": "constant", "name": "c5", "value": 5.0},
            {"type": "longMax", "name": "max2_cnt", "fieldName": "cnt",
             "buckets": 2}]}""")
         .select(date_format(col("__time"), fmt).as("bucket"),
-          col("su"), col("cnt"), round(col("ma4_su"), 6).as("ma4_su"),
-          col("max2_cnt"))
+          col("su"), col("cnt"), round(col("mx"), 4).as("mx"),
+          round(col("mean_uid"), 6).as("mean_uid"),
+          round(col("ma4_su"), 6).as("ma4_su"),
+          round(col("mnn4_mx"), 6).as("mnn4_mx"),
+          round(col("ma4_mu"), 6).as("ma4_mu"),
+          col("c5"), col("max2_cnt"))
     },
     Some("""WITH buckets AS (
-              SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
-                TIMESTAMP '2024-01-19', INTERVAL 1 DAY)) AS b),
+              SELECT unnest(generate_series(TIMESTAMP '2024-01-07 21:00:00',
+                TIMESTAMP '2024-01-09 23:00:00', INTERVAL 1 HOUR)) AS b),
             agg AS (
-              SELECT date_trunc('day', ts) AS b,
-                CAST(sum(user_id) AS BIGINT) AS su, count(*) AS cnt
+              SELECT date_trunc('hour', ts) AS b,
+                CAST(sum(user_id) AS BIGINT) AS su, count(*) AS cnt,
+                max(value) AS mx
               FROM events
-              WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
-                AND event_type <> 'error'
+              WHERE ts >= TIMESTAMP '2024-01-07 21:00:00'
+                AND ts < TIMESTAMP '2024-01-10' AND event_type = 'purchase'
               GROUP BY 1),
             z AS (SELECT buckets.b, coalesce(su, 0) AS su,
-                    coalesce(cnt, 0) AS cnt
+                    coalesce(cnt, 0) AS cnt, mx,
+                    CASE WHEN coalesce(cnt, 0) = 0 THEN 0.0
+                         ELSE coalesce(su, 0) / coalesce(cnt, 0) END AS mean_uid
                   FROM buckets LEFT JOIN agg ON buckets.b = agg.b),
-            m AS (SELECT b, su, cnt,
-                    avg(su) OVER (ORDER BY b
-                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4_su,
+            m AS (SELECT b, su, cnt, mx, mean_uid,
+                    sum(su) OVER w4 / 4.0 AS ma4_su,
+                    avg(mx) OVER w4 AS mnn4_mx,
+                    sum(mean_uid) OVER w4 / 4.0 AS ma4_mu,
+                    5.0 AS c5,
                     max(cnt) OVER (ORDER BY b
                       ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS max2_cnt
-                  FROM z)
+                  FROM z
+                  WINDOW w4 AS (ORDER BY b
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
             SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, su, cnt,
-              round(ma4_su, 6) AS ma4_su, CAST(max2_cnt AS BIGINT) AS max2_cnt
+              round(mx, 4) AS mx, round(mean_uid, 6) AS mean_uid,
+              round(ma4_su, 6) AS ma4_su, round(mnn4_mx, 6) AS mnn4_mx,
+              round(ma4_mu, 6) AS ma4_mu, c5,
+              CAST(max2_cnt AS BIGINT) AS max2_cnt
             FROM m WHERE b >= TIMESTAMP '2024-01-08'"""))
   )
 }

@@ -712,8 +712,12 @@ object DruidQueryCompiler {
 
     val averagers = opt(root, "averagers").toSeq.flatMap(_.elements.asScala).toSeq
     require(averagers.nonEmpty, "movingAverage needs averagers")
-    val maxBuckets = averagers.map(a => opt(a, "buckets").map(_.asInt).getOrElse(
-      throw new IllegalArgumentException("averager needs buckets"))).max
+    // constant averagers have no window; every windowed one needs buckets
+    val maxBuckets = averagers
+      .filterNot(a => str(a, "type", "") == "constant")
+      .map(a => opt(a, "buckets").map(_.asInt).getOrElse(
+        throw new IllegalArgumentException("averager needs buckets")))
+      .foldLeft(1)(math.max)
     require(maxBuckets >= 1, "averager buckets must be >= 1")
 
     val dims = opt(root, "dimensions").toSeq.flatMap(_.elements.asScala)
@@ -751,23 +755,50 @@ object DruidQueryCompiler {
     // zero; min/max/first/last/sketches keep null — Druid's identities
     val zeroFilled = zeroFill(joined, root, base)
 
+    // Upstream's FULL averager set (the movingAverage extension ships
+    // constant + double/long {Mean, MeanNoNulls, Sum, Max, Min} — there is
+    // no cumulative averager upstream; an expanding window is buckets =
+    // interval length). Semantics per upstream:
+    //  - Mean divides by the FULL window width, counting empty/null buckets
+    //    as zero (inputs coalesced — a postAgg field that is null on an
+    //    empty bucket must not silently shrink the window);
+    //  - MeanNoNulls divides by the count of non-null buckets only;
+    //  - Sum coalesces nulls to zero (an all-empty window sums to 0);
+    //  - Max/Min ignore nulls (identity = null on an all-empty window).
+    // cycleSize != 1 (every-Nth-bucket cycles) is rejected loudly.
     val w = Window.partitionBy(dimNames.map(col): _*).orderBy(col(TimeCol))
     val withAvg = averagers.foldLeft(zeroFilled) { (d, a) =>
       val name = str(a, "name", "")
-      val fieldN = str(a, "fieldName", "")
-      require(name.nonEmpty && fieldN.nonEmpty,
-        "averager needs name and fieldName")
-      val b = opt(a, "buckets").get.asInt
-      val over = w.rowsBetween(-(b - 1), 0)
+      require(name.nonEmpty, "averager needs a name")
       val c = str(a, "type", "") match {
-        case "doubleMean" | "longMean" => avg(col(fieldN)).over(over)
-        case "doubleSum"               => sum(col(fieldN)).over(over).cast("double")
-        case "longSum"                 => sum(col(fieldN)).over(over).cast("long")
-        case "doubleMax" | "longMax"   => max(col(fieldN)).over(over)
-        case "doubleMin" | "longMin"   => min(col(fieldN)).over(over)
-        case other => throw new IllegalArgumentException(
-          s"unsupported averager type '$other' " +
-            "(double|long Mean/Sum/Max/Min)")
+        case "constant" =>
+          lit(opt(a, "value").map(_.asDouble).getOrElse(
+            throw new IllegalArgumentException("constant averager needs a value")))
+        case t =>
+          val fieldN = str(a, "fieldName", "")
+          require(fieldN.nonEmpty, s"averager '$name' needs a fieldName")
+          val b = opt(a, "buckets").map(_.asInt).getOrElse(
+            throw new IllegalArgumentException(s"averager '$name' needs buckets"))
+          require(b >= 1, "averager buckets must be >= 1")
+          val cycle = opt(a, "cycleSize").map(_.asInt).getOrElse(1)
+          require(cycle == 1,
+            s"averager '$name': cycleSize $cycle is not supported (only 1)")
+          val over = w.rowsBetween(-(b - 1), 0)
+          val zeroed = coalesce(col(fieldN), lit(0))
+          t match {
+            case "doubleMean" | "longMean" =>
+              (sum(zeroed).over(over) / b).cast("double")
+            case "doubleMeanNoNulls" | "longMeanNoNulls" =>
+              avg(col(fieldN)).over(over)
+            case "doubleSum" => sum(zeroed).over(over).cast("double")
+            case "longSum"   => sum(zeroed).over(over).cast("long")
+            case "doubleMax" | "longMax" => max(col(fieldN)).over(over)
+            case "doubleMin" | "longMin" => min(col(fieldN)).over(over)
+            case other => throw new IllegalArgumentException(
+              s"unsupported averager type '$other' (constant, " +
+                "double|long Mean/MeanNoNulls/Sum/Max/Min — upstream's " +
+                "full set; no cumulative averagers exist upstream)")
+          }
       }
       d.withColumn(name, c)
     }

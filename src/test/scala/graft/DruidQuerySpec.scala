@@ -487,6 +487,46 @@ class DruidQuerySpec extends SparkSpec {
     }.getMessage.contains("averagers"))
   }
 
+  test("movingAverage averager set: Mean vs MeanNoNulls, constant, rejections") {
+    // doubleMax is null on the empty 03:00 bucket: Mean imputes 0 over the
+    // FULL window; MeanNoNulls divides by non-null buckets only
+    val out = run("""
+      {"queryType": "movingAverage", "dataSource": "events",
+       "granularity": "hour",
+       "intervals": ["2024-03-01T02:00:00/2024-03-01T04:00:00"],
+       "aggregations": [{"type": "doubleMax", "name": "mx", "fieldName": "value"}],
+       "averagers": [
+         {"type": "doubleMean", "name": "mean2", "fieldName": "mx", "buckets": 2},
+         {"type": "doubleMeanNoNulls", "name": "mnn2", "fieldName": "mx", "buckets": 2},
+         {"type": "constant", "name": "c7", "value": 7.5}]}""")
+      .orderBy(col("__time"))
+      .select(col("mean2"), col("mnn2"), col("c7"))
+      .collect()
+    // 02:00 window = (01: mx 8, 02: mx 32) → both means 20
+    assert(out(0).getDouble(0) == 20.0 && out(0).getDouble(1) == 20.0)
+    // 03:00 window = (02: mx 32, 03: null) → Mean (32+0)/2, NoNulls 32/1
+    assert(out(1).getDouble(0) == 16.0 && out(1).getDouble(1) == 32.0)
+    assert(out.forall(_.getDouble(2) == 7.5))
+
+    def fail(averager: String): String = intercept[IllegalArgumentException] {
+      run(s"""
+        {"queryType": "movingAverage", "dataSource": "events",
+         "granularity": "hour",
+         "intervals": ["2024-03-01T02:00:00/2024-03-01T04:00:00"],
+         "aggregations": [{"type": "count", "name": "c"}],
+         "averagers": [$averager]}""")
+    }.getMessage
+    // unknown averagers are named in the rejection, with the supported set
+    val m = fail("""{"type": "doubleSumCumulative", "name": "x",
+                     "fieldName": "c", "buckets": 2}""")
+    assert(m.contains("doubleSumCumulative") && m.contains("MeanNoNulls"))
+    assert(fail("""{"type": "doubleMean", "name": "x", "fieldName": "c",
+                    "buckets": 2, "cycleSize": 3}""").contains("cycleSize"))
+    assert(fail("""{"type": "constant", "name": "x"}""").contains("value"))
+    assert(fail("""{"type": "doubleMean", "name": "x", "buckets": 2}""")
+      .contains("fieldName"))
+  }
+
   test("review regressions: null-dim groups, filtered zero-fill, min stays null, subtotal shadowing") {
     // (1) movingAverage with a NULL dimension value: the null group keeps
     // its real aggregates (null-safe dim join), not zeros
