@@ -42,6 +42,12 @@ final class IvfIndex private (
 
 object IvfIndex {
 
+  /** Reassemble an index from persisted parts ([[graft.sink.AnnIndexStore]]
+    * load path) — same shape `build` produces. */
+  private[graft] def fromParts(indexed: DataFrame,
+      centroids: Array[(Int, Array[Double])]): IvfIndex =
+    new IvfIndex(indexed, centroids)
+
   private[functions] def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)

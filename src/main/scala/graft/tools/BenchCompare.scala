@@ -101,6 +101,15 @@ object BenchCompare {
     val ivfpq = graft.functions.IvfPq.build(spark, vecs, "vec_id", "embedding",
       kCoarse = 16, m = 8, ks = 16, iterations = 2)
 
+    // persisted-index lifecycle (AnnIndexStore): search over a store-LOADED
+    // index vs retraining per query — the round-3 audit's production-shape
+    // delta, measured
+    val annStorePath = java.nio.file.Files
+      .createTempDirectory("graft-ann-bench").toString + "/pq"
+    graft.sink.AnnIndexStore.savePq(annStorePath, pqCb, pqCodes)
+    val pqLoaded = graft.sink.AnnIndexStore.loadPq(spark, annStorePath)
+    pqLoaded.encoded.count() // materialize the load once — query-many shape
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "ann_brute_50k" -> (() => {
         val q = org.apache.spark.sql.functions.typedlit(annQuery)
@@ -112,6 +121,15 @@ object BenchCompare {
         graft.functions.PqIndex.search(pqCodes, annQuery, pqCb, topK = 10)),
       "ann_ivfpq_probe2_50k" -> (() =>
         ivfpq.search(annQuery, topK = 10, nProbe = 2)),
+      "ann_pq_rebuild_per_query_50k" -> (() => {
+        val cb = graft.functions.PqIndex.train(spark, vecs, "vec_id",
+          "embedding", m = 8, ks = 16, iterations = 2)
+        val codes = graft.functions.PqIndex.encode(vecs, "vec_id", "embedding", cb)
+        graft.functions.PqIndex.search(codes, annQuery, cb, topK = 10)
+      }),
+      "ann_pq_loaded_search_50k" -> (() =>
+        graft.functions.PqIndex.search(pqLoaded.encoded, annQuery,
+          pqLoaded.cb, topK = 10)),
       "simhash_nd_allpairs_2k" -> (() => {
         val a = shSmall.select(col("id").as("id_a"), col("sh").as("sh_a"))
         val b = shSmall.select(col("id").as("id_b"), col("sh").as("sh_b"))
