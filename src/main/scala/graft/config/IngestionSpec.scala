@@ -165,6 +165,16 @@ final case class ExpressionFilter(expression: String) extends FilterSpec
 /** Druid `true` / `false` filters (constant match / drop-all). */
 final case class TrueFilter() extends FilterSpec
 final case class FalseFilter() extends FilterSpec
+/** Druid spatial filter, rectangular bound: the dimension is a synthesized
+  * spatial dim ([[SpatialDimension]], "lat,lon" string); a row matches when
+  * every coordinate lies in [min_i, max_i] — INCLUSIVE both ends, upstream
+  * RectangularBound semantics. */
+final case class SpatialRectFilter(dimension: String,
+    minCoords: Seq[Double], maxCoords: Seq[Double]) extends FilterSpec
+/** Druid spatial filter, radius bound: Euclidean distance from `coords`
+  * ≤ `radius` (upstream RadiusBound). */
+final case class SpatialRadiusFilter(dimension: String,
+    coords: Seq[Double], radius: Double) extends FilterSpec
 
 /** One derived column. DOCUMENTED DELTA: the expression language is Spark
   * SQL (codegen'd, no interpreter), not Druid's own expr dialect — same

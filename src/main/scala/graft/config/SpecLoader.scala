@@ -223,6 +223,34 @@ object SpecLoader {
       ExpressionFilter(e)
     case "true"  => TrueFilter()
     case "false" => FalseFilter()
+    case "spatial" =>
+      val d = str(n, "dimension", "")
+      require(d.nonEmpty, "spatial filter needs a dimension")
+      val bound = opt(n, "bound").getOrElse(
+        throw new IllegalArgumentException("spatial filter needs a bound"))
+      def coords(field: String): Seq[Double] =
+        opt(bound, field).toSeq.flatMap(_.elements.asScala).map(_.asDouble)
+      str(bound, "type", "") match {
+        case "rectangular" =>
+          val (lo, hi) = (coords("minCoords"), coords("maxCoords"))
+          require(lo.nonEmpty && lo.size == hi.size,
+            "rectangular bound needs equal-length non-empty minCoords/maxCoords")
+          lo.zip(hi).foreach { case (l, h) => require(l <= h,
+            s"rectangular bound minCoord $l exceeds maxCoord $h") }
+          SpatialRectFilter(d, lo, hi)
+        case "radius" =>
+          val c = coords("coords")
+          val r = opt(bound, "radius").map(_.asDouble).getOrElse(
+            throw new IllegalArgumentException("radius bound needs a radius"))
+          require(c.nonEmpty, "radius bound needs coords")
+          require(r >= 0, s"radius must be non-negative, got $r")
+          SpatialRadiusFilter(d, c, r)
+        case "polygon" => throw new IllegalArgumentException(
+          "spatial bound type 'polygon' is not supported — decompose into " +
+            "rectangular bounds OR'd together")
+        case other => throw new IllegalArgumentException(
+          s"unsupported spatial bound type '$other' (rectangular/radius)")
+      }
     case "bound" =>
       val ordering = str(n, "ordering", "lexicographic")
       require(ordering == "lexicographic" || ordering == "numeric",

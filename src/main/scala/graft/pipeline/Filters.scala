@@ -50,6 +50,24 @@ object Filters {
         // locale toLowerCase diverges under e.g. Turkish ı-dotting
         else (lower(col(d)), lit(v.toLowerCase(java.util.Locale.ROOT)))
       col(d).isNotNull && lhs.contains(needle)
+    // spatial bounds over a synthesized "lat,lon" dim: split + try_cast
+    // back to doubles (a malformed/short coord string yields null → never
+    // matches, the DSL's null rule). All comparisons stay codegen'd
+    // expressions; the conjunction survives pushdown like bound filters.
+    case graft.config.SpatialRectFilter(d, lo, hi) =>
+      val parts = split(col(d).cast(StringType), ",")
+      val conds = lo.indices.map { i =>
+        val c = try_element_at(parts, lit(i + 1)).try_cast(DoubleType)
+        c.isNotNull && c >= lit(lo(i)) && c <= lit(hi(i)) // inclusive (upstream)
+      }
+      col(d).isNotNull && conds.reduce(_ && _)
+    case graft.config.SpatialRadiusFilter(d, center, radius) =>
+      val parts = split(col(d).cast(StringType), ",")
+      val dist2 = center.indices.map { i =>
+        val c = try_element_at(parts, lit(i + 1)).try_cast(DoubleType)
+        (c - lit(center(i))) * (c - lit(center(i)))
+      }.reduce(_ + _)
+      col(d).isNotNull && coalesce(dist2 <= lit(radius * radius), lit(false))
     case graft.config.ColumnComparisonFilter(ds) =>
       // Druid matches when ALL named columns carry the same value, nulls
       // included — exactly `<=>` chained pairwise

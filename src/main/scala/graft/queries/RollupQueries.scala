@@ -254,6 +254,44 @@ object RollupQueries {
     Some("""SELECT concat_ws(',', lang, source) AS coord, count(*) AS cnt
             FROM documents GROUP BY 1""")),
 
+    // -- spatial BOUND filter over a synthesized numeric spatial dim: the
+    // full JSON filter DSL (SpecLoader → Filters) parses "lat,lon" back to
+    // doubles and keeps cells inside the inclusive rectangle — Druid's
+    // RectangularBound. The oracle filters the raw numeric pair directly
+    // (no string round-trip: double→string→double is exact in Spark, and
+    // grouping by the string is injective on distinct doubles, so cell
+    // counts match the raw-pair grouping).
+    QueryDef("spatial_bound_filter", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("ev",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type"),
+          Seq(SpatialDimension("coord", Seq("lat", "lon")))),
+        Seq(AggregatorSpec("count", "cnt")),
+        GranularitySpec(Granularity.All, Granularity.All)))
+      val p = new Pipeline(spec)
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("lat", col("value"))
+        .withColumn("lon", (col("user_id") % 200).cast("double") - lit(100.0))
+      val cells = p.rollup(p.project(p.extractTimestamp(ev)))
+      val filter = graft.config.SpecLoader.parseFilter(
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree("""
+          {"type": "spatial", "dimension": "coord",
+           "bound": {"type": "rectangular",
+                     "minCoords": [10.0, -50.0], "maxCoords": [60.0, 25.0]}}"""))
+      cells.filter(graft.pipeline.Filters.toColumn(filter))
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("pts_in_box"), count(lit(1)).as("cells_in_box"))
+    },
+    Some("""WITH cells AS (
+              SELECT event_type, value AS lat,
+                     CAST(user_id % 200 AS DOUBLE) - 100.0 AS lon,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2, 3)
+            SELECT event_type, CAST(sum(cnt) AS BIGINT) AS pts_in_box,
+             count(*) AS cells_in_box
+            FROM cells
+            WHERE lat >= 10.0 AND lat <= 60.0 AND lon >= -50.0 AND lon <= 25.0
+            GROUP BY 1""")),
+
     // -- timestampSpec formats: posix + millis round-trip -------------------
     QueryDef("timestamp_formats", (s, dir) => {
       val ev = Tables.t(s, dir, "events")

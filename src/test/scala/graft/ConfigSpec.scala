@@ -135,6 +135,56 @@ class ConfigSpec extends AnyFunSuite {
     }.getMessage.contains("expression"))
   }
 
+  test("spatial filter: inclusive rectangle, radius, null/malformed coords, rejections") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    def parse(json: String) = SpecLoader.parseFilter(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+    val rows = Seq(
+      ("a", "10.0,-50.0"),  // on the min corner — inclusive
+      ("b", "60.0,25.0"),   // on the max corner — inclusive
+      ("c", "35.0,0.0"),    // interior
+      ("d", "61.0,0.0"),    // lat out
+      ("e", "35.0,-51.0"),  // lon out
+      ("f", null),          // null dim
+      ("g", "35.0"),        // malformed: missing lon
+      ("h", "x,y")          // malformed: non-numeric
+    ).toDF("id", "coord")
+
+    val rect = parse("""{"type": "spatial", "dimension": "coord",
+      "bound": {"type": "rectangular",
+                "minCoords": [10.0, -50.0], "maxCoords": [60.0, 25.0]}}""")
+    assert(rect == SpatialRectFilter("coord", Seq(10.0, -50.0), Seq(60.0, 25.0)))
+    val in = rows.filter(graft.pipeline.Filters.toColumn(rect))
+      .select("id").as[String].collect().toSet
+    assert(in == Set("a", "b", "c"))
+    // never-NULL contract: not(spatial) MATCHES null/malformed rows
+    val out = rows.filter(graft.pipeline.Filters.toColumn(
+      graft.config.NotFilter(rect))).select("id").as[String].collect().toSet
+    assert(out == Set("d", "e", "f", "g", "h"))
+
+    val radius = parse("""{"type": "spatial", "dimension": "coord",
+      "bound": {"type": "radius", "coords": [35.0, 0.0], "radius": 5.0}}""")
+    val near = rows.filter(graft.pipeline.Filters.toColumn(radius))
+      .select("id").as[String].collect().toSet
+    assert(near == Set("c")) // only the exact center row is within 5
+
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "spatial", "dimension": "coord",
+        "bound": {"type": "polygon", "abscissa": [1.0], "ordinate": [1.0]}}""")
+    }.getMessage.contains("polygon"))
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "spatial", "dimension": "coord",
+        "bound": {"type": "rectangular", "minCoords": [1.0],
+                  "maxCoords": [2.0, 3.0]}}""")
+    }.getMessage.contains("equal-length"))
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "spatial", "dimension": "coord",
+        "bound": {"type": "rectangular", "minCoords": [5.0],
+                  "maxCoords": [2.0]}}""")
+    }.getMessage.contains("exceeds"))
+  }
+
   test("search/columnComparison/expression/true/false filters: parse + Druid null semantics") {
     val spark = SparkSpec.session
     import spark.implicits._
