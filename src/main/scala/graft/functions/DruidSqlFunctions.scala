@@ -228,6 +228,18 @@ object DruidSqlFunctions {
       ex(c.cast("long"))
     }),
 
+    fn("time_in_interval", args => {
+      arity(args, "time_in_interval(ts, 'start/end')", 2, 2)
+      val iv = strLit(args(1), "time_in_interval interval")
+      val parts = iv.split("/", 2)
+      require(parts.length == 2, s"interval '$iv' is not start/end")
+      val (lo, hi) = (instantMillis(parts(0)), instantMillis(parts(1)))
+      require(hi > lo, s"interval '$iv' is empty")
+      val ts = asCol(args(0))
+      // [start, end) like the intervals clause — integer millis comparisons
+      ex(ts >= timestamp_millis(lit(lo)) && ts < timestamp_millis(lit(hi)))
+    }),
+
     fn("millis_to_timestamp", args => {
       arity(args, "millis_to_timestamp(millis)", 1, 1)
       ex(timestamp_millis(asCol(args(0)).cast("long")))

@@ -85,8 +85,12 @@ object MinHash {
     // the result's lifetime (callers looping over many corpora should
     // checkpoint signatures to storage and pass precomputed pairs instead —
     // that is also the 100 TB shape).
-    val withSig = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
+    // fanOut BEFORE the signature stage: a dup-heavy corpus compresses to
+    // few/one input partitions and would serialize the k-hash signature
+    // computation on one core (measured ×11 on the ×30 probe corpus —
+    // see graft.pipeline.Parallelism)
+    val withSig = graft.pipeline.Parallelism.fanOut(
+        df.select(col(idCol).as("id"), col(textCol).as("text")))
       .withColumn("sh", array_distinct(shingles(col("text"), shingleWidth)))
       .withColumn("sig", signature(col("sh"), k))
       .withColumn("bands", bandHashes(col("sig"), k, bands))

@@ -73,8 +73,11 @@ object SimHashLsh {
       maxHamming: Int = 3,
       bands: Int = 4): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    // fanOut before the fingerprint stage — same input-layout decoupling as
+    // MinHash.nearDupPairs (graft.pipeline.Parallelism scaladoc)
     nearDupsFromFingerprints(
-      df.select(col(idCol).as("id"), TextFunctions.simhash(col(textCol)).as("sh")),
+      graft.pipeline.Parallelism.fanOut(
+        df.select(col(idCol).as("id"), TextFunctions.simhash(col(textCol)).as("sh"))),
       "id", "sh", maxHamming, bands)
   }
 }

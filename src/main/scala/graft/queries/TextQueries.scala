@@ -323,7 +323,9 @@ object TextQueries {
     // the benchmark). The benchmark shingle set is the BROADCAST side — the
     // C4/Dolma-style decontamination join shape at any corpus size ----------
     QueryDef("decontaminate_ngram_overlap", (s, dir) => {
-      val docs = Tables.t(s, dir, "documents")
+      // fanOut: dup-heavy corpora compress to few input partitions and would
+      // serialize the 5-gram explosion on one core (Parallelism scaladoc)
+      val docs = graft.pipeline.Parallelism.fanOut(Tables.t(s, dir, "documents"))
       val sh = docs.select(col("doc_id"),
         explode(graft.functions.MinHash.strictShingles(col("text"), 5)).as("s"))
       val bench = sh.filter(col("doc_id") % 100 === 0).select(col("s")).distinct()
@@ -353,7 +355,7 @@ object TextQueries {
     // training corpus never shuffles for the prefilter ----------------------
     QueryDef("decontaminate_bloom", (s, dir) => {
       GraftFunctions.register(s)
-      val docs = Tables.t(s, dir, "documents")
+      val docs = graft.pipeline.Parallelism.fanOut(Tables.t(s, dir, "documents"))
       val sh = docs.select(col("doc_id"),
         explode(graft.functions.MinHash.strictShingles(col("text"), 5)).as("s"))
       val bench = sh.filter(col("doc_id") % 100 === 0).select(col("s")).distinct()

@@ -108,6 +108,20 @@ class DruidSqlSpec extends SparkSpec {
       .contains("[0,1]"))
   }
 
+  test("TIME_IN_INTERVAL: [start, end) membership, malformed interval rejected") {
+    val r = sql1(
+      """SELECT COUNT(*) AS n,
+                COUNT(CASE WHEN TIME_IN_INTERVAL(__time,
+                  '2024-03-01T00:00:00/2024-03-01T01:00:00') THEN 1 END) AS h0
+         FROM events""")
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L) // 00:10:30 + 00:40:00
+    val e = intercept[Exception] {
+      DruidSql.run("SELECT TIME_IN_INTERVAL(__time, '2024-03-01') FROM events",
+        Map("events" -> events)).collect()
+    }
+    assert(e.getMessage.contains("start/end"))
+  }
+
   test("TIME_PARSE returns null on unparseable input (no ANSI throw)") {
     val r = sql1(
       """SELECT TIME_PARSE('not-a-time') AS a,
