@@ -124,7 +124,12 @@ object VectorQueries {
         .select(col("bucket"), col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
     }, None),
 
-    // -- int8-quantized top-k (storage-compressed search; rows-only) --------
+    // -- int8-quantized top-k (storage-compressed search). ORACLED (r4):
+    //    quantize→dequantize is deterministic double arithmetic (scale =
+    //    127/max|x|, q = round half-away-from-zero — Spark's HALF_UP and
+    //    DuckDB's round agree), and the cosine is the same left-assoc fold
+    //    the brute-force oracle proved bit-stable, so the full compressed-
+    //    search result hash-matches ground truth computed independently.
     QueryDef("ann_quantized_topk", (s, dir) => {
       GraftFunctions.register(s)
       val e = Tables.t(s, dir, "embeddings")
@@ -137,7 +142,26 @@ object VectorQueries {
         .orderBy(col("cos_raw").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
-    }, None),
+    },
+    Some(s"""WITH sc AS (
+              SELECT vec_id, embedding,
+                CASE WHEN list_max(list_transform(embedding,
+                       y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 1.0
+                     ELSE 127.0 / list_max(list_transform(embedding,
+                       y -> abs(CAST(y AS DOUBLE)))) END AS s
+              FROM embeddings),
+            dq AS (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> round(CAST(x AS DOUBLE) * s) / s) AS deq
+                   FROM sc),
+            q AS (SELECT deq AS qv FROM dq WHERE vec_id = 0),
+            d AS (SELECT e.vec_id,
+                    (${dotSql("e.deq", "q.qv")}) AS dot,
+                    sqrt((${dotSql("e.deq", "e.deq")})) AS na,
+                    sqrt((${dotSql("q.qv", "q.qv")})) AS nq
+                  FROM dq e, q WHERE e.vec_id <> 0)
+            SELECT vec_id, round(dot / (na * nq), 6) AS cos_sim
+            FROM d ORDER BY dot / (na * nq) DESC, vec_id LIMIT 10""")),
 
     // -- IVF-flat ANN (scale path #2: cluster-pruned probe; rows-only).
     //    Build-once/query-many: the index persists through AnnIndexStore on
