@@ -394,5 +394,40 @@ object DruidSqlFunctions {
       arity(args, "safe_divide(x, y)", 2, 2)
       val (x, y) = (asCol(args(0)), asCol(args(1)))
       ex(when(y === 0, lit(null)).otherwise(x / y))
+    }),
+
+    // LATEST/EARLIEST aggregates: value at max/min __time (Druid reads the
+    // time column implicitly; a maxBytes second argument is accepted and
+    // ignored — Spark strings are unbounded). LATEST_BY/EARLIEST_BY take
+    // the ordering column explicitly. All compile to max_by/min_by.
+    fn("latest", args => {
+      arity(args, "latest(expr[, maxBytes])", 1, 2)
+      ex(max_by(asCol(args(0)),
+        asCol(org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__time"))))
+    }),
+
+    fn("earliest", args => {
+      arity(args, "earliest(expr[, maxBytes])", 1, 2)
+      ex(min_by(asCol(args(0)),
+        asCol(org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__time"))))
+    }),
+
+    fn("latest_by", args => {
+      arity(args, "latest_by(expr, timeCol[, maxBytes])", 2, 3)
+      ex(max_by(asCol(args(0)), asCol(args(1))))
+    }),
+
+    fn("earliest_by", args => {
+      arity(args, "earliest_by(expr, timeCol[, maxBytes])", 2, 3)
+      ex(min_by(asCol(args(0)), asCol(args(1))))
+    }),
+
+    // STRING_AGG(expr, sep): Druid leaves element order unspecified; the
+    // engine sorts the collected values so results are DETERMINISTIC (a
+    // superset guarantee, documented delta)
+    fn("string_agg", args => {
+      arity(args, "string_agg(expr, separator)", 2, 2)
+      val sep = strLit(args(1), "string_agg separator")
+      ex(array_join(array_sort(collect_list(asCol(args(0)).cast(StringType))), sep))
     }))
 }

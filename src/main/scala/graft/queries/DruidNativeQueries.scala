@@ -351,6 +351,33 @@ object DruidNativeQueries {
     // the interval's first buckets average over data BEFORE the interval
     // (backward extension) and a zero-filled empty bucket would count as 0;
     // longSum + doubleMean keeps the window mean an exact-integer division
+    // -- nested query dataSource (Druid sub-queries): outer aggregate over
+    // an inner timeseries' RESULT — Catalyst fuses both into one job ------
+    QueryDef("druid_json_nested_query", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "timeseries",
+         "dataSource": {"type": "query", "query": {
+           "queryType": "timeseries", "dataSource": "events",
+           "granularity": "hour",
+           "intervals": ["2024-01-05T00:00:00/2024-01-12T00:00:00"],
+           "aggregations": [{"type": "count", "name": "cnt"}]}},
+         "granularity": "all",
+         "aggregations": [
+           {"type": "longMax", "name": "peak", "fieldName": "cnt"},
+           {"type": "longSum", "name": "total", "fieldName": "cnt"},
+           {"type": "count", "name": "hours"}]}""")
+        .select(col("peak"), col("total"), col("hours"))
+    },
+    Some("""WITH h AS (SELECT date_trunc('hour', ts) AS b, count(*) AS cnt
+                       FROM events
+                       WHERE ts >= TIMESTAMP '2024-01-05'
+                         AND ts < TIMESTAMP '2024-01-12'
+                       GROUP BY 1)
+            SELECT CAST(max(cnt) AS BIGINT) AS peak,
+                   CAST(sum(cnt) AS BIGINT) AS total,
+                   count(*) AS hours
+            FROM h""")),
+
     // The full upstream averager surface over a SPARSE hourly series (most
     // purchase hours are empty): Mean counts empty buckets as zero with a
     // full-window denominator, MeanNoNulls excludes null buckets (the

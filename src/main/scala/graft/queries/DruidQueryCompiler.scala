@@ -112,8 +112,20 @@ object DruidQueryCompiler {
         require(members.nonEmpty, "union dataSource needs dataSources")
         members.map(dataSource(_, resolve))
           .reduce(_.unionByName(_, allowMissingColumns = true))
+      // nested query dataSource (Druid sub-queries): compile the inner
+      // query and use its RESULT as the outer input — Catalyst fuses the
+      // two plans, so e.g. groupBy-over-groupBy stays two aggregations in
+      // one job, no materialization boundary
+      case "query" =>
+        val inner = opt(n, "query").getOrElse(throw new IllegalArgumentException(
+          "query dataSource needs a query"))
+        val compiled = compile(mapper.writeValueAsString(inner), resolve)
+        require(compiled.columns.contains(TimeCol),
+          "query dataSource's inner query must emit __time (aggregate " +
+            "queryTypes do; scan can project it)")
+        compiled
       case other => throw new IllegalArgumentException(
-        s"unsupported dataSource type '$other' (table/union)")
+        s"unsupported dataSource type '$other' (table/union/query)")
     }
 
   /** Druid virtualColumns — expression type only; the expression language is

@@ -317,6 +317,23 @@ class DruidQuerySpec extends SparkSpec {
       "2024-03-01 13:00:00.0" -> (1L, 8.0)))
   }
 
+  test("query dataSource: scan over an inner groupBy result; rejections") {
+    val rows = run("""
+      {"queryType": "scan",
+       "dataSource": {"type": "query", "query": {
+         "queryType": "groupBy", "dataSource": "events",
+         "granularity": "all", "dimensions": ["event_type"],
+         "aggregations": [{"type": "doubleSum", "name": "sv",
+                           "fieldName": "value"}]}},
+       "columns": ["event_type", "sv"]}""")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows == Map("click" -> 13.0, "view" -> 18.0, "buy" -> 32.0))
+    assert(intercept[IllegalArgumentException] { run("""
+      {"queryType": "timeseries",
+       "dataSource": {"type": "query"}, "granularity": "all"}""")
+    }.getMessage.contains("needs a query"))
+  }
+
   test("rejections: select pointer, unknown type, missing __time, bad metric") {
     assert(intercept[IllegalArgumentException] { run(
       """{"queryType": "select", "dataSource": "events"}""")

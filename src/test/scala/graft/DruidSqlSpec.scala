@@ -134,6 +134,21 @@ class DruidSqlSpec extends SparkSpec {
       r.getString(2) == "2024-03-01")
   }
 
+  test("LATEST/EARLIEST read __time implicitly; _BY forms explicit; STRING_AGG sorted") {
+    val r = sql1(
+      """SELECT LATEST(event_type) AS last_t,
+                EARLIEST(event_type) AS first_t,
+                LATEST_BY(user, value) AS biggest_user,
+                EARLIEST_BY(user, value) AS smallest_user,
+                STRING_AGG(event_type, '|') AS types
+         FROM events""")
+    assert(r.getString(0) == "view")   // 2024-06-30 carol view
+    assert(r.getString(1) == "click")  // 2024-03-01 00:10:30 alice click
+    assert(r.getString(2) == "carol")  // value 16.0 max
+    assert(r.getString(3) == "alice")  // value 1.0 min
+    assert(r.getString(4) == "click|click|click|view|view") // sorted, deterministic
+  }
+
   test("substitution runner leaves no views behind and honors CTE shadowing") {
     DruidSql.run("SELECT count(*) AS c FROM events", Map("events" -> events))
       .collect()
