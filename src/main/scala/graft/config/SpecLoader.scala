@@ -229,7 +229,13 @@ object SpecLoader {
       val bound = opt(n, "bound").getOrElse(
         throw new IllegalArgumentException("spatial filter needs a bound"))
       def coords(field: String): Seq[Double] =
-        opt(bound, field).toSeq.flatMap(_.elements.asScala).map(_.asDouble)
+        opt(bound, field).toSeq.flatMap(_.elements.asScala).map { e =>
+          // asDouble would coerce a typo'd string to 0.0 — a silently
+          // wrong filter box; malformed specs fail at LOAD like the rest
+          require(e.isNumber, s"spatial bound $field has a non-numeric " +
+            s"coordinate: $e")
+          e.asDouble
+        }
       str(bound, "type", "") match {
         case "rectangular" =>
           val (lo, hi) = (coords("minCoords"), coords("maxCoords"))

@@ -88,6 +88,19 @@ object DruidSqlFunctions {
         s"$fn supports only UTC timezones, got '$tz'")
   }
 
+  /** TIME_FLOOR/TIME_CEIL origin argument → epoch millis. Druid SQL writes
+    * origins as ISO strings OR timestamp literals (`TIMESTAMP '…'` parses to
+    * a TimestampType literal); a non-literal origin is a loud error, never a
+    * silently dropped argument. */
+  private def originMillis(e: Expression, fn: String): Option[Long] = e match {
+    case Literal(null, _) => None
+    case Literal(s, StringType) => Some(instantMillis(s.toString))
+    case Literal(us: Long, _: org.apache.spark.sql.types.TimestampType) =>
+      Some(Math.floorDiv(us, 1000L)) // TimestampType literals carry MICROS
+    case other => throw new IllegalArgumentException(
+      s"$fn origin must be a literal timestamp or ISO-8601 string, got $other")
+  }
+
   /** ISO-8601 instant literal → epoch millis (driver-side). */
   private def instantMillis(s: String): Long =
     scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
@@ -146,9 +159,7 @@ object DruidSqlFunctions {
       arity(args, "time_floor(ts, period[, origin[, tz]])", 2, 4)
       if (args.length == 4) requireUtc(args(3), "TIME_FLOOR")
       val g = period(strLit(args(1), "time_floor period"))
-      val origin = args.lift(2).filterNot(_ == Literal(null))
-        .collect { case e @ Literal(s, StringType) if s != null =>
-          instantMillis(strLit(e, "time_floor origin")) }
+      val origin = args.lift(2).flatMap(originMillis(_, "time_floor"))
       origin match {
         case None => ex(g.truncate(asCol(args(0))))
         case Some(o) =>
@@ -163,9 +174,7 @@ object DruidSqlFunctions {
       if (args.length == 4) requireUtc(args(3), "TIME_CEIL")
       val g = period(strLit(args(1), "time_ceil period"))
       val ts = asCol(args(0))
-      val origin = args.lift(2).filterNot(_ == Literal(null))
-        .collect { case e @ Literal(s, StringType) if s != null =>
-          instantMillis(strLit(e, "time_ceil origin")) }
+      val origin = args.lift(2).flatMap(originMillis(_, "time_ceil"))
       if (g.widthSeconds > 0) {
         val o = origin.getOrElse(0L)
         val w = g.widthSeconds * 1000L
@@ -220,7 +229,11 @@ object DruidSqlFunctions {
         case "WEEK"    => weekofyear(ts)
         case "MONTH"   => month(ts)
         case "QUARTER" => quarter(ts)
-        case "YEAR" | "ISOYEAR" => year(ts)
+        case "YEAR"    => year(ts)
+        // ISO week-based year = year of this ISO week's THURSDAY (differs
+        // from the calendar year for ~3 days around each new year)
+        case "ISOYEAR" =>
+          year(date_add(date_trunc("week", ts).cast("date"), 3))
         case other => throw new IllegalArgumentException(
           s"time_extract unit '$other' not supported (EPOCH/MILLIS/SECOND/" +
             "MINUTE/HOUR/DAY/DOW/DOY/WEEK/MONTH/QUARTER/YEAR)")
@@ -420,14 +433,10 @@ object DruidSqlFunctions {
     fn("earliest_by", args => {
       arity(args, "earliest_by(expr, timeCol[, maxBytes])", 2, 3)
       ex(min_by(asCol(args(0)), asCol(args(1))))
-    }),
-
-    // STRING_AGG(expr, sep): Druid leaves element order unspecified; the
-    // engine sorts the collected values so results are DETERMINISTIC (a
-    // superset guarantee, documented delta)
-    fn("string_agg", args => {
-      arity(args, "string_agg(expr, separator)", 2, 2)
-      val sep = strLit(args(1), "string_agg separator")
-      ex(array_join(array_sort(collect_list(asCol(args(0)).cast(StringType))), sep))
     }))
+    // NOTE deliberately NOT registered: STRING_AGG — Spark 4 ships it
+    // natively (listagg alias) with DISTINCT and WITHIN GROUP support;
+    // shadowing a built-in would change arity/semantics for every session
+    // carrying graft functions. Druid's STRING_AGG(expr, sep) is
+    // call-compatible with the built-in.
 }

@@ -73,11 +73,14 @@ object SimHashLsh {
       maxHamming: Int = 3,
       bands: Int = 4): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    // fanOut before the fingerprint stage — same input-layout decoupling as
-    // MinHash.nearDupPairs (graft.pipeline.Parallelism scaladoc)
+    // fanOut the RAW columns, then fingerprint — the exchange must sit
+    // BELOW the simhash projection or the compute-dense stage still runs
+    // on the narrow input partitioning (same decoupling as
+    // MinHash.nearDupPairs; graft.pipeline.Parallelism scaladoc)
     nearDupsFromFingerprints(
       graft.pipeline.Parallelism.fanOut(
-        df.select(col(idCol).as("id"), TextFunctions.simhash(col(textCol)).as("sh"))),
+          df.select(col(idCol).as("id"), col(textCol).as("__text")))
+        .select(col("id"), TextFunctions.simhash(col("__text")).as("sh")),
       "id", "sh", maxHamming, bands)
   }
 }

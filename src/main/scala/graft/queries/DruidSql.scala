@@ -17,26 +17,47 @@ import org.apache.spark.sql.graft.GraftSqlBridge
   */
 object DruidSql {
 
+  /** Parse once — callers that need both the referenced tables and the run
+    * (the HTTP endpoint) should parse here and pass the plan to
+    * [[runPlan]]/[[referencedTables]] instead of re-parsing per step. */
+  def parse(sqlText: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    CatalystSqlParser.parsePlan(sqlText)
+
   /** Single-part table names the statement references (multi-part names are
     * catalog-qualified — never dataSources). */
-  def referencedTables(sqlText: String): Set[String] =
-    CatalystSqlParser.parsePlan(sqlText).collect {
+  def referencedTables(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Set[String] =
+    plan.collect {
       case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
         r.multipartIdentifier.head
     }.toSet
 
+  def referencedTables(sqlText: String): Set[String] =
+    referencedTables(parse(sqlText))
+
   /** Run `sqlText` with every reference to a key of `frames` substituted by
-    * its DataFrame's logical plan. A CTE named like a frame shadows it
-    * everywhere (Druid's rule too): CTE-defined names are excluded from
-    * substitution so they resolve through normal CTE resolution. */
-  def run(sqlText: String, frames: Map[String, DataFrame]): DataFrame = {
+    * its DataFrame's logical plan. Name matching is CASE-INSENSITIVE, like
+    * Spark's own identifier resolution (`SELECT * FROM CLICKS_DS` must hit
+    * the "clicks_ds" dataSource exactly as the temp-view path did). A CTE
+    * named like a frame shadows it everywhere (Druid's rule too):
+    * CTE-defined names are excluded from substitution, case-insensitively,
+    * so they resolve through normal CTE resolution. */
+  def run(sqlText: String, frames: Map[String, DataFrame]): DataFrame =
+    runPlan(parse(sqlText), frames)
+
+  def runPlan(parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      frames: Map[String, DataFrame]): DataFrame = {
     require(frames.nonEmpty, "DruidSql.run needs at least one dataSource frame")
     val spark = frames.head._2.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val parsed = CatalystSqlParser.parsePlan(sqlText)
+    val framesCi = frames.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
     val cteNames = parsed.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.map { case (name, _, _) => name }
+        w.cteRelations.map { case (name, _, _) =>
+          name.toLowerCase(java.util.Locale.ROOT) }
     }.flatten.toSet
     def substitute(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
@@ -46,12 +67,13 @@ object DruidSql {
           w.copy(cteRelations = w.cteRelations.map { case (n, s, o) =>
             (n, substitute(s).asInstanceOf[SubqueryAlias], o)
           })
-        case r: UnresolvedRelation
-            if r.multipartIdentifier.length == 1 &&
-              !cteNames(r.multipartIdentifier.head) &&
-              frames.contains(r.multipartIdentifier.head) =>
+        case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
+            !cteNames(r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) &&
+            framesCi.contains(r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) =>
+          // alias under the name AS WRITTEN so qualified column references
+          // (`CLICKS_DS.etype`) keep resolving
           SubqueryAlias(r.multipartIdentifier.head,
-            frames(r.multipartIdentifier.head)
+            framesCi(r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT))
               .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
               .queryExecution.logical)
       }

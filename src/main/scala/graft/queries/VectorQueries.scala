@@ -23,13 +23,26 @@ object VectorQueries {
       .mkString(" + ")
 
   /** Persisted-index cache location for the build-once/query-many ann_*
-    * paths: keyed by corpus dir + hyperparameters (+ a format version in
-    * the params string) so a corpus or parameter change rebuilds. Training
-    * is deterministic, so a cached index is value-identical to a rebuild.
+    * paths: keyed by corpus CONTENT (file name+length+mtime of the
+    * embeddings parquet — listed via the filesystem, no Spark job) plus
+    * hyperparameters (+ a format version in the params string), so a
+    * regenerated corpus under the same path, or a parameter change,
+    * rebuilds instead of serving a stale index. Training is deterministic,
+    * so a cached index is value-identical to a rebuild.
     */
-  private def annCachePath(dir: String, kind: String, params: String): String = {
+  private def annCachePath(s: org.apache.spark.sql.SparkSession, dir: String,
+      kind: String, params: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq
+          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          .sorted.mkString(",")
+      else "absent"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$params".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$dir|$files|$params".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     s"/tmp/graft_ann_cache/${kind}_$key"
   }
 
@@ -171,7 +184,7 @@ object VectorQueries {
     QueryDef("ann_ivf_topk", (s, dir) => {
       import org.apache.spark.sql.{functions => F}
       val e = Tables.t(s, dir, "embeddings")
-      val path = annCachePath(dir, "ivf", "k8it5v1")
+      val path = annCachePath(s, dir, "ivf", "k8it5v1")
       val idx =
         if (graft.sink.AnnIndexStore.exists(s, path, "ivf"))
           graft.sink.AnnIndexStore.loadIvf(s, path)
@@ -287,7 +300,7 @@ object VectorQueries {
     //    and training determinism)
     QueryDef("ann_pq_topk", (s, dir) => {
       val e = Tables.t(s, dir, "embeddings")
-      val path = annCachePath(dir, "pq", "m8ks16it4v1")
+      val path = annCachePath(s, dir, "pq", "m8ks16it4v1")
       val handle =
         if (graft.sink.AnnIndexStore.exists(s, path, "pq"))
           graft.sink.AnnIndexStore.loadPq(s, path)
@@ -312,7 +325,7 @@ object VectorQueries {
     //    guarantees)
     QueryDef("ann_ivfpq_topk", (s, dir) => {
       val e = Tables.t(s, dir, "embeddings")
-      val path = annCachePath(dir, "ivfpq", "kc8m8ks16it4v1")
+      val path = annCachePath(s, dir, "ivfpq", "kc8m8ks16it4v1")
       val idx =
         if (graft.sink.AnnIndexStore.exists(s, path, "ivfpq"))
           graft.sink.AnnIndexStore.loadIvfPq(s, path)

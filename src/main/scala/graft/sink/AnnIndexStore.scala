@@ -42,11 +42,21 @@ object AnnIndexStore {
     def close(): Unit = { encoded.unpersist(); () }
   }
 
+  /** Invalidate a kind's commit marker BEFORE rewriting earlier artifacts:
+    * a re-save that crashes mid-overwrite must not leave a stale marker
+    * admitting a mixed-generation index (new codes + old codebook). */
+  private def dropMarker(spark: SparkSession, path: String, last: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$last")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+
   // -------------------------------------------------------------------- PQ
 
   def savePq(path: String, cb: PqCodebook, encoded: DataFrame): Unit = {
     val spark = encoded.sparkSession
     import spark.implicits._
+    dropMarker(spark, path, "codebook")
     encoded.write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$path/codes")
     Seq((cb.m, cb.ks, cb.subDim,
@@ -73,7 +83,7 @@ object AnnIndexStore {
 
   def saveIvf(path: String, idx: IvfIndex): Unit = {
     val spark = idx.indexed.sparkSession
-    import spark.implicits._
+    dropMarker(spark, path, "centroids")
     idx.indexed.write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$path/vectors")
     writeCentroids(spark, s"$path/centroids", idx.centroids)
@@ -106,6 +116,7 @@ object AnnIndexStore {
   // ---------------------------------------------------------------- IVFADC
 
   def saveIvfPq(path: String, idx: IvfPqIndex): Unit = {
+    dropMarker(idx.encoded.sparkSession, path, "codebook")
     writeCentroids(idx.encoded.sparkSession, s"$path/centroids", idx.coarse)
     savePq(path, idx.cb, idx.encoded) // codebook last = the commit marker
   }

