@@ -14,6 +14,12 @@ import graft.config.AggregatorSpec
   */
 object Aggregators {
 
+  /** Exact-name reference: join-prefixed fields carry dots (`r.weight`);
+    * bare functions.col would parse them as struct access. */
+  private def col(name: String): Column =
+    org.apache.spark.sql.functions.col(
+      if (name.contains(".")) s"`$name`" else name)
+
   def toColumn(spec: AggregatorSpec): Column = spec.aggType match {
     case "count"     => count(lit(1)).as(spec.name)
     case "longSum"   => sum(field(spec)).cast(LongType).as(spec.name)

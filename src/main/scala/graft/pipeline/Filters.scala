@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
   */
 object Filters {
 
+  /** Exact-name reference: join-prefixed dimensions carry dots
+    * (`r.label`); bare functions.col would parse them as struct access. */
+  private def col(name: String): Column =
+    org.apache.spark.sql.functions.col(
+      if (name.contains(".")) s"`$name`" else name)
+
   def toColumn(f: graft.config.FilterSpec): Column = f match {
     case graft.config.SelectorFilter(d, v) => col(d) <=> lit(v)
     // `isNotNull && pred` rather than `coalesce(pred, false)`: identical
@@ -121,6 +127,8 @@ object Filters {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
             a.name
         }.distinct
+    case graft.config.SpatialRectFilter(d, _, _)   => Seq(d)
+    case graft.config.SpatialRadiusFilter(d, _, _) => Seq(d)
     case graft.config.TrueFilter() | graft.config.FalseFilter() => Seq.empty
   }
 }

@@ -378,6 +378,40 @@ object DruidNativeQueries {
                    count(*) AS hours
             FROM h""")),
 
+    // -- join dataSource: LEFT join against an INLINE right (Druid's
+    // broadcast-global rule), dotted right-prefix columns flowing through
+    // dimensions AND aggregations; unmatched types keep a null label group
+    // (Druid LEFT join semantics) and a null sum (sum of no rows) ----------
+    QueryDef("druid_json_join_inline", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "groupBy",
+         "dataSource": {"type": "join",
+           "left": "events",
+           "right": {"type": "inline",
+             "columnNames": ["etype", "label", "weight"],
+             "rows": [["click", "Click", 1], ["view", "View", 2],
+                      ["purchase", "Buy", 3]]},
+           "rightPrefix": "r.",
+           "condition": "event_type == \"r.etype\"",
+           "joinType": "LEFT"},
+         "granularity": "all",
+         "dimensions": [
+           {"type": "default", "dimension": "r.label", "outputName": "label"}],
+         "aggregations": [
+           {"type": "count", "name": "cnt"},
+           {"type": "longSum", "name": "sum_w", "fieldName": "r.weight"},
+           {"type": "longSum", "name": "sum_uid", "fieldName": "user_id"}]}""")
+        .select(col("label"), col("cnt"), col("sum_w"), col("sum_uid"))
+    },
+    Some("""SELECT m.label AS label, count(*) AS cnt,
+             CAST(sum(m.weight) AS BIGINT) AS sum_w,
+             CAST(sum(e.user_id) AS BIGINT) AS sum_uid
+            FROM events e
+            LEFT JOIN (VALUES ('click', 'Click', 1), ('view', 'View', 2),
+                              ('purchase', 'Buy', 3)) AS m(etype, label, weight)
+              ON e.event_type = m.etype
+            GROUP BY 1""")),
+
     // The full upstream averager surface over a SPARSE hourly series (most
     // purchase hours are empty): Mean counts empty buckets as zero with a
     // full-window denominator, MeanNoNulls excludes null buckets (the

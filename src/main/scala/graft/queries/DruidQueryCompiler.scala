@@ -65,9 +65,19 @@ object DruidQueryCompiler {
 
   private val mapper = new ObjectMapper()
 
-  /** Compile `json` against `resolve` (dataSource name → table). Union
-    * datasources resolve each member and unionByName (missing columns
-    * null-filled — Druid's union semantics over mismatched datasources).
+  /** Exact-name column reference. Join dataSources prefix right-side
+    * columns with a DOT (`r.label`, Druid's convention), and bare
+    * functions.col would parse the dot as struct access — shadow-quoting
+    * keeps every dimension reference in this compiler dot-safe. */
+  private def col(name: String): Column =
+    org.apache.spark.sql.functions.col(
+      if (name.contains(".")) s"`$name`" else name)
+
+  /** Compile `json` against `resolve` (dataSource name → table). The full
+    * dataSource algebra: `table` / `union` (unionByName, missing columns
+    * null-filled — Druid's semantics over mismatched datasources) /
+    * `query` (sub-query results as input) / `join` (broadcast-global right
+    * side: lookup, inline, or query) / `inline` / `lookup`.
     */
   def compile(json: String, resolve: String => DataFrame): DataFrame = {
     val root = mapper.readTree(json)
@@ -124,9 +134,140 @@ object DruidQueryCompiler {
           "query dataSource's inner query must emit __time (aggregate " +
             "queryTypes do; scan can project it)")
         compiled
+      // Druid inline dataSource: columnNames + rows, types explicit
+      // (columnTypes: string/long/double) or inferred from the first
+      // non-null value per column
+      case "inline" => inline(n)
+      // Druid lookup dataSource: the registered map as its (k, v) table
+      case "lookup" =>
+        val name = str(n, "lookup", "")
+        require(name.nonEmpty, "lookup dataSource needs a lookup name")
+        val mapping = Lookups.get(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"lookup dataSource '$name' is not registered"))
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        mapping.toSeq.sortBy(_._1).toDF("k", "v")
+      case "join" => join(n, resolve)
       case other => throw new IllegalArgumentException(
-        s"unsupported dataSource type '$other' (table/union/query)")
+        s"unsupported dataSource type '$other' " +
+          "(table/union/query/join/inline/lookup)")
     }
+
+  private def inline(n: JsonNode): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
+    val names = opt(n, "columnNames").toSeq.flatMap(_.elements.asScala)
+      .map(_.asText).toSeq
+    require(names.nonEmpty, "inline dataSource needs columnNames")
+    val rows = opt(n, "rows").toSeq.flatMap(_.elements.asScala).toSeq
+    require(rows.nonEmpty, "inline dataSource needs rows")
+    rows.foreach(r => require(r.isArray && r.size == names.length,
+      s"inline row $r must be an array of ${names.length} values"))
+    val explicit = opt(n, "columnTypes")
+      .map(_.elements.asScala.map(_.asText).toSeq)
+    explicit.foreach(ts => require(ts.length == names.length,
+      "columnTypes length must match columnNames"))
+    val types: Seq[DataType] = names.indices.map { i =>
+      explicit match {
+        case Some(ts) => ts(i).toLowerCase(java.util.Locale.ROOT) match {
+          case "string" => StringType
+          case "long"   => LongType
+          case "double" => DoubleType
+          case other => throw new IllegalArgumentException(
+            s"inline columnType '$other' not supported (string/long/double)")
+        }
+        case None =>
+          rows.iterator.map(_.get(i)).find(v => v != null && !v.isNull) match {
+            case Some(v) if v.isIntegralNumber => LongType
+            case Some(v) if v.isNumber         => DoubleType
+            case _                             => StringType
+          }
+      }
+    }
+    val data: java.util.List[org.apache.spark.sql.Row] =
+      rows.map { r =>
+        org.apache.spark.sql.Row.fromSeq(names.indices.map { i =>
+          val v = r.get(i)
+          if (v == null || v.isNull) null
+          else types(i) match {
+            case LongType =>
+              require(v.isNumber, s"inline value $v is not a long"); v.asLong
+            case DoubleType =>
+              require(v.isNumber, s"inline value $v is not a double"); v.asDouble
+            case _ => v.asText
+          }
+        })
+      }.asJava
+    org.apache.spark.sql.SparkSession.active.createDataFrame(data,
+      StructType(names.zip(types).map { case (nm, t) =>
+        StructField(nm, t, nullable = true) }))
+  }
+
+  /** Druid join dataSource. The right side must be GLOBAL (lookup / inline
+    * / query) — Druid's own rule, and exactly the broadcast-safe shape: the
+    * left (fact) side never shuffles; the right ships once per executor via
+    * an explicit broadcast hint. Right columns are renamed under
+    * `rightPrefix` (dots welcome — the whole compiler quotes exact names),
+    * and the condition is a conjunction of column equalities in Druid's
+    * syntax (`user == "r.k"`). Druid's full expression language on the
+    * left operand is not emulated — a non-column operand is a loud error
+    * (virtualColumns can pre-compute the expression). */
+  private def join(n: JsonNode, resolve: String => DataFrame): DataFrame = {
+    val left = dataSource(opt(n, "left").getOrElse(
+      throw new IllegalArgumentException("join dataSource needs a left")),
+      resolve)
+    val rightNode = opt(n, "right").getOrElse(
+      throw new IllegalArgumentException("join dataSource needs a right"))
+    val rightType =
+      if (rightNode.isTextual) "table" else str(rightNode, "type", "table")
+    require(Set("lookup", "inline", "query")(rightType),
+      s"join right side must be a global dataSource (lookup/inline/query), " +
+        s"got '$rightType' — pre-aggregate a table through a query " +
+        "dataSource to make it broadcastable")
+    val right = dataSource(rightNode, resolve)
+    val prefix = str(n, "rightPrefix", "")
+    require(prefix.nonEmpty, "join dataSource needs a non-empty rightPrefix")
+    val collisions = left.columns.filter(_.startsWith(prefix))
+    require(collisions.isEmpty,
+      s"rightPrefix '$prefix' collides with left column(s) " +
+        collisions.mkString(","))
+    val renamed = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, prefix + c))
+    val how = str(n, "joinType", "").toUpperCase(java.util.Locale.ROOT) match {
+      case "INNER" => "inner"
+      case "LEFT"  => "left"
+      case other => throw new IllegalArgumentException(
+        s"join joinType must be INNER or LEFT, got '$other'")
+    }
+    left.join(broadcast(renamed),
+      joinCondition(str(n, "condition", ""), left, renamed), how)
+  }
+
+  private def joinCondition(cond: String, left: DataFrame,
+      right: DataFrame): Column = {
+    require(cond.trim.nonEmpty, "join dataSource needs a condition")
+    def ref(tok: String): Column = {
+      val t = tok.trim
+      val name =
+        if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+          t.substring(1, t.length - 1)
+        else t
+      require(name.matches("""[A-Za-z_][A-Za-z0-9_.]*"""),
+        s"join condition operand '$t' must be a plain or double-quoted " +
+          "column reference")
+      if (right.columns.contains(name)) right(s"`$name`")
+      else if (left.columns.contains(name)) left(s"`$name`")
+      else throw new IllegalArgumentException(
+        s"join condition references unknown column '$name'")
+    }
+    cond.split("&&").toSeq.map { eq =>
+      val sides = eq.split("==")
+      require(sides.length == 2,
+        s"join condition term '${eq.trim}' must be a single equality " +
+          "(conjoin with &&)")
+      ref(sides(0)) === ref(sides(1))
+    }.reduce(_ && _)
+  }
 
   /** Druid virtualColumns — expression type only; the expression language is
     * Spark SQL (the transformSpec delta, [[graft.config.TransformField]]). */
@@ -694,7 +835,8 @@ object DruidQueryCompiler {
           coalesce(col(s"nulls__$c"), lit(0L)).as("null_count"),
           col("__rows").as("num_rows"))
       }: _*)).as("m"))
-      .select(col("m.*"))
+      // struct EXPANSION — must dodge the exact-name col shadow above
+      .select(org.apache.spark.sql.functions.col("m.*"))
   }
 
   // ---------------------------------------------------------- movingAverage

@@ -163,6 +163,12 @@ class ConfigSpec extends AnyFunSuite {
       graft.config.NotFilter(rect))).select("id").as[String].collect().toSet
     assert(out == Set("d", "e", "f", "g", "h"))
 
+    // projection keeps the spatial dim (filtered-agg path): dimensions()
+    // must know the spatial types, not MatchError on them
+    assert(graft.pipeline.Filters.dimensions(rect) == Seq("coord"))
+    assert(graft.pipeline.Filters.dimensions(
+      graft.config.NotFilter(rect)) == Seq("coord"))
+
     val radius = parse("""{"type": "spatial", "dimension": "coord",
       "bound": {"type": "radius", "coords": [35.0, 0.0], "radius": 5.0}}""")
     val near = rows.filter(graft.pipeline.Filters.toColumn(radius))

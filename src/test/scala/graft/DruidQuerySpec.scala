@@ -650,4 +650,109 @@ class DruidQuerySpec extends SparkSpec {
        "aggregations": [{"type": "count", "name": "cnt"}]}""")
     }.getMessage.contains("subtotalsSpec"))
   }
+
+  test("join dataSource: lookup right, INNER, broadcast plan; filter on prefixed col") {
+    graft.queries.Lookups.register("jtypes",
+      Map("click" -> "Click", "view" -> "View"))
+    try {
+      val df = run("""
+        {"queryType": "groupBy",
+         "dataSource": {"type": "join",
+           "left": "events",
+           "right": {"type": "lookup", "lookup": "jtypes"},
+           "rightPrefix": "r.",
+           "condition": "event_type == \"r.k\"",
+           "joinType": "INNER"},
+         "granularity": "all",
+         "dimensions": [
+           {"type": "default", "dimension": "r.v", "outputName": "label"}],
+         "filter": {"type": "selector", "dimension": "r.v", "value": "Click"},
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "doubleSum", "name": "sv", "fieldName": "value"}]}""")
+      // INNER drops "buy"; the prefixed-column filter keeps only Click
+      val out = df.select("label", "cnt", "sv").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(out == Seq(("Click", 3L, 13.0)))
+      // the right side rides a broadcast: fact side must not shuffle for it
+      assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally graft.queries.Lookups.unregister("jtypes")
+  }
+
+  test("join dataSource: multi-equality condition; inline typing; rejections") {
+    // conjunction of equalities + explicit columnTypes (value double)
+    val multi = run("""
+      {"queryType": "scan",
+       "dataSource": {"type": "join",
+         "left": "events",
+         "right": {"type": "inline",
+           "columnNames": ["t", "u", "bonus"],
+           "columnTypes": ["string", "string", "double"],
+           "rows": [["click", "alice", 0.5], ["view", "bob", 1.5]]},
+         "rightPrefix": "j.",
+         "condition": "event_type == \"j.t\" && user == \"j.u\"",
+         "joinType": "INNER"},
+       "columns": ["__time", "user", "j.bonus"]}""").collect()
+    // click+alice matches 2 rows, view+bob 1 row
+    assert(multi.length == 3)
+    assert(multi.map(_.getDouble(2)).sorted.toSeq == Seq(0.5, 0.5, 1.5))
+
+    // inline without columnTypes infers long vs double vs string
+    val inferred = run("""
+      {"queryType": "scan",
+       "dataSource": {"type": "join",
+         "left": "events",
+         "right": {"type": "inline",
+           "columnNames": ["t", "n", "d"],
+           "rows": [["click", 7, 1.5]]},
+         "rightPrefix": "j.",
+         "condition": "event_type == \"j.t\"",
+         "joinType": "INNER"},
+       "columns": ["j.n", "j.d"]}""")
+    assert(inferred.schema("j.n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(inferred.schema("j.d").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+
+    def bad(json: String): String =
+      intercept[IllegalArgumentException] { run(json) }.getMessage
+    // a plain table right side is not global — Druid's rule
+    assert(bad("""
+      {"queryType": "scan",
+       "dataSource": {"type": "join", "left": "events", "right": "extra",
+         "rightPrefix": "r.", "condition": "user == \"r.user\"",
+         "joinType": "INNER"},
+       "columns": ["__time"]}""").contains("global"))
+    // rightPrefix colliding with a left column
+    assert(bad("""
+      {"queryType": "scan",
+       "dataSource": {"type": "join", "left": "events",
+         "right": {"type": "inline", "columnNames": ["k"], "rows": [["x"]]},
+         "rightPrefix": "event", "condition": "user == \"eventk\"",
+         "joinType": "INNER"},
+       "columns": ["__time"]}""").contains("collides"))
+    // FULL is not a Druid join dataSource type
+    assert(bad("""
+      {"queryType": "scan",
+       "dataSource": {"type": "join", "left": "events",
+         "right": {"type": "inline", "columnNames": ["k"], "rows": [["x"]]},
+         "rightPrefix": "r.", "condition": "event_type == \"r.k\"",
+         "joinType": "FULL"},
+       "columns": ["__time"]}""").contains("INNER or LEFT"))
+    // unknown column in the condition is loud
+    assert(bad("""
+      {"queryType": "scan",
+       "dataSource": {"type": "join", "left": "events",
+         "right": {"type": "inline", "columnNames": ["k"], "rows": [["x"]]},
+         "rightPrefix": "r.", "condition": "nope == \"r.k\"",
+         "joinType": "INNER"},
+       "columns": ["__time"]}""").contains("unknown column"))
+    // a non-equality condition is loud, not silently cross-joined
+    assert(bad("""
+      {"queryType": "scan",
+       "dataSource": {"type": "join", "left": "events",
+         "right": {"type": "inline", "columnNames": ["k"], "rows": [["x"]]},
+         "rightPrefix": "r.", "condition": "event_type > \"r.k\"",
+         "joinType": "INNER"},
+       "columns": ["__time"]}""").contains("equality"))
+  }
 }
