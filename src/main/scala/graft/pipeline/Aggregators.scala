@@ -14,11 +14,8 @@ import graft.config.AggregatorSpec
   */
 object Aggregators {
 
-  /** Exact-name reference: join-prefixed fields carry dots (`r.weight`);
-    * bare functions.col would parse them as struct access. */
-  private def col(name: String): Column =
-    org.apache.spark.sql.functions.col(
-      if (name.contains(".")) s"`$name`" else name)
+  /** Exact-name reference (join-prefixed fields carry dots) — [[Cols]]. */
+  private def col(name: String): Column = Cols.exact(name)
 
   def toColumn(spec: AggregatorSpec): Column = spec.aggType match {
     case "count"     => count(lit(1)).as(spec.name)

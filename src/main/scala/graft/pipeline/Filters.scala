@@ -17,11 +17,8 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
   */
 object Filters {
 
-  /** Exact-name reference: join-prefixed dimensions carry dots
-    * (`r.label`); bare functions.col would parse them as struct access. */
-  private def col(name: String): Column =
-    org.apache.spark.sql.functions.col(
-      if (name.contains(".")) s"`$name`" else name)
+  /** Exact-name reference (join-prefixed dims carry dots) — [[Cols]]. */
+  private def col(name: String): Column = Cols.exact(name)
 
   def toColumn(f: graft.config.FilterSpec): Column = f match {
     case graft.config.SelectorFilter(d, v) => col(d) <=> lit(v)

@@ -65,13 +65,10 @@ object DruidQueryCompiler {
 
   private val mapper = new ObjectMapper()
 
-  /** Exact-name column reference. Join dataSources prefix right-side
-    * columns with a DOT (`r.label`, Druid's convention), and bare
-    * functions.col would parse the dot as struct access — shadow-quoting
-    * keeps every dimension reference in this compiler dot-safe. */
-  private def col(name: String): Column =
-    org.apache.spark.sql.functions.col(
-      if (name.contains(".")) s"`$name`" else name)
+  /** Exact-name column reference (join-prefixed names carry dots) —
+    * [[graft.pipeline.Cols]]. The one STRUCT-EXPANSION use in this file
+    * (`m.*`, segmentMetadata) dodges the shadow explicitly. */
+  private def col(name: String): Column = graft.pipeline.Cols.exact(name)
 
   /** Compile `json` against `resolve` (dataSource name → table). The full
     * dataSource algebra: `table` / `union` (unionByName, missing columns
@@ -113,7 +110,14 @@ object DruidQueryCompiler {
 
   // ------------------------------------------------------------------ inputs
 
-  private def dataSource(n: JsonNode, resolve: String => DataFrame): DataFrame =
+  /** `session` builds frames for the SOURCE-LESS dataSource types (inline
+    * / lookup). A join threads its LEFT side's session through so both
+    * join inputs live on one SparkSession (the daemon may isolate
+    * requests via newSession); only a standalone inline/lookup falls back
+    * to the thread's active session. */
+  private def dataSource(n: JsonNode, resolve: String => DataFrame,
+      session: => org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): DataFrame =
     if (n.isTextual) resolve(n.asText)
     else str(n, "type", "") match {
       case "table" => resolve(str(n, "name", ""))
@@ -135,9 +139,8 @@ object DruidQueryCompiler {
             "queryTypes do; scan can project it)")
         compiled
       // Druid inline dataSource: columnNames + rows, types explicit
-      // (columnTypes: string/long/double) or inferred from the first
-      // non-null value per column
-      case "inline" => inline(n)
+      // (columnTypes: string/long/double) or inferred from the values
+      case "inline" => inline(n, session)
       // Druid lookup dataSource: the registered map as its (k, v) table
       case "lookup" =>
         val name = str(n, "lookup", "")
@@ -145,7 +148,7 @@ object DruidQueryCompiler {
         val mapping = Lookups.get(name).getOrElse(
           throw new IllegalArgumentException(
             s"lookup dataSource '$name' is not registered"))
-        val spark = org.apache.spark.sql.SparkSession.active
+        val spark = session
         import spark.implicits._
         mapping.toSeq.sortBy(_._1).toDF("k", "v")
       case "join" => join(n, resolve)
@@ -154,7 +157,8 @@ object DruidQueryCompiler {
           "(table/union/query/join/inline/lookup)")
     }
 
-  private def inline(n: JsonNode): DataFrame = {
+  private def inline(n: JsonNode,
+      session: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
     val names = opt(n, "columnNames").toSeq.flatMap(_.elements.asScala)
       .map(_.asText).toSeq
@@ -177,11 +181,13 @@ object DruidQueryCompiler {
             s"inline columnType '$other' not supported (string/long/double)")
         }
         case None =>
-          rows.iterator.map(_.get(i)).find(v => v != null && !v.isNull) match {
-            case Some(v) if v.isIntegralNumber => LongType
-            case Some(v) if v.isNumber         => DoubleType
-            case _                             => StringType
-          }
+          // infer from ALL values, not the first: a single fractional
+          // value anywhere widens the column to double (first-value
+          // inference would silently truncate 2.5 into a long column)
+          val vs = rows.map(_.get(i)).filter(v => v != null && !v.isNull)
+          if (vs.isEmpty || !vs.forall(_.isNumber)) StringType
+          else if (vs.forall(_.isIntegralNumber)) LongType
+          else DoubleType
       }
     }
     val data: java.util.List[org.apache.spark.sql.Row] =
@@ -191,14 +197,17 @@ object DruidQueryCompiler {
           if (v == null || v.isNull) null
           else types(i) match {
             case LongType =>
-              require(v.isNumber, s"inline value $v is not a long"); v.asLong
+              // fractional into a declared-long column is a loud error,
+              // never a silent truncation
+              require(v.isIntegralNumber, s"inline value $v is not a long")
+              v.asLong
             case DoubleType =>
               require(v.isNumber, s"inline value $v is not a double"); v.asDouble
             case _ => v.asText
           }
         })
       }.asJava
-    org.apache.spark.sql.SparkSession.active.createDataFrame(data,
+    session.createDataFrame(data,
       StructType(names.zip(types).map { case (nm, t) =>
         StructField(nm, t, nullable = true) }))
   }
@@ -224,15 +233,16 @@ object DruidQueryCompiler {
       s"join right side must be a global dataSource (lookup/inline/query), " +
         s"got '$rightType' — pre-aggregate a table through a query " +
         "dataSource to make it broadcastable")
-    val right = dataSource(rightNode, resolve)
+    // right frames (inline/lookup) build on the LEFT side's session so a
+    // daemon that isolates requests via newSession joins within one session
+    val right = dataSource(rightNode, resolve, left.sparkSession)
     val prefix = str(n, "rightPrefix", "")
     require(prefix.nonEmpty, "join dataSource needs a non-empty rightPrefix")
     val collisions = left.columns.filter(_.startsWith(prefix))
     require(collisions.isEmpty,
       s"rightPrefix '$prefix' collides with left column(s) " +
         collisions.mkString(","))
-    val renamed = right.columns.foldLeft(right)((df, c) =>
-      df.withColumnRenamed(c, prefix + c))
+    val renamed = right.toDF(right.columns.map(prefix + _).toIndexedSeq: _*)
     val how = str(n, "joinType", "").toUpperCase(java.util.Locale.ROOT) match {
       case "INNER" => "inner"
       case "LEFT"  => "left"
@@ -246,7 +256,11 @@ object DruidQueryCompiler {
   private def joinCondition(cond: String, left: DataFrame,
       right: DataFrame): Column = {
     require(cond.trim.nonEmpty, "join dataSource needs a condition")
-    def ref(tok: String): Column = {
+    // (side, column): each equality must span LEFT and RIGHT — a same-side
+    // term like `a == a` is always true and would silently degenerate into
+    // a filtered CROSS join against the whole broadcast side (Druid
+    // rejects those conditions too)
+    def ref(tok: String): (Boolean, Column) = {
       val t = tok.trim
       val name =
         if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
@@ -255,8 +269,8 @@ object DruidQueryCompiler {
       require(name.matches("""[A-Za-z_][A-Za-z0-9_.]*"""),
         s"join condition operand '$t' must be a plain or double-quoted " +
           "column reference")
-      if (right.columns.contains(name)) right(s"`$name`")
-      else if (left.columns.contains(name)) left(s"`$name`")
+      if (right.columns.contains(name)) (true, right(s"`$name`"))
+      else if (left.columns.contains(name)) (false, left(s"`$name`"))
       else throw new IllegalArgumentException(
         s"join condition references unknown column '$name'")
     }
@@ -265,7 +279,13 @@ object DruidQueryCompiler {
       require(sides.length == 2,
         s"join condition term '${eq.trim}' must be a single equality " +
           "(conjoin with &&)")
-      ref(sides(0)) === ref(sides(1))
+      val (aRight, a) = ref(sides(0))
+      val (bRight, b) = ref(sides(1))
+      require(aRight != bRight,
+        s"join condition term '${eq.trim}' must compare a LEFT column " +
+          "with a RIGHT column (same-side equalities degenerate to a " +
+          "cross join)")
+      a === b
     }.reduce(_ && _)
   }
 

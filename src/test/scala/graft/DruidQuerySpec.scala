@@ -754,5 +754,38 @@ class DruidQuerySpec extends SparkSpec {
          "rightPrefix": "r.", "condition": "event_type > \"r.k\"",
          "joinType": "INNER"},
        "columns": ["__time"]}""").contains("equality"))
+    // a same-side equality (always true) would degenerate into a cross
+    // join against the broadcast side — loud, like Druid
+    assert(bad("""
+      {"queryType": "scan",
+       "dataSource": {"type": "join", "left": "events",
+         "right": {"type": "inline", "columnNames": ["k"], "rows": [["x"]]},
+         "rightPrefix": "r.", "condition": "event_type == user",
+         "joinType": "INNER"},
+       "columns": ["__time"]}""").contains("cross join"))
+    // fractional value into a long column: loud, never truncated — both
+    // under explicit columnTypes and under inference (2 then 2.5 must
+    // widen the whole column to double, not truncate row 2)
+    assert(bad("""
+      {"queryType": "scan",
+       "dataSource": {"type": "join", "left": "events",
+         "right": {"type": "inline", "columnNames": ["t", "n"],
+           "columnTypes": ["string", "long"],
+           "rows": [["click", 2.5]]},
+         "rightPrefix": "r.", "condition": "event_type == \"r.t\"",
+         "joinType": "INNER"},
+       "columns": ["__time"]}""").contains("not a long"))
+    val widened = run("""
+      {"queryType": "scan",
+       "dataSource": {"type": "join", "left": "events",
+         "right": {"type": "inline", "columnNames": ["t", "n"],
+           "rows": [["click", 2], ["view", 2.5]]},
+         "rightPrefix": "r.", "condition": "event_type == \"r.t\"",
+         "joinType": "INNER"},
+       "columns": ["r.n"]}""")
+    assert(widened.schema("r.n").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(widened.collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(2.0, 2.0, 2.0, 2.5, 2.5)) // 3 clicks, 2 views
   }
 }
