@@ -203,6 +203,29 @@ class HttpIngestSpec extends SparkSpec {
             "columns": ["__time", "etype"], "context": {"maxQueryRows": 1}}""")
       assert(qc5 == 200 && qb5.count(_ == '{') == 1, qb5)
 
+      // native join dataSource over the ROUTED store E2E: left = the
+      // clicks_ds stream (drained read-your-writes), right = a registered
+      // lookup, verbatim Druid join JSON over the socket
+      graft.queries.Lookups.register("http_etypes",
+        Map("c" -> "click", "d" -> "display"))
+      try {
+        val (jc, jb) = post(handle.port, "/druid/v2",
+          """{"queryType": "groupBy",
+              "dataSource": {"type": "join",
+                "left": "clicks_ds",
+                "right": {"type": "lookup", "lookup": "http_etypes"},
+                "rightPrefix": "r.",
+                "condition": "etype == \"r.k\"",
+                "joinType": "INNER"},
+              "granularity": "all",
+              "dimensions": [{"type": "default", "dimension": "r.v",
+                              "outputName": "label"}],
+              "aggregations": [{"type": "count", "name": "n"}]}""")
+        assert(jc == 200, jb)
+        assert(jb.contains("\"label\":\"click\"") &&
+          jb.contains("\"label\":\"display\""), jb)
+      } finally graft.queries.Lookups.unregister("http_etypes")
+
       // SQL endpoint: Spark SQL over the dataSource views, object rows —
       // including a cross-dataSource join no native query can express
       val (sc, sb) = post(handle.port, "/druid/v2/sql",
