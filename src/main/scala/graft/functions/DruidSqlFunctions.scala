@@ -101,6 +101,22 @@ object DruidSqlFunctions {
       s"$fn origin must be a literal timestamp or ISO-8601 string, got $other")
   }
 
+  /** Dotted-quad string → unsigned-int-as-long; null when not a valid
+    * IPv4 (pure Column arithmetic: regex gate short-circuits the octet
+    * range check, so the ANSI int cast only ever sees ≤3 digits). */
+  private def ipv4ToLong(s: Column): Column = {
+    val parts = split(s, "\\.")
+    val valid = s.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$") &&
+      forall(parts, x => x.cast("int") <= 255)
+    when(valid, aggregate(parts, lit(0L), (acc, x) => acc * 256 + x.cast("long")))
+  }
+
+  /** TRY-mode long cast (null on unparseable, no ANSI throw). */
+  private def tryCastLong(c: Column): Column =
+    asCol(org.apache.spark.sql.catalyst.expressions.Cast(
+      ex(c), org.apache.spark.sql.types.LongType, None,
+      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
+
   /** ISO-8601 instant literal → epoch millis (driver-side). */
   private def instantMillis(s: String): Long =
     scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
@@ -335,6 +351,21 @@ object DruidSqlFunctions {
       ThetaSetOp(args(0), args(1), intersect = false)
     }),
 
+    // THETA_SKETCH_UNION([size,] expr0, expr1, ...): Druid's optional
+    // leading size literal is accepted and IGNORED (sketches carry their
+    // own k; merging keeps the smaller) — folds pairwise over 2+ sketches
+    fn("theta_sketch_union", args => {
+      arity(args, "theta_sketch_union([size,] a, b, ...)", 2, 64)
+      val sketches = args.head match {
+        case Literal(_: Int, _) | Literal(_: Long, _) =>
+          require(args.length >= 3,
+            "theta_sketch_union with a size literal needs 2+ sketches")
+          args.tail
+        case _ => args
+      }
+      sketches.reduce(ThetaSketchUnion(_, _))
+    }),
+
     fn("approx_quantile_ds", args => {
       arity(args, "approx_quantile_ds(col, prob[, k])", 2, 3)
       val prob = doubleLit(args(1), "approx_quantile_ds prob")
@@ -402,11 +433,132 @@ object DruidSqlFunctions {
       ex(split(asCol(args(0)), strLit(args(1), "string_to_mv delimiter")))
     }),
 
+    // multi-value filters: keep / drop elements named in the allowed array
+    // (lambda filter, not array_intersect — Druid preserves duplicates)
+    fn("mv_filter_only", args => {
+      arity(args, "mv_filter_only(arr, allowed)", 2, 2)
+      ex(filter(asCol(args(0)), x => array_contains(asCol(args(1)), x)))
+    }),
+
+    fn("mv_filter_none", args => {
+      arity(args, "mv_filter_none(arr, disallowed)", 2, 2)
+      ex(filter(asCol(args(0)), x => !array_contains(asCol(args(1)), x)))
+    }),
+
     // ------------------------------------------------------- misc Druid SQL
     fn("safe_divide", args => {
       arity(args, "safe_divide(x, y)", 2, 2)
       val (x, y) = (asCol(args(0)), asCol(args(1)))
       ex(when(y === 0, lit(null)).otherwise(x / y))
+    }),
+
+    // DIV(x, y): integer division truncating toward zero (Druid's rule,
+    // Calcite DIV). Spark's `div` OPERATOR has exactly these semantics but
+    // no function-form name; build the IntegralDivide node directly.
+    fn("div", args => {
+      arity(args, "div(x, y)", 2, 2)
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(args(0), args(1))
+    }),
+
+    // bitwise family: Druid's function forms of Spark's operators
+    fn("bitwise_and", args => {
+      arity(args, "bitwise_and(x, y)", 2, 2)
+      ex(asCol(args(0)).bitwiseAND(asCol(args(1))))
+    }),
+    fn("bitwise_or", args => {
+      arity(args, "bitwise_or(x, y)", 2, 2)
+      ex(asCol(args(0)).bitwiseOR(asCol(args(1))))
+    }),
+    fn("bitwise_xor", args => {
+      arity(args, "bitwise_xor(x, y)", 2, 2)
+      ex(asCol(args(0)).bitwiseXOR(asCol(args(1))))
+    }),
+    fn("bitwise_complement", args => {
+      arity(args, "bitwise_complement(x)", 1, 1)
+      ex(bitwise_not(asCol(args(0))))
+    }),
+    fn("bitwise_shift_left", args => {
+      arity(args, "bitwise_shift_left(x, n)", 2, 2)
+      UnresolvedFunction("shiftleft", args, isDistinct = false)
+    }),
+    fn("bitwise_shift_right", args => {
+      arity(args, "bitwise_shift_right(x, n)", 2, 2)
+      UnresolvedFunction("shiftright", args, isDistinct = false)
+    }),
+
+    // TEXTCAT(a, b): legacy two-arg concat; STRPOS: 1-based position,
+    // 0 when absent — both exactly Spark's concat/instr
+    fn("textcat", args => {
+      arity(args, "textcat(a, b)", 2, 2)
+      ex(concat(asCol(args(0)).cast(StringType), asCol(args(1)).cast(StringType)))
+    }),
+    fn("strpos", args => {
+      arity(args, "strpos(haystack, needle)", 2, 2)
+      UnresolvedFunction("instr", args, isDistinct = false)
+    }),
+
+    // PARSE_LONG(s[, radix]): null on unparseable (Druid's non-strict
+    // mode — no ANSI throw). Radix 10 = TRY cast; radix 16 accepts an
+    // optional 0x prefix and validates before conv (conv itself would
+    // parse garbage as 0)
+    fn("parse_long", args => {
+      arity(args, "parse_long(s[, radix])", 1, 2)
+      val s = asCol(args(0)).cast(StringType)
+      val radix =
+        if (args.length == 2) intLit(args(1), "parse_long radix") else 10
+      radix match {
+        case 10 => ex(tryCastLong(s))
+        case 16 =>
+          val hex = regexp_replace(s, "^0[xX]", "")
+          ex(when(hex.rlike("^[0-9a-fA-F]{1,15}$"),
+            conv(hex, 16, 10).cast("long")))
+        case other => throw new IllegalArgumentException(
+          s"parse_long radix $other not supported (10, 16)")
+      }
+    }),
+
+    // IPv4 family: dotted-quad ↔ unsigned-int, CIDR membership. All pure
+    // Column arithmetic (codegen'd); invalid inputs → null, like Druid.
+    fn("ipv4_parse", args => {
+      arity(args, "ipv4_parse(s)", 1, 1)
+      ex(ipv4ToLong(asCol(args(0)).cast(StringType)))
+    }),
+    fn("ipv4_stringify", args => {
+      arity(args, "ipv4_stringify(n)", 1, 1)
+      val n = asCol(args(0)).cast("long")
+      val valid = n.isNotNull && n >= 0L && n <= 4294967295L
+      ex(when(valid, concat_ws(".",
+        shiftright(n, 24).bitwiseAND(lit(255L)),
+        shiftright(n, 16).bitwiseAND(lit(255L)),
+        shiftright(n, 8).bitwiseAND(lit(255L)),
+        n.bitwiseAND(lit(255L)))))
+    }),
+    // subnet is a CIDR string LITERAL (Druid's contract): base and mask
+    // fold at analysis, the row side is one AND + compare
+    fn("ipv4_match", args => {
+      arity(args, "ipv4_match(addr, 'a.b.c.d/n')", 2, 2)
+      val cidr = strLit(args(1), "ipv4_match subnet")
+      val (baseStr, bitsStr) = cidr.split("/") match {
+        case Array(b, m) => (b, m)
+        case _ => throw new IllegalArgumentException(
+          s"ipv4_match subnet must be CIDR 'a.b.c.d/n', got '$cidr'")
+      }
+      val bits = bitsStr.toIntOption.filter(b => b >= 0 && b <= 32).getOrElse(
+        throw new IllegalArgumentException(
+          s"ipv4_match mask bits must be 0..32, got '$bitsStr'"))
+      val octets = baseStr.split("\\.")
+      require(octets.length == 4 && octets.forall(o =>
+        o.toIntOption.exists(v => v >= 0 && v <= 255)),
+        s"ipv4_match subnet base '$baseStr' is not a dotted quad")
+      val mask = if (bits == 0) 0L else (0xffffffffL << (32 - bits)) & 0xffffffffL
+      val base = octets.map(_.toLong).reduce(_ * 256 + _) & mask
+      // addr may be the dotted string or the already-parsed number — the
+      // string form is tried first (a numeric string is never dotted, so
+      // the coalesce branches are disjoint); dataType is NOT inspected
+      // (children may be unresolved while builders run)
+      val addrStr = asCol(args(0)).cast(StringType)
+      val addr = coalesce(ipv4ToLong(addrStr), tryCastLong(addrStr))
+      ex(addr.bitwiseAND(lit(mask)) === lit(base))
     }),
 
     // LATEST/EARLIEST aggregates: value at max/min __time (Druid reads the

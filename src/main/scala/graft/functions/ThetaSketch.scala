@@ -330,3 +330,24 @@ case class ThetaSetOp(left: Expression, right: Expression, intersect: Boolean)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): ThetaSetOp = copy(left = newLeft, right = newRight)
 }
+
+/** `theta_sketch_union(a, b)` → serialized UNION sketch (the scalar twin of
+  * [[ThetaUnionAgg]], completing Druid's THETA_SKETCH_UNION set op).
+  * `mergeWith` keeps the k smallest of both inputs — exact in the sparse
+  * regime like the other serialized set ops. */
+case class ThetaSketchUnion(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_sketch_union"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("theta_sketch_union expects (binary, binary)")
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = ThetaSketch.deserialize(a.asInstanceOf[Array[Byte]])
+    x.mergeWith(ThetaSketch.deserialize(b.asInstanceOf[Array[Byte]]))
+    ThetaSketch.serialize(x)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ThetaSketchUnion = copy(left = newLeft, right = newRight)
+}

@@ -136,5 +136,45 @@ object DruidSqlQueries {
              CAST(nullif(list_position(string_split(text, ' '), 'the'), 0) - 1 AS BIGINT) AS the_at,
              list_contains(string_split(text, ' '), 'the') AS has_the,
              array_to_string(string_split(source, 'c'), '|') AS src_mv
-            FROM documents WHERE doc_id % 7 = 0""")))
+            FROM documents WHERE doc_id % 7 = 0""")),
+
+    // -- scalar function family: DIV / BITWISE_* / TEXTCAT / STRPOS /
+    // PARSE_LONG / IPV4_* — all integer/string-deterministic, so the
+    // DuckDB twin is plain arithmetic ------------------------------------
+    QueryDef("druid_sql_scalar_fns", (s, dir) => {
+      DruidSql.run(
+        """SELECT event_id,
+                  DIV(user_id, 7) AS d7,
+                  BITWISE_AND(user_id, 255) AS b_and,
+                  BITWISE_OR(user_id, 16) AS b_or,
+                  BITWISE_XOR(user_id, 99) AS b_xor,
+                  BITWISE_SHIFT_LEFT(BITWISE_AND(user_id, 15), 3) AS b_shl,
+                  BITWISE_SHIFT_RIGHT(user_id, 2) AS b_shr,
+                  TEXTCAT(event_type, '!') AS tc,
+                  CAST(STRPOS(event_type, 'c') AS BIGINT) AS sp,
+                  PARSE_LONG(TEXTCAT('12', CAST(BITWISE_AND(user_id, 7) AS STRING))) AS pl,
+                  PARSE_LONG('ff', 16) AS pl16,
+                  IPV4_STRINGIFY(BITWISE_AND(user_id, 4294967295)) AS ip,
+                  IPV4_MATCH(IPV4_STRINGIFY(BITWISE_AND(user_id, 511)), '0.0.0.0/24') AS low_ip
+           FROM events
+           WHERE event_id % 89 = 0""",
+        frames(s, dir, "events"))
+    },
+    Some("""SELECT event_id,
+             user_id // 7 AS d7,
+             user_id & 255 AS b_and,
+             user_id | 16 AS b_or,
+             xor(user_id, 99) AS b_xor,
+             (user_id & 15) << 3 AS b_shl,
+             user_id >> 2 AS b_shr,
+             event_type || '!' AS tc,
+             CAST(strpos(event_type, 'c') AS BIGINT) AS sp,
+             CAST('12' || CAST(user_id & 7 AS VARCHAR) AS BIGINT) AS pl,
+             255 AS pl16,
+             CAST((user_id >> 24) & 255 AS VARCHAR) || '.' ||
+               CAST((user_id >> 16) & 255 AS VARCHAR) || '.' ||
+               CAST((user_id >> 8) & 255 AS VARCHAR) || '.' ||
+               CAST(user_id & 255 AS VARCHAR) AS ip,
+             ((user_id & 511) & 4294967040) = 0 AS low_ip
+            FROM events WHERE event_id % 89 = 0""")))
 }

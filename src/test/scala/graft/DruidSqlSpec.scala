@@ -188,6 +188,56 @@ class DruidSqlSpec extends SparkSpec {
     assert(r.getString(4) == "click|click|click|view|view")
   }
 
+  test("scalar family: THETA_SKETCH_UNION, MV_FILTER_*, IPV4 + PARSE_LONG nulls") {
+    // union of per-type theta sketches = distinct users overall (sparse =
+    // exact); the optional leading size literal is accepted
+    val u = sql1(
+      """SELECT CAST(THETA_SKETCH_ESTIMATE(
+                  THETA_SKETCH_UNION(DS_THETA(CASE WHEN event_type = 'click' THEN user END),
+                                     DS_THETA(CASE WHEN event_type = 'view' THEN user END))) AS BIGINT) AS u,
+                CAST(THETA_SKETCH_ESTIMATE(
+                  THETA_SKETCH_UNION(1024,
+                                     DS_THETA(CASE WHEN event_type = 'click' THEN user END),
+                                     DS_THETA(CASE WHEN event_type = 'view' THEN user END))) AS BIGINT) AS us
+         FROM events""")
+    assert(u.getLong(0) == 3L && u.getLong(1) == 3L) // alice, bob, carol
+
+    // MV_FILTER_ONLY keeps listed elements (duplicates preserved),
+    // MV_FILTER_NONE drops them
+    val mv = sql1(
+      """SELECT MV_FILTER_ONLY(STRING_TO_MV('a b a c', ' '), ARRAY('a', 'c')) AS only,
+                MV_FILTER_NONE(STRING_TO_MV('a b a c', ' '), ARRAY('a')) AS none
+         FROM events LIMIT 1""")
+    assert(mv.getSeq[String](0) == Seq("a", "a", "c"))
+    assert(mv.getSeq[String](1) == Seq("b", "c"))
+
+    // IPv4 family: roundtrip, CIDR membership on string AND numeric
+    // forms, null on invalid; PARSE_LONG null on garbage, hex forms
+    val ip = sql1(
+      """SELECT IPV4_STRINGIFY(IPV4_PARSE('192.168.1.5')) AS rt,
+                IPV4_PARSE('192.168.1.999') AS bad,
+                IPV4_MATCH('192.168.1.5', '192.168.0.0/16') AS m1,
+                IPV4_MATCH('10.0.0.1', '192.168.0.0/16') AS m2,
+                IPV4_MATCH(IPV4_PARSE('192.168.1.5'), '192.168.1.0/24') AS m3,
+                IPV4_STRINGIFY(-1) AS neg,
+                PARSE_LONG('nope') AS pbad,
+                PARSE_LONG('0xFF', 16) AS phex
+         FROM events LIMIT 1""")
+    assert(ip.getString(0) == "192.168.1.5")
+    assert(ip.isNullAt(1))
+    assert(ip.getBoolean(2) && !ip.getBoolean(3) && ip.getBoolean(4))
+    assert(ip.isNullAt(5) && ip.isNullAt(6))
+    assert(ip.getLong(7) == 255L)
+
+    // rejections: bad CIDR, bad radix
+    assert(intercept[Exception] { sql1(
+      "SELECT IPV4_MATCH(user, '192.168.0.0/40') AS x FROM events")
+    }.getMessage.contains("0..32"))
+    assert(intercept[Exception] { sql1(
+      "SELECT PARSE_LONG(user, 8) AS x FROM events")
+    }.getMessage.contains("radix"))
+  }
+
   test("substitution runner leaves no views behind and honors CTE shadowing") {
     DruidSql.run("SELECT count(*) AS c FROM events", Map("events" -> events))
       .collect()
