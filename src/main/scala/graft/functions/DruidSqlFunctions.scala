@@ -366,6 +366,30 @@ object DruidSqlFunctions {
       sketches.reduce(ThetaSketchUnion(_, _))
     }),
 
+    // Druid bloom extension: BLOOM_FILTER(expr, maxNumEntries) aggregates
+    // a serialized filter (sized at Druid BloomKFilter's default 5% fpp);
+    // BLOOM_FILTER_TEST(expr, filter) probes it — false ⇒ definitely
+    // absent. Rides the engine's BloomAgg/BloomMightContain.
+    fn("bloom_filter", args => {
+      arity(args, "bloom_filter(expr, maxNumEntries)", 2, 2)
+      val n = intLit(args(1), "bloom_filter maxNumEntries")
+      require(n > 0, s"bloom_filter maxNumEntries must be positive, got $n")
+      val bits = BloomSketch.optimalBits(n, 0.05)
+      BloomAgg(ex(asCol(args(0)).cast(StringType)), bits,
+        BloomSketch.optimalHashes(n, bits)).toAggregateExpression()
+    }),
+    fn("bloom_filter_test", args => {
+      arity(args, "bloom_filter_test(expr, filter)", 2, 2)
+      BloomMightContain(args(1), ex(asCol(args(0)).cast(StringType)))
+    }),
+
+    // ARRAY_CONCAT_AGG(arr): concatenation of the group's arrays (element
+    // order across rows unspecified — Druid's contract too)
+    fn("array_concat_agg", args => {
+      arity(args, "array_concat_agg(arr)", 1, 1)
+      ex(flatten(collect_list(asCol(args(0)))))
+    }),
+
     fn("approx_quantile_ds", args => {
       arity(args, "approx_quantile_ds(col, prob[, k])", 2, 3)
       val prob = doubleLit(args(1), "approx_quantile_ds prob")

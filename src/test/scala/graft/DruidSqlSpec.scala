@@ -236,6 +236,20 @@ class DruidSqlSpec extends SparkSpec {
     assert(intercept[Exception] { sql1(
       "SELECT PARSE_LONG(user, 8) AS x FROM events")
     }.getMessage.contains("radix"))
+
+    // BLOOM_FILTER / BLOOM_FILTER_TEST: members always hit (no false
+    // negatives), a non-member misses at this size; ARRAY_CONCAT_AGG
+    // flattens group arrays (sorted for determinism here)
+    val bf = sql1(
+      """WITH f AS (SELECT BLOOM_FILTER(user, 100) AS flt FROM events)
+         SELECT BLOOM_FILTER_TEST('alice', (SELECT flt FROM f)) AS hit,
+                BLOOM_FILTER_TEST('zz_not_a_user', (SELECT flt FROM f)) AS miss
+         FROM events LIMIT 1""")
+    assert(bf.getBoolean(0) && !bf.getBoolean(1))
+    val ca = sql1(
+      """SELECT ARRAY_SORT(ARRAY_CONCAT_AGG(STRING_TO_MV(user, '-'))) AS us
+         FROM events WHERE event_type = 'view'""")
+    assert(ca.getSeq[String](0) == Seq("bob", "carol"))
   }
 
   test("substitution runner leaves no views behind and honors CTE shadowing") {
