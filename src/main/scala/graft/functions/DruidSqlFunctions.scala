@@ -117,6 +117,10 @@ object DruidSqlFunctions {
       ex(c), org.apache.spark.sql.types.LongType, None,
       org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
 
+  /** Null unless the long is a valid unsigned-int IPv4 value. */
+  private def ipv4Range(n: Column): Column =
+    when(n >= 0L && n <= 4294967295L, n)
+
   /** ISO-8601 instant literal → epoch millis (driver-side). */
   private def instantMillis(s: String): Long =
     scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
@@ -384,10 +388,13 @@ object DruidSqlFunctions {
     }),
 
     // ARRAY_CONCAT_AGG(arr): concatenation of the group's arrays (element
-    // order across rows unspecified — Druid's contract too)
+    // order across rows unspecified — Druid's contract too). NULL when
+    // nothing aggregated (empty group / all-null inputs), like Druid —
+    // collect_list alone would yield a non-null []
     fn("array_concat_agg", args => {
       arity(args, "array_concat_agg(arr)", 1, 1)
-      ex(flatten(collect_list(asCol(args(0)))))
+      val arr = asCol(args(0))
+      ex(when(count(arr) > 0, flatten(collect_list(arr))))
     }),
 
     fn("approx_quantile_ds", args => {
@@ -476,15 +483,15 @@ object DruidSqlFunctions {
       ex(when(y === 0, lit(null)).otherwise(x / y))
     }),
 
-    // DIV(x, y): integer division truncating toward zero (Druid's rule,
-    // Calcite DIV). Spark's `div` OPERATOR has exactly these semantics but
-    // no function-form name; build the IntegralDivide node directly.
-    fn("div", args => {
-      arity(args, "div(x, y)", 2, 2)
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(args(0), args(1))
-    }),
+    // NOTE deliberately NOT registered: DIV — Spark 4's FunctionRegistry
+    // already ships a builtin `div` → IntegralDivide with exactly Druid's
+    // truncate-toward-zero semantics; shadowing a builtin is the
+    // STRING_AGG mistake (see the closing note).
 
-    // bitwise family: Druid's function forms of Spark's operators
+    // bitwise family: Druid's function forms of Spark's operators. Shifts
+    // cast the base to LONG first — Druid shifts are always 64-bit, while
+    // Spark's shiftleft/shiftright keep int32 semantics (shift amount
+    // mod 32, 32-bit overflow) on integer inputs.
     fn("bitwise_and", args => {
       arity(args, "bitwise_and(x, y)", 2, 2)
       ex(asCol(args(0)).bitwiseAND(asCol(args(1))))
@@ -503,11 +510,13 @@ object DruidSqlFunctions {
     }),
     fn("bitwise_shift_left", args => {
       arity(args, "bitwise_shift_left(x, n)", 2, 2)
-      UnresolvedFunction("shiftleft", args, isDistinct = false)
+      UnresolvedFunction("shiftleft",
+        Seq(ex(asCol(args(0)).cast("long")), args(1)), isDistinct = false)
     }),
     fn("bitwise_shift_right", args => {
       arity(args, "bitwise_shift_right(x, n)", 2, 2)
-      UnresolvedFunction("shiftright", args, isDistinct = false)
+      UnresolvedFunction("shiftright",
+        Seq(ex(asCol(args(0)).cast("long")), args(1)), isDistinct = false)
     }),
 
     // TEXTCAT(a, b): legacy two-arg concat; STRPOS: 1-based position,
@@ -522,9 +531,11 @@ object DruidSqlFunctions {
     }),
 
     // PARSE_LONG(s[, radix]): null on unparseable (Druid's non-strict
-    // mode — no ANSI throw). Radix 10 = TRY cast; radix 16 accepts an
-    // optional 0x prefix and validates before conv (conv itself would
-    // parse garbage as 0)
+    // mode — no ANSI throw). Radix 10 = TRY cast; radix 16 accepts a sign
+    // and an optional 0x prefix, up to 16 hex digits, and validates before
+    // conv (conv itself would parse garbage as 0); a magnitude past
+    // Long.MaxValue nulls through the TRY cast (one edge vs Java:
+    // -0x8000000000000000 exactly is null here, not Long.MinValue)
     fn("parse_long", args => {
       arity(args, "parse_long(s[, radix])", 1, 2)
       val s = asCol(args(0)).cast(StringType)
@@ -533,9 +544,10 @@ object DruidSqlFunctions {
       radix match {
         case 10 => ex(tryCastLong(s))
         case 16 =>
-          val hex = regexp_replace(s, "^0[xX]", "")
-          ex(when(hex.rlike("^[0-9a-fA-F]{1,15}$"),
-            conv(hex, 16, 10).cast("long")))
+          val hex = regexp_replace(s, "^[-]?(0[xX])?", "")
+          val mag = when(hex.rlike("^[0-9a-fA-F]{1,16}$"),
+            tryCastLong(conv(hex, 16, 10)))
+          ex(when(s.rlike("^-"), -mag).otherwise(mag))
         case other => throw new IllegalArgumentException(
           s"parse_long radix $other not supported (10, 16)")
       }
@@ -545,7 +557,10 @@ object DruidSqlFunctions {
     // Column arithmetic (codegen'd); invalid inputs → null, like Druid.
     fn("ipv4_parse", args => {
       arity(args, "ipv4_parse(s)", 1, 1)
-      ex(ipv4ToLong(asCol(args(0)).cast(StringType)))
+      // Druid passes through an integer argument that is already a valid
+      // IPv4; a numeric string is never dotted, so the branches are disjoint
+      val s = asCol(args(0)).cast(StringType)
+      ex(coalesce(ipv4ToLong(s), ipv4Range(tryCastLong(s))))
     }),
     fn("ipv4_stringify", args => {
       arity(args, "ipv4_stringify(n)", 1, 1)
@@ -579,9 +594,10 @@ object DruidSqlFunctions {
       // addr may be the dotted string or the already-parsed number — the
       // string form is tried first (a numeric string is never dotted, so
       // the coalesce branches are disjoint); dataType is NOT inspected
-      // (children may be unresolved while builders run)
+      // (children may be unresolved while builders run). Out-of-range
+      // numerics are INVALID (null), never masked into a spurious match.
       val addrStr = asCol(args(0)).cast(StringType)
-      val addr = coalesce(ipv4ToLong(addrStr), tryCastLong(addrStr))
+      val addr = coalesce(ipv4ToLong(addrStr), ipv4Range(tryCastLong(addrStr)))
       ex(addr.bitwiseAND(lit(mask)) === lit(base))
     }),
 

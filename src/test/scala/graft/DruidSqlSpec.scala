@@ -229,6 +229,27 @@ class DruidSqlSpec extends SparkSpec {
     assert(ip.isNullAt(5) && ip.isNullAt(6))
     assert(ip.getLong(7) == 255L)
 
+    // review regressions: numeric pass-through, out-of-range invalidity
+    // (no spurious wrap-around match), 64-bit shifts on int inputs, full
+    // 16-digit + negative hex, DIV resolving to Spark's own builtin
+    val rr = sql1(
+      """SELECT IPV4_PARSE(3232235776) AS pnum,
+                IPV4_MATCH(4294967297, '0.0.0.1/32') AS wrap,
+                IPV4_MATCH(-1, '255.255.255.0/24') AS negm,
+                BITWISE_SHIFT_LEFT(CAST(2 AS INT), 33) AS shl64,
+                PARSE_LONG('7FFFFFFFFFFFFFFF', 16) AS hexmax,
+                PARSE_LONG('-ff', 16) AS hexneg,
+                PARSE_LONG('FFFFFFFFFFFFFFFF', 16) AS hexover,
+                DIV(-7, 2) AS dv
+         FROM events LIMIT 1""")
+    assert(rr.getLong(0) == 3232235776L)
+    assert(rr.isNullAt(1) && rr.isNullAt(2)) // invalid addr → null, not true
+    assert(rr.getLong(3) == 17179869184L)    // 2 << 33 in 64-bit
+    assert(rr.getLong(4) == Long.MaxValue)
+    assert(rr.getLong(5) == -255L)
+    assert(rr.isNullAt(6))                   // > Long.MaxValue → null
+    assert(rr.getLong(7) == -3L)             // truncation toward zero
+
     // rejections: bad CIDR, bad radix
     assert(intercept[Exception] { sql1(
       "SELECT IPV4_MATCH(user, '192.168.0.0/40') AS x FROM events")
@@ -250,6 +271,11 @@ class DruidSqlSpec extends SparkSpec {
       """SELECT ARRAY_SORT(ARRAY_CONCAT_AGG(STRING_TO_MV(user, '-'))) AS us
          FROM events WHERE event_type = 'view'""")
     assert(ca.getSeq[String](0) == Seq("bob", "carol"))
+    // nothing aggregated → NULL (Druid's contract), not []
+    val caEmpty = sql1(
+      """SELECT ARRAY_CONCAT_AGG(STRING_TO_MV(user, '-')) AS us
+         FROM events WHERE event_type = 'nope'""")
+    assert(caEmpty.isNullAt(0))
   }
 
   test("substitution runner leaves no views behind and honors CTE shadowing") {
