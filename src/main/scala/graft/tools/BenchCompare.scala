@@ -76,6 +76,12 @@ object BenchCompare {
       .select(col("id").as("k"), (col("id") * 7).cast("double").as("w")).cache()
     skewDim.count()
 
+    // 100k-entry lookup for the two-regime LOOKUP() comparison (> the 10k
+    // inline threshold, so the registered path compiles to LookupValue)
+    val lkMap: Map[String, String] =
+      (0 until 100000).map(i => i.toString -> s"seg_${i % 64}").toMap
+    graft.queries.Lookups.register("bench_lk", lkMap)
+
     def deconShingles: DataFrame =
       graft.queries.Tables.t(spark, sfDir, "documents")
         .select(col("doc_id"), col("source"),
@@ -207,6 +213,40 @@ object BenchCompare {
           .filter(col("doc_id") % 100 =!= 0)
           .join(bad, Seq("doc_id"), "left_anti")
           .groupBy(col("source")).agg(count(lit(1)))
+      }),
+      // -- two-regime LOOKUP() at 100k entries: the inline CreateMap
+      // literal (what a naive LOOKUP() builds — O(n) ElementAt probe over
+      // an array-backed literal, plus a ~3 MB expression tree re-analyzed
+      // and shipped in every task binary) vs the registered broadcast
+      // LookupValue probe (codegen'd O(1) HashMap hit, bits ship once).
+      // Timings INCLUDE plan construction — that cost is the point. The
+      // inline side probes a 10k-row slice: its O(rows × entries) scan is
+      // so far gone (~10¹¹ compares at 1M rows — hours) that the full
+      // table would never finish; same 10k slice on the broadcast side
+      // keeps the pair apples-to-apples, and a third row runs the
+      // broadcast probe over the FULL table to show the O(1) path at
+      // data scale. ------------------------------------------------------
+      "lookup_inline_literal_100k_10krows" -> (() => {
+        import org.apache.spark.sql.catalyst.expressions.{CreateMap, ElementAt, Literal}
+        val entries = lkMap.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(Literal(k), Literal(v)) }
+        val key = org.apache.spark.sql.graft.GraftSqlBridge.expression(
+          col("user_id").cast("string"))
+        val probe = org.apache.spark.sql.graft.GraftSqlBridge.column(
+          ElementAt(CreateMap(entries), key, scala.None, failOnError = false))
+        events.filter(col("event_id") < 10000).select(probe.as("lbl"))
+          .groupBy(col("lbl")).agg(count(lit(1)))
+      }),
+      "lookup_broadcast_100k_10krows" -> (() => {
+        events.filter(col("event_id") < 10000)
+          .select(call_function("lookup",
+            col("user_id").cast("string"), lit("bench_lk")).as("lbl"))
+          .groupBy(col("lbl")).agg(count(lit(1)))
+      }),
+      "lookup_broadcast_100k_full" -> (() => {
+        events.select(call_function("lookup",
+            col("user_id").cast("string"), lit("bench_lk")).as("lbl"))
+          .groupBy(col("lbl")).agg(count(lit(1)))
       }),
       // -- skew-join relief: 90%-hot-key fact ⋈ 1k-key dim. These three run
       // LAST: each pins its own AQE state, and both disable auto-broadcast

@@ -290,6 +290,65 @@ class HttpIngestSpec extends SparkSpec {
     assert(views.agg(sum($"cnt"), sum($"total")).as[(Long, Double)].head() == ((1L, 4.0)))
   }
 
+  test("concurrent /druid/v2/sql requests: no shared-state cross-talk") {
+    // the endpoint substitutes dataSource plans into each parsed statement
+    // (no temp views) — so concurrent requests with CLASHING names (a CTE
+    // named like another request's dataSource, same aliases) must never
+    // see each other's frames. This is the regression net for the
+    // pre-round-4 createOrReplaceTempView design, which could swap a view
+    // mid-flight on the 8-thread pool.
+    val tmp = Files.createTempDirectory("graft-sqlconc").toString
+    def specJson(ds: String) =
+      s"""{"dataSchema": {"dataSource": "$ds",
+            "parser": {"parseSpec": {
+              "timestampSpec": {"column": "ts", "format": "auto"},
+              "dimensionsSpec": {"dimensions": ["etype"]}}},
+            "metricsSpec": [{"type": "count", "name": "cnt"},
+                            {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+            "granularitySpec": {"segmentGranularity": "HOUR", "queryGranularity": "HOUR"}},
+           "tuning": {"windowPeriod": "PT30M"}}"""
+    val specs = Seq("alpha_ds", "beta_ds").map(ds =>
+      graft.config.SpecLoader.fromJson(specJson(ds)))
+    val schema = StructType(Seq(StructField("ts", StringType),
+      StructField("etype", StringType), StructField("value", DoubleType)))
+    val handle = graft.Daemon.run(spark, tmp, schema, specs,
+      trigger = Trigger.ProcessingTime(50),
+      now = lit(Timestamp.valueOf("2024-03-01 12:00:00")))
+    try {
+      post(handle.port, "/v1/post/alpha_ds",
+        """{"ts":"2024-03-01 12:01:00","etype":"a","value":1.0}""")
+      post(handle.port, "/v1/post/beta_ds",
+        """{"ts":"2024-03-01 12:02:00","etype":"b","value":2.0}""")
+      val statements = Seq(
+        // plain per-dataSource aggregates with the SAME output aliases
+        """{"query": "SELECT etype, SUM(total) AS t FROM alpha_ds GROUP BY etype"}""" ->
+          ((b: String) => b.contains("\"etype\":\"a\"") && b.contains("\"t\":1.0")),
+        """{"query": "SELECT etype, SUM(total) AS t FROM beta_ds GROUP BY etype"}""" ->
+          ((b: String) => b.contains("\"etype\":\"b\"") && b.contains("\"t\":2.0")),
+        // a CTE named like the OTHER request's dataSource must shadow
+        // locally without contaminating anyone
+        """{"query": "WITH beta_ds AS (SELECT 9.0 AS t) SELECT a.etype, b.t FROM alpha_ds a CROSS JOIN beta_ds b"}""" ->
+          ((b: String) => b.contains("\"etype\":\"a\"") && b.contains("\"t\":9.0")))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+      implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = (0 until 24).map { i =>
+        val (body, check) = statements(i % statements.length)
+        scala.concurrent.Future {
+          val (code, resp) = post(handle.port, "/druid/v2/sql", body)
+          (i, code, resp, check(resp))
+        }
+      }
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(120, "s"))
+      pool.shutdown()
+      results.foreach { case (i, code, resp, ok) =>
+        assert(code == 200, s"request $i: $resp")
+        assert(ok, s"request $i got cross-talk: $resp")
+      }
+    } finally handle.close()
+  }
+
   test("forwarding beam → receiver → engine: two-hop E2E over the socket") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
