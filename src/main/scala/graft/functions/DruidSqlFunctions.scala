@@ -121,6 +121,38 @@ object DruidSqlFunctions {
   private def ipv4Range(n: Column): Column =
     when(n >= 0L && n <= 4294967295L, n)
 
+  /** Shared body of the HUMAN_READABLE_* functions: 1024-base binary units
+    * (Ki..Ei) or 1000-base decimal units (K..E), with optional "B" suffix;
+    * `"%.Pf unit"` over value/divisor, trailing space trimmed for the
+    * unit-less decimal format. Input casts to long (integral bytes/counts —
+    * Druid's formatter signature); precision is a literal in 0..3. */
+  private def humanReadable(args: Seq[Expression], name: String,
+      base: Long, suffix: String): Expression = {
+    arity(args, s"$name(value[, precision])", 1, 2)
+    val precision =
+      if (args.length == 2) intLit(args(1), s"$name precision") else 2
+    require(precision >= 0 && precision <= 3,
+      s"$name precision must be in [0, 3], got $precision")
+    val units =
+      if (base == 1024L) Seq("", "Ki", "Mi", "Gi", "Ti", "Pi", "Ei")
+      else Seq("", "K", "M", "G", "T", "P", "E")
+    val b = asCol(args(0)).cast("long")
+    val absB = abs(b)
+    def bucket(power: Int): Column = {
+      val divisor = math.pow(base.toDouble, power).toLong
+      val label = (units(power) + suffix).trim
+      val pattern = if (label.isEmpty) s"%.${precision}f" else s"%.${precision}f $label"
+      format_string(pattern, b.cast("double") / divisor)
+    }
+    // largest unit whose divisor ≤ |value| — thresholds are exact long
+    // literals, so bucket edges (1024, 1000², …) can't misround
+    val chain = (1 to 5).foldLeft(when(absB < base, bucket(0))) {
+      (acc, power) =>
+        acc.when(absB < math.pow(base.toDouble, power + 1).toLong, bucket(power))
+    }.otherwise(bucket(6))
+    ex(when(b.isNotNull, chain))
+  }
+
   /** ISO-8601 instant literal → epoch millis (driver-side). */
   private def instantMillis(s: String): Long =
     scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
@@ -476,6 +508,33 @@ object DruidSqlFunctions {
       ex(filter(asCol(args(0)), x => !array_contains(asCol(args(1)), x)))
     }),
 
+    // MV_APPEND/PREPEND/CONCAT: array builders (Druid's ARRAY_* aliases) —
+    // plain Catalyst Concat, null array → null like Druid
+    fn("mv_append", args => {
+      arity(args, "mv_append(arr, expr)", 2, 2)
+      ex(concat(asCol(args(0)), array(asCol(args(1)))))
+    }),
+    fn("mv_prepend", args => {
+      arity(args, "mv_prepend(expr, arr)", 2, 2)
+      ex(concat(array(asCol(args(0))), asCol(args(1))))
+    }),
+    fn("mv_concat", args => {
+      arity(args, "mv_concat(arr1, arr2)", 2, 2)
+      ex(concat(asCol(args(0)), asCol(args(1))))
+    }),
+
+    // MV_SLICE(arr, start[, end]): 0-based start inclusive → end exclusive
+    // (end defaults to length); out-of-range or inverted bounds → null,
+    // Druid's ARRAY_SLICE contract. Spark's slice is 1-based with a length
+    fn("mv_slice", args => {
+      arity(args, "mv_slice(arr, start[, end])", 2, 3)
+      val arr = asCol(args(0))
+      val st = asCol(args(1)).cast("int")
+      val en = (if (args.length == 3) asCol(args(2)) else size(arr)).cast("int")
+      val valid = st >= 0 && en >= st && st <= size(arr) && en <= size(arr)
+      ex(when(valid, slice(arr, st + 1, en - st)))
+    }),
+
     // ------------------------------------------------------- misc Druid SQL
     fn("safe_divide", args => {
       arity(args, "safe_divide(x, y)", 2, 2)
@@ -528,6 +587,65 @@ object DruidSqlFunctions {
     fn("strpos", args => {
       arity(args, "strpos(haystack, needle)", 2, 2)
       UnresolvedFunction("instr", args, isDistinct = false)
+    }),
+
+    // CONTAINS_STRING / ICONTAINS_STRING: substring membership with a
+    // LITERAL needle (Druid's contract — its macro requires one too); null
+    // haystack → null, like Druid's SQL-compatible mode. Compiles to
+    // instr > 0 — codegen'd, and Catalyst can't do worse than Druid's scan
+    fn("contains_string", args => {
+      arity(args, "contains_string(haystack, needle)", 2, 2)
+      val needle = strLit(args(1), "contains_string needle")
+      ex(instr(asCol(args(0)).cast(StringType), needle) > 0)
+    }),
+    fn("icontains_string", args => {
+      arity(args, "icontains_string(haystack, needle)", 2, 2)
+      val needle = strLit(args(1), "icontains_string needle")
+      ex(instr(lower(asCol(args(0)).cast(StringType)),
+        needle.toLowerCase(java.util.Locale.ROOT)) > 0)
+    }),
+
+    // DECODE_BASE64_UTF8: base64 → UTF-8 string (Spark's RFC-2045 decoder
+    // skips illegal characters rather than throwing — same lenient shape)
+    fn("decode_base64_utf8", args => {
+      arity(args, "decode_base64_utf8(s)", 1, 1)
+      ex(unbase64(asCol(args(0)).cast(StringType)).cast(StringType))
+    }),
+
+    // HUMAN_READABLE_* formats: Druid's HumanReadableBytes.format — pick
+    // the largest unit whose divisor ≤ |value|, then "%.Pf <unit><suffix>"
+    // (precision literal 0..3, default 2; value formats with decimals even
+    // in the unit-less bucket: 500 → "500.00 B"). A 7-branch when-chain
+    // over literal thresholds — no float log near bucket boundaries.
+    fn("human_readable_binary_byte_format", args =>
+      humanReadable(args, "human_readable_binary_byte_format", 1024L, "B")),
+    fn("human_readable_decimal_byte_format", args =>
+      humanReadable(args, "human_readable_decimal_byte_format", 1000L, "B")),
+    fn("human_readable_decimal_format", args =>
+      humanReadable(args, "human_readable_decimal_format", 1000L, "")),
+
+    // TRUNCATE(x[, digits]): numeric truncation TOWARD ZERO at `digits`
+    // decimal places (negative digits truncate left of the point); the
+    // long-cast roundtrip is Druid's own truncation idiom. NOTE: TRUNC is
+    // deliberately NOT aliased — Spark ships a builtin `trunc` (date
+    // truncation) and shadowing it is the STRING_AGG mistake.
+    fn("truncate", args => {
+      arity(args, "truncate(x[, digits])", 1, 2)
+      val digits =
+        if (args.length == 2) intLit(args(1), "truncate digits") else 0
+      require(digits >= -18 && digits <= 18,
+        s"truncate digits must be in [-18, 18], got $digits")
+      val x = asCol(args(0)).cast("double")
+      // the scale factor stays an exact power-of-ten LONG on both branches
+      // (never a 0.1-style fraction), so the only inexact step is the one
+      // scaling multiply/divide — same shape an oracle twin reproduces
+      if (digits >= 0) {
+        val f = math.pow(10, digits)
+        ex((x * f).cast("long").cast("double") / f.toLong)
+      } else {
+        val f = math.pow(10, -digits)
+        ex(((x / f).cast("long") * f.toLong).cast("double"))
+      }
     }),
 
     // PARSE_LONG(s[, radix]): null on unparseable (Druid's non-strict

@@ -288,4 +288,67 @@ class DruidSqlSpec extends SparkSpec {
       Map("events" -> events)).head()
     assert(r.getLong(0) == 1L)
   }
+
+  test("CONTAINS_STRING / ICONTAINS_STRING: literal needle, null haystack → null") {
+    val r = sql1(
+      """SELECT CONTAINS_STRING(event_type, 'lick') AS a,
+                CONTAINS_STRING(event_type, 'LICK') AS b,
+                ICONTAINS_STRING(event_type, 'LICK') AS c,
+                CONTAINS_STRING(CAST(NULL AS STRING), 'x') AS d
+         FROM events WHERE event_type = 'click' LIMIT 1""")
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && r.isNullAt(3))
+    // non-literal needle is a loud error (Druid's macro contract)
+    assert(intercept[Exception] {
+      DruidSql.run("SELECT CONTAINS_STRING(event_type, user) FROM events",
+        Map("events" -> events)).collect()
+    }.getMessage.contains("needle"))
+  }
+
+  test("HUMAN_READABLE_*: unit buckets, precision, sign, zero, rejections") {
+    val r = sql1(
+      """SELECT HUMAN_READABLE_BINARY_BYTE_FORMAT(500) AS a,
+                HUMAN_READABLE_BINARY_BYTE_FORMAT(1024) AS b,
+                HUMAN_READABLE_BINARY_BYTE_FORMAT(1536, 1) AS c,
+                HUMAN_READABLE_BINARY_BYTE_FORMAT(1073741824, 0) AS d,
+                HUMAN_READABLE_BINARY_BYTE_FORMAT(-1536, 1) AS e,
+                HUMAN_READABLE_DECIMAL_BYTE_FORMAT(1500, 1) AS f,
+                HUMAN_READABLE_DECIMAL_FORMAT(1500000, 1) AS g,
+                HUMAN_READABLE_DECIMAL_FORMAT(999, 0) AS h,
+                HUMAN_READABLE_BINARY_BYTE_FORMAT(0) AS z
+         FROM events LIMIT 1""")
+    assert(r.getString(0) == "500.00 B")
+    assert(r.getString(1) == "1.00 KiB")
+    assert(r.getString(2) == "1.5 KiB")
+    assert(r.getString(3) == "1 GiB")
+    assert(r.getString(4) == "-1.5 KiB")
+    assert(r.getString(5) == "1.5 KB")
+    assert(r.getString(6) == "1.5 M")
+    assert(r.getString(7) == "999")
+    assert(r.getString(8) == "0.00 B")
+    // precision outside [0, 3] rejects loudly
+    assert(intercept[Exception] {
+      DruidSql.run("SELECT HUMAN_READABLE_BINARY_BYTE_FORMAT(10, 4) FROM events",
+        Map("events" -> events)).collect()
+    }.getMessage.contains("precision"))
+  }
+
+  test("TRUNCATE: toward zero, negative digits, null; MV_SLICE bounds; DECODE_BASE64") {
+    val r = sql1(
+      """SELECT TRUNCATE(3.79, 1) AS a, TRUNCATE(-3.79, 1) AS b,
+                TRUNCATE(1234.5, -2) AS c, TRUNCATE(9.99) AS d,
+                TRUNCATE(CAST(NULL AS DOUBLE), 1) AS e,
+                MV_TO_STRING(MV_SLICE(STRING_TO_MV('a,b,c,d', ','), 1, 3), '|') AS s1,
+                MV_SLICE(STRING_TO_MV('a,b', ','), 1, 5) AS s2,
+                MV_SLICE(STRING_TO_MV('a,b', ','), -1, 1) AS s3,
+                MV_TO_STRING(MV_SLICE(STRING_TO_MV('a,b', ','), 1), '|') AS s4,
+                DECODE_BASE64_UTF8('Z3JhZnQ=') AS dec
+         FROM events LIMIT 1""")
+    assert(r.getDouble(0) == 3.7 && r.getDouble(1) == -3.7)
+    assert(r.getDouble(2) == 1200.0 && r.getDouble(3) == 9.0)
+    assert(r.isNullAt(4))
+    assert(r.getString(5) == "b|c")
+    assert(r.isNullAt(6) && r.isNullAt(7)) // out-of-range bounds → null
+    assert(r.getString(8) == "b")          // end defaults to length
+    assert(r.getString(9) == "graft")
+  }
 }
