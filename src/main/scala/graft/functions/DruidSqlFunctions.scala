@@ -136,8 +136,12 @@ object DruidSqlFunctions {
     val units =
       if (base == 1024L) Seq("", "Ki", "Mi", "Gi", "Ti", "Pi", "Ei")
       else Seq("", "K", "M", "G", "T", "P", "E")
-    val b = asCol(args(0)).cast("long")
-    val absB = abs(b)
+    // TRY cast: NaN/Infinity and doubles past Long.MaxValue → null, no
+    // ANSI throw; |b| runs in DOUBLE so Long.MinValue can't overflow
+    // ANSI abs() (the one-ulp bucket imprecision this admits only
+    // matters past 2^53 — the format output there is unchanged)
+    val b = tryCastLong(asCol(args(0)))
+    val absB = abs(b.cast("double"))
     def bucket(power: Int): Column = {
       val divisor = math.pow(base.toDouble, power).toLong
       val label = (units(power) + suffix).trim
@@ -524,15 +528,21 @@ object DruidSqlFunctions {
     }),
 
     // MV_SLICE(arr, start[, end]): 0-based start inclusive → end exclusive
-    // (end defaults to length); out-of-range or inverted bounds → null,
-    // Druid's ARRAY_SLICE contract. Spark's slice is 1-based with a length
+    // (end defaults to length). Druid's ARRAY_SLICE contract: null when
+    // start < 0, start > length, or start > end; an end PAST the length
+    // pads with nulls (Arrays.copyOfRange semantics), it does not null
+    // the row. Spark's slice is 1-based with a length; the pad element
+    // is a same-typed null via an out-of-bounds try_element_at
     fn("mv_slice", args => {
       arity(args, "mv_slice(arr, start[, end])", 2, 3)
       val arr = asCol(args(0))
       val st = asCol(args(1)).cast("int")
       val en = (if (args.length == 3) asCol(args(2)) else size(arr)).cast("int")
-      val valid = st >= 0 && en >= st && st <= size(arr) && en <= size(arr)
-      ex(when(valid, slice(arr, st + 1, en - st)))
+      val valid = st >= 0 && en >= st && st <= size(arr)
+      val taken = slice(arr, st + 1, greatest(least(en, size(arr)) - st, lit(0)))
+      val pad = array_repeat(try_element_at(arr, lit(Int.MaxValue)),
+        greatest(en - size(arr), lit(0)))
+      ex(when(valid, concat(taken, pad)))
     }),
 
     // ------------------------------------------------------- misc Druid SQL
@@ -601,8 +611,12 @@ object DruidSqlFunctions {
     fn("icontains_string", args => {
       arity(args, "icontains_string(haystack, needle)", 2, 2)
       val needle = strLit(args(1), "icontains_string needle")
-      ex(instr(lower(asCol(args(0)).cast(StringType)),
-        needle.toLowerCase(java.util.Locale.ROOT)) > 0)
+      // BOTH sides lowercase through Spark's own lower() (the needle
+      // constant-folds) — a driver-side Locale.ROOT toLowerCase could
+      // disagree with UTF8String's JVM-default-locale path on
+      // locale-sensitive characters (tr dotted/dotless i)
+      ex(lower(asCol(args(0)).cast(StringType))
+        .contains(lower(lit(needle))))
     }),
 
     // DECODE_BASE64_UTF8: base64 → UTF-8 string (Spark's RFC-2045 decoder
@@ -636,15 +650,18 @@ object DruidSqlFunctions {
       require(digits >= -18 && digits <= 18,
         s"truncate digits must be in [-18, 18], got $digits")
       val x = asCol(args(0)).cast("double")
-      // the scale factor stays an exact power-of-ten LONG on both branches
+      // the scale factor stays an exact power-of-ten on both branches
       // (never a 0.1-style fraction), so the only inexact step is the one
-      // scaling multiply/divide — same shape an oracle twin reproduces
+      // scaling multiply/divide — same shape an oracle twin reproduces.
+      // The double→long truncation is a TRY cast: NaN/Infinity and
+      // magnitudes past Long.MaxValue yield null instead of an ANSI
+      // throw (the engine's non-strict scalar convention)
       if (digits >= 0) {
         val f = math.pow(10, digits)
-        ex((x * f).cast("long").cast("double") / f.toLong)
+        ex(tryCastLong(x * f).cast("double") / f.toLong)
       } else {
         val f = math.pow(10, -digits)
-        ex(((x / f).cast("long") * f.toLong).cast("double"))
+        ex(tryCastLong(x / f).cast("double") * f)
       }
     }),
 

@@ -128,7 +128,8 @@ object DruidSqlQueries {
                   MV_TO_STRING(MV_APPEND(STRING_TO_MV(source, 'c'), 'X'), '|') AS appended,
                   MV_TO_STRING(MV_PREPEND('Z', STRING_TO_MV(source, 'c')), '|') AS prepended,
                   MV_TO_STRING(MV_CONCAT(STRING_TO_MV(source, 'c'), STRING_TO_MV(source, 'c')), '|') AS doubled,
-                  MV_TO_STRING(MV_SLICE(STRING_TO_MV(text, ' '), 1, 3), '|') AS toks_1_3
+                  MV_TO_STRING(MV_SLICE(STRING_TO_MV(text, ' '), 1, 3), '|') AS toks_1_3,
+                  MV_TO_STRING(MV_SLICE(STRING_TO_MV(source, 'c'), 0, 4), '|') AS src_sliced
            FROM documents
            WHERE doc_id % 7 = 0""",
         frames(s, dir, "documents"))
@@ -143,8 +144,9 @@ object DruidSqlQueries {
              array_to_string(list_append(string_split(source, 'c'), 'X'), '|') AS appended,
              array_to_string(list_prepend('Z', string_split(source, 'c')), '|') AS prepended,
              array_to_string(list_concat(string_split(source, 'c'), string_split(source, 'c')), '|') AS doubled,
-             CASE WHEN len(string_split(text, ' ')) >= 3
-                  THEN array_to_string(string_split(text, ' ')[2:3], '|') END AS toks_1_3
+             CASE WHEN len(string_split(text, ' ')) >= 1
+                  THEN array_to_string(string_split(text, ' ')[2:3], '|') END AS toks_1_3,
+             array_to_string(string_split(source, 'c')[1:4], '|') AS src_sliced
             FROM documents WHERE doc_id % 7 = 0""")),
 
     // -- scalar function family: DIV / BITWISE_* / TEXTCAT / STRPOS /
@@ -189,22 +191,24 @@ object DruidSqlQueries {
 
     // -- string/format family: CONTAINS_STRING / ICONTAINS_STRING /
     // DECODE_BASE64_UTF8 / HUMAN_READABLE_* / TRUNCATE. The human-readable
-    // inputs are scaled so value/divisor is INTEGRAL — "%.Pf" of an exact
-    // integer can't hit a Java-HALF_UP vs C-half-even midpoint, so the
-    // DuckDB printf twin is bit-identical. TRUNCATE's negative-value case
-    // offsets by 1 so truncation never lands on zero (DuckDB's trunc
-    // yields -0.0 there, Spark's long-cast roundtrip +0.0) --------------
+    // inputs are MASKED to 0..127 (unit bucket stays put at any scale
+    // factor — user_id's range grows with sf) and scaled so value/divisor
+    // is INTEGRAL — "%.Pf" of an exact integer can't hit a Java-HALF_UP
+    // vs C-half-even midpoint, so the DuckDB printf twin is bit-identical.
+    // TRUNCATE's negative-value case offsets by 1 so truncation never
+    // lands on zero (DuckDB's trunc yields -0.0 there, Spark's long-cast
+    // roundtrip +0.0) ----------------------------------------------------
     QueryDef("druid_sql_string_fns", (s, dir) => {
       DruidSql.run(
         """SELECT event_id,
                   CONTAINS_STRING(event_type, 'ick') AS has_ick,
                   ICONTAINS_STRING(event_type, 'SIGN') AS has_sign,
                   DECODE_BASE64_UTF8('aGVsbG8gZ3JhZnQ=') AS dec64,
-                  HUMAN_READABLE_BINARY_BYTE_FORMAT(user_id * 1048576) AS hr_bin,
-                  HUMAN_READABLE_BINARY_BYTE_FORMAT(user_id * 1048576, 0) AS hr_bin0,
-                  HUMAN_READABLE_DECIMAL_BYTE_FORMAT(user_id * 1000, 1) AS hr_dec,
-                  HUMAN_READABLE_DECIMAL_FORMAT(user_id * 1000000, 3) AS hr_plain,
-                  HUMAN_READABLE_BINARY_BYTE_FORMAT(0 - user_id * 1048576, 2) AS hr_neg,
+                  HUMAN_READABLE_BINARY_BYTE_FORMAT(BITWISE_AND(user_id, 127) * 1048576) AS hr_bin,
+                  HUMAN_READABLE_BINARY_BYTE_FORMAT(BITWISE_AND(user_id, 127) * 1048576, 0) AS hr_bin0,
+                  HUMAN_READABLE_DECIMAL_BYTE_FORMAT(BITWISE_AND(user_id, 127) * 1000, 1) AS hr_dec,
+                  HUMAN_READABLE_DECIMAL_FORMAT(BITWISE_AND(user_id, 127) * 1000000, 3) AS hr_plain,
+                  HUMAN_READABLE_BINARY_BYTE_FORMAT(0 - BITWISE_AND(user_id, 127) * 1048576, 2) AS hr_neg,
                   TRUNCATE(value, 1) AS tr1,
                   TRUNCATE(0 - value - 1, 1) AS trneg,
                   TRUNCATE(value, -1) AS trm1,
@@ -217,16 +221,16 @@ object DruidSqlQueries {
              contains(event_type, 'ick') AS has_ick,
              contains(lower(event_type), 'sign') AS has_sign,
              'hello graft' AS dec64,
-             CASE WHEN user_id = 0 THEN '0.00 B'
-                  ELSE printf('%.2f MiB', CAST(user_id AS DOUBLE)) END AS hr_bin,
-             CASE WHEN user_id = 0 THEN '0 B'
-                  ELSE printf('%.0f MiB', CAST(user_id AS DOUBLE)) END AS hr_bin0,
-             CASE WHEN user_id = 0 THEN '0.0 B'
-                  ELSE printf('%.1f KB', CAST(user_id AS DOUBLE)) END AS hr_dec,
-             CASE WHEN user_id = 0 THEN '0.000'
-                  ELSE printf('%.3f M', CAST(user_id AS DOUBLE)) END AS hr_plain,
-             CASE WHEN user_id = 0 THEN '0.00 B'
-                  ELSE printf('%.2f MiB', CAST(0 - user_id AS DOUBLE)) END AS hr_neg,
+             CASE WHEN (user_id & 127) = 0 THEN '0.00 B'
+                  ELSE printf('%.2f MiB', CAST(user_id & 127 AS DOUBLE)) END AS hr_bin,
+             CASE WHEN (user_id & 127) = 0 THEN '0 B'
+                  ELSE printf('%.0f MiB', CAST(user_id & 127 AS DOUBLE)) END AS hr_bin0,
+             CASE WHEN (user_id & 127) = 0 THEN '0.0 B'
+                  ELSE printf('%.1f KB', CAST(user_id & 127 AS DOUBLE)) END AS hr_dec,
+             CASE WHEN (user_id & 127) = 0 THEN '0.000'
+                  ELSE printf('%.3f M', CAST(user_id & 127 AS DOUBLE)) END AS hr_plain,
+             CASE WHEN (user_id & 127) = 0 THEN '0.00 B'
+                  ELSE printf('%.2f MiB', CAST(0 - (user_id & 127) AS DOUBLE)) END AS hr_neg,
              trunc(value * 10) / 10 AS tr1,
              trunc((0 - value - 1) * 10) / 10 AS trneg,
              trunc(value / 10) * 10 AS trm1,

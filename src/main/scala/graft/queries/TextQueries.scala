@@ -408,6 +408,40 @@ object TextQueries {
                   FROM documents)
             GROUP BY 1, 2""")),
 
+    // -- overlapping passage chunking (r4): fixed 64-token windows at
+    // stride 48 (16-token overlap) — the retrieval/training passage-window
+    // staple. Pure per-row explode: sequence() generates chunk starts,
+    // slice() takes the window — NO shuffle anywhere, so the plan is
+    // embarrassingly parallel at any corpus size (chunk_id is derivable,
+    // never a window function). Chunk text stays exact for the oracle; at
+    // 100 TB the chunk_text column would be the downstream tokenizer's
+    // input split, same shape -----------------------------------------------
+    QueryDef("passage_chunking", (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_tok", size(col("toks")))
+        .filter(col("n_tok") >= 1)
+        .select(col("doc_id"), col("n_tok"), col("toks"),
+          explode(sequence(lit(0), col("n_tok") - 1, lit(48))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 48).cast(LongType).as("chunk_id"),
+          least(lit(64), col("n_tok") - col("start")).cast(LongType)
+            .as("chunk_tokens"),
+          array_join(slice(col("toks"), col("start") + 1,
+            least(lit(64), col("n_tok") - col("start"))), " ").as("chunk_text"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS l,
+                     len(string_split(text, ' ')) AS n
+              FROM documents
+              WHERE doc_id % 3 = 0 AND len(string_split(text, ' ')) >= 1)
+            SELECT doc_id,
+             CAST(u.s // 48 AS BIGINT) AS chunk_id,
+             CAST(least(64, n - u.s) AS BIGINT) AS chunk_tokens,
+             array_to_string(l[u.s + 1 : u.s + 64], ' ') AS chunk_text
+            FROM toks, UNNEST(range(0, n, 48)) AS u(s)""")),
+
     // -- DUPLICATE-PASSAGE detection (the exact-substring dedup shape of
     // Lee et al. 2021, arXiv:2107.06499, word-gram approximation): a 5-gram
     // position is "duplicated" when the same 5-gram occurs in ≥2 distinct

@@ -340,15 +340,23 @@ class DruidSqlSpec extends SparkSpec {
                 MV_TO_STRING(MV_SLICE(STRING_TO_MV('a,b,c,d', ','), 1, 3), '|') AS s1,
                 MV_SLICE(STRING_TO_MV('a,b', ','), 1, 5) AS s2,
                 MV_SLICE(STRING_TO_MV('a,b', ','), -1, 1) AS s3,
+                MV_SLICE(STRING_TO_MV('a,b', ','), 3, 4) AS s3b,
                 MV_TO_STRING(MV_SLICE(STRING_TO_MV('a,b', ','), 1), '|') AS s4,
-                DECODE_BASE64_UTF8('Z3JhZnQ=') AS dec
+                DECODE_BASE64_UTF8('Z3JhZnQ=') AS dec,
+                TRUNCATE(CAST('NaN' AS DOUBLE), 1) AS tnan,
+                TRUNCATE(1e30, 2) AS tbig
          FROM events LIMIT 1""")
     assert(r.getDouble(0) == 3.7 && r.getDouble(1) == -3.7)
     assert(r.getDouble(2) == 1200.0 && r.getDouble(3) == 9.0)
     assert(r.isNullAt(4))
     assert(r.getString(5) == "b|c")
-    assert(r.isNullAt(6) && r.isNullAt(7)) // out-of-range bounds → null
-    assert(r.getString(8) == "b")          // end defaults to length
-    assert(r.getString(9) == "graft")
+    // end past length PADS with nulls (Druid's Arrays.copyOfRange shape)
+    assert(r.getSeq[String](6) == Seq("b", null, null, null))
+    // start < 0 / start > length → null
+    assert(r.isNullAt(7) && r.isNullAt(8))
+    assert(r.getString(9) == "b")          // end defaults to length
+    assert(r.getString(10) == "graft")
+    // NaN / out-of-long-range magnitudes → null, not an ANSI throw
+    assert(r.isNullAt(11) && r.isNullAt(12))
   }
 }

@@ -330,22 +330,23 @@ class HttpIngestSpec extends SparkSpec {
         """{"query": "WITH beta_ds AS (SELECT 9.0 AS t) SELECT a.etype, b.t FROM alpha_ds a CROSS JOIN beta_ds b"}""" ->
           ((b: String) => b.contains("\"etype\":\"a\"") && b.contains("\"t\":9.0")))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
-      implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val futures = (0 until 24).map { i =>
-        val (body, check) = statements(i % statements.length)
-        scala.concurrent.Future {
-          val (code, resp) = post(handle.port, "/druid/v2/sql", body)
-          (i, code, resp, check(resp))
+      try {
+        implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futures = (0 until 24).map { i =>
+          val (body, check) = statements(i % statements.length)
+          scala.concurrent.Future {
+            val (code, resp) = post(handle.port, "/druid/v2/sql", body)
+            (i, code, resp, check(resp))
+          }
         }
-      }
-      val results = scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futures),
-        scala.concurrent.duration.Duration(120, "s"))
-      pool.shutdown()
-      results.foreach { case (i, code, resp, ok) =>
-        assert(code == 200, s"request $i: $resp")
-        assert(ok, s"request $i got cross-talk: $resp")
-      }
+        val results = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration(120, "s"))
+        results.foreach { case (i, code, resp, ok) =>
+          assert(code == 200, s"request $i: $resp")
+          assert(ok, s"request $i got cross-talk: $resp")
+        }
+      } finally pool.shutdownNow()
     } finally handle.close()
   }
 
