@@ -442,6 +442,88 @@ object TextQueries {
              array_to_string(l[u.s + 1 : u.s + 64], ' ') AS chunk_text
             FROM toks, UNNEST(range(0, n, 48)) AS u(s)""")),
 
+    // -- Gopher quality-rule battery (r4, Rae et al. 2021 §A.1.1): the full
+    // document-filter rule set as per-doc booleans + an overall keep flag.
+    // Every ratio test is an INTEGER cross-multiplication (3·words ≤ chars ≤
+    // 10·words, 5·alpha ≥ 4·words) so Spark and the oracle can never disagree
+    // on a float boundary. Pure per-row array lambdas — one scan, no shuffle
+    // below the final doc_id order, 100 TB-parallel by construction ----------
+    QueryDef("gopher_quality_filter", (s, dir) => {
+      val words = split(col("text"), " ")
+      val nWords = size(words)
+      // sum of word lengths (single-space corpus: n_chars - (n_words-1))
+      val wordChars = aggregate(transform(words, w => length(w)),
+        lit(0), (acc, x) => acc + x)
+      val nAlpha = size(filter(words, w => w.rlike("[a-z]")))
+      val nStop = size(filter(
+        array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(lit): _*),
+        sw => array_contains(words, sw)))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), nWords.as("n_words"), wordChars.as("word_chars"),
+          nAlpha.as("n_alpha"), nStop.as("n_stop"))
+        .select(col("doc_id"), col("n_words"),
+          (col("n_words") >= 50 && col("n_words") <= 100000).as("ok_count"),
+          (col("word_chars") >= col("n_words") * 3 &&
+            col("word_chars") <= col("n_words") * 10).as("ok_word_len"),
+          (col("n_alpha") * 5 >= col("n_words") * 4).as("ok_alpha"),
+          (col("n_stop") >= 2).as("ok_stop"))
+        .withColumn("keep",
+          col("ok_count") && col("ok_word_len") && col("ok_alpha") && col("ok_stop"))
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS n
+              FROM documents)
+            SELECT doc_id, CAST(n AS INT) AS n_words,
+             n >= 50 AND n <= 100000 AS ok_count,
+             list_sum(list_transform(ws, x -> length(x))) >= n * 3 AND
+               list_sum(list_transform(ws, x -> length(x))) <= n * 10 AS ok_word_len,
+             len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) * 5 >= n * 4 AS ok_alpha,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+               sw -> list_contains(ws, sw))) >= 2 AS ok_stop,
+             (n >= 50 AND n <= 100000) AND
+               (list_sum(list_transform(ws, x -> length(x))) >= n * 3 AND
+                list_sum(list_transform(ws, x -> length(x))) <= n * 10) AND
+               (len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) * 5 >= n * 4) AND
+               (len(list_filter(['the','be','to','of','and','that','have','with'],
+                 sw -> list_contains(ws, sw))) >= 2) AS keep
+            FROM w""")),
+
+    // -- PII redaction (r4): regex-mask emails and phone numbers before
+    // training. The synthetic corpus carries no PII, so the query PLANTS it
+    // deterministically from doc_id (same construction in the oracle), then
+    // redacts — the operator under test is the regex rewrite, per-row
+    // codegen'd string expressions, no shuffle anywhere. Patterns stay in the
+    // char-class subset where Java regex and RE2 agree ----------------------
+    QueryDef("pii_redaction", (s, dir) => {
+      val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "555-[0-9]{4}"
+      val planted = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).as("n_email"),
+          regexp_count(col("t"), lit(phoneRe)).as("n_phone"),
+          regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]").as("redacted"))
+    },
+    Some("""WITH p AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com or 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' now' AS t
+              FROM documents)
+            SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT)
+               AS n_email,
+             CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS INT) AS n_phone,
+             regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}',
+               '[EMAIL]', 'g'), '555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+            FROM p""")),
+
     // -- DUPLICATE-PASSAGE detection (the exact-substring dedup shape of
     // Lee et al. 2021, arXiv:2107.06499, word-gram approximation): a 5-gram
     // position is "duplicated" when the same 5-gram occurs in ≥2 distinct
