@@ -207,6 +207,35 @@ object DruidSqlFunctions {
     case _ => false
   }
 
+  /** Dialect-scoped overrides: Druid SQL functions whose NAME collides with
+    * a Spark builtin but whose SEMANTICS differ. These are applied only by
+    * [[graft.queries.DruidSql]] as a plan rewrite on `/druid/v2/sql`
+    * statements — never registered session-wide, so plain Spark SQL on the
+    * same session keeps builtin behavior (the TRUNC-shadowing lesson).
+    *
+    * REGEXP_EXTRACT diverges twice: Druid's group index defaults to 0 (the
+    * whole match) where Spark SQL defaults to 1, and Druid returns NULL on
+    * no-match where Spark returns the empty string. RLIKE carries Druid's
+    * find() containment semantics, so it gates exactly the rows Druid's
+    * matcher accepts; an empty capture on a MATCHED row stays "" (both
+    * engines).
+    *
+    * Built from catalyst expressions DIRECTLY (not the functions._ DSL):
+    * in Spark 4 `functions.regexp_extract` itself lowers to an
+    * `UnresolvedFunction("regexp_extract", …)`, which the rewrite rule would
+    * match again — an infinite self-rewrite. */
+  private[graft] val dialectOverrides: Map[String, Builder] = Map(
+    "regexp_extract" -> (args => {
+      arity(args, "regexp_extract(s, pattern[, index])", 2, 3)
+      import org.apache.spark.sql.catalyst.expressions.{Cast, CaseWhen, RegExpExtract, RLike}
+      val s = Cast(args(0), StringType)
+      val pat = Literal(strLit(args(1), "regexp_extract pattern"))
+      val idx = Literal(
+        if (args.length == 3) intLit(args(2), "regexp_extract index") else 0)
+      CaseWhen(Seq((RLike(s, pat), RegExpExtract(s, pat, idx))), None)
+    })
+  )
+
   private[graft] val injections
       : Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
 

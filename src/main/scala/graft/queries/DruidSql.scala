@@ -77,6 +77,32 @@ object DruidSql {
               .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
               .queryExecution.logical)
       }
-    GraftSqlBridge.ofRows(spark, substitute(parsed))
+    GraftSqlBridge.ofRows(spark, dialectRewrite(substitute(parsed)))
+  }
+
+  /** Dialect-scoped function overrides (names colliding with Spark builtins
+    * but carrying Druid semantics — see
+    * [[graft.functions.DruidSqlFunctions.dialectOverrides]]): applied to the
+    * STATEMENT's plan only, never the session registry, so plain Spark SQL
+    * on the same session keeps builtin behavior. CTE definition bodies are
+    * not plan children — recurse explicitly, like `substitute` above. */
+  private def dialectRewrite(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val overrides = graft.functions.DruidSqlFunctions.dialectOverrides
+    plan.transformUp {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, s, o) =>
+          (n, dialectRewrite(s).asInstanceOf[SubqueryAlias], o)
+        })
+      case node => node.transformExpressions {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.length == 1 && !f.isDistinct &&
+              overrides.contains(
+                f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+          overrides(f.nameParts.head.toLowerCase(java.util.Locale.ROOT))(
+            f.arguments)
+      }
+    }
   }
 }

@@ -209,6 +209,9 @@ object DruidSqlQueries {
                   HUMAN_READABLE_DECIMAL_BYTE_FORMAT(BITWISE_AND(user_id, 127) * 1000, 1) AS hr_dec,
                   HUMAN_READABLE_DECIMAL_FORMAT(BITWISE_AND(user_id, 127) * 1000000, 3) AS hr_plain,
                   HUMAN_READABLE_BINARY_BYTE_FORMAT(0 - BITWISE_AND(user_id, 127) * 1048576, 2) AS hr_neg,
+                  REGEXP_EXTRACT(event_type, '[a-z]+') AS rex_whole,
+                  REGEXP_EXTRACT(event_type, 'c(l.)ck', 1) AS rex_grp,
+                  REGEXP_EXTRACT(event_type, 'zz[0-9]+') AS rex_none,
                   TRUNCATE(value, 1) AS tr1,
                   TRUNCATE(0 - value - 1, 1) AS trneg,
                   TRUNCATE(value, -1) AS trm1,
@@ -231,6 +234,12 @@ object DruidSqlQueries {
                   ELSE printf('%.3f M', CAST(user_id & 127 AS DOUBLE)) END AS hr_plain,
              CASE WHEN (user_id & 127) = 0 THEN '0.00 B'
                   ELSE printf('%.2f MiB', CAST(0 - (user_id & 127) AS DOUBLE)) END AS hr_neg,
+             CASE WHEN regexp_matches(event_type, '[a-z]+')
+                  THEN regexp_extract(event_type, '[a-z]+') END AS rex_whole,
+             CASE WHEN regexp_matches(event_type, 'c(l.)ck')
+                  THEN regexp_extract(event_type, 'c(l.)ck', 1) END AS rex_grp,
+             CASE WHEN regexp_matches(event_type, 'zz[0-9]+')
+                  THEN regexp_extract(event_type, 'zz[0-9]+') END AS rex_none,
              trunc(value * 10) / 10 AS tr1,
              trunc((0 - value - 1) * 10) / 10 AS trneg,
              trunc(value / 10) * 10 AS trm1,

@@ -660,6 +660,55 @@ object TextQueries {
             GROUP BY 1"""),
     headline = true),
 
+    // -- DSIR importance scores (r4, Xie et al. 2023 data-selection shape):
+    // hashed-unigram importance weights ln(p_target/p_raw) with add-1
+    // smoothing, averaged per doc. The target domain is source='src0'; the
+    // bucket hash is an explicit character polynomial mod 64 written
+    // identically in both engines (production would use xxhash64 — engine-
+    // internal consistency is all that matters there; the oracle needs
+    // cross-engine portability). Scale shape: the weight table is 64 rows
+    // (broadcast), the corpus sees one explode + one broadcast join + one
+    // doc-keyed agg — no corpus-sized shuffle beyond the final groupBy -----
+    QueryDef("dsir_importance_scores", (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val bucket = (length(col("w")) * 31 +
+        ascii(substring(col("w"), 1, 1)) * 7 +
+        ascii(element_at(split(col("w"), ""), -1))) % 64
+      val words = docs.select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .withColumn("b", bucket)
+      val freq = words.groupBy(col("b")).agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c_t"))
+      val totals = freq.agg(sum(col("c_r")).as("tot_r"), sum(col("c_t")).as("tot_t"))
+      val weights = freq.crossJoin(broadcast(totals))
+        .select(col("b"),
+          log(((col("c_t") + 1).cast("double") / (col("tot_t") + 64)) /
+              ((col("c_r") + 1).cast("double") / (col("tot_r") + 64))).as("wt"))
+      words.join(broadcast(weights), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(col("wt")), 5).as("dsir_score"))
+    },
+    Some("""WITH words AS (
+              SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            b AS (SELECT doc_id, source, w,
+                    (length(w) * 31 + ascii(substr(w, 1, 1)) * 7 +
+                     ascii(substr(w, length(w), 1))) % 64 AS b
+                  FROM words),
+            freq AS (SELECT b, count(*) AS c_r,
+                       sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_t
+                     FROM b GROUP BY 1),
+            t AS (SELECT sum(c_r) AS tot_r, sum(c_t) AS tot_t FROM freq),
+            wt AS (SELECT b, ln((CAST(c_t + 1 AS DOUBLE) / (tot_t + 64)) /
+                                (CAST(c_r + 1 AS DOUBLE) / (tot_r + 64))) AS wt
+                   FROM freq, t)
+            SELECT doc_id, count(*) AS n_tokens,
+              round(avg(wt), 5) AS dsir_score
+            FROM b JOIN wt USING (b)
+            GROUP BY 1""")),
+
     // -- TF-IDF keyword extraction: top-3 terms per doc. The RANKING is
     // exact-integer — (tf desc, df asc, word asc): same tf ⇒ the rarer
     // word wins, which is tf-idf's order whenever tf ties — so no float

@@ -359,4 +359,34 @@ class DruidSqlSpec extends SparkSpec {
     // NaN / out-of-long-range magnitudes → null, not an ANSI throw
     assert(r.isNullAt(11) && r.isNullAt(12))
   }
+
+  test("REGEXP_EXTRACT: Druid semantics on the dialect, builtin untouched") {
+    // Druid: 2-arg returns the WHOLE match (index 0); no match → NULL
+    val r = sql1(
+      """SELECT REGEXP_EXTRACT(event_type, 'l(i.)k') AS whole,
+                REGEXP_EXTRACT(event_type, 'l(i.)k', 1) AS grp,
+                REGEXP_EXTRACT(event_type, 'zz[0-9]+') AS miss,
+                REGEXP_EXTRACT(user, '(a)(l)(i)', 3) AS g3
+         FROM events WHERE event_type = 'click' LIMIT 1""")
+    assert(r.getString(0) == "lick")
+    assert(r.getString(1) == "ic")
+    assert(r.isNullAt(2))
+    assert(r.getString(3) == "i")
+    // the rewrite is scoped to the dialect runner: plain Spark SQL on the
+    // SAME session keeps the builtin (2-arg = group 1, no-match = '')
+    val b = spark.sql(
+      """SELECT regexp_extract('click', 'l(i.)k') AS grp1,
+                regexp_extract('click', 'zz[0-9]+') AS empty""").head()
+    assert(b.getString(0) == "ic")
+    assert(b.getString(1) == "")
+    // works inside CTE bodies too (not plan children — explicit recursion)
+    val c = sql1(
+      """WITH x AS (SELECT REGEXP_EXTRACT(event_type, 'zz') AS m FROM events)
+         SELECT m FROM x LIMIT 1""")
+    assert(c.isNullAt(0))
+    // non-literal pattern is a loud error (Druid requires literal patterns)
+    assert(intercept[Exception] {
+      sql1("SELECT REGEXP_EXTRACT(event_type, user) FROM events")
+    }.getMessage.toLowerCase.contains("pattern"))
+  }
 }
