@@ -483,6 +483,33 @@ object DruidNativeQueries {
               round(ma4_su, 6) AS ma4_su, round(mnn4_mx, 6) AS mnn4_mx,
               round(ma4_mu, 6) AS ma4_mu, c5,
               CAST(max2_cnt AS BIGINT) AS max2_cnt
-            FROM m WHERE b >= TIMESTAMP '2024-01-08'"""))
+            FROM m WHERE b >= TIMESTAMP '2024-01-08'""")),
+
+    // -- unnest dataSource (r4): groupBy over an exploded array virtual
+    // column — Druid's unnest emits one row PER element (no per-row
+    // dedup, unlike multi-value dim grouping) and the unnestFilter prunes
+    // emitted rows before the outer query sees them ----------------------
+    QueryDef("druid_json_unnest", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "groupBy", "dataSource":
+          {"type": "unnest", "base": "events",
+           "virtualColumn": {"type": "expression", "name": "tag",
+             "expression":
+               "array(event_type, concat('u', cast(user_id % 3 as string)), event_type)"},
+           "unnestFilter": {"type": "not", "field":
+             {"type": "selector", "dimension": "tag", "value": "u1"}}},
+         "granularity": "all",
+         "dimensions": ["tag"],
+         "aggregations": [{"type": "count", "name": "cnt"},
+                          {"type": "longSum", "name": "sum_uid",
+                           "fieldName": "user_id"}]}""")
+        .select(col("tag"), col("cnt"), col("sum_uid"))
+    },
+    Some("""WITH exploded AS (SELECT unnest(
+              [event_type, 'u' || CAST(user_id % 3 AS VARCHAR), event_type])
+                AS tag, user_id
+            FROM events)
+            SELECT tag, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid
+            FROM exploded WHERE tag <> 'u1' GROUP BY 1"""))
   )
 }

@@ -152,9 +152,32 @@ object DruidQueryCompiler {
         import spark.implicits._
         mapping.toSeq.sortBy(_._1).toDF("k", "v")
       case "join" => join(n, resolve)
+      // Druid unnest dataSource: explode the virtualColumn's array
+      // expression into one row per element. Spark's explode drops
+      // null/empty arrays — the same rows Druid's unnest skips — and the
+      // optional unnestFilter applies to the UNNESTED column (Druid
+      // evaluates it per emitted row, exactly a post-explode filter).
+      case "unnest" =>
+        val base = dataSource(opt(n, "base").getOrElse(
+          throw new IllegalArgumentException("unnest dataSource needs a base")),
+          resolve, session)
+        val vc = opt(n, "virtualColumn").getOrElse(
+          throw new IllegalArgumentException(
+            "unnest dataSource needs a virtualColumn"))
+        require(str(vc, "type", "expression") == "expression",
+          s"unsupported unnest virtualColumn type '${str(vc, "type", "")}'")
+        val name = str(vc, "name", "")
+        val e = str(vc, "expression", "")
+        require(name.nonEmpty && e.nonEmpty,
+          s"unnest virtualColumn needs name and expression, got $vc")
+        require(!base.columns.contains(name),
+          s"unnest output column '$name' collides with a base column")
+        val exploded = base.withColumn(name, explode(expr(e)))
+        opt(n, "unnestFilter")
+          .map(f => exploded.filter(filterColumn(f))).getOrElse(exploded)
       case other => throw new IllegalArgumentException(
         s"unsupported dataSource type '$other' " +
-          "(table/union/query/join/inline/lookup)")
+          "(table/union/query/join/inline/lookup/unnest)")
     }
 
   private def inline(n: JsonNode,

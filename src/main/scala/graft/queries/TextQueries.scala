@@ -744,6 +744,160 @@ object TextQueries {
                          FROM tf JOIN df USING (w))
             SELECT doc_id, CAST(rank AS INT) AS rank, w AS term, tf, df,
               round(tf * ln(CAST(n.n AS DOUBLE) / df), 5) AS score
-            FROM ranked, n WHERE rank <= 3"""))
+            FROM ranked, n WHERE rank <= 3""")),
+
+    // -- CCNet/RefinedWeb LINE-level dedup (r4): hash every "line" (the
+    // synthetic corpus has no newlines, so a line = one disjoint 3-word
+    // segment — same operator, different delimiter), count DISTINCT docs
+    // per line across the corpus, and flag per-doc how much of it is
+    // corpus-duplicated boilerplate. The keep rule is an integer
+    // cross-multiplication (dup_lines·10 < n_lines·3 ⇔ <30% duplicated) so
+    // no float boundary can flip it. Scale shape: per-row chunking, ONE
+    // line-keyed shuffle (count-distinct partials map-side), one doc-keyed
+    // agg — O(lines), never O(docs²); at 100 TB the shuffle key is
+    // xxhash64(line) instead of the string (engine-internal hash, the
+    // oracle needs the portable text key) -----------------------------------
+    QueryDef("line_dedup_stats", (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val lines = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_tok", size(col("toks")))
+        .filter(col("n_tok") >= 1)
+        .select(col("doc_id"),
+          col("toks"),
+          explode(sequence(lit(0), col("n_tok") - 1, lit(3))).as("start"))
+        .select(col("doc_id"),
+          array_join(slice(col("toks"), col("start") + 1, lit(3)), " ").as("line"))
+      val freq = lines.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      lines.join(freq, Seq("line"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_lines"))
+        .withColumn("dup_frac",
+          round(col("n_dup_lines").cast("double") / col("n_lines"), 5))
+        .withColumn("keep",
+          (col("n_dup_lines") * 10 < col("n_lines") * 3).cast("int"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS l,
+                     len(string_split(text, ' ')) AS n
+              FROM documents WHERE len(string_split(text, ' ')) >= 1),
+            lines AS (SELECT doc_id, array_to_string(l[u.s + 1 : u.s + 3], ' ') AS line
+                      FROM toks, UNNEST(range(0, n, 3)) AS u(s)),
+            freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs
+                     FROM lines GROUP BY 1),
+            agg AS (SELECT doc_id, count(*) AS n_lines,
+                      CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_dup_lines
+                    FROM lines JOIN freq USING (line) GROUP BY 1)
+            SELECT doc_id, n_lines, n_dup_lines,
+              round(CAST(n_dup_lines AS DOUBLE) / n_lines, 5) AS dup_frac,
+              CAST(CASE WHEN n_dup_lines * 10 < n_lines * 3 THEN 1 ELSE 0 END
+                AS INT) AS keep
+            FROM agg""")),
+
+    // -- near-dup survivor selection by QUALITY (r4): dedup pipelines keep
+    // the BEST document of each duplicate cluster, not the lowest id —
+    // same component machinery as dedup_near_components, survivor =
+    // argmax(n_chars, tie → min doc_id) within the component. Ranking is
+    // exact-integer on both sides. Prefix-bounded pair build keeps the
+    // oracle cheap; MinHash/LSH is the documented 100 TB candidate route --
+    QueryDef("dedup_best_survivor", (s, dir) => {
+      val docs = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+      val w = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("words"))
+      val a = w.select(col("doc_id").as("doc_a"), col("words").as("wa"))
+      val b = w.select(col("doc_id").as("doc_b"), col("words").as("wb"))
+      val pairs = a.join(b, col("doc_a") < col("doc_b"))
+        .filter(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = graft.functions.Dedup
+        .assignCanonical(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .select(col("doc_id"), col("canonical"))
+      val withQ = comp.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val byQuality = Window.partitionBy(col("canonical"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val best = withQ.withColumn("rn", row_number().over(byQuality))
+        .filter(col("rn") === 1)
+        .select(col("canonical"), col("doc_id").as("best_id"))
+      withQ.join(best, Seq("canonical"))
+        .select(col("doc_id"), col("canonical"), col("best_id"),
+          (col("doc_id") === col("best_id")).cast("int").as("is_survivor"))
+    },
+    Some("""WITH RECURSIVE
+            t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+                  FROM documents WHERE doc_id < 200),
+            e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                  FROM t a JOIN t b ON a.doc_id <> b.doc_id
+                  WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+                        len(list_distinct(list_concat(a.words, b.words))) >= 0.5),
+            reach(id, root) AS (
+              SELECT doc_id, doc_id FROM t
+              UNION
+              SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id),
+            comp AS (SELECT id AS doc_id, min(root) AS canonical
+                     FROM reach GROUP BY id),
+            q AS (SELECT c.doc_id, c.canonical, d.n_chars
+                  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+            best AS (SELECT canonical, doc_id AS best_id,
+                       row_number() OVER (PARTITION BY canonical
+                         ORDER BY n_chars DESC, doc_id ASC) AS rn
+                     FROM q)
+            SELECT CAST(q.doc_id AS BIGINT) AS doc_id,
+              CAST(q.canonical AS BIGINT) AS canonical,
+              CAST(b.best_id AS BIGINT) AS best_id,
+              CAST(CASE WHEN q.doc_id = b.best_id THEN 1 ELSE 0 END AS INT)
+                AS is_survivor
+            FROM q JOIN best b ON b.canonical = q.canonical AND b.rn = 1""")),
+
+    // -- interpolated BIGRAM language-model score (r4): the KenLM-shaped
+    // upgrade of unigram_logprob_scores — per bigram position,
+    // ln(0.7·p(w2|w1) + 0.3·p(w2)), all probabilities estimated over the
+    // corpus's bigram-position table so both engines see identical counts.
+    // Scale shape: bigrams are per-row array ops (no window function over
+    // the corpus); three count shuffles keyed by bigram/history/word +
+    // joins back on the same keys; the position total broadcasts ----------
+    QueryDef("bigram_logprob_scores", (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")))
+        .filter(col("n") >= 2)
+      val pairs = toks.select(col("doc_id"),
+          explode(zip_with(
+            slice(col("t"), lit(1), col("n") - 1),
+            slice(col("t"), lit(2), col("n") - 1),
+            (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val ch = pairs.groupBy(col("w1")).agg(count(lit(1)).as("ch"))
+      val cu = pairs.groupBy(col("w2")).agg(count(lit(1)).as("cu"))
+      val nb = pairs.agg(count(lit(1)).as("nb"))
+      pairs.join(cb, Seq("w1", "w2")).join(ch, Seq("w1")).join(cu, Seq("w2"))
+        .crossJoin(broadcast(nb))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(
+            lit(0.7) * col("cb").cast("double") / col("ch") +
+              lit(0.3) * col("cu").cast("double") / col("nb"))), 5)
+            .as("mean_logprob"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS l,
+                     len(string_split(text, ' ')) AS n
+              FROM documents WHERE len(string_split(text, ' ')) >= 2),
+            p AS (SELECT doc_id, l[u.i] AS w1, l[u.i + 1] AS w2
+                  FROM toks, UNNEST(range(1, n)) AS u(i)),
+            cb AS (SELECT w1, w2, count(*) AS cb FROM p GROUP BY 1, 2),
+            ch AS (SELECT w1, count(*) AS ch FROM p GROUP BY 1),
+            cu AS (SELECT w2, count(*) AS cu FROM p GROUP BY 1),
+            nb AS (SELECT count(*) AS nb FROM p)
+            SELECT doc_id, count(*) AS n_bigrams,
+              round(avg(ln(0.7 * CAST(cb AS DOUBLE) / ch +
+                           0.3 * CAST(cu AS DOUBLE) / nb)), 5) AS mean_logprob
+            FROM p JOIN cb USING (w1, w2) JOIN ch USING (w1)
+                 JOIN cu USING (w2), nb
+            GROUP BY 1"""))
   )
 }

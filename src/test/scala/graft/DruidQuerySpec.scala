@@ -788,4 +788,55 @@ class DruidQuerySpec extends SparkSpec {
     assert(widened.collect().map(_.getDouble(0)).sorted.toSeq ==
       Seq(2.0, 2.0, 2.0, 2.5, 2.5)) // 3 clicks, 2 views
   }
+
+  test("unnest dataSource: one row per element (no per-row dedup), " +
+      "empty arrays skipped, unnestFilter prunes emitted rows") {
+    // split('a,b,a') keeps duplicates — each contributes a row; the
+    // 'buy' row's empty-string guard makes an empty array → skipped
+    val rows = run("""
+      {"queryType": "groupBy", "dataSource":
+        {"type": "unnest", "base": "events",
+         "virtualColumn": {"type": "expression", "name": "tag",
+           "expression":
+             "CASE WHEN event_type = 'buy' THEN array() WHEN event_type = 'click' THEN array(user, user) ELSE array(user) END"}},
+       "granularity": "all", "dimensions": ["tag"],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select("tag", "cnt").collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    // clicks (2 elems each): alice×2, bob×1; views (1 elem): alice, bob
+    assert(rows == Map("alice" -> 5L, "bob" -> 3L))
+    val filtered = run("""
+      {"queryType": "groupBy", "dataSource":
+        {"type": "unnest", "base": "events",
+         "virtualColumn": {"type": "expression", "name": "tag",
+           "expression": "array(user, event_type)"},
+         "unnestFilter": {"type": "selector", "dimension": "tag",
+           "value": "click"}},
+       "granularity": "all", "dimensions": ["tag"],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select("tag", "cnt").collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(filtered == Map("click" -> 3L))
+  }
+
+  test("unnest dataSource rejection contract") {
+    def bad(json: String): String =
+      intercept[IllegalArgumentException](run(json)).getMessage
+    val base = """"granularity": "all", "dimensions": ["tag"],
+      "aggregations": [{"type": "count", "name": "cnt"}]"""
+    assert(bad(s"""{"queryType": "groupBy", "dataSource":
+        {"type": "unnest", "base": "events"}, $base}""")
+      .contains("needs a virtualColumn"))
+    assert(bad(s"""{"queryType": "groupBy", "dataSource":
+        {"type": "unnest", "base": "events",
+         "virtualColumn": {"type": "mv-filtered", "name": "tag",
+           "expression": "array(user)"}}, $base}""")
+      .contains("unnest virtualColumn type"))
+    // output name colliding with a base column would silently shadow it
+    assert(bad(s"""{"queryType": "groupBy", "dataSource":
+        {"type": "unnest", "base": "events",
+         "virtualColumn": {"type": "expression", "name": "user",
+           "expression": "array(event_type)"}}, $base}""")
+      .contains("collides"))
+  }
 }
