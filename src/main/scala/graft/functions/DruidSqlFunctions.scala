@@ -529,6 +529,16 @@ object DruidSqlFunctions {
       ex(split(asCol(args(0)), strLit(args(1), "string_to_mv delimiter")))
     }),
 
+    // Druid's MV_TO_ARRAY converts a multi-value STRING dim to an ARRAY —
+    // in this engine multi-value dims already ARE arrays
+    // (Pipeline.explodeMultiValueDim / the MV builders above), so the
+    // conversion is the identity; it exists so verbatim Druid SQL
+    // (`CROSS JOIN UNNEST(MV_TO_ARRAY(dim))`) runs unmodified
+    fn("mv_to_array", args => {
+      arity(args, "mv_to_array(arr)", 1, 1)
+      ex(asCol(args(0)))
+    }),
+
     // multi-value filters: keep / drop elements named in the allowed array
     // (lambda filter, not array_intersect — Druid preserves duplicates)
     fn("mv_filter_only", args => {

@@ -22,7 +22,110 @@ object DruidSql {
     * [[runPlan]]/[[referencedTables]] instead of re-parsing per step. */
   def parse(sqlText: String)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-    CatalystSqlParser.parsePlan(sqlText)
+    CatalystSqlParser.parsePlan(rewriteUnnest(sqlText))
+
+  private def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+
+  /** Druid SQL `CROSS JOIN UNNEST(expr) [AS] alias(col)` (and the comma
+    * form `, UNNEST(expr) AS alias(col)`) → Spark
+    * `LATERAL VIEW EXPLODE(expr) alias AS col`, applied to the statement
+    * TEXT before parsing: Spark's parser only accepts UNNEST as an
+    * UNCORRELATED table function, so the Druid idiom — whose argument
+    * references the left relation's columns — cannot be recovered
+    * post-parse. Quote-aware: occurrences inside '…'/"…" strings or `…`
+    * quoted identifiers are untouched. Spark's grammar hangs LATERAL VIEW
+    * after ALL join items, so an UNNEST followed by another JOIN fails
+    * loudly at parse — never a silent mis-rewrite. `AS alias(col)` is
+    * required (it names the emitted column), like Druid SQL itself.
+    */
+  private[queries] def rewriteUnnest(sql: String): String = {
+    // index of the next word-bounded, unquoted `unnest` at/after `from`
+    def findUnnest(s: String, from: Int): Int = {
+      var i = from
+      var quote: Char = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (quote != 0) {
+          if (c == '\\' && quote != '`') i += 1
+          else if (c == quote) quote = 0
+        } else if (c == '\'' || c == '"' || c == '`') quote = c
+        else if ((c == 'u' || c == 'U') &&
+            s.regionMatches(true, i, "unnest", 0, 6) &&
+            (i == 0 || !isIdent(s(i - 1))) &&
+            (i + 6 >= s.length || !isIdent(s(i + 6)))) return i
+        i += 1
+      }
+      -1
+    }
+    // closing-paren index matching the '(' at `open` (quote-aware)
+    def matchParen(s: String, open: Int): Int = {
+      var i = open
+      var depth = 0
+      var quote: Char = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (quote != 0) {
+          if (c == '\\' && quote != '`') i += 1
+          else if (c == quote) quote = 0
+        } else if (c == '\'' || c == '"' || c == '`') quote = c
+        else if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+      throw new IllegalArgumentException("UNNEST(: unbalanced parentheses")
+    }
+    var s = sql
+    var from = 0
+    while (true) {
+      val u = findUnnest(s, from)
+      if (u < 0) return s
+      // backward: skip ws, then either `cross join` or a bare comma
+      var b = u - 1
+      while (b >= 0 && s(b).isWhitespace) b -= 1
+      def wordEndsAt(word: String, end: Int): Boolean =
+        end - word.length + 1 >= 0 &&
+          s.regionMatches(true, end - word.length + 1, word, 0, word.length) &&
+          (end - word.length < 0 || !isIdent(s(end - word.length)))
+      val start =
+        if (b >= 0 && s(b) == ',') b
+        else if (wordEndsAt("join", b)) {
+          var b2 = b - 4
+          while (b2 >= 0 && s(b2).isWhitespace) b2 -= 1
+          if (wordEndsAt("cross", b2)) b2 - 4 else -1
+        } else -1
+      if (start < 0) { from = u + 1 } // not the FROM idiom — parser decides
+      else {
+        var j = u + 6
+        def ws(): Unit = while (j < s.length && s(j).isWhitespace) j += 1
+        ws()
+        require(j < s.length && s(j) == '(',
+          "UNNEST must be followed by a parenthesized expression")
+        val close = matchParen(s, j)
+        val e = s.substring(j + 1, close)
+        j = close + 1; ws()
+        if (s.regionMatches(true, j, "as", 0, 2) &&
+            (j + 2 >= s.length || !isIdent(s(j + 2)))) { j += 2; ws() }
+        val aliasStart = j
+        while (j < s.length && isIdent(s(j))) j += 1
+        val alias = s.substring(aliasStart, j)
+        ws()
+        require(alias.nonEmpty && j < s.length && s(j) == '(',
+          "UNNEST needs `AS alias(col)` to name the emitted column")
+        j += 1; ws()
+        val colStart = j
+        while (j < s.length && isIdent(s(j))) j += 1
+        val colName = s.substring(colStart, j)
+        ws()
+        require(colName.nonEmpty && j < s.length && s(j) == ')',
+          "UNNEST alias must name exactly one column: `AS alias(col)`")
+        j += 1
+        s = s.substring(0, start) +
+          s" LATERAL VIEW EXPLODE($e) $alias AS $colName" + s.substring(j)
+        from = start + 1
+      }
+    }
+    s // unreachable
+  }
 
   /** Single-part table names the statement references (multi-part names are
     * catalog-qualified — never dataSources). */

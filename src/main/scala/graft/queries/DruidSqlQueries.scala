@@ -244,5 +244,24 @@ object DruidSqlQueries {
              trunc((0 - value - 1) * 10) / 10 AS trneg,
              trunc(value / 10) * 10 AS trm1,
              trunc(value) AS tr0
-            FROM events WHERE event_id % 13 = 0""")))
+            FROM events WHERE event_id % 13 = 0""")),
+
+    // -- CROSS JOIN UNNEST (r4): Druid SQL's multi-value explode idiom,
+    // verbatim — the pre-parse rewrite turns the lateral UNNEST into
+    // LATERAL VIEW EXPLODE (Spark's parser only takes UNCORRELATED
+    // UNNEST), MV_TO_ARRAY is the identity on this engine's array MV dims
+    QueryDef("druid_sql_unnest", (s, dir) => {
+      DruidSql.run(
+        """SELECT tag, COUNT(*) AS cnt, SUM(user_id) AS sum_uid
+           FROM events CROSS JOIN UNNEST(MV_TO_ARRAY(STRING_TO_MV(
+             CONCAT(event_type, ',u', MOD(user_id, 3)), ','))) AS u(tag)
+           GROUP BY tag""",
+        frames(s, dir, "events"))
+    },
+    Some("""WITH exploded AS (SELECT unnest(string_split(
+              event_type || ',u' || CAST(user_id % 3 AS VARCHAR), ',')) AS tag,
+              user_id
+            FROM events)
+            SELECT tag, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid
+            FROM exploded GROUP BY 1""")))
 }

@@ -389,4 +389,39 @@ class DruidSqlSpec extends SparkSpec {
       sql1("SELECT REGEXP_EXTRACT(event_type, user) FROM events")
     }.getMessage.toLowerCase.contains("pattern"))
   }
+
+  test("CROSS JOIN UNNEST: lateral explode over a correlated array, " +
+      "MV_TO_ARRAY identity, comma form") {
+    val r = DruidSql.run(
+      """SELECT tag, COUNT(*) AS cnt
+         FROM events CROSS JOIN UNNEST(MV_TO_ARRAY(
+           STRING_TO_MV(CONCAT(event_type, ',', user), ','))) AS u(tag)
+         WHERE __time < TIMESTAMP '2024-03-02'
+         GROUP BY tag""",
+      Map("events" -> events))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // 3 rows before 03-02: click/alice ×2, view/bob
+    assert(r == Map("click" -> 2L, "view" -> 1L, "alice" -> 2L, "bob" -> 1L))
+    // comma form (`FROM t, UNNEST(…) AS u(c)`) rewrites too
+    val c = DruidSql.run(
+      """SELECT tag, COUNT(*) AS cnt
+         FROM events, UNNEST(STRING_TO_MV(user, 'x')) AS u(tag)
+         WHERE event_type = 'view' GROUP BY tag""",
+      Map("events" -> events))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(c == Map("bob" -> 1L, "carol" -> 1L))
+  }
+
+  test("UNNEST rewrite is quote-aware and fails loudly without AS alias(col)") {
+    // the idiom INSIDE a string literal is data, not syntax
+    val lit = sql1(
+      """SELECT 'a CROSS JOIN UNNEST(x) AS u(c) b' AS s FROM events LIMIT 1""")
+    assert(lit.getString(0) == "a CROSS JOIN UNNEST(x) AS u(c) b")
+    // missing alias(col): the rewrite cannot name the emitted column
+    assert(intercept[Exception] {
+      DruidSql.run(
+        "SELECT 1 FROM events CROSS JOIN UNNEST(STRING_TO_MV(user, ','))",
+        Map("events" -> events)).collect()
+    }.getMessage.contains("alias"))
+  }
 }
