@@ -263,5 +263,40 @@ object DruidSqlQueries {
               user_id
             FROM events)
             SELECT tag, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid
-            FROM exploded GROUP BY 1""")))
+            FROM exploded GROUP BY 1""")),
+
+    // -- window functions (r4): Druid SQL grew OVER clauses (Druid 28+);
+    // verbatim Druid window SQL — PARTITION BY + ORDER BY with ranking,
+    // lag and a running frame over TIME_FLOOR buckets — runs through the
+    // dialect unchanged (Spark's window machinery underneath). Unique
+    // total order inside each partition (bucket_epoch) keeps every
+    // window deterministic; the ROWS frame is Druid's default
+    // (unbounded preceding → current) written explicitly --------------------
+    QueryDef("druid_sql_window", (s, dir) => {
+      DruidSql.run(
+        """SELECT event_type,
+             TIME_EXTRACT(TIME_FLOOR(__time, 'P1D'), 'EPOCH') AS bucket_epoch,
+             COUNT(*) AS cnt,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             LAG(COUNT(*)) OVER w AS prev_cnt,
+             SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY
+               TIME_FLOOR(__time, 'P1D')
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
+           FROM events
+           GROUP BY event_type, TIME_FLOOR(__time, 'P1D')
+           WINDOW w AS (PARTITION BY event_type ORDER BY TIME_FLOOR(__time, 'P1D'))""",
+        frames(s, dir, "events"))
+    },
+    Some("""WITH g AS (SELECT event_type, date_trunc('day', ts) AS b,
+                         count(*) AS cnt
+                       FROM events GROUP BY 1, 2)
+            SELECT event_type,
+              CAST(epoch(b) AS BIGINT) AS bucket_epoch, cnt,
+              CAST(row_number() OVER w AS BIGINT) AS rn,
+              lag(cnt) OVER w AS prev_cnt,
+              CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS running_cnt
+            FROM g
+            WINDOW w AS (PARTITION BY event_type ORDER BY b)""")))
 }

@@ -795,7 +795,8 @@ object TextQueries {
               round(CAST(n_dup_lines AS DOUBLE) / n_lines, 5) AS dup_frac,
               CAST(CASE WHEN n_dup_lines * 10 < n_lines * 3 THEN 1 ELSE 0 END
                 AS INT) AS keep
-            FROM agg""")),
+            FROM agg"""),
+    headline = true),
 
     // -- near-dup survivor selection by QUALITY (r4): dedup pipelines keep
     // the BEST document of each duplicate cluster, not the lowest id —
@@ -870,10 +871,14 @@ object TextQueries {
             slice(col("t"), lit(2), col("n") - 1),
             (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // ch / cu / nb derive from cb (vocab²-sized), NOT from pairs: the
+      // corpus explode runs twice (cb build + final join) instead of four
+      // times — the dominant cost at scale is the corpus scan, never the
+      // count-table aggregation
       val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      val ch = pairs.groupBy(col("w1")).agg(count(lit(1)).as("ch"))
-      val cu = pairs.groupBy(col("w2")).agg(count(lit(1)).as("cu"))
-      val nb = pairs.agg(count(lit(1)).as("nb"))
+      val ch = cb.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
+      val cu = cb.groupBy(col("w2")).agg(sum(col("cb")).as("cu"))
+      val nb = cb.agg(sum(col("cb")).as("nb"))
       pairs.join(cb, Seq("w1", "w2")).join(ch, Seq("w1")).join(cu, Seq("w2"))
         .crossJoin(broadcast(nb))
         .groupBy(col("doc_id"))
@@ -898,6 +903,7 @@ object TextQueries {
                            0.3 * CAST(cu AS DOUBLE) / nb)), 5) AS mean_logprob
             FROM p JOIN cb USING (w1, w2) JOIN ch USING (w1)
                  JOIN cu USING (w2), nb
-            GROUP BY 1"""))
+            GROUP BY 1"""),
+    headline = true)
   )
 }
