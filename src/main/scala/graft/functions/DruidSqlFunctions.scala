@@ -43,6 +43,14 @@ object DruidSqlFunctions {
   private def asCol(e: Expression): Column = GraftSqlBridge.column(e)
   private def ex(c: Column): Expression = GraftSqlBridge.expression(c)
 
+  /** Timestamp-argument binding for the time family: accepts TIMESTAMP_NTZ
+    * (what Spark 4 reads for vanilla parquet `timestamp[us]`) alongside
+    * TIMESTAMP — `unix_millis`/`unix_timestamp` reject NTZ outright, and the
+    * cast is a no-op for TZ input and value-identical under the UTC session
+    * zone.
+    */
+  private def tsArg(e: Expression): Column = asCol(e).cast("timestamp")
+
   private def strLit(e: Expression, what: String): String = e match {
     case Literal(s, StringType) if s != null => s.toString
     case other => throw new IllegalArgumentException(
@@ -246,11 +254,11 @@ object DruidSqlFunctions {
       val g = period(strLit(args(1), "time_floor period"))
       val origin = args.lift(2).flatMap(originMillis(_, "time_floor"))
       origin match {
-        case None => ex(g.truncate(asCol(args(0))))
+        case None => ex(g.truncate(tsArg(args(0))))
         case Some(o) =>
           require(g.widthSeconds > 0,
             "time_floor origin needs a fixed-width period")
-          ex(floorAt(asCol(args(0)), o, g.widthSeconds * 1000L))
+          ex(floorAt(tsArg(args(0)), o, g.widthSeconds * 1000L))
       }
     }),
 
@@ -258,7 +266,7 @@ object DruidSqlFunctions {
       arity(args, "time_ceil(ts, period[, origin[, tz]])", 2, 4)
       if (args.length == 4) requireUtc(args(3), "TIME_CEIL")
       val g = period(strLit(args(1), "time_ceil period"))
-      val ts = asCol(args(0))
+      val ts = tsArg(args(0))
       val origin = args.lift(2).flatMap(originMillis(_, "time_ceil"))
       if (g.widthSeconds > 0) {
         val o = origin.getOrElse(0L)
@@ -277,7 +285,7 @@ object DruidSqlFunctions {
       arity(args, "time_shift(ts, period, step[, tz])", 3, 4)
       if (args.length == 4) requireUtc(args(3), "TIME_SHIFT")
       val g = period(strLit(args(1), "time_shift period"))
-      val ts = asCol(args(0))
+      val ts = tsArg(args(0))
       val step = asCol(args(2)).cast("long")
       if (g.widthSeconds > 0)
         // integer epoch arithmetic — keeps sub-second precision
@@ -299,7 +307,7 @@ object DruidSqlFunctions {
     fn("time_extract", args => {
       arity(args, "time_extract(ts, unit[, tz])", 2, 3)
       if (args.length == 3) requireUtc(args(2), "TIME_EXTRACT")
-      val ts = asCol(args(0))
+      val ts = tsArg(args(0))
       val unit = strLit(args(1), "time_extract unit").toUpperCase
       val c = unit match {
         case "EPOCH"   => unix_timestamp(ts)
@@ -333,7 +341,7 @@ object DruidSqlFunctions {
       require(parts.length == 2, s"interval '$iv' is not start/end")
       val (lo, hi) = (instantMillis(parts(0)), instantMillis(parts(1)))
       require(hi > lo, s"interval '$iv' is empty")
-      val ts = asCol(args(0))
+      val ts = tsArg(args(0))
       // [start, end) like the intervals clause — integer millis comparisons
       ex(ts >= timestamp_millis(lit(lo)) && ts < timestamp_millis(lit(hi)))
     }),
@@ -345,7 +353,7 @@ object DruidSqlFunctions {
 
     fn("timestamp_to_millis", args => {
       arity(args, "timestamp_to_millis(ts)", 1, 1)
-      ex(unix_millis(asCol(args(0))))
+      ex(unix_millis(tsArg(args(0))))
     }),
 
     fn("time_parse", args => {
@@ -364,7 +372,7 @@ object DruidSqlFunctions {
         if (args.length >= 2 && args(1) != Literal(null))
           strLit(args(1), "time_format pattern")
         else "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'" // Druid's ISO default (UTC)
-      ex(date_format(asCol(args(0)), pattern))
+      ex(date_format(tsArg(args(0)), pattern))
     }),
 
     // --------------------------------------------------- sketch aggregates

@@ -39,15 +39,18 @@ object RangeJoin {
     require(Set("inner", "left_outer").contains(joinType),
       s"unsupported joinType $joinType")
     val spanUs = spanSeconds * 1000000L
+    // the timestamp cast accepts NTZ input (value-identical under the UTC
+    // session zone) — unix_micros alone rejects TIMESTAMP_NTZ
+    val lUs = s"unix_micros(cast($leftTs AS timestamp))"
+    val rUs = s"unix_micros(cast($rightTs AS timestamp))"
     // floor-div is safe here: test/prod epochs are post-1970 (non-negative)
-    val lb = left.withColumn("__rj_b",
-      expr(s"unix_micros($leftTs) div $spanUs"))
+    val lb = left.withColumn("__rj_b", expr(s"$lUs div $spanUs"))
     // a right row at bucket B can only match left rows in buckets {B, B+1}:
     // left.ts ∈ (right.ts, right.ts + span]
     val rb = right.withColumn("__rj_b",
       explode(array(
-        expr(s"unix_micros($rightTs) div $spanUs"),
-        expr(s"unix_micros($rightTs) div $spanUs + 1L"))))
+        expr(s"$rUs div $spanUs"),
+        expr(s"$rUs div $spanUs + 1L"))))
     val residual =
       (col(rightTs) >= col(leftTs) - expr(s"INTERVAL $spanSeconds SECOND")) &&
         (col(rightTs) < col(leftTs))

@@ -42,6 +42,10 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
       case "auto"   =>
         df.schema(ts.column).dataType match {
           case TimestampType          => c
+          // vanilla parquet timestamp[us] with isAdjustedToUTC=false reads as
+          // NTZ; the session zone is UTC so the cast is value-identical
+          case TimestampNTZType       => c.cast(TimestampType)
+          case DateType               => c.cast(TimestampType)
           case LongType | IntegerType => millisOrSeconds(c)
           case _ => coalesce(try_to_timestamp(c),
                       millisOrSeconds(expr(s"try_cast(`${ts.column}` AS BIGINT)")))
@@ -58,9 +62,21 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
     df.withColumn(TsCol, withMissing)
   }
 
-  /** heuristic for "auto" numeric timestamps: >= 10^12 → millis, else seconds */
-  private def millisOrSeconds(c: Column): Column =
-    when(c >= 1000000000000L, timestamp_millis(c)).otherwise(timestamp_seconds(c))
+  /** Heuristic for "auto" numeric timestamps, by epoch magnitude: ≥1e17 →
+    * nanos, ≥1e14 → micros, ≥1e12 → millis, else seconds. Post-1970 epochs in
+    * the four units sit ~3 decades apart (1.7e9 s / 1.7e12 ms / 1.7e15 µs /
+    * 1.7e18 ns), so the rungs are unambiguous for any realistic date. The
+    * ns→µs floor goes through decimal, not double: ns epochs need 61 bits,
+    * beyond double's exact-integer range.
+    */
+  private def millisOrSeconds(c: Column): Column = {
+    val l = c.cast(LongType)
+    when(l >= 100000000000000000L,
+        timestamp_micros(floor(l.cast(DecimalType(38, 0)) / 1000).cast(LongType)))
+      .when(l >= 100000000000000L, timestamp_micros(l))
+      .when(l >= 1000000000000L, timestamp_millis(l))
+      .otherwise(timestamp_seconds(l))
+  }
 
   // ------------------------------------------------------------ window period
 

@@ -26,22 +26,42 @@ final case class QueryDef(
 object Tables {
   /** All queries read through here so scans stay prunable parquet reads.
     *
-    * `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * unless read as a raw long (`nanosAsLong`); we floor-convert ns → µs into
-    * a proper TimestampType column — value-identical to the oracle's native ns
-    * reads at every granularity the queries emit (≥ millisecond).
+    * The driver's `events.ts` has shipped as several physical parquet types
+    * across data regenerations — TIMESTAMP(NANOS) (readable only as a raw
+    * long via `nanosAsLong`), and plain `timestamp[us]` with
+    * `isAdjustedToUTC=false`, which Spark 4 reads as `TimestampNTZType`.
+    * Normalize every shape to session-zoned `TimestampType` here, at the one
+    * seam every query reads through, so downstream epoch math (`unix_millis`
+    * etc. reject NTZ) always sees one type. The session zone is UTC, so the
+    * NTZ→TZ cast is value-identical; the cast is a scan-level projection and
+    * does not block filter pushdown on other columns.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // convert only when ts actually read as a nanos long (re-written copies
-    // of the table, e.g. ScaleProbe staging, already carry TimestampType)
-    if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-      // integer `div`, not `/`: ns epoch values overflow double precision
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+      TimestampNTZType, TimestampType}
+    if (name != "events") df
+    else df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      // raw integer epochs (incl. legacy TIMESTAMP(NANOS) surfaced as long by
+      // nanosAsLong): disambiguate unit by magnitude — post-1970 epochs sit
+      // ~1.7e9 s / 1.7e12 ms / 1.7e15 µs / 1.7e18 ns, four decades apart, so
+      // the rungs are unambiguous for any date between 1971 and 5000+.
+      // Integer `div`, not `/`: ns epoch values overflow double precision.
+      case Some(LongType | IntegerType) =>
+        df.withColumn("ts", expr(
+          """CASE WHEN ts >= 100000000000000000 THEN timestamp_micros(ts div 1000)
+                  WHEN ts >= 100000000000000    THEN timestamp_micros(ts)
+                  WHEN ts >= 1000000000000      THEN timestamp_millis(ts)
+                  ELSE timestamp_seconds(ts) END"""))
+      // vanilla parquet timestamp[us] (isAdjustedToUTC=false) → NTZ;
+      // value-identical under the UTC session zone
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case Some(StringType) =>
+        df.withColumn("ts", expr("to_timestamp(ts)"))
+      case _ => df
+    }
   }
 }

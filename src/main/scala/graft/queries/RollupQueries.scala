@@ -296,7 +296,7 @@ object RollupQueries {
     QueryDef("timestamp_formats", (s, dir) => {
       val ev = Tables.t(s, dir, "events")
         .withColumn("posix_s", unix_timestamp(col("ts")))
-        .withColumn("millis", unix_millis(col("ts")))
+        .withColumn("millis", unix_millis(col("ts").cast("timestamp")))
       val posixSpec = IngestionSpec(DataSchema("e", TimestampSpec("posix_s", "posix"),
         SpecificDimensions(Nil), Nil))
       val millisSpec = IngestionSpec(DataSchema("e", TimestampSpec("millis", "millis"),
