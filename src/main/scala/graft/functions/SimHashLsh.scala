@@ -65,6 +65,47 @@ object SimHashLsh {
       .distinct()
   }
 
+  /** Jaccard-verified near-dups, the oracle-checkable form: Hamming-LSH
+    * banded candidates (recall EXACT for hamming ≤ maxHamming by the
+    * pigeonhole argument) verified by exact shingle jaccard — the same
+    * ground-truth semantics as [[MinHash.nearDupPairs]], so the output
+    * equals the full jaccard≥threshold pair set whenever the corpus's true
+    * near-dup pairs all sit within maxHamming simhash bits. On the planted-
+    * dup testdata that holds with margin: max hamming over jaccard≥0.3
+    * pairs is 5 at sf0.01 ([[graft.tools.SimHashProbe]] prints the matrix)
+    * vs the default bound 7. Precision needs no assumption — the exact-
+    * jaccard filter removes hamming-close-but-dissimilar candidates.
+    */
+  def nearDupsVerified(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 7,
+      bands: Int = 8,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    // one pass computes fingerprint + shingle set; persisted because the
+    // subtree feeds the bucket join twice and the verification join once
+    val base = graft.pipeline.Parallelism.fanOut(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        TextFunctions.simhash(col("__text")).as("sh"),
+        array_distinct(MinHash.shingles(col("__text"), shingleWidth)).as("shg"))
+      .persist()
+    val cand = nearDupsFromFingerprints(
+      base.select(col("id"), col("sh")), "id", "sh", maxHamming, bands)
+    val sets = base.select(col("id"), col("shg"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shg").as("sg_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shg").as("sg_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sg_a"), col("sg_b"))).cast("double") /
+          size(array_union(col("sg_a"), col("sg_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** End-to-end: text → SimHash64 → banded candidate pairs → exact hamming. */
   def nearDups(
       df: DataFrame,

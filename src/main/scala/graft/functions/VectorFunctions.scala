@@ -40,16 +40,45 @@ object VectorFunctions {
 
   /** Random-hyperplane (sign) LSH bucket id with `bits` hyperplanes.
     *
-    * Hyperplane components are deterministic pseudo-random ±1 derived from
-    * `xxhash64(planeIdx, dimIdx, seed)` — no stored model, so the same bucket
-    * function runs identically on every executor with zero broadcast state.
-    * Bucketing cost is O(bits × dim) per row; at 100 TB the bucket id becomes
-    * the shuffle key and candidate search touches only same-bucket rows
-    * (brute force within bucket), turning O(n²) ANN into
+    * Hyperplane components are deterministic pseudo-random ±1 from a
+    * SplitMix64 counter stream seeded by (seed, planeIdx) — computed
+    * DRIVER-side and embedded as plan literals, so per-row evaluation is a
+    * literal-weighted sum (no per-row hashing inside the fold), every
+    * executor sees identical hyperplanes with zero broadcast state, and an
+    * external oracle can reproduce the exact bucket function from
+    * [[planeSigns]]. Bucketing cost is O(bits × dim) per row; at 100 TB the
+    * bucket id becomes the shuffle key and candidate search touches only
+    * same-bucket rows (brute force within bucket), turning O(n²) ANN into
     * O(n²/2^bits) expected.
     */
   def lshBucket(v: Column, bits: Int = 8, seed: Int = 42): Column =
     lshBucketImpl(v, bits, seed)
+
+  /** Supported vector length bound for the precomputed hyperplane signs:
+    * vectors longer than this would see null signs past the bound (zip_with
+    * pads) and bucket to 0. Raise alongside embedding width if needed.
+    */
+  val MaxDim = 128
+
+  /** SplitMix64 finalizer (Steele, Lea & Flood, "Fast splittable
+    * pseudorandom number generators", OOPSLA 2014 — public domain).
+    */
+  private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The ±1 hyperplane signs for plane `j` (deterministic in (seed, j, i)).
+    * Public so oracles/tools can regenerate the identical hyperplanes.
+    */
+  def planeSigns(seed: Int, j: Int, dim: Int = MaxDim): IndexedSeq[Double] = {
+    val planeKey = splitmix64(seed.toLong ^ (j.toLong * 0x9e3779b97f4a7c15L))
+    (0 until dim).map { i =>
+      if ((splitmix64(planeKey + i) & 1L) == 0L) 1.0 else -1.0
+    }
+  }
 
   /** Symmetric int8 quantization: struct(q: array&lt;int&gt; in [-127,127],
     * scale: double). 4× smaller at rest than float32 — the storage-side
@@ -106,15 +135,14 @@ object VectorFunctions {
 
   /** Signed projection of `v` onto pseudo-random hyperplane `j` — shared by
     * [[lshBucket]] and [[lshProbeBuckets]] so bucket ids agree bit-for-bit.
+    * Left-to-right double fold of x·(±1) with literal signs; bit-identical to
+    * an oracle summing the same sign-applied terms in element order.
     */
   private def projection(v: Column, j: Int, seed: Int): Column = {
-    val indexed = zip_with(v, sequence(lit(0), size(v) - 1),
-      (x, i) => struct(x.cast("double").as("x"), i.as("i")))
-    aggregate(indexed, lit(0.0), (acc, e) => {
-      val sign = when(pmod(xxhash64(lit(seed), lit(j), e.getField("i")), lit(2)) === 0,
-        lit(1.0)).otherwise(lit(-1.0))
-      acc + e.getField("x") * sign
-    })
+    val signs = typedlit(planeSigns(seed, j).toSeq)
+    aggregate(
+      zip_with(v, slice(signs, lit(1), size(v)), (x, sg) => x.cast("double") * sg),
+      lit(0.0), (acc, x) => acc + x)
   }
 
   private def projections(v: Column, bits: Int, seed: Int): Column =

@@ -22,6 +22,43 @@ object VectorQueries {
     (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
       .mkString(" + ")
 
+  /** Sign-applied projection of `c` onto LSH plane `j` for the DuckDB twin:
+    * the identical ±1 literals ([[VectorFunctions.planeSigns]], same seed)
+    * and the same left-associated x·(±1.0) double fold the engine computes,
+    * so projections — and therefore bucket ids — are bit-identical across
+    * engines.
+    */
+  private def projSql(c: String, j: Int): String =
+    VectorFunctions.planeSigns(42, j, Dim).zipWithIndex.map { case (sg, i) =>
+      s"CAST($c[${i + 1}] AS DOUBLE) * ${if (sg > 0) "1.0" else "-1.0"}"
+    }.mkString(" + ")
+
+  private def lshBucketSql(bits: Int): String =
+    (0 until bits).map(j =>
+      s"(CASE WHEN p$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  /** Ground-truth all-pairs 3-word-shingle jaccard ≥ 0.3 over `documents` —
+    * shared by minhash_near_dups and simhash_near_dups: both queries' LSH
+    * schemes (band-hash buckets / Hamming banding) feed an exact-jaccard
+    * verification, so both outputs equal this exact pair set on corpora
+    * where their respective recall guarantees hold.
+    */
+  private val jaccardPairsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+       s AS (SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               END AS sh
+             FROM t)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3"""
+
   /** Persisted-index cache location for the build-once/query-many ann_*
     * paths: keyed by corpus CONTENT (file name+length+mtime of the
     * embeddings parquet — listed via the filesystem, no Spark job) plus
@@ -115,12 +152,15 @@ object VectorQueries {
                   GROUP BY 1, 2)
             GROUP BY 1""")),
 
-    // -- LSH-bucketed ANN (scale path; rows-only — bucketing is engine-
-    //    defined). MULTI-PROBE: the query probes its own bucket plus the
-    //    `flips` lowest-margin bit-flip buckets (Lv et al. VLDB'07) — on the
-    //    near-uniform sf0.1 corpus this lifts measured recall@10 from 0.03
-    //    to ~3× at bits=8 (LshRecallProbe prints the full recall/cost
-    //    matrix; FunctionsSpec asserts the floor at bits=4/flips=4)
+    // -- LSH-bucketed ANN (scale path). MULTI-PROBE: the query probes its
+    //    own bucket plus the `flips` lowest-margin bit-flip buckets (Lv et
+    //    al. VLDB'07) — on the near-uniform sf0.1 corpus this lifts measured
+    //    recall@10 from 0.03 to ~3× at bits=8 (LshRecallProbe prints the
+    //    full recall/cost matrix; FunctionsSpec asserts the floor at
+    //    bits=4/flips=4). ORACLED (r5): hyperplane signs are driver-side
+    //    constants (VectorFunctions.planeSigns), so the DuckDB twin
+    //    recomputes the IDENTICAL projections, bucket ids, multi-probe flip
+    //    choice and exact cosine — full parity, no recall assumption.
     QueryDef("ann_lsh_buckets", (s, dir) => {
       val e = Tables.t(s, dir, "embeddings")
         .withColumn("bucket", VectorFunctions.lshBucket(col("embedding"), bits = 8))
@@ -135,7 +175,37 @@ object VectorQueries {
         .orderBy(col("cos_raw").desc, col("vec_id"))
         .limit(10)
         .select(col("bucket"), col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
-    }, None),
+    },
+    Some(s"""WITH pr AS (
+              SELECT vec_id, embedding,
+                ${(0 until 8).map(j => s"(${projSql("embedding", j)}) AS p$j")
+                  .mkString(",\n                ")}
+              FROM embeddings),
+            eb AS (
+              SELECT vec_id, embedding,
+                CAST(${lshBucketSql(8)} AS BIGINT) AS bucket,
+                p0, p1, p2, p3, p4, p5, p6, p7
+              FROM pr),
+            q AS (SELECT * FROM eb WHERE vec_id = 0),
+            fl AS (
+              SELECT bucket, unnest(list_slice(list_sort(
+                [${(0 until 8).map(j => s"{'m': abs(p$j), 'j': $j}")
+                  .mkString(", ")}]), 1, 2)) AS f
+              FROM q),
+            probes AS (
+              SELECT bucket AS b FROM q
+              UNION ALL
+              SELECT xor(bucket, CAST(1 AS BIGINT) << f.j) FROM fl),
+            qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+            cand AS (
+              SELECT eb.bucket, eb.vec_id,
+                (${dotSql("eb.embedding", "qv.v")}) AS dot,
+                sqrt((${dotSql("eb.embedding", "eb.embedding")})) AS na,
+                sqrt((${dotSql("qv.v", "qv.v")})) AS nq
+              FROM eb JOIN probes ON eb.bucket = probes.b, qv
+              WHERE eb.vec_id <> 0)
+            SELECT bucket, vec_id, round(dot / (na * nq), 6) AS cos_sim
+            FROM cand ORDER BY dot / (na * nq) DESC, vec_id LIMIT 10""")),
 
     // -- int8-quantized top-k (storage-compressed search). ORACLED (r4):
     //    quantize→dequantize is deterministic double arithmetic (scale =
@@ -216,31 +286,22 @@ object VectorQueries {
         Tables.t(s, dir, "documents"), "doc_id", "text",
         k = 32, bands = 8, shingleWidth = 3, threshold = 0.3)
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
-                       FROM documents),
-            s AS (SELECT doc_id,
-                    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                         ELSE list_distinct(list_transform(range(1, len(w) - 1),
-                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                    END AS sh
-                  FROM t)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3"""),
-    headline = true),
+    Some(jaccardPairsSql), headline = true),
 
-    // -- SimHash near-dups via Hamming-LSH banding (rows-only; unbounded —
-    //    the banded bucket join replaces round 1's all-pairs shape, with
-    //    exact recall for hamming ≤ 3 by the pigeonhole guarantee and a
-    //    planted-dup spec in FunctionsSpec)
+    // -- SimHash near-dups via Hamming-LSH banding. ORACLED (r5, the
+    //    minhash move): banded candidates (pigeonhole-exact recall for
+    //    hamming ≤ 7 at 8 bands) verified by EXACT shingle jaccard, so the
+    //    output equals the full jaccard≥0.3 pair set — ground truth the
+    //    DuckDB twin recomputes all-pairs — as long as true near-dup pairs
+    //    sit within 7 simhash bits (measured max 5 at sf0.01 with the
+    //    planted dups; SimHashProbe prints the matrix). Same oracle SQL as
+    //    minhash_near_dups: both engines' outputs ARE the exact pair set,
+    //    reached through two different LSH schemes.
     QueryDef("simhash_near_dups", (s, dir) => {
-      graft.functions.SimHashLsh.nearDups(
+      graft.functions.SimHashLsh.nearDupsVerified(
         Tables.t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, bands = 4)
-    }, None),
+        maxHamming = 7, bands = 8, shingleWidth = 3, threshold = 0.3)
+    }, Some(jaccardPairsSql)),
 
     // -- rolling-hash fingerprint distribution. Oracled via INJECTIVITY:
     //    the 64-bit chained hash is collision-free on the corpus, so
