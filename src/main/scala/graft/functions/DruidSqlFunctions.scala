@@ -86,15 +86,39 @@ object DruidSqlFunctions {
     case s      => Granularity.fromString(s)
   }
 
-  /** Only-UTC timezone contract (documented delta — a tz we would silently
-    * ignore must not parse). */
-  private def requireUtc(e: Expression, fn: String): Unit = e match {
-    case Literal(null, _) => ()
-    case other =>
-      val tz = strLit(other, s"$fn timezone")
-      require(Seq("UTC", "Etc/UTC", "Z", "+00:00").contains(tz),
-        s"$fn supports only UTC timezones, got '$tz'")
-  }
+  /** Timezone argument → Some(zone) for a real non-UTC zone, None for
+    * UTC/absent/null. The zone must be a known IANA/offset id at plan time —
+    * an unknown zone is a loud error, never a silently ignored argument
+    * (Druid granularity accepts arbitrary chronology zones; upstream
+    * ClusteredBeamTuning.scala#segmentBucket).
+    */
+  private def tzOpt(e: Option[Expression], fn: String): Option[String] =
+    e match {
+      case None | Some(Literal(null, _)) => None
+      case Some(other) =>
+        val tz = strLit(other, s"$fn timezone")
+        require(scala.util.Try(java.time.ZoneId.of(tz)).isSuccess,
+          s"$fn: unknown timezone '$tz'")
+        Some(tz).filterNot(Seq("UTC", "Etc/UTC", "Z", "+00:00").contains)
+    }
+
+  /** Calendar-op-in-zone sandwich: shift the instant to the zone's wall
+    * clock, apply `op` there, shift back to the UTC instant — Druid's
+    * PeriodGranularity-with-timezone rule (buckets align to the zone's local
+    * calendar; results stay instants). UTC (None) applies `op` directly, the
+    * identical plan to the UTC-only path. Both conversions use the JVM's
+    * IANA tzdata — the same rules the DuckDB/ICU oracle applies; ambiguous
+    * fall-back wall times resolve to the earlier offset on both engines.
+    */
+  private def inZone(ts: Column, tz: Option[String])(op: Column => Column): Column =
+    tz match {
+      case None    => op(ts)
+      case Some(z) => to_utc_timestamp(op(from_utc_timestamp(ts, z)), z)
+    }
+
+  /** Wall-clock view of an instant for extract/format (no shift back). */
+  private def wallClock(ts: Column, tz: Option[String]): Column =
+    tz.map(z => from_utc_timestamp(ts, z)).getOrElse(ts)
 
   /** TIME_FLOOR/TIME_CEIL origin argument → epoch millis. Druid SQL writes
     * origins as ISO strings OR timestamp literals (`TIMESTAMP '…'` parses to
@@ -250,48 +274,62 @@ object DruidSqlFunctions {
     // ------------------------------------------------------ time functions
     fn("time_floor", args => {
       arity(args, "time_floor(ts, period[, origin[, tz]])", 2, 4)
-      if (args.length == 4) requireUtc(args(3), "TIME_FLOOR")
+      val tz = tzOpt(args.lift(3), "TIME_FLOOR")
       val g = period(strLit(args(1), "time_floor period"))
       val origin = args.lift(2).flatMap(originMillis(_, "time_floor"))
       origin match {
-        case None => ex(g.truncate(tsArg(args(0))))
+        case None => ex(inZone(tsArg(args(0)), tz)(g.truncate))
         case Some(o) =>
           require(g.widthSeconds > 0,
             "time_floor origin needs a fixed-width period")
+          // origin-aligned fixed-width floor is ((x−o) mod w) in instant
+          // space — timezone-invariant (tz shifts only the DEFAULT origin,
+          // which an explicit origin overrides; Druid PeriodGranularity)
           ex(floorAt(tsArg(args(0)), o, g.widthSeconds * 1000L))
       }
     }),
 
     fn("time_ceil", args => {
       arity(args, "time_ceil(ts, period[, origin[, tz]])", 2, 4)
-      if (args.length == 4) requireUtc(args(3), "TIME_CEIL")
+      val tz = tzOpt(args.lift(3), "TIME_CEIL")
       val g = period(strLit(args(1), "time_ceil period"))
       val ts = tsArg(args(0))
       val origin = args.lift(2).flatMap(originMillis(_, "time_ceil"))
-      if (g.widthSeconds > 0) {
-        val o = origin.getOrElse(0L)
-        val w = g.widthSeconds * 1000L
-        val x = unix_millis(ts)
+      def ceilAt(t: Column, o: Long, w: Long): Column = {
+        val x = unix_millis(t)
         val r = pmod(x - lit(o), lit(w))
-        ex(timestamp_millis(when(r === 0, x).otherwise(x - r + lit(w))))
+        timestamp_millis(when(r === 0, x).otherwise(x - r + lit(w)))
+      }
+      if (g.widthSeconds > 0) {
+        val w = g.widthSeconds * 1000L
+        origin match {
+          // explicit origin: instant-space, tz-invariant (see time_floor)
+          case Some(o) => ex(ceilAt(ts, o, w))
+          // default origin = the zone's local epoch → wall-clock arithmetic
+          case None    => ex(inZone(ts, tz)(ceilAt(_, 0L, w)))
+        }
       } else {
         require(origin.isEmpty, "time_ceil origin needs a fixed-width period")
-        val tr = g.truncate(ts)
-        ex(when(tr === ts, ts).otherwise(calendarNext(tr, g)))
+        ex(inZone(ts, tz) { wall =>
+          val tr = g.truncate(wall)
+          when(tr === wall, wall).otherwise(calendarNext(tr, g))
+        })
       }
     }),
 
     fn("time_shift", args => {
       arity(args, "time_shift(ts, period, step[, tz])", 3, 4)
-      if (args.length == 4) requireUtc(args(3), "TIME_SHIFT")
+      val tz = tzOpt(args.lift(3), "TIME_SHIFT")
       val g = period(strLit(args(1), "time_shift period"))
       val ts = tsArg(args(0))
       val step = asCol(args(2)).cast("long")
       if (g.widthSeconds > 0)
-        // integer epoch arithmetic — keeps sub-second precision
+        // fixed-duration shift: integer epoch arithmetic (keeps sub-second
+        // precision), timezone-invariant by definition
         ex(timestamp_millis(unix_millis(ts) + step * lit(g.widthSeconds * 1000L)))
       else {
-        // calendar shifts preserve time-of-day (timestamp_add, Druid's rule)
+        // calendar shifts preserve LOCAL time-of-day in the zone
+        // (timestamp_add on the wall clock, Druid's chronology rule)
         val (unit, n) = g match {
           case Granularity.Week    => ("WEEK", 1)
           case Granularity.Month   => ("MONTH", 1)
@@ -300,15 +338,19 @@ object DruidSqlFunctions {
           case other => throw new IllegalArgumentException(
             s"time_shift does not support granularity ${other.name}")
         }
-        ex(timestamp_add(unit, step * n, ts))
+        ex(inZone(ts, tz)(timestamp_add(unit, step * n, _)))
       }
     }),
 
     fn("time_extract", args => {
       arity(args, "time_extract(ts, unit[, tz])", 2, 3)
-      if (args.length == 3) requireUtc(args(2), "TIME_EXTRACT")
-      val ts = tsArg(args(0))
+      val tz = tzOpt(args.lift(2), "TIME_EXTRACT")
       val unit = strLit(args(1), "time_extract unit").toUpperCase
+      // EPOCH/MILLIS are properties of the instant (tz-independent);
+      // calendar fields extract from the zone's wall clock
+      val ts =
+        if (Seq("EPOCH", "MILLIS").contains(unit)) tsArg(args(0))
+        else wallClock(tsArg(args(0)), tz)
       val c = unit match {
         case "EPOCH"   => unix_timestamp(ts)
         case "MILLIS"  => unix_millis(ts)
@@ -358,21 +400,24 @@ object DruidSqlFunctions {
 
     fn("time_parse", args => {
       arity(args, "time_parse(str[, pattern[, tz]])", 1, 3)
-      if (args.length == 3) requireUtc(args(2), "TIME_PARSE")
+      val tz = tzOpt(args.lift(2), "TIME_PARSE")
       // null on failure, Druid's contract (ANSI to_timestamp would throw)
-      if (args.length >= 2 && args(1) != Literal(null))
-        ex(try_to_timestamp(asCol(args(0)), lit(strLit(args(1), "time_parse pattern"))))
-      else ex(try_to_timestamp(asCol(args(0))))
+      val parsed =
+        if (args.length >= 2 && args(1) != Literal(null))
+          try_to_timestamp(asCol(args(0)), lit(strLit(args(1), "time_parse pattern")))
+        else try_to_timestamp(asCol(args(0)))
+      // a tz argument means the string is LOCAL wall time in that zone
+      ex(tz.map(z => to_utc_timestamp(parsed, z)).getOrElse(parsed))
     }),
 
     fn("time_format", args => {
       arity(args, "time_format(ts[, pattern[, tz]])", 1, 3)
-      if (args.length == 3) requireUtc(args(2), "TIME_FORMAT")
+      val tz = tzOpt(args.lift(2), "TIME_FORMAT")
       val pattern =
         if (args.length >= 2 && args(1) != Literal(null))
           strLit(args(1), "time_format pattern")
         else "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'" // Druid's ISO default (UTC)
-      ex(date_format(tsArg(args(0)), pattern))
+      ex(date_format(wallClock(tsArg(args(0)), tz), pattern))
     }),
 
     // --------------------------------------------------- sketch aggregates

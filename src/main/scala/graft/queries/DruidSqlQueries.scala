@@ -78,6 +78,43 @@ object DruidSqlQueries {
              CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
             FROM events WHERE event_id % 97 = 0""")),
 
+    // -- non-UTC timezone arguments across SEVEN YEARS of DST transitions
+    // (orders 1992–1998): day/month floors bucket at America/Los_Angeles
+    // local midnight (UTC offset flips -8/-7 across each transition),
+    // hour floor in a half-hour zone (Asia/Kolkata +05:30) lands on :30
+    // boundaries, and calendar extraction reads the local wall clock. The
+    // DuckDB twin recomputes through ICU AT TIME ZONE — independent tzdata
+    // path, same IANA rules -----------------------------------------------
+    QueryDef("druid_sql_tz", (s, dir) => {
+      DruidSql.run(
+        """SELECT TIME_FORMAT(TIME_FLOOR(CAST(o_orderdate AS TIMESTAMP), 'P1D',
+                    NULL, 'America/Los_Angeles'), 'yyyy-MM-dd HH:mm') AS la_day,
+                  TIME_FORMAT(TIME_FLOOR(CAST(o_orderdate AS TIMESTAMP), 'P1M',
+                    NULL, 'America/Los_Angeles'), 'yyyy-MM-dd HH:mm') AS la_month,
+                  TIME_FORMAT(TIME_FLOOR(CAST(o_orderdate AS TIMESTAMP), 'PT1H',
+                    NULL, 'Asia/Kolkata'), 'yyyy-MM-dd HH:mm') AS kolkata_hour,
+                  TIME_EXTRACT(CAST(o_orderdate AS TIMESTAMP), 'DAY',
+                    'America/Los_Angeles') AS la_dom,
+                  COUNT(*) AS cnt
+           FROM orders GROUP BY 1, 2, 3, 4""",
+        frames(s, dir, "orders"))
+    },
+    Some("""WITH t AS (SELECT (CAST(o_orderdate AS TIMESTAMP) AT TIME ZONE 'UTC') AS i
+                       FROM orders)
+            SELECT strftime((date_trunc('day', i AT TIME ZONE 'America/Los_Angeles')
+                     AT TIME ZONE 'America/Los_Angeles') AT TIME ZONE 'UTC',
+                     '%Y-%m-%d %H:%M') AS la_day,
+              strftime((date_trunc('month', i AT TIME ZONE 'America/Los_Angeles')
+                     AT TIME ZONE 'America/Los_Angeles') AT TIME ZONE 'UTC',
+                     '%Y-%m-%d %H:%M') AS la_month,
+              strftime((date_trunc('hour', i AT TIME ZONE 'Asia/Kolkata')
+                     AT TIME ZONE 'Asia/Kolkata') AT TIME ZONE 'UTC',
+                     '%Y-%m-%d %H:%M') AS kolkata_hour,
+              CAST(datepart('day', i AT TIME ZONE 'America/Los_Angeles') AS BIGINT)
+                AS la_dom,
+              count(*) AS cnt
+            FROM t GROUP BY 1, 2, 3, 4""")),
+
     // -- DataSketches aggregates in the exact regime: HLL + theta both
     // equal exact COUNT(DISTINCT) at 150 uniques per group ----------------
     QueryDef("druid_sql_sketches", (s, dir) => {

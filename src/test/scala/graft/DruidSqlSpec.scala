@@ -126,12 +126,50 @@ class DruidSqlSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
   }
 
-  test("UTC-only timezone contract + rejection messages name the problem") {
+  test("timezone arguments: local-calendar buckets, DST, unknown zone rejected") {
+    // Tokyo (UTC+9, no DST): day-floor of 2024-06-30T12:00Z lands on Tokyo
+    // midnight = 2024-06-29T15:00Z; extract/format read the local wall clock
+    val r = sql1(
+      """SELECT TIME_FORMAT(TIME_FLOOR(__time, 'P1D', NULL, 'Asia/Tokyo'),
+                            'yyyy-MM-dd HH:mm') AS floor_utc,
+                TIME_FORMAT(__time, 'yyyy-MM-dd HH:mm', 'Asia/Tokyo') AS wall,
+                TIME_EXTRACT(__time, 'DAY', 'Asia/Tokyo') AS wall_day,
+                TIME_EXTRACT(__time, 'EPOCH', 'Asia/Tokyo') AS epoch_s
+         FROM events WHERE user = 'carol'""")
+    assert(r.getString(0) == "2024-06-29 15:00")
+    assert(r.getString(1) == "2024-06-30 21:00")
+    assert(r.getLong(2) == 30L) // Tokyo wall day-of-month
+    assert(r.getLong(3) == 1719748800L) // EPOCH is the instant: tz-independent
+    // DST: LA is UTC-8 on 2024-03-01 and UTC-7 on 2024-06-30, so the same
+    // day-floor query shifts by the offset change across the transition
+    val dst = sql1(
+      """SELECT TIME_FORMAT(TIME_FLOOR(TIME_PARSE('2024-03-01T12:00:00'),
+                  'P1D', NULL, 'America/Los_Angeles'), 'HH:mm') AS winter,
+                TIME_FORMAT(TIME_FLOOR(TIME_PARSE('2024-06-30T12:00:00'),
+                  'P1D', NULL, 'America/Los_Angeles'), 'HH:mm') AS summer
+         FROM events LIMIT 1""")
+    assert(dst.getString(0) == "08:00" && dst.getString(1) == "07:00")
+    // calendar TIME_SHIFT preserves the LOCAL time-of-day across a DST edge:
+    // +1 month over the spring-forward in LA keeps 12:00 wall → UTC shifts
+    val sh = sql1(
+      """SELECT TIME_FORMAT(TIME_SHIFT(TIME_PARSE('2024-02-15T20:00:00'),
+                  'P1M', 1, 'America/Los_Angeles'), 'yyyy-MM-dd HH:mm') AS s
+         FROM events LIMIT 1""")
+    assert(sh.getString(0) == "2024-03-15 19:00") // 12:00 LA wall both sides
+    // TIME_PARSE with tz: the string is LOCAL wall time in that zone
+    val p = sql1(
+      """SELECT TIME_FORMAT(TIME_PARSE('2024-06-30T21:00:00', NULL, 'Asia/Tokyo'),
+                            'yyyy-MM-dd HH:mm') AS utc
+         FROM events LIMIT 1""")
+    assert(p.getString(0) == "2024-06-30 12:00")
+  }
+
+  test("rejection messages name the problem (unknown zone/unit/period)") {
     def err(q: String): String =
       intercept[Exception] { DruidSql.run(q, Map("events" -> events)).collect() }
         .getMessage
-    assert(err("SELECT TIME_FLOOR(__time, 'PT1H', NULL, 'Asia/Tokyo') FROM events")
-      .contains("UTC"))
+    assert(err("SELECT TIME_FLOOR(__time, 'PT1H', NULL, 'Mars/Olympus') FROM events")
+      .contains("Mars/Olympus"))
     assert(err("SELECT TIME_EXTRACT(__time, 'FORTNIGHT') FROM events")
       .contains("FORTNIGHT"))
     assert(err("SELECT TIME_FLOOR(__time, 'PT90X') FROM events")

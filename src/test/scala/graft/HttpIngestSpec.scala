@@ -248,10 +248,15 @@ class HttpIngestSpec extends SparkSpec {
       assert(dc == 200, db)
       assert(db.contains("\"bucket\":\"2024-03-01 12:00\""), db)
       assert(db.contains("\"uniq\":2"), db) // etypes c,d in the hour
-      // non-UTC timezone argument fails loudly, not silently shifted
+      // non-UTC timezone argument floors in that zone's local calendar
+      // (2024-03-01 12:xx UTC → LA wall 04:xx, hour-floor 04:00 LA = 12:00Z);
+      // an unknown zone still fails loudly, never silently shifted
       val (tzc, tzb) = post(handle.port, "/druid/v2/sql",
-        """{"query": "SELECT TIME_FLOOR(__time, 'PT1H', NULL, 'America/Los_Angeles') FROM clicks_ds"}""")
-      assert(tzc == 400 && tzb.contains("UTC"), tzb)
+        """{"query": "SELECT TIME_FORMAT(TIME_FLOOR(__time, 'P1D', NULL, 'America/Los_Angeles'), 'yyyy-MM-dd HH:mm') AS laday FROM clicks_ds LIMIT 1"}""")
+      assert(tzc == 200 && tzb.contains("\"laday\":\"2024-03-01 08:00\""), tzb)
+      val (badc, badb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT TIME_FLOOR(__time, 'PT1H', NULL, 'Mars/Olympus') FROM clicks_ds"}""")
+      assert(badc == 400 && badb.contains("Mars/Olympus"), badb)
 
       // lookup lifecycle over HTTP: register → LOOKUP() resolves → update
       // is visible to the NEXT query (Druid coordinator lookup-update analog)
