@@ -175,6 +175,12 @@ final case class SpatialRectFilter(dimension: String,
   * ≤ `radius` (upstream RadiusBound). */
 final case class SpatialRadiusFilter(dimension: String,
     coords: Seq[Double], radius: Double) extends FilterSpec
+/** Druid spatial filter, polygon bound: even-odd ray-casting
+  * point-in-polygon over (abscissa[i], ordinate[i]) vertices — upstream
+  * PolygonBound semantics (2-D only; the first two coords of the spatial
+  * dim are (x, y)). */
+final case class SpatialPolygonFilter(dimension: String,
+    abscissa: Seq[Double], ordinate: Seq[Double]) extends FilterSpec
 
 /** One derived column. DOCUMENTED DELTA: the expression language is Spark
   * SQL (codegen'd, no interpreter), not Druid's own expr dialect — same

@@ -251,11 +251,13 @@ object SpecLoader {
           require(c.nonEmpty, "radius bound needs coords")
           require(r >= 0, s"radius must be non-negative, got $r")
           SpatialRadiusFilter(d, c, r)
-        case "polygon" => throw new IllegalArgumentException(
-          "spatial bound type 'polygon' is not supported — decompose into " +
-            "rectangular bounds OR'd together")
+        case "polygon" =>
+          val (xs, ys) = (coords("abscissa"), coords("ordinate"))
+          require(xs.size == ys.size && xs.size >= 3,
+            "polygon bound needs equal-length abscissa/ordinate with >= 3 vertices")
+          SpatialPolygonFilter(d, xs, ys)
         case other => throw new IllegalArgumentException(
-          s"unsupported spatial bound type '$other' (rectangular/radius)")
+          s"unsupported spatial bound type '$other' (rectangular/radius/polygon)")
       }
     case "bound" =>
       val ordering = str(n, "ordering", "lexicographic")

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Reliable-checkpoint cadence for deep graphs: every N rounds the label
+    * RDD is checkpointed (when a checkpoint dir is configured), bounding the
+    * linearly growing RDD-lineage recompute depth at N rounds. */
+  private val CheckpointEvery = 10
+
   /** (id, canonical) for every node of `pairs` (both columns), canonical =
     * min id in the node's connected component.
     */
@@ -53,11 +58,16 @@ object Dedup {
       // persist stays a normal CacheManager entry — unlike localCheckpoint,
       // whose RDD-level blocks Dataset.unpersist cannot release (they'd
       // accumulate one full label snapshot per round). The RDD chain grows
-      // linearly; for very deep graphs on a cluster, a periodic reliable
-      // .checkpoint() bounds recompute depth.
+      // linearly between reliable checkpoints; every CheckpointEvery rounds
+      // (when the session has a checkpoint dir) the chain is cut to storage,
+      // bounding recompute depth for graphs whose diameter exceeds it.
       val round = labels.join(neighbourMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val next = labels.sparkSession.createDataFrame(round.rdd, round.schema).persist()
+      val spark = labels.sparkSession
+      val roundRdd = round.rdd
+      if (iter % CheckpointEvery == 0 && spark.sparkContext.getCheckpointDir.isDefined)
+        roundRdd.checkpoint() // materialized by the convergence agg below
+      val next = spark.createDataFrame(roundRdd, round.schema).persist()
       val sumNow = next.agg(sum(col("label"))).head().getLong(0)
       labels.unpersist()
       labels = next

@@ -71,6 +71,24 @@ object Filters {
         (c - lit(center(i))) * (c - lit(center(i)))
       }.reduce(_ + _)
       col(d).isNotNull && coalesce(dist2 <= lit(radius * radius), lit(false))
+    case graft.config.SpatialPolygonFilter(d, xs, ys) =>
+      // even-odd ray casting (PNPOLY; upstream PolygonBound): a rightward
+      // ray from (x, y) toggles inside-ness at each edge it crosses. The
+      // per-edge toggle XOR-chains as boolean `=!=`, so the whole predicate
+      // is one codegen'd conjunction-free expression; vertices are plan
+      // literals. Degenerate horizontal edges contribute `false` (the
+      // crossing guard fails; the NaN/Inf division is never compared).
+      val parts = split(col(d).cast(StringType), ",")
+      val x = try_element_at(parts, lit(1)).try_cast(DoubleType)
+      val y = try_element_at(parts, lit(2)).try_cast(DoubleType)
+      val n = xs.size
+      val crossings = (0 until n).map { i =>
+        val j = (i + n - 1) % n
+        val (xi, yi, xj, yj) = (lit(xs(i)), lit(ys(i)), lit(xs(j)), lit(ys(j)))
+        ((yi > y) =!= (yj > y)) &&
+          (x < (xj - xi) * (y - yi) / (yj - yi) + xi)
+      }
+      col(d).isNotNull && coalesce(crossings.reduce(_ =!= _), lit(false))
     case graft.config.ColumnComparisonFilter(ds) =>
       // Druid matches when ALL named columns carry the same value, nulls
       // included — exactly `<=>` chained pairwise
@@ -124,8 +142,9 @@ object Filters {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
             a.name
         }.distinct
-    case graft.config.SpatialRectFilter(d, _, _)   => Seq(d)
-    case graft.config.SpatialRadiusFilter(d, _, _) => Seq(d)
+    case graft.config.SpatialRectFilter(d, _, _)    => Seq(d)
+    case graft.config.SpatialRadiusFilter(d, _, _)  => Seq(d)
+    case graft.config.SpatialPolygonFilter(d, _, _) => Seq(d)
     case graft.config.TrueFilter() | graft.config.FalseFilter() => Seq.empty
   }
 }

@@ -17,6 +17,30 @@ object RollupQueries {
 
   private val fmtHour = "yyyy-MM-dd HH:mm:ss"
 
+  /** Concave test pentagon for the polygon spatial bound (abscissa = lat,
+    * ordinate = lon). Consecutive vertices (incl. wrap) have distinct
+    * ordinates — no horizontal edge, so the ray-casting division is always
+    * finite on both engines.
+    */
+  private val PolyXs = Seq(10.0, 90.0, 50.0, 90.0, 10.0)
+  private val PolyYs = Seq(0.0, 10.0, 30.0, 60.0, 50.0)
+
+  /** DuckDB twin of [[graft.pipeline.Filters]]' PNPOLY compilation: the same
+    * per-edge literals, the same `(xj−xi)·(y−yi)/(yj−yi)+xi` association,
+    * and the same XOR chain (boolean `<>`), folded left like Spark's
+    * `reduce(_ =!= _)` — bit-identical crossing decisions.
+    */
+  private def pnpolySql(xs: Seq[Double], ys: Seq[Double],
+      xc: String, yc: String): String = {
+    val n = xs.size
+    (0 until n).map { i =>
+      val j = (i + n - 1) % n
+      val (xi, yi, xj, yj) = (xs(i), ys(i), xs(j), ys(j))
+      s"(($yi > $yc) <> ($yj > $yc) AND " +
+        s"$xc < ($xj - $xi) * ($yc - $yi) / ($yj - $yi) + $xi)"
+    }.reduce((a, b) => s"($a <> $b)")
+  }
+
   /** spec used by several queries: count/sum/min/max by event_type. */
   private def baseSpec(qg: Granularity, rollupOn: Boolean = true) = IngestionSpec(
     DataSchema(
@@ -290,6 +314,44 @@ object RollupQueries {
              count(*) AS cells_in_box
             FROM cells
             WHERE lat >= 10.0 AND lat <= 60.0 AND lon >= -50.0 AND lon <= 25.0
+            GROUP BY 1""")),
+
+    // -- spatial POLYGON bound filter: even-odd ray casting over a concave
+    // pentagon (abscissa = lat, ordinate = lon). Both engines compute the
+    // IDENTICAL per-edge literal arithmetic and XOR chain (Spark `=!=` /
+    // DuckDB `<>` on booleans), so the strict `<` crossing test agrees
+    // bit-for-bit; consecutive vertices have distinct ordinates, so no
+    // division-by-zero edge exists in either engine.
+    QueryDef("spatial_polygon_filter", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("ev",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type"),
+          Seq(SpatialDimension("coord", Seq("lat", "lon")))),
+        Seq(AggregatorSpec("count", "cnt")),
+        GranularitySpec(Granularity.All, Granularity.All)))
+      val p = new Pipeline(spec)
+      val ev = Tables.t(s, dir, "events")
+        .withColumn("lat", col("value"))
+        .withColumn("lon", (col("user_id") % 200).cast("double") - lit(100.0))
+      val cells = p.rollup(p.project(p.extractTimestamp(ev)))
+      val filter = graft.config.SpecLoader.parseFilter(
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(s"""
+          {"type": "spatial", "dimension": "coord",
+           "bound": {"type": "polygon",
+                     "abscissa": [${PolyXs.mkString(", ")}],
+                     "ordinate": [${PolyYs.mkString(", ")}]}}"""))
+      cells.filter(graft.pipeline.Filters.toColumn(filter))
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("pts_in_poly"), count(lit(1)).as("cells_in_poly"))
+    },
+    Some(s"""WITH cells AS (
+              SELECT event_type, value AS lat,
+                     CAST(user_id % 200 AS DOUBLE) - 100.0 AS lon,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2, 3)
+            SELECT event_type, CAST(sum(cnt) AS BIGINT) AS pts_in_poly,
+             count(*) AS cells_in_poly
+            FROM cells
+            WHERE ${pnpolySql(PolyXs, PolyYs, "lat", "lon")}
             GROUP BY 1""")),
 
     // -- timestampSpec formats: posix + millis round-trip -------------------

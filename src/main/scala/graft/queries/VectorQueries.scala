@@ -59,6 +59,16 @@ object VectorQueries {
        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3"""
 
+  /** Root for the persisted ANN index cache. Defaults UNDER THE WAREHOUSE
+    * DIR — any Hadoop filesystem (HDFS/S3A/local), visible to every executor
+    * on a cluster — overridable via `spark.graft.ann.cacheDir`. A node-local
+    * path like literal /tmp would silently serve an empty cache on every
+    * node but the builder's.
+    */
+  private[graft] def annCacheRoot(s: org.apache.spark.sql.SparkSession): String =
+    s.conf.getOption("spark.graft.ann.cacheDir").getOrElse(
+      s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/graft_ann_cache")
+
   /** Persisted-index cache location for the build-once/query-many ann_*
     * paths: keyed by corpus CONTENT (file name+length+mtime of the
     * embeddings parquet — listed via the filesystem, no Spark job) plus
@@ -80,7 +90,7 @@ object VectorQueries {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$files|$params".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    s"/tmp/graft_ann_cache/${kind}_$key"
+    s"${annCacheRoot(s)}/${kind}_$key"
   }
 
   /** Materialize a small (top-k) result as a LOCAL frame so the index

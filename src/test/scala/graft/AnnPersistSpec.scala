@@ -30,6 +30,18 @@ class AnnPersistSpec extends SparkSpec {
     vecs.filter($"vec_id" === 0).select($"embedding")
       .head().getSeq[Float](0).toArray
 
+  test("cache root defaults under the warehouse dir (cluster-visible), not node-local /tmp") {
+    val root = graft.queries.VectorQueries.annCacheRoot(spark)
+    assert(!root.startsWith("/tmp"),
+      s"ANN cache root must not be node-local: $root")
+    assert(root.contains(spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")),
+      s"default root should live under the warehouse dir: $root")
+    // explicit override wins (any Hadoop FS URI)
+    spark.conf.set("spark.graft.ann.cacheDir", "hdfs://nn/graft/ann")
+    try assert(graft.queries.VectorQueries.annCacheRoot(spark) == "hdfs://nn/graft/ann")
+    finally spark.conf.unset("spark.graft.ann.cacheDir")
+  }
+
   test("PQ: save → load → search is identical to fresh build; close releases") {
     val cb = PqIndex.train(spark, vecs, "vec_id", "embedding", m = 4, ks = 8,
       iterations = 3)

@@ -175,10 +175,27 @@ class ConfigSpec extends AnyFunSuite {
       .select("id").as[String].collect().toSet
     assert(near == Set("c")) // only the exact center row is within 5
 
+    // polygon bound: triangle lat∈[20,50]-ish around the interior point —
+    // ray casting keeps "c" (35, 0), drops the corners and out-of-range rows
+    val poly = parse("""{"type": "spatial", "dimension": "coord",
+      "bound": {"type": "polygon",
+                "abscissa": [20.0, 50.0, 35.0],
+                "ordinate": [-10.0, -5.0, 20.0]}}""")
+    assert(poly == graft.config.SpatialPolygonFilter("coord",
+      Seq(20.0, 50.0, 35.0), Seq(-10.0, -5.0, 20.0)))
+    val inPoly = rows.filter(graft.pipeline.Filters.toColumn(poly))
+      .select("id").as[String].collect().toSet
+    assert(inPoly == Set("c"))
+    // never-NULL contract holds for polygon too
+    val outPoly = rows.filter(graft.pipeline.Filters.toColumn(
+      graft.config.NotFilter(poly))).select("id").as[String].collect().toSet
+    assert(outPoly == Set("a", "b", "d", "e", "f", "g", "h"))
+    assert(graft.pipeline.Filters.dimensions(poly) == Seq("coord"))
+    // degenerate polygons rejected loudly
     assert(intercept[IllegalArgumentException] {
       parse("""{"type": "spatial", "dimension": "coord",
-        "bound": {"type": "polygon", "abscissa": [1.0], "ordinate": [1.0]}}""")
-    }.getMessage.contains("polygon"))
+        "bound": {"type": "polygon", "abscissa": [1.0, 2.0], "ordinate": [1.0, 2.0]}}""")
+    }.getMessage.contains("3 vertices"))
     assert(intercept[IllegalArgumentException] {
       parse("""{"type": "spatial", "dimension": "coord",
         "bound": {"type": "rectangular", "minCoords": [1.0],

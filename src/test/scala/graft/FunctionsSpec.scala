@@ -80,6 +80,24 @@ class FunctionsSpec extends SparkSpec {
       (99L, 99L, 1)))
   }
 
+  test("near-dup components: deep path graph converges with periodic reliable checkpoint") {
+    // diameter 25 > the 10-round checkpoint cadence: at least two reliable
+    // checkpoints fire mid-loop, cutting the RDD lineage chain, and the
+    // result is still the exact single component
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val chain = (1L to 26L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+      val got = graft.functions.Dedup.components(chain, "a", "b", maxIterations = 40)
+        .as[(Long, Long)].collect().toSet
+      assert(got == (1L to 26L).map(i => (i, 1L)).toSet)
+      // a checkpoint actually landed on disk (the cadence fired)
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, s"no checkpoint written under $dir")
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("near-dup components: unconverged exit throws instead of returning wrong labels") {
     // a 12-hop chain needs ~12 propagation rounds; cap at 3 must REFUSE, not
     // hand back labels that look like components but split the chain
