@@ -76,8 +76,12 @@ object Daemon {
         .drop(graft.pipeline.Pipeline.SegmentCol)
         .withColumnRenamed(graft.pipeline.Pipeline.TsCol, "__time"))
     }.toMap
+    // SQL ingestion (INSERT/REPLACE INTO … PARTITIONED BY) lands segments
+    // beside the streaming stores, under its own namespace so a SQL-written
+    // dataSource can never corrupt a stream's rollup store
     val server = new HttpIngestServer(s"$workDir/spool", routes = streams,
-      queryRoutes = queryRoutes)
+      queryRoutes = queryRoutes,
+      sqlIngestRoot = Some(s"$workDir/sql_stores"))
     val boundPort = server.start(port)
     Handle(server, boundPort, streams)
   }

@@ -420,6 +420,66 @@ object DruidSqlFunctions {
       ex(date_format(wallClock(tsArg(args(0)), tz), pattern))
     }),
 
+    // ------------------------------------------- JSON (nested-columns) fns
+    // Druid's SQL JSON surface over string-typed JSON columns. JSON_VALUE
+    // and JSON_QUERY both ride get_json_object (scalar paths return the
+    // scalar text, object paths return the JSON subtree — Druid's split
+    // between the two collapses because Spark's JSON text extraction serves
+    // both); PARSE_JSON needs no shim (Spark 4 variant builtin).
+    fn("json_value", args => {
+      arity(args, "json_value(expr, path)", 2, 2)
+      ex(get_json_object(asCol(args(0)), strLit(args(1), "json_value path")))
+    }),
+
+    fn("json_query", args => {
+      arity(args, "json_query(expr, path)", 2, 2)
+      ex(get_json_object(asCol(args(0)), strLit(args(1), "json_query path")))
+    }),
+
+    fn("json_keys", args => {
+      arity(args, "json_keys(expr[, path])", 1, 2)
+      val target =
+        if (args.length == 2)
+          get_json_object(asCol(args(0)), strLit(args(1), "json_keys path"))
+        else asCol(args(0))
+      ex(json_object_keys(target))
+    }),
+
+    fn("to_json_string", args => {
+      arity(args, "to_json_string(expr)", 1, 1)
+      ex(to_json(asCol(args(0))))
+    }),
+
+    // ------------------------------------------------- naming-parity fns
+    // STRLEN = Druid's LENGTH alias; ARRAY_* are the ARRAY-typed twins of
+    // the MV_* family (identical semantics on multi-value strings — Druid
+    // documents them as the same functions over the two types).
+    fn("strlen", args => {
+      arity(args, "strlen(s)", 1, 1)
+      ex(length(asCol(args(0))))
+    }),
+
+    fn("array_length", args => {
+      arity(args, "array_length(arr)", 1, 1)
+      ex(size(asCol(args(0))))
+    }),
+
+    fn("array_offset", args => {
+      arity(args, "array_offset(arr, idx)", 2, 2)
+      ex(get(asCol(args(0)), asCol(args(1))))
+    }),
+
+    fn("array_ordinal", args => {
+      arity(args, "array_ordinal(arr, idx)", 2, 2)
+      ex(try_element_at(asCol(args(0)), asCol(args(1))))
+    }),
+
+    fn("array_to_mv", args => {
+      arity(args, "array_to_mv(arr)", 1, 1)
+      // MVDs are string-typed: cast every element to string
+      ex(transform(asCol(args(0)), x => x.cast(StringType)))
+    }),
+
     // --------------------------------------------------- sketch aggregates
     // DS_HLL family = Spark's Apache DataSketches HLL — the same library
     // Druid's datasketches extension uses. Input cast to string (Druid

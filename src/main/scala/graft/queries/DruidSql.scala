@@ -183,6 +183,116 @@ object DruidSql {
     GraftSqlBridge.ofRows(spark, dialectRewrite(substitute(parsed)))
   }
 
+  // ------------------------------------------------------------- ingestion
+
+  /** `INSERT INTO ds <query> PARTITIONED BY <g> [CLUSTERED BY c1, c2]` /
+    * `REPLACE INTO ds OVERWRITE ALL <query> PARTITIONED BY …` — Druid's
+    * SQL-based ingestion statements (the MSQ surface a modern Druid user
+    * types instead of a JSON ingestion spec).
+    */
+  private val IngestRe =
+    ("""(?is)^\s*(INSERT|REPLACE)\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+""" +
+      """(?:(OVERWRITE\s+ALL)\s+)?(.*?)\s+PARTITIONED\s+BY\s+""" +
+      """(ALL(?:\s+TIME)?|[A-Za-z_][A-Za-z0-9_]*|'[^']+')(?:\s+CLUSTERED\s+BY\s+(.+?))?\s*$""").r
+
+  /** True iff `sqlText` is an ingestion statement (INSERT/REPLACE INTO). */
+  def isIngest(sqlText: String): Boolean = IngestRe.findFirstIn(sqlText).isDefined
+
+  /** The inner query text of an ingestion statement — for dataSource
+    * routing (the endpoint resolves ITS referenced tables, not the target). */
+  def ingestInnerQuery(sqlText: String): Option[String] =
+    IngestRe.findFirstMatchIn(sqlText).map(_.group(4))
+
+  private def ingestGranularity(tok: String): graft.time.Granularity = {
+    import graft.time.Granularity
+    val t = tok.trim
+    if (t.toUpperCase(java.util.Locale.ROOT).startsWith("ALL")) Granularity.All
+    else {
+      val raw = if (t.startsWith("'")) t.substring(1, t.length - 1) else t
+      raw.toUpperCase(java.util.Locale.ROOT) match {
+        case "P1W" => Granularity.Week
+        case "P1M" => Granularity.Month
+        case "P3M" => Granularity.Quarter
+        case "P1Y" => Granularity.Year
+        case "P1D" => Granularity.Day
+        case s     => Granularity.fromString(s)
+      }
+    }
+  }
+
+  /** Execute an ingestion statement: run the inner query through the same
+    * dialect path as [[run]], bucket rows into segments by the PARTITIONED
+    * BY granularity of `__time` (Druid's segment-per-interval layout: one
+    * parquet dir per bucket under `storeRoot/ds`), and return the task
+    * report analog — (segment, rows_published) recomputed FROM THE STORE,
+    * i.e. what readers will actually see. INSERT appends; REPLACE (which
+    * requires OVERWRITE ALL, like Druid) truncates the dataSource first.
+    * CLUSTERED BY is the scale lever: one shuffle on (segment, cluster
+    * keys) with an in-partition sort, so each segment's files are
+    * co-located and ordered by the query keys — at 100 TB this is what
+    * makes per-key reads touch one file run instead of every file.
+    */
+  def ingest(sqlText: String, frames: Map[String, DataFrame],
+      storeRoot: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.time.Granularity
+    val m = IngestRe.findFirstMatchIn(sqlText).getOrElse(
+      throw new IllegalArgumentException(
+        "not an ingestion statement: expected INSERT INTO <ds> <query> " +
+          "PARTITIONED BY <granularity> [CLUSTERED BY cols] or " +
+          "REPLACE INTO <ds> OVERWRITE ALL <query> PARTITIONED BY …"))
+    val mode = m.group(1).toUpperCase(java.util.Locale.ROOT)
+    val ds = m.group(2)
+    val overwrite = m.group(3) != null
+    if (mode == "REPLACE") require(overwrite,
+      "REPLACE INTO requires OVERWRITE ALL (partial overwrite is not supported)")
+    else require(!overwrite, "INSERT INTO does not take OVERWRITE ALL — use REPLACE")
+    val g = ingestGranularity(m.group(5))
+    val cluster = Option(m.group(6))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val selected = run(m.group(4), frames)
+    require(g == Granularity.All || selected.columns.contains("__time"),
+      s"PARTITIONED BY ${g.name} needs a __time column in the SELECT " +
+        s"(got: ${selected.columns.mkString(", ")})")
+    val seg =
+      if (g == Granularity.All) lit("all")
+      else date_format(g.truncate(col("__time").cast("timestamp")),
+        "yyyy-MM-dd'T'HH:mm:ss")
+    val withSeg = selected.withColumn("segment", seg)
+    val arranged =
+      if (cluster.isEmpty) withSeg
+      else withSeg.repartition((col("segment") +: cluster.map(col)): _*)
+        .sortWithinPartitions(cluster.map(col): _*)
+    val spark = selected.sparkSession
+    val target = s"${storeRoot.stripSuffix("/")}/$ds"
+    if (overwrite) {
+      val p = new org.apache.hadoop.fs.Path(target)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    arranged.write.mode("append").partitionBy("segment").parquet(target)
+    // zero-row ingestion publishes zero segments (only _SUCCESS lands) —
+    // Druid's contract; an unguarded read of the empty store would throw
+    val tp = new org.apache.hadoop.fs.Path(target)
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasSegments = tfs.exists(tp) && tfs.listStatus(tp).exists(_.isDirectory)
+    if (!hasSegments)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("segment",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("rows_published",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    // partition-column type inference may read the ISO dirname back as a
+    // timestamp — normalize to the written string form either way
+    val segOut =
+      if (g == Granularity.All) col("segment").cast("string")
+      else date_format(col("segment").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss")
+    spark.read.parquet(target).groupBy(segOut.as("segment"))
+      .agg(count(lit(1)).as("rows_published"))
+  }
+
   /** Dialect-scoped function overrides (names colliding with Spark builtins
     * but carrying Druid semantics — see
     * [[graft.functions.DruidSqlFunctions.dialectOverrides]]): applied to the

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Druid SQL DIALECT end-to-end: each query here is Druid SQL text (the
   * surface a tranquility+Druid user types at `/druid/v2/sql` — upstream
@@ -114,6 +115,54 @@ object DruidSqlQueries {
                 AS la_dom,
               count(*) AS cnt
             FROM t GROUP BY 1, 2, 3, 4""")),
+
+    // -- SQL-based ingestion (Druid MSQ surface): INSERT INTO with an
+    // hourly-rollup SELECT, DAY segments, CLUSTERED BY event_type — then
+    // the store is read BACK and summarized per segment, so the oracle
+    // checks the full write→layout→read round trip: rows per DAY segment =
+    // distinct (hour, event_type) pairs of that day, events = raw count ---
+    QueryDef("druid_sql_insert", (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sqlingest").toString
+      DruidSql.ingest(
+        """INSERT INTO events_rollup
+           SELECT TIME_FLOOR(__time, 'PT1H') AS __time, event_type,
+                  COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2
+           PARTITIONED BY DAY CLUSTERED BY event_type""",
+        frames(s, dir, "events"), tmp)
+      val store = s.read.parquet(s"$tmp/events_rollup")
+      store.groupBy(date_format(col("segment").cast("timestamp"),
+          "yyyy-MM-dd'T'HH:mm:ss").as("segment"))
+        .agg(count(lit(1)).as("rows_in_segment"),
+          sum(col("cnt")).as("events_in_segment"))
+    },
+    Some("""WITH h AS (SELECT date_trunc('hour', ts) AS hb, event_type,
+                        count(*) AS cnt
+                       FROM events GROUP BY 1, 2)
+            SELECT strftime(date_trunc('day', hb), '%Y-%m-%dT%H:%M:%S') AS segment,
+             count(*) AS rows_in_segment,
+             CAST(sum(cnt) AS BIGINT) AS events_in_segment
+            FROM h GROUP BY 1""")),
+
+    // -- JSON (nested-columns) surface: JSON_VALUE scalar extraction (text
+    // + numeric CAST), JSON_KEYS enumeration, STRLEN — against DuckDB's
+    // independent JSON parser (json_extract_string / json_keys) ------------
+    QueryDef("druid_sql_json", (s, dir) => {
+      DruidSql.run(
+        """SELECT event_id,
+                  JSON_VALUE(props, '$.k') AS k_str,
+                  CAST(JSON_VALUE(props, '$.k') AS BIGINT) AS k_num,
+                  MV_TO_STRING(JSON_KEYS(props), ',') AS key_list,
+                  CAST(STRLEN(props) AS BIGINT) AS plen
+           FROM events WHERE event_id % 101 = 0""",
+        frames(s, dir, "events"))
+    },
+    Some("""SELECT event_id,
+             json_extract_string(props, '$.k') AS k_str,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+             array_to_string(json_keys(props), ',') AS key_list,
+             CAST(length(props) AS BIGINT) AS plen
+            FROM events WHERE event_id % 101 = 0""")),
 
     // -- DataSketches aggregates in the exact regime: HLL + theta both
     // equal exact COUNT(DISTINCT) at 150 uniques per group ----------------

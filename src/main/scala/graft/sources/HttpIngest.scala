@@ -41,12 +41,18 @@ import graft.streaming.IngestStream
   *   `__time`), enabling the broker-style `POST /druid/v2` endpoint: native
   *   query JSON in, JSON row array out (see [[handleQuery]]). Thunks, not
   *   frames — every query re-reads current store state.
+  * @param sqlIngestRoot when set, `POST /druid/v2/sql` also accepts Druid's
+  *   SQL ingestion statements (`INSERT INTO ds … PARTITIONED BY …` /
+  *   `REPLACE INTO ds OVERWRITE ALL …`, the MSQ surface): the inner query
+  *   routes against `queryRoutes` like any SELECT, segments land under
+  *   `<root>/<ds>`, and the reply is the per-segment task report.
   */
 final class HttpIngestServer(
     spoolDir: String,
     attach: Option[IngestStream] = None,
     routes: Map[String, IngestStream] = Map.empty,
-    queryRoutes: Map[String, () => org.apache.spark.sql.DataFrame] = Map.empty) {
+    queryRoutes: Map[String, () => org.apache.spark.sql.DataFrame] = Map.empty,
+    sqlIngestRoot: Option[String] = None) {
 
   private val mapper = new ObjectMapper
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -170,6 +176,23 @@ final class HttpIngestServer(
     * rewrites only single-part names that resolve to routes; pick distinct
     * CTE names if both are needed).
     */
+  /** Drain + substitute only the dataSources a statement references
+    * (case-insensitive, like Spark identifier resolution). */
+  private def resolveFrames(referencedRaw: Set[String])
+      : Map[String, org.apache.spark.sql.DataFrame] = {
+    val referenced = referencedRaw.map(_.toLowerCase(java.util.Locale.ROOT))
+    val frames = queryRoutes
+      .filter { case (ds, _) =>
+        referenced(ds.toLowerCase(java.util.Locale.ROOT)) }
+      .map { case (ds, thunk) =>
+        routes.get(ds).foreach(_.activeQuery.foreach(_.processAllAvailable()))
+        ds -> thunk()
+      }
+    require(frames.nonEmpty, "query references no known dataSource " +
+      s"(queryable: ${queryRoutes.keys.toSeq.sorted.mkString(",")})")
+    frames
+  }
+
   private def handleSql(ex: HttpExchange): Unit =
     try {
       if (ex.getRequestMethod != "POST") { reply(ex, 405, """{"error":"POST only"}"""); return }
@@ -181,22 +204,26 @@ final class HttpIngestServer(
         val cap = Option(root.get("context")).flatMap(c =>
           Option(c.get("maxQueryRows"))).map(_.asInt).getOrElse(10000)
         require(cap > 0, "context.maxQueryRows must be positive")
+        if (graft.queries.DruidSql.isIngest(sqlText)) {
+          // SQL ingestion statement (MSQ surface): route the INNER query's
+          // dataSources, write segments under the configured store root,
+          // reply with the per-segment task report
+          val storeRoot = sqlIngestRoot.getOrElse(throw new IllegalArgumentException(
+            "SQL ingestion is not enabled on this server (no sqlIngestRoot)"))
+          val inner = graft.queries.DruidSql.ingestInnerQuery(sqlText).get
+          val frames = resolveFrames(
+            graft.queries.DruidSql.referencedTables(
+              graft.queries.DruidSql.parse(inner)))
+          graft.queries.DruidSql.ingest(sqlText, frames, storeRoot)
+            .toJSON.collect().mkString("[", ",", "]")
+        } else {
         // parse ONCE; drain + substitute only the dataSources the statement
         // references (case-insensitive, like Spark identifier resolution)
         val plan = graft.queries.DruidSql.parse(sqlText)
-        val referenced = graft.queries.DruidSql.referencedTables(plan)
-          .map(_.toLowerCase(java.util.Locale.ROOT))
-        val frames = queryRoutes
-          .filter { case (ds, _) =>
-            referenced(ds.toLowerCase(java.util.Locale.ROOT)) }
-          .map { case (ds, thunk) =>
-            routes.get(ds).foreach(_.activeQuery.foreach(_.processAllAvailable()))
-            ds -> thunk()
-          }
-        require(frames.nonEmpty, "query references no known dataSource " +
-          s"(queryable: ${queryRoutes.keys.toSeq.sorted.mkString(",")})")
+        val frames = resolveFrames(graft.queries.DruidSql.referencedTables(plan))
         graft.queries.DruidSql.runPlan(plan, frames)
           .limit(cap).toJSON.collect().mkString("[", ",", "]")
+        }
       } catch {
         case NonFatal(e) =>
           reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}"""); return

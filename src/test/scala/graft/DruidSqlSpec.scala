@@ -164,6 +164,87 @@ class DruidSqlSpec extends SparkSpec {
     assert(p.getString(0) == "2024-06-30 12:00")
   }
 
+  test("SQL ingestion: INSERT appends, REPLACE OVERWRITE ALL truncates, CLUSTERED sorts") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-spec").toString
+    // INSERT: day segments from the 3 distinct event days
+    val r1 = DruidSql.ingest(
+      """INSERT INTO ds SELECT __time, event_type, value FROM events
+         PARTITIONED BY DAY CLUSTERED BY event_type""",
+      Map("events" -> events), root)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(
+      "2024-03-01T00:00:00" -> 3L, "2024-03-15T00:00:00" -> 1L,
+      "2024-06-30T00:00:00" -> 1L))
+    // second INSERT appends (Druid INSERT semantics)
+    val r2 = DruidSql.ingest(
+      """INSERT INTO ds SELECT __time, event_type, value FROM events
+         PARTITIONED BY DAY""",
+      Map("events" -> events), root)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(
+      "2024-03-01T00:00:00" -> 6L, "2024-03-15T00:00:00" -> 2L,
+      "2024-06-30T00:00:00" -> 2L))
+    // REPLACE OVERWRITE ALL truncates back to one copy, monthly segments
+    val r3 = DruidSql.ingest(
+      """REPLACE INTO ds OVERWRITE ALL
+         SELECT __time, event_type FROM events
+         PARTITIONED BY P1M""",
+      Map("events" -> events), root)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r3 == Map(
+      "2024-03-01T00:00:00" -> 4L, "2024-06-01T00:00:00" -> 1L))
+    // malformed statements are loud
+    assert(intercept[IllegalArgumentException] {
+      DruidSql.ingest("REPLACE INTO ds SELECT __time FROM events PARTITIONED BY DAY",
+        Map("events" -> events), root)
+    }.getMessage.contains("OVERWRITE ALL"))
+    assert(intercept[Exception] {
+      DruidSql.ingest("INSERT INTO ds SELECT event_type FROM events PARTITIONED BY DAY",
+        Map("events" -> events), root)
+    }.getMessage.contains("__time"))
+    assert(!DruidSql.isIngest("SELECT 1 FROM events"))
+    // zero-row ingestion publishes zero segments, not a throw
+    val empty = DruidSql.ingest(
+      """INSERT INTO empty_ds
+         SELECT __time, event_type FROM events WHERE user = 'nobody'
+         PARTITIONED BY ALL""",
+      Map("events" -> events), root)
+    assert(empty.collect().isEmpty)
+  }
+
+  test("JSON surface: nested paths, keys, TO_JSON_STRING, ARRAY_* twins") {
+    val docs = Seq(
+      (1L, """{"a": {"b": 7, "c": "x"}, "tags": ["t1", "t2"]}"""),
+      (2L, """{"a": {"b": null}}"""),
+      (3L, "not json")
+    ).toDF("id", "doc")
+    val r = DruidSql.run(
+      """SELECT id,
+                JSON_VALUE(doc, '$.a.b') AS b,
+                JSON_QUERY(doc, '$.a') AS sub,
+                MV_TO_STRING(JSON_KEYS(doc), '|') AS ks,
+                JSON_VALUE(doc, '$.tags[0]') AS tag0,
+                ARRAY_LENGTH(JSON_KEYS(doc)) AS nkeys,
+                ARRAY_OFFSET(JSON_KEYS(doc), 0) AS k0,
+                ARRAY_ORDINAL(JSON_KEYS(doc), 1) AS k1
+         FROM d ORDER BY id""", Map("d" -> docs)).collect()
+    assert(r(0).getString(1) == "7")
+    assert(r(0).getString(2) == """{"b":7,"c":"x"}""")
+    assert(r(0).getString(3) == "a|tags")
+    assert(r(0).getString(4) == "t1")
+    assert(r(0).getInt(5) == 2 && r(0).getString(6) == "a" && r(0).getString(7) == "a")
+    assert(r(1).isNullAt(1)) // JSON null → SQL null, Druid's rule
+    assert(r(2).isNullAt(1) && r(2).isNullAt(3)) // malformed → null, no throw
+    // TO_JSON_STRING over a constructed struct (Druid's JSON_OBJECT idiom
+    // arrives as a struct in this dialect) and ARRAY_TO_MV stringification
+    val s2 = DruidSql.run(
+      """SELECT TO_JSON_STRING(named_struct('x', 1, 'y', 'z')) AS j,
+                MV_TO_STRING(ARRAY_TO_MV(ARRAY(1, 2, 3)), ',') AS mv
+         FROM d LIMIT 1""", Map("d" -> docs)).head()
+    assert(s2.getString(0) == """{"x":1,"y":"z"}""")
+    assert(s2.getString(1) == "1,2,3")
+  }
+
   test("rejection messages name the problem (unknown zone/unit/period)") {
     def err(q: String): String =
       intercept[Exception] { DruidSql.run(q, Map("events" -> events)).collect() }

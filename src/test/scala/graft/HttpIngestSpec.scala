@@ -281,6 +281,18 @@ class HttpIngestSpec extends SparkSpec {
         """{"a": "ok", "z": null, "b": {"label": "x"}, "c": [1]}""")
       assert(lnn == 400 && lnnb.contains("b,c,z"), lnnb)
 
+      // SQL INGESTION over the socket (MSQ surface): INSERT INTO with a
+      // rollup SELECT over the routed store; reply = per-segment task
+      // report; segments land on disk under the daemon's sql_stores
+      val (ic, ib) = post(handle.port, "/druid/v2/sql",
+        """{"query": "INSERT INTO clicks_hourly SELECT TIME_FLOOR(__time, 'PT1H') AS __time, etype, COUNT(*) AS cnt FROM clicks_ds GROUP BY 1, 2 PARTITIONED BY DAY CLUSTERED BY etype"}""")
+      assert(ic == 200, ib)
+      assert(ib.contains("\"segment\":\"2024-03-01T00:00:00\"") &&
+        ib.contains("\"rows_published\":2"), ib)
+      val segDirs = new java.io.File(s"$tmp/sql_stores/clicks_hourly").listFiles()
+      assert(segDirs != null &&
+        segDirs.exists(_.getName.startsWith("segment=")), s"$tmp/sql_stores")
+
       // GET /status: per-dataSource cumulative counters
       val (stc, stb) = get(handle.port, "/status")
       assert(stc == 200, stb)
