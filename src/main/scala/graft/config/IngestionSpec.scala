@@ -98,7 +98,13 @@ final case class PostAggregatorSpec(
     /** for `expression`: a row-level expression over finalized metric
       * columns. Same documented dialect delta as transformSpec — the
       * language is Spark SQL, not Druid's expr dialect. */
-    expression: Option[String] = scala.None)
+    expression: Option[String] = scala.None,
+    /** for `thetaSketchSetOp`: UNION | INTERSECT | NOT */
+    func: String = "",
+    /** for `quantilesDoublesSketchToQuantile` */
+    fraction: Option[Double] = scala.None,
+    /** for `quantilesDoublesSketchToQuantiles` */
+    fractions: Seq[Double] = Nil)
 
 final case class GranularitySpec(
     segmentGranularity: Granularity = Granularity.Hour,

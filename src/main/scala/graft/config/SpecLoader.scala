@@ -290,10 +290,18 @@ object SpecLoader {
       paType = str(n, "type", ""),
       name = str(n, "name", ""),
       fn = str(n, "fn", ""),
-      fields = opt(n, "fields").toSeq.flatMap(_.elements.asScala).map(parsePostAgg),
+      // sketch-finalizer post-aggs (thetaSketchEstimate,
+      // quantilesDoublesSketchToQuantile(s), HLLSketchEstimate) take a
+      // SINGULAR `field` sub-post-agg in Druid; normalize it into `fields`
+      fields = opt(n, "fields").toSeq.flatMap(_.elements.asScala).map(parsePostAgg) ++
+        opt(n, "field").map(parsePostAgg),
       fieldName = opt(n, "fieldName").map(_.asText),
       value = opt(n, "value").map(_.asDouble),
-      expression = opt(n, "expression").map(_.asText))
+      expression = opt(n, "expression").map(_.asText),
+      func = str(n, "func", ""),
+      fraction = opt(n, "fraction").map(_.asDouble),
+      fractions = opt(n, "fractions").toSeq
+        .flatMap(_.elements.asScala).map(_.asDouble))
 
   /** Druid DataSketches-extension type names → canonical engine aggTypes.
     * `quantilesDoublesSketch` keeps the extension's contract (mergeable
@@ -338,9 +346,11 @@ object SpecLoader {
         fields = fields,
         probabilities = opt(n, "probabilities").toSeq
           .flatMap(_.elements.asScala).map(_.asDouble),
-        // `k` is the DataSketches extensions' size knob — same role as
-        // the engine's `accuracy` (explicit accuracy wins when both set)
-        accuracy = opt(n, "accuracy").orElse(opt(n, "k")).map(_.asInt))
+        // `k` is the DataSketches extensions' size knob and `size` is
+        // thetaSketch's — same role as the engine's `accuracy` (explicit
+        // accuracy wins when several are set)
+        accuracy = opt(n, "accuracy").orElse(opt(n, "k"))
+          .orElse(opt(n, "size")).map(_.asInt))
     }
   }
 }

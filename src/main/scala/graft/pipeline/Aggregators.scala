@@ -162,34 +162,120 @@ object Aggregators {
     if (first) min(pair) else max(pair)
   }
 
-  /** Druid postAggregations → Column over FINALIZED metric columns (applied
-    * after rollup/merge — [[Pipeline.postAggregate]]). Division follows
+  /** Druid postAggregations → Column over metric columns (applied after
+    * rollup/merge — [[Pipeline.postAggregate]] over FINALIZED metrics, and
+    * [[graft.queries.DruidQueryCompiler]] over UNFINALIZED aggregator
+    * output, where `aggTypes` maps aggregator name → aggType so the
+    * finalizer post-aggs know what they are reading). Division follows
     * Druid: `/` yields 0 on a zero divisor; `quotient` is raw floating
-    * division. Pure Column arithmetic — codegen'd, no extra pass.
+    * division. Pure Column arithmetic — codegen'd, no extra pass; the
+    * sketch finalizers evaluate the same expressions the SQL dialect
+    * registers (theta_estimate / hist_quantiles / hll_sketch_estimate).
     */
-  def postAggColumn(p: graft.config.PostAggregatorSpec): Column = p.paType match {
-    case "fieldAccess" => col(p.fieldName.getOrElse(p.name)).cast(DoubleType)
-    // Druid `expression` post-aggregator; language = Spark SQL (the
-    // transformSpec dialect delta), evaluated over finalized metrics
-    case "expression" => expr(p.expression.getOrElse(
-      throw new IllegalArgumentException(
-        s"expression postAgg ${p.name} needs an expression")))
-    case "constant" => lit(p.value.getOrElse(
-      throw new IllegalArgumentException(s"constant postAgg ${p.name} needs value")))
-    case "arithmetic" =>
-      val cs = p.fields.map(postAggColumn)
-      require(cs.nonEmpty, s"arithmetic postAgg ${p.name} needs fields")
-      p.fn match {
-        case "+" => cs.reduce(_ + _)
-        case "-" => cs.reduce(_ - _)
-        case "*" => cs.reduce(_ * _)
-        case "/" => cs.reduce((a, b) => when(b === 0, lit(0.0)).otherwise(a / b))
-        case "quotient" => cs.reduce(_ / _)
-        case other => throw new IllegalArgumentException(
-          s"unsupported postAgg fn '$other' (${p.name})")
-      }
-    case other =>
-      throw new IllegalArgumentException(s"unsupported postAggregator type: $other")
+  def postAggColumn(p: graft.config.PostAggregatorSpec): Column =
+    postAggColumn(p, Map.empty)
+
+  def postAggColumn(p: graft.config.PostAggregatorSpec,
+      aggTypes: Map[String, String]): Column = {
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column => asCol, expression => ex}
+    import graft.functions.{ThetaEstimate, ThetaSetOp, ThetaSketchUnion, HistQuantiles}
+    // numeric consumers cast their operands; fieldAccess itself stays RAW so
+    // sketch binaries / struct partials flow to the finalizer post-aggs
+    def num(q: graft.config.PostAggregatorSpec): Column =
+      postAggColumn(q, aggTypes).cast(DoubleType)
+    def one(what: String): graft.config.PostAggregatorSpec = {
+      require(p.fields.size == 1, s"$what postAgg ${p.name} needs exactly one field")
+      p.fields.head
+    }
+    p.paType match {
+      case "fieldAccess" => col(p.fieldName.getOrElse(p.name))
+      // Druid's finalizingFieldAccess: read the FINALIZED value of the
+      // referenced aggregator. On the compiler path (unfinalized input) the
+      // aggType map picks the finalizer; on the Pipeline path metrics are
+      // already finalized at read, so the map is empty and this is a plain
+      // numeric access.
+      case "finalizingFieldAccess" =>
+        val f = p.fieldName.getOrElse(p.name)
+        aggTypes.getOrElse(f, "") match {
+          case "thetaSketch" => asCol(ThetaEstimate(ex(col(f))))
+          case "hllSketch"   => hll_sketch_estimate(col(f)).cast(DoubleType)
+          case "doubleMean"  => col(f).getField("s") / col(f).getField("c")
+          case "doubleFirst" | "doubleLast" | "longFirst" | "longLast" =>
+            col(f).getField("v").cast(DoubleType)
+          case "stringFirst" | "stringLast" => col(f).getField("v")
+          case "histogramSketch" => throw new IllegalArgumentException(
+            s"finalizingFieldAccess on quantiles sketch '$f' — use " +
+              "quantilesDoublesSketchToQuantile(s) to extract values")
+          case _ => col(f).cast(DoubleType)
+        }
+      // Druid `expression` post-aggregator; language = Spark SQL (the
+      // transformSpec dialect delta), evaluated over finalized metrics
+      case "expression" => expr(p.expression.getOrElse(
+        throw new IllegalArgumentException(
+          s"expression postAgg ${p.name} needs an expression")))
+      case "constant" => lit(p.value.getOrElse(
+        throw new IllegalArgumentException(s"constant postAgg ${p.name} needs value")))
+      case "arithmetic" =>
+        val cs = p.fields.map(num)
+        require(cs.nonEmpty, s"arithmetic postAgg ${p.name} needs fields")
+        p.fn match {
+          case "+" => cs.reduce(_ + _)
+          case "-" => cs.reduce(_ - _)
+          case "*" => cs.reduce(_ * _)
+          case "/" => cs.reduce((a, b) => when(b === 0, lit(0.0)).otherwise(a / b))
+          case "quotient" => cs.reduce(_ / _)
+          case other => throw new IllegalArgumentException(
+            s"unsupported postAgg fn '$other' (${p.name})")
+        }
+      // Druid double/longGreatest/Least post-aggregators
+      case "doubleGreatest" | "longGreatest" | "doubleLeast" | "longLeast" =>
+        val cs = p.fields.map(num)
+        require(cs.size >= 2, s"${p.paType} postAgg ${p.name} needs 2+ fields")
+        val g = if (p.paType.endsWith("Greatest")) greatest(cs: _*) else least(cs: _*)
+        if (p.paType.startsWith("long")) g.cast(LongType) else g
+      // DataSketches theta extension: set ops yield a derived SKETCH (feeds
+      // further set ops or thetaSketchEstimate — the Druid contract)
+      case "thetaSketchSetOp" =>
+        val cs = p.fields.map(postAggColumn(_, aggTypes))
+        require(cs.size >= 2, s"thetaSketchSetOp postAgg ${p.name} needs 2+ fields")
+        p.func match {
+          case "UNION" => cs.reduce((a, b) => asCol(ThetaSketchUnion(ex(a), ex(b))))
+          case "INTERSECT" =>
+            cs.reduce((a, b) => asCol(ThetaSetOp(ex(a), ex(b), intersect = true)))
+          case "NOT" =>
+            cs.reduce((a, b) => asCol(ThetaSetOp(ex(a), ex(b), intersect = false)))
+          case other => throw new IllegalArgumentException(
+            s"thetaSketchSetOp func must be UNION/INTERSECT/NOT, got '$other' (${p.name})")
+        }
+      case "thetaSketchEstimate" =>
+        asCol(ThetaEstimate(ex(postAggColumn(one("thetaSketchEstimate"), aggTypes))))
+      // Druid's hyperUniqueCardinality: the estimate of a hyperUnique
+      // aggregator. On the query path `hyperUnique` already aggregates to
+      // the estimate (approx_count_distinct); the stored `hllSketch` form
+      // carries the binary — pick by declared aggType.
+      case "hyperUniqueCardinality" =>
+        val f = p.fieldName.getOrElse(p.name)
+        aggTypes.getOrElse(f, "") match {
+          case "hllSketch" => hll_sketch_estimate(col(f)).cast(DoubleType)
+          case _           => col(f).cast(DoubleType)
+        }
+      case "HLLSketchEstimate" =>
+        val in = if (p.fields.nonEmpty) postAggColumn(one("HLLSketchEstimate"), aggTypes)
+                 else col(p.fieldName.getOrElse(p.name))
+        hll_sketch_estimate(in).cast(DoubleType)
+      case "quantilesDoublesSketchToQuantile" =>
+        val fr = p.fraction.getOrElse(throw new IllegalArgumentException(
+          s"quantilesDoublesSketchToQuantile postAgg ${p.name} needs fraction"))
+        val sk = postAggColumn(one("quantilesDoublesSketchToQuantile"), aggTypes)
+        element_at(asCol(HistQuantiles(ex(sk), ex(array(lit(fr))))), 1)
+      case "quantilesDoublesSketchToQuantiles" =>
+        require(p.fractions.nonEmpty, s"quantilesDoublesSketchToQuantiles postAgg " +
+          s"${p.name} needs fractions")
+        val sk = postAggColumn(one("quantilesDoublesSketchToQuantiles"), aggTypes)
+        asCol(HistQuantiles(ex(sk), ex(array(p.fractions.map(lit): _*))))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported postAggregator type: $other")
+    }
   }
 
   /** Multi-field cardinality input: struct of the fields (byRow tuple);

@@ -510,6 +510,101 @@ object DruidNativeQueries {
                 AS tag, user_id
             FROM events)
             SELECT tag, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid
-            FROM exploded WHERE tag <> 'u1' GROUP BY 1"""))
+            FROM exploded WHERE tag <> 'u1' GROUP BY 1""")),
+
+    // -- sketch post-aggregators (r5): the DataSketches-extension response
+    // pipeline — filtered thetaSketch aggs, set algebra (INTERSECT / NOT /
+    // UNION) as post-aggs, estimates via thetaSketchEstimate /
+    // finalizingFieldAccess, arithmetic over finalized estimates, and the
+    // response-time finalization of the raw agg columns. k=16384 ≫ 150
+    // distinct users keeps every sketch sparse-exact, so all estimates
+    // hash-match exact DISTINCT set arithmetic in DuckDB ------------------
+    QueryDef("druid_json_sketch_postaggs", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "all",
+         "aggregations": [
+           {"type": "filtered",
+            "filter": {"type": "and", "fields": [
+              {"type": "selector", "dimension": "event_type", "value": "click"},
+              {"type": "bound", "dimension": "value", "lower": "150",
+               "ordering": "numeric", "lowerStrict": true}]},
+            "aggregator": {"type": "thetaSketch", "name": "click_hi",
+                           "fieldName": "user_id", "accuracy": 16384}},
+           {"type": "filtered",
+            "filter": {"type": "and", "fields": [
+              {"type": "selector", "dimension": "event_type", "value": "purchase"},
+              {"type": "bound", "dimension": "value", "lower": "150",
+               "ordering": "numeric", "lowerStrict": true}]},
+            "aggregator": {"type": "thetaSketch", "name": "purch_hi",
+                           "fieldName": "user_id", "accuracy": 16384}}],
+         "postAggregations": [
+           {"type": "thetaSketchEstimate", "name": "both",
+            "field": {"type": "thetaSketchSetOp", "name": "i", "func": "INTERSECT",
+              "fields": [{"type": "fieldAccess", "fieldName": "click_hi"},
+                         {"type": "fieldAccess", "fieldName": "purch_hi"}]}},
+           {"type": "thetaSketchEstimate", "name": "click_only",
+            "field": {"type": "thetaSketchSetOp", "name": "n", "func": "NOT",
+              "fields": [{"type": "fieldAccess", "fieldName": "click_hi"},
+                         {"type": "fieldAccess", "fieldName": "purch_hi"}]}},
+           {"type": "thetaSketchEstimate", "name": "either",
+            "field": {"type": "thetaSketchSetOp", "name": "u", "func": "UNION",
+              "fields": [{"type": "fieldAccess", "fieldName": "click_hi"},
+                         {"type": "fieldAccess", "fieldName": "purch_hi"}]}},
+           {"type": "arithmetic", "name": "est_sum", "fn": "+",
+            "fields": [{"type": "finalizingFieldAccess", "fieldName": "click_hi"},
+                       {"type": "finalizingFieldAccess", "fieldName": "purch_hi"}]}]}""")
+        .select(col("click_hi"), col("purch_hi"), col("both").as("in_both"),
+          col("click_only"), col("either"), col("est_sum"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click' AND value > 150),
+                 b AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase' AND value > 150)
+            SELECT CAST((SELECT count(*) FROM a) AS DOUBLE) AS click_hi,
+                   CAST((SELECT count(*) FROM b) AS DOUBLE) AS purch_hi,
+                   CAST((SELECT count(*) FROM a JOIN b USING (user_id))
+                     AS DOUBLE) AS in_both,
+                   CAST((SELECT count(*) FROM a WHERE user_id NOT IN
+                     (SELECT user_id FROM b)) AS DOUBLE) AS click_only,
+                   CAST((SELECT count(*) FROM (SELECT user_id FROM a
+                     UNION SELECT user_id FROM b)) AS DOUBLE) AS either,
+                   CAST((SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+                     AS DOUBLE) AS est_sum""")),
+
+    // -- quantilesDoublesSketchToQuantile(s) post-aggs (r5): the quantiles
+    // sketch finalizer pipeline. k=4096 bins ≥ ~1800 distinct values per
+    // event_type keeps the centroid histogram exact, so the extracted
+    // quantiles are the values at rank ceil(p·n) — the same rank-window
+    // rule the stored-sketch oracle uses -----------------------------------
+    QueryDef("druid_json_quantile_postagg", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "all", "dimensions": ["event_type"],
+         "aggregations": [
+           {"type": "count", "name": "cnt"},
+           {"type": "quantilesDoublesSketch", "name": "vq",
+            "fieldName": "value", "k": 4096}],
+         "postAggregations": [
+           {"type": "quantilesDoublesSketchToQuantile", "name": "p50",
+            "field": {"type": "fieldAccess", "fieldName": "vq"},
+            "fraction": 0.5},
+           {"type": "quantilesDoublesSketchToQuantile", "name": "p95",
+            "field": {"type": "fieldAccess", "fieldName": "vq"},
+            "fraction": 0.95}]}""")
+        .select(col("event_type"), col("cnt"),
+          round(col("p50"), 2).as("p50"), round(col("p95"), 2).as("p95"))
+    },
+    Some("""WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type, n AS cnt,
+                   round(max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN value END), 2) AS p50,
+                   round(max(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT)
+                     THEN value END), 2) AS p95
+            FROM ranked GROUP BY event_type, n"""))
   )
 }

@@ -489,16 +489,69 @@ object DruidQueryCompiler {
     applyPostAggs(grouped, root)
   }
 
+  /** Response-time finalization (Druid's default `finalize=true`): struct
+    * partials (doubleMean, first/last) unwrap to their finalized value and
+    * sketch binaries (thetaSketch, hllSketch) become estimates AFTER the
+    * post-aggs ran over the raw aggregator output (fieldAccess sees
+    * partials, finalizingFieldAccess / the sketch finalizer post-aggs see
+    * through them — the Druid evaluation order) and after the dense-bucket
+    * zero-fill re-applied them, so each query path calls this LAST.
+    * `context.finalize=false` keeps the raw partials (the sketch-download
+    * idiom). histogramSketch binaries stay binary either way, like Druid's
+    * quantiles sketch whose finalized form IS the sketch. */
+  private def finalizeAggs(df: DataFrame, root: JsonNode): DataFrame = {
+    val finalize = opt(root, "context").flatMap(c => opt(c, "finalize"))
+      .forall(_.asBoolean(true))
+    if (!finalize) df
+    else finalizeAggs(df,
+      opt(root, "aggregations").toSeq.flatMap(_.elements.asScala)
+        .map(SpecLoader.parseAgg).toSeq)
+  }
+
+  private def finalizeAggs(df: DataFrame,
+      aggSpecs: Seq[graft.config.AggregatorSpec]): DataFrame =
+    aggSpecs.foldLeft(df) { (d, a) =>
+      def f = graft.pipeline.Cols.exact(a.name)
+      a.aggType match {
+        case "doubleMean" =>
+          d.withColumn(a.name, f.getField("s") / f.getField("c"))
+        case "doubleFirst" | "doubleLast" | "longFirst" | "longLast" |
+             "stringFirst" | "stringLast" =>
+          d.withColumn(a.name, f.getField("v"))
+        case "thetaSketch" =>
+          d.withColumn(a.name,
+            org.apache.spark.sql.graft.GraftSqlBridge.column(
+              graft.functions.ThetaEstimate(
+                org.apache.spark.sql.graft.GraftSqlBridge.expression(f))))
+        case "hllSketch" =>
+          d.withColumn(a.name, hll_sketch_estimate(f).cast("double"))
+        case "filtered" =>
+          // finalize by the delegate's type under the wrapper's name
+          a.aggregator.map(del => finalizeAggs(d, Seq(del.copy(name = a.name))))
+            .getOrElse(d)
+        case _ => d
+      }
+    }
+
   /** postAggregations over a frame that already carries the aggregator
     * columns. Applied once inside [[aggregate]] and RE-applied after the
     * dense-bucket zero-fill ([[zeroFill]]): a left join leaves postAgg
     * columns NULL on empty buckets, but Druid computes postAggs over the
     * zeroed aggregates — recomputing over the coalesced columns restores
     * that (order matters: later postAggs may read earlier ones). */
-  private def applyPostAggs(df: DataFrame, root: JsonNode): DataFrame =
+  private def applyPostAggs(df: DataFrame, root: JsonNode): DataFrame = {
+    // aggregator name → effective aggType (filtered wrappers resolve to
+    // their delegate) so finalizer post-aggs know what they read
+    def effType(a: graft.config.AggregatorSpec): String =
+      if (a.aggType == "filtered") a.aggregator.map(effType).getOrElse("filtered")
+      else a.aggType
+    val aggTypes = opt(root, "aggregations").toSeq.flatMap(_.elements.asScala)
+      .map(SpecLoader.parseAgg).map(a => a.name -> effType(a)).toMap
     opt(root, "postAggregations").toSeq.flatMap(_.elements.asScala)
       .map(SpecLoader.parsePostAgg)
-      .foldLeft(df)((d, p) => d.withColumn(p.name, Aggregators.postAggColumn(p)))
+      .foldLeft(df)((d, p) =>
+        d.withColumn(p.name, Aggregators.postAggColumn(p, aggTypes)))
+  }
 
   // -------------------------------------------------------------- timeseries
 
@@ -523,8 +576,8 @@ object DruidQueryCompiler {
       granularity(root).widthSeconds > 0 && intervalMillis(root).nonEmpty
     val skipEmpty = opt(root, "context").flatMap(c => opt(c, "skipEmptyBuckets"))
       .map(_.asBoolean).getOrElse(!denseDerivable)
-    if (skipEmpty) grouped
-    else {
+    if (skipEmpty) finalizeAggs(grouped, root)
+    else finalizeAggs({
       val gran = granularity(root)
       require(gran.widthSeconds > 0,
         "skipEmptyBuckets=false needs a fixed-width granularity")
@@ -533,7 +586,7 @@ object DruidQueryCompiler {
       val buckets = bucketFrame(df.sparkSession, intervals, gran)
       val joined = buckets.join(grouped, Seq(TimeCol), "left")
       zeroFill(joined, root, grouped)
-    }
+    }, root)
   }
 
   /** Dense in-plan bucket frame covering `intervals` at `gran` (first
@@ -588,7 +641,9 @@ object DruidQueryCompiler {
       throw new IllegalArgumentException("topN needs a dimension")))
     val threshold = opt(root, "threshold").map(_.asInt).getOrElse(
       throw new IllegalArgumentException("topN needs a threshold"))
-    val grouped = aggregate(df, root, Seq(name -> dcol))
+    // finalize BEFORE ordering: Druid's topN metric compares finalized
+    // values (a struct/binary partial has no metric order)
+    val grouped = finalizeAggs(aggregate(df, root, Seq(name -> dcol)), root)
     val ordering = topNOrdering(opt(root, "metric").getOrElse(
       throw new IllegalArgumentException("topN needs a metric")), name)
     val w = Window.partitionBy(col(TimeCol)).orderBy(ordering: _*)
@@ -624,7 +679,9 @@ object DruidQueryCompiler {
       .map(dimensionSpec).toSeq
     val subtotals = opt(root, "subtotalsSpec").map(_.elements.asScala
       .map(s => s.elements.asScala.map(_.asText).toSeq).toSeq)
-    val grouped = aggregate(df, root, dims, subtotals)
+    // finalize BEFORE having/limit: Druid's having and metric-ordered
+    // limitSpec compare finalized metric values
+    val grouped = finalizeAggs(aggregate(df, root, dims, subtotals), root)
     val having = opt(root, "having").map(havingColumn)
       .map(grouped.filter).getOrElse(grouped)
     opt(root, "limitSpec").map(limited(having, _)).getOrElse(having)
@@ -949,8 +1006,10 @@ object DruidQueryCompiler {
     val joined = frame.join(bJoin, cond.reduce(_ && _), "left")
       .drop("__bt").drop(dimNames.map(n => s"__bd_$n"): _*)
     // empty buckets: counts/sums (incl. through filtered wrappers) become
-    // zero; min/max/first/last/sketches keep null — Druid's identities
-    val zeroFilled = zeroFill(joined, root, base)
+    // zero; min/max/first/last/sketches keep null — Druid's identities.
+    // Finalized before the averagers read them (averagers window over
+    // finalized metric values).
+    val zeroFilled = finalizeAggs(zeroFill(joined, root, base), root)
 
     // Upstream's FULL averager set (the movingAverage extension ships
     // constant + double/long {Mean, MeanNoNulls, Sum, Max, Min} — there is

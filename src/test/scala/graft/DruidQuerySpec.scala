@@ -217,7 +217,8 @@ class DruidQuerySpec extends SparkSpec {
     assert(inv == Seq("view", "click"))
   }
 
-  test("first/last aggregators work at query time (RawTs plumbing)") {
+  test("first/last aggregators work at query time (RawTs plumbing), " +
+      "finalized to plain values in the response") {
     val rows = run("""
       {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
        "dimensions": ["user"],
@@ -225,10 +226,20 @@ class DruidQuerySpec extends SparkSpec {
          {"type": "doubleFirst", "name": "first_v", "fieldName": "value"},
          {"type": "doubleLast", "name": "last_v", "fieldName": "value"}]}""")
       .collect().map(r => r.getAs[String]("user") ->
-        (r.getAs[org.apache.spark.sql.Row]("first_v").getAs[Double]("v"),
-         r.getAs[org.apache.spark.sql.Row]("last_v").getAs[Double]("v"))).toMap
+        (r.getAs[Double]("first_v"), r.getAs[Double]("last_v"))).toMap
     assert(rows("alice") == (1.0, 16.0))
     assert(rows("bob") == (2.0, 32.0))
+  }
+
+  test("context.finalize=false keeps the raw (t, v) partials") {
+    val rows = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": ["user"], "context": {"finalize": false},
+       "aggregations": [
+         {"type": "doubleFirst", "name": "first_v", "fieldName": "value"}]}""")
+      .collect().map(r => r.getAs[String]("user") ->
+        r.getAs[org.apache.spark.sql.Row]("first_v").getAs[Double]("v")).toMap
+    assert(rows("alice") == 1.0 && rows("bob") == 2.0)
   }
 
   test("scan: descending time order with offset, and column projection") {
@@ -838,5 +849,145 @@ class DruidQuerySpec extends SparkSpec {
          "virtualColumn": {"type": "expression", "name": "user",
            "expression": "array(event_type)"}}, $base}""")
       .contains("collides"))
+  }
+
+  // ---------------------------------------------- sketch post-aggregators
+
+  test("thetaSketchSetOp + thetaSketchEstimate post-aggs: set algebra over " +
+      "filtered sketch aggregators (sparse-exact regime)") {
+    // click users {alice,bob}, buy users {bob}:
+    // intersect=1, not(click,buy)=1, union=2
+    val r = run("""
+      {"queryType": "timeseries", "dataSource": "events", "granularity": "all",
+       "aggregations": [
+         {"type": "filtered",
+          "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+          "aggregator": {"type": "thetaSketch", "name": "click_u", "fieldName": "user"}},
+         {"type": "filtered",
+          "filter": {"type": "selector", "dimension": "event_type", "value": "buy"},
+          "aggregator": {"type": "thetaSketch", "name": "buy_u", "fieldName": "user"}}],
+       "postAggregations": [
+         {"type": "thetaSketchEstimate", "name": "both",
+          "field": {"type": "thetaSketchSetOp", "name": "i", "func": "INTERSECT",
+            "fields": [{"type": "fieldAccess", "fieldName": "click_u"},
+                       {"type": "fieldAccess", "fieldName": "buy_u"}]}},
+         {"type": "thetaSketchEstimate", "name": "click_only",
+          "field": {"type": "thetaSketchSetOp", "name": "n", "func": "NOT",
+            "fields": [{"type": "fieldAccess", "fieldName": "click_u"},
+                       {"type": "fieldAccess", "fieldName": "buy_u"}]}},
+         {"type": "thetaSketchEstimate", "name": "either",
+          "field": {"type": "thetaSketchSetOp", "name": "u", "func": "UNION",
+            "fields": [{"type": "fieldAccess", "fieldName": "click_u"},
+                       {"type": "fieldAccess", "fieldName": "buy_u"}]}}]}""")
+      .collect().head
+    assert(r.getAs[Double]("both") == 1.0)
+    assert(r.getAs[Double]("click_only") == 1.0)
+    assert(r.getAs[Double]("either") == 2.0)
+    // response finalization: the sketch AGG columns themselves come back as
+    // estimates (finalize=true default), not binaries
+    assert(r.getAs[Double]("click_u") == 2.0)
+    assert(r.getAs[Double]("buy_u") == 1.0)
+  }
+
+  test("finalizingFieldAccess reads finalized values inside arithmetic; " +
+      "plain fieldAccess keeps raw partials for the finalizer post-aggs") {
+    val r = run("""
+      {"queryType": "timeseries", "dataSource": "events", "granularity": "all",
+       "aggregations": [
+         {"type": "thetaSketch", "name": "u", "fieldName": "user"},
+         {"type": "doubleMean", "name": "mv", "fieldName": "value"},
+         {"type": "count", "name": "cnt"}],
+       "postAggregations": [
+         {"type": "arithmetic", "name": "users_per_row", "fn": "/",
+          "fields": [
+            {"type": "finalizingFieldAccess", "fieldName": "u"},
+            {"type": "fieldAccess", "fieldName": "cnt"}]},
+         {"type": "arithmetic", "name": "mean_x2", "fn": "*",
+          "fields": [
+            {"type": "finalizingFieldAccess", "fieldName": "mv"},
+            {"type": "constant", "name": "two", "value": 2}]}]}""")
+      .collect().head
+    assert(r.getAs[Double]("users_per_row") == 2.0 / 6.0)
+    assert(math.abs(r.getAs[Double]("mean_x2") - 2 * 63.0 / 6) < 1e-12)
+    assert(r.getAs[Double]("mv") == 63.0 / 6) // doubleMean finalized s/c
+  }
+
+  test("quantilesDoublesSketchToQuantile(s) post-aggs finalize a " +
+      "histogramSketch aggregator (exact below bin capacity)") {
+    val r = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": [],
+       "aggregations": [
+         {"type": "quantilesDoublesSketch", "name": "vq", "fieldName": "value",
+          "k": 64}],
+       "postAggregations": [
+         {"type": "quantilesDoublesSketchToQuantile", "name": "p50",
+          "field": {"type": "fieldAccess", "fieldName": "vq"}, "fraction": 0.5},
+         {"type": "quantilesDoublesSketchToQuantiles", "name": "pq",
+          "field": {"type": "fieldAccess", "fieldName": "vq"},
+          "fractions": [0.0, 1.0]}]}""")
+      .collect().head
+    // values 1,2,4,8,16,32 — rank ceil(0.5*6)=3 → 4.0
+    assert(r.getAs[Double]("p50") == 4.0)
+    assert(r.getAs[scala.collection.Seq[Double]]("pq").toSeq == Seq(1.0, 32.0))
+  }
+
+  test("doubleGreatest / longLeast post-aggs") {
+    val r = run("""
+      {"queryType": "timeseries", "dataSource": "events", "granularity": "all",
+       "aggregations": [
+         {"type": "doubleSum", "name": "sv", "fieldName": "value"},
+         {"type": "count", "name": "cnt"}],
+       "postAggregations": [
+         {"type": "doubleGreatest", "name": "g",
+          "fields": [{"type": "fieldAccess", "fieldName": "sv"},
+                     {"type": "fieldAccess", "fieldName": "cnt"}]},
+         {"type": "longLeast", "name": "l",
+          "fields": [{"type": "fieldAccess", "fieldName": "sv"},
+                     {"type": "fieldAccess", "fieldName": "cnt"}]}]}""")
+      .collect().head
+    assert(r.getAs[Double]("g") == 63.0)
+    assert(r.getAs[Long]("l") == 6L)
+  }
+
+  test("hyperUniqueCardinality post-agg: estimate regardless of whether the " +
+      "aggregator is the query-path estimate or the stored hllSketch binary") {
+    val r = run("""
+      {"queryType": "timeseries", "dataSource": "events", "granularity": "all",
+       "aggregations": [
+         {"type": "hyperUnique", "name": "hu", "fieldName": "user"},
+         {"type": "hllSketch", "name": "hs", "fieldName": "user"}],
+       "postAggregations": [
+         {"type": "arithmetic", "name": "sum_est", "fn": "+",
+          "fields": [{"type": "hyperUniqueCardinality", "fieldName": "hu"},
+                     {"type": "hyperUniqueCardinality", "fieldName": "hs"}]}]}""")
+      .collect().head
+    // 2 distinct users, tiny cardinality → both estimates exact
+    assert(r.getAs[Double]("sum_est") == 4.0)
+    assert(r.getAs[Double]("hs") == 2.0) // hllSketch agg finalized to estimate
+  }
+
+  test("sketch post-agg rejection contract") {
+    def bad(json: String): String =
+      intercept[IllegalArgumentException](run(json)).getMessage
+    val aggs = """"aggregations": [
+      {"type": "thetaSketch", "name": "u", "fieldName": "user"}]"""
+    assert(bad(s"""{"queryType": "timeseries", "dataSource": "events",
+        "granularity": "all", $aggs, "postAggregations": [
+          {"type": "thetaSketchSetOp", "name": "x", "func": "XOR",
+           "fields": [{"type": "fieldAccess", "fieldName": "u"},
+                      {"type": "fieldAccess", "fieldName": "u"}]}]}""")
+      .contains("UNION/INTERSECT/NOT"))
+    assert(bad(s"""{"queryType": "timeseries", "dataSource": "events",
+        "granularity": "all", $aggs, "postAggregations": [
+          {"type": "thetaSketchEstimate", "name": "x"}]}""")
+      .contains("exactly one field"))
+    assert(bad(s"""{"queryType": "timeseries", "dataSource": "events",
+        "granularity": "all",
+        "aggregations": [{"type": "quantilesDoublesSketch", "name": "q",
+          "fieldName": "value"}],
+        "postAggregations": [
+          {"type": "finalizingFieldAccess", "name": "x", "fieldName": "q"}]}""")
+      .contains("quantilesDoublesSketchToQuantile"))
   }
 }
