@@ -318,6 +318,104 @@ object TextQueries {
                / len(string_split(text, ' ')), 6) AS top_word_frac
             FROM documents WHERE doc_id < 50""")),
 
+    // -- Gopher repetition-signal BATTERY (r5, Rae et al. 2021 Table A1 —
+    // completes the §A.1.1 repetition filters beyond repetition_stats'
+    // word-level pair): top-{2,3,4}-gram char mass (occurrences of the most
+    // frequent word n-gram × its non-space chars) and dup-{5..10}-gram char
+    // mass (total char mass of n-grams occurring ≥2×; every occurrence
+    // counted — documented delta vs positional coverage marking). All
+    // numerators/denominators emitted as INTEGER char counts and the keep
+    // flag is integer cross-multiplied against Gopher's thresholds
+    // (top2≤.20, top3≤.18, top4≤.16, dup5..10 ≤ .15/.14/.13/.12/.11/.10),
+    // so no float boundary can flip a verdict between engines. Per-row
+    // array lambdas over ~100-word docs — plan = Scan→Project, no shuffle,
+    // embarrassingly parallel at any corpus size. Most-frequent-gram ties
+    // break to the lexicographically LARGEST gram on both sides ------------
+    QueryDef("gopher_repetition_signals", (s, dir) => {
+      val words = split(col("text"), " ")
+      val totalChars = length(translate(col("text"), " ", "")).cast(LongType)
+      def grams(n: Int) =
+        when(size(words) >= n,
+          transform(sequence(lit(1), size(words) - (n - 1)),
+            i => concat_ws(" ", slice(words, i, lit(n)))))
+          .otherwise(slice(words, lit(1), lit(0)))
+      def gChars(g: org.apache.spark.sql.Column) = length(translate(g, " ", "")).cast(LongType)
+      def topChars(n: Int): org.apache.spark.sql.Column = {
+        val gs = grams(n)
+        val top = array_max(transform(array_distinct(gs),
+          g => struct(size(filter(gs, x => x === g)).as("c"), g.as("g"))))
+        coalesce(top.getField("c").cast(LongType) * gChars(top.getField("g")),
+          lit(0L))
+      }
+      def dupChars(n: Int): org.apache.spark.sql.Column = {
+        val gs = grams(n)
+        coalesce(aggregate(
+          filter(array_distinct(gs), g => size(filter(gs, x => x === g)) >= 2),
+          lit(0L),
+          (acc, g) =>
+            acc + size(filter(gs, x => x === g)).cast(LongType) * gChars(g)),
+          lit(0L))
+      }
+      val tops = Seq(2, 3, 4).map(n => topChars(n).as(s"top${n}_chars"))
+      val dups = (5 to 10).map(n => dupChars(n).as(s"dup${n}_chars"))
+      val withCols = Tables.t(s, dir, "documents")
+        .select(Seq(col("doc_id"), totalChars.as("total_chars")) ++
+          tops ++ dups: _*)
+      val topTh = Seq(2 -> 20, 3 -> 18, 4 -> 16)
+      val dupTh = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+      val keep = (topTh.map { case (n, t) =>
+          col(s"top${n}_chars") * 100 <= col("total_chars") * t } ++
+        dupTh.map { case (n, t) =>
+          col(s"dup${n}_chars") * 100 <= col("total_chars") * t })
+        .reduce(_ && _)
+      withCols.withColumn("keep_repetition", keep.cast("int"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words,
+                   CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars
+                FROM documents),
+            g AS (SELECT doc_id, n,
+                   unnest(CASE WHEN len(words) >= n
+                     THEN list_transform(range(1, len(words) - n + 2),
+                          i -> array_to_string(words[i:i+n-1], ' '))
+                     ELSE [] END) AS gram
+                  FROM d CROSS JOIN
+                    (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n)),
+            c AS (SELECT doc_id, n, gram, count(*) AS c,
+                   CAST(length(replace(gram, ' ', '')) AS BIGINT) AS gc
+                  FROM g GROUP BY ALL),
+            per AS (SELECT doc_id, n,
+                   sum(CASE WHEN c >= 2 THEN c * gc ELSE 0 END) AS dup_chars,
+                   max(CASE WHEN rn = 1 THEN c * gc END) AS top_chars
+                  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                          ORDER BY c DESC, gram DESC) AS rn FROM c)
+                  GROUP BY 1, 2),
+            p AS (SELECT doc_id,
+                   CAST(coalesce(max(CASE WHEN n=2 THEN top_chars END), 0) AS BIGINT) AS top2_chars,
+                   CAST(coalesce(max(CASE WHEN n=3 THEN top_chars END), 0) AS BIGINT) AS top3_chars,
+                   CAST(coalesce(max(CASE WHEN n=4 THEN top_chars END), 0) AS BIGINT) AS top4_chars,
+                   CAST(coalesce(max(CASE WHEN n=5 THEN dup_chars END), 0) AS BIGINT) AS dup5_chars,
+                   CAST(coalesce(max(CASE WHEN n=6 THEN dup_chars END), 0) AS BIGINT) AS dup6_chars,
+                   CAST(coalesce(max(CASE WHEN n=7 THEN dup_chars END), 0) AS BIGINT) AS dup7_chars,
+                   CAST(coalesce(max(CASE WHEN n=8 THEN dup_chars END), 0) AS BIGINT) AS dup8_chars,
+                   CAST(coalesce(max(CASE WHEN n=9 THEN dup_chars END), 0) AS BIGINT) AS dup9_chars,
+                   CAST(coalesce(max(CASE WHEN n=10 THEN dup_chars END), 0) AS BIGINT) AS dup10_chars
+                  FROM per GROUP BY 1)
+            SELECT d.doc_id, d.total_chars,
+                   top2_chars, top3_chars, top4_chars,
+                   dup5_chars, dup6_chars, dup7_chars, dup8_chars,
+                   dup9_chars, dup10_chars,
+                   CAST(CASE WHEN top2_chars * 100 <= total_chars * 20
+                          AND top3_chars * 100 <= total_chars * 18
+                          AND top4_chars * 100 <= total_chars * 16
+                          AND dup5_chars * 100 <= total_chars * 15
+                          AND dup6_chars * 100 <= total_chars * 14
+                          AND dup7_chars * 100 <= total_chars * 13
+                          AND dup8_chars * 100 <= total_chars * 12
+                          AND dup9_chars * 100 <= total_chars * 11
+                          AND dup10_chars * 100 <= total_chars * 10
+                        THEN 1 ELSE 0 END AS INT) AS keep_repetition
+            FROM d JOIN p USING (doc_id)""")),
+
     // -- benchmark decontamination (r3): remove training docs sharing any
     // 5-word shingle with the held-out set (doc_id % 100 == 0 stands in for
     // the benchmark). The benchmark shingle set is the BROADCAST side — the
