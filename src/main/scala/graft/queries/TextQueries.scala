@@ -1002,6 +1002,127 @@ object TextQueries {
             FROM p JOIN cb USING (w1, w2) JOIN ch USING (w1)
                  JOIN cu USING (w2), nb
             GROUP BY 1"""),
-    headline = true)
+    headline = true),
+
+    // -- CCNet-style perplexity BUCKETS (r5, Wenzek et al. 2020): rank docs
+    // per language by an LM-quality proxy and split into head/middle/tail
+    // tertiles (CCNet keeps head+middle, drops tail). The proxy is the mean
+    // CORPUS FREQUENCY of the doc's words — an exact-integer numerator
+    // (sum of corpus counts) over an exact-integer token count, so the sort
+    // key is one IEEE-exact division and both engines rank identically (a
+    // log-probability key would hang bucket boundaries on libm ln()
+    // agreement); doc_id breaks score ties. ntile(3) over the same total
+    // order is deterministic in both engines. Scale shape: the frequency
+    // table is vocabulary-sized (broadcast join); the per-lang ntile is a
+    // per-language sort — at 100 TB replace it with approx-quantile
+    // thresholds from a sample, broadcast (the actual CCNet design; the
+    // exact sort here is what makes the oracle bit-checkable) --------------
+    QueryDef("perplexity_buckets", (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val words = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val scored = words.join(broadcast(freq), Seq("w"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c")).as("sum_freq"), count(lit(1)).as("n_tokens"))
+        .withColumn("score",
+          col("sum_freq").cast("double") / col("n_tokens"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("tertile", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"),
+          col("sum_freq").cast(LongType).as("sum_freq"), col("n_tokens"),
+          when(col("tertile") === 1, "head")
+            .when(col("tertile") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+    },
+    Some("""WITH words AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                           FROM documents),
+              freq AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+              scored AS (
+                SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS sum_freq,
+                       count(*) AS n_tokens,
+                       CAST(sum(c) AS DOUBLE) / count(*) AS score
+                FROM words JOIN freq USING (w) GROUP BY 1, 2)
+            SELECT doc_id, lang, sum_freq, n_tokens,
+              CASE ntile(3) OVER (PARTITION BY lang
+                                  ORDER BY score DESC, doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+              END AS ppl_bucket
+            FROM scored""")),
+
+    // -- C4 heuristic filter battery (r5, Raffel et al. 2020 §2.2): the
+    // synthetic corpus carries no punctuation or boilerplate, so sentence
+    // boundaries and policy tokens are PLANTED deterministically from
+    // doc_id (the pii_redaction move): a period every (3 + doc_id % 7)
+    // words, ' lorem ipsum' appended when doc_id % 17 = 0, ' {' when
+    // doc_id % 23 = 0. The C4 rules then do real work: sentences of
+    // varying length vs the >=5-word rule, >=3 sentences per doc, the
+    // terminal-period rule (always true by construction), and the
+    // lorem-ipsum / curly-brace / policy-token drops. All counts integer,
+    // keep flag boolean — bit-stable across engines. Per-row string/array
+    // ops, plan = Scan→Project, no shuffle ---------------------------------
+    QueryDef("c4_filters", (s, dir) => {
+      val k = (col("doc_id") % 7 + 3).cast("int")
+      val words = split(col("text"), " ")
+      // group words into runs of k, join with '. ' and close with '.'
+      val sentenced = concat(
+        concat_ws(". ", transform(
+          // integer group count: Column `/` is floating division, so floor
+          sequence(lit(0), floor((size(words) - 1) / k).cast("int")),
+          i => concat_ws(" ", slice(words, i * k + 1, k)))),
+        lit("."))
+      val planted = concat(sentenced,
+        when(col("doc_id") % 17 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+        when(col("doc_id") % 23 === 0, lit(" {")).otherwise(lit("")))
+      val sentences = filter(split(col("ptext"), "\\."),
+        x => length(trim(x)) > 0)
+      val nSent = size(sentences)
+      val nGoodSent = size(filter(sentences,
+        x => size(split(trim(x), " ")) >= 5))
+      val hasLorem = col("ptext").contains("lorem ipsum")
+      val hasBrace = col("ptext").contains("{")
+      Tables.t(s, dir, "documents")
+        .withColumn("ptext", planted)
+        .select(col("doc_id"),
+          nSent.as("n_sentences"),
+          nGoodSent.as("n_long_sentences"),
+          hasLorem.cast("int").as("has_lorem"),
+          hasBrace.cast("int").as("has_brace"),
+          (nGoodSent >= 3 && !hasLorem && !hasBrace).cast("int").as("keep_c4"))
+    },
+    Some("""WITH planted AS (
+              SELECT doc_id,
+                     CAST(doc_id % 7 + 3 AS INT) AS k,
+                     string_split(text, ' ') AS words
+              FROM documents),
+            sentenced AS (
+              SELECT doc_id,
+                array_to_string(list_transform(
+                  range(0, (len(words) - 1) // k + 1),
+                  i -> array_to_string(words[i*k+1 : i*k+k], ' ')), '. ')
+                || '.'
+                || CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum' ELSE '' END
+                || CASE WHEN doc_id % 23 = 0 THEN ' {' ELSE '' END AS ptext
+              FROM planted),
+            split_s AS (
+              SELECT doc_id, ptext,
+                list_filter(string_split(ptext, '.'),
+                  x -> length(trim(x)) > 0) AS sentences
+              FROM sentenced)
+            SELECT doc_id,
+              len(sentences) AS n_sentences,
+              len(list_filter(sentences,
+                x -> len(string_split(trim(x), ' ')) >= 5)) AS n_long_sentences,
+              CAST(CASE WHEN ptext LIKE '%lorem ipsum%' THEN 1 ELSE 0 END AS INT)
+                AS has_lorem,
+              CAST(CASE WHEN ptext LIKE '%{%' THEN 1 ELSE 0 END AS INT)
+                AS has_brace,
+              CAST(CASE WHEN len(list_filter(sentences,
+                     x -> len(string_split(trim(x), ' ')) >= 5)) >= 3
+                    AND ptext NOT LIKE '%lorem ipsum%'
+                    AND ptext NOT LIKE '%{%'
+                   THEN 1 ELSE 0 END AS INT) AS keep_c4
+            FROM split_s"""))
   )
 }
