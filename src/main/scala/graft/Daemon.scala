@@ -81,7 +81,9 @@ object Daemon {
     // dataSource can never corrupt a stream's rollup store
     val server = new HttpIngestServer(s"$workDir/spool", routes = streams,
       queryRoutes = queryRoutes,
-      sqlIngestRoot = Some(s"$workDir/sql_stores"))
+      sqlIngestRoot = Some(s"$workDir/sql_stores"),
+      storeRoots = specs.map(sp => sp.dataSchema.dataSource ->
+        s"$workDir/stores/${sp.dataSchema.dataSource}").toMap)
     val boundPort = server.start(port)
     Handle(server, boundPort, streams)
   }

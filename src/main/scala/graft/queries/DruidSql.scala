@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
@@ -146,14 +148,19 @@ object DruidSql {
     * the "clicks_ds" dataSource exactly as the temp-view path did). A CTE
     * named like a frame shadows it everywhere (Druid's rule too):
     * CTE-defined names are excluded from substitution, case-insensitively,
-    * so they resolve through normal CTE resolution. */
+    * so they resolve through normal CTE resolution. `metaFrames` maps
+    * TWO-part lowercase names (INFORMATION_SCHEMA.TABLES / .COLUMNS,
+    * sys.segments — the Druid SQL metadata tables) to their frames. */
   def run(sqlText: String, frames: Map[String, DataFrame]): DataFrame =
     runPlan(parse(sqlText), frames)
 
   def runPlan(parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      frames: Map[String, DataFrame]): DataFrame = {
-    require(frames.nonEmpty, "DruidSql.run needs at least one dataSource frame")
-    val spark = frames.head._2.sparkSession
+      frames: Map[String, DataFrame],
+      metaFrames: Map[Seq[String], DataFrame] = Map.empty): DataFrame = {
+    require(frames.nonEmpty || metaFrames.nonEmpty,
+      "DruidSql.run needs at least one dataSource frame")
+    val spark = frames.headOption.map(_._2.sparkSession)
+      .getOrElse(metaFrames.head._2.sparkSession)
     graft.functions.GraftFunctions.register(spark)
     val framesCi = frames.map { case (k, v) =>
       k.toLowerCase(java.util.Locale.ROOT) -> v }
@@ -179,8 +186,283 @@ object DruidSql {
             framesCi(r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT))
               .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
               .queryExecution.logical)
+        // metadata tables: two-part names (INFORMATION_SCHEMA.TABLES,
+        // sys.segments) — alias under the LAST part so `FROM
+        // INFORMATION_SCHEMA.COLUMNS` columns resolve unqualified
+        case r: UnresolvedRelation if r.multipartIdentifier.length == 2 &&
+            metaFrames.contains(
+              r.multipartIdentifier.map(_.toLowerCase(java.util.Locale.ROOT))) =>
+          SubqueryAlias(r.multipartIdentifier.last,
+            metaFrames(r.multipartIdentifier.map(
+                _.toLowerCase(java.util.Locale.ROOT)))
+              .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+              .queryExecution.logical)
       }
     GraftSqlBridge.ofRows(spark, dialectRewrite(substitute(parsed)))
+  }
+
+  // -------------------------------------------------------- TABLE(EXTERN)
+
+  /** Druid MSQ's external-input table function:
+    * `TABLE(EXTERN('<inputSource>', '<inputFormat>', '<signature>'))` in a
+    * FROM clause reads raw files through the engine's parseSpec machinery.
+    * Extracted by TEXT rewrite (quote-aware, like [[rewriteUnnest]] — the
+    * arguments are string literals a post-parse rewrite could recover, but
+    * the ingest path regex-splits the statement before parsing, so the
+    * text seam is the one both paths share): each occurrence is replaced
+    * by a reserved relation name `__extern_N`, returned with its three
+    * argument strings; the caller builds the frames via [[externFrame]]
+    * and passes them like any dataSource. */
+  def extractExterns(sql: String)
+      : (String, Seq[(String, (String, String, String))]) = {
+    def findWord(s: String, word: String, from: Int): Int = {
+      var i = from
+      var quote: Char = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (quote != 0) {
+          if (c == '\\' && quote != '`') i += 1
+          else if (c == quote) quote = 0
+        } else if (c == '\'' || c == '"' || c == '`') quote = c
+        else if (s.regionMatches(true, i, word, 0, word.length) &&
+            (i == 0 || !isIdent(s(i - 1))) &&
+            (i + word.length >= s.length || !isIdent(s(i + word.length))))
+          return i
+        i += 1
+      }
+      -1
+    }
+    def matchParen(s: String, open: Int): Int = {
+      var i = open; var depth = 0; var quote: Char = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (quote != 0) {
+          if (c == '\\' && quote != '`') i += 1
+          else if (c == quote) quote = 0
+        } else if (c == '\'' || c == '"' || c == '`') quote = c
+        else if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+      throw new IllegalArgumentException("EXTERN(: unbalanced parentheses")
+    }
+    // three SQL string literals ('' self-escape) separated by commas
+    def parseArgs(s: String): Seq[String] = {
+      var i = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (i < s.length) {
+        while (i < s.length && (s(i).isWhitespace || s(i) == ',')) i += 1
+        if (i < s.length) {
+          require(s(i) == '\'',
+            s"EXTERN arguments must be string literals, got: ${s.substring(i).take(20)}")
+          i += 1
+          val sb = new StringBuilder
+          var done = false
+          while (!done) {
+            require(i < s.length, "EXTERN: unterminated string literal")
+            if (s(i) == '\'' && i + 1 < s.length && s(i + 1) == '\'') {
+              sb += '\''; i += 2
+            } else if (s(i) == '\'') { i += 1; done = true }
+            else { sb += s(i); i += 1 }
+          }
+          out += sb.toString
+        }
+      }
+      out.toSeq
+    }
+    var s = sql
+    var from = 0
+    var n = 0
+    val externs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, (String, String, String))]
+    while (true) {
+      val e = findWord(s, "extern", from)
+      if (e < 0) return (s, externs.toSeq)
+      // backward: `TABLE (` must precede
+      var b = e - 1
+      while (b >= 0 && s(b).isWhitespace) b -= 1
+      if (b < 0 || s(b) != '(') { from = e + 1 }
+      else {
+        var t = b - 1
+        while (t >= 0 && s(t).isWhitespace) t -= 1
+        val tStart = t - 4
+        if (tStart < 0 || !s.regionMatches(true, tStart, "table", 0, 5) ||
+            (tStart > 0 && isIdent(s(tStart - 1)))) { from = e + 1 }
+        else {
+          var j = e + 6
+          while (j < s.length && s(j).isWhitespace) j += 1
+          require(j < s.length && s(j) == '(',
+            "EXTERN must be followed by a parenthesized argument list")
+          val closeE = matchParen(s, j)
+          val closeT = matchParen(s, b)
+          require(closeT > closeE, "TABLE(EXTERN(...)): unbalanced parentheses")
+          val args = parseArgs(s.substring(j + 1, closeE))
+          require(args.length == 3,
+            s"EXTERN takes (inputSource, inputFormat, signature) — got ${args.length} args")
+          val name = s"__extern_$n"
+          n += 1
+          externs += name -> ((args(0), args(1), args(2)))
+          s = s.substring(0, tStart) + name + s.substring(closeT + 1)
+          from = tStart + name.length
+        }
+      }
+    }
+    (s, externs.toSeq) // unreachable
+  }
+
+  /** Build the DataFrame for one EXTERN reference. `local` inputSource only
+    * (zero-egress environment — http/s3/gcs are a loud error naming the
+    * gap); `files` or `baseDir` listing; inputFormat json/csv/tsv/regex via
+    * [[graft.sources.Sources.parseRecords]] (malformed record → all-null
+    * row, the parseSpec contract); signature types string/long/double/float.
+    */
+  def externFrame(spark: org.apache.spark.sql.SparkSession,
+      inputSource: String, inputFormat: String, signature: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val src = mapper.readTree(inputSource)
+    val srcType = Option(src.get("type")).map(_.asText).getOrElse("")
+    require(srcType == "local",
+      s"EXTERN inputSource type '$srcType' is not supported here — only " +
+        "'local' (this engine runs without egress; stage remote data first)")
+    val files: Seq[String] =
+      if (src.has("files"))
+        src.get("files").elements().asScala.map(_.asText).toSeq
+      else if (src.has("baseDir")) Seq(src.get("baseDir").asText)
+      else throw new IllegalArgumentException(
+        "local inputSource needs 'files' or 'baseDir'")
+    require(files.nonEmpty, "EXTERN inputSource lists no files")
+    val fmt = mapper.readTree(inputFormat)
+    val fmtType = Option(fmt.get("type")).map(_.asText).getOrElse("json")
+    val parser = fmtType match {
+      case "json" => graft.config.ParserSpec("json")
+      case "csv"  => graft.config.ParserSpec("csv")
+      case "tsv"  => graft.config.ParserSpec("delimited", delimiter = "\t")
+      case "regex" => graft.config.ParserSpec("regex",
+        pattern = Option(fmt.get("pattern")).map(_.asText))
+      case other => throw new IllegalArgumentException(
+        s"EXTERN inputFormat '$other' is not supported (json/csv/tsv/regex)")
+    }
+    val sig = mapper.readTree(signature)
+    val fields = sig.elements().asScala.map { f =>
+      val name = Option(f.get("name")).map(_.asText).getOrElse(
+        throw new IllegalArgumentException("EXTERN signature entry needs a name"))
+      val t = Option(f.get("type")).map(_.asText).getOrElse("string")
+      val dt = t.toLowerCase(java.util.Locale.ROOT) match {
+        case "string" => StringType
+        case "long"   => LongType
+        case "double" => DoubleType
+        case "float"  => FloatType
+        case other => throw new IllegalArgumentException(
+          s"EXTERN signature type '$other' (string/long/double/float)")
+      }
+      StructField(name, dt)
+    }.toSeq
+    require(fields.nonEmpty, "EXTERN signature lists no columns")
+    // columns declared for the delimited formats come from the signature
+    val parserWithCols =
+      if (parser.format == "json" || parser.format == "regex") parser
+      else parser.copy(columns = fields.map(_.name))
+    val raw = spark.read.textFile(files: _*).toDF("value")
+    graft.sources.Sources.parseRecords(raw, StructType(fields), parserWithCols)
+  }
+
+  /** [[run]]'s EXTERN-aware entry: rewrite `TABLE(EXTERN(...))` references,
+    * build their frames, run. Programmatic twin of the endpoint path. */
+  def runWithExterns(sqlText: String, frames: Map[String, DataFrame],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val (rew, externs) = extractExterns(sqlText)
+    val ext = externs.map { case (n, (a, b, c)) =>
+      n -> externFrame(spark, a, b, c) }.toMap
+    runPlan(parse(rew), frames ++ ext)
+  }
+
+  // ----------------------------------------------------- EXPLAIN PLAN FOR
+
+  private val ExplainRe = """(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.+)\s*$""".r
+
+  /** `EXPLAIN PLAN FOR <query>` (Druid SQL's plan introspection statement):
+    * the inner query text, when the statement is an explain. */
+  def explainInner(sqlText: String): Option[String] =
+    ExplainRe.findFirstMatchIn(sqlText).map(_.group(1))
+
+  // ------------------------------------------------------- metadata tables
+
+  /** Two-part (schema-qualified) table references in a parsed plan —
+    * candidates for the metadata-table surface. */
+  def referencedMeta(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Set[Seq[String]] =
+    plan.collect {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 2 =>
+        r.multipartIdentifier.map(_.toLowerCase(java.util.Locale.ROOT))
+    }.toSet
+
+  /** Spark type → Druid SQL's INFORMATION_SCHEMA type names. */
+  private def sqlTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType                 => "VARCHAR"
+      case LongType                   => "BIGINT"
+      case IntegerType | ShortType | ByteType => "INTEGER"
+      case DoubleType                 => "DOUBLE"
+      case FloatType                  => "FLOAT"
+      case BooleanType                => "BOOLEAN"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case DateType                   => "DATE"
+      case BinaryType                 => "COMPLEX"
+      case _: ArrayType               => "ARRAY"
+      case other                      => other.sql
+    }
+  }
+
+  /** Build a Druid SQL metadata table (`INFORMATION_SCHEMA.TABLES`,
+    * `INFORMATION_SCHEMA.COLUMNS`, `sys.segments`) from the server's
+    * routing state. `tables` maps queryable dataSource name → fresh frame
+    * (thunks — only COLUMNS materializes them, for schemas);
+    * `segmentStores` maps dataSource → segment-store directory (routed
+    * streaming stores + SQL-ingested stores) for `sys.segments`, whose
+    * `num_rows` recomputes from the store like Druid's published-segment
+    * accounting. Unknown two-part names return None — the caller leaves
+    * them to normal (failing) resolution, a loud error. */
+  def metaFrame(spark: org.apache.spark.sql.SparkSession, parts: Seq[String],
+      tables: Map[String, () => DataFrame],
+      segmentStores: => Map[String, String]): Option[DataFrame] = {
+    import spark.implicits._
+    parts match {
+      case Seq("information_schema", "tables") =>
+        Some(tables.keys.toSeq.sorted
+          .map(ds => ("druid", "druid", ds, "TABLE"))
+          .toDF("TABLE_CATALOG", "TABLE_SCHEMA", "TABLE_NAME", "TABLE_TYPE"))
+      case Seq("information_schema", "columns") =>
+        Some(tables.toSeq.sortBy(_._1).flatMap { case (ds, thunk) =>
+          thunk().schema.fields.zipWithIndex.map { case (f, i) =>
+            ("druid", "druid", ds, f.name, i + 1, sqlTypeName(f.dataType),
+              if (f.nullable) "YES" else "NO")
+          }
+        }.toDF("TABLE_CATALOG", "TABLE_SCHEMA", "TABLE_NAME", "COLUMN_NAME",
+          "ORDINAL_POSITION", "DATA_TYPE", "IS_NULLABLE"))
+      case Seq("sys", "segments") =>
+        import org.apache.spark.sql.functions._
+        val perStore = segmentStores.toSeq.sortBy(_._1).flatMap {
+          case (ds, root) =>
+            scala.util.Try {
+              graft.sink.SegmentStore.metadata(spark, root)
+                .select(col(graft.pipeline.Pipeline.SegmentCol).cast("string")
+                    .as("start"),
+                  col("rows").cast("long").as("num_rows"))
+                .withColumn("datasource", lit(ds))
+            }.toOption // empty/unreadable store ⇒ no published segments
+        }
+        val all = perStore.reduceOption(_.unionByName(_)).getOrElse(
+          Seq.empty[(String, Long, String)]
+            .toDF("start", "num_rows", "datasource"))
+        Some(all.select(
+          concat_ws("_", col("datasource"), col("start")).as("segment_id"),
+          col("datasource"), col("start"), col("num_rows"),
+          lit(1).as("is_published")))
+      case _ => None
+    }
   }
 
   // ------------------------------------------------------------- ingestion

@@ -47,12 +47,18 @@ import graft.streaming.IngestStream
   *   routes against `queryRoutes` like any SELECT, segments land under
   *   `<root>/<ds>`, and the reply is the per-segment task report.
   */
+/** @param storeRoots dataSource → segment-store directory for the routed
+  *   streaming stores — feeds `sys.segments` on the SQL endpoint (the
+  *   SQL-ingested stores under `sqlIngestRoot` are discovered there
+  *   dynamically).
+  */
 final class HttpIngestServer(
     spoolDir: String,
     attach: Option[IngestStream] = None,
     routes: Map[String, IngestStream] = Map.empty,
     queryRoutes: Map[String, () => org.apache.spark.sql.DataFrame] = Map.empty,
-    sqlIngestRoot: Option[String] = None) {
+    sqlIngestRoot: Option[String] = None,
+    storeRoots: Map[String, String] = Map.empty) {
 
   private val mapper = new ObjectMapper
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -176,20 +182,45 @@ final class HttpIngestServer(
     * rewrites only single-part names that resolve to routes; pick distinct
     * CTE names if both are needed).
     */
+  /** dataSources created by SQL ingestion (`INSERT INTO …`) — the
+    * sub-directories of `sqlIngestRoot`, discovered at query time so a
+    * dataSource written one request ago is SELECTable now
+    * (read-your-writes for the MSQ surface). */
+  private def sqlStoreDirs(): Map[String, String] =
+    sqlIngestRoot.toSeq.flatMap { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).filter(_.isDirectory)
+        .map(st => st.getPath.getName -> st.getPath.toString).toSeq
+    }.toMap
+
+  /** Queryable dataSources: explicit routes plus SQL-ingested stores
+    * (routes win a name collision — the namespaces are disjoint by
+    * construction, but a stream's rollup must never be shadowed). */
+  private def allQueryables(): Map[String, () => org.apache.spark.sql.DataFrame] =
+    sqlStoreDirs().map { case (ds, dir) =>
+      ds -> (() => org.apache.spark.sql.SparkSession.active.read.parquet(dir))
+    } ++ queryRoutes
+
   /** Drain + substitute only the dataSources a statement references
-    * (case-insensitive, like Spark identifier resolution). */
-  private def resolveFrames(referencedRaw: Set[String])
+    * (case-insensitive, like Spark identifier resolution). `allowEmpty` for
+    * statements that read only metadata tables. */
+  private def resolveFrames(referencedRaw: Set[String],
+      allowEmpty: Boolean = false)
       : Map[String, org.apache.spark.sql.DataFrame] = {
     val referenced = referencedRaw.map(_.toLowerCase(java.util.Locale.ROOT))
-    val frames = queryRoutes
+    val frames = allQueryables()
       .filter { case (ds, _) =>
         referenced(ds.toLowerCase(java.util.Locale.ROOT)) }
       .map { case (ds, thunk) =>
         routes.get(ds).foreach(_.activeQuery.foreach(_.processAllAvailable()))
         ds -> thunk()
       }
-    require(frames.nonEmpty, "query references no known dataSource " +
-      s"(queryable: ${queryRoutes.keys.toSeq.sorted.mkString(",")})")
+    require(frames.nonEmpty || allowEmpty,
+      "query references no known dataSource " +
+        s"(queryable: ${allQueryables().keys.toSeq.sorted.mkString(",")})")
     frames
   }
 
@@ -199,12 +230,24 @@ final class HttpIngestServer(
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val result = try {
         val root = mapper.readTree(body)
-        val sqlText = Option(root.get("query")).map(_.asText).getOrElse(
+        val sqlText0 = Option(root.get("query")).map(_.asText).getOrElse(
           throw new IllegalArgumentException("""body must be {"query": "<sql>"}"""))
         val cap = Option(root.get("context")).flatMap(c =>
           Option(c.get("maxQueryRows"))).map(_.asInt).getOrElse(10000)
         require(cap > 0, "context.maxQueryRows must be positive")
+        // Druid's plan-introspection statement: plan the inner query
+        // without running it, reply with the plan + touched dataSources
+        val explain = graft.queries.DruidSql.explainInner(sqlText0)
+        val spark = org.apache.spark.sql.SparkSession.active
+        // MSQ external input: TABLE(EXTERN(...)) references become
+        // `__extern_N` relations backed by file-reading frames
+        val (sqlText, externSpecs) =
+          graft.queries.DruidSql.extractExterns(explain.getOrElse(sqlText0))
+        lazy val externFrames = externSpecs.map { case (n, (a, b, c)) =>
+          n -> graft.queries.DruidSql.externFrame(spark, a, b, c) }.toMap
         if (graft.queries.DruidSql.isIngest(sqlText)) {
+          require(explain.isEmpty,
+            "EXPLAIN PLAN FOR is not supported for ingestion statements")
           // SQL ingestion statement (MSQ surface): route the INNER query's
           // dataSources, write segments under the configured store root,
           // reply with the per-segment task report
@@ -213,16 +256,40 @@ final class HttpIngestServer(
           val inner = graft.queries.DruidSql.ingestInnerQuery(sqlText).get
           val frames = resolveFrames(
             graft.queries.DruidSql.referencedTables(
-              graft.queries.DruidSql.parse(inner)))
+              graft.queries.DruidSql.parse(inner)),
+            allowEmpty = externSpecs.nonEmpty) ++ externFrames
           graft.queries.DruidSql.ingest(sqlText, frames, storeRoot)
             .toJSON.collect().mkString("[", ",", "]")
         } else {
         // parse ONCE; drain + substitute only the dataSources the statement
         // references (case-insensitive, like Spark identifier resolution)
         val plan = graft.queries.DruidSql.parse(sqlText)
-        val frames = resolveFrames(graft.queries.DruidSql.referencedTables(plan))
-        graft.queries.DruidSql.runPlan(plan, frames)
-          .limit(cap).toJSON.collect().mkString("[", ",", "]")
+        // metadata tables (INFORMATION_SCHEMA.*, sys.segments) — built only
+        // when referenced; unknown two-part names fall through to normal
+        // (failing) resolution
+        val metaFrames = graft.queries.DruidSql.referencedMeta(plan)
+          .flatMap(p => graft.queries.DruidSql
+            .metaFrame(spark, p, allQueryables(), storeRoots ++ sqlStoreDirs())
+            .map(p -> _)).toMap
+        val frames = resolveFrames(
+          graft.queries.DruidSql.referencedTables(plan)
+            .filterNot(_.startsWith("__extern_")),
+          allowEmpty = metaFrames.nonEmpty || externSpecs.nonEmpty) ++
+          externFrames
+        val df = graft.queries.DruidSql.runPlan(plan, frames, metaFrames)
+        explain match {
+          case Some(_) =>
+            val planStr = df
+              .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+              .queryExecution
+              .explainString(org.apache.spark.sql.execution.SimpleMode)
+            val resources = frames.keys.toSeq.sorted.map(ds =>
+              s"""{"name":${quote(ds)},"type":"DATASOURCE"}""")
+              .mkString("[", ",", "]")
+            s"""[{"PLAN":${quote(planStr)},"RESOURCES":$resources}]"""
+          case None =>
+            df.limit(cap).toJSON.collect().mkString("[", ",", "]")
+        }
         }
       } catch {
         case NonFatal(e) =>

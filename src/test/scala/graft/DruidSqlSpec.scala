@@ -543,4 +543,68 @@ class DruidSqlSpec extends SparkSpec {
         Map("events" -> events)).collect()
     }.getMessage.contains("alias"))
   }
+
+  // ------------------------------------------------------- TABLE(EXTERN)
+
+  test("extractExterns: rewrite, '' escapes, quote-awareness, arg count") {
+    val (rew, ex) = DruidSql.extractExterns(
+      """SELECT a FROM TABLE(EXTERN('{"type":"local","files":["/x''s.json"]}',
+        '{"type":"json"}', '[{"name":"a","type":"string"}]')) WHERE a = 'x'""")
+    assert(rew.contains("FROM __extern_0 WHERE"), rew)
+    assert(ex.size == 1)
+    val (name, (src, fmt, sig)) = ex.head
+    assert(name == "__extern_0")
+    assert(src == """{"type":"local","files":["/x's.json"]}""") // '' unescaped
+    assert(fmt == """{"type":"json"}""")
+    assert(sig == """[{"name":"a","type":"string"}]""")
+    // EXTERN inside a string literal is data, not syntax
+    val (same, none) = DruidSql.extractExterns(
+      "SELECT 'TABLE(EXTERN(x))' AS s FROM t")
+    assert(none.isEmpty && same == "SELECT 'TABLE(EXTERN(x))' AS s FROM t")
+    // wrong arg count is loud
+    assert(intercept[Exception] {
+      DruidSql.extractExterns("SELECT 1 FROM TABLE(EXTERN('a', 'b'))")
+    }.getMessage.contains("inputSource"))
+  }
+
+  test("EXTERN end-to-end: json + csv files through the parseSpec formats, " +
+      "malformed record → all-null row, non-local source rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-extern")
+    val json = dir.resolve("d.json")
+    java.nio.file.Files.writeString(json,
+      """{"w": "alpha", "n": 1}
+        |{"w": "beta", "n": 2}
+        |not json at all
+        |""".stripMargin)
+    val csv = dir.resolve("d.csv")
+    java.nio.file.Files.writeString(csv, "gamma,3\ndelta,4\n")
+    def q(file: String, fmt: String) =
+      s"""SELECT w, n FROM TABLE(EXTERN(
+           '{"type":"local","files":["$file"]}', '$fmt',
+           '[{"name":"w","type":"string"},{"name":"n","type":"long"}]'))"""
+    val j = DruidSql.runWithExterns(q(json.toString, """{"type":"json"}"""),
+      Map.empty, spark).collect()
+    assert(j.map(r => (r.getAs[String]("w"), r.get(1))).toSet ==
+      Set(("alpha", 1L), ("beta", 2L), (null, null))) // malformed → all-null
+    val c = DruidSql.runWithExterns(q(csv.toString, """{"type":"csv"}"""),
+      Map.empty, spark).collect()
+    assert(c.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("gamma", 3L), ("delta", 4L)))
+    // EXTERN composes with dataSources in one statement
+    val mixed = DruidSql.runWithExterns(
+      s"""SELECT e.user, x.n FROM events e
+          JOIN (SELECT w, n FROM TABLE(EXTERN(
+            '{"type":"local","files":["${csv.toString}"]}', '{"type":"csv"}',
+            '[{"name":"w","type":"string"},{"name":"n","type":"long"}]'))) x
+          ON e.value = CAST(x.n AS DOUBLE)""",
+      Map("events" -> events), spark).collect()
+    assert(mixed.length == 1 && mixed.head.getString(0) == "alice") // value=4.0
+    // zero-egress contract: remote inputSources are a loud error
+    assert(intercept[Exception] {
+      DruidSql.runWithExterns(
+        q("http://example.com/x.json", """{"type":"json"}""")
+          .replace(""""type":"local"""", """"type":"http""""),
+        Map.empty, spark).collect()
+    }.getMessage.contains("local"))
+  }
 }

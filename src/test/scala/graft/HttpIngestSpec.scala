@@ -293,6 +293,66 @@ class HttpIngestSpec extends SparkSpec {
       assert(segDirs != null &&
         segDirs.exists(_.getName.startsWith("segment=")), s"$tmp/sql_stores")
 
+      // MSQ external input over the socket: INSERT ... FROM TABLE(EXTERN)
+      // reads a local file through the parseSpec machinery, lands segments,
+      // and the new dataSource is immediately SELECTable
+      val extFile = java.nio.file.Files.createTempFile("graft-extern", ".json")
+      java.nio.file.Files.writeString(extFile,
+        """{"ts":"2024-03-02 10:00:00","page":"home"}
+          |{"ts":"2024-03-02 11:00:00","page":"docs"}
+          |""".stripMargin)
+      val (xc, xb) = post(handle.port, "/druid/v2/sql",
+        s"""{"query": "INSERT INTO ext_pages SELECT CAST(ts AS TIMESTAMP) AS __time, page FROM TABLE(EXTERN('{\\"type\\":\\"local\\",\\"files\\":[\\"${extFile.toString}\\"]}', '{\\"type\\":\\"json\\"}', '[{\\"name\\":\\"ts\\",\\"type\\":\\"string\\"},{\\"name\\":\\"page\\",\\"type\\":\\"string\\"}]')) PARTITIONED BY DAY"}""")
+      assert(xc == 200, xb)
+      assert(xb.contains("\"rows_published\":2"), xb)
+      val (xsc, xsb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT page FROM ext_pages ORDER BY page"}""")
+      assert(xsc == 200 &&
+        xsb == """[{"page":"docs"},{"page":"home"}]""", xsb)
+
+      // read-your-writes for SQL ingestion: the dataSource written one
+      // request ago is SELECTable now (resolved from the sql_stores
+      // namespace; no explicit route needed)
+      val (rc, rb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT etype, cnt FROM clicks_hourly ORDER BY etype"}""")
+      assert(rc == 200, rb)
+      // COUNT(*) over the finalized rollup view = one row per (hour, etype)
+      assert(rb == """[{"etype":"c","cnt":1},{"etype":"d","cnt":1}]""", rb)
+
+      // INFORMATION_SCHEMA.TABLES: routed dataSources + SQL-ingested ones
+      val (itc, itb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT TABLE_NAME FROM INFORMATION_SCHEMA.TABLES ORDER BY TABLE_NAME"}""")
+      assert(itc == 200, itb)
+      assert(itb.contains("clicks_ds") && itb.contains("views_ds") &&
+        itb.contains("clicks_hourly"), itb)
+
+      // INFORMATION_SCHEMA.COLUMNS: Druid SQL type names; joins against a
+      // dataSource work (meta + dataSource in one statement)
+      val (icc, icb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT COLUMN_NAME, DATA_TYPE FROM INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = 'clicks_ds' ORDER BY ORDINAL_POSITION"}""")
+      assert(icc == 200, icb)
+      assert(icb.contains("\"COLUMN_NAME\":\"__time\"") &&
+        icb.contains("\"DATA_TYPE\":\"TIMESTAMP\""), icb)
+      assert(icb.contains("\"COLUMN_NAME\":\"etype\"") &&
+        icb.contains("\"DATA_TYPE\":\"VARCHAR\""), icb)
+
+      // sys.segments: published segments of streaming AND SQL-ingested
+      // stores, num_rows recomputed from the store
+      val (ssc, ssb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT datasource, start, num_rows FROM sys.segments ORDER BY datasource, start"}""")
+      assert(ssc == 200, ssb)
+      assert(ssb.contains("\"datasource\":\"clicks_ds\""), ssb)
+      assert(ssb.contains("\"datasource\":\"clicks_hourly\"") &&
+        ssb.contains("\"num_rows\":2"), ssb)
+
+      // EXPLAIN PLAN FOR: plans without running, names touched dataSources
+      val (epc, epb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "EXPLAIN PLAN FOR SELECT etype, COUNT(*) FROM clicks_ds GROUP BY 1"}""")
+      assert(epc == 200, epb)
+      assert(epb.contains("\"PLAN\":") && epb.contains("Aggregate"), epb)
+      assert(epb.contains("\"name\":\"clicks_ds\"") &&
+        epb.contains("\"type\":\"DATASOURCE\""), epb)
+
       // GET /status: per-dataSource cumulative counters
       val (stc, stb) = get(handle.port, "/status")
       assert(stc == 200, stb)
