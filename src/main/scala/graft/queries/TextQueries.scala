@@ -1004,6 +1004,37 @@ object TextQueries {
             GROUP BY 1"""),
     headline = true),
 
+    // -- BPE pair counting (r5, Sennrich et al. 2016 — one merge round of
+    // byte-pair encoding, the inner loop of tokenizer TRAINING): adjacent
+    // character-pair counts weighted by corpus word frequency. The BPE
+    // trick IS the scale shape: the corpus collapses to a vocabulary-sized
+    // word-frequency table first (one explode + groupBy), and the pair
+    // explosion runs over the VOCABULARY (≤ tens of thousands of rows at
+    // any corpus size), never the corpus. Top-20 by (count desc, pair asc)
+    // — exact integers, LIMIT under a total order -------------------------
+    QueryDef("bpe_pair_counts", (s, dir) => {
+      val words = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .filter(length(col("word")) >= 2)
+      words
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).cast(LongType).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(20)
+    },
+    Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+              f AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+              p AS (SELECT freq, unnest(list_transform(
+                      range(1, length(word)),
+                      i -> substr(word, i, 2))) AS pair
+                    FROM f WHERE length(word) >= 2)
+            SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM p GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 20""")),
+
     // -- CCNet-style perplexity BUCKETS (r5, Wenzek et al. 2020): rank docs
     // per language by an LM-quality proxy and split into head/middle/tail
     // tertiles (CCNet keeps head+middle, drops tail). The proxy is the mean

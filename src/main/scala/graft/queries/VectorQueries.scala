@@ -415,6 +415,51 @@ object VectorQueries {
       } finally idx.close()
     }, None),
 
+    // -- HARD-NEGATIVE mining (r5, contrastive-training staple): for each
+    // anchor vector, the top-3 most-similar vectors with a DIFFERENT label
+    // — the negatives a triplet/InfoNCE trainer wants. Anchor side bounded
+    // (broadcast); candidate side is the full corpus. Ranking is
+    // deterministic: the cosine is the same left-associated double fold on
+    // both engines (CosineSimilarity scaladoc) and vec_id breaks exact
+    // ties. Scale shape: anchors broadcast against the candidate scan, one
+    // per-anchor top-k (window over the anchor key) — at 100 TB the
+    // candidate side stays distributed and the shuffle carries only
+    // (anchor, candidate, cos) rows that survive a per-partition
+    // pre-truncation; the ANN-index variants (ann_ivf/pq) are the
+    // approximate route when the anchor set itself is large --------------
+    QueryDef("hard_negative_mining", (s, dir) => {
+      GraftFunctions.register(s)
+      val e = Tables.t(s, dir, "embeddings")
+      val anchors = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+          col("embedding").as("av"))
+      val joined = e.select(col("vec_id").as("neg_id"), col("label"),
+          col("embedding").as("nv"))
+        .join(broadcast(anchors), col("label") =!= col("anchor_label"))
+        .withColumn("cos_raw", CosineSimilarity(col("av"), col("nv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("anchor_id"))
+        .orderBy(col("cos_raw").desc, col("neg_id").asc)
+      joined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("anchor_id"), col("rank"), col("neg_id"),
+          round(col("cos_raw"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+                          embedding AS av
+                        FROM embeddings WHERE vec_id < 10),
+              p AS (SELECT a.anchor_id, e.vec_id AS neg_id,
+                      (${dotSql("a.av", "e.embedding")}) /
+                        (sqrt((${dotSql("a.av", "a.av")})) *
+                         sqrt((${dotSql("e.embedding", "e.embedding")}))) AS c
+                    FROM a JOIN embeddings e ON e.label <> a.anchor_label),
+              r AS (SELECT anchor_id, neg_id, c,
+                      row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY c DESC, neg_id ASC) AS rank
+                    FROM p)
+            SELECT anchor_id, rank, neg_id, round(c, 6) AS cos_sim
+            FROM r WHERE rank <= 3""")),
+
     QueryDef("semantic_dedup_ivf", (s, dir) => {
       GraftFunctions.register(s)
       val e = Tables.t(s, dir, "embeddings")
