@@ -33,9 +33,17 @@ final case class SpatialDimension(dimName: String, dims: Seq[String])
 sealed trait DimensionsSpec {
   def spatialDimensions: Seq[SpatialDimension]
 }
+/** @param multiValueHandling per-dimension Druid DimensionSchema
+  *   multiValueHandling: SORTED_ARRAY (Druid's default — sorted, keeps
+  *   duplicates) | SORTED_SET (sorted distinct) | ARRAY (as ingested)
+  * @param dimTypes per-dimension declared type (Druid's typed dimension
+  *   schemas: string/long/float/double) — cast at projection
+  */
 final case class SpecificDimensions(
     dimensions: Seq[String],
-    spatialDimensions: Seq[SpatialDimension] = Nil) extends DimensionsSpec
+    spatialDimensions: Seq[SpatialDimension] = Nil,
+    multiValueHandling: Map[String, String] = Map.empty,
+    dimTypes: Map[String, String] = Map.empty) extends DimensionsSpec
 final case class SchemalessDimensions(
     dimensionExclusions: Seq[String] = Nil,
     spatialDimensions: Seq[SpatialDimension] = Nil) extends DimensionsSpec
@@ -243,8 +251,9 @@ final case class IngestionSpec(
   def validate(): this.type = {
     val aggNames = dataSchema.aggregators.map(_.name)
     val dimNames = dataSchema.dimensionsSpec match {
-      case SpecificDimensions(dims, spatial) => dims ++ spatial.map(_.dimName)
-      case SchemalessDimensions(_, spatial)  => spatial.map(_.dimName)
+      case sd: SpecificDimensions =>
+        sd.dimensions ++ sd.spatialDimensions.map(_.dimName)
+      case SchemalessDimensions(_, spatial) => spatial.map(_.dimName)
     }
     val all = (aggNames ++ dimNames) :+ dataSchema.timestampSpec.column
     val dups = all.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }

@@ -65,7 +65,25 @@ object SpecLoader {
         }
       opt(d, "dimensions").filter(x => x.isArray && x.size > 0) match {
         case Some(dims) =>
-          SpecificDimensions(dims.elements.asScala.map(_.asText).toSeq, spatial)
+          // entries are plain strings or Druid DimensionSchema objects:
+          // {"name": …, "type": string|long|float|double,
+          //  "multiValueHandling": SORTED_ARRAY|SORTED_SET|ARRAY}
+          val entries = dims.elements.asScala.toSeq.map { e =>
+            if (e.isTextual) (e.asText, scala.None, scala.None)
+            else {
+              val nm = str(e, "name", "")
+              require(nm.nonEmpty, s"dimension entry needs a name: $e")
+              (nm,
+                opt(e, "type").map(_.asText.toLowerCase(java.util.Locale.ROOT)),
+                opt(e, "multiValueHandling")
+                  .map(_.asText.toUpperCase(java.util.Locale.ROOT)))
+            }
+          }
+          SpecificDimensions(entries.map(_._1), spatial,
+            multiValueHandling = entries.collect {
+              case (n, _, Some(h)) => n -> h }.toMap,
+            dimTypes = entries.collect {
+              case (n, Some(t), _) if t != "string" => n -> t }.toMap)
         case scala.None =>
           val excl = opt(d, "dimensionExclusions").toSeq
             .flatMap(_.elements.asScala).map(_.asText)

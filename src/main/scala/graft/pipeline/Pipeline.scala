@@ -142,14 +142,33 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
     }
     val dims: Seq[Column] = schema.dimensionsSpec match {
       // multi-value string dims (Druid ArrayType mapping — SURVEY §1.3):
-      // normalized to sorted distinct values at ingest, Druid's default
-      // SORTED_ARRAY multi-value handling, so rollup groups by the SET of
-      // values; per-value groupBy semantics = [[explodeMultiValueDim]]
-      case SpecificDimensions(names, _) => names.map { n =>
-        df.schema.fields.find(_.name == n).map(_.dataType) match {
-          case Some(ArrayType(_, _)) => array_sort(array_distinct(col(n))).as(n)
-          case _                     => col(n)
+      // normalized at ingest per the dimension's multiValueHandling
+      // (Druid DimensionSchema): SORTED_ARRAY (Druid's default — sorted,
+      // duplicates kept), SORTED_SET (sorted distinct), ARRAY (as
+      // ingested). Rollup then groups by the normalized array; per-value
+      // groupBy semantics = [[explodeMultiValueDim]]. Typed dimension
+      // schemas (long/float/double) cast at projection.
+      case sd: SpecificDimensions => sd.dimensions.map { n =>
+        val base = df.schema.fields.find(_.name == n).map(_.dataType) match {
+          case Some(ArrayType(_, _)) =>
+            sd.multiValueHandling.getOrElse(n, "SORTED_ARRAY") match {
+              case "SORTED_ARRAY" => array_sort(col(n))
+              case "SORTED_SET"   => array_sort(array_distinct(col(n)))
+              case "ARRAY"        => col(n)
+              case other => throw new IllegalArgumentException(
+                s"multiValueHandling '$other' for dimension '$n' " +
+                  "(SORTED_ARRAY/SORTED_SET/ARRAY)")
+            }
+          case _ => col(n)
         }
+        (sd.dimTypes.get(n) match {
+          case Some("long")   => base.cast(org.apache.spark.sql.types.LongType)
+          case Some("float")  => base.cast(org.apache.spark.sql.types.FloatType)
+          case Some("double") => base.cast(org.apache.spark.sql.types.DoubleType)
+          case Some("string") | scala.None => base
+          case Some(other) => throw new IllegalArgumentException(
+            s"dimension type '$other' for '$n' (string/long/float/double)")
+        }).as(n)
       }
       case SchemalessDimensions(excl, spatialDims) =>
         val reserved = (excl ++ aggInputs ++ schema.aggregators.map(_.name) ++
@@ -160,8 +179,8 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
     // an aggregator input that is ALSO a declared dimension must not be
     // selected twice (AMBIGUOUS_REFERENCE in the downstream groupBy)
     val dimNamesSelected = schema.dimensionsSpec match {
-      case SpecificDimensions(names, _) => names.toSet
-      case _                            => Set.empty[String]
+      case sd: SpecificDimensions => sd.dimensions.toSet
+      case _                      => Set.empty[String]
     }
     val metricCols = aggInputs
       .filterNot(dimNamesSelected.contains)
@@ -184,7 +203,7 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
   def projectMapPayload(df: DataFrame, mapColumn: String): DataFrame = {
     val excl = schema.dimensionsSpec match {
       case SchemalessDimensions(e, _) => e
-      case SpecificDimensions(d, _)   => Nil
+      case _: SpecificDimensions      => Nil
     }
     val exclArr = array((excl ++ schema.aggregators.map(_.name)).map(lit): _*)
     df.withColumn(mapColumn,
@@ -243,7 +262,8 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
   def dimensionNames(df: DataFrame): Seq[String] = {
     val spatial = schema.dimensionsSpec.spatialDimensions.map(_.dimName)
     schema.dimensionsSpec match {
-      case SpecificDimensions(names, _) => (names ++ spatial).filter(df.columns.contains)
+      case sd: SpecificDimensions =>
+        (sd.dimensions ++ spatial).filter(df.columns.contains)
       case SchemalessDimensions(_, _) =>
         val aggInputs = schema.aggregators.flatMap(Aggregators.inputFields).toSet
         val reserved = aggInputs ++ schema.aggregators.map(_.name) +

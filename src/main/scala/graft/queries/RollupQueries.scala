@@ -445,7 +445,11 @@ object RollupQueries {
       val ev = Tables.t(s, dir, "events").withColumn("tags",
         array(col("event_type"), concat(lit("u"), col("user_id") % 3), col("event_type")))
       val spec = IngestionSpec(DataSchema("events",
-        TimestampSpec("ts"), SpecificDimensions(Seq("tags")),
+        TimestampSpec("ts"),
+        // SET semantics pinned explicitly (the engine default is Druid's
+        // SORTED_ARRAY, which keeps duplicates — see multivalue_dim_handling)
+        SpecificDimensions(Seq("tags"),
+          multiValueHandling = Map("tags" -> "SORTED_SET")),
         Seq(AggregatorSpec("count", "cnt"),
           AggregatorSpec("doubleSum", "sum_value", Some("value"))),
         GranularitySpec(Granularity.All, Granularity.All)))
@@ -465,7 +469,8 @@ object RollupQueries {
       val ev = Tables.t(s, dir, "events").withColumn("tags",
         array(col("event_type"), concat(lit("u"), col("user_id") % 3), col("event_type")))
       val spec = IngestionSpec(DataSchema("events",
-        TimestampSpec("ts"), SpecificDimensions(Seq("tags")),
+        TimestampSpec("ts"), SpecificDimensions(Seq("tags"),
+          multiValueHandling = Map("tags" -> "SORTED_SET")),
         Seq(AggregatorSpec("count", "cnt")),
         GranularitySpec(Granularity.All, Granularity.All)))
       val p = new Pipeline(spec)
@@ -476,6 +481,51 @@ object RollupQueries {
               [event_type, 'u' || CAST(user_id % 3 AS VARCHAR), event_type])) AS tag
             FROM events)
             SELECT tag, count(*) AS cnt FROM exploded GROUP BY 1""")),
+
+    // -- multiValueHandling modes + typed dimension schemas (r5, Druid
+    // DimensionSchema): the SAME source array projected under SORTED_ARRAY
+    // (Druid's default — sorted, duplicates kept), SORTED_SET (sorted
+    // distinct) and ARRAY (as ingested), plus a long-typed dimension —
+    // declared in spec JSON with OBJECT-form dimension entries, so the
+    // loader's DimensionSchema parse is oracle-gated too ------------------
+    QueryDef("multivalue_dim_handling", (s, dir) => {
+      val json =
+        """{"dataSchema": {"dataSource": "events",
+             "parser": {"parseSpec": {
+               "timestampSpec": {"column": "ts", "format": "auto"},
+               "dimensionsSpec": {"dimensions": [
+                 {"name": "tags_sa", "multiValueHandling": "SORTED_ARRAY"},
+                 {"name": "tags_ss", "multiValueHandling": "SORTED_SET"},
+                 {"name": "tags_ar", "multiValueHandling": "ARRAY"},
+                 {"name": "uid_bucket", "type": "long"}]}}},
+             "transformSpec": {"transforms": [
+               {"type": "expression", "name": "tags_sa",
+                "expression": "array(event_type, concat('u', cast(user_id % 3 as string)), event_type)"},
+               {"type": "expression", "name": "tags_ss",
+                "expression": "array(event_type, concat('u', cast(user_id % 3 as string)), event_type)"},
+               {"type": "expression", "name": "tags_ar",
+                "expression": "array(concat('u', cast(user_id % 3 as string)), event_type)"},
+               {"type": "expression", "name": "uid_bucket",
+                "expression": "cast(user_id % 5 as string)"}]},
+             "metricsSpec": [{"type": "count", "name": "cnt"}],
+             "granularitySpec": {"segmentGranularity": "ALL", "queryGranularity": "ALL"}}}"""
+      val p = new Pipeline(SpecLoaderRef.load(json))
+      p.rollup(p.project(p.extractTimestamp(Tables.t(s, dir, "events"))))
+        .select(array_join(col("tags_sa"), ",").as("tags_sa"),
+          array_join(col("tags_ss"), ",").as("tags_ss"),
+          array_join(col("tags_ar"), ",").as("tags_ar"),
+          col("uid_bucket"), col("cnt"))
+    },
+    Some("""SELECT
+              array_to_string(list_sort([event_type,
+                'u' || CAST(user_id % 3 AS VARCHAR), event_type]), ',') AS tags_sa,
+              array_to_string(list_sort(list_distinct([event_type,
+                'u' || CAST(user_id % 3 AS VARCHAR), event_type])), ',') AS tags_ss,
+              array_to_string(['u' || CAST(user_id % 3 AS VARCHAR), event_type],
+                ',') AS tags_ar,
+              CAST(user_id % 5 AS BIGINT) AS uid_bucket,
+              count(*) AS cnt
+            FROM events GROUP BY 1, 2, 3, 4""")),
 
     // -- streaming replay: events as a file stream → IngestStream micro-batch
     // rollup → SegmentStore merge — and the ORACLE is the plain batch SQL:

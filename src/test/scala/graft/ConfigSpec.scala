@@ -33,9 +33,10 @@ class ConfigSpec extends AnyFunSuite {
     assert(spec.dataSchema.dataSource == "wiki")
     assert(spec.dataSchema.timestampSpec == TimestampSpec("t", "posix", Some("2024-01-01")))
     spec.dataSchema.dimensionsSpec match {
-      case SpecificDimensions(dims, spatial) =>
-        assert(dims == Seq("page", "user"))
-        assert(spatial == Seq(SpatialDimension("coord", Seq("lat", "lon"))))
+      case sd: SpecificDimensions =>
+        assert(sd.dimensions == Seq("page", "user"))
+        assert(sd.spatialDimensions ==
+          Seq(SpatialDimension("coord", Seq("lat", "lon"))))
       case other => fail(s"wrong dims: $other")
     }
     assert(spec.dataSchema.aggregators.map(_.aggType) == Seq("count", "doubleSum", "filtered"))
@@ -401,6 +402,33 @@ class ConfigSpec extends AnyFunSuite {
       SchemalessDimensions(Seq("cnt")),
       Seq(AggregatorSpec("count", "cnt"))))
     intercept[IllegalArgumentException](bad.validate())
+  }
+
+  test("object-form dimension entries: multiValueHandling + typed dims parse; " +
+      "bad values are loud at projection") {
+    val spec = SpecLoader.fromJson(
+      """{"dataSchema": {"dataSource": "d",
+           "parser": {"parseSpec": {
+             "timestampSpec": {"column": "ts", "format": "auto"},
+             "dimensionsSpec": {"dimensions": [
+               "plain",
+               {"name": "tags", "multiValueHandling": "sorted_set"},
+               {"name": "uid", "type": "LONG"}]}}},
+           "metricsSpec": [{"type": "count", "name": "cnt"}]}}""")
+    val sd = spec.dataSchema.dimensionsSpec
+      .asInstanceOf[graft.config.SpecificDimensions]
+    assert(sd.dimensions == Seq("plain", "tags", "uid"))
+    assert(sd.multiValueHandling == Map("tags" -> "SORTED_SET")) // case-normalized
+    assert(sd.dimTypes == Map("uid" -> "long"))
+    // nameless object entry rejected at LOAD
+    assert(intercept[IllegalArgumentException] {
+      SpecLoader.fromJson(
+        """{"dataSchema": {"dataSource": "d",
+             "parser": {"parseSpec": {
+               "timestampSpec": {"column": "ts", "format": "auto"},
+               "dimensionsSpec": {"dimensions": [{"type": "string"}]}}},
+             "metricsSpec": []}}""")
+    }.getMessage.contains("name"))
   }
 
   test("defaults mirror the reference (ClusteredBeamTuning/Tranquilizer)") {

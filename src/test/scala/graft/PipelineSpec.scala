@@ -252,4 +252,31 @@ class PipelineSpec extends SparkSpec {
     assert(out.columns.contains(Pipeline.SegmentCol))
     assert(out.count() == 1)
   }
+
+  test("multiValueHandling modes + typed dims; bad values loud at projection") {
+    val df = Seq(("2024-01-01 00:00:00", Seq("b", "a", "b"), "7"))
+      .toDF("ts", "tags", "uid")
+    def proj(handling: String, tpe: String = "long") = {
+      val p = new Pipeline(IngestionSpec(DataSchema("d",
+        TimestampSpec("ts"),
+        SpecificDimensions(Seq("tags", "uid"),
+          multiValueHandling = Map("tags" -> handling),
+          dimTypes = Map("uid" -> tpe)),
+        Seq(AggregatorSpec("count", "cnt")))))
+      p.project(p.extractTimestamp(df))
+    }
+    def tags(h: String): Seq[String] =
+      proj(h).head().getAs[scala.collection.Seq[String]]("tags").toSeq
+    assert(tags("SORTED_ARRAY") == Seq("a", "b", "b")) // Druid default: dups kept
+    assert(tags("SORTED_SET") == Seq("a", "b"))
+    assert(tags("ARRAY") == Seq("b", "a", "b"))
+    // typed dim: the string column projects as LONG
+    assert(proj("ARRAY").schema("uid").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(proj("ARRAY").head().getAs[Long]("uid") == 7L)
+    assert(intercept[IllegalArgumentException](proj("SHUFFLED").collect())
+      .getMessage.contains("SHUFFLED"))
+    assert(intercept[IllegalArgumentException](proj("ARRAY", "decimal").collect())
+      .getMessage.contains("decimal"))
+  }
 }
