@@ -575,6 +575,17 @@ object DruidSqlFunctions {
       ex(when(count(arr) > 0, flatten(collect_list(arr))))
     }),
 
+    // Druid's approxHistogram-backed APPROX_QUANTILE (the non-DataSketches
+    // form): Spark's percentile_approx underneath; `resolution` maps to
+    // accuracy (Druid default 50 buckets ≈ the builtin default here)
+    fn("approx_quantile", args => {
+      arity(args, "approx_quantile(col, prob[, resolution])", 2, 3)
+      val prob = doubleLit(args(1), "approx_quantile prob")
+      require(prob >= 0.0 && prob <= 1.0, s"prob must be in [0,1], got $prob")
+      val acc = if (args.length == 3) intLit(args(2), "resolution") else 10000
+      ex(percentile_approx(asCol(args(0)).cast("double"), lit(prob), lit(acc)))
+    }),
+
     fn("approx_quantile_ds", args => {
       arity(args, "approx_quantile_ds(col, prob[, k])", 2, 3)
       val prob = doubleLit(args(1), "approx_quantile_ds prob")

@@ -45,8 +45,10 @@ object GraftFunctions {
         //  - above the threshold, a broadcast-HashMap probe (LookupValue):
         //    a 1M-entry CreateMap would bloat the plan tree and every task
         //    binary by megabytes and probe O(n) per row.
-        // Missing key → null either way, like upstream.
-        require(args.length == 2, "lookup(expr, 'name') takes 2 arguments")
+        // Missing key → null either way, like upstream; the optional third
+        // argument is Druid 24+'s replaceMissingValueWith literal.
+        require(args.length == 2 || args.length == 3,
+          "lookup(expr, 'name'[, 'replaceMissingValueWith']) takes 2 or 3 arguments")
         val name = args(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
               if s != null => s.toString
@@ -57,9 +59,9 @@ object GraftFunctions {
           throw new IllegalArgumentException(
             s"lookup '$name' is not registered " +
               s"(registered: ${graft.queries.Lookups.names.mkString(",")})"))
-        import org.apache.spark.sql.catalyst.expressions.{Cast, CreateMap, ElementAt, Literal}
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, CreateMap, ElementAt, Literal}
         val key = Cast(args(0), org.apache.spark.sql.types.StringType)
-        if (mapping.size > LookupInlineThreshold) {
+        val looked = if (mapping.size > LookupInlineThreshold) {
           val spark = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
             throw new IllegalStateException("lookup() needs an active SparkSession"))
           val (version, bc) = graft.queries.Lookups.broadcastFor(spark, name)
@@ -68,6 +70,12 @@ object GraftFunctions {
           val entries = mapping.toSeq.sortBy { case (k, _) => k }
             .flatMap { case (k, v) => Seq(Literal(k), Literal(v)) }
           ElementAt(CreateMap(entries), key, scala.None, failOnError = false)
+        }
+        if (args.length == 2) looked
+        else args(2) match {
+          case lit @ Literal(s, _) if s != null => Coalesce(Seq(looked, lit))
+          case other => throw new IllegalArgumentException(
+            s"lookup replaceMissingValueWith must be a non-null literal, got $other")
         }
       }),
     (new FunctionIdentifier("adc_distance"),

@@ -544,6 +544,20 @@ class DruidSqlSpec extends SparkSpec {
     }.getMessage.contains("alias"))
   }
 
+  test("APPROX_QUANTILE: builtin-histogram form, exact in the high-accuracy " +
+      "regime; bad prob rejected") {
+    // 5 values 1,2,4,8,16 — accuracy ≫ n makes the GK sketch exact:
+    // percentile_approx picks the smallest value at rank ≥ ceil(p·n)
+    val r = sql1(
+      """SELECT APPROX_QUANTILE(value, 0.5) AS p50,
+                APPROX_QUANTILE(value, 1.0, 1000) AS p100
+         FROM events""")
+    assert(r.getDouble(0) == 4.0 && r.getDouble(1) == 16.0)
+    assert(intercept[Exception] {
+      sql1("SELECT APPROX_QUANTILE(value, 1.5) FROM events")
+    }.getMessage.contains("[0,1]"))
+  }
+
   // ------------------------------------------------------- TABLE(EXTERN)
 
   test("extractExterns: rewrite, '' escapes, quote-awareness, arg count") {

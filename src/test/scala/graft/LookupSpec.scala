@@ -74,4 +74,23 @@ class LookupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not registered"))
   }
+
+  test("3-arg LOOKUP: replaceMissingValueWith on miss, value on hit") {
+    graft.functions.GraftFunctions.register(spark)
+    Lookups.register("rm_lk", Map("a" -> "A"))
+    try {
+      val out = Seq("a", "zzz").toDF("k")
+        .selectExpr("lookup(k, 'rm_lk', 'MISSING') AS v")
+        .collect().map(_.getString(0)).toSeq
+      assert(out == Seq("A", "MISSING"))
+      // 2-arg form still yields null on miss
+      val n = Seq("zzz").toDF("k").selectExpr("lookup(k, 'rm_lk') AS v")
+        .head().isNullAt(0)
+      assert(n)
+      // non-literal replacement is loud
+      assert(intercept[Exception] {
+        Seq("a").toDF("k").selectExpr("lookup(k, 'rm_lk', k)").collect()
+      }.getMessage.contains("literal"))
+    } finally Lookups.unregister("rm_lk")
+  }
 }
