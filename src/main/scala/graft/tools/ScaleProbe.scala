@@ -55,7 +55,13 @@ object ScaleProbe {
     }
     val genSec = (System.nanoTime() - t0) / 1e9
 
-    val qs = graft.SparkEntry.headlines
+    // 3rd arg: comma-separated query names (default: the bench headliners)
+    val qs = args.lift(2) match {
+      case Some(names) =>
+        val want = names.split(",").toSet
+        graft.SparkEntry.registry.filter(q => want(q.name))
+      case scala.None => graft.SparkEntry.headlines
+    }
     qs.foreach(q => try q.run(spark, out).count() catch { case _: Throwable => () })
     val results = qs.map { q =>
       val s0 = System.nanoTime()
