@@ -48,6 +48,56 @@ object MultimodalQueries {
     },
     Some("""SELECT doc_id,
              CAST((strlen(text) // 1000) // 4 + 1 AS BIGINT) AS sampled_frames
+            FROM documents""")),
+
+    // -- resize planning (r5): aspect-preserving fit-to-224 geometry from
+    // stub-decoded headers — all-integer arithmetic, so the whole plan
+    // (not just counts) hash-checks against DuckDB ------------------------
+    QueryDef("multimodal_resize_plan", (s, dir) => {
+      val raw = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      MultimodalFunctions.resizePlan(s, raw, maxSide = 224)
+    },
+    Some("""WITH dims AS (SELECT doc_id,
+                   100 + strlen(text) % 1000 AS src_w,
+                   100 + (ascii(substr(text, 1, 1)) * 3) % 500 AS src_h
+                 FROM documents)
+            SELECT doc_id, CAST(src_w AS INT) AS src_w, CAST(src_h AS INT) AS src_h,
+                   CAST(CASE WHEN src_w >= src_h THEN 224
+                        ELSE greatest(1, (src_w * 224) // src_h) END AS INT) AS out_w,
+                   CAST(CASE WHEN src_w >= src_h
+                        THEN greatest(1, (src_h * 224) // src_w)
+                        ELSE 224 END AS INT) AS out_h
+            FROM dims""")),
+
+    // -- audio framing (r5): the ASR front-end window count (25 ms windows,
+    // 10 ms hop, 16 kHz, 16-bit samples) — exact integer arithmetic -------
+    QueryDef("multimodal_audio_frames", (s, dir) => {
+      val raw = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      MultimodalFunctions.audioFrames(s, raw)
+    },
+    Some("""SELECT doc_id,
+             CAST(strlen(text) // 2 AS BIGINT) AS n_samples,
+             CAST(CASE WHEN strlen(text) // 2 >= 400
+                  THEN (strlen(text) // 2 - 400) // 160 + 1
+                  ELSE 0 END AS BIGINT) AS n_frames
+            FROM documents""")),
+
+    // -- batched embedding (r5, the CLIP-encoder batch shape): per-row
+    // integer feature norms oracle-check; batch composition is
+    // partitioning-dependent and spec-checked instead (MultimodalSpec) ----
+    QueryDef("multimodal_embed_batches", (s, dir) => {
+      val raw = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      MultimodalFunctions.embedBatches(s, raw, batchSize = 32)
+        .select(col("doc_id"), col("norm_sq"))
+    },
+    Some("""SELECT doc_id,
+             CAST((strlen(text) % 97) * (strlen(text) % 97)
+               + (ascii(substr(text, 1, 1)) % 31) * (ascii(substr(text, 1, 1)) % 31)
+               + ((strlen(text) // 1000 + 1) % 13) * ((strlen(text) // 1000 + 1) % 13)
+               + (strlen(text) % 7) * (strlen(text) % 7) AS BIGINT) AS norm_sq
             FROM documents"""))
   )
 }

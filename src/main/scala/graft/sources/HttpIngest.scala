@@ -288,7 +288,9 @@ final class HttpIngestServer(
               .mkString("[", ",", "]")
             s"""[{"PLAN":${quote(planStr)},"RESOURCES":$resources}]"""
           case None =>
-            df.limit(cap).toJSON.collect().mkString("[", ",", "]")
+            renderSqlResult(df.limit(cap),
+              Option(root.get("resultFormat")).map(_.asText).getOrElse("object"),
+              Option(root.get("header")).exists(_.asBoolean))
         }
         }
       } catch {
@@ -299,6 +301,54 @@ final class HttpIngestServer(
     } catch {
       case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
+
+  /** Druid SQL `resultFormat` rendering: `object` (default — JSON array of
+    * row objects), `objectLines` (NDJSON), `array`/`arrayLines` (positional
+    * value arrays; `header:true` prepends the column-name row), `csv`
+    * (RFC-ish quoting, header row when asked, null → empty field — the
+    * Druid convention). Positional formats re-read the object rows so every
+    * value keeps the exact JSON rendering `toJSON` produced (timestamps
+    * ISO, numbers unquoted); fields `toJSON` omitted (nulls) become
+    * explicit JSON nulls — positional output cannot skip columns. */
+  private def renderSqlResult(df: org.apache.spark.sql.DataFrame,
+      format: String, header: Boolean): String = {
+    val objRows = df.toJSON.collect()
+    def positional: Seq[Seq[com.fasterxml.jackson.databind.JsonNode]] = {
+      val cols = df.columns.toSeq
+      objRows.toSeq.map { r =>
+        val n = mapper.readTree(r)
+        cols.map(c => Option(n.get(c)).getOrElse(
+          com.fasterxml.jackson.databind.node.NullNode.getInstance()))
+      }
+    }
+    def arrayRows: Seq[String] = {
+      val data = positional.map(_.map(_.toString).mkString("[", ",", "]"))
+      if (header)
+        df.columns.map(quote).mkString("[", ",", "]") +: data
+      else data
+    }
+    format match {
+      case "object"      => objRows.mkString("[", ",", "]")
+      case "objectLines" => objRows.mkString("\n")
+      case "array"       => arrayRows.mkString("[", ",", "]")
+      case "arrayLines"  => arrayRows.mkString("\n")
+      case "csv" =>
+        def field(n: com.fasterxml.jackson.databind.JsonNode): String =
+          if (n.isNull) ""
+          else {
+            val s = if (n.isTextual) n.asText else n.toString
+            if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+              "\"" + s.replace("\"", "\"\"") + "\""
+            else s
+          }
+        val data = positional.map(_.map(field).mkString(","))
+        val rows = if (header) df.columns.mkString(",") +: data else data
+        rows.mkString("\n")
+      case other => throw new IllegalArgumentException(
+        s"unsupported resultFormat '$other' " +
+          "(object/objectLines/array/arrayLines/csv)")
+    }
+  }
 
   /** Health/metrics endpoint (`GET /status`): per-dataSource cumulative
     * engine counters — the same received/sent/dropped invariant the sync

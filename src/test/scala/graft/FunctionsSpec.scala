@@ -438,6 +438,43 @@ class FunctionsSpec extends SparkSpec {
     assert(frames == 2) // frames 0 and 2
   }
 
+  test("multimodal batched embedding: batch sizes bounded, rows preserved, " +
+      "features partition-independent; resize plan + audio framing edges") {
+    val docs = (1L to 100L).map(i => (i, "y" * (i.toInt * 37 % 911)))
+    val df = docs.toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val out = MultimodalFunctions.embedBatches(spark, df.repartition(7), 32)
+      .as[MultimodalFunctions.EmbeddedAsset].collect()
+    assert(out.length == 100) // row multiset preserved
+    assert(out.map(_.doc_id).sorted.toSeq == (1L to 100L))
+    assert(out.forall(e => e.batch_size >= 1 && e.batch_size <= 32))
+    // per-row features do NOT depend on partitioning / batch composition
+    val single = MultimodalFunctions.embedBatches(spark, df.coalesce(1), 32)
+      .as[MultimodalFunctions.EmbeddedAsset].collect()
+      .map(e => e.doc_id -> e.norm_sq).toMap
+    assert(out.forall(e => single(e.doc_id) == e.norm_sq))
+    // a single-partition run packs full batches (the forward-pass shape)
+    assert(MultimodalFunctions.embedBatches(spark, df.coalesce(1), 32)
+      .as[MultimodalFunctions.EmbeddedAsset].collect()
+      .count(_.batch_size == 32) >= 96)
+
+    // resize plan: landscape pins width, portrait pins height, min side 1
+    val rp = MultimodalFunctions.resizePlan(spark, df, maxSide = 224)
+      .as[MultimodalFunctions.ResizePlan].collect()
+    assert(rp.forall(p => math.max(p.out_w, p.out_h) == 224))
+    assert(rp.forall(p => p.out_w >= 1 && p.out_h >= 1))
+    assert(rp.forall(p => (p.src_w >= p.src_h) == (p.out_w == 224)))
+
+    // audio framing: below one window → 0 frames; exactly one window → 1
+    val tiny = Seq((1L, "z" * 798), (2L, "z" * 800), (3L, "z" * 801))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val af = MultimodalFunctions.audioFrames(spark, tiny)
+      .as[MultimodalFunctions.AudioFrames].collect()
+      .map(a => a.doc_id -> a.n_frames).toMap
+    assert(af == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("bloom sketch: no false negatives, bounded false positives, mergeable") {
     GraftFunctions.register(spark)
     val n = 5000L

@@ -353,6 +353,25 @@ class HttpIngestSpec extends SparkSpec {
       assert(epb.contains("\"name\":\"clicks_ds\"") &&
         epb.contains("\"type\":\"DATASOURCE\""), epb)
 
+      // resultFormat: positional arrays with header, CSV, NDJSON — the
+      // Druid SQL response-format surface; unknown format is a 400
+      val (rfc, rfb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT etype, cnt FROM clicks_hourly ORDER BY etype",
+            "resultFormat": "array", "header": true}""")
+      assert(rfc == 200 && rfb == """[["etype","cnt"],["c",1],["d",1]]""", rfb)
+      val (cfc, cfb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT etype, cnt FROM clicks_hourly ORDER BY etype",
+            "resultFormat": "csv", "header": true}""")
+      assert(cfc == 200 && cfb == "etype,cnt\nc,1\nd,1", cfb)
+      val (olc, olb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT etype FROM clicks_hourly ORDER BY etype",
+            "resultFormat": "objectLines"}""")
+      assert(olc == 200 && olb == "{\"etype\":\"c\"}\n{\"etype\":\"d\"}", olb)
+      val (bfc, bfb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT etype FROM clicks_hourly",
+            "resultFormat": "xml"}""")
+      assert(bfc == 400 && bfb.contains("resultFormat"), bfb)
+
       // GET /status: per-dataSource cumulative counters
       val (stc, stb) = get(handle.port, "/status")
       assert(stc == 200, stb)
