@@ -171,6 +171,31 @@ object RelationalQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
             FROM orders""")),
 
+    // -- time-RANGE window frame (r5): trailing 1-hour sum by EVENT TIME —
+    // the time-windowed-feature staple (sessionized spend, rolling rate
+    // limits). RANGE frames include all peers regardless of tiebreak, and
+    // the frame bound is integer epoch seconds on both engines; the summed
+    // value is exact integer cents, so peer-accumulation order cannot
+    // change the result. One shuffle on the partition key ------------------
+    QueryDef("window_time_range_sum", (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"))
+        .rangeBetween(-3599L, Window.currentRow)
+      Tables.t(s, dir, "events")
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+        .withColumn("trailing_cents", sum(col("cents")).over(w))
+        .select(col("event_id"), col("user_id"), col("ts_sec"),
+          col("trailing_cents"))
+    },
+    Some("""SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS trailing_cents
+            FROM events""")),
+
     // -- top-k with total order (TakeOrderedAndProject) ---------------------
     QueryDef("topk_orders", (s, dir) => {
       Tables.t(s, dir, "orders")
