@@ -878,12 +878,26 @@ object DruidQueryCompiler {
           "(contains/insensitive_contains/fragment)")
     }
     val g = granularity(root)
-    dims.map { d =>
+    val grouped = dims.map { d =>
       df.select(g.truncate(col(TimeCol)).as(TimeCol),
           lit(d).as("dimension"), col(d).cast(StringType).as("value"))
         .filter(col("value").isNotNull && matches(col("value")))
     }.reduce(_.unionAll(_))
       .groupBy(TimeCol, "dimension", "value").agg(count(lit(1)).as("cnt"))
+    // Druid search `sort` spec: orders the hit list. `alphanumeric`
+    // (digit-run-aware compare) is rejected with a pointer rather than
+    // silently approximated by the lexicographic order.
+    opt(root, "sort").map(s => str(s, "type", "lexicographic")) match {
+      case scala.None => grouped
+      case Some("lexicographic") =>
+        grouped.orderBy(col(TimeCol), col("value"), col("dimension"))
+      case Some("strlen") =>
+        grouped.orderBy(col(TimeCol), length(col("value")), col("value"),
+          col("dimension"))
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported search sort '$other' (lexicographic/strlen; " +
+          "alphanumeric needs a digit-run collation — sort client-side)")
+    }
   }
 
   // ----------------------------------------------------------- timeBoundary

@@ -334,6 +334,42 @@ object SegmentStore {
     dropped
   }
 
+  /** Kill-by-interval (the Druid coordinator kill task analog): delete the
+    * segment directories whose chunk START falls in `[start, end)`. Same
+    * fs-metadata-only contract as [[applyRetention]] — whole segments,
+    * sortable dir-name comparison, no data scan; the interval endpoints are
+    * truncated to chunk boundaries in the session zone first, so a
+    * mid-chunk interval never deletes the chunk containing data outside it
+    * (Druid's kill takes whole-chunk intervals too). Returns the killed
+    * segment names.
+    */
+  def killInterval(spark: SparkSession, path: String, spec: IngestionSpec,
+      start: java.sql.Timestamp, end: java.sql.Timestamp): Seq[String] = {
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH.mm.ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(tz))
+    val gran = spec.dataSchema.granularitySpec.segmentGranularity
+    def chunk(t: java.sql.Timestamp): String = fmt.format(
+      java.sql.Timestamp.from(
+        gran.truncateInstant(t.toInstant, java.time.ZoneId.of(tz))))
+    val (s0, e0) = (chunk(start), chunk(end))
+    // a mid-chunk START must not kill the chunk containing it (that chunk
+    // holds rows before the interval); only chunks fully inside survive
+    // the cut — Druid's whole-chunk kill contract
+    val alignedStart = gran.truncateInstant(start.toInstant,
+      java.time.ZoneId.of(tz)) == start.toInstant
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val killed = listSegmentDirs(spark, path)
+      .filter(s => (if (alignedStart) s >= s0 else s > s0) && s < e0)
+    killed.foreach { seg =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/${Pipeline.SegmentCol}=$seg"), true)
+    }
+    killed
+  }
+
   /** Union-datasource read — the Druid `union` datasource: one logical
     * rollup over several stores sharing a spec (e.g. per-topic stores from
     * [[graft.sources.KafkaRouter]] queried as one). Partials from every

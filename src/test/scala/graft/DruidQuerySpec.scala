@@ -851,6 +851,22 @@ class DruidQuerySpec extends SparkSpec {
       .contains("collides"))
   }
 
+  test("search sort spec: lexicographic and strlen order the hit list; " +
+      "alphanumeric rejected with a pointer") {
+    val base = """"queryType": "search", "dataSource": "events",
+      "granularity": "all", "searchDimensions": ["event_type", "user"],
+      "query": {"type": "insensitive_contains", "value": "b"}"""
+    val lex = run(s"""{$base, "sort": {"type": "lexicographic"}}""")
+      .collect().map(_.getAs[String]("value")).toSeq
+    assert(lex == Seq("bob", "buy"))
+    val sl = run(s"""{$base, "sort": {"type": "strlen"}}""")
+      .collect().map(_.getAs[String]("value")).toSeq
+    assert(sl == Seq("bob", "buy")) // same length → value tiebreak
+    assert(intercept[IllegalArgumentException] {
+      run(s"""{$base, "sort": {"type": "alphanumeric"}}""")
+    }.getMessage.contains("alphanumeric"))
+  }
+
   // ---------------------------------------------- sketch post-aggregators
 
   test("thetaSketchSetOp + thetaSketchEstimate post-aggs: set algebra over " +

@@ -671,6 +671,34 @@ class StreamingSpec extends SparkSpec {
     assert(union == Set(("click", 12L), ("view", 3L)), s"union: $union")
   }
 
+  test("kill-by-interval deletes whole chunks inside [start, end); a " +
+      "mid-chunk start spares its chunk (Druid kill-task contract)") {
+    val kSpec = IngestionSpec(DataSchema("kill_events", TimestampSpec("ts"),
+      SpecificDimensions(Seq("etype")), Seq(AggregatorSpec("count", "cnt")),
+      GranularitySpec(Granularity.Hour, Granularity.Hour)))
+    val mk = (base: String, ts0: String, cnt: Long) =>
+      graft.sink.SegmentSink.writeMicroBatch(base)(
+        Seq(("click", cnt, ts(ts0), ts(ts0))).toDF("etype", "cnt",
+          graft.pipeline.Pipeline.TsCol, graft.pipeline.Pipeline.SegmentCol), 0)
+    val tmp = Files.createTempDirectory("graft-kill").toString
+    Seq("11", "12", "13", "14").zipWithIndex.foreach { case (h, i) =>
+      mk(tmp, s"2024-03-01 $h:00:00", i + 1L) }
+    // aligned [12:00, 14:00): kills exactly 12 and 13
+    val killed = graft.sink.SegmentStore.killInterval(spark, tmp, kSpec,
+      ts("2024-03-01 12:00:00"), ts("2024-03-01 14:00:00"))
+    assert(killed == Seq("2024-03-01T12.00.00", "2024-03-01T13.00.00"), killed)
+    val left = graft.sink.SegmentStore.read(spark, tmp, kSpec)
+      .select($"cnt").as[Long].collect().toSet
+    assert(left == Set(1L, 4L))
+    // mid-chunk start [11:30, 15:00): the 11:00 chunk holds rows before the
+    // interval and survives; 14:00 (fully inside) goes
+    val killed2 = graft.sink.SegmentStore.killInterval(spark, tmp, kSpec,
+      ts("2024-03-01 11:30:00"), ts("2024-03-01 15:00:00"))
+    assert(killed2 == Seq("2024-03-01T14.00.00"), killed2)
+    assert(graft.sink.SegmentStore.read(spark, tmp, kSpec)
+      .select($"cnt").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("MONTH granularity sketch rollup streams via the routed per-batch path") {
     implicit val sqlCtx = spark.sqlContext
     val mSpec = IngestionSpec(
