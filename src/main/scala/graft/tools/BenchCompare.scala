@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * explicit pre-repartition vs letting the aggregation shuffle — prints one
   * JSON line per variant. Decision input for which defaults the engine keeps.
   *
-  * Usage: runMain graft.tools.BenchCompare [sfDir]
+  * Usage: runMain graft.tools.BenchCompare [sfDir] [variant,variant,...]
+  * (the optional second argument selects variants; setup for unselected
+  * variants is lazy and never runs)
   */
 object BenchCompare {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only: Option[Set[String]] = args.lift(1).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,22 +29,28 @@ object BenchCompare {
     def li = graft.queries.Tables.t(spark, sfDir, "lineitem")
     graft.functions.GraftFunctions.register(spark)
     // replicate documents x40 (~20k docs) so per-doc text costs dominate
-    val docs = graft.queries.Tables.t(spark, sfDir, "documents")
-      .crossJoin(spark.range(40)).select(col("doc_id"), col("text")).cache()
-    docs.count()
+    lazy val docs = {
+      val d = graft.queries.Tables.t(spark, sfDir, "documents")
+        .crossJoin(spark.range(40)).select(col("doc_id"), col("text")).cache()
+      d.count(); d
+    }
 
     // simhash near-dup corpora: ids remapped per copy so replicated texts are
     // distinct docs — every 40-copy group is a planted exact-dup cluster, so
     // the 200k corpus's TRUE pair count is ~5000·C(40,2) ≈ 3.9M: the banded
     // run does real quadratic-in-group work that all-pairs (20B comparisons
     // at 200k docs) could never attempt. 2k subset for the all-pairs side
-    val shDocs = graft.queries.Tables.t(spark, sfDir, "documents")
-      .crossJoin(spark.range(40).withColumnRenamed("id", "__c"))
-      .select((col("doc_id") + col("__c") * 1000000L).as("id"),
-        graft.functions.TextFunctions.simhash(col("text")).as("sh")).cache()
-    shDocs.count()
-    val shSmall = shDocs.filter(col("id") % 1000000L < 500 && col("id") < 4000000L).cache()
-    shSmall.count() // 2000 docs
+    lazy val shDocs = {
+      val d = graft.queries.Tables.t(spark, sfDir, "documents")
+        .crossJoin(spark.range(40).withColumnRenamed("id", "__c"))
+        .select((col("doc_id") + col("__c") * 1000000L).as("id"),
+          graft.functions.TextFunctions.simhash(col("text")).as("sh")).cache()
+      d.count(); d
+    }
+    lazy val shSmall = {
+      val d = shDocs.filter(col("id") % 1000000L < 500 && col("id") < 4000000L).cache()
+      d.count(); d // 2000 docs
+    }
 
     // zone-map benefit: a RAW (rollup=false) Day-segmented store — rows per
     // segment stay high, so scan savings are visible — whose extra dim is
@@ -56,25 +65,32 @@ object BenchCompare {
       graft.config.GranularitySpec(graft.time.Granularity.Day,
         graft.time.Granularity.None, rollup = false)),
       graft.config.Tuning(windowPeriod = java.time.Duration.ofDays(3650), partitions = 8))
-    val zmPipe = new graft.pipeline.Pipeline(zmSpec)
-    val zmIn = events.withColumn("daydim", concat(lit("d"), dayofmonth(col("ts"))))
-    graft.sink.SegmentSink.writeBatch(
-      zmPipe.rollup(zmPipe.project(zmPipe.extractTimestamp(zmIn))), zmPath)
+    lazy val zmReady: String = {
+      val zmPipe = new graft.pipeline.Pipeline(zmSpec)
+      val zmIn = events.withColumn("daydim", concat(lit("d"), dayofmonth(col("ts"))))
+      graft.sink.SegmentSink.writeBatch(
+        zmPipe.rollup(zmPipe.project(zmPipe.extractTimestamp(zmIn))), zmPath)
+      zmPath
+    }
 
     // skewed join corpus: ~20M fact rows, 90% on one key (x33 lineitem —
     // below ~10M the fixed scan/shuffle cost drowns the single-reducer tail
     // on 32 local threads; at 100 TB the same shape is an OOM/spill, so the
     // local ratio understates the win)
-    val skewFact = li.crossJoin(spark.range(33))
-      .select(
-        when(pmod(xxhash64(col("l_orderkey"), col("l_partkey"), col("id")),
-          lit(10)) < 9, lit(0L))
-          .otherwise(pmod(col("l_orderkey"), lit(1000))).as("k"),
-        col("l_quantity").as("q")).cache()
-    skewFact.count()
-    val skewDim = spark.range(1000)
-      .select(col("id").as("k"), (col("id") * 7).cast("double").as("w")).cache()
-    skewDim.count()
+    lazy val skewFact = {
+      val d = li.crossJoin(spark.range(33))
+        .select(
+          when(pmod(xxhash64(col("l_orderkey"), col("l_partkey"), col("id")),
+            lit(10)) < 9, lit(0L))
+            .otherwise(pmod(col("l_orderkey"), lit(1000))).as("k"),
+          col("l_quantity").as("q")).cache()
+      d.count(); d
+    }
+    lazy val skewDim = {
+      val d = spark.range(1000)
+        .select(col("id").as("k"), (col("id") * 7).cast("double").as("w")).cache()
+      d.count(); d
+    }
 
     // 100k-entry lookup for the two-regime LOOKUP() comparison (> the 10k
     // inline threshold, so the registered path compiles to LookupValue)
@@ -91,32 +107,67 @@ object BenchCompare {
     // remapped): float brute force vs PQ ADC code-table scan vs IVFADC
     // probing 2 of 16 clusters. Indices are built ONCE here — the variants
     // time the search scan, which is what repeats per query in production
-    val vecs = graft.queries.Tables.t(spark, sfDir, "embeddings")
-      .crossJoin(spark.range(100).withColumnRenamed("id", "__c"))
-      .select((col("vec_id") + col("__c") * 1000000L).as("vec_id"),
-        col("embedding")).cache()
-    vecs.count()
-    val annQuery = graft.queries.Tables.t(spark, sfDir, "embeddings")
+    lazy val vecs = {
+      val d = graft.queries.Tables.t(spark, sfDir, "embeddings")
+        .crossJoin(spark.range(100).withColumnRenamed("id", "__c"))
+        .select((col("vec_id") + col("__c") * 1000000L).as("vec_id"),
+          col("embedding")).cache()
+      d.count(); d
+    }
+    lazy val annQuery = graft.queries.Tables.t(spark, sfDir, "embeddings")
       .filter(col("vec_id") === 0).select(col("embedding"))
       .collect().head.getSeq[Float](0).toArray
-    val pqCb = graft.functions.PqIndex.train(spark, vecs, "vec_id", "embedding",
+    lazy val pqCb = graft.functions.PqIndex.train(spark, vecs, "vec_id", "embedding",
       m = 8, ks = 16, iterations = 2)
-    val pqCodes = graft.functions.PqIndex
-      .encode(vecs, "vec_id", "embedding", pqCb).cache()
-    pqCodes.count()
-    val ivfpq = graft.functions.IvfPq.build(spark, vecs, "vec_id", "embedding",
+    lazy val pqCodes = {
+      val d = graft.functions.PqIndex
+        .encode(vecs, "vec_id", "embedding", pqCb).cache()
+      d.count(); d
+    }
+    lazy val ivfpq = graft.functions.IvfPq.build(spark, vecs, "vec_id", "embedding",
       kCoarse = 16, m = 8, ks = 16, iterations = 2)
 
     // persisted-index lifecycle (AnnIndexStore): search over a store-LOADED
     // index vs retraining per query — the round-3 audit's production-shape
     // delta, measured
-    val annStorePath = java.nio.file.Files
-      .createTempDirectory("graft-ann-bench").toString + "/pq"
-    graft.sink.AnnIndexStore.savePq(annStorePath, pqCb, pqCodes)
-    val pqLoaded = graft.sink.AnnIndexStore.loadPq(spark, annStorePath)
-    pqLoaded.encoded.count() // materialize the load once — query-many shape
+    lazy val pqLoaded = {
+      val annStorePath = java.nio.file.Files
+        .createTempDirectory("graft-ann-bench").toString + "/pq"
+      graft.sink.AnnIndexStore.savePq(annStorePath, pqCb, pqCodes)
+      val l = graft.sink.AnnIndexStore.loadPq(spark, annStorePath)
+      l.encoded.count() // materialize the load once — query-many shape
+      l
+    }
+
+    // bucketed co-located fact⋈fact join (the §2.10 storage lever,
+    // BucketingSpec's plan proof measured at sf0.1 volume): lineitem ⋈
+    // orders on the order key, broadcast disabled so the join is SMJ both
+    // ways; the bucketed layout pre-paid the shuffle at write time
+    lazy val bktReady: Unit = {
+      val bktDb = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      li.write.mode("overwrite").bucketBy(cpus.toInt, "l_orderkey")
+        .sortBy("l_orderkey").option("path", s"$bktDb/li_b").saveAsTable("li_b")
+      graft.queries.Tables.t(spark, sfDir, "orders")
+        .write.mode("overwrite").bucketBy(cpus.toInt, "o_orderkey")
+        .sortBy("o_orderkey").option("path", s"$bktDb/o_b").saveAsTable("o_b")
+    }
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
+      "fact_join_plain_parquet" -> (() => {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li.join(graft.queries.Tables.t(spark, sfDir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_quantity")), count(lit(1)))
+      }),
+      "fact_join_bucketed" -> (() => {
+        bktReady
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.table("li_b").join(spark.table("o_b"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_quantity")), count(lit(1)))
+      }),
       "ann_brute_50k" -> (() => {
         val q = org.apache.spark.sql.functions.typedlit(annQuery)
         vecs.withColumn("cos",
@@ -147,12 +198,12 @@ object BenchCompare {
         .nearDupsFromFingerprints(shSmall, "id", "sh", maxHamming = 3, bands = 4)),
       "simhash_nd_banded_200k" -> (() => graft.functions.SimHashLsh
         .nearDupsFromFingerprints(shDocs, "id", "sh", maxHamming = 3, bands = 4)),
-      "zonemap_full_scan" -> (() => spark.read.parquet(zmPath)
+      "zonemap_full_scan" -> (() => spark.read.parquet(zmReady)
         .filter(col("daydim") === "d5").groupBy(col("event_type"))
         .agg(sum(col("value")))),
       "zonemap_pruned" -> (() => {
-        val segs = graft.sink.SegmentStore.pruneSegments(spark, zmPath, "daydim", "d5")
-        spark.read.parquet(zmPath)
+        val segs = graft.sink.SegmentStore.pruneSegments(spark, zmReady, "daydim", "d5")
+        spark.read.parquet(zmReady)
           .filter(col(graft.pipeline.Pipeline.SegmentCol).isin(segs: _*) &&
             col("daydim") === "d5")
           .groupBy(col("event_type")).agg(sum(col("value")))
@@ -278,8 +329,10 @@ object BenchCompare {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
-    variants.foreach { case (name, f) => resetConf(); f().count() } // warm-up all
-    variants.foreach { case (name, f) =>
+    val selected = variants.filter { case (n, _) => only.forall(_(n)) }
+    require(selected.nonEmpty, s"no variant matches $only")
+    selected.foreach { case (name, f) => resetConf(); f().count() } // warm-up
+    selected.foreach { case (name, f) =>
       resetConf()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f().count(); (System.nanoTime() - t0) / 1e9

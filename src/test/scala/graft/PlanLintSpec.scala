@@ -1,0 +1,64 @@
+package graft
+
+/** Plan-quality lint over the ENTIRE declared inventory: the scale rules the
+  * repo claims ("no cartesian products; nested-loop joins only for bounded
+  * broadcast sides") become enforced invariants instead of review notes. A
+  * new query that accidentally plans a CartesianProduct — or a
+  * BroadcastNestedLoopJoin outside the curated allowlist of
+  * bounded-build-side shapes — fails CI here, before any driver round.
+  *
+  * Planning-only (executedPlan is built, nothing runs), so the whole
+  * registry lints in seconds on sf0.001.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose BroadcastNestedLoopJoin is INTENDED — every entry's
+    * build side is provably bounded (a single-row aggregate, a collected
+    * query vector, or a ≤tens-of-rows anchor/benchmark set), so the
+    * nested loop is a per-row probe of a tiny broadcast, not an O(n·m)
+    * blowup. Adding a name here is a conscious scale decision.
+    */
+  private val bnljAllowed: Set[String] = Set(
+    // single-row corpus totals / normalizers broadcast under every row
+    "unigram_logprob_scores", "bigram_logprob_scores",
+    "dsir_importance_scores", "source_mixing_weights",
+    "perplexity_buckets",
+    // collected query vector / bounded anchor set vs the candidate scan
+    "ann_bruteforce_topk", "ann_quantized_topk", "hard_negative_mining",
+    // bounded benchmark/holdout side
+    "decontaminate_bloom",
+    // dense bucket frame (one row per bucket of the interval) vs aggregate
+    "timeseries_zero_fill", "druid_json_timeseries_dense",
+    "druid_json_moving_average", "window_moving_avg",
+    // single-row stats (corpus length percentiles) joined under every row
+    "length_histogram", "text_quality_scores", "curation_pipeline",
+    "tfidf_top_terms", "line_dedup_stats",
+    // bounded-prefix all-pairs ground truth (doc_id<200 / vec_id<100) with
+    // a `<` join — the ORACLE shape; the scale path is the banded
+    // MinHash/SimHash/LSH variants
+    "ngram_jaccard_pairs", "embedding_near_dups",
+    // pair algebra over the per-event-type sketch aggregate (5 rows)
+    "theta_audience_overlap")
+
+  test("no query in the registry plans a CartesianProduct") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("BroadcastNestedLoopJoin appears only in the bounded-build allowlist") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(q.name))
+        Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop joins in: $offenders — either rewrite to an " +
+        "equi/bucketed shape or add to the allowlist with a boundedness note")
+  }
+}
