@@ -384,5 +384,123 @@ object DruidSqlQueries {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                 AS running_cnt
             FROM g
-            WINDOW w AS (PARTITION BY event_type ORDER BY b)""")))
+            WINDOW w AS (PARTITION BY event_type ORDER BY b)""")),
+
+    // -- the rest of Druid's window-function surface (Druid 28+): the
+    // rank family (RANK / DENSE_RANK / PERCENT_RANK / CUME_DIST — all
+    // tie-STABLE, so ordering by a tied key stays deterministic) plus the
+    // value family (NTILE / FIRST_VALUE / LAST_VALUE / LEAD — tie-
+    // SENSITIVE, so those order by the unique bucket epoch). LAST_VALUE
+    // widens the frame explicitly: the default unbounded-preceding→current
+    // frame would just echo the current row -----------------------------
+    QueryDef("druid_sql_window_ranks", (s, dir) => {
+      DruidSql.run(
+        """WITH g AS (SELECT event_type,
+                        TIME_EXTRACT(TIME_FLOOR(__time, 'P1D'), 'EPOCH') AS d,
+                        COUNT(*) AS cnt
+                      FROM events GROUP BY 1, 2)
+           SELECT event_type, d, cnt,
+             CAST(RANK() OVER (PARTITION BY event_type ORDER BY cnt) AS BIGINT) AS rnk,
+             CAST(DENSE_RANK() OVER (PARTITION BY event_type ORDER BY cnt) AS BIGINT) AS drnk,
+             ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY cnt), 6) AS prnk,
+             ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY cnt), 6) AS cdist,
+             CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS quartile,
+             FIRST_VALUE(cnt) OVER (PARTITION BY event_type ORDER BY d) AS first_cnt,
+             LAST_VALUE(cnt) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_cnt,
+             LEAD(cnt, 1) OVER (PARTITION BY event_type ORDER BY d) AS next_cnt
+           FROM g""",
+        frames(s, dir, "events"))
+    },
+    Some("""WITH g AS (SELECT event_type,
+                         CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
+                         count(*) AS cnt
+                       FROM events GROUP BY 1, 2)
+            SELECT event_type, d, cnt,
+              CAST(rank() OVER (PARTITION BY event_type ORDER BY cnt) AS BIGINT) AS rnk,
+              CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY cnt) AS BIGINT) AS drnk,
+              round(percent_rank() OVER (PARTITION BY event_type ORDER BY cnt), 6) AS prnk,
+              round(cume_dist() OVER (PARTITION BY event_type ORDER BY cnt), 6) AS cdist,
+              CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS quartile,
+              first_value(cnt) OVER (PARTITION BY event_type ORDER BY d) AS first_cnt,
+              last_value(cnt) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_cnt,
+              lead(cnt, 1) OVER (PARTITION BY event_type ORDER BY d) AS next_cnt
+            FROM g""")),
+
+    // -- EARLIEST/LATEST family + bitwise + variance AGGREGATES end-to-end
+    // (the builders are spec-covered; this is their oracle). Determinism:
+    // `__time` is unique in events (checked: 10000/10000 distinct at
+    // sf0.01), so max_by/min_by on it has no ties; the _BY forms order by
+    // the unique event_id. BIT_AND/BIT_OR/BIT_XOR and VAR_POP resolve to
+    // Spark's builtin aggregates — Druid's names, identical semantics ----
+    QueryDef("druid_sql_agg_extras", (s, dir) => {
+      DruidSql.run(
+        """SELECT event_type,
+             LATEST(user_id) AS last_uid,
+             EARLIEST(user_id) AS first_uid,
+             LATEST_BY(user_id, event_id) AS uid_at_max_eid,
+             EARLIEST_BY(user_id, event_id) AS uid_at_min_eid,
+             BIT_AND(user_id) AS uid_band,
+             BIT_OR(user_id) AS uid_bor,
+             BIT_XOR(user_id) AS uid_bxor,
+             ROUND(VAR_POP(value), 4) AS value_varp,
+             ROUND(STDDEV_POP(value), 4) AS value_sdp
+           FROM events GROUP BY 1""",
+        frames(s, dir, "events"))
+    },
+    Some("""SELECT event_type,
+              arg_max(user_id, ts) AS last_uid,
+              arg_min(user_id, ts) AS first_uid,
+              arg_max(user_id, event_id) AS uid_at_max_eid,
+              arg_min(user_id, event_id) AS uid_at_min_eid,
+              bit_and(user_id) AS uid_band,
+              bit_or(user_id) AS uid_bor,
+              bit_xor(user_id) AS uid_bxor,
+              round(var_pop(value), 4) AS value_varp,
+              round(stddev_pop(value), 4) AS value_sdp
+            FROM events GROUP BY 1""")),
+
+    // -- GROUPING SETS + GROUPING() (Druid's groupBy subtotalsSpec surfaced
+    // in SQL): the (type, bucket) / (type) / () lattice with grouping
+    // flags distinguishing "grouped-out" from "naturally NULL". Spark's
+    // GROUPING() returns TINYINT — cast to BIGINT on both sides ----------
+    QueryDef("druid_sql_grouping_sets", (s, dir) => {
+      DruidSql.run(
+        """SELECT event_type, MOD(user_id, 3) AS ubucket,
+             COUNT(*) AS cnt,
+             CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+             CAST(GROUPING(event_type) AS BIGINT) AS g_et,
+             CAST(GROUPING(MOD(user_id, 3)) AS BIGINT) AS g_ub
+           FROM events
+           GROUP BY GROUPING SETS ((event_type, MOD(user_id, 3)),
+                                   (event_type), ())""",
+        frames(s, dir, "events"))
+    },
+    Some("""SELECT event_type, user_id % 3 AS ubucket,
+              count(*) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS sum_uid,
+              CAST(grouping(event_type) AS BIGINT) AS g_et,
+              CAST(grouping(user_id % 3) AS BIGINT) AS g_ub
+            FROM events
+            GROUP BY GROUPING SETS ((event_type, user_id % 3),
+                                    (event_type), ())""")),
+
+    // -- top-level UNION ALL across two dataSources (Druid's table-level
+    // union, the SQL twin of the native `union` dataSource): both frames
+    // substitute into one statement, aligned by column position ----------
+    QueryDef("druid_sql_union_all", (s, dir) => {
+      DruidSql.run(
+        """SELECT kind, COUNT(*) AS cnt, CAST(SUM(n) AS BIGINT) AS total
+           FROM (SELECT 'event' AS kind, user_id AS n FROM events
+                 UNION ALL
+                 SELECT 'doc' AS kind, n_chars AS n FROM documents) u
+           GROUP BY kind""",
+        frames(s, dir, "events", "documents"))
+    },
+    Some("""SELECT kind, count(*) AS cnt, CAST(sum(n) AS BIGINT) AS total
+            FROM (SELECT 'event' AS kind, user_id AS n FROM events
+                  UNION ALL
+                  SELECT 'doc' AS kind, n_chars AS n FROM documents) u
+            GROUP BY kind""")))
 }

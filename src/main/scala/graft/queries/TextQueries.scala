@@ -84,6 +84,44 @@ object TextQueries {
             WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
                   len(list_distinct(list_concat(a.words, b.words))) >= 0.5""")),
 
+    // -- EDIT-DISTANCE near-dup pairs: the character-level family (rewrites
+    // /OCR noise/boilerplate tweaks that shingle-set jaccard under-scores).
+    // Candidate generation is a LENGTH-BANDED equi self-join — |len(a) −
+    // len(b)| is a lower bound on levenshtein, so docs can only pair within
+    // ±1 bucket of width = the ED threshold; the probe side explodes to its
+    // 3 candidate buckets and the join stays a hash join on the bucket id
+    // (each qualifying pair matches exactly once after the doc_a < doc_b
+    // orientation filter). At 100 TB this banding is the whole story: the
+    // quadratic verify runs only inside ±1-bucket cells, and Spark's
+    // 3-arg levenshtein threshold short-circuits the DP early (−1 when the
+    // distance exceeds it), so cost per candidate is O(len·k) not O(len²).
+    // Planted-dup margin measured at sf0.01: true rewrites sit at ED=4,
+    // the nearest non-dup tier at ED≥39 — threshold 20 splits them.
+    QueryDef("edit_distance_near_dups", (s, dir) => {
+      val k = 20
+      val docs = Tables.t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          expr(s"n_chars div $k").as("bkt"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("n_chars").as("la"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jb"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("n_chars").as("lb"), col("bkt").as("jb"))
+      a.join(b, "jb")
+        .filter(col("doc_a") < col("doc_b") &&
+          abs(col("la") - col("lb")) <= k)
+        .withColumn("ed", levenshtein(col("ta"), col("tb"), k))
+        .filter(col("ed") >= 0 && col("ed") <= k)
+        .select(col("doc_a"), col("doc_b"), col("ed").cast("long").as("ed"))
+    },
+    Some("""WITH t AS (SELECT doc_id, text, n_chars FROM documents
+                       WHERE doc_id < 400)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(levenshtein(a.text, b.text) AS BIGINT) AS ed
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+              AND abs(a.n_chars - b.n_chars) <= 20
+            WHERE levenshtein(a.text, b.text) <= 20""")),
+
     // -- near-dup DEDUP: pair graph → connected components → survivors.
     // The oracle computes the same components with a recursive CTE, so the
     // distributed min-label propagation is hash-checked end-to-end (the

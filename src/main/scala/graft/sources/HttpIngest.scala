@@ -62,6 +62,9 @@ final class HttpIngestServer(
 
   private val mapper = new ObjectMapper
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** queryId → Spark job group of an in-flight query (native or SQL), for
+    * `DELETE /druid/v2/{queryId}` / `DELETE /druid/v2/sql/{sqlQueryId}`. */
+  private val running = new java.util.concurrent.ConcurrentHashMap[String, String]()
   @volatile private var server: Option[HttpServer] = None
   @volatile private var pool: Option[java.util.concurrent.ExecutorService] = None
 
@@ -71,8 +74,11 @@ final class HttpIngestServer(
     s.createContext("/v1/post", (ex: HttpExchange) => handle(ex))
     if (queryRoutes.nonEmpty) {
       s.createContext("/druid/v2", (ex: HttpExchange) => handleQuery(ex))
-      // longest-prefix routing: /druid/v2/sql wins over /druid/v2
+      // longest-prefix routing: /druid/v2/sql and /druid/v2/datasources win
+      // over /druid/v2
       s.createContext("/druid/v2/sql", (ex: HttpExchange) => handleSql(ex))
+      s.createContext("/druid/v2/datasources",
+        (ex: HttpExchange) => handleDatasources(ex))
     }
     s.createContext("/status", (ex: HttpExchange) => handleStatus(ex))
     s.createContext("/lookups", (ex: HttpExchange) => handleLookups(ex))
@@ -139,6 +145,10 @@ final class HttpIngestServer(
     */
   private def handleQuery(ex: HttpExchange): Unit =
     try {
+      val sub = ex.getRequestURI.getPath.stripPrefix("/druid/v2").stripPrefix("/")
+      if (ex.getRequestMethod == "DELETE" && sub.nonEmpty) {
+        handleCancel(ex, sub); return
+      }
       if (ex.getRequestMethod != "POST") { reply(ex, 405, """{"error":"POST only"}"""); return }
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val result = try {
@@ -146,13 +156,25 @@ final class HttpIngestServer(
         val cap = Option(root.get("context")).flatMap(c =>
           Option(c.get("maxQueryRows"))).map(_.asInt).getOrElse(10000)
         require(cap > 0, "context.maxQueryRows must be positive")
-        val df = graft.queries.DruidQueryCompiler.compile(body, name => {
-          routes.get(name).foreach(_.activeQuery.foreach(_.processAllAvailable()))
-          queryRoutes.getOrElse(name, throw new IllegalArgumentException(
-            s"unknown dataSource '$name' (queryable: ${queryRoutes.keys.toSeq.sorted.mkString(",")})"))()
-        })
-        df.limit(cap).toJSON.collect().mkString("[", ",", "]")
+        val queryId = Option(root.get("context")).flatMap(c =>
+          Option(c.get("queryId"))).map(_.asText)
+          .getOrElse(UUID.randomUUID().toString)
+        ex.getResponseHeaders.set("X-Druid-Query-Id", queryId)
+        val timeoutMs = Option(root.get("context")).flatMap(c =>
+          Option(c.get("timeout"))).map(_.asLong).getOrElse(0L)
+        withJobGroup(queryId, timeoutMs) {
+          val df = graft.queries.DruidQueryCompiler.compile(body, name => {
+            routes.get(name).foreach(_.activeQuery.foreach(_.processAllAvailable()))
+            queryRoutes.getOrElse(name, throw new IllegalArgumentException(
+              s"unknown dataSource '$name' (queryable: ${queryRoutes.keys.toSeq.sorted.mkString(",")})"))()
+          })
+          df.limit(cap).toJSON.collect().mkString("[", ",", "]")
+        }
       } catch {
+        case _: QueryTimedOut =>
+          reply(ex, 504,
+            """{"error":"Query timed out","errorClass":"QueryTimeoutException"}""")
+          return
         case NonFatal(e) =>
           reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}"""); return
       }
@@ -226,7 +248,15 @@ final class HttpIngestServer(
 
   private def handleSql(ex: HttpExchange): Unit =
     try {
-      if (ex.getRequestMethod != "POST") { reply(ex, 405, """{"error":"POST only"}"""); return }
+      val sub = ex.getRequestURI.getPath.stripPrefix("/druid/v2/sql").stripPrefix("/")
+      if (ex.getRequestMethod == "DELETE" && sub.nonEmpty) {
+        handleCancel(ex, sub); return
+      }
+      if (ex.getRequestMethod != "POST" || sub.nonEmpty) {
+        reply(ex, 405,
+          """{"error":"POST /druid/v2/sql or DELETE /druid/v2/sql/{sqlQueryId}"}""")
+        return
+      }
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val result = try {
         val root = mapper.readTree(body)
@@ -235,6 +265,13 @@ final class HttpIngestServer(
         val cap = Option(root.get("context")).flatMap(c =>
           Option(c.get("maxQueryRows"))).map(_.asInt).getOrElse(10000)
         require(cap > 0, "context.maxQueryRows must be positive")
+        val sqlQueryId = Option(root.get("context")).flatMap(c =>
+          Option(c.get("sqlQueryId"))).map(_.asText)
+          .getOrElse(UUID.randomUUID().toString)
+        ex.getResponseHeaders.set("X-Druid-SQL-Query-Id", sqlQueryId)
+        val timeoutMs = Option(root.get("context")).flatMap(c =>
+          Option(c.get("timeout"))).map(_.asLong).getOrElse(0L)
+        withJobGroup(sqlQueryId, timeoutMs) {
         // Druid's plan-introspection statement: plan the inner query
         // without running it, reply with the plan + touched dataSources
         val explain = graft.queries.DruidSql.explainInner(sqlText0)
@@ -293,7 +330,12 @@ final class HttpIngestServer(
               Option(root.get("header")).exists(_.asBoolean))
         }
         }
+        }
       } catch {
+        case _: QueryTimedOut =>
+          reply(ex, 504,
+            """{"error":"Query timed out","errorClass":"QueryTimeoutException"}""")
+          return
         case NonFatal(e) =>
           reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}"""); return
       }
@@ -349,6 +391,125 @@ final class HttpIngestServer(
           "(object/objectLines/array/arrayLines/csv)")
     }
   }
+
+  /** Thrown (after translation in [[withJobGroup]]) when a request died
+    * because ITS `context.timeout` fired — the handlers map it to 504 with
+    * Druid's QueryTimeoutException envelope, distinct from the 400 an
+    * explicit DELETE produces. */
+  private final class QueryTimedOut extends RuntimeException("Query timed out")
+
+  private val timeoutScheduler = {
+    val t = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val th = new Thread(r, "graft-query-timeout"); th.setDaemon(true); th
+      })
+    t
+  }
+  /** ids whose timeout fired (cleared when the request unwinds). */
+  private val timedOut =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Run `body` under a per-request Spark job group so `DELETE` with the
+    * query id can cancel every job the request launches
+    * (`interruptOnCancel` — running tasks are interrupted, not just queued
+    * ones). Always set AND cleared: the server's pool threads are reused,
+    * and a lingering thread-local group would let a later cancel kill an
+    * unrelated request's jobs. `timeoutMs > 0` (Druid's `context.timeout`)
+    * schedules a group cancel; a body failure after the deadline fired
+    * surfaces as [[QueryTimedOut]]. */
+  private def withJobGroup[A](id: String, timeoutMs: Long = 0L)(body: => A): A = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val group = s"graft-query-$id"
+    sc.setJobGroup(group, s"druid query $id", interruptOnCancel = true)
+    running.put(id, group)
+    val deadline =
+      if (timeoutMs <= 0) None
+      else Some(timeoutScheduler.schedule(new Runnable {
+        override def run(): Unit = {
+          timedOut.add(id)
+          sc.cancelJobGroupAndFutureJobs(group)
+        }
+      }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+    try body
+    catch {
+      case NonFatal(e) => if (timedOut.contains(id)) throw new QueryTimedOut else throw e
+    } finally {
+      deadline.foreach(_.cancel(false))
+      running.remove(id); timedOut.remove(id); sc.clearJobGroup()
+    }
+  }
+
+  /** Query cancellation (`DELETE /druid/v2/{queryId}`, `DELETE
+    * /druid/v2/sql/{sqlQueryId}` — the Druid broker's cancellation API):
+    * cancels the Spark job group of the in-flight query with that id. The
+    * cancelled request itself replies 400 with the cancellation error;
+    * this endpoint replies 202 (accepted) like Druid, or 404 when no
+    * in-flight query carries the id — cancellation of a finished query is
+    * not an error in Druid, but an UNKNOWN id never ran here. */
+  private def handleCancel(ex: HttpExchange, id: String): Unit =
+    Option(running.get(id)) match {
+      case Some(group) =>
+        // AndFutureJobs: a cancel landing while the statement is still
+        // PLANNING (no jobs submitted yet) must also kill the jobs it is
+        // about to submit — plain cancelJobGroup only hits active ones
+        org.apache.spark.sql.SparkSession.active.sparkContext
+          .cancelJobGroupAndFutureJobs(group)
+        reply(ex, 202, s"""{"result":${quote(s"cancelled $id")}}""")
+      case None =>
+        reply(ex, 404, s"""{"error":${quote(s"no in-flight query with id '$id'")}}""")
+    }
+
+  /** Broker metadata endpoints (the Druid broker's dataSource-introspection
+    * API): `GET /druid/v2/datasources` lists queryable dataSource names
+    * (explicit routes + SQL-ingested stores, same namespace the query
+    * endpoints resolve); `GET /druid/v2/datasources/{ds}` replies
+    * `{"dimensions":[…],"metrics":[…]}` (Druid's envelope), and the
+    * `/dimensions` and `/metrics` sub-paths reply the bare arrays.
+    * Classification follows the engine's column model: `__time` is neither;
+    * string and array-of-string columns are dimensions; numeric columns are
+    * metrics (binary sketch columns report as metrics too — they ARE
+    * aggregator outputs). Unknown dataSource → 404, like the broker.
+    */
+  private def handleDatasources(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "GET") { reply(ex, 405, """{"error":"GET only"}"""); return }
+      val rest = ex.getRequestURI.getPath
+        .stripPrefix("/druid/v2/datasources").stripPrefix("/")
+      if (rest.isEmpty) {
+        reply(ex, 200,
+          allQueryables().keys.toSeq.sorted.map(quote).mkString("[", ",", "]"))
+        return
+      }
+      val parts = rest.split("/").toSeq
+      val ds = parts.head
+      allQueryables().get(ds) match {
+        case None =>
+          reply(ex, 404, s"""{"error":${quote(s"unknown dataSource '$ds'")}}""")
+        case Some(thunk) =>
+          routes.get(ds).foreach(_.activeQuery.foreach(_.processAllAvailable()))
+          val schema = thunk().schema
+          import org.apache.spark.sql.types._
+          def isDim(f: StructField) = f.dataType match {
+            case StringType | ArrayType(StringType, _) => true
+            case _ => false
+          }
+          val (dims, metrics) = schema.fields.toSeq
+            .filterNot(_.name == "__time").filterNot(_.name == "ts")
+            .partition(isDim)
+          def arr(fs: Seq[StructField]) =
+            fs.map(f => quote(f.name)).mkString("[", ",", "]")
+          parts.tail match {
+            case Seq() => reply(ex, 200,
+              s"""{"dimensions":${arr(dims)},"metrics":${arr(metrics)}}""")
+            case Seq("dimensions") => reply(ex, 200, arr(dims))
+            case Seq("metrics")    => reply(ex, 200, arr(metrics))
+            case _ => reply(ex, 404,
+              """{"error":"GET /druid/v2/datasources[/{ds}[/dimensions|/metrics]]"}""")
+          }
+      }
+    } catch {
+      case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
 
   /** Health/metrics endpoint (`GET /status`): per-dataSource cumulative
     * engine counters — the same received/sent/dropped invariant the sync

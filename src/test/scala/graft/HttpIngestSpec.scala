@@ -446,6 +446,112 @@ class HttpIngestSpec extends SparkSpec {
     } finally handle.close()
   }
 
+  private def delete(port: Int, path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(s"http://127.0.0.1:$port$path")).DELETE().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("broker introspection: GET /druid/v2/datasources lists, per-ds " +
+      "dimensions/metrics classify by column type, unknown ds is 404") {
+    val tmp = Files.createTempDirectory("graft-dsmeta").toString
+    val df = spark.range(100).select(
+      lit(Timestamp.valueOf("2024-03-01 12:00:00")).as("__time"),
+      concat(lit("e"), col("id") % 5).as("etype"),
+      col("id").cast("double").as("value"),
+      col("id").as("uid"))
+    val server = new HttpIngestServer(spoolDir = tmp,
+      queryRoutes = Map("events_ds" -> (() => df)))
+    val port = server.start()
+    try {
+      val (c0, l) = get(port, "/druid/v2/datasources")
+      assert(c0 == 200 && l == """["events_ds"]""")
+      val (c1, meta) = get(port, "/druid/v2/datasources/events_ds")
+      assert(c1 == 200 &&
+        meta == """{"dimensions":["etype"],"metrics":["value","uid"]}""")
+      val (c2, dims) = get(port, "/druid/v2/datasources/events_ds/dimensions")
+      assert(c2 == 200 && dims == """["etype"]""")
+      val (c3, mets) = get(port, "/druid/v2/datasources/events_ds/metrics")
+      assert(c3 == 200 && mets == """["value","uid"]""")
+      val (c4, _) = get(port, "/druid/v2/datasources/nope")
+      assert(c4 == 404)
+      val (c5, _) = get(port, "/druid/v2/datasources/events_ds/bogus")
+      assert(c5 == 404)
+    } finally server.stop()
+  }
+
+  test("query cancellation: DELETE /druid/v2/sql/{id} kills the in-flight " +
+      "statement's job group; unknown id is 404") {
+    val tmp = Files.createTempDirectory("graft-cancel").toString
+    // 4000³ = 6.4e10 cross-joined rows with per-row arithmetic (a bare
+    // COUNT(*) over a conditionless join counts at codegen speed — ~10e9
+    // rows/s here — and finishes before any cancel can land): minutes if
+    // left alone, so a sub-15s completion proves the cancel killed the jobs
+    val df = spark.range(4000).select(
+      lit(Timestamp.valueOf("2024-03-01 12:00:00")).as("__time"),
+      col("id").as("uid"))
+    val server = new HttpIngestServer(spoolDir = tmp,
+      queryRoutes = Map("events_ds" -> (() => df)))
+    val port = server.start()
+    try {
+      assert(delete(port, "/druid/v2/sql/never-ran")._1 == 404)
+      assert(delete(port, "/druid/v2/nope-either")._1 == 404)
+      val body =
+        """{"query": "SELECT SUM(a.uid % (b.uid + 1) + c.uid) AS c FROM events_ds a, events_ds b, events_ds c",
+            "context": {"sqlQueryId": "kill-me"}}"""
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      try {
+        implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val started = System.nanoTime()
+        val fut = scala.concurrent.Future { post(port, "/druid/v2/sql", body) }
+        // the id registers just before execution — poll the DELETE until
+        // it lands (404 until then, 202 once in-flight)
+        var cancelCode = 404
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (cancelCode == 404 && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          cancelCode = delete(port, "/druid/v2/sql/kill-me")._1
+        }
+        assert(cancelCode == 202, s"cancel never accepted (last=$cancelCode)")
+        val (code, resp) = scala.concurrent.Await.result(fut,
+          scala.concurrent.duration.Duration(60, "s"))
+        val elapsedSec = (System.nanoTime() - started) / 1e9
+        assert(code == 400, s"cancelled query should error, got $code: $resp")
+        assert(elapsedSec < 15,
+          s"took ${elapsedSec}s — cancel did not kill the running jobs")
+        // the registry entry is cleared once the request unwinds
+        assert(delete(port, "/druid/v2/sql/kill-me")._1 == 404)
+      } finally pool.shutdownNow()
+    } finally server.stop()
+  }
+
+  test("context.timeout: the deadline cancels the statement's jobs → 504 " +
+      "QueryTimeoutException; a generous timeout does not fire") {
+    val tmp = Files.createTempDirectory("graft-timeout").toString
+    val df = spark.range(4000).select(
+      lit(Timestamp.valueOf("2024-03-01 12:00:00")).as("__time"),
+      col("id").as("uid"))
+    val server = new HttpIngestServer(spoolDir = tmp,
+      queryRoutes = Map("events_ds" -> (() => df)))
+    val port = server.start()
+    try {
+      val started = System.nanoTime()
+      val (code, resp) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT SUM(a.uid % (b.uid + 1) + c.uid) AS c FROM events_ds a, events_ds b, events_ds c",
+            "context": {"timeout": 400}}""")
+      val elapsedSec = (System.nanoTime() - started) / 1e9
+      assert(code == 504 && resp.contains("QueryTimeoutException"),
+        s"expected 504 timeout, got $code: $resp")
+      assert(elapsedSec < 15,
+        s"took ${elapsedSec}s — the deadline did not kill the running jobs")
+      val (c2, r2) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT COUNT(*) AS c FROM events_ds",
+            "context": {"timeout": 60000}}""")
+      assert(c2 == 200 && r2.contains("\"c\":4000"), s"$c2: $r2")
+    } finally server.stop()
+  }
+
   test("forwarding beam → receiver → engine: two-hop E2E over the socket") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
