@@ -68,6 +68,43 @@ object DruidNativeQueries {
               AND event_type IN ('click', 'view', 'purchase')
             GROUP BY 1""")),
 
+    // -- timeseries context.grandTotal: the null-timestamped total row is
+    // RE-AGGREGATED from the clipped input (not a re-sum of finalized
+    // buckets — the mean postAgg over the total would be wrong otherwise);
+    // rendered as 'TOTAL', the DuckDB twin is a GROUPING SETS lattice ------
+    QueryDef("druid_json_grand_total", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "day",
+         "intervals": ["2024-01-05T00:00:00/2024-01-20T00:00:00"],
+         "filter": {"type": "selector", "dimension": "event_type",
+                    "value": "click"},
+         "aggregations": [
+           {"type": "count", "name": "cnt"},
+           {"type": "longSum", "name": "sum_uid", "fieldName": "user_id"},
+           {"type": "doubleMean", "name": "mean_v", "fieldName": "value"}],
+         "postAggregations": [
+           {"type": "arithmetic", "name": "mean_uid", "fn": "/",
+            "fields": [{"type": "fieldAccess", "fieldName": "sum_uid"},
+                       {"type": "fieldAccess", "fieldName": "cnt"}]}],
+         "context": {"grandTotal": true}}""")
+        .select(
+          coalesce(date_format(col("__time"), fmt), lit("TOTAL")).as("bucket"),
+          col("cnt"), col("sum_uid"),
+          round(col("mean_v"), 6).as("mean_v"),
+          round(col("mean_uid"), 6).as("mean_uid"))
+    },
+    Some("""SELECT coalesce(strftime(date_trunc('day', ts),
+                     '%Y-%m-%d %H:%M:%S'), 'TOTAL') AS bucket,
+              count(*) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS sum_uid,
+              round(avg(value), 6) AS mean_v,
+              round(CAST(sum(user_id) AS DOUBLE) / count(*), 6) AS mean_uid
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+              AND event_type = 'click'
+            GROUP BY GROUPING SETS ((date_trunc('day', ts)), ())""")),
+
     // -- topN: per-DAY top-3 dimension values by count ----------------------
     // count ties across types within a day are likely — the compiler's
     // dimension-asc tiebreak is mirrored in the oracle's row_number

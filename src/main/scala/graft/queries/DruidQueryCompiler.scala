@@ -576,7 +576,7 @@ object DruidQueryCompiler {
       granularity(root).widthSeconds > 0 && intervalMillis(root).nonEmpty
     val skipEmpty = opt(root, "context").flatMap(c => opt(c, "skipEmptyBuckets"))
       .map(_.asBoolean).getOrElse(!denseDerivable)
-    if (skipEmpty) finalizeAggs(grouped, root)
+    val base = if (skipEmpty) finalizeAggs(grouped, root)
     else finalizeAggs({
       val gran = granularity(root)
       require(gran.widthSeconds > 0,
@@ -587,6 +587,34 @@ object DruidQueryCompiler {
       val joined = buckets.join(grouped, Seq(TimeCol), "left")
       zeroFill(joined, root, grouped)
     }, root)
+    // context.grandTotal (Druid timeseries): append ONE null-timestamped
+    // row RE-AGGREGATED from the filtered+clipped input (never a re-sum of
+    // finalized per-bucket values — a grand-total mean/sketch must merge
+    // partials, Druid's rule), post-aggs and finalization applied on top
+    val grandTotal = opt(root, "context").flatMap(c => opt(c, "grandTotal"))
+      .exists(_.asBoolean)
+    if (!grandTotal) base
+    else base.unionByName(finalizeAggs(aggregateAll(df, root), root))
+  }
+
+  /** One-row whole-input aggregation for `grandTotal`: same aggregators and
+    * post-aggs as [[aggregate]], no time bucketing; `__time` is null (the
+    * rendering Druid gives the grand-total entry). The raw event time is
+    * captured BEFORE nulling so the first/last family still orders. */
+  private def aggregateAll(df: DataFrame, root: JsonNode): DataFrame = {
+    val aggSpecs = opt(root, "aggregations").toSeq.flatMap(_.elements.asScala)
+      .map(SpecLoader.parseAgg).toSeq
+    val aggs = aggSpecs.map(Aggregators.toColumn) match {
+      case Nil => Seq(count(lit(1)).as("rows"))
+      case xs  => xs
+    }
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val prepared = df
+      .withColumn(Pipeline.RawTsCol, col(TimeCol))
+      .withColumn(TimeCol,
+        lit(null).cast(org.apache.spark.sql.types.TimestampType))
+    val grouped = prepared.groupBy(col(TimeCol)).agg(aggs.head, aggs.tail: _*)
+    applyPostAggs(grouped, root)
   }
 
   /** Dense in-plan bucket frame covering `intervals` at `gran` (first
