@@ -899,6 +899,31 @@ object DruidSqlFunctions {
       ex(addr.bitwiseAND(lit(mask)) === lit(base))
     }),
 
+    // IPV6_MATCH (Druid's IPv6 CIDR containment): the subnet literal parses
+    // ONCE at analysis into 128-bit base+mask halves folded into a codegen
+    // Expression ([[Ipv6Match]]); the row side is one pure textual parse
+    // (never InetAddress — no DNS fallback) + two AND-compares. Malformed
+    // addresses are null, like ipv4_match's out-of-range rule.
+    fn("ipv6_match", args => {
+      arity(args, "ipv6_match(addr, 'subnet/bits')", 2, 2)
+      val cidr = strLit(args(1), "ipv6_match subnet")
+      val (baseStr, bitsStr) = cidr.split("/") match {
+        case Array(b, m) => (b, m)
+        case _ => throw new IllegalArgumentException(
+          s"ipv6_match subnet must be CIDR 'addr/bits', got '$cidr'")
+      }
+      val bits = bitsStr.toIntOption.filter(b => b >= 0 && b <= 128).getOrElse(
+        throw new IllegalArgumentException(
+          s"ipv6_match mask bits must be 0..128, got '$bitsStr'"))
+      val parsed = Ipv6Util.parse(baseStr)
+      require(parsed != null,
+        s"ipv6_match subnet base '$baseStr' is not a valid IPv6 address")
+      val (hiMask, loMask) = Ipv6Util.masks(bits)
+      Ipv6Match(
+        ex(asCol(args(0)).cast(StringType)),
+        parsed(0) & hiMask, parsed(1) & loMask, hiMask, loMask)
+    }),
+
     // LATEST/EARLIEST aggregates: value at max/min __time (Druid reads the
     // time column implicitly; a maxBytes second argument is accepted and
     // ignored — Spark strings are unbounded). LATEST_BY/EARLIEST_BY take

@@ -95,6 +95,7 @@ final class HttpIngestServer(
   def stop(): Unit = {
     server.foreach(_.stop(0)); server = None
     pool.foreach(_.shutdown()); pool = None
+    asyncPool.shutdownNow()
   }
 
   private def handle(ex: HttpExchange): Unit =
@@ -246,9 +247,28 @@ final class HttpIngestServer(
     frames
   }
 
+  /** The SQL statement's context knobs, shared by the sync endpoint and the
+    * async statements API. */
+  private def sqlContext(root: com.fasterxml.jackson.databind.JsonNode)
+      : (String, Long, Int) = {
+    val cap = Option(root.get("context")).flatMap(c =>
+      Option(c.get("maxQueryRows"))).map(_.asInt).getOrElse(10000)
+    require(cap > 0, "context.maxQueryRows must be positive")
+    val sqlQueryId = Option(root.get("context")).flatMap(c =>
+      Option(c.get("sqlQueryId"))).map(_.asText)
+      .getOrElse(UUID.randomUUID().toString)
+    val timeoutMs = Option(root.get("context")).flatMap(c =>
+      Option(c.get("timeout"))).map(_.asLong).getOrElse(0L)
+    (sqlQueryId, timeoutMs, cap)
+  }
+
   private def handleSql(ex: HttpExchange): Unit =
     try {
       val sub = ex.getRequestURI.getPath.stripPrefix("/druid/v2/sql").stripPrefix("/")
+      if (sub == "statements" || sub.startsWith("statements/")) {
+        handleStatements(ex, sub.stripPrefix("statements").stripPrefix("/"))
+        return
+      }
       if (ex.getRequestMethod == "DELETE" && sub.nonEmpty) {
         handleCancel(ex, sub); return
       }
@@ -258,20 +278,36 @@ final class HttpIngestServer(
         return
       }
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      var qid = ""
       val result = try {
         val root = mapper.readTree(body)
+        val (sqlQueryId, timeoutMs, _) = sqlContext(root)
+        qid = sqlQueryId
+        ex.getResponseHeaders.set("X-Druid-SQL-Query-Id", sqlQueryId)
+        withJobGroup(sqlQueryId, timeoutMs) { executeSql(root) }
+      } catch {
+        case _: QueryTimedOut =>
+          reply(ex, 504,
+            s"""{"error":"Query timed out","errorClass":"QueryTimeoutException","queryId":${quote(qid)}}""")
+          return
+        case NonFatal(e) =>
+          reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}"""); return
+      }
+      reply(ex, 200, result)
+    } catch {
+      case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+
+  /** Execute one parsed `{"query": …}` request body and render its result —
+    * the full statement surface (EXPLAIN PLAN FOR, TABLE(EXTERN), INSERT/
+    * REPLACE ingestion, metadata tables, resultFormat). Callers wrap in
+    * [[withJobGroup]] (sync endpoint) or run it from the async statements
+    * executor. */
+  private def executeSql(root: com.fasterxml.jackson.databind.JsonNode)
+      : String = {
         val sqlText0 = Option(root.get("query")).map(_.asText).getOrElse(
           throw new IllegalArgumentException("""body must be {"query": "<sql>"}"""))
-        val cap = Option(root.get("context")).flatMap(c =>
-          Option(c.get("maxQueryRows"))).map(_.asInt).getOrElse(10000)
-        require(cap > 0, "context.maxQueryRows must be positive")
-        val sqlQueryId = Option(root.get("context")).flatMap(c =>
-          Option(c.get("sqlQueryId"))).map(_.asText)
-          .getOrElse(UUID.randomUUID().toString)
-        ex.getResponseHeaders.set("X-Druid-SQL-Query-Id", sqlQueryId)
-        val timeoutMs = Option(root.get("context")).flatMap(c =>
-          Option(c.get("timeout"))).map(_.asLong).getOrElse(0L)
-        withJobGroup(sqlQueryId, timeoutMs) {
+        val cap = sqlContext(root)._3
         // Druid's plan-introspection statement: plan the inner query
         // without running it, reply with the plan + touched dataSources
         val explain = graft.queries.DruidSql.explainInner(sqlText0)
@@ -330,16 +366,118 @@ final class HttpIngestServer(
               Option(root.get("header")).exists(_.asBoolean))
         }
         }
-        }
-      } catch {
-        case _: QueryTimedOut =>
-          reply(ex, 504,
-            """{"error":"Query timed out","errorClass":"QueryTimeoutException"}""")
-          return
-        case NonFatal(e) =>
-          reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}"""); return
+  }
+
+  // ------------------------------------------------- async statements API
+
+  /** One submitted async statement (the `/druid/v2/sql/statements` MSQ
+    * API): lifecycle ACCEPTED → RUNNING → SUCCESS / FAILED / CANCELED. */
+  private final class Statement(val id: String) {
+    @volatile var state: String = "ACCEPTED"
+    @volatile var result: Option[String] = None
+    @volatile var error: Option[String] = None
+    @volatile var cancelRequested: Boolean = false
+  }
+
+  private val statements =
+    new java.util.concurrent.ConcurrentHashMap[String, Statement]()
+
+  private val asyncPool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-sql-statement"); t.setDaemon(true); t
+    })
+
+  /** Druid's asynchronous SQL statements API (`/druid/v2/sql/statements`,
+    * the MSQ query surface): POST submits and returns 202 immediately with
+    * `{queryId, state: ACCEPTED}`; `GET /{id}` polls the status envelope;
+    * `GET /{id}/results` fetches the rendered rows once SUCCESS (404 while
+    * incomplete, 400 for failed); `DELETE /{id}` cancels via the same job
+    * group as the sync endpoint → CANCELED. The statement body is the same
+    * as the sync endpoint's (full surface: ingestion, EXTERN, EXPLAIN,
+    * resultFormat); `context.timeout` applies per statement. Finished
+    * statements stay queryable for the server's lifetime (Druid parks
+    * results in deep storage; the in-memory analog is documented). */
+  private def handleStatements(ex: HttpExchange, rest: String): Unit =
+    try {
+      (ex.getRequestMethod, rest.split("/").toList.filter(_.nonEmpty)) match {
+        case ("POST", Nil) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val (root, id, timeoutMs) = try {
+            val r = mapper.readTree(body)
+            require(r != null && r.has("query"),
+              """body must be {"query": "<sql>"}""")
+            val (id0, t0, _) = sqlContext(r)
+            (r, id0, t0)
+          } catch {
+            case NonFatal(e) =>
+              reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+              return
+          }
+          val st = new Statement(id)
+          if (statements.putIfAbsent(id, st) != null) {
+            reply(ex, 400,
+              s"""{"error":${quote(s"statement id '$id' already exists")}}""")
+            return
+          }
+          asyncPool.execute(new Runnable {
+            override def run(): Unit = {
+              st.state = "RUNNING"
+              try {
+                val r = withJobGroup(id, timeoutMs) { executeSql(root) }
+                st.result = Some(r)
+                st.state = if (st.cancelRequested) "CANCELED" else "SUCCESS"
+              } catch {
+                case _: QueryTimedOut =>
+                  st.error = Some("Query timed out"); st.state = "FAILED"
+                case NonFatal(e) =>
+                  if (st.cancelRequested) st.state = "CANCELED"
+                  else {
+                    st.error = Some(String.valueOf(e.getMessage))
+                    st.state = "FAILED"
+                  }
+              }
+            }
+          })
+          ex.getResponseHeaders.set("X-Druid-SQL-Query-Id", id)
+          reply(ex, 202, s"""{"queryId":${quote(id)},"state":"ACCEPTED"}""")
+        case ("GET", List(id)) =>
+          Option(statements.get(id)) match {
+            case None =>
+              reply(ex, 404, s"""{"error":${quote(s"unknown statement '$id'")}}""")
+            case Some(st) =>
+              val err = st.error.map(e => s""","errorDetails":${quote(e)}""").getOrElse("")
+              reply(ex, 200,
+                s"""{"queryId":${quote(id)},"state":"${st.state}"$err}""")
+          }
+        case ("GET", List(id, "results")) =>
+          Option(statements.get(id)) match {
+            case None =>
+              reply(ex, 404, s"""{"error":${quote(s"unknown statement '$id'")}}""")
+            case Some(st) => st.state match {
+              case "SUCCESS" => reply(ex, 200, st.result.getOrElse("[]"))
+              case "FAILED" => reply(ex, 400,
+                s"""{"error":${quote(st.error.getOrElse("statement failed"))}}""")
+              case other => reply(ex, 404,
+                s"""{"error":${quote(s"statement is $other — no results yet")}}""")
+            }
+          }
+        case ("DELETE", List(id)) =>
+          Option(statements.get(id)) match {
+            case None =>
+              reply(ex, 404, s"""{"error":${quote(s"unknown statement '$id'")}}""")
+            case Some(st) =>
+              if (st.state == "ACCEPTED" || st.state == "RUNNING") {
+                st.cancelRequested = true
+                // the group exists once RUNNING enters withJobGroup;
+                // AndFutureJobs also covers the not-yet-submitted window
+                org.apache.spark.sql.SparkSession.active.sparkContext
+                  .cancelJobGroupAndFutureJobs(s"graft-query-$id")
+              }
+              reply(ex, 202, s"""{"queryId":${quote(id)},"state":"${st.state}"}""")
+          }
+        case _ => reply(ex, 405,
+          """{"error":"POST /druid/v2/sql/statements, GET|DELETE /druid/v2/sql/statements/{id}, GET /druid/v2/sql/statements/{id}/results"}""")
       }
-      reply(ex, 200, result)
     } catch {
       case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
     } finally ex.close()

