@@ -427,9 +427,14 @@ object DruidSql {
     * them to normal (failing) resolution, a loud error. */
   def metaFrame(spark: org.apache.spark.sql.SparkSession, parts: Seq[String],
       tables: Map[String, () => DataFrame],
-      segmentStores: => Map[String, String]): Option[DataFrame] = {
+      segmentStores: => Map[String, String],
+      tasks: => Seq[(String, String, String)] = Nil): Option[DataFrame] = {
     import spark.implicits._
     parts match {
+      case Seq("information_schema", "schemata") =>
+        Some(Seq("druid", "information_schema", "sys").sorted
+          .map(sc => ("druid", sc))
+          .toDF("CATALOG_NAME", "SCHEMA_NAME"))
       case Seq("information_schema", "tables") =>
         Some(tables.keys.toSeq.sorted
           .map(ds => ("druid", "druid", ds, "TABLE"))
@@ -461,6 +466,17 @@ object DruidSql {
           concat_ws("_", col("datasource"), col("start")).as("segment_id"),
           col("datasource"), col("start"), col("num_rows"),
           lit(1).as("is_published")))
+      // this engine IS the one "server" — a single broker-shaped row
+      // (Druid's sys.servers columns, sizes not applicable → 0)
+      case Seq("sys", "servers") =>
+        Some(Seq(("local", "localhost", 0, "broker", "_default_tier", 0L, 0L))
+          .toDF("server", "host", "plaintext_port", "server_type", "tier",
+            "curr_size", "max_size"))
+      // async SQL statements surfaced as Druid's MSQ query tasks
+      case Seq("sys", "tasks") =>
+        Some(tasks.sortBy(_._1)
+          .map { case (id, status, ds) => (id, "query_controller", ds, status) }
+          .toDF("task_id", "type", "datasource", "status"))
       case _ => None
     }
   }
@@ -484,6 +500,11 @@ object DruidSql {
     * routing (the endpoint resolves ITS referenced tables, not the target). */
   def ingestInnerQuery(sqlText: String): Option[String] =
     IngestRe.findFirstMatchIn(sqlText).map(_.group(4))
+
+  /** The TARGET dataSource of an ingestion statement (`sys.tasks` reports
+    * it; SELECT statements have none). */
+  def ingestTarget(sqlText: String): Option[String] =
+    IngestRe.findFirstMatchIn(sqlText).map(_.group(2))
 
   private def ingestGranularity(tok: String): graft.time.Granularity = {
     import graft.time.Granularity

@@ -342,7 +342,9 @@ final class HttpIngestServer(
         // (failing) resolution
         val metaFrames = graft.queries.DruidSql.referencedMeta(plan)
           .flatMap(p => graft.queries.DruidSql
-            .metaFrame(spark, p, allQueryables(), storeRoots ++ sqlStoreDirs())
+            .metaFrame(spark, p, allQueryables(), storeRoots ++ sqlStoreDirs(),
+              statements.values.asScala.toSeq
+                .map(st => (st.id, st.state, st.datasource)))
             .map(p -> _)).toMap
         val frames = resolveFrames(
           graft.queries.DruidSql.referencedTables(plan)
@@ -372,7 +374,9 @@ final class HttpIngestServer(
 
   /** One submitted async statement (the `/druid/v2/sql/statements` MSQ
     * API): lifecycle ACCEPTED → RUNNING → SUCCESS / FAILED / CANCELED. */
-  private final class Statement(val id: String) {
+  private final class Statement(val id: String,
+      /** ingest target dataSource; null for SELECT statements (sys.tasks) */
+      val datasource: String) {
     @volatile var state: String = "ACCEPTED"
     @volatile var result: Option[String] = None
     @volatile var error: Option[String] = None
@@ -413,7 +417,9 @@ final class HttpIngestServer(
               reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
               return
           }
-          val st = new Statement(id)
+          val st = new Statement(id,
+            Option(root.get("query")).map(_.asText)
+              .flatMap(graft.queries.DruidSql.ingestTarget).orNull)
           if (statements.putIfAbsent(id, st) != null) {
             reply(ex, 400,
               s"""{"error":${quote(s"statement id '$id' already exists")}}""")

@@ -605,6 +605,24 @@ class HttpIngestSpec extends SparkSpec {
       // duplicate id rejected
       assert(post(port, "/druid/v2/sql/statements",
         """{"query": "SELECT 1", "context": {"sqlQueryId": "stmt-ok"}}""")._1 == 400)
+      // the statements surface as MSQ query tasks in sys.tasks; the other
+      // metadata tables complete alongside
+      val (c6, b6) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT task_id, type, status FROM sys.tasks ORDER BY task_id"}""")
+      assert(c6 == 200 && b6.contains("\"task_id\":\"stmt-ok\"") &&
+        b6.contains("\"task_id\":\"stmt-bad\"") &&
+        b6.contains("\"type\":\"query_controller\"") &&
+        b6.contains("\"status\":\"SUCCESS\"") && b6.contains("\"status\":\"FAILED\""),
+        s"$c6: $b6")
+      val (c7, b7) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT SCHEMA_NAME FROM INFORMATION_SCHEMA.SCHEMATA ORDER BY SCHEMA_NAME"}""")
+      assert(c7 == 200 &&
+        b7.contains("\"SCHEMA_NAME\":\"druid\"") &&
+        b7.contains("\"SCHEMA_NAME\":\"information_schema\"") &&
+        b7.contains("\"SCHEMA_NAME\":\"sys\""), s"$c7: $b7")
+      val (c8, b8) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT server, server_type, tier FROM sys.servers"}""")
+      assert(c8 == 200 && b8.contains("\"server_type\":\"broker\""), s"$c8: $b8")
       // cancel path: a long statement goes CANCELED, not SUCCESS
       val (c4, _) = post(port, "/druid/v2/sql/statements",
         """{"query": "SELECT SUM(a.uid % (b.uid + 1) + c.uid) AS c FROM big_ds a, big_ds b, big_ds c",
