@@ -1073,6 +1073,74 @@ object TextQueries {
             SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
             FROM p GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 20""")),
 
+    // -- FULL BPE TRAINING (r5c, Sennrich et al. 2016): the iterated merge
+    // loop itself, not just one round — k=5 rounds of (pair-count argmax →
+    // merge) over the vocabulary table, ordered (cnt DESC, pair ASC). The
+    // dotted-sentinel representation ("low" → "·l··o··w·") turns a merge
+    // into ONE plain string replace that is boundary- and overlap-safe
+    // (graft.functions.Bpe), so the DuckDB twin recomputes the ENTIRE
+    // training as 5 chained CTE rounds with scalar-subquery replaces —
+    // verified against a reference Python BPE implementation. Scale: every
+    // round touches only the vocabulary-sized table; the corpus collapsed
+    // once -------------------------------------------------------------
+    QueryDef("bpe_train_merges", (s, dir) => {
+      import s.implicits._
+      val vocab = Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      graft.functions.Bpe.train(vocab, "word", "freq", 5)
+        .map(m => (m.step, m.pair, m.cnt))
+        .toDF("step", "pair", "cnt")
+    },
+    Some(s"""WITH w AS (SELECT word, count(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              GROUP BY 1),
+            s0 AS (SELECT freq,
+                     '·' || array_to_string(string_split(word, ''), '··') || '·' AS s
+                   FROM w),
+            ${BpeOracle.rounds(5)}
+            SELECT * FROM (
+              SELECT 1 AS step, pr AS pair, cnt FROM m1 UNION ALL
+              SELECT 2, pr, cnt FROM m2 UNION ALL
+              SELECT 3, pr, cnt FROM m3 UNION ALL
+              SELECT 4, pr, cnt FROM m4 UNION ALL
+              SELECT 5, pr, cnt FROM m5) t"""), headline = false),
+
+    // -- BPE ENCODING with the trained merges: per-doc encoded token count
+    // (the number every mixture/packing decision needs). Spark trains on
+    // the driver (5 tiny vocabulary jobs), then encodes the corpus as 5
+    // chained codegen'd replaces per word; the DuckDB twin re-trains via
+    // the same CTE chain and applies the merges with scalar subqueries —
+    // end-to-end train+encode parity, zero shared state ------------------
+    QueryDef("bpe_token_counts", (s, dir) => {
+      val docs = Tables.t(s, dir, "documents")
+      val vocab = docs
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val merges = graft.functions.Bpe.train(vocab, "word", "freq", 5)
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"),
+          graft.functions.Bpe.tokenCount(col("word"), merges).as("toks"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_words"),
+          sum(col("toks")).cast(LongType).as("bpe_tokens"))
+    },
+    Some(s"""WITH w AS (SELECT word, count(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              GROUP BY 1),
+            s0 AS (SELECT freq,
+                     '·' || array_to_string(string_split(word, ''), '··') || '·' AS s
+                   FROM w),
+            ${BpeOracle.rounds(5)},
+            dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+            enc AS (SELECT doc_id, ${BpeOracle.applyMerges(5,
+              "'·' || array_to_string(string_split(word, ''), '··') || '·'")} AS s
+                    FROM dw)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(len(string_split(trim(s, '·'), '··'))) AS BIGINT) AS bpe_tokens
+            FROM enc GROUP BY 1""")),
+
     // -- CCNet-style perplexity BUCKETS (r5, Wenzek et al. 2020): rank docs
     // per language by an LM-quality proxy and split into head/middle/tail
     // tertiles (CCNet keeps head+middle, drops tail). The proxy is the mean
@@ -1194,4 +1262,29 @@ object TextQueries {
                    THEN 1 ELSE 0 END AS INT) AS keep_c4
             FROM split_s"""))
   )
+}
+
+/** DuckDB-side BPE training as SQL text: `rounds(k)` emits the k chained
+  * (pair-count → argmax → replace) CTE rounds over the dotted segmentation
+  * table `s0`; `applyMerges(k, inner)` nests the k scalar-subquery replaces
+  * for encoding. The exact twin of [[graft.functions.Bpe]] — verified
+  * round-for-round against a reference Python BPE implementation. */
+private[queries] object BpeOracle {
+  def rounds(k: Int): String = (1 to k).map { i =>
+    val prev = s"s${i - 1}"
+    s"""p$i AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           SELECT freq, unnest(list_transform(range(1, len(parts)),
+                   j -> parts[j] || '··' || parts[j+1])) AS pr
+           FROM (SELECT freq, string_split(trim(s, '·'), '··') AS parts FROM $prev))
+         GROUP BY 1),
+    m$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr ASC LIMIT 1),
+    s$i AS (SELECT freq, replace(s, '·' || (SELECT pr FROM m$i) || '·',
+                    '·' || replace((SELECT pr FROM m$i), '··', '') || '·') AS s
+            FROM $prev)"""
+  }.mkString(",\n")
+
+  def applyMerges(k: Int, inner: String): String =
+    (1 to k).foldLeft(inner)((acc, i) =>
+      s"replace($acc, '·' || (SELECT pr FROM m$i) || '·', " +
+        s"'·' || replace((SELECT pr FROM m$i), '··', '') || '·')")
 }
