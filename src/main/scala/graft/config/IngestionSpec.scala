@@ -112,7 +112,9 @@ final case class PostAggregatorSpec(
     /** for `quantilesDoublesSketchToQuantile` */
     fraction: Option[Double] = scala.None,
     /** for `quantilesDoublesSketchToQuantiles` */
-    fractions: Seq[Double] = Nil)
+    fractions: Seq[Double] = Nil,
+    /** for `quantilesDoublesSketchToCDF` / `…ToHistogram` */
+    splitPoints: Seq[Double] = Nil)
 
 final case class GranularitySpec(
     segmentGranularity: Granularity = Granularity.Hour,

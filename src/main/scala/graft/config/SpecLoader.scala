@@ -319,6 +319,8 @@ object SpecLoader {
       func = str(n, "func", ""),
       fraction = opt(n, "fraction").map(_.asDouble),
       fractions = opt(n, "fractions").toSeq
+        .flatMap(_.elements.asScala).map(_.asDouble),
+      splitPoints = opt(n, "splitPoints").toSeq
         .flatMap(_.elements.asScala).map(_.asDouble))
 
   /** Druid DataSketches-extension type names → canonical engine aggTypes.

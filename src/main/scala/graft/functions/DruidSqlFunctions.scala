@@ -596,6 +596,47 @@ object DruidSqlFunctions {
       ex(element_at(asCol(HistQuantiles(agg, CreateArray(Seq(Literal(prob))))), 1))
     }),
 
+    // DS_RANK / DS_CDF / DS_HISTOGRAM (DataSketches quantile-family SQL):
+    // aggregate the column into the engine's centroid sketch, finalize with
+    // the rank/CDF/PMF readers. Inclusive ranks; CDF appends the trailing
+    // 1.0; histogram returns counts per [prev, split) bin. A trailing
+    // integer-literal k is accepted (engine superset — Druid pins the
+    // default) so oracles can pin the exact regime.
+    fn("ds_rank", args => {
+      arity(args, "ds_rank(col, x[, k])", 2, 3)
+      val x = doubleLit(args(1), "ds_rank x")
+      val k = if (args.length == 3) intLit(args(2), "k") else 128
+      val agg = HistSketchAgg(ex(asCol(args(0)).cast("double")), k)
+        .toAggregateExpression()
+      ex(element_at(asCol(HistRanks(agg, CreateArray(Seq(Literal(x))))), 1))
+    }),
+
+    fn("ds_cdf", args => {
+      require(args.length >= 2, "ds_cdf(col, split1[, split2…]) needs ≥1 split")
+      val splits = args.drop(1).map(doubleLit(_, "ds_cdf split"))
+      val agg = HistSketchAgg(ex(asCol(args(0)).cast("double")), 128)
+        .toAggregateExpression()
+      ex(concat(asCol(HistRanks(agg,
+        CreateArray(splits.map(Literal(_))))), array(lit(1.0))))
+    }),
+
+    fn("ds_histogram", args => {
+      require(args.length >= 2,
+        "ds_histogram(col, split1[, split2…]) needs ≥1 split")
+      val splits = args.drop(1).map(doubleLit(_, "ds_histogram split"))
+      val agg = HistSketchAgg(ex(asCol(args(0)).cast("double")), 128)
+        .toAggregateExpression()
+      ex(asCol(HistPmf(agg, CreateArray(splits.map(Literal(_))))))
+    }),
+
+    // STRING_FORMAT: Druid's java String.format scalar — Spark's
+    // format_string IS java.util.Formatter, identical semantics
+    fn("string_format", args => {
+      require(args.nonEmpty, "string_format(pattern, args…) needs a pattern")
+      val pattern = strLit(args(0), "string_format pattern")
+      ex(format_string(pattern, args.drop(1).map(asCol): _*))
+    }),
+
     // -------------------------------------------- multi-value (MV_*) family
     // Druid's multi-value string dims are the engine's SORTED_ARRAY columns
     // (Pipeline multi-value handling); MV_* maps onto Spark array functions.

@@ -124,6 +124,18 @@ object GraftFunctions {
         require(args.length == 2, "hist_quantiles(sketch, probs) takes 2 arguments")
         HistQuantiles(args(0), args(1))
       }),
+    (new FunctionIdentifier("hist_ranks"),
+      new ExpressionInfo(classOf[HistRanks].getName, "hist_ranks"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hist_ranks(sketch, xs) takes 2 arguments")
+        HistRanks(args(0), args(1))
+      }),
+    (new FunctionIdentifier("hist_pmf"),
+      new ExpressionInfo(classOf[HistPmf].getName, "hist_pmf"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hist_pmf(sketch, splits) takes 2 arguments")
+        HistPmf(args(0), args(1))
+      }),
     (new FunctionIdentifier("theta_sketch_agg"),
       new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
       (args: Seq[Expression]) => {

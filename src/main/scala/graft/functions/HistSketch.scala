@@ -136,6 +136,41 @@ object HistSketch {
       out
     }
   }
+
+  /** Normalized ranks: for each x, (centroid mass with value ≤ x) / N —
+    * the INCLUSIVE convention (DataSketches' default search criterion).
+    * Exact in the sparse regime where every centroid is an exact value;
+    * the centroid-mass estimate otherwise. Null for an empty sketch. */
+  def ranks(b: Buffer, xs: Array[Double]): Array[Double] = {
+    val n = b.totalCount
+    if (n == 0 || b.size == 0) return null
+    xs.map { x =>
+      var cum = 0L; var i = 0
+      while (i < b.size && b.centroids(i) <= x) { cum += b.counts(i); i += 1 }
+      cum.toDouble / n
+    }
+  }
+
+  /** Histogram counts over split points (DataSketches getPMF convention,
+    * scaled to counts): m splits → m+1 bins [min, s1), [s1, s2), …,
+    * [sm, max]. Splits must be strictly increasing. Null for an empty
+    * sketch. */
+  def pmf(b: Buffer, splits: Array[Double]): Array[Double] = {
+    val n = b.totalCount
+    if (n == 0 || b.size == 0) return null
+    require(splits.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      "histogram split points must be strictly increasing")
+    val out = new Array[Double](splits.length + 1)
+    var i = 0
+    while (i < b.size) {
+      val v = b.centroids(i)
+      var bin = 0
+      while (bin < splits.length && v >= splits(bin)) bin += 1
+      out(bin) += b.counts(i).toDouble
+      i += 1
+    }
+    out
+  }
 }
 
 /** Aggregate raw double values into a serialized histogram sketch (binary).
@@ -258,4 +293,55 @@ case class HistQuantiles(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): HistQuantiles = copy(left = newLeft, right = newRight)
+}
+
+/** Finalize: `hist_ranks(sketch, array(xs))` → array<double> of normalized
+  * INCLUSIVE ranks (fraction of mass ≤ x; null for an empty sketch). */
+case class HistRanks(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "hist_ranks"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"hist_ranks expects (binary, array<double>), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def nullSafeEval(sketch: Any, xs: Any): Any = {
+    val buf = HistSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+    val rs = HistSketch.ranks(buf, xs.asInstanceOf[ArrayData].toDoubleArray())
+    if (rs == null) null else new GenericArrayData(rs)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HistRanks = copy(left = newLeft, right = newRight)
+}
+
+/** Finalize: `hist_pmf(sketch, array(splits))` → array<double> of histogram
+  * COUNTS over the m+1 bins the split points define (getPMF convention,
+  * scaled by N; null for an empty sketch). */
+case class HistPmf(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "hist_pmf"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"hist_pmf expects (binary, array<double>), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def nullSafeEval(sketch: Any, splits: Any): Any = {
+    val buf = HistSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+    val cs = HistSketch.pmf(buf, splits.asInstanceOf[ArrayData].toDoubleArray())
+    if (cs == null) null else new GenericArrayData(cs)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HistPmf = copy(left = newLeft, right = newRight)
 }

@@ -178,7 +178,8 @@ object Aggregators {
   def postAggColumn(p: graft.config.PostAggregatorSpec,
       aggTypes: Map[String, String]): Column = {
     import org.apache.spark.sql.graft.GraftSqlBridge.{column => asCol, expression => ex}
-    import graft.functions.{ThetaEstimate, ThetaSetOp, ThetaSketchUnion, HistQuantiles}
+    import graft.functions.{ThetaEstimate, ThetaSetOp, ThetaSketchUnion,
+      HistQuantiles, HistRanks, HistPmf}
     // numeric consumers cast their operands; fieldAccess itself stays RAW so
     // sketch binaries / struct partials flow to the finalizer post-aggs
     def num(q: graft.config.PostAggregatorSpec): Column =
@@ -273,6 +274,28 @@ object Aggregators {
           s"${p.name} needs fractions")
         val sk = postAggColumn(one("quantilesDoublesSketchToQuantiles"), aggTypes)
         asCol(HistQuantiles(ex(sk), ex(array(p.fractions.map(lit): _*))))
+      // ToRank: normalized INCLUSIVE rank of `value` (mass ≤ value / N) —
+      // exact in the sparse regime, the centroid-mass estimate otherwise
+      case "quantilesDoublesSketchToRank" =>
+        val v = p.value.getOrElse(throw new IllegalArgumentException(
+          s"quantilesDoublesSketchToRank postAgg ${p.name} needs value"))
+        val sk = postAggColumn(one("quantilesDoublesSketchToRank"), aggTypes)
+        element_at(asCol(HistRanks(ex(sk), ex(array(lit(v))))), 1)
+      // ToCDF: ranks at each split point + the trailing 1.0 (DataSketches
+      // getCDF shape: m splits → m+1 values)
+      case "quantilesDoublesSketchToCDF" =>
+        require(p.splitPoints.nonEmpty, s"quantilesDoublesSketchToCDF postAgg " +
+          s"${p.name} needs splitPoints")
+        val sk = postAggColumn(one("quantilesDoublesSketchToCDF"), aggTypes)
+        concat(asCol(HistRanks(ex(sk), ex(array(p.splitPoints.map(lit): _*)))),
+          array(lit(1.0)))
+      // ToHistogram: COUNTS over the m+1 bins the splits define (getPMF
+      // convention scaled by N: [min,s1), [s1,s2), …, [sm,max])
+      case "quantilesDoublesSketchToHistogram" =>
+        require(p.splitPoints.nonEmpty, s"quantilesDoublesSketchToHistogram " +
+          s"postAgg ${p.name} needs splitPoints")
+        val sk = postAggColumn(one("quantilesDoublesSketchToHistogram"), aggTypes)
+        asCol(HistPmf(ex(sk), ex(array(p.splitPoints.map(lit): _*))))
       case other =>
         throw new IllegalArgumentException(s"unsupported postAggregator type: $other")
     }

@@ -642,6 +642,52 @@ object DruidNativeQueries {
                      THEN value END), 2) AS p50,
                    round(max(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT)
                      THEN value END), 2) AS p95
-            FROM ranked GROUP BY event_type, n"""))
+            FROM ranked GROUP BY event_type, n""")),
+
+    // -- the REST of the quantile-sketch post-agg family: ToRank (inclusive
+    // normalized rank), ToCDF (ranks at splits + trailing 1.0), ToHistogram
+    // (counts per [prev, split) bin — getPMF convention). Exact regime
+    // (k=4096 ≥ ~1.8k distinct values per group), so DuckDB recomputes the
+    // same numbers from exact filtered counts; fractions are exact-integer
+    // divisions, IEEE-identical both engines ------------------------------
+    QueryDef("druid_json_rank_cdf_histogram", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "all", "dimensions": ["event_type"],
+         "aggregations": [
+           {"type": "count", "name": "cnt"},
+           {"type": "quantilesDoublesSketch", "name": "vq",
+            "fieldName": "value", "k": 4096}],
+         "postAggregations": [
+           {"type": "quantilesDoublesSketchToRank", "name": "rank100",
+            "field": {"type": "fieldAccess", "fieldName": "vq"}, "value": 100.0},
+           {"type": "quantilesDoublesSketchToCDF", "name": "cdf",
+            "field": {"type": "fieldAccess", "fieldName": "vq"},
+            "splitPoints": [50.0, 200.0]},
+           {"type": "quantilesDoublesSketchToHistogram", "name": "hist",
+            "field": {"type": "fieldAccess", "fieldName": "vq"},
+            "splitPoints": [50.0, 200.0]}]}""")
+        .select(col("event_type"), col("cnt"),
+          round(col("rank100"), 6).as("rank100"),
+          round(element_at(col("cdf"), 1), 6).as("cdf_50"),
+          round(element_at(col("cdf"), 2), 6).as("cdf_200"),
+          element_at(col("cdf"), 3).as("cdf_tail"),
+          element_at(col("hist"), 1).cast("long").as("hist_low"),
+          element_at(col("hist"), 2).cast("long").as("hist_mid"),
+          element_at(col("hist"), 3).cast("long").as("hist_high"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt,
+              round(CAST(count(*) FILTER (value <= 100.0) AS DOUBLE)
+                / count(*), 6) AS rank100,
+              round(CAST(count(*) FILTER (value <= 50.0) AS DOUBLE)
+                / count(*), 6) AS cdf_50,
+              round(CAST(count(*) FILTER (value <= 200.0) AS DOUBLE)
+                / count(*), 6) AS cdf_200,
+              1.0 AS cdf_tail,
+              CAST(count(*) FILTER (value < 50.0) AS BIGINT) AS hist_low,
+              CAST(count(*) FILTER (value >= 50.0 AND value < 200.0) AS BIGINT)
+                AS hist_mid,
+              CAST(count(*) FILTER (value >= 200.0) AS BIGINT) AS hist_high
+            FROM events GROUP BY 1"""))
   )
 }

@@ -577,6 +577,31 @@ class DruidSqlSpec extends SparkSpec {
       }.getMessage.toLowerCase.contains("ipv6_match"))
   }
 
+  test("DS_RANK / DS_CDF / DS_HISTOGRAM exact regime; STRING_FORMAT is " +
+      "java.util.Formatter semantics") {
+    // values 1,2,4,8,16 (5 distinct ≪ k=128 → the sketch is exact):
+    // rank(4) = 3/5; cdf(2,8) = [2/5, 4/5, 1]; hist(2,8) = [1, 2, 2]
+    val r = sql1(
+      """SELECT DS_RANK(value, 4.0) AS rk,
+                DS_CDF(value, 2.0, 8.0) AS cdf,
+                DS_HISTOGRAM(value, 2.0, 8.0) AS hist
+         FROM events""")
+    assert(r.getDouble(0) == 0.6)
+    assert(r.getSeq[Double](1) == Seq(0.4, 0.8, 1.0))
+    assert(r.getSeq[Double](2) == Seq(1.0, 2.0, 2.0))
+    val f = sql1(
+      """SELECT STRING_FORMAT('%s:%.1f #%03d', user, value, 7) AS s
+         FROM events WHERE user = 'carol'""")
+    assert(f.getString(0) == "carol:16.0 #007")
+    // non-literal pattern is a loud error; ds functions need ≥1 split
+    assert(intercept[Exception] {
+      sql1("SELECT STRING_FORMAT(user, value) FROM events")
+    }.getMessage.contains("pattern"))
+    assert(intercept[Exception] {
+      sql1("SELECT DS_CDF(value) FROM events")
+    }.getMessage.contains("split"))
+  }
+
   test("APPROX_QUANTILE: builtin-histogram form, exact in the high-accuracy " +
       "regime; bad prob rejected") {
     // 5 values 1,2,4,8,16 — accuracy ≫ n makes the GK sketch exact:
