@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -121,6 +122,65 @@ object TextQueries {
             FROM t a JOIN t b ON a.doc_id < b.doc_id
               AND abs(a.n_chars - b.n_chars) <= 20
             WHERE levenshtein(a.text, b.text) <= 20""")),
+
+    // -- CONTENT-DEFINED CHUNKING (FastCDC/rsync family): variable-size
+    // chunk boundaries from a gear-style rolling hash, then chunk-hash
+    // dedup stats — the blob-level member of the dedup family (near-
+    // identical documents share most chunks even when fixed-size blocks
+    // would all shift). The structural trick that keeps it relational:
+    // with boundary mask 64 = 2^6, the gear recurrence h_i = 2·h_{i-1} +
+    // g(c_i) satisfies h_i mod 64 = Σ_{k=0..5} 2^k·g(c_{i-k}) mod 64 —
+    // the boundary test depends ONLY on the last 6 chars, so it is a
+    // per-position windowed expression (no prefix scan), one Scan→Project
+    // per doc at any scale. Expected chunk ≈ 64 chars; chunks partition
+    // the text exactly (char conservation is part of the oracle) --------
+    QueryDef("cdc_chunk_stats", (s, dir) => {
+      val t = col("text")
+      val L = length(t)
+      def g(c: Column) = ascii(c) * lit(167) + lit(13)
+      val bnd = when(L >= 7, filter(sequence(lit(6), L - 1), i =>
+        (g(t.substr(i - 5, lit(1))) * 32 + g(t.substr(i - 4, lit(1))) * 16 +
+          g(t.substr(i - 3, lit(1))) * 8 + g(t.substr(i - 2, lit(1))) * 4 +
+          g(t.substr(i - 1, lit(1))) * 2 + g(t.substr(i, lit(1)))) % 64 === 0))
+        .otherwise(array().cast("array<int>"))
+      val chunks = transform(sequence(lit(1), size(bnd) + 1), k => {
+        val start = when(k === 1, lit(1))
+          .otherwise(element_at(bnd, k - 1) + 1)
+        val end = when(k === size(bnd) + 1, L).otherwise(element_at(bnd, k))
+        t.substr(start, end - start + 1)
+      })
+      Tables.t(s, dir, "documents")
+        .select(col("source"), explode(chunks).as("chunk"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count_distinct(md5(col("chunk"))).as("distinct_chunks"),
+          sum(length(col("chunk"))).cast(LongType).as("chunk_chars"))
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, source, text, len(text) AS L,
+                CASE WHEN len(text) >= 6 THEN
+                  list_filter(range(6, len(text)),
+                    i -> ( 32*(ascii(substr(text, i-5, 1))*167+13)
+                         + 16*(ascii(substr(text, i-4, 1))*167+13)
+                         +  8*(ascii(substr(text, i-3, 1))*167+13)
+                         +  4*(ascii(substr(text, i-2, 1))*167+13)
+                         +  2*(ascii(substr(text, i-1, 1))*167+13)
+                         +    (ascii(substr(text, i,   1))*167+13)) % 64 = 0)
+                ELSE [] END AS bnd
+              FROM documents),
+            c AS (
+              SELECT doc_id, source,
+                unnest(list_transform(range(1, len(bnd)+2),
+                  k -> substr(text,
+                         CASE WHEN k = 1 THEN 1 ELSE bnd[k-1]+1 END,
+                         (CASE WHEN k = len(bnd)+1 THEN L ELSE bnd[k] END)
+                         - (CASE WHEN k = 1 THEN 1 ELSE bnd[k-1]+1 END) + 1))) AS chunk
+              FROM b)
+            SELECT source,
+              count(*) AS n_chunks,
+              CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS distinct_chunks,
+              CAST(sum(len(chunk)) AS BIGINT) AS chunk_chars
+            FROM c GROUP BY 1""")),
 
     // -- near-dup DEDUP: pair graph → connected components → survivors.
     // The oracle computes the same components with a recursive CTE, so the
