@@ -105,6 +105,30 @@ object DruidNativeQueries {
               AND event_type = 'click'
             GROUP BY GROUPING SETS ((date_trunc('day', ts)), ())""")),
 
+    // -- PeriodGranularity with a non-UTC timeZone (object-form
+    // granularity): day buckets align to America/Los_Angeles local
+    // midnight (UTC-8 in January), rendered as UTC instants — the native
+    // twin of the SQL dialect's TIME_FLOOR timezone support; the DuckDB
+    // oracle recomputes through ICU AT TIME ZONE (independent tzdata) ----
+    QueryDef("druid_json_tz_granularity", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": {"type": "period", "period": "P1D",
+                         "timeZone": "America/Los_Angeles"},
+         "aggregations": [
+           {"type": "count", "name": "cnt"},
+           {"type": "longSum", "name": "sum_uid", "fieldName": "user_id"}]}""")
+        .select(date_format(col("__time"), fmt).as("bucket"),
+          col("cnt"), col("sum_uid"))
+    },
+    Some("""WITH t AS (SELECT (ts AT TIME ZONE 'UTC') AS i, user_id FROM events)
+            SELECT strftime((date_trunc('day', i AT TIME ZONE 'America/Los_Angeles')
+                     AT TIME ZONE 'America/Los_Angeles') AT TIME ZONE 'UTC',
+                     '%Y-%m-%d %H:%M:%S') AS bucket,
+              count(*) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS sum_uid
+            FROM t GROUP BY 1""")),
+
     // -- topN: per-DAY top-3 dimension values by count ----------------------
     // count ties across types within a day are likely — the compiler's
     // dimension-asc tiebreak is mirrored in the oracle's row_number

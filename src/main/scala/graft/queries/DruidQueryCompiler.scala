@@ -440,6 +440,28 @@ object DruidQueryCompiler {
       }
     }
 
+  /** Object-form `granularity.timeZone` (Druid PeriodGranularity): the
+    * bucketing calendar's zone. None for absent/UTC; unknown zones are a
+    * loud plan-time error — NEVER a silently ignored key. */
+  private def granularityZone(root: JsonNode): Option[String] =
+    opt(root, "granularity").filter(!_.isTextual)
+      .flatMap(n => opt(n, "timeZone")).map(_.asText)
+      .map { tz =>
+        require(scala.util.Try(java.time.ZoneId.of(tz)).isSuccess,
+          s"granularity: unknown timeZone '$tz'")
+        tz
+      }.filterNot(Seq("UTC", "Etc/UTC", "Z", "+00:00").contains)
+
+  /** Bucket an instant by `g` in `tz`'s wall-clock calendar (Druid's
+    * PeriodGranularity rule): shift to the zone, truncate there, shift
+    * back — results stay UTC instants, buckets align to the zone's local
+    * calendar. UTC (None) is the identical plan to before. */
+  private def truncateInZone(g: Granularity, tz: Option[String])(c: Column): Column =
+    tz match {
+      case scala.None => g.truncate(c)
+      case Some(z) => to_utc_timestamp(g.truncate(from_utc_timestamp(c, z)), z)
+    }
+
   // ------------------------------------------------------------- aggregation
 
   /** Shared core of timeseries/topN/groupBy: bucket __time, group by
@@ -464,7 +486,8 @@ object DruidQueryCompiler {
       // keep the raw event time visible to order-sensitive aggregators
       // (first/last family) — same convention as Pipeline.rollup
       .withColumn(Pipeline.RawTsCol, col(TimeCol))
-      .withColumn(TimeCol, granularity(root).truncate(col(TimeCol)))
+      .withColumn(TimeCol,
+        truncateInZone(granularity(root), granularityZone(root))(col(TimeCol)))
     val grouped = subtotals match {
       case None =>
         val keys = col(TimeCol) +: dims.map { case (n, c) => c.as(n) }
@@ -574,11 +597,18 @@ object DruidQueryCompiler {
     val grouped = aggregate(df, root, Nil)
     val denseDerivable =
       granularity(root).widthSeconds > 0 && intervalMillis(root).nonEmpty
+    // a zoned granularity defaults to sparse output (dense fill would need
+    // zone-local bucket enumeration); EXPLICIT skipEmptyBuckets=false + a
+    // zone is rejected loudly below
     val skipEmpty = opt(root, "context").flatMap(c => opt(c, "skipEmptyBuckets"))
-      .map(_.asBoolean).getOrElse(!denseDerivable)
+      .map(_.asBoolean)
+      .getOrElse(!denseDerivable || granularityZone(root).nonEmpty)
     val base = if (skipEmpty) finalizeAggs(grouped, root)
     else finalizeAggs({
       val gran = granularity(root)
+      require(granularityZone(root).isEmpty,
+        "skipEmptyBuckets=false (dense zero-fill) does not support a " +
+          "non-UTC granularity timeZone — drop the zone or keep sparse output")
       require(gran.widthSeconds > 0,
         "skipEmptyBuckets=false needs a fixed-width granularity")
       val intervals = intervalMillis(root)
@@ -906,8 +936,9 @@ object DruidQueryCompiler {
           "(contains/insensitive_contains/fragment)")
     }
     val g = granularity(root)
+    val gtz = granularityZone(root)
     val grouped = dims.map { d =>
-      df.select(g.truncate(col(TimeCol)).as(TimeCol),
+      df.select(truncateInZone(g, gtz)(col(TimeCol)).as(TimeCol),
           lit(d).as("dimension"), col(d).cast(StringType).as("value"))
         .filter(col("value").isNotNull && matches(col("value")))
     }.reduce(_.unionAll(_))
@@ -998,6 +1029,8 @@ object DruidQueryCompiler {
     */
   private def movingAverage(df: DataFrame, root: JsonNode): DataFrame = {
     val gran = granularity(root)
+    require(granularityZone(root).isEmpty,
+      "movingAverage does not support a non-UTC granularity timeZone")
     require(gran.widthSeconds > 0,
       "movingAverage needs a fixed-width granularity (second..day/duration)")
     val widthMs = gran.widthSeconds * 1000L

@@ -1006,4 +1006,32 @@ class DruidQuerySpec extends SparkSpec {
           {"type": "finalizingFieldAccess", "name": "x", "fieldName": "q"}]}""")
       .contains("quantilesDoublesSketchToQuantile"))
   }
+
+  test("granularity timeZone: zone-local day bucketing; unknown zone, " +
+      "zoned dense zero-fill, and zoned movingAverage are loud") {
+    // Tokyo (+09:00): all six 2024-03-01T00:10–02:45Z events land in the
+    // LOCAL day that began 2024-02-29T15:00Z
+    val r = run("""{"queryType": "timeseries", "dataSource": "events",
+        "granularity": {"type": "period", "period": "P1D",
+                        "timeZone": "Asia/Tokyo"},
+        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select(date_format(col("__time"), "yyyy-MM-dd HH:mm").as("b"), col("cnt"))
+      .collect()
+    assert(r.length == 1 && r(0).getString(0) == "2024-02-29 15:00" &&
+      r(0).getLong(1) == 6L)
+    def bad(json: String): String =
+      intercept[IllegalArgumentException](run(json)).getMessage
+    assert(bad("""{"queryType": "timeseries", "dataSource": "events",
+        "granularity": {"type": "period", "period": "P1D",
+                        "timeZone": "Not/AZone"},
+        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .contains("unknown timeZone"))
+    assert(bad("""{"queryType": "timeseries", "dataSource": "events",
+        "granularity": {"type": "period", "period": "PT1H",
+                        "timeZone": "Asia/Tokyo"},
+        "intervals": ["2024-03-01T00:00:00/2024-03-01T03:00:00"],
+        "context": {"skipEmptyBuckets": false},
+        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .contains("dense zero-fill"))
+  }
 }
