@@ -434,7 +434,15 @@ object DruidQueryCompiler {
           require(ms > 0 && ms % 1000 == 0,
             s"duration granularity must be a positive whole-second millis value, got $ms")
           Granularity.Duration(ms / 1000)
-        case "period" => Granularity.fromString(str(n, "period", ""))
+        case "period" => str(n, "period", "").toUpperCase match {
+          // calendar periods (same mapping as the SQL TIME_FLOOR family)
+          case "P1W" => Granularity.Week
+          case "P1M" => Granularity.Month
+          case "P3M" => Granularity.Quarter
+          case "P1Y" => Granularity.Year
+          case "P1D" => Granularity.Day
+          case p     => Granularity.fromString(p)
+        }
         case other => throw new IllegalArgumentException(
           s"unsupported granularity type '$other' (duration/period or a name)")
       }
@@ -452,14 +460,46 @@ object DruidQueryCompiler {
         tz
       }.filterNot(Seq("UTC", "Etc/UTC", "Z", "+00:00").contains)
 
-  /** Bucket an instant by `g` in `tz`'s wall-clock calendar (Druid's
-    * PeriodGranularity rule): shift to the zone, truncate there, shift
-    * back — results stay UTC instants, buckets align to the zone's local
-    * calendar. UTC (None) is the identical plan to before. */
-  private def truncateInZone(g: Granularity, tz: Option[String])(c: Column): Column =
-    tz match {
-      case scala.None => g.truncate(c)
-      case Some(z) => to_utc_timestamp(g.truncate(from_utc_timestamp(c, z)), z)
+  /** Object-form `granularity.origin` (Druid PeriodGranularity): anchor
+    * instant for fixed-width buckets, as epoch millis. ISO strings and
+    * numeric millis accepted; None when absent. */
+  private def granularityOrigin(root: JsonNode): Option[Long] =
+    opt(root, "granularity").filter(!_.isTextual)
+      .flatMap(n => opt(n, "origin")).map { o =>
+        if (o.isNumber) o.asLong
+        else {
+          val s = o.asText
+          scala.util.Try(java.time.Instant.parse(s).toEpochMilli).getOrElse(
+            scala.util.Try(java.time.LocalDateTime.parse(s)
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli).getOrElse(
+              throw new IllegalArgumentException(
+                s"granularity: unparseable origin '$s'")))
+        }
+      }
+
+  /** Bucket an instant by `g` under the object-form granularity modifiers
+    * (Druid's PeriodGranularity rules, same as the SQL TIME_FLOOR family):
+    *  - explicit `origin` → instant-space `(t − o) mod w` anchoring, which
+    *    is timezone-INVARIANT (tz only shifts the DEFAULT origin, and an
+    *    explicit one overrides it) — fixed-width periods only, loud
+    *    otherwise;
+    *  - `timeZone` without origin → truncate in the zone's wall clock
+    *    (from_utc → truncate → to_utc sandwich), results stay UTC instants;
+    *  - neither → the identical plan to before. */
+  private def truncateInZone(g: Granularity, tz: Option[String],
+      origin: Option[Long] = scala.None)(c: Column): Column =
+    origin match {
+      case Some(o) =>
+        require(g.widthSeconds > 0,
+          "granularity origin needs a fixed-width period (calendar periods " +
+            "have no origin semantics)")
+        val w = g.widthSeconds * 1000L
+        val x = unix_millis(c)
+        timestamp_millis(x - pmod(x - lit(o), lit(w)))
+      case scala.None => tz match {
+        case scala.None => g.truncate(c)
+        case Some(z) => to_utc_timestamp(g.truncate(from_utc_timestamp(c, z)), z)
+      }
     }
 
   // ------------------------------------------------------------- aggregation
@@ -487,7 +527,8 @@ object DruidQueryCompiler {
       // (first/last family) — same convention as Pipeline.rollup
       .withColumn(Pipeline.RawTsCol, col(TimeCol))
       .withColumn(TimeCol,
-        truncateInZone(granularity(root), granularityZone(root))(col(TimeCol)))
+        truncateInZone(granularity(root), granularityZone(root),
+          granularityOrigin(root))(col(TimeCol)))
     val grouped = subtotals match {
       case None =>
         val keys = col(TimeCol) +: dims.map { case (n, c) => c.as(n) }
@@ -602,13 +643,17 @@ object DruidQueryCompiler {
     // zone is rejected loudly below
     val skipEmpty = opt(root, "context").flatMap(c => opt(c, "skipEmptyBuckets"))
       .map(_.asBoolean)
-      .getOrElse(!denseDerivable || granularityZone(root).nonEmpty)
+      .getOrElse(!denseDerivable || granularityZone(root).nonEmpty ||
+        granularityOrigin(root).nonEmpty)
     val base = if (skipEmpty) finalizeAggs(grouped, root)
     else finalizeAggs({
       val gran = granularity(root)
       require(granularityZone(root).isEmpty,
         "skipEmptyBuckets=false (dense zero-fill) does not support a " +
           "non-UTC granularity timeZone — drop the zone or keep sparse output")
+      require(granularityOrigin(root).isEmpty,
+        "skipEmptyBuckets=false (dense zero-fill) does not support a " +
+          "custom granularity origin (epoch-anchored bucket enumeration)")
       require(gran.widthSeconds > 0,
         "skipEmptyBuckets=false needs a fixed-width granularity")
       val intervals = intervalMillis(root)
@@ -937,8 +982,9 @@ object DruidQueryCompiler {
     }
     val g = granularity(root)
     val gtz = granularityZone(root)
+    val gorig = granularityOrigin(root)
     val grouped = dims.map { d =>
-      df.select(truncateInZone(g, gtz)(col(TimeCol)).as(TimeCol),
+      df.select(truncateInZone(g, gtz, gorig)(col(TimeCol)).as(TimeCol),
           lit(d).as("dimension"), col(d).cast(StringType).as("value"))
         .filter(col("value").isNotNull && matches(col("value")))
     }.reduce(_.unionAll(_))
@@ -1031,6 +1077,8 @@ object DruidQueryCompiler {
     val gran = granularity(root)
     require(granularityZone(root).isEmpty,
       "movingAverage does not support a non-UTC granularity timeZone")
+    require(granularityOrigin(root).isEmpty,
+      "movingAverage does not support a custom granularity origin")
     require(gran.widthSeconds > 0,
       "movingAverage needs a fixed-width granularity (second..day/duration)")
     val widthMs = gran.widthSeconds * 1000L

@@ -1034,4 +1034,39 @@ class DruidQuerySpec extends SparkSpec {
         "aggregations": [{"type": "count", "name": "cnt"}]}""")
       .contains("dense zero-fill"))
   }
+
+  test("granularity origin: instant-space anchored fixed-width buckets; " +
+      "calendar+origin is loud; origin overrides the zone") {
+    // PT30M anchored at 00:05 → buckets [00:05, 00:35), [00:35, 01:05)…
+    val r = run("""{"queryType": "timeseries", "dataSource": "events",
+        "granularity": {"type": "period", "period": "PT30M",
+                        "origin": "2024-03-01T00:05:00"},
+        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select(date_format(col("__time"), "HH:mm").as("b"), col("cnt"))
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    // 00:10→00:05, 00:40→00:35, 01:10+01:20→01:05, 02:30→02:05, 02:45→02:35
+    assert(r == Map("00:05" -> 1L, "00:35" -> 1L, "01:05" -> 2L,
+      "02:05" -> 1L, "02:35" -> 1L))
+    // explicit origin is tz-invariant: adding a zone changes nothing
+    val r2 = run("""{"queryType": "timeseries", "dataSource": "events",
+        "granularity": {"type": "period", "period": "PT30M",
+                        "origin": "2024-03-01T00:05:00",
+                        "timeZone": "Asia/Tokyo"},
+        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select(date_format(col("__time"), "HH:mm").as("b"), col("cnt"))
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(r2 == r)
+    def bad(json: String): String =
+      intercept[IllegalArgumentException](run(json)).getMessage
+    assert(bad("""{"queryType": "timeseries", "dataSource": "events",
+        "granularity": {"type": "period", "period": "P1M",
+                        "origin": "2024-03-01T00:05:00"},
+        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .contains("fixed-width"))
+    assert(bad("""{"queryType": "timeseries", "dataSource": "events",
+        "granularity": {"type": "period", "period": "PT30M",
+                        "origin": "not-a-time"},
+        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .contains("unparseable origin"))
+  }
 }
