@@ -700,16 +700,41 @@ final class HttpIngestServer(
             reply(ex, 400, """{"error":"body must be a JSON object of key->value strings"}""")
             return
           }
+          // Druid coordinator envelope: {"version": …,
+          // "lookupExtractorFactory": {"type": "map", "map": {…}}} — unwrap
+          // to the inner map (only type "map" is meaningful here: this
+          // engine has no cached-namespace/JDBC loaders; anything else is a
+          // loud error, never a silently registered empty lookup). The bare
+          // key→value object body keeps working (the engine's native form).
+          val mapNode = Option(root.get("lookupExtractorFactory")) match {
+            case Some(f) =>
+              val t = Option(f.get("type")).map(_.asText).getOrElse("")
+              if (t != "map") {
+                reply(ex, 400, s"""{"error":${quote(
+                  s"unsupported lookupExtractorFactory type '$t' (only 'map')")}}""")
+                return
+              }
+              Option(f.get("map")).getOrElse {
+                reply(ex, 400, """{"error":"lookupExtractorFactory needs a 'map' object"}""")
+                return
+              }
+            case None => root
+          }
+          if (!mapNode.isObject) {
+            reply(ex, 400, """{"error":"lookup map must be a JSON object"}""")
+            return
+          }
+          val root2 = mapNode
           // strings only — asText would silently coerce null → "null" and
           // objects/arrays → "", registering garbage with a 200
-          val bad = root.propertyStream.iterator.asScala
+          val bad = root2.propertyStream.iterator.asScala
             .filterNot(_.getValue.isTextual).map(_.getKey).toSeq
           if (bad.nonEmpty) {
             reply(ex, 400, s"""{"error":${quote(
               s"lookup values must be strings; non-string keys: ${bad.sorted.mkString(",")}")}}""")
             return
           }
-          val mapping = root.propertyStream.iterator.asScala
+          val mapping = root2.propertyStream.iterator.asScala
             .map(e => e.getKey -> e.getValue.asText).toMap
           if (mapping.isEmpty) {
             reply(ex, 400, """{"error":"lookup must be non-empty"}"""); return

@@ -577,6 +577,20 @@ class DruidSqlSpec extends SparkSpec {
       }.getMessage.toLowerCase.contains("ipv6_match"))
   }
 
+  test("TIMESTAMPADD / TIMESTAMPDIFF / EXTRACT run verbatim through the " +
+      "dialect (Spark builtins carry Druid's semantics)") {
+    val r = sql1(
+      """SELECT TIME_FORMAT(TIMESTAMPADD(HOUR, 3, __time),
+                  'yyyy-MM-dd HH:mm:ss') AS plus3h,
+                TIMESTAMPDIFF(DAY, TIME_PARSE('2024-03-01T00:00:00'),
+                  TIME_PARSE('2024-03-15T23:59:59')) AS days,
+                CAST(EXTRACT(HOUR FROM __time) AS BIGINT) AS hr
+         FROM events WHERE user = 'carol'""")
+    assert(r.getString(0) == "2024-06-30 15:00:00")
+    assert(r.getLong(1) == 14L)
+    assert(r.getLong(2) == 12L)
+  }
+
   test("DS_RANK / DS_CDF / DS_HISTOGRAM exact regime; STRING_FORMAT is " +
       "java.util.Formatter semantics") {
     // values 1,2,4,8,16 (5 distinct ≪ k=128 → the sketch is exact):

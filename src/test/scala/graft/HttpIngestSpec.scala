@@ -280,6 +280,18 @@ class HttpIngestSpec extends SparkSpec {
       val (lnn, lnnb) = post(handle.port, "/lookups/etypes",
         """{"a": "ok", "z": null, "b": {"label": "x"}, "c": [1]}""")
       assert(lnn == 400 && lnnb.contains("b,c,z"), lnnb)
+      // Druid coordinator envelope form registers the inner map; non-map
+      // factory types are loud (no cached-namespace/JDBC loaders here)
+      val (le, leb) = post(handle.port, "/lookups/envtypes",
+        """{"version": "v1", "lookupExtractorFactory":
+            {"type": "map", "map": {"c": "click-env"}}}""")
+      assert(le == 200 && leb.contains("\"entries\":1"), leb)
+      val (leq, leqb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT LOOKUP('c', 'envtypes') AS label FROM clicks_ds LIMIT 1"}""")
+      assert(leq == 200 && leqb.contains("\"label\":\"click-env\""), leqb)
+      val (lef, lefb) = post(handle.port, "/lookups/envtypes",
+        """{"lookupExtractorFactory": {"type": "cachedNamespace"}}""")
+      assert(lef == 400 && lefb.contains("cachedNamespace"), lefb)
 
       // SQL INGESTION over the socket (MSQ surface): INSERT INTO with a
       // rollup SELECT over the routed store; reply = per-segment task
