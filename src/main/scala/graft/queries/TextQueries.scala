@@ -137,12 +137,20 @@ object TextQueries {
     QueryDef("cdc_chunk_stats", (s, dir) => {
       val t = col("text")
       val L = length(t)
-      def g(c: Column) = ascii(c) * lit(167) + lit(13)
+      // per-char gear codes computed ONCE (O(L)); the windowed boundary
+      // test is then 6 O(1) array reads per position. The naive form —
+      // substr(i±k) inside the position lambda — rescans the UTF-8 string
+      // from the start on every call (substr is O(pos)), turning the doc
+      // into O(L²) work: measured pathological at the ×10 probe scale.
+      val gs = transform(filter(split(t, ""), c => c =!= lit("")),
+        c => ascii(c) * lit(167) + lit(13))
       val bnd = when(L >= 7, filter(sequence(lit(6), L - 1), i =>
-        (g(t.substr(i - 5, lit(1))) * 32 + g(t.substr(i - 4, lit(1))) * 16 +
-          g(t.substr(i - 3, lit(1))) * 8 + g(t.substr(i - 2, lit(1))) * 4 +
-          g(t.substr(i - 1, lit(1))) * 2 + g(t.substr(i, lit(1)))) % 64 === 0))
+        (element_at(gs, i - 5) * 32 + element_at(gs, i - 4) * 16 +
+          element_at(gs, i - 3) * 8 + element_at(gs, i - 2) * 4 +
+          element_at(gs, i - 1) * 2 + element_at(gs, i)) % 64 === 0))
         .otherwise(array().cast("array<int>"))
+      // ~L/64 chunks per doc: the per-chunk substr is fine (one O(pos)
+      // scan per CHUNK, not per position)
       val chunks = transform(sequence(lit(1), size(bnd) + 1), k => {
         val start = when(k === 1, lit(1))
           .otherwise(element_at(bnd, k - 1) + 1)
