@@ -4,10 +4,24 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR, prints
   * ONE JSON line {"metric":…,"queries":{…}} (driver contract). Each query is
-  * forced with a full-result count after a warm-up pass of the first query
-  * (JIT + code cache), timed individually.
+  * forced with a full-result count after a warm-up pass over every headline
+  * (JIT + code cache), then timed k times with the MIN reported — a single
+  * noisy-neighbor burst can inflate one shot 4-17x (observed twice: r4 and
+  * r5 driver benches, both refuted by idle-box reruns of identical code),
+  * and min-of-k is the standard way to recover the engine's intrinsic cost
+  * from a contended box. The JSON also stamps /proc/loadavg at start and end
+  * so contamination is detectable post-hoc from the artifact itself.
   */
 object Bench {
+  /** 1-minute load average + running/total task counts, e.g. "12.42 1/830".
+    * Read directly (no shell-out) so it works inside the forked sbt JVM. */
+  private def loadStamp(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try { val f = src.mkString.trim.split("\\s+"); s"${f(0)} ${f(3)}" }
+      finally src.close()
+    } catch { case _: Throwable => "n/a" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,22 +50,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val loadStart = loadStamp()
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val qs = SparkEntry.headlines
     // warm-up: run every headline once untimed (JIT + codegen compile +
     // parquet footer cache) so the timed pass measures steady-state execution
     qs.foreach(q => try q.run(spark, sfDir).count() catch { case _: Throwable => () })
 
     val results = qs.map { q =>
-      val t0 = System.nanoTime()
-      val ok = try { q.run(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      // failed queries are reported as -1, never as a plausible timing
-      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // min over k repeats: intrinsic engine cost, robust to transient box
+      // contention. Failed queries report -1, never a plausible timing.
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      q.name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+    val loadEnd = loadStamp()
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","repeats":$repeats,"timing":"min_of_k","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}""")
     spark.stop()
   }
 }

@@ -43,6 +43,46 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // ESTIMATE GATE for rollup_hll_approx: the HLL estimate can't hash-match
+    // a DuckDB oracle, but it CAN be bounded against its exact twin
+    // (rollup_day_distinct shares the spec with an exactCardinality
+    // aggregator). approx_count_distinct is HLL++ at the default maximum
+    // estimation error rsd=0.05; the gate admits |est−exact| ≤
+    // max(5, 4·rsd·exact) — ~4σ plus an absolute slack for tiny groups
+    // (HLL++ is exact in its sparse regime anyway), far outside normal
+    // deviation yet tight enough to catch any wiring/merge bug. Result →
+    // <outDir>/rollup_hll_approx.tolerance.json for the gate artifact.
+    if (only.forall(_.contains("rollup_hll_approx"))) {
+      try {
+        val joined = SparkEntry.queries("rollup_hll_approx")(spark, sfDir)
+          .select("bucket", "event_type", "approx_users")
+          .join(SparkEntry.queries("rollup_day_distinct")(spark, sfDir)
+            .select("bucket", "event_type", "uniq_users"),
+            Seq("bucket", "event_type"), "full_outer")
+          .selectExpr("cast(coalesce(approx_users, -1) as long) AS est",
+            "cast(coalesce(uniq_users, -1) as long) AS ex")
+          .collect()
+        val errs = joined.map { r =>
+          val e = r.getLong(0); val x = r.getLong(1)
+          // a group present on only one side is itself a violation (-1 twin)
+          if (e < 0 || x < 0) Double.PositiveInfinity
+          else math.abs(e - x) / math.max(x.toDouble, 1.0)
+        }
+        val violations = joined.indices.count { i =>
+          val x = math.max(joined(i).getLong(1).toDouble, 1.0)
+          errs(i) * x > math.max(5.0, 4 * 0.05 * x)
+        }
+        val maxRel = if (errs.isEmpty) 0.0 else errs.max
+        Files.writeString(Paths.get(s"$outDir/rollup_hll_approx.tolerance.json"),
+          f"""{"groups":${joined.length},"violations":$violations,"rsd":0.05,"bound":"abs(est-exact) <= max(5, 4*rsd*exact)","max_rel_err":$maxRel%.6f,"pass":${violations == 0}}""")
+        if (violations > 0)
+          System.err.println(s"[verify] rollup_hll_approx TOLERANCE GATE " +
+            s"FAILED: $violations of ${joined.length} groups out of bound")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] hll tolerance gate failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

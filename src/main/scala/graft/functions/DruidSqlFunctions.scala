@@ -599,7 +599,8 @@ object DruidSqlFunctions {
     // DS_RANK / DS_CDF / DS_HISTOGRAM (DataSketches quantile-family SQL):
     // aggregate the column into the engine's centroid sketch, finalize with
     // the rank/CDF/PMF readers. Inclusive ranks; CDF appends the trailing
-    // 1.0; histogram returns counts per [prev, split) bin. A trailing
+    // 1.0; histogram returns counts per (prev, split] bin (inclusive, so
+    // histogram partial sums equal CDF·N at each split). A trailing
     // integer-literal k is accepted (engine superset — Druid pins the
     // default) so oracles can pin the exact regime.
     fn("ds_rank", args => {

@@ -218,13 +218,29 @@ object GraftFunctions {
         BloomMightContain(args(0), args(1))
       }))
 
+  /** Sessions already registered — register() is called eagerly all over
+    * (store reads, Verify, Bench, every spec) and each re-registration WARNs
+    * ("replaced a previously registered function") into every artifact log.
+    * Weak keys: a dropped session must not pin its state here. */
+  private val registeredSessions =
+    java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   /** Imperative registration for sessions created without the extension —
-    * graft's native expressions plus the Druid SQL dialect surface. */
+    * graft's native expressions plus the Druid SQL dialect surface.
+    * Idempotent per session. Same-named BUILTINS (Spark 4.1 ships its own
+    * theta_sketch_agg/theta_union_agg/theta_sketch_estimate with an
+    * incompatible sketch encoding) are dropped first and replaced
+    * DELIBERATELY — graft's stored sketches must keep resolving to graft's
+    * expressions — and dropping first keeps the replacement silent. */
   def register(spark: SparkSession): Unit = {
+    if (!registeredSessions.add(spark)) return
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     (injections ++ DruidSqlFunctions.injections).foreach {
-      case (ident, info, builder) => registry.registerFunction(ident, info, builder)
+      case (ident, info, builder) =>
+        registry.dropFunction(ident)
+        registry.registerFunction(ident, info, builder)
     }
   }
 }

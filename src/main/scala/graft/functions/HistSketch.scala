@@ -151,10 +151,12 @@ object HistSketch {
     }
   }
 
-  /** Histogram counts over split points (DataSketches getPMF convention,
-    * scaled to counts): m splits → m+1 bins [min, s1), [s1, s2), …,
-    * [sm, max]. Splits must be strictly increasing. Null for an empty
-    * sketch. */
+  /** Histogram counts over split points (DataSketches getPMF with the
+    * default INCLUSIVE search criterion, scaled to counts): m splits →
+    * m+1 bins [min, s1], (s1, s2], …, (sm, max] — mass exactly on a split
+    * lands in the LOWER bin, so bin sums reconcile with [[ranks]]/CDF
+    * (mass ≤ x) at every split point. Splits must be strictly increasing.
+    * Null for an empty sketch. */
   def pmf(b: Buffer, splits: Array[Double]): Array[Double] = {
     val n = b.totalCount
     if (n == 0 || b.size == 0) return null
@@ -165,7 +167,7 @@ object HistSketch {
     while (i < b.size) {
       val v = b.centroids(i)
       var bin = 0
-      while (bin < splits.length && v >= splits(bin)) bin += 1
+      while (bin < splits.length && v > splits(bin)) bin += 1
       out(bin) += b.counts(i).toDouble
       i += 1
     }
@@ -321,8 +323,8 @@ case class HistRanks(left: Expression, right: Expression)
 }
 
 /** Finalize: `hist_pmf(sketch, array(splits))` → array<double> of histogram
-  * COUNTS over the m+1 bins the split points define (getPMF convention,
-  * scaled by N; null for an empty sketch). */
+  * COUNTS over the m+1 (left, right] bins the split points define (getPMF
+  * inclusive convention, scaled by N; null for an empty sketch). */
 case class HistPmf(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 

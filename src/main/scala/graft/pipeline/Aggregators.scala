@@ -290,7 +290,8 @@ object Aggregators {
         concat(asCol(HistRanks(ex(sk), ex(array(p.splitPoints.map(lit): _*)))),
           array(lit(1.0)))
       // ToHistogram: COUNTS over the m+1 bins the splits define (getPMF
-      // convention scaled by N: [min,s1), [s1,s2), …, [sm,max])
+      // inclusive convention scaled by N: [min,s1], (s1,s2], …, (sm,max] —
+      // reconciles with ToCDF/ToRank's mass ≤ x at every split)
       case "quantilesDoublesSketchToHistogram" =>
         require(p.splitPoints.nonEmpty, s"quantilesDoublesSketchToHistogram " +
           s"postAgg ${p.name} needs splitPoints")

@@ -26,7 +26,12 @@ import graft.sink.{SegmentSink, SegmentStore}
   * Soundness: a conjunct `dim = v` / numeric range only ever EXCLUDES
   * segments whose merged [min, max] cannot contain matching rows; segments
   * without stats coverage are kept (pruneSegments* are conservative). Only
-  * top-level AND conjuncts are consulted; OR trees are ignored.
+  * top-level AND conjuncts are consulted. A conjunct that is itself a
+  * string disjunction — `dim IN (a,b,…)` (or its optimized InSet form) or
+  * `dim = a OR dim = b` on ONE column, both common shapes of Druid filter
+  * JSON — admits the UNION of the per-value admissions (sound: any row
+  * matching the disjunct matches one of the values); mixed-column OR trees
+  * are ignored.
   *
   * Bounded planning cost: the sidecar is consulted once per distinct
   * (store, predicate, sidecar-mtime) — memoized — and never re-entered
@@ -104,15 +109,19 @@ class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case EqualTo(Literal(v, StringType), a: AttributeReference) if v != null =>
         (a.name, v.toString)
     }
+    val stringInAll = collectStringDisjunctions(conjuncts)
     val numericBoundsAll = collectNumericBounds(conjuncts)
     val tsBounds = collectTsBounds(conjuncts)
-    if (stringEqAll.isEmpty && numericBoundsAll.isEmpty && tsBounds.isEmpty)
+    if (stringEqAll.isEmpty && stringInAll.isEmpty && numericBoundsAll.isEmpty &&
+        tsBounds.isEmpty)
       return None // nothing answerable — zero filesystem cost
 
     val mtime = sidecarMtime(path)
     val stringEq = if (mtime > 0) stringEqAll else Nil
+    val stringIn = if (mtime > 0) stringInAll else Nil
     val numericBounds = if (mtime > 0) numericBoundsAll else Nil
-    if (stringEq.isEmpty && numericBounds.isEmpty && tsBounds.isEmpty) return None
+    if (stringEq.isEmpty && stringIn.isEmpty && numericBounds.isEmpty &&
+        tsBounds.isEmpty) return None
 
     val tz = spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID)
@@ -120,6 +129,7 @@ class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (names.isEmpty) return None
     val key = s"$path@$mtime@$tz@${names.size}:${names.hashCode}|" +
       (stringEq.map(e => s"s:${e._1}=${e._2}") ++
+        stringIn.map(e => s"i:${e._1}∈{${e._2.sorted.mkString(",")}}") ++
         numericBounds.map(b => s"n:${b._1}∈[${b._2},${b._3}]") ++
         tsBounds.map(b => s"t:[${b._1},${b._2}]")).sorted.mkString("&")
     // bound the memo: distinct LITERALS create distinct keys (think a
@@ -132,6 +142,10 @@ class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val lists =
           stringEq.map { case (d, v) =>
             SegmentStore.pruneSegments(spark, path, d, v).toSet } ++
+          // disjunction: union of per-value admissions (each conservative)
+          stringIn.map { case (d, vs) =>
+            vs.map(v => SegmentStore.pruneSegments(spark, path, d, v).toSet)
+              .reduce(_ union _) } ++
           numericBounds.map { case (c, lo, hi) =>
             SegmentStore.pruneSegmentsNumericRange(spark, path, c, lo, hi).toSet } ++
           tsBounds.flatMap { case (lo, hi) => timeAdmitted(names, tz, lo, hi) }
@@ -208,6 +222,46 @@ class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def splitAnd(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitAnd(l) ++ splitAnd(r)
     case other     => Seq(other)
+  }
+
+  /** Single-column string disjunctions: `dim IN (a,b,…)`, its optimized
+    * `InSet` form, and `dim = a OR dim = b [OR …]` Or-trees whose every
+    * leaf is an equality on the SAME string column. Null values make the
+    * conjunct unanswerable (null never matches an equality, but excluding
+    * on it would be wrong for the IN-list's other values only if we
+    * dropped them — simplest sound rule: skip). */
+  private def collectStringDisjunctions(
+      conjuncts: Seq[Expression]): Seq[(String, Seq[String])] = {
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    def orLeaves(e: Expression): Seq[Expression] = e match {
+      case Or(l, r) => orLeaves(l) ++ orLeaves(r)
+      case other    => Seq(other)
+    }
+    conjuncts.flatMap {
+      case In(a: AttributeReference, vs)
+          if a.dataType == StringType && vs.nonEmpty &&
+            vs.forall(strLit(_).isDefined) =>
+        Some(a.name -> vs.flatMap(strLit))
+      case InSet(a: AttributeReference, hset)
+          if a.dataType == StringType && hset.nonEmpty && !hset.contains(null) =>
+        Some(a.name -> hset.toSeq.map(_.toString))
+      case o @ Or(_, _) =>
+        val eqs = orLeaves(o).map {
+          case EqualTo(a: AttributeReference, l: Literal)
+              if a.dataType == StringType => strLit(l).map(a.name -> _)
+          case EqualTo(l: Literal, a: AttributeReference)
+              if a.dataType == StringType => strLit(l).map(a.name -> _)
+          case _ => None
+        }
+        if (eqs.forall(_.isDefined) &&
+            eqs.flatten.map(_._1).distinct.size == 1)
+          Some(eqs.flatten.head._1 -> eqs.flatten.map(_._2))
+        else None
+      case _ => None
+    }
   }
 
   /** Per-attribute [lo, hi] from numeric comparisons with literals —

@@ -670,7 +670,8 @@ object DruidNativeQueries {
 
     // -- the REST of the quantile-sketch post-agg family: ToRank (inclusive
     // normalized rank), ToCDF (ranks at splits + trailing 1.0), ToHistogram
-    // (counts per [prev, split) bin — getPMF convention). Exact regime
+    // (counts per (prev, split] bin — getPMF inclusive convention, so
+    // hist_low == cdf_50·N: the bins reconcile with the CDF). Exact regime
     // (k=4096 ≥ ~1.8k distinct values per group), so DuckDB recomputes the
     // same numbers from exact filtered counts; fractions are exact-integer
     // divisions, IEEE-identical both engines ------------------------------
@@ -708,10 +709,10 @@ object DruidNativeQueries {
               round(CAST(count(*) FILTER (value <= 200.0) AS DOUBLE)
                 / count(*), 6) AS cdf_200,
               1.0 AS cdf_tail,
-              CAST(count(*) FILTER (value < 50.0) AS BIGINT) AS hist_low,
-              CAST(count(*) FILTER (value >= 50.0 AND value < 200.0) AS BIGINT)
+              CAST(count(*) FILTER (value <= 50.0) AS BIGINT) AS hist_low,
+              CAST(count(*) FILTER (value > 50.0 AND value <= 200.0) AS BIGINT)
                 AS hist_mid,
-              CAST(count(*) FILTER (value >= 200.0) AS BIGINT) AS hist_high
+              CAST(count(*) FILTER (value > 200.0) AS BIGINT) AS hist_high
             FROM events GROUP BY 1"""))
   )
 }

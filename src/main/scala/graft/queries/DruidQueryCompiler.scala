@@ -449,8 +449,11 @@ object DruidQueryCompiler {
     }
 
   /** Object-form `granularity.timeZone` (Druid PeriodGranularity): the
-    * bucketing calendar's zone. None for absent/UTC; unknown zones are a
-    * loud plan-time error — NEVER a silently ignored key. */
+    * bucketing calendar's zone. None for absent/UTC — ANY fixed
+    * zero-offset zone counts as UTC ('GMT', 'Etc/GMT', '+00', 'UTC+0', …:
+    * detected from the zone RULES, not a literal whitelist), so effectively
+    * -UTC queries keep the UTC default of dense zero-fill. Unknown zones
+    * are a loud plan-time error — NEVER a silently ignored key. */
   private def granularityZone(root: JsonNode): Option[String] =
     opt(root, "granularity").filter(!_.isTextual)
       .flatMap(n => opt(n, "timeZone")).map(_.asText)
@@ -458,7 +461,11 @@ object DruidQueryCompiler {
         require(scala.util.Try(java.time.ZoneId.of(tz)).isSuccess,
           s"granularity: unknown timeZone '$tz'")
         tz
-      }.filterNot(Seq("UTC", "Etc/UTC", "Z", "+00:00").contains)
+      }.filterNot { tz =>
+        val rules = java.time.ZoneId.of(tz).getRules
+        rules.isFixedOffset && rules.getOffset(java.time.Instant.EPOCH) ==
+          java.time.ZoneOffset.UTC
+      }
 
   /** Object-form `granularity.origin` (Druid PeriodGranularity): anchor
     * instant for fixed-width buckets, as epoch millis. ISO strings and

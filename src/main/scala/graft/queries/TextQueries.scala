@@ -136,29 +136,39 @@ object TextQueries {
     // the text exactly (char conservation is part of the oracle) --------
     QueryDef("cdc_chunk_stats", (s, dir) => {
       val t = col("text")
-      val L = length(t)
-      // per-char gear codes computed ONCE (O(L)); the windowed boundary
-      // test is then 6 O(1) array reads per position. The naive form —
-      // substr(i±k) inside the position lambda — rescans the UTF-8 string
-      // from the start on every call (substr is O(pos)), turning the doc
-      // into O(L²) work: measured pathological at the ×10 probe scale.
-      val gs = transform(filter(split(t, ""), c => c =!= lit("")),
-        c => ascii(c) * lit(167) + lit(13))
-      val bnd = when(L >= 7, filter(sequence(lit(6), L - 1), i =>
-        (element_at(gs, i - 5) * 32 + element_at(gs, i - 4) * 16 +
-          element_at(gs, i - 3) * 8 + element_at(gs, i - 2) * 4 +
-          element_at(gs, i - 1) * 2 + element_at(gs, i)) % 64 === 0))
-        .otherwise(array().cast("array<int>"))
+      // Each stage lands in its OWN projected column. Referencing a Column
+      // expression twice embeds two copies of its tree, and higher-order
+      // lambdas are CodegenFallback — interpreted eval re-runs every copy,
+      // so an inlined `gs` inside the per-position lambda is O(L) work per
+      // position (O(L²)), and an inlined `bnd` inside the per-chunk lambda
+      // squares it again: measured MINUTES per 500 tiny docs. Materialized
+      // attributes evaluate once per row (CollapseProject keeps expensive
+      // multi-referenced projections separate), so element_at reads the
+      // row's ARRAY VALUE in O(1) and the whole doc is O(L).
+      val gear = Tables.t(s, dir, "documents")
+        .withColumn("__len", length(t))
+        .withColumn("__gs", transform(filter(split(t, ""), c => c =!= lit("")),
+          c => ascii(c) * lit(167) + lit(13)))
+        .withColumn("__bnd", when(col("__len") >= 7,
+          filter(sequence(lit(6), col("__len") - 1), i =>
+            (element_at(col("__gs"), i - 5) * 32 +
+              element_at(col("__gs"), i - 4) * 16 +
+              element_at(col("__gs"), i - 3) * 8 +
+              element_at(col("__gs"), i - 2) * 4 +
+              element_at(col("__gs"), i - 1) * 2 +
+              element_at(col("__gs"), i)) % 64 === 0))
+          .otherwise(array().cast("array<int>")))
       // ~L/64 chunks per doc: the per-chunk substr is fine (one O(pos)
       // scan per CHUNK, not per position)
+      val bnd = col("__bnd")
       val chunks = transform(sequence(lit(1), size(bnd) + 1), k => {
         val start = when(k === 1, lit(1))
           .otherwise(element_at(bnd, k - 1) + 1)
-        val end = when(k === size(bnd) + 1, L).otherwise(element_at(bnd, k))
+        val end = when(k === size(bnd) + 1, col("__len"))
+          .otherwise(element_at(bnd, k))
         t.substr(start, end - start + 1)
       })
-      Tables.t(s, dir, "documents")
-        .select(col("source"), explode(chunks).as("chunk"))
+      gear.select(col("source"), explode(chunks).as("chunk"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_chunks"),
           count_distinct(md5(col("chunk"))).as("distinct_chunks"),

@@ -463,4 +463,90 @@ object SegmentStore {
       SegmentSink.appendStats(finals, outPath)
     } finally finals.unpersist()
   }
+
+  // ------------------------------------------------- bucketed at-rest layout
+
+  /** Bucket-layout sidecar: records the (bucketCols, numBuckets) a bucketed
+    * store was written with, so a FRESH session can re-attach the catalog
+    * metadata Spark needs to exploit the layout (bucket membership lives in
+    * file NAMES; only the table's bucket spec tells the planner to trust
+    * them). `_`-prefixed like [[SegmentSink.StatsDir]] — invisible to plain
+    * parquet reads of the store. */
+  private val BucketMetaFile = "_graft_buckets.json"
+
+  /** [[compact]] with a bucketed at-rest layout — the storage-side half of
+    * SURVEY §2.10 (the time-and-dims partitioner is the ingest-side half):
+    * finals land partitioned by segment AND bucketed+sorted by `bucketDims`,
+    * registered as external table `table` at `outPath`. Two stores bucketed
+    * by the same key with the same bucket count join with ZERO exchanges
+    * (each bucket pair joins locally) — for a repeatedly-joined fact pair at
+    * 100 TB, both sides' shuffles are amortized into this one write.
+    * Same-keyed groupBys skip their exchange too. Time partition pruning and
+    * the zone-map sidecar keep working unchanged.
+    */
+  def compactBucketed(spark: SparkSession, path: String, spec: IngestionSpec,
+      outPath: String, table: String, bucketDims: Seq[String],
+      numBuckets: Int): Unit = {
+    require(bucketDims.nonEmpty, "compactBucketed needs at least one bucket dim")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val finals = read(spark, path, spec, finalizeSketches = false).persist()
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      finals.write.mode("overwrite")
+        .partitionBy(Pipeline.SegmentCol)
+        .bucketBy(numBuckets, bucketDims.head, bucketDims.tail: _*)
+        .sortBy(bucketDims.head, bucketDims.tail: _*)
+        .option("compression", "zstd")
+        .option("path", outPath)
+        .saveAsTable(table)
+      SegmentSink.appendStats(finals, outPath)
+      val meta = s"""{"numBuckets":$numBuckets,"bucketCols":${
+        bucketDims.map(c => "\"" + c + "\"").mkString("[", ",", "]")}}"""
+      val p = new org.apache.hadoop.fs.Path(s"$outPath/$BucketMetaFile")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val os = fs.create(p, true)
+      try os.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    } finally finals.unpersist()
+  }
+
+  /** Read a [[compactBucketed]] store WITH its bucket layout: returns the
+    * catalog table (attaching it first when this session has never seen the
+    * store — `CREATE TABLE … CLUSTERED BY … LOCATION` over the existing
+    * bucket-named files, then partition recovery). A plain
+    * `spark.read.parquet` of the same path stays valid but shuffles on
+    * every join — this entry point is what makes the at-rest layout pay. */
+  def readBucketed(spark: SparkSession, outPath: String,
+      table: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    if (!spark.catalog.tableExists(table)) {
+      val metaPath = new org.apache.hadoop.fs.Path(s"$outPath/$BucketMetaFile")
+      val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(metaPath),
+        s"no bucket-layout sidecar at $outPath — not a compactBucketed store")
+      val in = fs.open(metaPath)
+      val meta = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+      val n = meta.get("numBuckets").asInt
+      val cols = {
+        val it = meta.get("bucketCols").elements()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText
+        b.result()
+      }
+      val bucketCols = cols.map(c => s"`$c`").mkString(", ")
+      // schema from the files themselves (partition discovery appends the
+      // segment key as a string column, matching the written layout)
+      val schema = spark.read.parquet(outPath).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE `$table` ($schema) USING PARQUET
+           |PARTITIONED BY (`${Pipeline.SegmentCol}`)
+           |CLUSTERED BY ($bucketCols) SORTED BY ($bucketCols)
+           |INTO $n BUCKETS
+           |LOCATION '$outPath'""".stripMargin)
+      spark.catalog.recoverPartitions(table)
+    }
+    spark.table(table)
+  }
 }

@@ -89,13 +89,19 @@ final class HttpIngestServer(
     s.start()
     server = Some(s)
     pool = Some(p)
+    asyncPool = Some(java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-sql-statement"); t.setDaemon(true); t
+      }))
     s.getAddress.getPort
   }
 
   def stop(): Unit = {
     server.foreach(_.stop(0)); server = None
     pool.foreach(_.shutdown()); pool = None
-    asyncPool.shutdownNow()
+    // recreated by the next start() — a stop()/start() cycle must leave the
+    // async statements API usable, not poisoned by a dead executor
+    asyncPool.foreach(_.shutdownNow()); asyncPool = None
   }
 
   private def handle(ex: HttpExchange): Unit =
@@ -152,7 +158,7 @@ final class HttpIngestServer(
       }
       if (ex.getRequestMethod != "POST") { reply(ex, 405, """{"error":"POST only"}"""); return }
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      val result = try {
+      try {
         val root = mapper.readTree(body)
         val cap = Option(root.get("context")).flatMap(c =>
           Option(c.get("maxQueryRows"))).map(_.asInt).getOrElse(10000)
@@ -169,7 +175,10 @@ final class HttpIngestServer(
             queryRoutes.getOrElse(name, throw new IllegalArgumentException(
               s"unknown dataSource '$name' (queryable: ${queryRoutes.keys.toSeq.sorted.mkString(",")})"))()
           })
-          df.limit(cap).toJSON.collect().mkString("[", ",", "]")
+          // stream the row array: one partition in memory at a time (plus
+          // the cap), like the SQL endpoint — never the whole result
+          streamReply(ex, 200,
+            renderSqlResultWriter(df.limit(cap), "object", header = false))
         }
       } catch {
         case _: QueryTimedOut =>
@@ -179,7 +188,6 @@ final class HttpIngestServer(
         case NonFatal(e) =>
           reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}"""); return
       }
-      reply(ex, 200, result)
     } catch {
       case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
@@ -279,12 +287,19 @@ final class HttpIngestServer(
       }
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       var qid = ""
-      val result = try {
+      try {
         val root = mapper.readTree(body)
         val (sqlQueryId, timeoutMs, _) = sqlContext(root)
         qid = sqlQueryId
         ex.getResponseHeaders.set("X-Druid-SQL-Query-Id", sqlQueryId)
-        withJobGroup(sqlQueryId, timeoutMs) { executeSql(root) }
+        // the streamed write runs INSIDE the job group: every job the
+        // row-at-a-time iterator submits stays cancellable/timeout-bound
+        withJobGroup(sqlQueryId, timeoutMs) {
+          executeSql(root) match {
+            case Inline(b)   => reply(ex, 200, b)
+            case Streamed(w) => streamReply(ex, 200, w)
+          }
+        }
       } catch {
         case _: QueryTimedOut =>
           reply(ex, 504,
@@ -293,7 +308,6 @@ final class HttpIngestServer(
         case NonFatal(e) =>
           reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}"""); return
       }
-      reply(ex, 200, result)
     } catch {
       case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
@@ -304,7 +318,7 @@ final class HttpIngestServer(
     * [[withJobGroup]] (sync endpoint) or run it from the async statements
     * executor. */
   private def executeSql(root: com.fasterxml.jackson.databind.JsonNode)
-      : String = {
+      : SqlResult = {
         val sqlText0 = Option(root.get("query")).map(_.asText).getOrElse(
           throw new IllegalArgumentException("""body must be {"query": "<sql>"}"""))
         val cap = sqlContext(root)._3
@@ -331,8 +345,9 @@ final class HttpIngestServer(
             graft.queries.DruidSql.referencedTables(
               graft.queries.DruidSql.parse(inner)),
             allowEmpty = externSpecs.nonEmpty) ++ externFrames
-          graft.queries.DruidSql.ingest(sqlText, frames, storeRoot)
-            .toJSON.collect().mkString("[", ",", "]")
+          // per-segment task report: rows bounded by segment count, inline
+          Inline(graft.queries.DruidSql.ingest(sqlText, frames, storeRoot)
+            .toJSON.collect().mkString("[", ",", "]"))
         } else {
         // parse ONCE; drain + substitute only the dataSources the statement
         // references (case-insensitive, like Spark identifier resolution)
@@ -361,11 +376,11 @@ final class HttpIngestServer(
             val resources = frames.keys.toSeq.sorted.map(ds =>
               s"""{"name":${quote(ds)},"type":"DATASOURCE"}""")
               .mkString("[", ",", "]")
-            s"""[{"PLAN":${quote(planStr)},"RESOURCES":$resources}]"""
+            Inline(s"""[{"PLAN":${quote(planStr)},"RESOURCES":$resources}]""")
           case None =>
-            renderSqlResult(df.limit(cap),
+            Streamed(renderSqlResultWriter(df.limit(cap),
               Option(root.get("resultFormat")).map(_.asText).getOrElse("object"),
-              Option(root.get("header")).exists(_.asBoolean))
+              Option(root.get("header")).exists(_.asBoolean)))
         }
         }
   }
@@ -376,7 +391,11 @@ final class HttpIngestServer(
     * API): lifecycle ACCEPTED → RUNNING → SUCCESS / FAILED / CANCELED. */
   private final class Statement(val id: String,
       /** ingest target dataSource; null for SELECT statements (sys.tasks) */
-      val datasource: String) {
+      val datasource: String,
+      /** nonce'd Spark job group — assigned at submission so a DELETE landing
+        * before the runner enters withJobGroup still pre-cancels the right
+        * group (AndFutureJobs), and never a later statement reusing the id. */
+      val group: String) {
     @volatile var state: String = "ACCEPTED"
     @volatile var result: Option[String] = None
     @volatile var error: Option[String] = None
@@ -386,10 +405,8 @@ final class HttpIngestServer(
   private val statements =
     new java.util.concurrent.ConcurrentHashMap[String, Statement]()
 
-  private val asyncPool = java.util.concurrent.Executors.newFixedThreadPool(4,
-    (r: Runnable) => {
-      val t = new Thread(r, "graft-sql-statement"); t.setDaemon(true); t
-    })
+  /** created in start(), torn down in stop() — see stop()'s restart note. */
+  @volatile private var asyncPool: Option[java.util.concurrent.ExecutorService] = None
 
   /** Druid's asynchronous SQL statements API (`/druid/v2/sql/statements`,
     * the MSQ query surface): POST submits and returns 202 immediately with
@@ -419,17 +436,30 @@ final class HttpIngestServer(
           }
           val st = new Statement(id,
             Option(root.get("query")).map(_.asText)
-              .flatMap(graft.queries.DruidSql.ingestTarget).orNull)
+              .flatMap(graft.queries.DruidSql.ingestTarget).orNull,
+            newJobGroup(id))
           if (statements.putIfAbsent(id, st) != null) {
             reply(ex, 400,
               s"""{"error":${quote(s"statement id '$id' already exists")}}""")
             return
           }
-          asyncPool.execute(new Runnable {
+          asyncPool.getOrElse(throw new IllegalStateException(
+            "server not started")).execute(new Runnable {
             override def run(): Unit = {
               st.state = "RUNNING"
               try {
-                val r = withJobGroup(id, timeoutMs) { executeSql(root) }
+                val r = withJobGroup(id, timeoutMs, Some(st.group)) {
+                  executeSql(root) match {
+                    case Inline(b) => b
+                    // async results are parked in memory until fetched (the
+                    // deep-storage analog, documented on handleStatements);
+                    // bounded by the statement's maxQueryRows cap
+                    case Streamed(w) =>
+                      val bos = new java.io.ByteArrayOutputStream()
+                      w(bos)
+                      bos.toString(UTF_8)
+                  }
+                }
                 st.result = Some(r)
                 st.state = if (st.cancelRequested) "CANCELED" else "SUCCESS"
               } catch {
@@ -474,10 +504,11 @@ final class HttpIngestServer(
             case Some(st) =>
               if (st.state == "ACCEPTED" || st.state == "RUNNING") {
                 st.cancelRequested = true
-                // the group exists once RUNNING enters withJobGroup;
+                // the statement's OWN nonce'd group: cancel-then-retry with a
+                // reused id (legal in Druid) must never kill the retry's jobs;
                 // AndFutureJobs also covers the not-yet-submitted window
                 org.apache.spark.sql.SparkSession.active.sparkContext
-                  .cancelJobGroupAndFutureJobs(s"graft-query-$id")
+                  .cancelJobGroupAndFutureJobs(st.group)
               }
               reply(ex, 202, s"""{"queryId":${quote(id)},"state":"${st.state}"}""")
           }
@@ -488,52 +519,96 @@ final class HttpIngestServer(
       case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
 
-  /** Druid SQL `resultFormat` rendering: `object` (default — JSON array of
-    * row objects), `objectLines` (NDJSON), `array`/`arrayLines` (positional
-    * value arrays; `header:true` prepends the column-name row), `csv`
-    * (RFC-ish quoting, header row when asked, null → empty field — the
-    * Druid convention). Positional formats re-read the object rows so every
-    * value keeps the exact JSON rendering `toJSON` produced (timestamps
-    * ISO, numbers unquoted); fields `toJSON` omitted (nulls) become
-    * explicit JSON nulls — positional output cannot skip columns. */
-  private def renderSqlResult(df: org.apache.spark.sql.DataFrame,
-      format: String, header: Boolean): String = {
-    val objRows = df.toJSON.collect()
-    def positional: Seq[Seq[com.fasterxml.jackson.databind.JsonNode]] = {
-      val cols = df.columns.toSeq
-      objRows.toSeq.map { r =>
-        val n = mapper.readTree(r)
-        cols.map(c => Option(n.get(c)).getOrElse(
-          com.fasterxml.jackson.databind.node.NullNode.getInstance()))
+  /** A handler result: either a small body rendered in memory (task
+    * reports, EXPLAIN envelopes) or a row-at-a-time streamed SELECT result
+    * — the sync endpoints chunk the latter straight to the socket; the
+    * async statements API materializes it (cap-bounded) for later fetch. */
+  private sealed trait SqlResult
+  private final case class Inline(body: String) extends SqlResult
+  private final case class Streamed(write: java.io.OutputStream => Unit)
+    extends SqlResult
+
+  /** Druid SQL `resultFormat` rendering, streamed: `object` (default — JSON
+    * array of row objects), `objectLines` (NDJSON), `array`/`arrayLines`
+    * (positional value arrays; `header:true` prepends the column-name row),
+    * `csv` (RFC-ish quoting, header row when asked, null → empty field —
+    * the Druid convention). Positional formats re-parse the object rows so
+    * every value keeps the exact JSON rendering `toJSON` produced
+    * (timestamps ISO, numbers unquoted); fields `toJSON` omitted (nulls)
+    * become explicit JSON nulls — positional output cannot skip columns.
+    *
+    * Rows flow through `toLocalIterator`: the broker holds ONE partition of
+    * rendered rows at a time, never the result set — the upstream analog is
+    * the Druid broker's streamed result sequences (tranquility's servlet
+    * likewise streams its request parse, server/.../TranquilityServlet
+    * .scala). Analysis and partition 0 are forced EAGERLY (before any
+    * response byte), so planning and first-partition execution errors still
+    * map to clean 400/504s; only a mid-stream failure truncates. */
+  private def renderSqlResultWriter(df: org.apache.spark.sql.DataFrame,
+      format: String, header: Boolean): java.io.OutputStream => Unit = {
+    val cols = df.columns.toSeq // forces analysis before the status commits
+    require(Set("object", "objectLines", "array", "arrayLines", "csv")(format),
+      s"unsupported resultFormat '$format' " +
+        "(object/objectLines/array/arrayLines/csv)")
+    val it = df.toJSON.toLocalIterator()
+    it.hasNext // run partition 0 now: its errors become a 400, not a torn 200
+    def positional(row: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+      val n = mapper.readTree(row)
+      cols.map(c => Option(n.get(c)).getOrElse(
+        com.fasterxml.jackson.databind.node.NullNode.getInstance()))
+    }
+    def csvField(n: com.fasterxml.jackson.databind.JsonNode): String =
+      if (n.isNull) ""
+      else {
+        val s = if (n.isTextual) n.asText else n.toString
+        if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
       }
+    out => {
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(out, UTF_8))
+      var first = true
+      def emit(sep: String, s: String): Unit = {
+        if (!first) w.write(sep)
+        w.write(s); first = false
+      }
+      format match {
+        case "object" =>
+          w.write("[")
+          while (it.hasNext) emit(",", it.next())
+          w.write("]")
+        case "objectLines" =>
+          while (it.hasNext) emit("\n", it.next())
+        case "array" =>
+          w.write("[")
+          if (header) emit(",", cols.map(quote).mkString("[", ",", "]"))
+          while (it.hasNext)
+            emit(",", positional(it.next()).map(_.toString).mkString("[", ",", "]"))
+          w.write("]")
+        case "arrayLines" =>
+          if (header) emit("\n", cols.map(quote).mkString("[", ",", "]"))
+          while (it.hasNext)
+            emit("\n", positional(it.next()).map(_.toString).mkString("[", ",", "]"))
+        case "csv" =>
+          if (header) emit("\n", cols.mkString(","))
+          while (it.hasNext)
+            emit("\n", positional(it.next()).map(csvField).mkString(","))
+      }
+      w.flush()
     }
-    def arrayRows: Seq[String] = {
-      val data = positional.map(_.map(_.toString).mkString("[", ",", "]"))
-      if (header)
-        df.columns.map(quote).mkString("[", ",", "]") +: data
-      else data
-    }
-    format match {
-      case "object"      => objRows.mkString("[", ",", "]")
-      case "objectLines" => objRows.mkString("\n")
-      case "array"       => arrayRows.mkString("[", ",", "]")
-      case "arrayLines"  => arrayRows.mkString("\n")
-      case "csv" =>
-        def field(n: com.fasterxml.jackson.databind.JsonNode): String =
-          if (n.isNull) ""
-          else {
-            val s = if (n.isTextual) n.asText else n.toString
-            if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
-              "\"" + s.replace("\"", "\"\"") + "\""
-            else s
-          }
-        val data = positional.map(_.map(field).mkString(","))
-        val rows = if (header) df.columns.mkString(",") +: data else data
-        rows.mkString("\n")
-      case other => throw new IllegalArgumentException(
-        s"unsupported resultFormat '$other' " +
-          "(object/objectLines/array/arrayLines/csv)")
-    }
+  }
+
+  /** Chunked response (length 0 = JDK chunked encoding): bytes leave as rows
+    * render. Once the status is committed a mid-stream failure (timeout,
+    * cancel, lost executor) can only TRUNCATE the body, never re-signal —
+    * the same contract as Druid's streamed broker results; eager partition-0
+    * forcing in [[renderSqlResultWriter]] keeps that window small. */
+  private def streamReply(ex: HttpExchange, code: Int,
+      write: java.io.OutputStream => Unit): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, 0)
+    val os = ex.getResponseBody
+    try write(os) catch { case NonFatal(_) => () } finally os.close()
   }
 
   /** Thrown (after translation in [[withJobGroup]]) when a request died
@@ -553,6 +628,16 @@ final class HttpIngestServer(
   private val timedOut =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Nonce suffix for job-group names: Spark remembers a group name passed to
+    * cancelJobGroupAndFutureJobs for the SparkContext's LIFETIME, so a bare
+    * `graft-query-$id` group would make cancel-then-retry with a reused
+    * external id (legal in Druid) silently kill every job of the retried
+    * query. The external id stays stable (headers, `running` map, sys
+    * tables); only the Spark-side group is unique per request. */
+  private val groupNonce = new java.util.concurrent.atomic.AtomicLong()
+  private def newJobGroup(id: String): String =
+    s"graft-query-$id-${groupNonce.incrementAndGet()}"
+
   /** Run `body` under a per-request Spark job group so `DELETE` with the
     * query id can cancel every job the request launches
     * (`interruptOnCancel` — running tasks are interrupted, not just queued
@@ -560,10 +645,12 @@ final class HttpIngestServer(
     * and a lingering thread-local group would let a later cancel kill an
     * unrelated request's jobs. `timeoutMs > 0` (Druid's `context.timeout`)
     * schedules a group cancel; a body failure after the deadline fired
-    * surfaces as [[QueryTimedOut]]. */
-  private def withJobGroup[A](id: String, timeoutMs: Long = 0L)(body: => A): A = {
+    * surfaces as [[QueryTimedOut]]. `groupOverride` lets the async
+    * statements API pin the group it already published for pre-cancel. */
+  private def withJobGroup[A](id: String, timeoutMs: Long = 0L,
+      groupOverride: Option[String] = None)(body: => A): A = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-    val group = s"graft-query-$id"
+    val group = groupOverride.getOrElse(newJobGroup(id))
     sc.setJobGroup(group, s"druid query $id", interruptOnCancel = true)
     running.put(id, group)
     val deadline =
@@ -637,8 +724,15 @@ final class HttpIngestServer(
             case StringType | ArrayType(StringType, _) => true
             case _ => false
           }
+          // hide the event-time column and — for routed streaming stores
+          // only — the spec's raw-time alias `__time` was derived from; a
+          // dataSource with a column that merely happens to be NAMED like a
+          // time alias keeps reporting it
+          val rawTimeAlias = routes.get(ds)
+            .map(_.pipeline.spec.dataSchema.timestampSpec.column)
           val (dims, metrics) = schema.fields.toSeq
-            .filterNot(_.name == "__time").filterNot(_.name == "ts")
+            .filterNot(_.name == "__time")
+            .filterNot(f => rawTimeAlias.contains(f.name))
             .partition(isDim)
           def arr(fs: Seq[StructField]) =
             fs.map(f => quote(f.name)).mkString("[", ",", "]")

@@ -74,4 +74,79 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS items_b")
     }
   }
+
+  test("compactBucketed store round-trip: zero-exchange join through " +
+      "SegmentStore.readBucketed, fresh-session re-attach included") {
+    import graft.config._
+    import graft.pipeline.Pipeline
+    import graft.sink.{SegmentSink, SegmentStore}
+    import graft.time.Granularity
+
+    val spec = IngestionSpec(DataSchema("ds",
+      TimestampSpec("ts"), SpecificDimensions(Seq("user", "etype")),
+      Seq(AggregatorSpec("count", "cnt"),
+        AggregatorSpec("doubleSum", "total", Some("value"))),
+      GranularitySpec(Granularity.Hour, Granularity.Hour)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bstore").toString
+
+    // two per-batch partial stores over the same user key space
+    def partials(seed: Int) = spark.range(2000)
+      .select(
+        lit(java.sql.Timestamp.valueOf("2024-03-01 12:00:00")).as(Pipeline.TsCol),
+        lit(java.sql.Timestamp.valueOf("2024-03-01 12:00:00")).as(Pipeline.SegmentCol),
+        concat(lit("u"), (col("id") % 211).cast("string")).as("user"),
+        when(col("id") % 2 === 0, "click").otherwise("view").as("etype"),
+        lit(1L).as("cnt"), (col("id") % 7 * seed).cast("double").as("total"))
+    SegmentSink.writeBatch(partials(1), s"$tmp/rawA")
+    SegmentSink.writeBatch(partials(3), s"$tmp/rawB")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      SegmentStore.compactBucketed(spark, s"$tmp/rawA", spec, s"$tmp/bktA",
+        "graft_bktA", Seq("user"), 4)
+      SegmentStore.compactBucketed(spark, s"$tmp/rawB", spec, s"$tmp/bktB",
+        "graft_bktB", Seq("user"), 4)
+
+      def bucketJoin() = SegmentStore.readBucketed(spark, s"$tmp/bktA", "graft_bktA")
+        .select(col("user"), col("cnt").as("cntA"))
+        .join(SegmentStore.readBucketed(spark, s"$tmp/bktB", "graft_bktB")
+          .select(col("user"), col("cnt").as("cntB")), "user")
+      val plan = bucketJoin().queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+
+      // plain-parquet read of the SAME files shuffles both sides — the
+      // layout pays only through the bucket-aware entry point
+      val plainPlan = spark.read.parquet(s"$tmp/bktA")
+        .select(col("user"), col("cnt").as("cntA"))
+        .join(spark.read.parquet(s"$tmp/bktB")
+          .select(col("user"), col("cnt").as("cntB")), "user")
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plainPlan).size == 2, plainPlan)
+
+      val before = bucketJoin().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(before.nonEmpty)
+
+      // fresh-session analog: drop the catalog entries; readBucketed must
+      // re-attach from the _graft_buckets sidecar + file layout alone
+      spark.sql("DROP TABLE graft_bktA")
+      spark.sql("DROP TABLE graft_bktB")
+      val after = bucketJoin()
+      val planAfter = after.queryExecution.executedPlan.toString
+      assert(!planAfter.contains("Exchange"), planAfter)
+      assert(after.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq == before)
+
+      // the segment partition key survived attach (partition recovery) and
+      // the rollup itself matches the plain compacted read
+      val seg = SegmentStore.readBucketed(spark, s"$tmp/bktA", "graft_bktA")
+      assert(seg.columns.contains(Pipeline.SegmentCol))
+      assert(seg.count() == 211 * 2) // user x etype groups, one hour chunk
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bktA")
+      spark.sql("DROP TABLE IF EXISTS graft_bktB")
+    }
+  }
 }

@@ -594,7 +594,9 @@ class DruidSqlSpec extends SparkSpec {
   test("DS_RANK / DS_CDF / DS_HISTOGRAM exact regime; STRING_FORMAT is " +
       "java.util.Formatter semantics") {
     // values 1,2,4,8,16 (5 distinct ≪ k=128 → the sketch is exact):
-    // rank(4) = 3/5; cdf(2,8) = [2/5, 4/5, 1]; hist(2,8) = [1, 2, 2]
+    // rank(4) = 3/5; cdf(2,8) = [2/5, 4/5, 1]; inclusive (prev, split]
+    // bins: hist(2,8) = [2 (1,2), 2 (4,8), 1 (16)] — partial sums 2,4,5
+    // equal cdf·N at each split (the getPMF INCLUSIVE criterion)
     val r = sql1(
       """SELECT DS_RANK(value, 4.0) AS rk,
                 DS_CDF(value, 2.0, 8.0) AS cdf,
@@ -602,7 +604,7 @@ class DruidSqlSpec extends SparkSpec {
          FROM events""")
     assert(r.getDouble(0) == 0.6)
     assert(r.getSeq[Double](1) == Seq(0.4, 0.8, 1.0))
-    assert(r.getSeq[Double](2) == Seq(1.0, 2.0, 2.0))
+    assert(r.getSeq[Double](2) == Seq(2.0, 2.0, 1.0))
     val f = sql1(
       """SELECT STRING_FORMAT('%s:%.1f #%03d', user, value, 7) AS s
          FROM events WHERE user = 'carol'""")

@@ -762,4 +762,63 @@ class HttpIngestSpec extends SparkSpec {
       assert(out.agg(sum($"total")).as[Double].head() == 1.0 + 2 + 4 + 16 + 32 + 64)
     } finally server.stop()
   }
+
+  test("SQL results stream row-at-a-time: chunked encoding (no " +
+      "Content-Length), full multi-partition result intact, errors still " +
+      "clean 400s") {
+    val tmp = Files.createTempDirectory("graft-http-stream").toString
+    // multi-partition frame well above the old collect()'d sizes: the
+    // renderer holds ONE partition of rows at a time (toLocalIterator)
+    val df = spark.range(60000).select(
+      lit(Timestamp.valueOf("2024-03-01 12:00:00")).as("__time"),
+      col("id"),
+      concat(lit("u"), (col("id") % 1000).cast("string")).as("user"))
+      .repartition(8)
+    val server = new HttpIngestServer(tmp,
+      queryRoutes = Map("big_ds" -> (() => df)))
+    val port = server.start()
+    try {
+      val req = HttpRequest.newBuilder()
+        .uri(URI.create(s"http://127.0.0.1:$port/druid/v2/sql"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query": "SELECT id, user FROM big_ds",
+              "resultFormat": "objectLines",
+              "context": {"maxQueryRows": 100000}}""")).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      // chunked transfer: headers commit BEFORE rows render — there is no
+      // Content-Length because there is never a materialized body
+      assert(resp.headers().firstValue("content-length").isEmpty,
+        resp.headers().map().toString)
+      val lines = resp.body().linesIterator.toSeq
+      assert(lines.size == 60000, lines.size)
+      assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+
+      // csv streams through the same path, header first, same row count
+      val (cc, cb) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT id FROM big_ds ORDER BY id",
+            "resultFormat": "csv", "header": true,
+            "context": {"maxQueryRows": 100000}}""")
+      assert(cc == 200)
+      val csvLines = cb.linesIterator.toSeq
+      assert(csvLines.size == 60001 && csvLines.head == "id")
+      assert(csvLines(1) == "0" && csvLines.last == "59999")
+
+      // the native endpoint shares the streamed renderer
+      val (nc, nb) = post(port, "/druid/v2",
+        """{"queryType": "scan", "dataSource": "big_ds",
+            "columns": ["id"], "context": {"maxQueryRows": 100000}}""")
+      assert(nc == 200 && nb.count(_ == '{') == 60000, nb.take(200))
+
+      // analysis errors surface as clean 400s (forced before any byte),
+      // and an unsupported resultFormat is rejected pre-stream too
+      val (bc, _) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT nope FROM big_ds"}""")
+      assert(bc == 400)
+      val (fc, fb) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT id FROM big_ds", "resultFormat": "yaml"}""")
+      assert(fc == 400 && fb.contains("resultFormat"), fb)
+    } finally server.stop()
+  }
 }

@@ -1009,6 +1009,28 @@ class StreamingSpec extends SparkSpec {
       assert(q7.select($"etype").collect().map(_.getString(0)).toSet ==
         Set("zulu", "omega"),
         "memoized prune must refresh when the segment layout changes")
+
+      // IN-list: dim IN (a,b) admits the UNION of per-value admissions —
+      // 2 of the 3 segment dirs scanned (alpha@11 + omega@13, not zulu@12)
+      val q8 = s2.read.parquet(s"$tmp/out")
+        .filter(col("etype").isin("alpha", "omega"))
+      assert(scanOf(q8).selectedPartitions.partitionCount == 2,
+        s"IN-list must prune to 2 dirs, got ${scanOf(q8).selectedPartitions.partitionCount}")
+      assert(q8.select(col("etype")).collect().map(_.getString(0)).toSet ==
+        Set("alpha", "omega"))
+
+      // OR-of-equalities on ONE column: same union semantics
+      val q9 = s2.read.parquet(s"$tmp/out")
+        .filter(col("etype") === "alpha" || col("etype") === "zulu")
+      assert(scanOf(q9).selectedPartitions.partitionCount == 2)
+      assert(q9.select(col("etype")).collect().map(_.getString(0)).toSet ==
+        Set("alpha", "zulu"))
+
+      // mixed-column OR is unanswerable → conservative full scan, right rows
+      val q10 = s2.read.parquet(s"$tmp/out")
+        .filter(col("etype") === "alpha" || col("total") === 100.0)
+      assert(scanOf(q10).selectedPartitions.partitionCount == 3)
+      assert(q10.count() == 2)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
