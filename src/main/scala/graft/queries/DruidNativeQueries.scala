@@ -129,6 +129,79 @@ object DruidNativeQueries {
               CAST(sum(user_id) AS BIGINT) AS sum_uid
             FROM t GROUP BY 1""")),
 
+    // -- ZONED dense zero-fill: P1D in LA wall-clock over an intervals
+    // clause extending past the data (2024-01-30) — empty LA days come back
+    // with zeroed count/longSum. The frame enumerates LABELS in wall space
+    // and converts with the row side's own to_utc sandwich; the oracle
+    // generates the same 22 wall labels (Jan 14 LA .. Feb 4 LA) explicitly
+    // and left-joins the grouped rows. Also pins the clip/tz interplay: the
+    // UTC interval start mid-LA-day leaves bucket Jan 14 partially filled.
+    QueryDef("druid_json_tz_dense", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": {"type": "period", "period": "P1D",
+                         "timeZone": "America/Los_Angeles"},
+         "intervals": ["2024-01-15T00:00:00/2024-02-05T00:00:00"],
+         "aggregations": [
+           {"type": "count", "name": "cnt"},
+           {"type": "longSum", "name": "sum_uid", "fieldName": "user_id"}]}""")
+        .select(date_format(col("__time"), fmt).as("bucket"),
+          col("cnt"), col("sum_uid"))
+    },
+    Some("""WITH t AS (SELECT (ts AT TIME ZONE 'UTC') AS i, user_id FROM events
+                       WHERE ts >= TIMESTAMP '2024-01-15'
+                         AND ts < TIMESTAMP '2024-02-05'),
+            g AS (SELECT strftime((date_trunc('day',
+                      i AT TIME ZONE 'America/Los_Angeles')
+                      AT TIME ZONE 'America/Los_Angeles') AT TIME ZONE 'UTC',
+                      '%Y-%m-%d %H:%M:%S') AS bucket,
+                    count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid
+                  FROM t GROUP BY 1),
+            f AS (SELECT strftime((wall AT TIME ZONE 'America/Los_Angeles')
+                      AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS bucket
+                  FROM (SELECT unnest(generate_series(
+                          TIMESTAMP '2024-01-14 00:00:00',
+                          TIMESTAMP '2024-02-04 00:00:00',
+                          INTERVAL 1 DAY)) AS wall))
+            SELECT f.bucket, coalesce(g.cnt, 0) AS cnt,
+                   coalesce(g.sum_uid, 0) AS sum_uid
+            FROM f LEFT JOIN g USING (bucket)""")),
+
+    // -- ORIGIN-anchored dense zero-fill: PT6H buckets anchored at 03:00Z
+    // (instant-space (t−o) mod w), intervals running past the data so the
+    // trailing buckets zero-fill; the leading bucket (Jan 27 21:00) is
+    // partially filled by the interval clip — both edges pinned. Oracle
+    // recomputes the anchoring arithmetic and generates the same 25-bucket
+    // frame explicitly.
+    QueryDef("druid_json_origin_dense", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": {"type": "period", "period": "PT6H",
+                         "origin": "2024-01-01T03:00:00"},
+         "intervals": ["2024-01-28T00:00:00/2024-02-03T00:00:00"],
+         "aggregations": [
+           {"type": "count", "name": "cnt"},
+           {"type": "longSum", "name": "sum_uid", "fieldName": "user_id"}]}""")
+        .select(date_format(col("__time"), fmt).as("bucket"),
+          col("cnt"), col("sum_uid"))
+    },
+    Some("""WITH t AS (SELECT ts, user_id FROM events
+                       WHERE ts >= TIMESTAMP '2024-01-28'
+                         AND ts < TIMESTAMP '2024-02-03'),
+            g AS (SELECT TIMESTAMP '2024-01-01 03:00:00' +
+                    CAST(floor(date_diff('second',
+                      TIMESTAMP '2024-01-01 03:00:00', ts) / 21600) AS BIGINT)
+                    * INTERVAL 6 HOUR AS b,
+                    count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid
+                  FROM t GROUP BY 1),
+            f AS (SELECT unnest(generate_series(
+                    TIMESTAMP '2024-01-27 21:00:00',
+                    TIMESTAMP '2024-02-02 21:00:00',
+                    INTERVAL 6 HOUR)) AS b)
+            SELECT strftime(f.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+                   coalesce(g.cnt, 0) AS cnt, coalesce(g.sum_uid, 0) AS sum_uid
+            FROM f LEFT JOIN g ON f.b = g.b""")),
+
     // -- topN: per-DAY top-3 dimension values by count ----------------------
     // count ties across types within a day are likely — the compiler's
     // dimension-asc tiebreak is mirrored in the oracle's row_number

@@ -643,29 +643,28 @@ object DruidQueryCompiler {
     */
   private def timeseries(df: DataFrame, root: JsonNode): DataFrame = {
     val grouped = aggregate(df, root, Nil)
-    val denseDerivable =
-      granularity(root).widthSeconds > 0 && intervalMillis(root).nonEmpty
-    // a zoned granularity defaults to sparse output (dense fill would need
-    // zone-local bucket enumeration); EXPLICIT skipEmptyBuckets=false + a
-    // zone is rejected loudly below
+    // dense output needs a finite bucket frame: a top-level intervals
+    // clause plus a bucketing granularity. Fixed-width, calendar, ZONED
+    // and origin-anchored granularities all enumerate (bucketFrame), so
+    // Druid's dense default applies to every derivable shape; only a
+    // frameless query (no intervals, or granularity all/none) falls back
+    // to sparse — EXPLICIT skipEmptyBuckets=false there stays a loud
+    // error rather than a silent skip.
+    val g0 = granularity(root)
+    val denseDerivable = intervalMillis(root).nonEmpty &&
+      g0 != Granularity.All && g0 != Granularity.None
     val skipEmpty = opt(root, "context").flatMap(c => opt(c, "skipEmptyBuckets"))
       .map(_.asBoolean)
-      .getOrElse(!denseDerivable || granularityZone(root).nonEmpty ||
-        granularityOrigin(root).nonEmpty)
+      .getOrElse(!denseDerivable)
     val base = if (skipEmpty) finalizeAggs(grouped, root)
     else finalizeAggs({
       val gran = granularity(root)
-      require(granularityZone(root).isEmpty,
-        "skipEmptyBuckets=false (dense zero-fill) does not support a " +
-          "non-UTC granularity timeZone — drop the zone or keep sparse output")
-      require(granularityOrigin(root).isEmpty,
-        "skipEmptyBuckets=false (dense zero-fill) does not support a " +
-          "custom granularity origin (epoch-anchored bucket enumeration)")
-      require(gran.widthSeconds > 0,
-        "skipEmptyBuckets=false needs a fixed-width granularity")
+      require(gran != Granularity.All && gran != Granularity.None,
+        "skipEmptyBuckets=false needs a bucketing granularity")
       val intervals = intervalMillis(root)
       require(intervals.nonEmpty, "skipEmptyBuckets=false needs intervals")
-      val buckets = bucketFrame(df.sparkSession, intervals, gran)
+      val buckets = bucketFrame(df.sparkSession, intervals, gran,
+        granularityZone(root), granularityOrigin(root))
       val joined = buckets.join(grouped, Seq(TimeCol), "left")
       zeroFill(joined, root, grouped)
     }, root)
@@ -704,16 +703,87 @@ object DruidQueryCompiler {
     * movingAverage paths.
     */
   private def bucketFrame(spark: org.apache.spark.sql.SparkSession,
-      intervals: Seq[(Long, Long)], gran: Granularity): DataFrame = {
-    val widthMs = gran.widthSeconds * 1000L
-    intervals.map { case (s, e) =>
+      intervals: Seq[(Long, Long)], gran: Granularity,
+      tz: Option[String] = scala.None,
+      origin: Option[Long] = scala.None): DataFrame = (origin, tz) match {
+    // explicit origin: instant-space o + k·w anchoring — the exact twin of
+    // truncateInZone's origin rule (which already rejects calendar periods)
+    case (Some(o), _) =>
+      val widthMs = gran.widthSeconds * 1000L
+      intervals.map { case (s, e) =>
+        require(e > s, "empty interval")
+        val first = o + Math.floorDiv(s - o, widthMs) * widthMs
+        val last = o + Math.floorDiv(e - 1 - o, widthMs) * widthMs
+        spark.range(1).select(explode(sequence(
+          timestamp_millis(lit(first)), timestamp_millis(lit(last)),
+          expr(s"interval ${gran.widthSeconds} second"))).as(TimeCol))
+      }.reduce(_ unionAll _).distinct()
+    // plain fixed width, no zone: in-plan sequence, no driver enumeration
+    case (scala.None, scala.None) if gran.widthSeconds > 0 =>
+      val widthMs = gran.widthSeconds * 1000L
+      intervals.map { case (s, e) =>
+        require(e > s, "empty interval")
+        val first = Math.floorDiv(s, widthMs) * widthMs
+        val last = Math.floorDiv(e - 1, widthMs) * widthMs
+        spark.range(1).select(explode(sequence(
+          timestamp_millis(lit(first)), timestamp_millis(lit(last)),
+          expr(s"interval ${gran.widthSeconds} second"))).as(TimeCol))
+      }.reduce(_ unionAll _).distinct()
+    // zoned granularity (fixed-width or calendar), or a calendar
+    // granularity in UTC: wall-clock enumeration
+    case (scala.None, z) =>
+      wallClockFrame(spark, intervals, gran, z.getOrElse("UTC"))
+  }
+
+  /** Dense frame for zoned / calendar granularities: bucket LABELS are
+    * enumerated on the driver in WALL-CLOCK space (the space where
+    * PeriodGranularity buckets are equal-stepped — one label per local
+    * day/hour/month), then mapped to instants with the SAME
+    * `to_utc_timestamp` Column the row-side sandwich uses, so the frame
+    * and the row buckets agree bit-for-bit even at DST edges (a
+    * spring-forward gap label lands on the same resolved instant as its
+    * shifted rows; duplicates collapse in the distinct). Driver state is
+    * one label per bucket — bounded by interval/width and capped loudly. */
+  private def wallClockFrame(spark: org.apache.spark.sql.SparkSession,
+      intervals: Seq[(Long, Long)], gran: Granularity, z: String): DataFrame = {
+    val zone = java.time.ZoneId.of(z)
+    val utc = java.time.ZoneOffset.UTC
+    def truncWall(l: java.time.LocalDateTime): java.time.LocalDateTime =
+      if (gran.widthSeconds > 0) {
+        val e = l.toEpochSecond(utc)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(e, gran.widthSeconds) * gran.widthSeconds, 0, utc)
+      } else java.time.LocalDateTime.ofInstant(
+        // calendar truncation of the UTC-LABELED wall value — the
+        // driver-side twin of date_trunc over the from_utc'd column
+        gran.truncateInstant(l.toInstant(utc), utc), utc)
+    def next(l: java.time.LocalDateTime): java.time.LocalDateTime =
+      if (gran.widthSeconds > 0) l.plusSeconds(gran.widthSeconds)
+      else gran.truncUnit match {
+        case "week"    => l.plusWeeks(1)
+        case "month"   => l.plusMonths(1)
+        case "quarter" => l.plusMonths(3)
+        case "year"    => l.plusYears(1)
+      }
+    val labels = scala.collection.mutable.LinkedHashSet.empty[Long]
+    intervals.foreach { case (s, e) =>
       require(e > s, "empty interval")
-      val first = Math.floorDiv(s, widthMs) * widthMs
-      val last = Math.floorDiv(e - 1, widthMs) * widthMs
-      spark.range(1).select(explode(sequence(
-        timestamp_millis(lit(first)), timestamp_millis(lit(last)),
-        expr(s"interval ${gran.widthSeconds} second"))).as(TimeCol))
-    }.reduce(_ unionAll _).distinct()
+      var l = truncWall(java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(s), zone))
+      // java's gap/overlap resolution only steers the LOOP BOUND; the
+      // emitted instant comes from Spark's own conversion below
+      while (l.atZone(zone).toInstant.toEpochMilli < e) {
+        require(labels.size < 200000,
+          "dense zero-fill frame exceeds 200k buckets — narrow the " +
+            "intervals or coarsen the granularity")
+        labels += l.toInstant(utc).toEpochMilli
+        l = next(l)
+      }
+    }
+    import spark.implicits._
+    labels.toSeq.toDF("__wall")
+      .select(to_utc_timestamp(timestamp_millis(col("__wall")), z).as(TimeCol))
+      .distinct()
   }
 
   /** Aggregator names whose empty-bucket identity is ZERO: counts and sums,

@@ -1007,8 +1007,8 @@ class DruidQuerySpec extends SparkSpec {
       .contains("quantilesDoublesSketchToQuantile"))
   }
 
-  test("granularity timeZone: zone-local day bucketing; unknown zone, " +
-      "zoned dense zero-fill, and zoned movingAverage are loud") {
+  test("granularity timeZone: zone-local day bucketing; unknown zone is " +
+      "loud; zoned dense zero-fill emits zone-local empties") {
     // Tokyo (+09:00): all six 2024-03-01T00:10–02:45Z events land in the
     // LOCAL day that began 2024-02-29T15:00Z
     val r = run("""{"queryType": "timeseries", "dataSource": "events",
@@ -1026,13 +1026,20 @@ class DruidQuerySpec extends SparkSpec {
                         "timeZone": "Not/AZone"},
         "aggregations": [{"type": "count", "name": "cnt"}]}""")
       .contains("unknown timeZone"))
-    assert(bad("""{"queryType": "timeseries", "dataSource": "events",
+    // zoned dense zero-fill (supported since r6): Tokyo wall hours map to
+    // whole-hour instants (+09:00 fixed), the two trailing empty hours of
+    // the interval come back zero-filled
+    val dense = run("""{"queryType": "timeseries", "dataSource": "events",
         "granularity": {"type": "period", "period": "PT1H",
                         "timeZone": "Asia/Tokyo"},
-        "intervals": ["2024-03-01T00:00:00/2024-03-01T03:00:00"],
+        "intervals": ["2024-03-01T00:00:00/2024-03-01T05:00:00"],
         "context": {"skipEmptyBuckets": false},
         "aggregations": [{"type": "count", "name": "cnt"}]}""")
-      .contains("dense zero-fill"))
+      .orderBy(col("__time"))
+      .select(date_format(col("__time"), "HH:mm").as("b"), col("cnt"))
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(dense == Seq("00:00" -> 2L, "01:00" -> 2L, "02:00" -> 2L,
+      "03:00" -> 0L, "04:00" -> 0L), dense)
   }
 
   test("granularity origin: instant-space anchored fixed-width buckets; " +
@@ -1068,5 +1075,46 @@ class DruidQuerySpec extends SparkSpec {
                         "origin": "not-a-time"},
         "aggregations": [{"type": "count", "name": "cnt"}]}""")
       .contains("unparseable origin"))
+  }
+
+  test("zoned dense zero-fill enumerates wall-clock buckets across the " +
+      "DST spring-forward (23-hour day, gap hour collapses)") {
+    val dst = Seq(
+      (ts("2024-03-09 18:00:00"), "click", "alice", 1.0),
+      (ts("2024-03-11 18:00:00"), "view", "bob", 2.0)
+    ).toDF("__time", "event_type", "user", "value")
+    // P1D in LA: three wall-day labels; Mar 10 is the 23-hour day (bucket
+    // start stays 08:00Z, the NEXT start jumps to 07:00Z), empty → zeroed
+    val out = DruidQueryCompiler.compile("""
+      {"queryType": "timeseries", "dataSource": "d",
+       "granularity": {"type": "period", "period": "P1D",
+                       "timeZone": "America/Los_Angeles"},
+       "intervals": ["2024-03-09T18:00:00/2024-03-12T00:00:00"],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""", _ => dst)
+      .orderBy("__time")
+      .select(date_format(col("__time"), "yyyy-MM-dd HH:mm:ss").as("b"),
+        col("cnt"))
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-03-09 08:00:00", 1L),
+      ("2024-03-10 08:00:00", 0L),
+      ("2024-03-11 07:00:00", 1L)), out)
+
+    // hourly frame across the 02:00 gap: the nonexistent wall hour resolves
+    // to the same instant as 03:00 and collapses — 3 instant-hours emitted
+    val gapBuckets = DruidQueryCompiler.compile("""
+      {"queryType": "timeseries", "dataSource": "d",
+       "granularity": {"type": "period", "period": "PT1H",
+                       "timeZone": "America/Los_Angeles"},
+       "intervals": ["2024-03-10T09:00:00/2024-03-10T12:00:00"],
+       "context": {"skipEmptyBuckets": false},
+       "aggregations": [{"type": "count", "name": "cnt"}]}""", _ => dst)
+      .orderBy("__time")
+      .select(date_format(col("__time"), "yyyy-MM-dd HH:mm").as("b"), col("cnt"))
+      .as[(String, Long)].collect().toSeq
+    assert(gapBuckets == Seq(
+      ("2024-03-10 09:00", 0L),
+      ("2024-03-10 10:00", 0L),
+      ("2024-03-10 11:00", 0L)), gapBuckets)
   }
 }
