@@ -747,28 +747,10 @@ object DruidQueryCompiler {
   private def wallClockFrame(spark: org.apache.spark.sql.SparkSession,
       intervals: Seq[(Long, Long)], gran: Granularity, z: String): DataFrame = {
     val zone = java.time.ZoneId.of(z)
-    val utc = java.time.ZoneOffset.UTC
-    def truncWall(l: java.time.LocalDateTime): java.time.LocalDateTime =
-      if (gran.widthSeconds > 0) {
-        val e = l.toEpochSecond(utc)
-        java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(e, gran.widthSeconds) * gran.widthSeconds, 0, utc)
-      } else java.time.LocalDateTime.ofInstant(
-        // calendar truncation of the UTC-LABELED wall value — the
-        // driver-side twin of date_trunc over the from_utc'd column
-        gran.truncateInstant(l.toInstant(utc), utc), utc)
-    def next(l: java.time.LocalDateTime): java.time.LocalDateTime =
-      if (gran.widthSeconds > 0) l.plusSeconds(gran.widthSeconds)
-      else gran.truncUnit match {
-        case "week"    => l.plusWeeks(1)
-        case "month"   => l.plusMonths(1)
-        case "quarter" => l.plusMonths(3)
-        case "year"    => l.plusYears(1)
-      }
     val labels = scala.collection.mutable.LinkedHashSet.empty[Long]
     intervals.foreach { case (s, e) =>
       require(e > s, "empty interval")
-      var l = truncWall(java.time.LocalDateTime.ofInstant(
+      var l = wallTrunc(gran, java.time.LocalDateTime.ofInstant(
         java.time.Instant.ofEpochMilli(s), zone))
       // java's gap/overlap resolution only steers the LOOP BOUND; the
       // emitted instant comes from Spark's own conversion below
@@ -776,14 +758,58 @@ object DruidQueryCompiler {
         require(labels.size < 200000,
           "dense zero-fill frame exceeds 200k buckets — narrow the " +
             "intervals or coarsen the granularity")
-        labels += l.toInstant(utc).toEpochMilli
-        l = next(l)
+        labels += l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000L
+        l = wallStep(gran, l, 1)
       }
     }
     import spark.implicits._
     labels.toSeq.toDF("__wall")
       .select(to_utc_timestamp(timestamp_millis(col("__wall")), z).as(TimeCol))
       .distinct()
+  }
+
+  /** Wall-clock twins of the bucket truncate/step, shared by the dense
+    * frames and movingAverage's window math. Fixed widths floor the
+    * UTC-LABELED wall value in epoch space; calendar units reuse the
+    * driver-side calendar truncation — both exactly the row-side
+    * `g.truncate(from_utc_timestamp(..))` semantics under a UTC session. */
+  private def wallTrunc(gran: Granularity,
+      l: java.time.LocalDateTime): java.time.LocalDateTime =
+    if (gran.widthSeconds > 0) {
+      val e = l.toEpochSecond(java.time.ZoneOffset.UTC)
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(e, gran.widthSeconds) * gran.widthSeconds, 0,
+        java.time.ZoneOffset.UTC)
+    } else java.time.LocalDateTime.ofInstant(
+      gran.truncateInstant(l.toInstant(java.time.ZoneOffset.UTC),
+        java.time.ZoneOffset.UTC), java.time.ZoneOffset.UTC)
+
+  private def wallStep(gran: Granularity, l: java.time.LocalDateTime,
+      n: Long): java.time.LocalDateTime =
+    if (gran.widthSeconds > 0) l.plusSeconds(gran.widthSeconds * n)
+    else gran.truncUnit match {
+      case "week"    => l.plusWeeks(n)
+      case "month"   => l.plusMonths(n)
+      case "quarter" => l.plusMonths(3 * n)
+      case "year"    => l.plusYears(n)
+    }
+
+  /** Instant (millis) of the start of the bucket containing `ms` under the
+    * full granularity object form, stepped back `back` whole buckets —
+    * movingAverage's backward window extension and first-emitted-bucket. */
+  private def bucketStartMs(gran: Granularity, tz: Option[String],
+      origin: Option[Long], ms: Long, back: Long = 0): Long = (origin, tz) match {
+    case (Some(o), _) =>
+      val w = gran.widthSeconds * 1000L
+      o + Math.floorDiv(ms - o, w) * w - back * w
+    case (scala.None, scala.None) if gran.widthSeconds > 0 =>
+      val w = gran.widthSeconds * 1000L
+      Math.floorDiv(ms, w) * w - back * w
+    case (scala.None, z) =>
+      val zone = java.time.ZoneId.of(z.getOrElse("UTC"))
+      val l0 = wallTrunc(gran, java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ms), zone))
+      wallStep(gran, l0, -back).atZone(zone).toInstant.toEpochMilli
   }
 
   /** Aggregator names whose empty-bucket identity is ZERO: counts and sums,
@@ -1152,13 +1178,10 @@ object DruidQueryCompiler {
     */
   private def movingAverage(df: DataFrame, root: JsonNode): DataFrame = {
     val gran = granularity(root)
-    require(granularityZone(root).isEmpty,
-      "movingAverage does not support a non-UTC granularity timeZone")
-    require(granularityOrigin(root).isEmpty,
-      "movingAverage does not support a custom granularity origin")
-    require(gran.widthSeconds > 0,
-      "movingAverage needs a fixed-width granularity (second..day/duration)")
-    val widthMs = gran.widthSeconds * 1000L
+    val gtz = granularityZone(root)
+    val gorig = granularityOrigin(root)
+    require(gran != Granularity.All && gran != Granularity.None,
+      "movingAverage needs a bucketing granularity")
     val intervals = intervalMillis(root)
     require(intervals.length == 1, "movingAverage needs exactly one interval")
     val (startMs, endMs) = intervals.head
@@ -1178,15 +1201,18 @@ object DruidQueryCompiler {
       .map(dimensionSpec).toSeq
     val dimNames = dims.map(_._1)
 
-    // underlying aggregation over the backward-extended range
-    val extStartMs = Math.floorDiv(startMs, widthMs) * widthMs -
-      (maxBuckets - 1).toLong * widthMs
+    // underlying aggregation over the backward-extended range — the window
+    // steps back whole BUCKETS (wall-clock steps for zoned/calendar
+    // granularities, anchored steps under an origin)
+    val extStartMs = bucketStartMs(gran, gtz, gorig, startMs,
+      (maxBuckets - 1).toLong)
     val extended = df.filter(col(TimeCol) >= timestamp_millis(lit(extStartMs)) &&
       col(TimeCol) < timestamp_millis(lit(endMs)))
     val base = aggregate(extended, root, dims)
 
     // dense bucket frame [extStart, lastBucket], engine-side
-    val buckets = bucketFrame(df.sparkSession, Seq((extStartMs, endMs)), gran)
+    val buckets = bucketFrame(df.sparkSession, Seq((extStartMs, endMs)), gran,
+      gtz, gorig)
     val frame =
       if (dims.isEmpty) buckets
       else buckets.crossJoin(base.select(dimNames.map(col): _*).distinct())
@@ -1260,7 +1286,7 @@ object DruidQueryCompiler {
     }
     // emit only buckets of the declared interval — its first bucket is the
     // TRUNCATED start (Druid's timeseries envelope), not the raw instant
-    val firstBucketMs = Math.floorDiv(startMs, widthMs) * widthMs
+    val firstBucketMs = bucketStartMs(gran, gtz, gorig, startMs)
     withAvg.filter(col(TimeCol) >= timestamp_millis(lit(firstBucketMs)))
   }
 

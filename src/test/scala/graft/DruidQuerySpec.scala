@@ -499,14 +499,19 @@ class DruidQuerySpec extends SparkSpec {
       ("02:00", 48.0, (3.0 + 12.0 + 48.0) / 3),
       ("03:00", 0.0, (12.0 + 48.0 + 0.0) / 3)))
 
-    assert(intercept[IllegalArgumentException] { run("""
+    // calendar granularity (supported since r6): the 2-month window steps
+    // back one CALENDAR month (Feb has no rows → zero in the mean)
+    val monthly = run("""
       {"queryType": "movingAverage", "dataSource": "events",
        "granularity": "month",
        "intervals": ["2024-03-01T00:00:00/2024-04-01T00:00:00"],
        "aggregations": [{"type": "count", "name": "c"}],
        "averagers": [{"type": "doubleMean", "name": "m", "fieldName": "c",
                       "buckets": 2}]}""")
-    }.getMessage.contains("fixed-width"))
+      .select(date_format(col("__time"), "yyyy-MM-dd").as("b"),
+        col("c"), col("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(monthly == Seq(("2024-03-01", 6L, 3.0)), monthly)
     assert(intercept[IllegalArgumentException] { run("""
       {"queryType": "movingAverage", "dataSource": "events",
        "granularity": "hour",
@@ -1116,5 +1121,25 @@ class DruidQuerySpec extends SparkSpec {
       ("2024-03-10 09:00", 0L),
       ("2024-03-10 10:00", 0L),
       ("2024-03-10 11:00", 0L)), gapBuckets)
+
+    // zoned movingAverage: the trailing window steps back WALL days (the
+    // Mar 10 bucket averages over [Mar 9, Mar 10] even though Mar 10 is 23
+    // instant-hours) and empty buckets count as zero in the mean
+    val ma = DruidQueryCompiler.compile("""
+      {"queryType": "movingAverage", "dataSource": "d",
+       "granularity": {"type": "period", "period": "P1D",
+                       "timeZone": "America/Los_Angeles"},
+       "intervals": ["2024-03-10T08:00:00/2024-03-12T07:00:00"],
+       "aggregations": [{"type": "count", "name": "cnt"}],
+       "averagers": [{"type": "longMean", "name": "avg_cnt",
+                      "fieldName": "cnt", "buckets": 2}]}""", _ => dst)
+      .orderBy("__time")
+      .select(date_format(col("__time"), "yyyy-MM-dd HH:mm").as("b"),
+        col("cnt"), col("avg_cnt"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(ma == Seq(
+      ("2024-03-10 08:00", 0L, 0.5),   // (cnt Mar9=1 + 0) / 2
+      ("2024-03-11 07:00", 1L, 0.5)),  // (0 + cnt Mar11=1) / 2
+      ma)
   }
 }
