@@ -152,6 +152,30 @@ object BenchCompare {
         .sortBy("o_orderkey").option("path", s"$bktDb/o_b").saveAsTable("o_b")
     }
 
+    // bucketed SEGMENT STORE (r6 compactBucketed/readBucketed — the at-rest
+    // half of §2.10): the same day×user rollup compacted twice, joined on
+    // the bucket dim through plain parquet reads (both sides shuffle) vs
+    // the catalog-attached bucket layout (zero join exchanges)
+    lazy val bstReady: (String, String) = {
+      val db = java.nio.file.Files.createTempDirectory("graft-bstore").toString
+      val spec = graft.config.IngestionSpec(graft.config.DataSchema("ev",
+        graft.config.TimestampSpec("ts"),
+        graft.config.SpecificDimensions(Seq("user_id_s")),
+        Seq(graft.config.AggregatorSpec("count", "cnt"),
+          graft.config.AggregatorSpec("doubleSum", "v", Some("value"))),
+        graft.config.GranularitySpec(graft.time.Granularity.Month,
+          graft.time.Granularity.Day)))
+      val pipe = new graft.pipeline.Pipeline(spec)
+      val in = events.withColumn("user_id_s", col("user_id").cast("string"))
+      graft.sink.SegmentSink.writeBatch(pipe.withSegment(
+        pipe.rollup(pipe.project(pipe.extractTimestamp(in)))), s"$db/raw")
+      graft.sink.SegmentStore.compactBucketed(spark, s"$db/raw", spec,
+        s"$db/bktA", "bench_bkt_a", Seq("user_id_s"), 8)
+      graft.sink.SegmentStore.compactBucketed(spark, s"$db/raw", spec,
+        s"$db/bktB", "bench_bkt_b", Seq("user_id_s"), 8)
+      (s"$db/bktA", s"$db/bktB")
+    }
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "fact_join_plain_parquet" -> (() => {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -167,6 +191,29 @@ object BenchCompare {
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(sum(col("l_quantity")), count(lit(1)))
+      }),
+      // per-user aggregate of each store, joined on the user dim — the
+      // repeated-workload shape the layout amortizes: on the bucketed read
+      // BOTH groupBys and the join run exchange-free; the plain read of
+      // the SAME files shuffles each side
+      "store_join_plain_read" -> (() => {
+        bstReady
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.read.parquet(bstReady._1)
+          .groupBy(col("user_id_s")).agg(sum(col("cnt")).as("ca"))
+          .join(spark.read.parquet(bstReady._2)
+            .groupBy(col("user_id_s")).agg(sum(col("v")).as("vb")), "user_id_s")
+          .select(sum(col("ca") * col("vb")))
+      }),
+      "store_join_bucketed_read" -> (() => {
+        bstReady
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        graft.sink.SegmentStore.readBucketed(spark, bstReady._1, "bench_bkt_a")
+          .groupBy(col("user_id_s")).agg(sum(col("cnt")).as("ca"))
+          .join(graft.sink.SegmentStore
+            .readBucketed(spark, bstReady._2, "bench_bkt_b")
+            .groupBy(col("user_id_s")).agg(sum(col("v")).as("vb")), "user_id_s")
+          .select(sum(col("ca") * col("vb")))
       }),
       "ann_brute_50k" -> (() => {
         val q = org.apache.spark.sql.functions.typedlit(annQuery)
