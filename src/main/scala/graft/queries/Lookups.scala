@@ -59,6 +59,107 @@ object Lookups {
 
   def names: Seq[String] = registry.keys.toSeq.sorted
 
+  /** Load a Druid `uri` extractionNamespace (the lookups-cached-global
+    * extension's file-backed lookups) into a mapping — one call is one
+    * coordinator poll; re-POSTing the factory re-loads and version-bumps.
+    * Files resolve through the Hadoop FS API (any filesystem the cluster
+    * reaches — local, HDFS, object store); `uriPrefix` + `fileRegex` list a
+    * directory like upstream. namespaceParseSpec formats: `csv`, `tsv`
+    * (delimiter, columns, keyColumn/valueColumn, hasHeaderRow/
+    * skipHeaderRows), `simpleJson` (one {"key": "value"} object per line),
+    * `customJson` (keyFieldName/valueFieldName). Lookup files are
+    * config-sized by contract — the driver parses lines directly; the
+    * broadcast regime in [[broadcastFor]] distributes big results.
+    * Malformed rows and unknown formats are loud, never silently-empty
+    * registrations. */
+  def loadUriNamespace(spark: SparkSession,
+      ns: com.fasterxml.jackson.databind.JsonNode): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    def str(n: com.fasterxml.jackson.databind.JsonNode, f: String): Option[String] =
+      Option(n.get(f)).map(_.asText)
+    val nsType = str(ns, "type").getOrElse("")
+    require(nsType == "uri",
+      s"unsupported extractionNamespace type '$nsType' (only 'uri' — no " +
+        "jdbc/kafka loaders in this engine)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      (str(ns, "uri"), str(ns, "uriPrefix")) match {
+        case (Some(u), _) => Seq(new org.apache.hadoop.fs.Path(u))
+        case (scala.None, Some(prefix)) =>
+          val p = new org.apache.hadoop.fs.Path(prefix)
+          val fs = p.getFileSystem(conf)
+          val re = str(ns, "fileRegex").getOrElse(".*").r
+          fs.listStatus(p).toSeq
+            .filter(st => st.isFile &&
+              re.pattern.matcher(st.getPath.getName).matches)
+            .map(_.getPath).sortBy(_.getName)
+        case _ => throw new IllegalArgumentException(
+          "uri extractionNamespace needs 'uri' or 'uriPrefix'")
+      }
+    require(files.nonEmpty, "uri extractionNamespace matched no files")
+    // per-file line lists: header skipping is a PER-FILE property — a
+    // concatenated drop would keep the second file's header as a data row
+    val fileLines: Seq[Seq[String]] = files.map { p =>
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        .filter(_.nonEmpty)
+      finally in.close()
+    }
+    val parse = Option(ns.get("namespaceParseSpec")).getOrElse(
+      throw new IllegalArgumentException(
+        "uri extractionNamespace needs a namespaceParseSpec"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    str(parse, "format").getOrElse("") match {
+      case f @ ("csv" | "tsv") =>
+        val delim =
+          if (f == "csv") "," else str(parse, "delimiter").getOrElse("\t")
+        val cols = Option(parse.get("columns"))
+          .map(_.elements().asScala.map(_.asText).toSeq)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$f namespaceParseSpec needs columns"))
+        val keyCol = str(parse, "keyColumn").getOrElse(cols.head)
+        val valCol = str(parse, "valueColumn").getOrElse(cols.last)
+        val (ki, vi) = (cols.indexOf(keyCol), cols.indexOf(valCol))
+        require(ki >= 0 && vi >= 0,
+          s"keyColumn '$keyCol' / valueColumn '$valCol' must appear in columns $cols")
+        val skip = Option(parse.get("skipHeaderRows")).map(_.asInt).getOrElse(0) +
+          (if (Option(parse.get("hasHeaderRow")).exists(_.asBoolean)) 1 else 0)
+        fileLines.flatMap(_.drop(skip)).map { l =>
+          val parts = l.split(java.util.regex.Pattern.quote(delim), -1)
+          require(parts.length >= cols.length,
+            s"$f row has ${parts.length} of ${cols.length} columns: $l")
+          parts(ki) -> parts(vi)
+        }.toMap
+      case "simpleJson" =>
+        fileLines.flatten.map { l =>
+          val n = mapper.readTree(l)
+          require(n != null && n.isObject && n.size == 1,
+            s"simpleJson line must be one {key: value} object: $l")
+          val e = n.properties().iterator().next()
+          require(e.getValue.isTextual,
+            s"simpleJson value must be a string: $l")
+          e.getKey -> e.getValue.asText
+        }.toMap
+      case "customJson" =>
+        val kf = str(parse, "keyFieldName").getOrElse(
+          throw new IllegalArgumentException("customJson needs keyFieldName"))
+        val vf = str(parse, "valueFieldName").getOrElse(
+          throw new IllegalArgumentException("customJson needs valueFieldName"))
+        fileLines.flatten.map { l =>
+          val n = mapper.readTree(l)
+          def field(f: String): String = Option(n.get(f)).filter(!_.isNull)
+            .map(x => if (x.isTextual) x.asText else x.toString)
+            .getOrElse(throw new IllegalArgumentException(
+              s"customJson line lacks '$f': $l"))
+          field(kf) -> field(vf)
+        }.toMap
+      case other => throw new IllegalArgumentException(
+        s"unsupported namespaceParseSpec format '$other' " +
+          "(csv/tsv/simpleJson/customJson)")
+    }
+  }
+
   /** Broadcast of the lookup's CURRENT version, cached so repeated queries
     * reuse one executor-resident copy. */
   def broadcastFor(spark: SparkSession, name: String)

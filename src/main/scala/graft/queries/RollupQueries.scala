@@ -590,6 +590,40 @@ object RollupQueries {
              CAST(count(DISTINCT user_id % 50) AS BIGINT) AS uniq_bucket
             FROM events GROUP BY 1, 2""")),
 
+    // -- bucketed AT-REST layout (SegmentStore.compactBucketed/readBucketed,
+    // the storage-side half of §2.10): two micro-batches of day×type
+    // partials compact into a store bucketed+sorted by event_type; the read
+    // re-attaches the bucket layout and the per-type aggregation runs with
+    // ZERO exchanges (BucketingSpec proves the plan; this entry hash-gates
+    // the rollup VALUES through the full write→compact→attach→read path).
+    QueryDef("rollup_bucketed_store", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("doubleSum", "v", Some("value"))),
+        GranularitySpec(Granularity.Month, Granularity.Day)))
+      val p = new Pipeline(spec)
+      val ev = Tables.t(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bktq").toString
+      graft.sink.SegmentSink.writeMicroBatch(s"$tmp/raw")(
+        p.withSegment(p.rollup(p.project(p.extractTimestamp(
+          ev.filter(col("event_id") % 2 === 0))))), 0L)
+      graft.sink.SegmentSink.writeMicroBatch(s"$tmp/raw")(
+        p.withSegment(p.rollup(p.project(p.extractTimestamp(
+          ev.filter(col("event_id") % 2 === 1))))), 1L)
+      graft.sink.SegmentStore.compactBucketed(s, s"$tmp/raw", spec,
+        s"$tmp/bkt", "graft_q_bkt", Seq("event_type"), 4)
+      graft.sink.SegmentStore.readBucketed(s, s"$tmp/bkt", "graft_q_bkt")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(LongType).as("days"),
+          sum(col("cnt")).cast(LongType).as("cnt"),
+          round(sum(col("v")), 2).as("v"))
+    },
+    Some("""SELECT event_type,
+             CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS days,
+             count(*) AS cnt, round(sum(value), 2) AS v
+            FROM events GROUP BY 1""")),
+
     // -- stored-sketch histogram through the real streaming store: centroid
     // histogram partials (binary) written per batch, hist_merge_agg at read,
     // quantiles finalized last. The metric has 40 distinct values against

@@ -380,7 +380,9 @@ final class HttpIngestServer(
           case None =>
             Streamed(renderSqlResultWriter(df.limit(cap),
               Option(root.get("resultFormat")).map(_.asText).getOrElse("object"),
-              Option(root.get("header")).exists(_.asBoolean)))
+              Option(root.get("header")).exists(_.asBoolean),
+              Option(root.get("typesHeader")).exists(_.asBoolean),
+              Option(root.get("sqlTypesHeader")).exists(_.asBoolean)))
         }
         }
   }
@@ -537,6 +539,13 @@ final class HttpIngestServer(
     * (timestamps ISO, numbers unquoted); fields `toJSON` omitted (nulls)
     * become explicit JSON nulls — positional output cannot skip columns.
     *
+    * `typesHeader` / `sqlTypesHeader` (Druid 0.23+ API): extra header rows
+    * with Druid type names (LONG/DOUBLE/STRING/COMPLEX/ARRAY<…>) and SQL
+    * type names, in Druid's row order names→types→sqlTypes; both REQUIRE
+    * `header:true`, loudly. For the object formats `header:true` prepends
+    * Druid's header object — column → null, or → {"type","sqlType"} when
+    * the flags ask for them.
+    *
     * Rows flow through `toLocalIterator`: the broker holds ONE partition of
     * rendered rows at a time, never the result set — the upstream analog is
     * the Druid broker's streamed result sequences (tranquility's servlet
@@ -545,11 +554,45 @@ final class HttpIngestServer(
     * response byte), so planning and first-partition execution errors still
     * map to clean 400/504s; only a mid-stream failure truncates. */
   private def renderSqlResultWriter(df: org.apache.spark.sql.DataFrame,
-      format: String, header: Boolean): java.io.OutputStream => Unit = {
+      format: String, header: Boolean, typesHeader: Boolean = false,
+      sqlTypesHeader: Boolean = false): java.io.OutputStream => Unit = {
     val cols = df.columns.toSeq // forces analysis before the status commits
     require(Set("object", "objectLines", "array", "arrayLines", "csv")(format),
       s"unsupported resultFormat '$format' " +
         "(object/objectLines/array/arrayLines/csv)")
+    require(header || (!typesHeader && !sqlTypesHeader),
+      "typesHeader/sqlTypesHeader require header:true")
+    // Druid's column-type names for the engine's column model: Druid stores
+    // booleans and timestamps as LONG; arrays keep their element type;
+    // sketches and anything else report COMPLEX
+    def druidType(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType | BooleanType |
+             TimestampType | DateType => "LONG"
+        case FloatType => "FLOAT"
+        case DoubleType | _: DecimalType => "DOUBLE"
+        case StringType => "STRING"
+        case ArrayType(e, _) => s"ARRAY<${druidType(e)}>"
+        case _ => "COMPLEX"
+      }
+    }
+    def sqlType(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType => "BIGINT"
+        case BooleanType => "BOOLEAN"
+        case TimestampType => "TIMESTAMP"
+        case DateType => "DATE"
+        case FloatType => "FLOAT"
+        case DoubleType | _: DecimalType => "DOUBLE"
+        case StringType => "VARCHAR"
+        case _: ArrayType => "ARRAY"
+        case _ => "OTHER"
+      }
+    }
+    val types = df.schema.fields.map(f => druidType(f.dataType)).toSeq
+    val sqlTypes = df.schema.fields.map(f => sqlType(f.dataType)).toSeq
     val it = df.toJSON.toLocalIterator()
     it.hasNext // run partition 0 now: its errors become a 400, not a torn 200
     def positional(row: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
@@ -572,25 +615,53 @@ final class HttpIngestServer(
         if (!first) w.write(sep)
         w.write(s); first = false
       }
+      // header block in Druid's order: names, then types, then sqlTypes
+      def headerRows(render: Seq[String] => String): Seq[String] = {
+        val rows = Seq.newBuilder[String]
+        if (header) {
+          rows += render(cols)
+          if (typesHeader) rows += render(types)
+          if (sqlTypesHeader) rows += render(sqlTypes)
+        }
+        rows.result()
+      }
+      // object-format header row: column → null, or → the type envelope
+      def objectHeader: String =
+        cols.indices.map { i =>
+          val v =
+            if (!typesHeader && !sqlTypesHeader) "null"
+            else {
+              val fields = (if (typesHeader)
+                Seq(s""""type":${quote(types(i))}""") else Nil) ++
+                (if (sqlTypesHeader)
+                  Seq(s""""sqlType":${quote(sqlTypes(i))}""") else Nil)
+              fields.mkString("{", ",", "}")
+            }
+          s"${quote(cols(i))}:$v"
+        }.mkString("{", ",", "}")
       format match {
         case "object" =>
           w.write("[")
+          if (header) emit(",", objectHeader)
           while (it.hasNext) emit(",", it.next())
           w.write("]")
         case "objectLines" =>
+          if (header) emit("\n", objectHeader)
           while (it.hasNext) emit("\n", it.next())
         case "array" =>
           w.write("[")
-          if (header) emit(",", cols.map(quote).mkString("[", ",", "]"))
+          headerRows(_.map(quote).mkString("[", ",", "]"))
+            .foreach(emit(",", _))
           while (it.hasNext)
             emit(",", positional(it.next()).map(_.toString).mkString("[", ",", "]"))
           w.write("]")
         case "arrayLines" =>
-          if (header) emit("\n", cols.map(quote).mkString("[", ",", "]"))
+          headerRows(_.map(quote).mkString("[", ",", "]"))
+            .foreach(emit("\n", _))
           while (it.hasNext)
             emit("\n", positional(it.next()).map(_.toString).mkString("[", ",", "]"))
         case "csv" =>
-          if (header) emit("\n", cols.mkString(","))
+          headerRows(_.mkString(",")).foreach(emit("\n", _))
           while (it.hasNext)
             emit("\n", positional(it.next()).map(csvField).mkString(","))
       }
@@ -796,21 +867,47 @@ final class HttpIngestServer(
           }
           // Druid coordinator envelope: {"version": …,
           // "lookupExtractorFactory": {"type": "map", "map": {…}}} — unwrap
-          // to the inner map (only type "map" is meaningful here: this
-          // engine has no cached-namespace/JDBC loaders; anything else is a
-          // loud error, never a silently registered empty lookup). The bare
-          // key→value object body keeps working (the engine's native form).
+          // to the inner map. Type "cachedNamespace" with a `uri`
+          // extractionNamespace loads file-backed lookups through
+          // [[graft.queries.Lookups.loadUriNamespace]] (one POST = one
+          // coordinator poll; re-POST re-loads + version-bumps); jdbc/kafka
+          // loaders stay a loud error, never a silently registered empty
+          // lookup. The bare key→value object body keeps working (the
+          // engine's native form).
           val mapNode = Option(root.get("lookupExtractorFactory")) match {
             case Some(f) =>
-              val t = Option(f.get("type")).map(_.asText).getOrElse("")
-              if (t != "map") {
-                reply(ex, 400, s"""{"error":${quote(
-                  s"unsupported lookupExtractorFactory type '$t' (only 'map')")}}""")
-                return
-              }
-              Option(f.get("map")).getOrElse {
-                reply(ex, 400, """{"error":"lookupExtractorFactory needs a 'map' object"}""")
-                return
+              Option(f.get("type")).map(_.asText).getOrElse("") match {
+                case "map" =>
+                  Option(f.get("map")).getOrElse {
+                    reply(ex, 400, """{"error":"lookupExtractorFactory needs a 'map' object"}""")
+                    return
+                  }
+                case "cachedNamespace" =>
+                  val ns = Option(f.get("extractionNamespace")).getOrElse {
+                    reply(ex, 400,
+                      """{"error":"cachedNamespace needs an extractionNamespace"}""")
+                    return
+                  }
+                  val loaded = try graft.queries.Lookups.loadUriNamespace(
+                    org.apache.spark.sql.SparkSession.active, ns)
+                  catch {
+                    case NonFatal(e) =>
+                      reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+                      return
+                  }
+                  if (loaded.isEmpty) {
+                    reply(ex, 400, """{"error":"uri lookup loaded no entries"}""")
+                    return
+                  }
+                  graft.queries.Lookups.register(n, loaded)
+                  val v = graft.queries.Lookups.entry(n).get.version
+                  reply(ex, 200,
+                    s"""{"result":{"name":${quote(n)},"entries":${loaded.size},"version":$v}}""")
+                  return
+                case t =>
+                  reply(ex, 400, s"""{"error":${quote(
+                    s"unsupported lookupExtractorFactory type '$t' (map/cachedNamespace)")}}""")
+                  return
               }
             case None => root
           }

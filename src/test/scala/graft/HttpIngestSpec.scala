@@ -292,6 +292,25 @@ class HttpIngestSpec extends SparkSpec {
       val (lef, lefb) = post(handle.port, "/lookups/envtypes",
         """{"lookupExtractorFactory": {"type": "cachedNamespace"}}""")
       assert(lef == 400 && lefb.contains("cachedNamespace"), lefb)
+      // file-backed cachedNamespace (lookups-cached-global uri loader):
+      // registers from a csv on disk, queryable like any map lookup
+      val lkFile = Files.createTempFile("graft-lk", ".csv")
+      Files.writeString(lkFile, "k,v\nc,click-file\nd,display-file\n")
+      val (luc, lub) = post(handle.port, "/lookups/filetypes",
+        s"""{"version": "v1", "lookupExtractorFactory":
+             {"type": "cachedNamespace",
+              "extractionNamespace": {"type": "uri",
+                "uri": "${lkFile.toUri}",
+                "namespaceParseSpec": {"format": "csv",
+                  "columns": ["k","v"], "hasHeaderRow": true}}}}""")
+      assert(luc == 200 && lub.contains("\"entries\":2"), lub)
+      val (luq, luqb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT LOOKUP('c', 'filetypes') AS label FROM clicks_ds LIMIT 1"}""")
+      assert(luq == 200 && luqb.contains("\"label\":\"click-file\""), luqb)
+      val (lbadu, lbadub) = post(handle.port, "/lookups/filetypes",
+        """{"lookupExtractorFactory": {"type": "cachedNamespace",
+            "extractionNamespace": {"type": "jdbc"}}}""")
+      assert(lbadu == 400 && lbadub.contains("jdbc"), lbadub)
 
       // SQL INGESTION over the socket (MSQ surface): INSERT INTO with a
       // rollup SELECT over the routed store; reply = per-segment task
@@ -819,6 +838,29 @@ class HttpIngestSpec extends SparkSpec {
       val (fc, fb) = post(port, "/druid/v2/sql",
         """{"query": "SELECT id FROM big_ds", "resultFormat": "yaml"}""")
       assert(fc == 400 && fb.contains("resultFormat"), fb)
+
+      // typesHeader/sqlTypesHeader (Druid 0.23+): names → Druid types →
+      // SQL types rows, in that order; flags without header are loud
+      val (tc, tb) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT __time, id, user FROM big_ds LIMIT 1",
+            "resultFormat": "arrayLines", "header": true,
+            "typesHeader": true, "sqlTypesHeader": true}""")
+      assert(tc == 200, tb)
+      val tLines = tb.linesIterator.toSeq
+      assert(tLines.size == 4)
+      assert(tLines(0) == """["__time","id","user"]""")
+      assert(tLines(1) == """["LONG","LONG","STRING"]""")
+      assert(tLines(2) == """["TIMESTAMP","BIGINT","VARCHAR"]""")
+      val (oc, ob) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT id, user FROM big_ds LIMIT 1",
+            "resultFormat": "objectLines", "header": true,
+            "typesHeader": true}""")
+      assert(oc == 200 &&
+        ob.linesIterator.next() ==
+          """{"id":{"type":"LONG"},"user":{"type":"STRING"}}""", ob.take(200))
+      val (hc, hb) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT id FROM big_ds", "typesHeader": true}""")
+      assert(hc == 400 && hb.contains("header"), hb)
     } finally server.stop()
   }
 }

@@ -93,4 +93,69 @@ class LookupSpec extends SparkSpec {
       }.getMessage.contains("literal"))
     } finally Lookups.unregister("rm_lk")
   }
+
+  test("uri extractionNamespace loader: csv/tsv/simpleJson/customJson, " +
+      "uriPrefix+fileRegex, loud failures") {
+    import java.nio.file.Files
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val dir = Files.createTempDirectory("graft-lk-uri")
+    def write(name: String, body: String): String = {
+      val p = dir.resolve(name)
+      Files.writeString(p, body)
+      p.toUri.toString
+    }
+    def load(json: String): Map[String, String] =
+      Lookups.loadUriNamespace(spark, mapper.readTree(json))
+
+    // csv with header + explicit key/value columns
+    val csvUri = write("m.csv", "id,label,extra\n1,one,x\n2,two,y\n")
+    assert(load(s"""{"type":"uri","uri":"$csvUri",
+        "namespaceParseSpec":{"format":"csv",
+          "columns":["id","label","extra"],
+          "keyColumn":"id","valueColumn":"label",
+          "hasHeaderRow":true}}""") == Map("1" -> "one", "2" -> "two"))
+
+    // tsv with a custom delimiter, default key/value = first/last column
+    val tsvUri = write("m.tsv", "a|x\nb|y\n")
+    assert(load(s"""{"type":"uri","uri":"$tsvUri",
+        "namespaceParseSpec":{"format":"tsv","delimiter":"|",
+          "columns":["k","v"]}}""") == Map("a" -> "x", "b" -> "y"))
+
+    // simpleJson: one {key: value} object per line
+    val sjUri = write("m.sjson", """{"k1":"v1"}""" + "\n" + """{"k2":"v2"}""")
+    assert(load(s"""{"type":"uri","uri":"$sjUri",
+        "namespaceParseSpec":{"format":"simpleJson"}}""") ==
+      Map("k1" -> "v1", "k2" -> "v2"))
+
+    // customJson: named key/value fields, non-string values stringified
+    val cjUri = write("m.cjson",
+      """{"code":"us","name":"United States","pop":331}""" + "\n" +
+      """{"code":"fr","name":"France","pop":67}""")
+    assert(load(s"""{"type":"uri","uri":"$cjUri",
+        "namespaceParseSpec":{"format":"customJson",
+          "keyFieldName":"code","valueFieldName":"name"}}""") ==
+      Map("us" -> "United States", "fr" -> "France"))
+
+    // uriPrefix + fileRegex: later files override earlier on key collision
+    write("part1.csv", "k,v\na,1\nb,2\n")
+    write("part2.csv", "k,v\nb,3\nc,4\n")
+    assert(load(s"""{"type":"uri","uriPrefix":"${dir.toUri}",
+        "namespaceParseSpec":{"format":"csv","columns":["k","v"],
+          "hasHeaderRow":true},
+        "fileRegex":"part.*\\\\.csv"}""") ==
+      Map("a" -> "1", "b" -> "3", "c" -> "4"))
+
+    // loud failures: unknown format, short rows, bad namespace type
+    def bad(json: String): String =
+      intercept[IllegalArgumentException](load(json)).getMessage
+    assert(bad(s"""{"type":"uri","uri":"$csvUri",
+        "namespaceParseSpec":{"format":"xml"}}""").contains("xml"))
+    assert(bad(s"""{"type":"uri","uri":"$tsvUri",
+        "namespaceParseSpec":{"format":"csv","columns":["k","v"]}}""")
+      .contains("columns"))
+    assert(bad(s"""{"type":"jdbc"}""").contains("jdbc"))
+    assert(bad(s"""{"type":"uri",
+        "namespaceParseSpec":{"format":"csv","columns":["k"]}}""")
+      .contains("uri"))
+  }
 }
