@@ -674,8 +674,17 @@ object DruidQueryCompiler {
     // partials, Druid's rule), post-aggs and finalization applied on top
     val grandTotal = opt(root, "context").flatMap(c => opt(c, "grandTotal"))
       .exists(_.asBoolean)
-    if (!grandTotal) base
-    else base.unionByName(finalizeAggs(aggregateAll(df, root), root))
+    val withTotal =
+      if (!grandTotal) base
+      else base.unionByName(finalizeAggs(aggregateAll(df, root), root))
+    // Druid's timeseries envelope is TIME-ORDERED — ascending unless the
+    // query sets "descending": true; the null-stamped grandTotal row
+    // renders last either way. Bucket counts are small (intervals/width),
+    // so the final sort is negligible; Catalyst's EliminateSorts drops it
+    // when a wrapping query dataSource re-aggregates.
+    if (opt(root, "descending").exists(_.asBoolean))
+      withTotal.orderBy(col(TimeCol).desc_nulls_last)
+    else withTotal.orderBy(col(TimeCol).asc_nulls_last)
   }
 
   /** One-row whole-input aggregation for `grandTotal`: same aggregators and

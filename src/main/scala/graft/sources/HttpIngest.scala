@@ -176,9 +176,24 @@ final class HttpIngestServer(
               s"unknown dataSource '$name' (queryable: ${queryRoutes.keys.toSeq.sorted.mkString(",")})"))()
           })
           // stream the row array: one partition in memory at a time (plus
-          // the cap), like the SQL endpoint — never the whole result
-          streamReply(ex, 200,
-            renderSqlResultWriter(df.limit(cap), "object", header = false))
+          // the cap), like the SQL endpoint — never the whole result.
+          // A scan query that EXPLICITLY sets resultFormat gets Druid's
+          // batched scan envelope; the plain row array stays the default
+          // for every queryType (documented delta).
+          val scanFmt = Option(root.get("resultFormat")).map(_.asText)
+            .filter(_ => Option(root.get("queryType"))
+              .map(_.asText).contains("scan"))
+          scanFmt match {
+            case Some(fmt) =>
+              val batchSize = Option(root.get("batchSize")).map(_.asInt)
+                .getOrElse(20480)
+              require(batchSize > 0, "batchSize must be positive")
+              streamReply(ex, 200,
+                scanEnvelopeWriter(df.limit(cap), fmt, batchSize))
+            case scala.None =>
+              streamReply(ex, 200,
+                renderSqlResultWriter(df.limit(cap), "object", header = false))
+          }
         }
       } catch {
         case _: QueryTimedOut =>
@@ -665,6 +680,51 @@ final class HttpIngestServer(
           while (it.hasNext)
             emit("\n", positional(it.next()).map(csvField).mkString(","))
       }
+      w.flush()
+    }
+  }
+
+  /** Druid's batched SCAN result envelope (`resultFormat` on the scan query
+    * body — `list`: events as row objects; `compactedList`: positional
+    * value arrays in `columns` order): rows stream in `batchSize` groups,
+    * each batch `{"segmentId": …, "columns": […], "events": […]}`. The
+    * engine reads a merged store view, so segmentId is the synthetic
+    * per-response batch id (documented delta — Druid names the backing
+    * segment; clients treat it as an opaque grouping key). Same
+    * toLocalIterator memory contract as [[renderSqlResultWriter]]. */
+  private def scanEnvelopeWriter(df: org.apache.spark.sql.DataFrame,
+      format: String, batchSize: Int): java.io.OutputStream => Unit = {
+    val cols = df.columns.toSeq // forces analysis before the status commits
+    require(Set("list", "compactedList")(format),
+      s"unsupported scan resultFormat '$format' (list/compactedList)")
+    val it = df.toJSON.toLocalIterator()
+    it.hasNext // partition-0 errors → clean 400, never a torn 200
+    val colsJson = cols.map(quote).mkString("[", ",", "]")
+    def positional(row: String): String = {
+      val n = mapper.readTree(row)
+      cols.map(c => Option(n.get(c)).getOrElse(
+        com.fasterxml.jackson.databind.node.NullNode.getInstance()).toString)
+        .mkString("[", ",", "]")
+    }
+    out => {
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(out, UTF_8))
+      w.write("[")
+      var batch = 0
+      while (it.hasNext) {
+        if (batch > 0) w.write(",")
+        w.write(s"""{"segmentId":${quote(s"graft_batch_$batch")},""")
+        w.write(s""""columns":$colsJson,"events":[""")
+        var inBatch = 0
+        while (it.hasNext && inBatch < batchSize) {
+          if (inBatch > 0) w.write(",")
+          val row = it.next()
+          w.write(if (format == "list") row else positional(row))
+          inBatch += 1
+        }
+        w.write("]}")
+        batch += 1
+      }
+      w.write("]")
       w.flush()
     }
   }

@@ -1142,4 +1142,24 @@ class DruidQuerySpec extends SparkSpec {
       ("2024-03-11 07:00", 1L, 0.5)),  // (0 + cnt Mar11=1) / 2
       ma)
   }
+
+  test("timeseries envelope is time-ordered; descending:true reverses; " +
+      "grandTotal row renders last either way") {
+    def buckets(json: String): Seq[String] =
+      run(json).select(date_format(col("__time"), "HH:mm")).collect()
+        .map(_.getString(0)).toSeq
+    val asc = buckets("""{"queryType": "timeseries", "dataSource": "events",
+        "granularity": "hour",
+        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+    assert(asc == Seq("00:00", "01:00", "02:00"), asc)
+    val desc = buckets("""{"queryType": "timeseries", "dataSource": "events",
+        "granularity": "hour", "descending": true,
+        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+    assert(desc == Seq("02:00", "01:00", "00:00"), desc)
+    val withTotal = buckets("""{"queryType": "timeseries",
+        "dataSource": "events", "granularity": "hour",
+        "descending": true, "context": {"grandTotal": true},
+        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+    assert(withTotal == Seq("02:00", "01:00", "00:00", null), withTotal)
+  }
 }

@@ -830,6 +830,31 @@ class HttpIngestSpec extends SparkSpec {
             "columns": ["id"], "context": {"maxQueryRows": 100000}}""")
       assert(nc == 200 && nb.count(_ == '{') == 60000, nb.take(200))
 
+      // explicit scan resultFormat → Druid's batched envelope: 3 batches of
+      // batchSize with columns + events; compactedList is positional
+      val (sc1, sb1) = post(port, "/druid/v2",
+        """{"queryType": "scan", "dataSource": "big_ds",
+            "columns": ["id", "user"], "resultFormat": "compactedList",
+            "batchSize": 25000, "context": {"maxQueryRows": 100000}}""")
+      assert(sc1 == 200)
+      val env = new com.fasterxml.jackson.databind.ObjectMapper().readTree(sb1)
+      assert(env.isArray && env.size == 3, env.size) // 60000 / 25000
+      assert(env.get(0).get("columns").toString == """["id","user"]""")
+      assert(env.get(0).get("events").size == 25000 &&
+        env.get(2).get("events").size == 10000)
+      assert(env.get(0).get("events").get(0).isArray) // positional
+      val (sc2, sb2) = post(port, "/druid/v2",
+        """{"queryType": "scan", "dataSource": "big_ds",
+            "columns": ["id"], "resultFormat": "list", "batchSize": 40000,
+            "context": {"maxQueryRows": 100000}}""")
+      assert(sc2 == 200)
+      val env2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(sb2)
+      assert(env2.size == 2 && env2.get(0).get("events").get(0).isObject)
+      val (sc3, sb3) = post(port, "/druid/v2",
+        """{"queryType": "scan", "dataSource": "big_ds",
+            "columns": ["id"], "resultFormat": "valueVector"}""")
+      assert(sc3 == 400 && sb3.contains("valueVector"), sb3)
+
       // analysis errors surface as clean 400s (forced before any byte),
       // and an unsupported resultFormat is rejected pre-stream too
       val (bc, _) = post(port, "/druid/v2/sql",
