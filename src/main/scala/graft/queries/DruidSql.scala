@@ -484,14 +484,26 @@ object DruidSql {
   // ------------------------------------------------------------- ingestion
 
   /** `INSERT INTO ds <query> PARTITIONED BY <g> [CLUSTERED BY c1, c2]` /
-    * `REPLACE INTO ds OVERWRITE ALL <query> PARTITIONED BY …` — Druid's
-    * SQL-based ingestion statements (the MSQ surface a modern Druid user
-    * types instead of a JSON ingestion spec).
+    * `REPLACE INTO ds OVERWRITE ALL|WHERE <time-range> <query>
+    * PARTITIONED BY …` — Druid's SQL-based ingestion statements (the MSQ
+    * surface a modern Druid user types instead of a JSON ingestion spec).
+    * The OVERWRITE token runs up to the inner query's first keyword
+    * (SELECT/WITH/TABLE/VALUES or a parenthesis), so a WHERE time range
+    * never swallows the query text.
     */
   private val IngestRe =
     ("""(?is)^\s*(INSERT|REPLACE)\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+""" +
-      """(?:(OVERWRITE\s+ALL)\s+)?(.*?)\s+PARTITIONED\s+BY\s+""" +
+      """(?:OVERWRITE\s+(ALL|WHERE\s+.+?)\s+)?""" +
+      """((?:SELECT|WITH|TABLE|VALUES|\().*?)\s+PARTITIONED\s+BY\s+""" +
       """(ALL(?:\s+TIME)?|[A-Za-z_][A-Za-z0-9_]*|'[^']+')(?:\s+CLUSTERED\s+BY\s+(.+?))?\s*$""").r
+
+  /** Druid's canonical OVERWRITE WHERE shape: a half-open `__time` range
+    * with TIMESTAMP literal bounds (what the console generates). Anything
+    * else is loud — a free-form predicate cannot be proven
+    * granularity-aligned. */
+  private val OverwriteWhereRe =
+    ("""(?is)^WHERE\s+__time\s*>=\s*TIMESTAMP\s*'([^']+)'\s+AND\s+""" +
+      """__time\s*<\s*TIMESTAMP\s*'([^']+)'\s*$""").r
 
   /** True iff `sqlText` is an ingestion statement (INSERT/REPLACE INTO). */
   def isIngest(sqlText: String): Boolean = IngestRe.findFirstIn(sqlText).isDefined
@@ -546,10 +558,24 @@ object DruidSql {
           "REPLACE INTO <ds> OVERWRITE ALL <query> PARTITIONED BY …"))
     val mode = m.group(1).toUpperCase(java.util.Locale.ROOT)
     val ds = m.group(2)
-    val overwrite = m.group(3) != null
-    if (mode == "REPLACE") require(overwrite,
-      "REPLACE INTO requires OVERWRITE ALL (partial overwrite is not supported)")
-    else require(!overwrite, "INSERT INTO does not take OVERWRITE ALL — use REPLACE")
+    val overwriteTok = Option(m.group(3)).map(_.trim)
+    if (mode == "REPLACE") require(overwriteTok.isDefined,
+      "REPLACE INTO requires OVERWRITE ALL or OVERWRITE WHERE <__time range>")
+    else require(overwriteTok.isEmpty,
+      "INSERT INTO does not take OVERWRITE — use REPLACE")
+    val overwriteAll = overwriteTok.exists(_.equalsIgnoreCase("ALL"))
+    // OVERWRITE WHERE: half-open [from, to) __time range, parsed strictly
+    val overwriteRange: Option[(java.sql.Timestamp, java.sql.Timestamp)] =
+      overwriteTok.filterNot(_.equalsIgnoreCase("ALL")).map {
+        case OverwriteWhereRe(lo, hi) =>
+          val (f, t) = (java.sql.Timestamp.valueOf(lo.replace("T", " ")),
+            java.sql.Timestamp.valueOf(hi.replace("T", " ")))
+          require(t.after(f), s"OVERWRITE WHERE range is empty: [$lo, $hi)")
+          (f, t)
+        case other => throw new IllegalArgumentException(
+          s"unsupported OVERWRITE clause '$other' — use OVERWRITE ALL or " +
+            "OVERWRITE WHERE __time >= TIMESTAMP '…' AND __time < TIMESTAMP '…'")
+      }
     val g = ingestGranularity(m.group(5))
     val cluster = Option(m.group(6))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -568,10 +594,52 @@ object DruidSql {
         .sortWithinPartitions(cluster.map(col): _*)
     val spark = selected.sparkSession
     val target = s"${storeRoot.stripSuffix("/")}/$ds"
-    if (overwrite) {
+    if (overwriteAll) {
       val p = new org.apache.hadoop.fs.Path(target)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
+    }
+    overwriteRange.foreach { case (from, to) =>
+      // Druid's partial-overwrite contract, enforced loudly:
+      //  1. the range must align to PARTITIONED BY chunk boundaries (whole
+      //     segments are replaced, never split);
+      //  2. every ingested row must fall INSIDE the range (MSQ errors on
+      //     rows outside the replaced interval rather than leak them into
+      //     chunks it did not clear);
+      //  3. the affected segment dirs are dropped, then the new rows land.
+      require(g != graft.time.Granularity.All,
+        "OVERWRITE WHERE needs a time-bucketed PARTITIONED BY " +
+          "(use OVERWRITE ALL with PARTITIONED BY ALL)")
+      val tz = java.time.ZoneId.of(spark.conf.get(
+        "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+      Seq("start" -> from, "end" -> to).foreach { case (which, b) =>
+        require(g.truncateInstant(b.toInstant, tz) == b.toInstant,
+          s"OVERWRITE WHERE $which $b does not align to a ${g.name} " +
+            "chunk boundary — whole segments are replaced, never split")
+      }
+      val outside = selected
+        .filter(!(col("__time").cast("timestamp") >= lit(from) &&
+          col("__time").cast("timestamp") < lit(to))).count()
+      require(outside == 0,
+        s"$outside rows fall outside the OVERWRITE WHERE range [$from, $to) " +
+          "— widen the range or filter the query (Druid rejects these too)")
+      val p = new org.apache.hadoop.fs.Path(target)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss")
+        fmt.setTimeZone(java.util.TimeZone.getTimeZone(tz))
+        val (lo, hi) = (fmt.format(from), fmt.format(to))
+        fs.listStatus(p).filter(_.isDirectory)
+          .map(_.getPath)
+          .filter { d =>
+            // partition dirs escape ':' as %3A — compare the VALUE
+            val name = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(
+                d.getName.stripPrefix("segment="))
+            d.getName.startsWith("segment=") && name >= lo && name < hi
+          }
+          .foreach(d => fs.delete(d, true))
+      }
     }
     arranged.write.mode("append").partitionBy("segment").parquet(target)
     // zero-row ingestion publishes zero segments (only _SUCCESS lands) —

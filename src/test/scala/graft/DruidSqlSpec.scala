@@ -212,6 +212,60 @@ class DruidSqlSpec extends SparkSpec {
     assert(empty.collect().isEmpty)
   }
 
+  test("REPLACE OVERWRITE WHERE: replaces only the covered chunks; " +
+      "alignment, in-range rows, and canonical predicate enforced") {
+    val root = java.nio.file.Files.createTempDirectory("graft-owhere").toString
+    DruidSql.ingest(
+      """INSERT INTO ds SELECT __time, event_type, value FROM events
+         PARTITIONED BY DAY""", Map("events" -> events), root)
+    // replace ONLY the Mar-1 chunk: its 3 rows re-land (REPLACED, not
+    // appended to 6); the Mar-15 and Jun-30 chunks are untouched
+    val r = DruidSql.ingest(
+      """REPLACE INTO ds
+         OVERWRITE WHERE __time >= TIMESTAMP '2024-03-01 00:00:00'
+           AND __time < TIMESTAMP '2024-03-02 00:00:00'
+         SELECT __time, event_type, value FROM events
+         WHERE __time < TIMESTAMP '2024-03-02 00:00:00'
+         PARTITIONED BY DAY""",
+      Map("events" -> events), root)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("2024-03-01T00:00:00" -> 3L,
+      "2024-03-15T00:00:00" -> 1L, "2024-06-30T00:00:00" -> 1L), r)
+    // rows outside the replaced range are rejected, never leaked into
+    // chunks the statement did not clear
+    assert(intercept[IllegalArgumentException] {
+      DruidSql.ingest(
+        """REPLACE INTO ds
+           OVERWRITE WHERE __time >= TIMESTAMP '2024-03-01 00:00:00'
+             AND __time < TIMESTAMP '2024-03-02 00:00:00'
+           SELECT __time, event_type, value FROM events PARTITIONED BY DAY""",
+        Map("events" -> events), root)
+    }.getMessage.contains("outside"))
+    // bounds must sit on PARTITIONED BY chunk boundaries
+    assert(intercept[IllegalArgumentException] {
+      DruidSql.ingest(
+        """REPLACE INTO ds
+           OVERWRITE WHERE __time >= TIMESTAMP '2024-03-01 01:00:00'
+             AND __time < TIMESTAMP '2024-03-02 00:00:00'
+           SELECT __time FROM events WHERE false PARTITIONED BY DAY""",
+        Map("events" -> events), root)
+    }.getMessage.contains("align"))
+    // only the canonical half-open __time range parses; INSERT never
+    // takes OVERWRITE
+    assert(intercept[IllegalArgumentException] {
+      DruidSql.ingest(
+        """REPLACE INTO ds OVERWRITE WHERE event_type = 'x'
+           SELECT __time FROM events PARTITIONED BY DAY""",
+        Map("events" -> events), root)
+    }.getMessage.contains("OVERWRITE"))
+    assert(intercept[IllegalArgumentException] {
+      DruidSql.ingest(
+        """INSERT INTO ds OVERWRITE ALL
+           SELECT __time FROM events PARTITIONED BY DAY""",
+        Map("events" -> events), root)
+    }.getMessage.contains("REPLACE"))
+  }
+
   test("JSON surface: nested paths, keys, TO_JSON_STRING, ARRAY_* twins") {
     val docs = Seq(
       (1L, """{"a": {"b": 7, "c": "x"}, "tags": ["t1", "t2"]}"""),
