@@ -334,15 +334,6 @@ object DruidSql {
     require(files.nonEmpty, "EXTERN inputSource lists no files")
     val fmt = mapper.readTree(inputFormat)
     val fmtType = Option(fmt.get("type")).map(_.asText).getOrElse("json")
-    val parser = fmtType match {
-      case "json" => graft.config.ParserSpec("json")
-      case "csv"  => graft.config.ParserSpec("csv")
-      case "tsv"  => graft.config.ParserSpec("delimited", delimiter = "\t")
-      case "regex" => graft.config.ParserSpec("regex",
-        pattern = Option(fmt.get("pattern")).map(_.asText))
-      case other => throw new IllegalArgumentException(
-        s"EXTERN inputFormat '$other' is not supported (json/csv/tsv/regex)")
-    }
     val sig = mapper.readTree(signature)
     val fields = sig.elements().asScala.map { f =>
       val name = Option(f.get("name")).map(_.asText).getOrElse(
@@ -359,12 +350,33 @@ object DruidSql {
       StructField(name, dt)
     }.toSeq
     require(fields.nonEmpty, "EXTERN signature lists no columns")
-    // columns declared for the delimited formats come from the signature
-    val parserWithCols =
-      if (parser.format == "json" || parser.format == "regex") parser
-      else parser.copy(columns = fields.map(_.name))
-    val raw = spark.read.textFile(files: _*).toDF("value")
-    graft.sources.Sources.parseRecords(raw, StructType(fields), parserWithCols)
+    fmtType match {
+      // columnar formats (Druid MSQ reads these too): native Spark readers
+      // — predicate pushdown and column pruning reach the scan, no line
+      // parse; the declared signature projects and casts the columns it
+      // names (a missing column is an analysis error, like Druid)
+      case "parquet" | "orc" =>
+        import org.apache.spark.sql.functions.col
+        spark.read.format(fmtType).load(files: _*)
+          .select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      case lineFmt =>
+        val parser = lineFmt match {
+          case "json" => graft.config.ParserSpec("json")
+          case "csv"  => graft.config.ParserSpec("csv")
+          case "tsv"  => graft.config.ParserSpec("delimited", delimiter = "\t")
+          case "regex" => graft.config.ParserSpec("regex",
+            pattern = Option(fmt.get("pattern")).map(_.asText))
+          case other => throw new IllegalArgumentException(
+            s"EXTERN inputFormat '$other' is not supported " +
+              "(json/csv/tsv/regex/parquet/orc)")
+        }
+        // columns declared for the delimited formats come from the signature
+        val parserWithCols =
+          if (parser.format == "json" || parser.format == "regex") parser
+          else parser.copy(columns = fields.map(_.name))
+        val raw = spark.read.textFile(files: _*).toDF("value")
+        graft.sources.Sources.parseRecords(raw, StructType(fields), parserWithCols)
+    }
   }
 
   /** [[run]]'s EXTERN-aware entry: rewrite `TABLE(EXTERN(...))` references,

@@ -748,5 +748,35 @@ class DruidSqlSpec extends SparkSpec {
           .replace(""""type":"local"""", """"type":"http""""),
         Map.empty, spark).collect()
     }.getMessage.contains("local"))
+
+    // columnar EXTERN (parquet/orc, the MSQ batch-input formats): native
+    // reader, signature projects+casts; a column the signature names but
+    // the file lacks is an analysis error, not an all-null row
+    val pq = dir.resolve("d.parquet").toString
+    Seq(("epsilon", 5L, 1.5), ("zeta", 6L, 2.5)).toDF("w", "n", "x")
+      .write.mode("overwrite").parquet(pq)
+    val pr = DruidSql.runWithExterns(
+      s"""SELECT w, n FROM TABLE(EXTERN(
+           '{"type":"local","files":["$pq"]}', '{"type":"parquet"}',
+           '[{"name":"w","type":"string"},{"name":"n","type":"long"}]'))""",
+      Map.empty, spark).collect()
+    assert(pr.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("epsilon", 5L), ("zeta", 6L)))
+    val orc = dir.resolve("d.orc").toString
+    Seq(("eta", 7L)).toDF("w", "n").write.mode("overwrite").orc(orc)
+    val or = DruidSql.runWithExterns(
+      s"""SELECT w, n FROM TABLE(EXTERN(
+           '{"type":"local","files":["$orc"]}', '{"type":"orc"}',
+           '[{"name":"w","type":"string"},{"name":"n","type":"long"}]'))""",
+      Map.empty, spark).collect()
+    assert(or.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("eta", 7L)))
+    assert(intercept[Exception] {
+      DruidSql.runWithExterns(
+        s"""SELECT missing FROM TABLE(EXTERN(
+             '{"type":"local","files":["$pq"]}', '{"type":"parquet"}',
+             '[{"name":"missing","type":"string"}]'))""",
+        Map.empty, spark).collect()
+    }.getMessage.toLowerCase.contains("missing"))
   }
 }
