@@ -74,8 +74,12 @@ object Verify {
           errs(i) * x > math.max(5.0, 4 * 0.05 * x)
         }
         val maxRel = if (errs.isEmpty) 0.0 else errs.max
+        // a one-sided group yields Infinity — render legal JSON (null) so
+        // the artifact stays parseable exactly when the gate caught a bug
+        val maxRelJson =
+          if (maxRel.isInfinite) "null" else f"$maxRel%.6f"
         Files.writeString(Paths.get(s"$outDir/rollup_hll_approx.tolerance.json"),
-          f"""{"groups":${joined.length},"violations":$violations,"rsd":0.05,"bound":"abs(est-exact) <= max(5, 4*rsd*exact)","max_rel_err":$maxRel%.6f,"pass":${violations == 0}}""")
+          s"""{"groups":${joined.length},"violations":$violations,"rsd":0.05,"bound":"abs(est-exact) <= max(5, 4*rsd*exact)","max_rel_err":$maxRelJson,"pass":${violations == 0}}""")
         if (violations > 0)
           System.err.println(s"[verify] rollup_hll_approx TOLERANCE GATE " +
             s"FAILED: $violations of ${joined.length} groups out of bound")

@@ -233,8 +233,11 @@ object GraftFunctions {
     * incompatible sketch encoding) are dropped first and replaced
     * DELIBERATELY — graft's stored sketches must keep resolving to graft's
     * expressions — and dropping first keeps the replacement silent. */
-  def register(spark: SparkSession): Unit = {
-    if (!registeredSessions.add(spark)) return
+  def register(spark: SparkSession): Unit = registeredSessions.synchronized {
+    // the session is marked AFTER the loop completes: a concurrent first
+    // caller must not proceed on a half-registered session (parallel
+    // suites share one), and a mid-loop failure must not suppress retry
+    if (registeredSessions.contains(spark)) return
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     (injections ++ DruidSqlFunctions.injections).foreach {
@@ -242,5 +245,6 @@ object GraftFunctions {
         registry.dropFunction(ident)
         registry.registerFunction(ident, info, builder)
     }
+    registeredSessions.add(spark); ()
   }
 }

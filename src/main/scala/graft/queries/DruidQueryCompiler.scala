@@ -1181,8 +1181,11 @@ object DruidQueryCompiler {
     *  - empty buckets count as zero (the dense bucket frame is generated
     *    in-plan — sequence + explode, broadcast against the aggregate);
     *  - only buckets inside the declared interval are emitted.
-    * Requires ONE interval and a fixed-width granularity (calendar windows
-    * have no fixed row width; upstream shares the restriction in practice).
+    * Requires ONE interval and any bucketing granularity: fixed-width,
+    * calendar, zoned, and origin-anchored all work — the window steps
+    * whole buckets in the granularity's own space via [[bucketStartMs]] /
+    * [[bucketFrame]] (a 2-month window really steps one calendar month; a
+    * zoned window crosses DST with the 23-hour day intact).
     * Averagers: double/long Mean/Sum/Max/Min over an aggregation name.
     */
   private def movingAverage(df: DataFrame, root: JsonNode): DataFrame = {

@@ -510,12 +510,13 @@ object DruidSql {
       """(ALL(?:\s+TIME)?|[A-Za-z_][A-Za-z0-9_]*|'[^']+')(?:\s+CLUSTERED\s+BY\s+(.+?))?\s*$""").r
 
   /** Druid's canonical OVERWRITE WHERE shape: a half-open `__time` range
-    * with TIMESTAMP literal bounds (what the console generates). Anything
-    * else is loud — a free-form predicate cannot be proven
-    * granularity-aligned. */
+    * with TIMESTAMP literal bounds — what the console generates, with or
+    * without the quoted `"__time"` identifier; date-only literals are
+    * midnight. Anything else is loud — a free-form predicate cannot be
+    * proven granularity-aligned. */
   private val OverwriteWhereRe =
-    ("""(?is)^WHERE\s+__time\s*>=\s*TIMESTAMP\s*'([^']+)'\s+AND\s+""" +
-      """__time\s*<\s*TIMESTAMP\s*'([^']+)'\s*$""").r
+    ("""(?is)^WHERE\s+"?__time"?\s*>=\s*TIMESTAMP\s*'([^']+)'\s+AND\s+""" +
+      """"?__time"?\s*<\s*TIMESTAMP\s*'([^']+)'\s*$""").r
 
   /** True iff `sqlText` is an ingestion statement (INSERT/REPLACE INTO). */
   def isIngest(sqlText: String): Boolean = IngestRe.findFirstIn(sqlText).isDefined
@@ -552,8 +553,10 @@ object DruidSql {
     * BY granularity of `__time` (Druid's segment-per-interval layout: one
     * parquet dir per bucket under `storeRoot/ds`), and return the task
     * report analog — (segment, rows_published) recomputed FROM THE STORE,
-    * i.e. what readers will actually see. INSERT appends; REPLACE (which
-    * requires OVERWRITE ALL, like Druid) truncates the dataSource first.
+    * i.e. what readers will actually see. INSERT appends; REPLACE …
+    * OVERWRITE ALL truncates the dataSource first, and REPLACE …
+    * OVERWRITE WHERE replaces exactly the chunk-aligned time range
+    * (straddling segments and out-of-range rows are loud errors).
     * CLUSTERED BY is the scale lever: one shuffle on (segment, cluster
     * keys) with an in-partition sort, so each segment's files are
     * co-located and ordered by the query keys — at 100 TB this is what
@@ -576,18 +579,6 @@ object DruidSql {
     else require(overwriteTok.isEmpty,
       "INSERT INTO does not take OVERWRITE — use REPLACE")
     val overwriteAll = overwriteTok.exists(_.equalsIgnoreCase("ALL"))
-    // OVERWRITE WHERE: half-open [from, to) __time range, parsed strictly
-    val overwriteRange: Option[(java.sql.Timestamp, java.sql.Timestamp)] =
-      overwriteTok.filterNot(_.equalsIgnoreCase("ALL")).map {
-        case OverwriteWhereRe(lo, hi) =>
-          val (f, t) = (java.sql.Timestamp.valueOf(lo.replace("T", " ")),
-            java.sql.Timestamp.valueOf(hi.replace("T", " ")))
-          require(t.after(f), s"OVERWRITE WHERE range is empty: [$lo, $hi)")
-          (f, t)
-        case other => throw new IllegalArgumentException(
-          s"unsupported OVERWRITE clause '$other' — use OVERWRITE ALL or " +
-            "OVERWRITE WHERE __time >= TIMESTAMP '…' AND __time < TIMESTAMP '…'")
-      }
     val g = ingestGranularity(m.group(5))
     val cluster = Option(m.group(6))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -611,49 +602,104 @@ object DruidSql {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
+    // OVERWRITE WHERE: half-open [from, to) __time range — the wall-clock
+    // literals are interpreted in the SESSION timezone, the same zone the
+    // segment labels, truncation, and dir names live in (never the JVM
+    // default, which may differ). Accepts the console's quoted "__time"
+    // and date-only literals.
+    val sessionZone = java.time.ZoneId.of(spark.conf.get(
+      "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+    def wallInstant(s: String): java.time.Instant = {
+      val ldt = try java.time.LocalDateTime.parse(s.replace(" ", "T"))
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDate.parse(s).atStartOfDay()
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"unparseable OVERWRITE WHERE TIMESTAMP literal '$s'")
+          }
+      }
+      ldt.atZone(sessionZone).toInstant
+    }
+    val overwriteRange: Option[(java.time.Instant, java.time.Instant)] =
+      overwriteTok.filterNot(_.equalsIgnoreCase("ALL")).map {
+        case OverwriteWhereRe(lo, hi) =>
+          val (f, t) = (wallInstant(lo), wallInstant(hi))
+          require(t.isAfter(f), s"OVERWRITE WHERE range is empty: [$lo, $hi)")
+          (f, t)
+        case other => throw new IllegalArgumentException(
+          s"unsupported OVERWRITE clause '$other' — use OVERWRITE ALL or " +
+            "OVERWRITE WHERE __time >= TIMESTAMP '…' AND __time < TIMESTAMP '…'")
+      }
     overwriteRange.foreach { case (from, to) =>
       // Druid's partial-overwrite contract, enforced loudly:
       //  1. the range must align to PARTITIONED BY chunk boundaries (whole
       //     segments are replaced, never split);
-      //  2. every ingested row must fall INSIDE the range (MSQ errors on
-      //     rows outside the replaced interval rather than leak them into
-      //     chunks it did not clear);
-      //  3. the affected segment dirs are dropped, then the new rows land.
+      //  2. every ingested row must fall INSIDE the range — null __time
+      //     included (MSQ errors on rows outside the replaced interval
+      //     rather than leak them into chunks it did not clear);
+      //  3. an EXISTING segment that merely OVERLAPS the range (coarser
+      //     granularity from an earlier ingest) is a loud error both ways:
+      //     one starting before `from` with rows inside the range would
+      //     survive the dir delete and duplicate data; one being deleted
+      //     with rows at/after `to` would lose data outside the range;
+      //  4. the affected segment dirs are dropped, then the new rows land.
       require(g != graft.time.Granularity.All,
         "OVERWRITE WHERE needs a time-bucketed PARTITIONED BY " +
           "(use OVERWRITE ALL with PARTITIONED BY ALL)")
-      val tz = java.time.ZoneId.of(spark.conf.get(
-        "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
       Seq("start" -> from, "end" -> to).foreach { case (which, b) =>
-        require(g.truncateInstant(b.toInstant, tz) == b.toInstant,
+        require(g.truncateInstant(b, sessionZone) == b,
           s"OVERWRITE WHERE $which $b does not align to a ${g.name} " +
             "chunk boundary — whole segments are replaced, never split")
       }
-      val outside = selected
-        .filter(!(col("__time").cast("timestamp") >= lit(from) &&
-          col("__time").cast("timestamp") < lit(to))).count()
+      val (fromTs, toTs) =
+        (java.sql.Timestamp.from(from), java.sql.Timestamp.from(to))
+      selected.persist() // validated then written — never computed twice
+      val inRange = col("__time").cast("timestamp") >= lit(fromTs) &&
+        col("__time").cast("timestamp") < lit(toTs)
+      // coalesce: a null __time is OUTSIDE every range, not a skipped row
+      val outside = selected.filter(!coalesce(inRange, lit(false))).count()
       require(outside == 0,
-        s"$outside rows fall outside the OVERWRITE WHERE range [$from, $to) " +
-          "— widen the range or filter the query (Druid rejects these too)")
+        s"$outside rows fall outside the OVERWRITE WHERE range " +
+          s"[$from, $to) — widen the range or filter the query " +
+          "(Druid rejects these too)")
       val p = new org.apache.hadoop.fs.Path(target)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
-        val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss")
-        fmt.setTimeZone(java.util.TimeZone.getTimeZone(tz))
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(sessionZone)
         val (lo, hi) = (fmt.format(from), fmt.format(to))
-        fs.listStatus(p).filter(_.isDirectory)
-          .map(_.getPath)
-          .filter { d =>
+        val byName = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith("segment="))
+          .map { d =>
             // partition dirs escape ':' as %3A — compare the VALUE
-            val name = org.apache.spark.sql.catalyst.catalog
-              .ExternalCatalogUtils.unescapePathName(
-                d.getName.stripPrefix("segment="))
-            d.getName.startsWith("segment=") && name >= lo && name < hi
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(d.getName.stripPrefix("segment=")) -> d
           }
-          .foreach(d => fs.delete(d, true))
+        val (doomed, earlier) =
+          (byName.filter { case (n, _) => n >= lo && n < hi }.map(_._2),
+            byName.filter(_._1 < lo).map(_._2))
+        def overlapRows(dirs: Seq[org.apache.hadoop.fs.Path],
+            cond: org.apache.spark.sql.Column): Long =
+          if (dirs.isEmpty) 0L
+          else spark.read.parquet(dirs.map(_.toString): _*)
+            .filter(cond).limit(1).count()
+        require(overlapRows(earlier.toSeq,
+            col("__time").cast("timestamp") >= lit(fromTs)) == 0L,
+          "an existing segment starting before the OVERWRITE WHERE range " +
+            "contains rows inside it (coarser granularity from an earlier " +
+            "ingest) — widen the range to that segment's boundary")
+        require(overlapRows(doomed.toSeq,
+            col("__time").cast("timestamp") >= lit(toTs)) == 0L,
+          "a segment inside the OVERWRITE WHERE range contains rows at or " +
+            "after its end — deleting it would lose data outside the " +
+            "range; widen the range to cover the whole segment")
+        doomed.foreach(d => fs.delete(d, true))
       }
     }
-    arranged.write.mode("append").partitionBy("segment").parquet(target)
+    try arranged.write.mode("append").partitionBy("segment").parquet(target)
+    finally if (overwriteRange.isDefined) selected.unpersist()
     // zero-row ingestion publishes zero segments (only _SUCCESS lands) —
     // Druid's contract; an unguarded read of the empty store would throw
     val tp = new org.apache.hadoop.fs.Path(target)

@@ -460,8 +460,13 @@ final class HttpIngestServer(
               s"""{"error":${quote(s"statement id '$id' already exists")}}""")
             return
           }
-          asyncPool.getOrElse(throw new IllegalStateException(
-            "server not started")).execute(new Runnable {
+          // a failed submit (server stopping, rejected execution) must not
+          // strand the id in ACCEPTED forever — the entry would block every
+          // retry with "already exists" while nothing ever runs it
+          val runner = try asyncPool.getOrElse(
+            throw new IllegalStateException("server not started"))
+          catch { case NonFatal(e) => statements.remove(id); throw e }
+          try runner.execute(new Runnable {
             override def run(): Unit = {
               st.state = "RUNNING"
               try {
@@ -491,6 +496,7 @@ final class HttpIngestServer(
               }
             }
           })
+          catch { case NonFatal(e) => statements.remove(id); throw e }
           ex.getResponseHeaders.set("X-Druid-SQL-Query-Id", id)
           reply(ex, 202, s"""{"queryId":${quote(id)},"state":"ACCEPTED"}""")
         case ("GET", List(id)) =>
@@ -535,6 +541,16 @@ final class HttpIngestServer(
     } catch {
       case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
+
+  /** toJSON row → positional JsonNode values in `cols` order (fields
+    * `toJSON` omitted — nulls — become explicit NullNodes: positional
+    * output cannot skip columns). Shared by the SQL and scan writers. */
+  private def positionalValues(cols: Seq[String], row: String)
+      : Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    val n = mapper.readTree(row)
+    cols.map(c => Option(n.get(c)).getOrElse(
+      com.fasterxml.jackson.databind.node.NullNode.getInstance()))
+  }
 
   /** A handler result: either a small body rendered in memory (task
     * reports, EXPLAIN envelopes) or a row-at-a-time streamed SELECT result
@@ -610,11 +626,8 @@ final class HttpIngestServer(
     val sqlTypes = df.schema.fields.map(f => sqlType(f.dataType)).toSeq
     val it = df.toJSON.toLocalIterator()
     it.hasNext // run partition 0 now: its errors become a 400, not a torn 200
-    def positional(row: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
-      val n = mapper.readTree(row)
-      cols.map(c => Option(n.get(c)).getOrElse(
-        com.fasterxml.jackson.databind.node.NullNode.getInstance()))
-    }
+    def positional(row: String): Seq[com.fasterxml.jackson.databind.JsonNode] =
+      positionalValues(cols, row)
     def csvField(n: com.fasterxml.jackson.databind.JsonNode): String =
       if (n.isNull) ""
       else {
@@ -700,12 +713,8 @@ final class HttpIngestServer(
     val it = df.toJSON.toLocalIterator()
     it.hasNext // partition-0 errors → clean 400, never a torn 200
     val colsJson = cols.map(quote).mkString("[", ",", "]")
-    def positional(row: String): String = {
-      val n = mapper.readTree(row)
-      cols.map(c => Option(n.get(c)).getOrElse(
-        com.fasterxml.jackson.databind.node.NullNode.getInstance()).toString)
-        .mkString("[", ",", "]")
-    }
+    def positional(row: String): String =
+      positionalValues(cols, row).map(_.toString).mkString("[", ",", "]")
     out => {
       val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(out, UTF_8))
       w.write("[")

@@ -219,11 +219,12 @@ class DruidSqlSpec extends SparkSpec {
       """INSERT INTO ds SELECT __time, event_type, value FROM events
          PARTITIONED BY DAY""", Map("events" -> events), root)
     // replace ONLY the Mar-1 chunk: its 3 rows re-land (REPLACED, not
-    // appended to 6); the Mar-15 and Jun-30 chunks are untouched
+    // appended to 6); the Mar-15 and Jun-30 chunks are untouched. The
+    // console's quoted "__time" + date-only literal forms parse.
     val r = DruidSql.ingest(
       """REPLACE INTO ds
-         OVERWRITE WHERE __time >= TIMESTAMP '2024-03-01 00:00:00'
-           AND __time < TIMESTAMP '2024-03-02 00:00:00'
+         OVERWRITE WHERE "__time" >= TIMESTAMP '2024-03-01'
+           AND "__time" < TIMESTAMP '2024-03-02'
          SELECT __time, event_type, value FROM events
          WHERE __time < TIMESTAMP '2024-03-02 00:00:00'
          PARTITIONED BY DAY""",
@@ -264,6 +265,49 @@ class DruidSqlSpec extends SparkSpec {
            SELECT __time FROM events PARTITIONED BY DAY""",
         Map("events" -> events), root)
     }.getMessage.contains("REPLACE"))
+    // a null __time row is OUTSIDE every range — loud, never leaked into
+    // a __HIVE_DEFAULT_PARTITION__ segment the statement did not clear
+    assert(intercept[IllegalArgumentException] {
+      DruidSql.ingest(
+        """REPLACE INTO ds
+           OVERWRITE WHERE __time >= TIMESTAMP '2024-03-01'
+             AND __time < TIMESTAMP '2024-03-02'
+           SELECT CAST(NULL AS TIMESTAMP) AS __time, event_type FROM events
+           PARTITIONED BY DAY""",
+        Map("events" -> events), root)
+    }.getMessage.contains("outside"))
+
+    // straddle guards: a COARSER segment from an earlier ingest that
+    // overlaps the range is loud in both directions
+    val root2 = java.nio.file.Files.createTempDirectory("graft-owhere2").toString
+    DruidSql.ingest(
+      """INSERT INTO ds SELECT __time, event_type FROM events
+         PARTITIONED BY P1M""", Map("events" -> events), root2)
+    // month segment 2024-03 starts BEFORE the replaced day and holds rows
+    // inside it → surviving dir would duplicate the replaced data
+    assert(intercept[IllegalArgumentException] {
+      DruidSql.ingest(
+        """REPLACE INTO ds
+           OVERWRITE WHERE __time >= TIMESTAMP '2024-03-15'
+             AND __time < TIMESTAMP '2024-03-16'
+           SELECT __time, event_type FROM events
+           WHERE __time >= TIMESTAMP '2024-03-15'
+             AND __time < TIMESTAMP '2024-03-16'
+           PARTITIONED BY DAY""",
+        Map("events" -> events), root2)
+    }.getMessage.contains("starting before"))
+    // month segment STARTS at the range but extends past its end →
+    // deleting it would lose the Mar-15 rows outside the range
+    assert(intercept[IllegalArgumentException] {
+      DruidSql.ingest(
+        """REPLACE INTO ds
+           OVERWRITE WHERE __time >= TIMESTAMP '2024-03-01'
+             AND __time < TIMESTAMP '2024-03-02'
+           SELECT __time, event_type FROM events
+           WHERE __time < TIMESTAMP '2024-03-02'
+           PARTITIONED BY DAY""",
+        Map("events" -> events), root2)
+    }.getMessage.contains("lose data"))
   }
 
   test("JSON surface: nested paths, keys, TO_JSON_STRING, ARRAY_* twins") {
