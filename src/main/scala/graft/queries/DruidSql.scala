@@ -154,9 +154,36 @@ object DruidSql {
   def run(sqlText: String, frames: Map[String, DataFrame]): DataFrame =
     runPlan(parse(sqlText), frames)
 
+  /** Druid's `useApproximateCountDistinct` context flag (EXPLICIT true):
+    * COUNT(DISTINCT …) rewrites to the approximate HLL++ aggregate —
+    * upstream's default behavior; this engine defaults to EXACT (strictly
+    * more accurate, a documented delta) and only approximates on request.
+    * Multi-argument COUNT(DISTINCT a, b) approximates the tuple. */
+  private def approxCountDistinctRewrite(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformUp {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, s, o) =>
+          (n, approxCountDistinctRewrite(s).asInstanceOf[SubqueryAlias], o)
+        })
+      case node => node.transformExpressions {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.length == 1 &&
+              f.nameParts.head.equalsIgnoreCase("count") && f.isDistinct =>
+          val arg =
+            if (f.arguments.length == 1) f.arguments.head
+            else org.apache.spark.sql.catalyst.expressions.CreateStruct(
+              f.arguments)
+          f.copy(nameParts = Seq("approx_count_distinct"),
+            arguments = Seq(arg), isDistinct = false)
+      }
+    }
+
   def runPlan(parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       frames: Map[String, DataFrame],
-      metaFrames: Map[Seq[String], DataFrame] = Map.empty): DataFrame = {
+      metaFrames: Map[Seq[String], DataFrame] = Map.empty,
+      approxCountDistinct: Boolean = false): DataFrame = {
     require(frames.nonEmpty || metaFrames.nonEmpty,
       "DruidSql.run needs at least one dataSource frame")
     val spark = frames.headOption.map(_._2.sparkSession)
@@ -198,7 +225,8 @@ object DruidSql {
               .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
               .queryExecution.logical)
       }
-    GraftSqlBridge.ofRows(spark, dialectRewrite(substitute(parsed)))
+    GraftSqlBridge.ofRows(spark, dialectRewrite(substitute(
+      if (approxCountDistinct) approxCountDistinctRewrite(parsed) else parsed)))
   }
 
   // -------------------------------------------------------- TABLE(EXTERN)

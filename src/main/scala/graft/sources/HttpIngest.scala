@@ -282,6 +282,23 @@ final class HttpIngestServer(
       .getOrElse(UUID.randomUUID().toString)
     val timeoutMs = Option(root.get("context")).flatMap(c =>
       Option(c.get("timeout"))).map(_.asLong).getOrElse(0L)
+    // Druid's context.sqlTimeZone re-zones EVERY time function; this
+    // engine evaluates under the session timezone (UTC) — a non-UTC value
+    // silently ignored would shift every bucket, so it is loud instead
+    // (the explicit tz arguments on TIME_FLOOR/TIME_FORMAT/… cover the
+    // same need per-expression)
+    Option(root.get("context")).flatMap(c =>
+      Option(c.get("sqlTimeZone"))).map(_.asText).foreach { tz =>
+      val rules = (try java.time.ZoneId.of(tz) catch {
+        case _: Exception => throw new IllegalArgumentException(
+          s"unknown context.sqlTimeZone '$tz'")
+      }).getRules
+      require(rules.isFixedOffset && rules.getOffset(java.time.Instant.EPOCH) ==
+        java.time.ZoneOffset.UTC,
+        s"context.sqlTimeZone '$tz' is not supported — the engine " +
+          "evaluates in the session timezone (UTC); use the timezone " +
+          "arguments on TIME_FLOOR/TIME_FORMAT/TIME_PARSE instead")
+    }
     (sqlQueryId, timeoutMs, cap)
   }
 
@@ -381,7 +398,12 @@ final class HttpIngestServer(
             .filterNot(_.startsWith("__extern_")),
           allowEmpty = metaFrames.nonEmpty || externSpecs.nonEmpty) ++
           externFrames
-        val df = graft.queries.DruidSql.runPlan(plan, frames, metaFrames)
+        // Druid's useApproximateCountDistinct (upstream default TRUE): this
+        // engine defaults to exact and approximates only on explicit request
+        val approxCd = Option(root.get("context")).flatMap(c =>
+          Option(c.get("useApproximateCountDistinct"))).exists(_.asBoolean)
+        val df = graft.queries.DruidSql.runPlan(plan, frames, metaFrames,
+          approxCountDistinct = approxCd)
         explain match {
           case Some(_) =>
             val planStr = df

@@ -212,6 +212,28 @@ class DruidSqlSpec extends SparkSpec {
     assert(empty.collect().isEmpty)
   }
 
+  test("useApproximateCountDistinct=true rewrites COUNT(DISTINCT) to " +
+      "HLL++ (multi-arg approximates the tuple); default stays exact") {
+    val plan = DruidSql.parse(
+      """SELECT COUNT(DISTINCT user) AS u,
+                COUNT(DISTINCT user, event_type) AS t
+         FROM events""")
+    val approx = DruidSql.runPlan(plan, Map("events" -> events),
+      approxCountDistinct = true)
+    val phys = approx.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("approx_count_distinct"), phys)
+    val exact = DruidSql.runPlan(DruidSql.parse(
+      """SELECT COUNT(DISTINCT user) AS u,
+                COUNT(DISTINCT user, event_type) AS t
+         FROM events"""), Map("events" -> events))
+    val exactPhys = exact.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(!exactPhys.contains("approx_count_distinct"), exactPhys)
+    // HLL++ is exact at this cardinality — same numbers either way
+    assert(approx.collect().head == exact.collect().head)
+  }
+
   test("REPLACE OVERWRITE WHERE: replaces only the covered chunks; " +
       "alignment, in-range rows, and canonical predicate enforced") {
     val root = java.nio.file.Files.createTempDirectory("graft-owhere").toString

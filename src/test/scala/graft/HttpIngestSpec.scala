@@ -864,6 +864,30 @@ class HttpIngestSpec extends SparkSpec {
         """{"query": "SELECT id FROM big_ds", "resultFormat": "yaml"}""")
       assert(fc == 400 && fb.contains("resultFormat"), fb)
 
+      // context.sqlTimeZone: non-UTC would silently shift every bucket if
+      // ignored → loud 400; UTC aliases pass through
+      val (tzc1, tzb1) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM big_ds",
+            "context": {"sqlTimeZone": "America/Los_Angeles"}}""")
+      assert(tzc1 == 400 && tzb1.contains("sqlTimeZone"), tzb1)
+      val (tzc2, _) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM big_ds",
+            "context": {"sqlTimeZone": "Etc/UTC"}}""")
+      assert(tzc2 == 200)
+
+      // context.useApproximateCountDistinct=true → COUNT(DISTINCT) runs
+      // the HLL++ aggregate (approximate at 1000 distinct: within rsd
+      // bounds, not equal); the default stays EXACT
+      val (ac, ab) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT COUNT(DISTINCT user) AS u FROM big_ds",
+            "context": {"useApproximateCountDistinct": true}}""")
+      assert(ac == 200, ab)
+      val approxU = """"u":(\d+)""".r.findFirstMatchIn(ab).get.group(1).toLong
+      assert(math.abs(approxU - 1000L) <= 200L, ab)
+      val (ec, eb) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT COUNT(DISTINCT user) AS u FROM big_ds"}""")
+      assert(ec == 200 && eb.contains("\"u\":1000"), eb)
+
       // typesHeader/sqlTypesHeader (Druid 0.23+): names → Druid types →
       // SQL types rows, in that order; flags without header are loud
       val (tc, tb) = post(port, "/druid/v2/sql",
