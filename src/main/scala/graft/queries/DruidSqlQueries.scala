@@ -502,5 +502,42 @@ object DruidSqlQueries {
             FROM (SELECT 'event' AS kind, user_id AS n FROM events
                   UNION ALL
                   SELECT 'doc' AS kind, n_chars AS n FROM documents) u
-            GROUP BY kind""")))
+            GROUP BY kind""")),
+
+    // -- PIVOT / UNPIVOT (Druid 29's Calcite surface; Spark parses the
+    // same shape natively so the statements run VERBATIM through the
+    // dialect). The oracle recomputes with conditional aggregation — the
+    // relational definition of PIVOT — so the shape itself is gated, and
+    // the round-trip (pivot → unpivot) restores the long form minus the
+    // null cells, exactly SQL-standard semantics -------------------------
+    QueryDef("druid_sql_pivot", (s, dir) => {
+      DruidSql.run(
+        """SELECT user_id,
+                  CAST(COALESCE(click, 0) AS BIGINT) AS clicks,
+                  CAST(COALESCE(purchase, 0) AS BIGINT) AS purchases
+           FROM (SELECT user_id, event_type FROM events WHERE user_id < 50)
+           PIVOT (COUNT(*) FOR event_type IN ('click', 'purchase'))""",
+        frames(s, dir, "events"))
+    },
+    Some("""SELECT user_id,
+              count(*) FILTER (event_type = 'click') AS clicks,
+              count(*) FILTER (event_type = 'purchase') AS purchases
+            FROM events WHERE user_id < 50 GROUP BY 1""")),
+
+    QueryDef("druid_sql_unpivot", (s, dir) => {
+      DruidSql.run(
+        """SELECT user_id, metric, CAST(v AS BIGINT) AS v
+           FROM (SELECT user_id,
+                   COUNT(*) AS n_events,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+                 FROM events WHERE user_id < 50 GROUP BY user_id)
+           UNPIVOT (v FOR metric IN (n_events, n_types))""",
+        frames(s, dir, "events"))
+    },
+    Some("""WITH g AS (SELECT user_id, count(*) AS n_events,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+                 FROM events WHERE user_id < 50 GROUP BY 1)
+            SELECT user_id, 'n_events' AS metric, n_events AS v FROM g
+            UNION ALL
+            SELECT user_id, 'n_types' AS metric, n_types AS v FROM g""")))
 }
