@@ -22,6 +22,46 @@ object TextQueries {
 
   private val TokenPattern = TextFunctions.TokenPattern
 
+  /** Gear-hash CDC chunking of the documents table → one (doc_id, source,
+    * chunk) row per chunk. Each stage lands in its OWN projected column:
+    * referencing a Column expression twice embeds two copies of its tree,
+    * and higher-order lambdas are CodegenFallback — interpreted eval
+    * re-runs every copy, so an inlined `gs` inside the per-position lambda
+    * is O(L) work per position (O(L²)), and an inlined `bnd` inside the
+    * per-chunk lambda squares it again: measured MINUTES per 500 tiny
+    * docs. Materialized attributes evaluate once per row (CollapseProject
+    * keeps expensive multi-referenced projections separate), so
+    * element_at reads the row's ARRAY VALUE in O(1) and the whole doc is
+    * O(L). Shared by `cdc_chunk_stats` and `cdc_containment_pairs`. */
+  private def cdcChunkFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val t = col("text")
+    val gear = Tables.t(s, dir, "documents")
+      .withColumn("__len", length(t))
+      .withColumn("__gs", transform(filter(split(t, ""), c => c =!= lit("")),
+        c => ascii(c) * lit(167) + lit(13)))
+      .withColumn("__bnd", when(col("__len") >= 7,
+        filter(sequence(lit(6), col("__len") - 1), i =>
+          (element_at(col("__gs"), i - 5) * 32 +
+            element_at(col("__gs"), i - 4) * 16 +
+            element_at(col("__gs"), i - 3) * 8 +
+            element_at(col("__gs"), i - 2) * 4 +
+            element_at(col("__gs"), i - 1) * 2 +
+            element_at(col("__gs"), i)) % 64 === 0))
+        .otherwise(array().cast("array<int>")))
+    // ~L/64 chunks per doc: the per-chunk substr is fine (one O(pos)
+    // scan per CHUNK, not per position)
+    val bnd = col("__bnd")
+    val chunks = transform(sequence(lit(1), size(bnd) + 1), k => {
+      val start = when(k === 1, lit(1))
+        .otherwise(element_at(bnd, k - 1) + 1)
+      val end = when(k === size(bnd) + 1, col("__len"))
+        .otherwise(element_at(bnd, k))
+      t.substr(start, end - start + 1)
+    })
+    gear.select(col("doc_id"), col("source"), explode(chunks).as("chunk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // -- exact dedup: hash-groupBy, keep min id (events has real dups) ------
@@ -135,41 +175,7 @@ object TextQueries {
     // per doc at any scale. Expected chunk ≈ 64 chars; chunks partition
     // the text exactly (char conservation is part of the oracle) --------
     QueryDef("cdc_chunk_stats", (s, dir) => {
-      val t = col("text")
-      // Each stage lands in its OWN projected column. Referencing a Column
-      // expression twice embeds two copies of its tree, and higher-order
-      // lambdas are CodegenFallback — interpreted eval re-runs every copy,
-      // so an inlined `gs` inside the per-position lambda is O(L) work per
-      // position (O(L²)), and an inlined `bnd` inside the per-chunk lambda
-      // squares it again: measured MINUTES per 500 tiny docs. Materialized
-      // attributes evaluate once per row (CollapseProject keeps expensive
-      // multi-referenced projections separate), so element_at reads the
-      // row's ARRAY VALUE in O(1) and the whole doc is O(L).
-      val gear = Tables.t(s, dir, "documents")
-        .withColumn("__len", length(t))
-        .withColumn("__gs", transform(filter(split(t, ""), c => c =!= lit("")),
-          c => ascii(c) * lit(167) + lit(13)))
-        .withColumn("__bnd", when(col("__len") >= 7,
-          filter(sequence(lit(6), col("__len") - 1), i =>
-            (element_at(col("__gs"), i - 5) * 32 +
-              element_at(col("__gs"), i - 4) * 16 +
-              element_at(col("__gs"), i - 3) * 8 +
-              element_at(col("__gs"), i - 2) * 4 +
-              element_at(col("__gs"), i - 1) * 2 +
-              element_at(col("__gs"), i)) % 64 === 0))
-          .otherwise(array().cast("array<int>")))
-      // ~L/64 chunks per doc: the per-chunk substr is fine (one O(pos)
-      // scan per CHUNK, not per position)
-      val bnd = col("__bnd")
-      val chunks = transform(sequence(lit(1), size(bnd) + 1), k => {
-        val start = when(k === 1, lit(1))
-          .otherwise(element_at(bnd, k - 1) + 1)
-        val end = when(k === size(bnd) + 1, col("__len"))
-          .otherwise(element_at(bnd, k))
-        t.substr(start, end - start + 1)
-      })
-      gear.select(col("source"), explode(chunks).as("chunk"))
-        .groupBy(col("source"))
+      cdcChunkFrame(s, dir).groupBy(col("source"))
         .agg(count(lit(1)).as("n_chunks"),
           count_distinct(md5(col("chunk"))).as("distinct_chunks"),
           sum(length(col("chunk"))).cast(LongType).as("chunk_chars"))
@@ -199,6 +205,62 @@ object TextQueries {
               CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS distinct_chunks,
               CAST(sum(len(chunk)) AS BIGINT) AS chunk_chars
             FROM c GROUP BY 1""")),
+
+    // -- CDC cross-document CONTAINMENT: doc pairs sharing content-defined
+    // chunks — storage-style dedup detection. Whole-doc MinHash misses
+    // partial overlap (a doc quoting half of another); chunk-hash sharing
+    // finds it, because gear boundaries are content-anchored and survive
+    // insertions shifting the copied region. Scale shape: distinct
+    // (doc, chunk-hash) → document-frequency filter (df ∈ [2, 50]: unique
+    // chunks pair with nothing, stop-chunks — boilerplate shared by
+    // everything — would pair quadratically, same df-cut rationale as
+    // stop-shingle removal) → equi-join on the hash → per-pair count.
+    // Never all-pairs; quadratic work only inside bounded df buckets.
+    QueryDef("cdc_containment_pairs", (s, dir) => {
+      val hashed = cdcChunkFrame(s, dir)
+        .filter(length(col("chunk")) >= 20) // trivial slivers match noise
+        .select(col("doc_id"), md5(col("chunk")).as("h"))
+        .distinct()
+      val df = hashed.groupBy(col("h"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 2 && col("d") <= 50)
+      val ok = hashed.join(df.select(col("h")), Seq("h"))
+      val a = ok.select(col("h"), col("doc_id").as("doc_a"))
+      val b = ok.select(col("h"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).cast(LongType).as("shared_chunks"))
+        .filter(col("shared_chunks") >= 2)
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, text, len(text) AS L,
+                CASE WHEN len(text) >= 6 THEN
+                  list_filter(range(6, len(text)),
+                    i -> ( 32*(ascii(substr(text, i-5, 1))*167+13)
+                         + 16*(ascii(substr(text, i-4, 1))*167+13)
+                         +  8*(ascii(substr(text, i-3, 1))*167+13)
+                         +  4*(ascii(substr(text, i-2, 1))*167+13)
+                         +  2*(ascii(substr(text, i-1, 1))*167+13)
+                         +    (ascii(substr(text, i,   1))*167+13)) % 64 = 0)
+                ELSE [] END AS bnd
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(bnd)+2),
+                  k -> substr(text,
+                         CASE WHEN k = 1 THEN 1 ELSE bnd[k-1]+1 END,
+                         (CASE WHEN k = len(bnd)+1 THEN L ELSE bnd[k] END)
+                         - (CASE WHEN k = 1 THEN 1 ELSE bnd[k-1]+1 END) + 1))) AS chunk
+              FROM b),
+            hd AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM c
+                   WHERE len(chunk) >= 20),
+            keep AS (SELECT h FROM hd GROUP BY h
+                     HAVING count(*) BETWEEN 2 AND 50),
+            ok AS (SELECT hd.doc_id, hd.h FROM hd JOIN keep USING (h))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared_chunks
+            FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2""")),
 
     // -- near-dup DEDUP: pair graph → connected components → survivors.
     // The oracle computes the same components with a recursive CTE, so the
