@@ -167,14 +167,25 @@ object DruidSql {
         w.copy(cteRelations = w.cteRelations.map { case (n, s, o) =>
           (n, approxCountDistinctRewrite(s).asInstanceOf[SubqueryAlias], o)
         })
-      case node => node.transformExpressions {
+      case node => node.transformExpressionsUp {
+        // subquery expressions hold PLANS that transformUp never visits —
+        // a COUNT(DISTINCT) inside a scalar/IN/EXISTS subquery must not
+        // silently stay exact while the outer query approximates
+        case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          sub.withNewPlan(approxCountDistinctRewrite(sub.plan))
         case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
             if f.nameParts.length == 1 &&
               f.nameParts.head.equalsIgnoreCase("count") && f.isDistinct =>
+          import org.apache.spark.sql.catalyst.expressions._
           val arg =
             if (f.arguments.length == 1) f.arguments.head
-            else org.apache.spark.sql.catalyst.expressions.CreateStruct(
-              f.arguments)
+            // exact COUNT(DISTINCT a, b) skips rows where ANY argument is
+            // null (SQL standard); struct(a, b) is never null, so guard:
+            // null out the whole tuple when any member is null, and
+            // approx_count_distinct ignores null inputs like the exact agg
+            else If(f.arguments.map(IsNull(_): Expression).reduce(Or(_, _)),
+              Literal.create(null, org.apache.spark.sql.types.NullType),
+              CreateStruct(f.arguments))
           f.copy(nameParts = Seq("approx_count_distinct"),
             arguments = Seq(arg), isDistinct = false)
       }
@@ -224,6 +235,13 @@ object DruidSql {
                 _.toLowerCase(java.util.Locale.ROOT)))
               .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
               .queryExecution.logical)
+        // subquery expressions hold PLANS transformUp never visits — a
+        // dataSource referenced only inside a scalar/IN/EXISTS subquery
+        // must substitute too
+        case node => node.transformExpressionsUp {
+          case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            sub.withNewPlan(substitute(sub.plan))
+        }
       }
     GraftSqlBridge.ofRows(spark, dialectRewrite(substitute(
       if (approxCountDistinct) approxCountDistinctRewrite(parsed) else parsed)))
@@ -543,8 +561,8 @@ object DruidSql {
     * midnight. Anything else is loud — a free-form predicate cannot be
     * proven granularity-aligned. */
   private val OverwriteWhereRe =
-    ("""(?is)^WHERE\s+"?__time"?\s*>=\s*TIMESTAMP\s*'([^']+)'\s+AND\s+""" +
-      """"?__time"?\s*<\s*TIMESTAMP\s*'([^']+)'\s*$""").r
+    ("""(?is)^WHERE\s+(?:"__time"|__time)\s*>=\s*TIMESTAMP\s*'([^']+)'\s+AND\s+""" +
+      """(?:"__time"|__time)\s*<\s*TIMESTAMP\s*'([^']+)'\s*$""").r
 
   /** True iff `sqlText` is an ingestion statement (INSERT/REPLACE INTO). */
   def isIngest(sqlText: String): Boolean = IngestRe.findFirstIn(sqlText).isDefined
@@ -660,6 +678,11 @@ object DruidSql {
           s"unsupported OVERWRITE clause '$other' — use OVERWRITE ALL or " +
             "OVERWRITE WHERE __time >= TIMESTAMP '…' AND __time < TIMESTAMP '…'")
       }
+    // persist spans validation AND the write below — never computed twice;
+    // the try/finally covers a validation require throwing mid-way (a
+    // rejected statement must not pin cached blocks in a long-lived broker)
+    overwriteRange.foreach(_ => selected.persist())
+    try {
     overwriteRange.foreach { case (from, to) =>
       // Druid's partial-overwrite contract, enforced loudly:
       //  1. the range must align to PARTITIONED BY chunk boundaries (whole
@@ -683,7 +706,6 @@ object DruidSql {
       }
       val (fromTs, toTs) =
         (java.sql.Timestamp.from(from), java.sql.Timestamp.from(to))
-      selected.persist() // validated then written — never computed twice
       val inRange = col("__time").cast("timestamp") >= lit(fromTs) &&
         col("__time").cast("timestamp") < lit(toTs)
       // coalesce: a null __time is OUTSIDE every range, not a skipped row
@@ -705,16 +727,26 @@ object DruidSql {
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .unescapePathName(d.getName.stripPrefix("segment=")) -> d
           }
+        // straddle probes are BOUNDED: no chunk granularity is coarser
+        // than YEAR, so only earlier dirs starting within one year of
+        // `from` can extend into the range — everything older is skipped
+        // without a read (footer-stat pushdown keeps the rest cheap)
+        val probeFloor = fmt.format(
+          from.atZone(sessionZone).minusYears(1).toInstant)
         val (doomed, earlier) =
           (byName.filter { case (n, _) => n >= lo && n < hi }.map(_._2),
-            byName.filter(_._1 < lo).map(_._2))
+            byName.filter { case (n, _) => n < lo && n >= probeFloor }
+              .map(_._2))
         def overlapRows(dirs: Seq[org.apache.hadoop.fs.Path],
             cond: org.apache.spark.sql.Column): Long =
           if (dirs.isEmpty) 0L
           else spark.read.parquet(dirs.map(_.toString): _*)
             .filter(cond).limit(1).count()
+        // rows strictly INSIDE [from, to): an earlier coarse segment whose
+        // rows all fall at/after `to` holds nothing the statement replaces
         require(overlapRows(earlier.toSeq,
-            col("__time").cast("timestamp") >= lit(fromTs)) == 0L,
+            col("__time").cast("timestamp") >= lit(fromTs) &&
+              col("__time").cast("timestamp") < lit(toTs)) == 0L,
           "an existing segment starting before the OVERWRITE WHERE range " +
             "contains rows inside it (coarser granularity from an earlier " +
             "ingest) — widen the range to that segment's boundary")
@@ -726,8 +758,8 @@ object DruidSql {
         doomed.foreach(d => fs.delete(d, true))
       }
     }
-    try arranged.write.mode("append").partitionBy("segment").parquet(target)
-    finally if (overwriteRange.isDefined) selected.unpersist()
+    arranged.write.mode("append").partitionBy("segment").parquet(target)
+    } finally overwriteRange.foreach(_ => selected.unpersist())
     // zero-row ingestion publishes zero segments (only _SUCCESS lands) —
     // Druid's contract; an unguarded read of the empty store would throw
     val tp = new org.apache.hadoop.fs.Path(target)
@@ -766,6 +798,10 @@ object DruidSql {
           (n, dialectRewrite(s).asInstanceOf[SubqueryAlias], o)
         })
       case node => node.transformExpressions {
+        // subquery plans are not children — recurse so dialect functions
+        // inside scalar/IN/EXISTS subqueries rewrite too
+        case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          sub.withNewPlan(dialectRewrite(sub.plan))
         case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
             if f.nameParts.length == 1 && !f.isDistinct &&
               overrides.contains(

@@ -232,6 +232,22 @@ class DruidSqlSpec extends SparkSpec {
     assert(!exactPhys.contains("approx_count_distinct"), exactPhys)
     // HLL++ is exact at this cardinality — same numbers either way
     assert(approx.collect().head == exact.collect().head)
+    // null members exclude the TUPLE, like exact COUNT(DISTINCT a, b)
+    val withNulls = Seq(("a", "x"), ("a", null), ("b", "y"))
+      .toDF("u", "t")
+    val n = DruidSql.runPlan(
+      DruidSql.parse("SELECT COUNT(DISTINCT u, t) AS c FROM d"),
+      Map("d" -> withNulls), approxCountDistinct = true)
+      .collect().head.getLong(0)
+    assert(n == 2L, n)
+    // the rewrite reaches into subquery expressions too
+    val subPhys = DruidSql.runPlan(DruidSql.parse(
+      """SELECT user FROM events
+         WHERE value > (SELECT COUNT(DISTINCT event_type) FROM events)"""),
+      Map("events" -> events), approxCountDistinct = true)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan.toString
+    assert(subPhys.contains("approx_count_distinct"), subPhys)
   }
 
   test("REPLACE OVERWRITE WHERE: replaces only the covered chunks; " +
