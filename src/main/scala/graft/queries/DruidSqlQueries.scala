@@ -510,6 +510,27 @@ object DruidSqlQueries {
     // relational definition of PIVOT — so the shape itself is gated, and
     // the round-trip (pivot → unpivot) restores the long form minus the
     // null cells, exactly SQL-standard semantics -------------------------
+    // -- scalar + IN subqueries THROUGH THE DIALECT: subquery expressions
+    // hold plans outside the normal transform walk, so dataSource
+    // substitution/dialect rewriting must recurse into them explicitly —
+    // this entry keeps that path oracled (a regression would fail loudly
+    // with TABLE_OR_VIEW_NOT_FOUND, or silently skip dialect functions) --
+    QueryDef("druid_sql_subquery", (s, dir) => {
+      DruidSql.run(
+        """SELECT event_type, COUNT(*) AS cnt
+           FROM events
+           WHERE user_id > (SELECT AVG(user_id) FROM events)
+             AND event_type IN (SELECT event_type FROM events
+                                WHERE value > 400)
+           GROUP BY event_type""",
+        frames(s, dir, "events"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt FROM events
+            WHERE user_id > (SELECT avg(user_id) FROM events)
+              AND event_type IN (SELECT event_type FROM events
+                                 WHERE value > 400)
+            GROUP BY 1""")),
+
     QueryDef("druid_sql_pivot", (s, dir) => {
       DruidSql.run(
         """SELECT user_id,
