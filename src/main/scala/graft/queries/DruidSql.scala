@@ -425,14 +425,57 @@ object DruidSql {
     }
   }
 
-  /** [[run]]'s EXTERN-aware entry: rewrite `TABLE(EXTERN(...))` references,
-    * build their frames, run. Programmatic twin of the endpoint path. */
+  /** Druid 28's `TABLE(APPEND('ds1','ds2',…))`: union-BY-NAME over several
+    * dataSources, missing columns null-filled — the SQL twin of the native
+    * `union` dataSource. Each occurrence rewrites to a `__append_N`
+    * relation; callers build its frame from the member names via
+    * [[appendFrame]]. (Regex-scoped: an APPEND call spelled inside a
+    * string literal would also match — the EXTERN scanner's quote
+    * awareness is overkill for a plain quoted-name list.) */
+  private val AppendRe =
+    ("""(?is)TABLE\s*\(\s*APPEND\s*\(\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)\s*\)""").r
+
+  def extractAppends(sql: String): (String, Seq[(String, Seq[String])]) = {
+    val specs = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+    var i = 0
+    val rew = AppendRe.replaceAllIn(sql, m => {
+      val names = m.group(1).split(",")
+        .map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq
+      require(names.nonEmpty && names.forall(_.nonEmpty),
+        "APPEND needs at least one dataSource name")
+      val alias = s"__append_$i"; i += 1
+      specs += alias -> names
+      alias
+    })
+    (rew, specs.toSeq)
+  }
+
+  /** Frame for one APPEND: members resolved case-insensitively from
+    * `frames`, combined with unionByName(allowMissingColumns) — exactly
+    * the native union dataSource's null-filling semantics. */
+  def appendFrame(names: Seq[String],
+      frames: Map[String, DataFrame]): DataFrame = {
+    val ci = frames.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    names.map(n => ci.getOrElse(n.toLowerCase(java.util.Locale.ROOT),
+        throw new IllegalArgumentException(
+          s"APPEND references unknown dataSource '$n' " +
+            s"(known: ${frames.keys.toSeq.sorted.mkString(",")})")))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[run]]'s EXTERN/APPEND-aware entry: rewrite `TABLE(EXTERN(...))` and
+    * `TABLE(APPEND(...))` references, build their frames, run.
+    * Programmatic twin of the endpoint path. */
   def runWithExterns(sqlText: String, frames: Map[String, DataFrame],
       spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val (rew, externs) = extractExterns(sqlText)
+    val (rew1, externs) = extractExterns(sqlText)
+    val (rew, appends) = extractAppends(rew1)
     val ext = externs.map { case (n, (a, b, c)) =>
       n -> externFrame(spark, a, b, c) }.toMap
-    runPlan(parse(rew), frames ++ ext)
+    val app = appends.map { case (alias, names) =>
+      alias -> appendFrame(names, frames) }.toMap
+    runPlan(parse(rew), frames ++ ext ++ app)
   }
 
   // ----------------------------------------------------- EXPLAIN PLAN FOR

@@ -510,6 +510,24 @@ object DruidSqlQueries {
     // relational definition of PIVOT — so the shape itself is gated, and
     // the round-trip (pivot → unpivot) restores the long form minus the
     // null cells, exactly SQL-standard semantics -------------------------
+    // -- TABLE(APPEND(...)) (Druid 28): union-BY-NAME over dataSources,
+    // missing columns null-filled — the SQL twin of the native `union`
+    // dataSource. DuckDB's UNION ALL BY NAME recomputes identically ------
+    QueryDef("druid_sql_append", (s, dir) => {
+      DruidSql.runWithExterns(
+        """SELECT COUNT(*) AS n,
+                  CAST(COUNT(event_id) AS BIGINT) AS event_rows,
+                  CAST(COUNT(doc_id) AS BIGINT) AS doc_rows
+           FROM TABLE(APPEND('events', 'documents'))""",
+        frames(s, dir, "events", "documents"), s)
+    },
+    Some("""WITH u AS (SELECT * FROM events
+                       UNION ALL BY NAME (SELECT * FROM documents))
+            SELECT count(*) AS n,
+                   CAST(count(event_id) AS BIGINT) AS event_rows,
+                   CAST(count(doc_id) AS BIGINT) AS doc_rows
+            FROM u""")),
+
     // -- scalar + IN subqueries THROUGH THE DIALECT: subquery expressions
     // hold plans outside the normal transform walk, so dataSource
     // substitution/dialect rewriting must recurse into them explicitly —

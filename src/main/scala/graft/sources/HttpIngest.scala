@@ -359,11 +359,19 @@ final class HttpIngestServer(
         val explain = graft.queries.DruidSql.explainInner(sqlText0)
         val spark = org.apache.spark.sql.SparkSession.active
         // MSQ external input: TABLE(EXTERN(...)) references become
-        // `__extern_N` relations backed by file-reading frames
-        val (sqlText, externSpecs) =
+        // `__extern_N` relations backed by file-reading frames;
+        // TABLE(APPEND('a','b')) becomes a `__append_N` union-by-name
+        // over the named dataSources
+        val (sqlTextE, externSpecs) =
           graft.queries.DruidSql.extractExterns(explain.getOrElse(sqlText0))
+        val (sqlText, appendSpecs) =
+          graft.queries.DruidSql.extractAppends(sqlTextE)
         lazy val externFrames = externSpecs.map { case (n, (a, b, c)) =>
           n -> graft.queries.DruidSql.externFrame(spark, a, b, c) }.toMap
+        def appendFrames(resolved: Map[String, org.apache.spark.sql.DataFrame])
+            : Map[String, org.apache.spark.sql.DataFrame] =
+          appendSpecs.map { case (alias, names) =>
+            alias -> graft.queries.DruidSql.appendFrame(names, resolved) }.toMap
         if (graft.queries.DruidSql.isIngest(sqlText)) {
           require(explain.isEmpty,
             "EXPLAIN PLAN FOR is not supported for ingestion statements")
@@ -373,10 +381,13 @@ final class HttpIngestServer(
           val storeRoot = sqlIngestRoot.getOrElse(throw new IllegalArgumentException(
             "SQL ingestion is not enabled on this server (no sqlIngestRoot)"))
           val inner = graft.queries.DruidSql.ingestInnerQuery(sqlText).get
-          val frames = resolveFrames(
+          val resolved = resolveFrames(
             graft.queries.DruidSql.referencedTables(
-              graft.queries.DruidSql.parse(inner)),
-            allowEmpty = externSpecs.nonEmpty) ++ externFrames
+              graft.queries.DruidSql.parse(inner))
+              .filterNot(_.startsWith("__append_")) ++
+              appendSpecs.flatMap(_._2),
+            allowEmpty = externSpecs.nonEmpty)
+          val frames = resolved ++ externFrames ++ appendFrames(resolved)
           // per-segment task report: rows bounded by segment count, inline
           Inline(graft.queries.DruidSql.ingest(sqlText, frames, storeRoot)
             .toJSON.collect().mkString("[", ",", "]"))
@@ -393,11 +404,13 @@ final class HttpIngestServer(
               statements.values.asScala.toSeq
                 .map(st => (st.id, st.state, st.datasource)))
             .map(p -> _)).toMap
-        val frames = resolveFrames(
+        val resolved = resolveFrames(
           graft.queries.DruidSql.referencedTables(plan)
-            .filterNot(_.startsWith("__extern_")),
-          allowEmpty = metaFrames.nonEmpty || externSpecs.nonEmpty) ++
-          externFrames
+            .filterNot(n => n.startsWith("__extern_") ||
+              n.startsWith("__append_")) ++
+            appendSpecs.flatMap(_._2),
+          allowEmpty = metaFrames.nonEmpty || externSpecs.nonEmpty)
+        val frames = resolved ++ externFrames ++ appendFrames(resolved)
         // Druid's useApproximateCountDistinct (upstream default TRUE): this
         // engine defaults to exact and approximates only on explicit request
         val approxCd = Option(root.get("context")).flatMap(c =>

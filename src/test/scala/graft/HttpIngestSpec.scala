@@ -239,6 +239,13 @@ class HttpIngestSpec extends SparkSpec {
       val (sc3, sb3) = post(handle.port, "/druid/v2/sql",
         """{"query": "SELECT * FROM unknown_ds"}""")
       assert(sc3 == 400 && sb3.contains("no known dataSource"), sb3)
+      // TABLE(APPEND(...)): union-by-name across routed dataSources
+      val (apc, apb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT COUNT(*) AS n FROM TABLE(APPEND('clicks_ds', 'views_ds'))"}""")
+      assert(apc == 200 && apb.contains("\"n\":"), apb)
+      val (apc2, apb2) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT COUNT(*) FROM TABLE(APPEND('clicks_ds', 'nope_ds'))"}""")
+      assert(apc2 == 400 && apb2.contains("nope_ds"), apb2)
 
       // DRUID-dialect SQL runs verbatim: TIME_FLOOR/TIME_FORMAT +
       // APPROX_COUNT_DISTINCT_DS_HLL (the first query a real Druid SQL
