@@ -129,12 +129,37 @@ object DruidSql {
     s // unreachable
   }
 
-  /** Single-part table names the statement references (multi-part names are
-    * catalog-qualified — never dataSources). */
+  /** Collect over `plan`, every subquery-expression plan, AND every CTE
+    * definition body — plain TreeNode.collect visits children only, and
+    * neither SubqueryExpression plans nor UnresolvedWith.cteRelations are
+    * children, so a dataSource referenced only inside a scalar/IN/EXISTS
+    * subquery or a WITH body would otherwise be invisible to routing. */
+  private def collectWithSubqueries[A](
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)(
+      pf: PartialFunction[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, A])
+      : Seq[A] = {
+    val own = plan.collect(pf)
+    val nested = plan.collect {
+      case node =>
+        val subs = node.expressions.flatMap(_.collect {
+          case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            collectWithSubqueries(s.plan)(pf)
+        }).flatten
+        val ctes = node match {
+          case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+            w.cteRelations.flatMap { case (_, s, _) =>
+              collectWithSubqueries(s)(pf) }
+          case _ => Seq.empty
+        }
+        subs ++ ctes
+    }.flatten
+    own ++ nested
+  }
+
   def referencedTables(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Set[String] =
-    plan.collect {
+    collectWithSubqueries(plan) {
       case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
         r.multipartIdentifier.head
     }.toSet
@@ -202,18 +227,28 @@ object DruidSql {
     graft.functions.GraftFunctions.register(spark)
     val framesCi = frames.map { case (k, v) =>
       k.toLowerCase(java.util.Locale.ROOT) -> v }
-    val cteNames = parsed.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        w.cteRelations.map { case (name, _, _) =>
-          name.toLowerCase(java.util.Locale.ROOT) }
-    }.flatten.toSet
-    def substitute(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    // CTE names shadow frames (Druid's rule). A plan's OWN WITH names plus
+    // everything inherited from enclosing scopes: a CTE defined inside a
+    // subquery expression must shadow within that subquery, so each
+    // substitute level re-collects names reachable at its root and unions
+    // the enclosing scope's.
+    def cteNamesOf(
+        plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Set[String] =
+      collectWithSubqueries(plan) {
+        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+          w.cteRelations.map { case (name, _, _) =>
+            name.toLowerCase(java.util.Locale.ROOT) }
+      }.flatten.toSet
+    def substitute(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        shadowed: Set[String])
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+      val cteNames = shadowed ++ cteNamesOf(plan)
       plan.transformUp {
         // CTE definition bodies are NOT plan children — recurse explicitly
         case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
           w.copy(cteRelations = w.cteRelations.map { case (n, s, o) =>
-            (n, substitute(s).asInstanceOf[SubqueryAlias], o)
+            (n, substitute(s, cteNames).asInstanceOf[SubqueryAlias], o)
           })
         case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
             !cteNames(r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) &&
@@ -240,11 +275,13 @@ object DruidSql {
         // must substitute too
         case node => node.transformExpressionsUp {
           case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-            sub.withNewPlan(substitute(sub.plan))
+            sub.withNewPlan(substitute(sub.plan, cteNames))
         }
       }
+    }
     GraftSqlBridge.ofRows(spark, dialectRewrite(substitute(
-      if (approxCountDistinct) approxCountDistinctRewrite(parsed) else parsed)))
+      if (approxCountDistinct) approxCountDistinctRewrite(parsed) else parsed,
+      Set.empty)))
   }
 
   // -------------------------------------------------------- TABLE(EXTERN)
@@ -439,8 +476,10 @@ object DruidSql {
     val specs = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
     var i = 0
     val rew = AppendRe.replaceAllIn(sql, m => {
-      val names = m.group(1).split(",")
-        .map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq
+      // names come out of their quotes individually — a comma INSIDE a
+      // quoted name must not split it
+      val names = "'([^']*)'".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)).toSeq
       require(names.nonEmpty && names.forall(_.nonEmpty),
         "APPEND needs at least one dataSource name")
       val alias = s"__append_$i"; i += 1
@@ -494,7 +533,7 @@ object DruidSql {
   def referencedMeta(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Set[Seq[String]] =
-    plan.collect {
+    collectWithSubqueries(plan) {
       case r: UnresolvedRelation if r.multipartIdentifier.length == 2 =>
         r.multipartIdentifier.map(_.toLowerCase(java.util.Locale.ROOT))
     }.toSet
@@ -652,7 +691,10 @@ object DruidSql {
     * makes per-key reads touch one file run instead of every file.
     */
   def ingest(sqlText: String, frames: Map[String, DataFrame],
-      storeRoot: String): DataFrame = {
+      storeRoot: String,
+      // named approxCd: spark.sql.functions exports a deprecated
+      // approxCountDistinct that would shadow the parameter
+      approxCd: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.time.Granularity
     val m = IngestRe.findFirstMatchIn(sqlText).getOrElse(
@@ -671,7 +713,8 @@ object DruidSql {
     val g = ingestGranularity(m.group(5))
     val cluster = Option(m.group(6))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val selected = run(m.group(4), frames)
+    val selected = runPlan(parse(m.group(4)), frames,
+      approxCountDistinct = approxCd)
     require(g == Granularity.All || selected.columns.contains("__time"),
       s"PARTITIONED BY ${g.name} needs a __time column in the SELECT " +
         s"(got: ${selected.columns.mkString(", ")})")
@@ -776,6 +819,13 @@ object DruidSql {
         // without a read (footer-stat pushdown keeps the rest cheap)
         val probeFloor = fmt.format(
           from.atZone(sessionZone).minusYears(1).toInstant)
+        // a segment=all dir (an earlier PARTITIONED BY ALL ingest) covers
+        // every instant: no time range can replace it whole, and leaving
+        // it would duplicate in-range rows — always loud
+        require(!byName.exists(_._1 == "all"),
+          "the dataSource contains an ALL-granularity segment (from a " +
+            "PARTITIONED BY ALL ingest) — OVERWRITE WHERE cannot replace " +
+            "part of it; use REPLACE … OVERWRITE ALL")
         val (doomed, earlier) =
           (byName.filter { case (n, _) => n >= lo && n < hi }.map(_._2),
             byName.filter { case (n, _) => n < lo && n >= probeFloor }

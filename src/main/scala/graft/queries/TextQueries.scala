@@ -217,10 +217,16 @@ object TextQueries {
     // stop-shingle removal) → equi-join on the hash → per-pair count.
     // Never all-pairs; quadratic work only inside bounded df buckets.
     QueryDef("cdc_containment_pairs", (s, dir) => {
+      // persisted: the chunking (the dominant cost — per-char interpreted
+      // lambdas) feeds THREE plan branches (the df aggregation and both
+      // self-join sides); without the cache each branch re-chunks the
+      // corpus. Session-lifetime cache of (doc_id, hash) pairs — corpus-
+      // chunk-count rows, spilling to disk at scale.
       val hashed = cdcChunkFrame(s, dir)
         .filter(length(col("chunk")) >= 20) // trivial slivers match noise
         .select(col("doc_id"), md5(col("chunk")).as("h"))
         .distinct()
+        .persist()
       val df = hashed.groupBy(col("h"))
         .agg(count(lit(1)).as("d"))
         .filter(col("d") >= 2 && col("d") <= 50)

@@ -288,7 +288,8 @@ final class HttpIngestServer(
     // (the explicit tz arguments on TIME_FLOOR/TIME_FORMAT/… cover the
     // same need per-expression)
     Option(root.get("context")).flatMap(c =>
-      Option(c.get("sqlTimeZone"))).map(_.asText).foreach { tz =>
+      Option(c.get("sqlTimeZone"))).filterNot(_.isNull) // explicit null = unset
+      .map(_.asText).foreach { tz =>
       val rules = (try java.time.ZoneId.of(tz) catch {
         case _: Exception => throw new IllegalArgumentException(
           s"unknown context.sqlTimeZone '$tz'")
@@ -388,8 +389,14 @@ final class HttpIngestServer(
               appendSpecs.flatMap(_._2),
             allowEmpty = externSpecs.nonEmpty)
           val frames = resolved ++ externFrames ++ appendFrames(resolved)
-          // per-segment task report: rows bounded by segment count, inline
-          Inline(graft.queries.DruidSql.ingest(sqlText, frames, storeRoot)
+          // per-segment task report: rows bounded by segment count, inline.
+          // context knobs apply to the INNER query too (a silently dropped
+          // useApproximateCountDistinct would contradict the sqlTimeZone
+          // loudness rationale)
+          val approxCdIngest = Option(root.get("context")).flatMap(c =>
+            Option(c.get("useApproximateCountDistinct"))).exists(_.asBoolean)
+          Inline(graft.queries.DruidSql.ingest(sqlText, frames, storeRoot,
+              approxCd = approxCdIngest)
             .toJSON.collect().mkString("[", ",", "]"))
         } else {
         // parse ONCE; drain + substitute only the dataSources the statement

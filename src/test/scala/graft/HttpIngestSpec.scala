@@ -246,6 +246,11 @@ class HttpIngestSpec extends SparkSpec {
       val (apc2, apb2) = post(handle.port, "/druid/v2/sql",
         """{"query": "SELECT COUNT(*) FROM TABLE(APPEND('clicks_ds', 'nope_ds'))"}""")
       assert(apc2 == 400 && apb2.contains("nope_ds"), apb2)
+      // a dataSource referenced ONLY inside a subquery expression still
+      // routes (collect must reach subquery plans)
+      val (sqc, sqb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT etype, COUNT(*) AS n FROM clicks_ds WHERE etype NOT IN (SELECT etype FROM views_ds) GROUP BY etype ORDER BY etype"}""")
+      assert(sqc == 200 && sqb.contains("\"etype\":\"c\""), sqb)
 
       // DRUID-dialect SQL runs verbatim: TIME_FLOOR/TIME_FORMAT +
       // APPROX_COUNT_DISTINCT_DS_HLL (the first query a real Druid SQL
