@@ -682,9 +682,12 @@ object DruidQueryCompiler {
     // renders last either way. Bucket counts are small (intervals/width),
     // so the final sort is negligible; Catalyst's EliminateSorts drops it
     // when a wrapping query dataSource re-aggregates.
-    if (opt(root, "descending").exists(_.asBoolean))
-      withTotal.orderBy(col(TimeCol).desc_nulls_last)
-    else withTotal.orderBy(col(TimeCol).asc_nulls_last)
+    val ordered =
+      if (opt(root, "descending").exists(_.asBoolean))
+        withTotal.orderBy(col(TimeCol).desc_nulls_last)
+      else withTotal.orderBy(col(TimeCol).asc_nulls_last)
+    // Druid timeseries `limit`: first N buckets in the envelope's order
+    opt(root, "limit").map(_.asInt).map(ordered.limit).getOrElse(ordered)
   }
 
   /** One-row whole-input aggregation for `grandTotal`: same aggregators and

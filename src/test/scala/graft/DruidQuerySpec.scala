@@ -1161,5 +1161,11 @@ class DruidQuerySpec extends SparkSpec {
         "descending": true, "context": {"grandTotal": true},
         "aggregations": [{"type": "count", "name": "cnt"}]}""")
     assert(withTotal == Seq("02:00", "01:00", "00:00", null), withTotal)
+    // top-level `limit` takes the first N buckets in envelope order
+    val limited = buckets("""{"queryType": "timeseries",
+        "dataSource": "events", "granularity": "hour",
+        "descending": true, "limit": 2,
+        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+    assert(limited == Seq("02:00", "01:00"), limited)
   }
 }
