@@ -284,6 +284,71 @@ object DruidSql {
       Set.empty)))
   }
 
+  // ---------------------------------------------------- parameterized SQL
+
+  /** Druid's parameterized-SQL binding (`{"query": "… WHERE x = ?",
+    * "parameters": [{"type": "VARCHAR", "value": "foo"}]}`): each unquoted
+    * `?` placeholder is replaced, in order, by a TYPED LITERAL rendered
+    * from the matching parameter — the server-side substitution Druid
+    * performs before planning. String values escape their quotes ('' form)
+    * so a value can never break out of its literal; numeric values must
+    * parse as numbers (never spliced raw); count mismatches either way are
+    * loud. `?` inside string literals or quoted identifiers is data, not a
+    * placeholder. */
+  def bindParameters(sql: String,
+      params: Seq[com.fasterxml.jackson.databind.JsonNode]): String = {
+    def render(p: com.fasterxml.jackson.databind.JsonNode): String = {
+      val t = Option(p.get("type")).map(_.asText.toUpperCase(java.util.Locale.ROOT))
+        .getOrElse(throw new IllegalArgumentException("parameter needs a type"))
+      val v = Option(p.get("value")).getOrElse(
+        throw new IllegalArgumentException("parameter needs a value"))
+      if (v.isNull) "NULL"
+      else t match {
+        case "VARCHAR" | "CHAR" =>
+          "'" + v.asText.replace("'", "''") + "'"
+        case "BIGINT" | "INTEGER" | "SMALLINT" | "TINYINT" =>
+          val s = v.asText
+          require(scala.util.Try(s.toLong).isSuccess,
+            s"parameter value '$s' is not a valid $t")
+          s
+        case "DOUBLE" | "FLOAT" | "REAL" | "DECIMAL" =>
+          val s = v.asText
+          require(scala.util.Try(s.toDouble).isSuccess,
+            s"parameter value '$s' is not a valid $t")
+          s
+        case "BOOLEAN" =>
+          if (v.asBoolean(v.asText.equalsIgnoreCase("true"))) "TRUE" else "FALSE"
+        case "TIMESTAMP" => "TIMESTAMP '" + v.asText.replace("'", "''") + "'"
+        case "DATE"      => "DATE '" + v.asText.replace("'", "''") + "'"
+        case other => throw new IllegalArgumentException(
+          s"unsupported parameter type '$other' (VARCHAR/CHAR, BIGINT/" +
+            "INTEGER/SMALLINT/TINYINT, DOUBLE/FLOAT/REAL/DECIMAL, BOOLEAN, " +
+            "TIMESTAMP, DATE)")
+      }
+    }
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    var next = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`') {
+          out += c; i += 1; if (i < sql.length) out += sql(i)
+        } else { if (c == quote) quote = 0; out += c }
+      } else if (c == '\'' || c == '"' || c == '`') { quote = c; out += c }
+      else if (c == '?') {
+        require(next < params.length,
+          s"query has more '?' placeholders than parameters (${params.length})")
+        out ++= render(params(next)); next += 1
+      } else out += c
+      i += 1
+    }
+    require(next == params.length,
+      s"query has $next '?' placeholders but ${params.length} parameters")
+    out.toString
+  }
+
   // -------------------------------------------------------- TABLE(EXTERN)
 
   /** Druid MSQ's external-input table function:

@@ -352,8 +352,19 @@ final class HttpIngestServer(
     * executor. */
   private def executeSql(root: com.fasterxml.jackson.databind.JsonNode)
       : SqlResult = {
-        val sqlText0 = Option(root.get("query")).map(_.asText).getOrElse(
+        val rawSql = Option(root.get("query")).map(_.asText).getOrElse(
           throw new IllegalArgumentException("""body must be {"query": "<sql>"}"""))
+        // Druid's parameterized SQL: bind `?` placeholders from the
+        // `parameters` array BEFORE any parsing (EXPLAIN, EXTERN, ingest
+        // regexes all see the bound statement, like Druid's planner)
+        val sqlText0 = Option(root.get("parameters"))
+          .filterNot(_.isNull) match {
+          case Some(ps) =>
+            require(ps.isArray, "'parameters' must be a JSON array")
+            graft.queries.DruidSql.bindParameters(rawSql,
+              ps.elements().asScala.toSeq)
+          case scala.None => rawSql
+        }
         val cap = sqlContext(root)._3
         // Druid's plan-introspection statement: plan the inner query
         // without running it, reply with the plan + touched dataSources

@@ -252,6 +252,26 @@ class HttpIngestSpec extends SparkSpec {
         """{"query": "SELECT etype, COUNT(*) AS n FROM clicks_ds WHERE etype NOT IN (SELECT etype FROM views_ds) GROUP BY etype ORDER BY etype"}""")
       assert(sqc == 200 && sqb.contains("\"etype\":\"c\""), sqb)
 
+      // parameterized SQL: '?' placeholders bind typed literals in order;
+      // quotes in string values cannot break out of the literal; count
+      // mismatches are loud; '?' inside a string literal is data
+      val (pc, pb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT etype, COUNT(*) AS n FROM clicks_ds WHERE etype = ? AND total >= ? GROUP BY etype",
+            "parameters": [{"type": "VARCHAR", "value": "c"},
+                           {"type": "DOUBLE", "value": 0.5}]}""")
+      assert(pc == 200 && pb.contains("\"etype\":\"c\""), pb)
+      val (pe, peb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT COUNT(*) FROM clicks_ds WHERE etype = ? AND user = ?",
+            "parameters": [{"type": "VARCHAR", "value": "c"}]}""")
+      assert(pe == 400 && peb.contains("placeholders"), peb)
+      val (pq, pqb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT COUNT(*) AS n FROM clicks_ds WHERE etype = ?",
+            "parameters": [{"type": "VARCHAR", "value": "x' OR '1'='1"}]}""")
+      assert(pq == 200 && pqb.contains("\"n\":0"), pqb) // escaped, no breakout
+      val (pl, plb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT COUNT(*) AS n FROM clicks_ds WHERE etype <> '?'"}""")
+      assert(pl == 200, plb) // literal '?' needs no parameters
+
       // DRUID-dialect SQL runs verbatim: TIME_FLOOR/TIME_FORMAT +
       // APPROX_COUNT_DISTINCT_DS_HLL (the first query a real Druid SQL
       // user posts) — exact at this cardinality (coupon-mode DataSketches)
