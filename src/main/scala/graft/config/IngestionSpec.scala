@@ -198,6 +198,27 @@ final case class SpatialRadiusFilter(dimension: String,
 final case class SpatialPolygonFilter(dimension: String,
     abscissa: Seq[Double], ordinate: Seq[Double]) extends FilterSpec
 
+/** Druid `null` filter (Druid 26+ typed-filter family): matches rows where
+  * the column IS NULL — the explicit complement of every other filter's
+  * "null never matches" rule (upstream `NullFilter`). */
+final case class NullFilter(column: String) extends FilterSpec
+/** Druid `equality` filter (Druid 26+, the SQL planner's default when
+  * `sqlUseBoundAndSelectors=false`): typed equality against a non-null
+  * matchValue. STRING compares as string; LONG/FLOAT/DOUBLE compare
+  * numerically (unparseable column values never match). Upstream
+  * `EqualityFilter`. */
+final case class EqualityFilter(column: String, matchValueType: String,
+    value: String) extends FilterSpec
+/** Druid `range` filter (Druid 26+): typed range with open/closed ends —
+  * `lowerOpen`/`upperOpen` true = strict. Replaces `bound`'s
+  * ordering-string with an explicit matchValueType. Upstream
+  * `RangeFilter`. */
+final case class TypedRangeFilter(column: String, matchValueType: String,
+    lower: Option[String] = scala.None,
+    upper: Option[String] = scala.None,
+    lowerOpen: Boolean = false,
+    upperOpen: Boolean = false) extends FilterSpec
+
 /** One derived column. DOCUMENTED DELTA: the expression language is Spark
   * SQL (codegen'd, no interpreter), not Druid's own expr dialect — same
   * role (row-level derivations visible to dims and aggregators), richer

@@ -294,9 +294,51 @@ object SpecLoader {
         lowerStrict = opt(n, "lowerStrict").exists(_.asBoolean),
         upperStrict = opt(n, "upperStrict").exists(_.asBoolean),
         ordering = ordering)
+    // -- Druid 26+ typed filters (the SQL planner's defaults when
+    // sqlUseBoundAndSelectors=false). These take `column`, not `dimension`.
+    case "null" =>
+      val c = str(n, "column", "")
+      require(c.nonEmpty, "null filter needs a column")
+      NullFilter(c)
+    case "equality" =>
+      val c = str(n, "column", "")
+      require(c.nonEmpty, "equality filter needs a column")
+      val t = str(n, "matchValueType", "").toUpperCase
+      require(Set("STRING", "LONG", "FLOAT", "DOUBLE").contains(t),
+        s"equality filter matchValueType '$t' " +
+          "(supported: STRING/LONG/FLOAT/DOUBLE; for null matching use " +
+          "the null filter — Druid rejects a null matchValue too)")
+      val v = opt(n, "matchValue").filterNot(_.isNull).getOrElse(
+        throw new IllegalArgumentException(
+          "equality filter needs a non-null matchValue (use the null " +
+            "filter for IS NULL)"))
+      if (t != "STRING") require(v.isNumber ||
+          scala.util.Try(v.asText.toDouble).isSuccess,
+        s"equality filter matchValue '${v.asText}' is not numeric " +
+          s"under matchValueType $t")
+      EqualityFilter(c, t, v.asText)
+    case "range" =>
+      val c = str(n, "column", "")
+      require(c.nonEmpty, "range filter needs a column")
+      val t = str(n, "matchValueType", "").toUpperCase
+      require(Set("STRING", "LONG", "FLOAT", "DOUBLE").contains(t),
+        s"range filter matchValueType '$t' " +
+          "(supported: STRING/LONG/FLOAT/DOUBLE)")
+      val lower = opt(n, "lower").filterNot(_.isNull).map(_.asText)
+      val upper = opt(n, "upper").filterNot(_.isNull).map(_.asText)
+      require(lower.isDefined || upper.isDefined,
+        "range filter needs at least one of lower/upper")
+      if (t != "STRING") (lower ++ upper).foreach { v =>
+        require(scala.util.Try(v.toDouble).isSuccess,
+          s"range filter bound '$v' is not numeric under matchValueType $t")
+      }
+      TypedRangeFilter(c, t, lower, upper,
+        lowerOpen = opt(n, "lowerOpen").exists(_.asBoolean),
+        upperOpen = opt(n, "upperOpen").exists(_.asBoolean))
     case other => throw new IllegalArgumentException(
       s"unsupported filter type '$other' " +
-        "(supported: selector/in/and/or/not/regex/like/bound/interval)")
+        "(supported: selector/in/and/or/not/regex/like/bound/interval/" +
+        "equality/range/null/…)")
   }
 
   /** Druid postAggregations shape: {"type":"arithmetic","name":"avg","fn":"/",

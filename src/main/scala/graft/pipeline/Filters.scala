@@ -100,6 +100,28 @@ object Filters {
       coalesce(expr(e).cast("boolean"), lit(false))
     case graft.config.TrueFilter()  => lit(true)
     case graft.config.FalseFilter() => lit(false)
+    case graft.config.NullFilter(d) => col(d).isNull
+    case graft.config.EqualityFilter(d, t, v) =>
+      // typed compare: numeric matchValueTypes all compare as DOUBLE —
+      // try_cast-null (unparseable string value) never matches, and a
+      // double column against a LONG matchValue doesn't truncate-match
+      // (2.7 != 2). STRING compares the stringified column.
+      if (t == "STRING") col(d).cast(StringType) <=> lit(v)
+      else {
+        val c = col(d).try_cast(DoubleType)
+        c.isNotNull && c === lit(v.toDouble)
+      }
+    case r: graft.config.TypedRangeFilter =>
+      // bound-filter shape with typed ordering: lowerOpen/upperOpen true =
+      // strict. Same pushdown-friendly isNotNull && range conjunction.
+      val c =
+        if (r.matchValueType == "STRING") col(r.column).cast(StringType)
+        else col(r.column).try_cast(DoubleType)
+      def bound(v: String): Column =
+        if (r.matchValueType == "STRING") lit(v) else lit(v.toDouble)
+      val lo = r.lower.map(v => if (r.lowerOpen) c > bound(v) else c >= bound(v))
+      val hi = r.upper.map(v => if (r.upperOpen) c < bound(v) else c <= bound(v))
+      c.isNotNull && (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true))
     case b: graft.config.BoundFilter =>
       val c = b.ordering match {
         // try_cast, not cast: ANSI mode throws on malformed numerics — a
@@ -146,5 +168,8 @@ object Filters {
     case graft.config.SpatialRadiusFilter(d, _, _)  => Seq(d)
     case graft.config.SpatialPolygonFilter(d, _, _) => Seq(d)
     case graft.config.TrueFilter() | graft.config.FalseFilter() => Seq.empty
+    case graft.config.NullFilter(d)              => Seq(d)
+    case graft.config.EqualityFilter(d, _, _)    => Seq(d)
+    case r: graft.config.TypedRangeFilter        => Seq(r.column)
   }
 }

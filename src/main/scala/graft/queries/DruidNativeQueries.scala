@@ -786,6 +786,40 @@ object DruidNativeQueries {
               CAST(count(*) FILTER (value > 50.0 AND value <= 200.0) AS BIGINT)
                 AS hist_mid,
               CAST(count(*) FILTER (value > 200.0) AS BIGINT) AS hist_high
-            FROM events GROUP BY 1"""))
+            FROM events GROUP BY 1""")),
+
+    // -- Druid 26+ TYPED filters (the SQL planner's defaults when
+    // sqlUseBoundAndSelectors=false): `range` with open/closed typed ends,
+    // `equality` with a LONG matchValue against a derived virtual column,
+    // and `null` (the one filter that MATCHES nulls — testdata has none,
+    // so a nullif() virtualColumn synthesizes them; not(null) must then
+    // drop exactly the 'view' rows under the DSL's never-NULL rule) ------
+    QueryDef("druid_json_typed_filters", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "all", "dimensions": ["event_type"],
+         "virtualColumns": [
+           {"type": "expression", "name": "v_nil",
+            "expression": "nullif(event_type, 'view')"},
+           {"type": "expression", "name": "uid_mod",
+            "expression": "user_id % 7"}],
+         "filter": {"type": "and", "fields": [
+           {"type": "range", "column": "value", "matchValueType": "DOUBLE",
+            "lower": 10.5, "upper": 420.0, "upperOpen": true},
+           {"type": "not", "field": {"type": "null", "column": "v_nil"}},
+           {"type": "equality", "column": "uid_mod",
+            "matchValueType": "LONG", "matchValue": 3}]},
+         "aggregations": [
+           {"type": "count", "name": "cnt"},
+           {"type": "doubleSum", "name": "sum_v", "fieldName": "value"}]}""")
+        .select(col("event_type"), col("cnt"),
+          round(col("sum_v"), 2).as("sum_v"))
+    },
+    Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v
+            FROM events
+            WHERE value >= 10.5 AND value < 420.0
+              AND nullif(event_type, 'view') IS NOT NULL
+              AND user_id % 7 = 3
+            GROUP BY 1"""))
   )
 }

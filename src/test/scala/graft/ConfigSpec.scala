@@ -136,6 +136,95 @@ class ConfigSpec extends AnyFunSuite {
     }.getMessage.contains("expression"))
   }
 
+  test("typed filters (equality/range/null): typed compare, open ends, null semantics, rejections") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    def parse(json: String) = SpecLoader.parseFilter(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+    def ids(rows: org.apache.spark.sql.DataFrame,
+        f: graft.config.FilterSpec): Set[String] =
+      rows.filter(graft.pipeline.Filters.toColumn(f))
+        .select("id").as[String].collect().toSet
+
+    val rows = Seq(
+      ("a", "apple", java.lang.Double.valueOf(2.0)),
+      ("b", "2", java.lang.Double.valueOf(2.7)),
+      ("c", "banana", java.lang.Double.valueOf(10.0)),
+      ("d", null, java.lang.Double.valueOf(-1.0)),
+      ("e", "apple", null: java.lang.Double)
+    ).toDF("id", "s", "v")
+
+    // equality STRING: string compare; null column never matches, not() does
+    val eqS = parse("""{"type": "equality", "column": "s",
+      "matchValueType": "STRING", "matchValue": "apple"}""")
+    assert(eqS == EqualityFilter("s", "STRING", "apple"))
+    assert(ids(rows, eqS) == Set("a", "e"))
+    assert(ids(rows, NotFilter(eqS)) == Set("b", "c", "d"))
+
+    // equality LONG against a DOUBLE column: numeric compare without
+    // truncation — 2.0 matches matchValue 2, 2.7 must NOT
+    val eqL = parse("""{"type": "equality", "column": "v",
+      "matchValueType": "LONG", "matchValue": 2}""")
+    assert(ids(rows, eqL) == Set("a"))
+    // equality DOUBLE over a STRING column: unparseable values never match
+    val eqD = parse("""{"type": "equality", "column": "s",
+      "matchValueType": "DOUBLE", "matchValue": 2.0}""")
+    assert(ids(rows, eqD) == Set("b"))
+    assert(ids(rows, NotFilter(eqD)) == Set("a", "c", "d", "e"))
+
+    // range DOUBLE with an open lower end; range STRING is lexicographic
+    val rgD = parse("""{"type": "range", "column": "v",
+      "matchValueType": "DOUBLE", "lower": 2.0, "lowerOpen": true,
+      "upper": 10.0}""")
+    assert(rgD == TypedRangeFilter("v", "DOUBLE", Some("2.0"), Some("10.0"),
+      lowerOpen = true, upperOpen = false))
+    assert(ids(rows, rgD) == Set("b", "c"))
+    val rgS = parse("""{"type": "range", "column": "s",
+      "matchValueType": "STRING", "lower": "apple", "upper": "banana",
+      "upperOpen": true}""")
+    assert(ids(rows, rgS) == Set("a", "e"))
+
+    // null filter MATCHES nulls (the one filter that does); not() excludes
+    val nl = parse("""{"type": "null", "column": "s"}""")
+    assert(nl == NullFilter("s"))
+    assert(ids(rows, nl) == Set("d"))
+    assert(ids(rows, NotFilter(nl)) == Set("a", "b", "c", "e"))
+
+    // projection bookkeeping knows the new types
+    assert(graft.pipeline.Filters.dimensions(eqL) == Seq("v"))
+    assert(graft.pipeline.Filters.dimensions(rgD) == Seq("v"))
+    assert(graft.pipeline.Filters.dimensions(nl) == Seq("s"))
+
+    // malformed shapes fail at parse, with pointers
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "equality", "column": "s",
+               "matchValueType": "STRING"}""")
+    }.getMessage.contains("matchValue"))
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "equality", "column": "s",
+               "matchValueType": "STRING", "matchValue": null}""")
+    }.getMessage.contains("null filter"))
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "equality", "column": "s",
+               "matchValueType": "ARRAY<STRING>", "matchValue": ["x"]}""")
+    }.getMessage.contains("matchValueType"))
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "equality", "column": "v",
+               "matchValueType": "LONG", "matchValue": "abc"}""")
+    }.getMessage.contains("not numeric"))
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "range", "column": "v",
+               "matchValueType": "DOUBLE"}""")
+    }.getMessage.contains("lower/upper"))
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "range", "column": "v",
+               "matchValueType": "LONG", "lower": "abc"}""")
+    }.getMessage.contains("not numeric"))
+    assert(intercept[IllegalArgumentException] {
+      parse("""{"type": "null"}""")
+    }.getMessage.contains("column"))
+  }
+
   test("spatial filter: inclusive rectangle, radius, null/malformed coords, rejections") {
     val spark = SparkSpec.session
     import spark.implicits._
