@@ -358,7 +358,10 @@ object SpecLoader {
       fieldName = opt(n, "fieldName").map(_.asText),
       value = opt(n, "value").map(_.asDouble),
       expression = opt(n, "expression").map(_.asText),
-      func = str(n, "func", ""),
+      // `func` is thetaSketchSetOp's op key; arrayOfDoublesSketchSetOp
+      // spells the same thing `operation`
+      func = if (opt(n, "func").isDefined) str(n, "func", "")
+             else str(n, "operation", ""),
       fraction = opt(n, "fraction").map(_.asDouble),
       fractions = opt(n, "fractions").toSeq
         .flatMap(_.elements.asScala).map(_.asDouble),
@@ -394,13 +397,22 @@ object SpecLoader {
           else parseFilter(f)),
         aggregator = Some(delegate))
     } else {
+      // arrayOfDoublesSketch reuses `fields` for its metricColumns (the
+      // summed per-key doubles); cardinality-family `fields` is the byRow
+      // dimension tuple
       val fields = opt(n, "fields").toSeq
-        .flatMap(_.elements.asScala).map(_.asText)
-      if (fields.size > 1)
+        .flatMap(_.elements.asScala).map(_.asText) ++
+        opt(n, "metricColumns").toSeq.flatMap(_.elements.asScala).map(_.asText)
+      if (fields.size > 1 && t != "arrayOfDoublesSketch")
         require(opt(n, "byRow").exists(_.asBoolean),
           s"cardinality '$t' over multiple fields supports byRow=true only " +
             "(tuple cardinality); for byRow=false union semantics, explode " +
             "the fields into one column first")
+      if (t == "arrayOfDoublesSketch")
+        opt(n, "numberOfValues").map(_.asInt).foreach(nv =>
+          require(nv == fields.size,
+            s"arrayOfDoublesSketch numberOfValues $nv != " +
+              s"metricColumns size ${fields.size}"))
       AggregatorSpec(
         aggType = t,
         name = str(n, "name", ""),
@@ -408,11 +420,12 @@ object SpecLoader {
         fields = fields,
         probabilities = opt(n, "probabilities").toSeq
           .flatMap(_.elements.asScala).map(_.asDouble),
-        // `k` is the DataSketches extensions' size knob and `size` is
-        // thetaSketch's — same role as the engine's `accuracy` (explicit
-        // accuracy wins when several are set)
+        // `k` is the DataSketches extensions' size knob, `size` is
+        // thetaSketch's, `nominalEntries` the tuple extension's — same role
+        // as the engine's `accuracy` (explicit accuracy wins when several
+        // are set)
         accuracy = opt(n, "accuracy").orElse(opt(n, "k"))
-          .orElse(opt(n, "size")).map(_.asInt))
+          .orElse(opt(n, "size")).orElse(opt(n, "nominalEntries")).map(_.asInt))
     }
   }
 }

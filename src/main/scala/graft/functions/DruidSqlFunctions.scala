@@ -548,6 +548,57 @@ object DruidSqlFunctions {
       sketches.reduce(ThetaSketchUnion(_, _))
     }),
 
+    // DataSketches tuple extension (ArrayOfDoublesSketch). Forms follow
+    // upstream arity: DS_TUPLE_DOUBLES(sketchCol) re-unions pre-built
+    // sketches; DS_TUPLE_DOUBLES(key, m1[, m2…][, nominalEntries]) builds
+    // one from raw rows (trailing int literal = nominalEntries).
+    fn("ds_tuple_doubles", args => {
+      arity(args, "ds_tuple_doubles(key, metrics…[, nominalEntries])", 1, 66)
+      if (args.length == 1) TupleUnionAgg(args.head).toAggregateExpression()
+      else {
+        val (k, rest) = args.last match {
+          case Literal(v: Int, _) if args.length >= 3 => (v, args.dropRight(1))
+          case _ => (TupleSketch.DefaultK, args)
+        }
+        require(rest.length >= 2,
+          "ds_tuple_doubles needs a key and at least one metric column")
+        val metrics = CreateArray(rest.tail.map(m => ex(asCol(m).cast("double"))))
+        TupleSketchAgg(ex(asCol(rest.head).cast(StringType)), metrics, k)
+          .toAggregateExpression()
+      }
+    }),
+
+    fn("ds_tuple_doubles_metrics_sum_estimate", args => {
+      arity(args, "ds_tuple_doubles_metrics_sum_estimate(sketch)", 1, 1)
+      TupleMetricsSum(args(0))
+    }),
+
+    // sketch-valued set ops (summaries sum — upstream
+    // ArrayOfDoublesSetOperationBuilder); a trailing size literal is
+    // accepted and IGNORED like THETA_SKETCH_UNION's (sketches carry
+    // their own k; merging keeps the smaller)
+    fn("ds_tuple_doubles_union", args => {
+      arity(args, "ds_tuple_doubles_union(a, b, …[, nominalEntries])", 2, 66)
+      val sketches = args.last match {
+        case Literal(_: Int, _) | Literal(_: Long, _) =>
+          require(args.length >= 3,
+            "ds_tuple_doubles_union with a size literal needs 2+ sketches")
+          args.dropRight(1)
+        case _ => args
+      }
+      sketches.reduce(TupleSetOp(_, _, "UNION"))
+    }),
+
+    fn("ds_tuple_doubles_intersect", args => {
+      arity(args, "ds_tuple_doubles_intersect(a, b, …)", 2, 66)
+      args.reduce(TupleSetOp(_, _, "INTERSECT"))
+    }),
+
+    fn("ds_tuple_doubles_not", args => {
+      arity(args, "ds_tuple_doubles_not(a, b)", 2, 2)
+      TupleSetOp(args(0), args(1), "NOT")
+    }),
+
     // Druid bloom extension: BLOOM_FILTER(expr, maxNumEntries) aggregates
     // a serialized filter (sized at Druid BloomKFilter's default 5% fpp);
     // BLOOM_FILTER_TEST(expr, filter) probes it — false ⇒ definitely

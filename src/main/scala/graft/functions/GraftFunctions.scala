@@ -171,6 +171,59 @@ object GraftFunctions {
         require(args.length == 2, "theta_difference(a, b) takes 2 arguments")
         ThetaDifference(args(0), args(1))
       }),
+    (new FunctionIdentifier("tuple_sketch_agg"),
+      new ExpressionInfo(classOf[TupleSketchAgg].getName, "tuple_sketch_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "tuple_sketch_agg(key, metrics, k) takes 3 arguments")
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"tuple_sketch_agg k must be an integer literal, got $other")
+        }
+        TupleSketchAgg(args(0), args(1), k)
+      }),
+    (new FunctionIdentifier("tuple_union_agg"),
+      new ExpressionInfo(classOf[TupleUnionAgg].getName, "tuple_union_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "tuple_union_agg(sketch) takes 1 argument")
+        TupleUnionAgg(args(0))
+      }),
+    (new FunctionIdentifier("tuple_estimate"),
+      new ExpressionInfo(classOf[TupleEstimate].getName, "tuple_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "tuple_estimate(sketch) takes 1 argument")
+        TupleEstimate(args(0))
+      }),
+    (new FunctionIdentifier("tuple_num_entries"),
+      new ExpressionInfo(classOf[TupleNumEntries].getName, "tuple_num_entries"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "tuple_num_entries(sketch) takes 1 argument")
+        TupleNumEntries(args(0))
+      }),
+    (new FunctionIdentifier("tuple_metrics_sum"),
+      new ExpressionInfo(classOf[TupleMetricsSum].getName, "tuple_metrics_sum"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "tuple_metrics_sum(sketch) takes 1 argument")
+        TupleMetricsSum(args(0))
+      }),
+    (new FunctionIdentifier("tuple_sketch_union"),
+      new ExpressionInfo(classOf[TupleSetOp].getName, "tuple_sketch_union"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "tuple_sketch_union(a, b) takes 2 arguments")
+        TupleSetOp(args(0), args(1), "UNION")
+      }),
+    (new FunctionIdentifier("tuple_sketch_intersect"),
+      new ExpressionInfo(classOf[TupleSetOp].getName, "tuple_sketch_intersect"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "tuple_sketch_intersect(a, b) takes 2 arguments")
+        TupleSetOp(args(0), args(1), "INTERSECT")
+      }),
+    (new FunctionIdentifier("tuple_sketch_not"),
+      new ExpressionInfo(classOf[TupleSetOp].getName, "tuple_sketch_not"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "tuple_sketch_not(a, b) takes 2 arguments")
+        TupleSetOp(args(0), args(1), "NOT")
+      }),
     (new FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
       (args: Seq[Expression]) => {

@@ -56,6 +56,16 @@ object Aggregators {
     case "thetaSketch" =>
       call_function("theta_sketch_agg", field(spec).cast(StringType),
         lit(spec.accuracy.getOrElse(4096))).as(spec.name)
+    // arrayOfDoublesSketch (Druid datasketches-tuple): theta-style distinct
+    // KEY sample where each retained key carries summed double metrics
+    // (`fields` = metricColumns) — stored mergeable, re-merged by
+    // tuple_union_agg (SegmentStore), finalized to the distinct estimate;
+    // metric sums read via the ToMetricsSumEstimate post-agg
+    case "arrayOfDoublesSketch" =>
+      call_function("tuple_sketch_agg", field(spec).cast(StringType),
+        tupleMetrics(spec),
+        lit(spec.accuracy.getOrElse(graft.functions.TupleSketch.DefaultK)))
+        .as(spec.name)
     case "approxHistogram" =>
       val probs = if (spec.probabilities.nonEmpty) spec.probabilities
                   else Seq(0.25, 0.5, 0.75, 0.95)
@@ -133,6 +143,10 @@ object Aggregators {
     case "thetaSketch" =>
       call_function("theta_sketch_agg", when(cond, field(d).cast(StringType)),
         lit(d.accuracy.getOrElse(4096)))
+    case "arrayOfDoublesSketch" =>
+      call_function("tuple_sketch_agg", when(cond, field(d).cast(StringType)),
+        tupleMetrics(d),
+        lit(d.accuracy.getOrElse(graft.functions.TupleSketch.DefaultK)))
     case "frequentItems" =>
       call_function("freq_sketch_agg", when(cond, field(d).cast(StringType)),
         lit(d.accuracy.getOrElse(64)))
@@ -199,6 +213,8 @@ object Aggregators {
         val f = p.fieldName.getOrElse(p.name)
         aggTypes.getOrElse(f, "") match {
           case "thetaSketch" => asCol(ThetaEstimate(ex(col(f))))
+          case "arrayOfDoublesSketch" =>
+            asCol(graft.functions.TupleEstimate(ex(col(f))))
           case "hllSketch"   => hll_sketch_estimate(col(f)).cast(DoubleType)
           case "doubleMean"  => col(f).getField("s") / col(f).getField("c")
           case "doubleFirst" | "doubleLast" | "longFirst" | "longLast" =>
@@ -250,6 +266,29 @@ object Aggregators {
         }
       case "thetaSketchEstimate" =>
         asCol(ThetaEstimate(ex(postAggColumn(one("thetaSketchEstimate"), aggTypes))))
+      // DataSketches tuple extension (arrayOfDoublesSketch) finalizers:
+      // distinct estimate, retained-entry count, per-metric sum estimates,
+      // and sketch-valued set ops (UNION/INTERSECT/NOT, summaries sum)
+      case "arrayOfDoublesSketchToEstimate" =>
+        asCol(graft.functions.TupleEstimate(
+          ex(postAggColumn(one("arrayOfDoublesSketchToEstimate"), aggTypes))))
+      case "arrayOfDoublesSketchToNumEntries" =>
+        asCol(graft.functions.TupleNumEntries(
+          ex(postAggColumn(one("arrayOfDoublesSketchToNumEntries"), aggTypes))))
+      case "arrayOfDoublesSketchToMetricsSumEstimate" =>
+        asCol(graft.functions.TupleMetricsSum(
+          ex(postAggColumn(one("arrayOfDoublesSketchToMetricsSumEstimate"), aggTypes))))
+      case "arrayOfDoublesSketchSetOp" =>
+        val cs = p.fields.map(postAggColumn(_, aggTypes))
+        require(cs.size >= 2,
+          s"arrayOfDoublesSketchSetOp postAgg ${p.name} needs 2+ fields")
+        p.func match {
+          case op @ ("UNION" | "INTERSECT" | "NOT") =>
+            cs.reduce((a, b) => asCol(graft.functions.TupleSetOp(ex(a), ex(b), op)))
+          case other => throw new IllegalArgumentException(
+            s"arrayOfDoublesSketchSetOp operation must be UNION/INTERSECT/NOT, " +
+              s"got '$other' (${p.name})")
+        }
       // Druid's hyperUniqueCardinality: the estimate of a hyperUnique
       // aggregator. On the query path `hyperUnique` already aggregates to
       // the estimate (approx_count_distinct); the stored `hllSketch` form
@@ -300,6 +339,14 @@ object Aggregators {
       case other =>
         throw new IllegalArgumentException(s"unsupported postAggregator type: $other")
     }
+  }
+
+  /** arrayOfDoublesSketch metricColumns → array<double> input (null
+    * elements count 0.0 in the agg). */
+  private def tupleMetrics(spec: AggregatorSpec): Column = {
+    require(spec.fields.nonEmpty,
+      s"arrayOfDoublesSketch ${spec.name} needs metricColumns")
+    array(spec.fields.map(f => col(f).cast(DoubleType)): _*)
   }
 
   /** Multi-field cardinality input: struct of the fields (byRow tuple);

@@ -706,6 +706,73 @@ object DruidNativeQueries {
                    CAST((SELECT count(*) FROM a) + (SELECT count(*) FROM b)
                      AS DOUBLE) AS est_sum""")),
 
+    // -- ArrayOfDoubles TUPLE sketch post-aggregators (r6, the
+    // datasketches-tuple extension): filtered arrayOfDoublesSketch aggs
+    // (distinct users carrying summed spend), ToNumEntries /
+    // ToMetricsSumEstimate finalizers, SetOp INTERSECT/NOT (summaries sum
+    // for common keys), and response-time finalization of the raw agg
+    // columns to their estimates. nominalEntries=16384 ≫ distinct users
+    // keeps every sketch sparse-exact — estimates AND metric sums
+    // hash-match exact per-user arithmetic in DuckDB ----------------------
+    QueryDef("druid_json_tuple_postaggs", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "timeseries", "dataSource": "events",
+         "granularity": "all",
+         "aggregations": [
+           {"type": "filtered",
+            "filter": {"type": "selector", "dimension": "event_type",
+                       "value": "click"},
+            "aggregator": {"type": "arrayOfDoublesSketch", "name": "click_sk",
+                           "fieldName": "user_id",
+                           "metricColumns": ["value"], "numberOfValues": 1,
+                           "nominalEntries": 16384}},
+           {"type": "filtered",
+            "filter": {"type": "selector", "dimension": "event_type",
+                       "value": "purchase"},
+            "aggregator": {"type": "arrayOfDoublesSketch", "name": "purch_sk",
+                           "fieldName": "user_id",
+                           "metricColumns": ["value"],
+                           "nominalEntries": 16384}}],
+         "postAggregations": [
+           {"type": "arrayOfDoublesSketchToNumEntries", "name": "click_keys",
+            "field": {"type": "fieldAccess", "fieldName": "click_sk"}},
+           {"type": "arrayOfDoublesSketchToMetricsSumEstimate", "name": "click_sums",
+            "field": {"type": "fieldAccess", "fieldName": "click_sk"}},
+           {"type": "arrayOfDoublesSketchToEstimate", "name": "in_both",
+            "field": {"type": "arrayOfDoublesSketchSetOp", "name": "i",
+              "operation": "INTERSECT",
+              "fields": [{"type": "fieldAccess", "fieldName": "click_sk"},
+                         {"type": "fieldAccess", "fieldName": "purch_sk"}]}},
+           {"type": "arrayOfDoublesSketchToMetricsSumEstimate", "name": "both_sums",
+            "field": {"type": "arrayOfDoublesSketchSetOp", "name": "i2",
+              "operation": "INTERSECT",
+              "fields": [{"type": "fieldAccess", "fieldName": "click_sk"},
+                         {"type": "fieldAccess", "fieldName": "purch_sk"}]}},
+           {"type": "arrayOfDoublesSketchToEstimate", "name": "click_only",
+            "field": {"type": "arrayOfDoublesSketchSetOp", "name": "n",
+              "operation": "NOT",
+              "fields": [{"type": "fieldAccess", "fieldName": "click_sk"},
+                         {"type": "fieldAccess", "fieldName": "purch_sk"}]}}]}""")
+        .select(col("click_sk"), col("click_keys"),
+          round(element_at(col("click_sums"), 1), 2).as("click_spend"),
+          col("in_both"),
+          round(element_at(col("both_sums"), 1), 2).as("both_spend"),
+          col("click_only"))
+    },
+    Some("""WITH c AS (SELECT user_id, sum(value) AS sv FROM events
+                       WHERE event_type = 'click' GROUP BY 1),
+                 p AS (SELECT user_id, sum(value) AS sv FROM events
+                       WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT CAST((SELECT count(*) FROM c) AS DOUBLE) AS click_sk,
+                   CAST((SELECT count(*) FROM c) AS BIGINT) AS click_keys,
+                   round((SELECT sum(sv) FROM c), 2) AS click_spend,
+                   CAST((SELECT count(*) FROM c JOIN p USING (user_id))
+                     AS DOUBLE) AS in_both,
+                   round((SELECT sum(c.sv + p.sv) FROM c
+                          JOIN p USING (user_id)), 2) AS both_spend,
+                   CAST((SELECT count(*) FROM c WHERE user_id NOT IN
+                     (SELECT user_id FROM p)) AS DOUBLE) AS click_only""")),
+
     // -- quantilesDoublesSketchToQuantile(s) post-aggs (r5): the quantiles
     // sketch finalizer pipeline. k=4096 bins ≥ ~1800 distinct values per
     // event_type keeps the centroid histogram exact, so the extracted

@@ -594,6 +594,11 @@ object DruidQueryCompiler {
             org.apache.spark.sql.graft.GraftSqlBridge.column(
               graft.functions.ThetaEstimate(
                 org.apache.spark.sql.graft.GraftSqlBridge.expression(f))))
+        case "arrayOfDoublesSketch" =>
+          d.withColumn(a.name,
+            org.apache.spark.sql.graft.GraftSqlBridge.column(
+              graft.functions.TupleEstimate(
+                org.apache.spark.sql.graft.GraftSqlBridge.expression(f))))
         case "hllSketch" =>
           d.withColumn(a.name, hll_sketch_estimate(f).cast("double"))
         case "filtered" =>

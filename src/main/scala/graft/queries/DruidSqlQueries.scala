@@ -180,6 +180,36 @@ object DruidSqlQueries {
              CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_theta
             FROM events GROUP BY event_type""")),
 
+    // -- DS_TUPLE_DOUBLES family (r6, datasketches-tuple): build the
+    // (distinct key → summed metrics) sketch in SQL, finalize the distinct
+    // estimate and the metric sums, and intersect two subquery sketches —
+    // sparse-exact at k=16384 so everything hash-matches exact arithmetic.
+    // TUPLE_ESTIMATE / TUPLE_METRICS_SUM are the engine finalizers the
+    // dialect shares with the native postAggs -----------------------------
+    QueryDef("druid_sql_tuple", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      DruidSql.run(
+        """SELECT a.event_type,
+                  CAST(TUPLE_ESTIMATE(a.sk) AS BIGINT) AS uniq_users,
+                  ROUND(element_at(TUPLE_METRICS_SUM(a.sk), 1), 2) AS spend,
+                  CAST(TUPLE_ESTIMATE(DS_TUPLE_DOUBLES_INTERSECT(a.sk, b.sk))
+                    AS BIGINT) AS shared_users
+           FROM (SELECT event_type,
+                        DS_TUPLE_DOUBLES(user_id, value, 16384) AS sk
+                 FROM events GROUP BY event_type) a
+           JOIN (SELECT DS_TUPLE_DOUBLES(user_id, value, 16384) AS sk
+                 FROM events WHERE event_type = 'purchase') b ON TRUE""",
+        frames(s, dir, "events"))
+    },
+    Some("""WITH pu AS (SELECT DISTINCT user_id FROM events
+                        WHERE event_type = 'purchase')
+            SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users,
+             round(sum(value), 2) AS spend,
+             CAST(count(DISTINCT CASE WHEN user_id IN (SELECT user_id FROM pu)
+               THEN user_id END) AS BIGINT) AS shared_users
+            FROM events GROUP BY event_type""")),
+
     // -- APPROX_QUANTILE_DS in the exact regime (k ≥ group rows): the
     // sketch is the lower-rank quantile of the full multiset --------------
     QueryDef("druid_sql_quantile", (s, dir) => {

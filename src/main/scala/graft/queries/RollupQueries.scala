@@ -762,6 +762,66 @@ object RollupQueries {
              CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
             FROM events GROUP BY 1, 2""")),
 
+    // -- ArrayOfDoubles TUPLE sketch (r6, Druid datasketches-tuple): a
+    // theta-style distinct-KEY sample where every retained key carries
+    // summed double metrics — one mergeable binary answers "how many
+    // distinct users AND how much did they spend". k=4096 ≫ distinct
+    // users/type keeps it sparse-exact, so the estimate AND the metric
+    // sums hash-match exact arithmetic ------------------------------------
+    QueryDef("tuple_sketch_metrics", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(call_function("tuple_sketch_agg",
+          col("user_id").cast("string"),
+          array(col("value").cast("double"), lit(1.0)), lit(4096)).as("sk"))
+        .select(col("event_type"),
+          call_function("tuple_estimate", col("sk"))
+            .cast(LongType).as("uniq_users"),
+          round(element_at(call_function("tuple_metrics_sum", col("sk")), 1), 2)
+            .as("total_value"),
+          element_at(call_function("tuple_metrics_sum", col("sk")), 2)
+            .cast(LongType).as("total_events"))
+    },
+    Some("""SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users,
+             round(sum(value), 2) AS total_value,
+             CAST(count(*) AS BIGINT) AS total_events
+            FROM events GROUP BY 1""")),
+
+    // -- tuple sketch STORAGE form through the real streaming store: binary
+    // (hash → summed metrics) partials per batch, tuple_union_agg at read
+    // (values for common keys re-sum across batches), finalized last ------
+    QueryDef("tuple_sketch_stored", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("arrayOfDoublesSketch", "usr", Some("user_id"),
+            fields = Seq("value"), accuracy = Some(4096))),
+        GranularitySpec(Granularity.Day, Granularity.Day)))
+      val p = new Pipeline(spec)
+      val ev = Tables.t(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tuplestore").toString
+      graft.sink.SegmentSink.writeMicroBatch(tmp)(
+        p.withSegment(p.rollup(p.project(p.extractTimestamp(
+          ev.filter(col("event_id") % 2 === 0))))), 0L)
+      graft.sink.SegmentSink.writeMicroBatch(tmp)(
+        p.withSegment(p.rollup(p.project(p.extractTimestamp(
+          ev.filter(col("event_id") % 2 === 1))))), 1L)
+      graft.sink.SegmentStore.read(s, tmp, spec, finalizeSketches = false)
+        .select(date_format(col(Pipeline.TsCol), fmtHour).as("bucket"),
+          col("event_type"), col("cnt"),
+          call_function("tuple_estimate", col("usr"))
+            .cast(LongType).as("uniq_users"),
+          round(element_at(call_function("tuple_metrics_sum", col("usr")), 1), 2)
+            .as("total_value"))
+    },
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             event_type, count(*) AS cnt,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users,
+             round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2""")),
+
     // -- Druid postAggregations (r3): arithmetic over FINALIZED metrics,
     // declared in the spec JSON (fieldAccess / constant / arithmetic, with
     // Druid's divide-by-zero→0 rule), applied after rollup ------------------

@@ -50,6 +50,13 @@ object SegmentStore {
         val merged = call_function("theta_union_agg", col(spec.name))
         (if (finalizeSketches) call_function("theta_estimate", merged)
         else merged).as(spec.name)
+      case "arrayOfDoublesSketch" =>
+        val merged = call_function("tuple_union_agg", col(spec.name))
+        // Druid finalizes the tuple sketch to its distinct estimate; metric
+        // sums stay reachable from the unfinalized binary via the
+        // ToMetricsSumEstimate post-agg
+        (if (finalizeSketches) call_function("tuple_estimate", merged)
+        else merged).as(spec.name)
       case "frequentItems" =>
         val merged = call_function("freq_merge_agg", col(spec.name))
         (if (finalizeSketches)

@@ -425,6 +425,69 @@ class FunctionsSpec extends SparkSpec {
     assert(left.k == 256 && left.size <= 256)
   }
 
+  test("tuple sketch: value summing, sparse exactness, set ops, eviction, round trip") {
+    import graft.functions.{ThetaSketch, TupleSketch}
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(v: String) = ThetaSketch.hash(UTF8String.fromString(v))
+    def mk(k: Int, rows: Seq[(String, Double)]) = {
+      val b = new TupleSketch.Buffer(k, 1)
+      rows.foreach { case (key, v) => b.add(h(key), Array(v)) }
+      b
+    }
+    // same key sums values; distinct keys counted once
+    val a = mk(64, Seq("a" -> 1.0, "b" -> 2.0, "a" -> 3.0))
+    assert(TupleSketch.estimate(a) == 2.0)
+    assert(TupleSketch.metricsSumEstimate(a).toSeq == Seq(6.0))
+    // serialization round trip preserves keys AND values
+    val rt = TupleSketch.deserialize(TupleSketch.serialize(a))
+    assert(TupleSketch.estimate(rt) == 2.0 && rt.k == 64 && rt.numValues == 1)
+    assert(TupleSketch.metricsSumEstimate(rt).toSeq == Seq(6.0))
+    // merge re-sums common keys across partials (the storage re-merge law)
+    val b = mk(64, Seq("b" -> 10.0, "c" -> 5.0))
+    rt.mergeWith(b)
+    assert(TupleSketch.estimate(rt) == 3.0)
+    assert(TupleSketch.metricsSumEstimate(rt).toSeq == Seq(21.0))
+    // set ops, sparse-exact: INTERSECT sums both sides for common keys;
+    // NOT keeps A's values; UNION = merge
+    val x = mk(64, Seq("a" -> 1.0, "b" -> 2.0))
+    val y = mk(64, Seq("b" -> 7.0, "c" -> 9.0))
+    val i = TupleSketch.setOp(x, y, "INTERSECT")
+    assert(TupleSketch.estimate(i) == 1.0 &&
+      TupleSketch.metricsSumEstimate(i).toSeq == Seq(9.0))
+    val n = TupleSketch.setOp(x, y, "NOT")
+    assert(TupleSketch.estimate(n) == 1.0 &&
+      TupleSketch.metricsSumEstimate(n).toSeq == Seq(1.0))
+    val u = TupleSketch.setOp(x, y, "UNION")
+    assert(TupleSketch.estimate(u) == 3.0 &&
+      TupleSketch.metricsSumEstimate(u).toSeq == Seq(19.0))
+    // saturated regime: estimate within 5%, metric sum estimate within 10%
+    // (each key carries 2.0, true total 2×10000); eviction keeps k entries
+    val big = mk(1024, (0 until 10000).map(i => s"v$i" -> 2.0))
+    assert(big.size == 1024)
+    val est = TupleSketch.estimate(big)
+    assert(math.abs(est - 10000) / 10000.0 < 0.05, s"estimate off: $est")
+    val ms = TupleSketch.metricsSumEstimate(big)(0)
+    assert(math.abs(ms - 20000) / 20000.0 < 0.10, s"metric sum off: $ms")
+    // an update to the RETAINED MAX key must sum, not drop (the
+    // equal-to-max edge where theta's distinct-only shortcut would skip)
+    val retainedMax = big.hashes(big.size - 1)
+    val mkey = (0 until 10000).map(i => s"v$i").find(v => h(v) == retainedMax).get
+    val before = {
+      var s = 0.0; var idx = 0
+      while (idx < big.size) { s += big.values(idx)(0); idx += 1 }; s
+    }
+    big.add(h(mkey), Array(1.0))
+    val after = {
+      var s = 0.0; var idx = 0
+      while (idx < big.size) { s += big.values(idx)(0); idx += 1 }; s
+    }
+    assert(after == before + 1.0 && big.size == 1024)
+    // numValues mismatch is loud
+    val w2 = new TupleSketch.Buffer(64, 2)
+    w2.add(h("z"), Array(1.0, 2.0))
+    assertThrows[IllegalArgumentException](w2.mergeWith(mk(64, Seq("q" -> 1.0))))
+  }
+
   test("multimodal stub decode: partition-wise feature extraction") {
     val df = Seq((1L, "src", "x" * 2500)).toDF("doc_id", "source", "text")
       .select($"doc_id", $"source", $"text".cast("binary").as("payload"))
