@@ -295,6 +295,37 @@ object DruidSql {
     * parse as numbers (never spliced raw); count mismatches either way are
     * loud. `?` inside string literals or quoted identifiers is data, not a
     * placeholder. */
+  /** Druid 31 `SET` statements: leading `SET key = literal;` statements
+    * ahead of the query become query-context entries. Values must be
+    * LITERALS (quoted string with '' escaping, number, TRUE/FALSE) — the
+    * Druid grammar; anything else stays in the text and fails as SQL.
+    * Returns (remaining statement, context entries in order). */
+  private val SetStmtRe =
+    """(?is)^\s*SET\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*('(?:[^']|'')*'|TRUE|FALSE|-?\d+(?:\.\d+)?)\s*;""".r
+  def extractSets(sql: String)
+      : (String, Seq[(String, com.fasterxml.jackson.databind.JsonNode)]) = {
+    val nodes = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, com.fasterxml.jackson.databind.JsonNode)]
+    var rest = sql
+    var m = SetStmtRe.findPrefixMatchOf(rest)
+    while (m.isDefined) {
+      val key = m.get.group(1)
+      val lit = m.get.group(2)
+      val node: com.fasterxml.jackson.databind.JsonNode =
+        if (lit.startsWith("'"))
+          nodes.textNode(lit.substring(1, lit.length - 1).replace("''", "'"))
+        else if (lit.equalsIgnoreCase("true")) nodes.booleanNode(true)
+        else if (lit.equalsIgnoreCase("false")) nodes.booleanNode(false)
+        else if (lit.contains('.')) nodes.numberNode(lit.toDouble)
+        else nodes.numberNode(lit.toLong)
+      out += key -> node
+      rest = rest.substring(m.get.end)
+      m = SetStmtRe.findPrefixMatchOf(rest)
+    }
+    (rest, out.toSeq)
+  }
+
   def bindParameters(sql: String,
       params: Seq[com.fasterxml.jackson.databind.JsonNode]): String = {
     def render(p: com.fasterxml.jackson.databind.JsonNode): String = {

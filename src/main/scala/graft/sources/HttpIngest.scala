@@ -321,7 +321,7 @@ final class HttpIngestServer(
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       var qid = ""
       try {
-        val root = mapper.readTree(body)
+        val root = withSetStatements(mapper.readTree(body))
         val (sqlQueryId, timeoutMs, _) = sqlContext(root)
         qid = sqlQueryId
         ex.getResponseHeaders.set("X-Druid-SQL-Query-Id", sqlQueryId)
@@ -345,13 +345,42 @@ final class HttpIngestServer(
       case NonFatal(e) => reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
     } finally ex.close()
 
+  /** Druid 31 SET statements: leading `SET key = literal;` statements
+    * ahead of the query merge into the request's context — SET WINS over
+    * the body's context map (upstream precedence rule) — and the query
+    * shrinks to the final statement, so every context read (timeout,
+    * sqlQueryId, useApproximateCountDistinct, sqlTimeZone loudness,
+    * maxQueryRows) sees them uniformly. Applied at BOTH endpoints before
+    * [[sqlContext]] so a SET timeout bounds the job group like the
+    * context-map form. */
+  private def withSetStatements(root0: com.fasterxml.jackson.databind.JsonNode)
+      : com.fasterxml.jackson.databind.JsonNode =
+    Option(root0.get("query")).filterNot(_.isNull).map(_.asText)
+      .map(graft.queries.DruidSql.extractSets) match {
+      case Some((rest, kvs)) if kvs.nonEmpty =>
+        val m = root0.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+        m.put("query", rest)
+        val ctx = m.get("context") match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+          case _ => m.putObject("context")
+        }
+        kvs.foreach { case (k, v) =>
+          ctx.set[com.fasterxml.jackson.databind.JsonNode](k, v) }
+        m
+      case _ => root0
+    }
+
   /** Execute one parsed `{"query": …}` request body and render its result —
     * the full statement surface (EXPLAIN PLAN FOR, TABLE(EXTERN), INSERT/
     * REPLACE ingestion, metadata tables, resultFormat). Callers wrap in
     * [[withJobGroup]] (sync endpoint) or run it from the async statements
     * executor. */
-  private def executeSql(root: com.fasterxml.jackson.databind.JsonNode)
+  private def executeSql(root0: com.fasterxml.jackson.databind.JsonNode)
       : SqlResult = {
+        // idempotent re-application (handlers already merged SET
+        // statements; a stripped query has none left) keeps non-endpoint
+        // callers correct too
+        val root = withSetStatements(root0)
         val rawSql = Option(root.get("query")).map(_.asText).getOrElse(
           throw new IllegalArgumentException("""body must be {"query": "<sql>"}"""))
         // Druid's parameterized SQL: bind `?` placeholders from the
@@ -494,9 +523,10 @@ final class HttpIngestServer(
         case ("POST", Nil) =>
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           val (root, id, timeoutMs) = try {
-            val r = mapper.readTree(body)
-            require(r != null && r.has("query"),
+            val r0 = mapper.readTree(body)
+            require(r0 != null && r0.has("query"),
               """body must be {"query": "<sql>"}""")
+            val r = withSetStatements(r0)
             val (id0, t0, _) = sqlContext(r)
             (r, id0, t0)
           } catch {

@@ -272,6 +272,30 @@ class HttpIngestSpec extends SparkSpec {
         """{"query": "SELECT COUNT(*) AS n FROM clicks_ds WHERE etype <> '?'"}""")
       assert(pl == 200, plb) // literal '?' needs no parameters
 
+      // Druid 31 SET statements: leading `SET k = v;` statements become
+      // context entries. sqlQueryId lands in the response header; a SET
+      // context key WINS over the body's context map; a quoted ';' or a
+      // non-leading SET is query text, not a statement separator
+      val (setc, setb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SET sqlQueryId = 'set-stmt-q1'; SET maxQueryRows = 100; SELECT etype, COUNT(*) AS n FROM clicks_ds GROUP BY etype ORDER BY etype"}""")
+      assert(setc == 200 && setb.contains("\"etype\":\"c\""), setb)
+      val (setc2, setb2) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SET maxQueryRows = 1; SELECT * FROM clicks_ds",
+            "context": {"maxQueryRows": 100000}}""")
+      assert(setc2 == 200, setb2)
+      // SET won: exactly one row came back (objects format = one {..} row)
+      assert(setb2.count(_ == '{') == 1, setb2)
+      // SET useApproximateCountDistinct flows through the same rewrite as
+      // the context-map form (estimate, still exact at this cardinality)
+      val (setc3, setb3) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SET useApproximateCountDistinct = TRUE; SELECT COUNT(DISTINCT etype) AS u FROM clicks_ds"}""")
+      assert(setc3 == 200 && setb3.contains("\"u\":2"), setb3)
+      // malformed SET value (unquoted identifier) is NOT a SET statement —
+      // it stays in the text and fails loudly as SQL
+      val (setc4, _) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SET broken = oops; SELECT 1"}""")
+      assert(setc4 == 400)
+
       // DRUID-dialect SQL runs verbatim: TIME_FLOOR/TIME_FORMAT +
       // APPROX_COUNT_DISTINCT_DS_HLL (the first query a real Druid SQL
       // user posts) — exact at this cardinality (coupon-mode DataSketches)
