@@ -460,6 +460,112 @@ object VectorQueries {
             SELECT anchor_id, rank, neg_id, round(c, 6) AS cos_sim
             FROM r WHERE rank <= 3""")),
 
+    // -- MMR diverse top-k (r6): maximal-marginal-relevance re-ranking —
+    // the selection step that trades raw similarity for coverage
+    // (training-data sampling / RAG context picking): greedily take
+    // argmax 0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s), tie → smallest id.
+    // Two-stage scale shape: stage 1 is the DISTRIBUTED brute-force
+    // top-C candidate cut (the pass over all N vectors — the only part
+    // that grows with the corpus); stage 2 is the O(C²) greedy over
+    // C=25 candidates, driver-side by design (the same audited re-rank
+    // localization as ann_bruteforce's top-k). Every similarity — query
+    // AND pairwise — evaluates through the one CosineSimilarity
+    // expression (index-ordered double fold), and 0.7/0.3 are literals
+    // on both sides, so the greedy argmax sequence is bit-identical to
+    // the DuckDB twin's unrolled-CTE replay of the same 5 steps.
+    QueryDef("mmr_diverse_topk", (s, dir) => {
+      GraftFunctions.register(s)
+      val e = Tables.t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cand = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("simq", CosineSimilarity(col("embedding"), col("qv")))
+        .orderBy(col("simq").desc, col("vec_id"))
+        .limit(25)
+        .select(col("vec_id"), col("simq"), col("embedding"))
+        .cache()
+      val a = cand.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      val b = cand.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+      val pairSim = a.join(b, col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"),
+          CosineSimilarity(col("va"), col("vb")).as("sab"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val cs = cand.select(col("vec_id"), col("simq")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      cand.unpersist()
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (picked.size < 5) {
+        val sel = picked.map(_._1)
+        val best = cs.iterator
+          .filter { case (id, _) => !sel.contains(id) }
+          .map { case (id, sq) =>
+            val pen = if (sel.isEmpty) 0.0
+                      else sel.map(sid => pairSim((id, sid))).max
+            (id, 0.7 * sq - 0.3 * pen)
+          }
+          .minBy { case (id, sc) => (-sc, id) }
+        picked += best
+      }
+      import s.implicits._
+      picked.toSeq.zipWithIndex
+        .map { case ((id, sc), i) => ((i + 1).toLong, id, sc) }
+        .toDF("rank", "vec_id", "score")
+        .select(col("rank"), col("vec_id"),
+          round(col("score"), 6).as("mmr_score"))
+    },
+    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+              c0 AS (SELECT e.vec_id, e.embedding,
+                       (${dotSql("e.embedding", "q.qv")}) AS dot,
+                       sqrt((${dotSql("e.embedding", "e.embedding")})) AS na,
+                       sqrt((${dotSql("q.qv", "q.qv")})) AS nq
+                     FROM embeddings e, q WHERE e.vec_id <> 0),
+              cand AS (SELECT vec_id, embedding, dot / (na * nq) AS simq
+                       FROM c0 ORDER BY dot / (na * nq) DESC, vec_id LIMIT 25),
+              pair AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                         (${dotSql("a.embedding", "b.embedding")}) /
+                           (sqrt((${dotSql("a.embedding", "a.embedding")})) *
+                            sqrt((${dotSql("b.embedding", "b.embedding")}))) AS sab
+                       FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+              s1 AS (SELECT vec_id, 0.7 * simq AS sc FROM cand
+                     ORDER BY 0.7 * simq DESC, vec_id LIMIT 1),
+              s2 AS (SELECT c.vec_id,
+                       0.7 * c.simq - 0.3 * (SELECT max(p.sab) FROM pair p
+                         WHERE p.ia = c.vec_id
+                           AND p.ib IN (SELECT vec_id FROM s1)) AS sc
+                     FROM cand c
+                     WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+                     ORDER BY sc DESC, c.vec_id LIMIT 1),
+              sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+              s3 AS (SELECT c.vec_id,
+                       0.7 * c.simq - 0.3 * (SELECT max(p.sab) FROM pair p
+                         WHERE p.ia = c.vec_id
+                           AND p.ib IN (SELECT vec_id FROM sel2)) AS sc
+                     FROM cand c
+                     WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+                     ORDER BY sc DESC, c.vec_id LIMIT 1),
+              sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+              s4 AS (SELECT c.vec_id,
+                       0.7 * c.simq - 0.3 * (SELECT max(p.sab) FROM pair p
+                         WHERE p.ia = c.vec_id
+                           AND p.ib IN (SELECT vec_id FROM sel3)) AS sc
+                     FROM cand c
+                     WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+                     ORDER BY sc DESC, c.vec_id LIMIT 1),
+              sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+              s5 AS (SELECT c.vec_id,
+                       0.7 * c.simq - 0.3 * (SELECT max(p.sab) FROM pair p
+                         WHERE p.ia = c.vec_id
+                           AND p.ib IN (SELECT vec_id FROM sel4)) AS sc
+                     FROM cand c
+                     WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+                     ORDER BY sc DESC, c.vec_id LIMIT 1)
+             SELECT CAST(1 AS BIGINT) AS rank, vec_id, round(sc, 6) AS mmr_score FROM s1
+             UNION ALL SELECT 2, vec_id, round(sc, 6) FROM s2
+             UNION ALL SELECT 3, vec_id, round(sc, 6) FROM s3
+             UNION ALL SELECT 4, vec_id, round(sc, 6) FROM s4
+             UNION ALL SELECT 5, vec_id, round(sc, 6) FROM s5""")),
+
     QueryDef("semantic_dedup_ivf", (s, dir) => {
       GraftFunctions.register(s)
       val e = Tables.t(s, dir, "embeddings")
