@@ -376,6 +376,12 @@ object SpecLoader {
     */
   private val aggTypeAliases = Map(
     "quantilesDoublesSketch" -> "histogramSketch",
+    // datasketches-kll: same quantile-sketch contract (mergeable partials,
+    // `k` size knob, identical post-agg family) on the engine's
+    // centroid-histogram binary — the same documented algorithm delta as
+    // quantilesDoublesSketch (KLL vs Ben-Haim/Tom-Toby)
+    "KllDoublesSketch" -> "histogramSketch",
+    "KllFloatsSketch" -> "histogramSketch",
     "HLLSketchBuild" -> "hllSketch")
 
   private[graft] def parseAgg(n: JsonNode): AggregatorSpec = {

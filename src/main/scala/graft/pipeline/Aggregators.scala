@@ -202,7 +202,18 @@ object Aggregators {
       require(p.fields.size == 1, s"$what postAgg ${p.name} needs exactly one field")
       p.fields.head
     }
-    p.paType match {
+    // datasketches-kll post-aggs share the quantiles family's contract —
+    // normalize the KLL spellings onto the quantilesDoublesSketch cases
+    // (same documented algorithm delta as the aggregator alias)
+    val paType = p.paType match {
+      case "KllDoublesSketchToQuantile"   => "quantilesDoublesSketchToQuantile"
+      case "KllDoublesSketchToQuantiles"  => "quantilesDoublesSketchToQuantiles"
+      case "KllDoublesSketchToRank"       => "quantilesDoublesSketchToRank"
+      case "KllDoublesSketchToCDF"        => "quantilesDoublesSketchToCDF"
+      case "KllDoublesSketchToHistogram"  => "quantilesDoublesSketchToHistogram"
+      case other                          => other
+    }
+    paType match {
       case "fieldAccess" => col(p.fieldName.getOrElse(p.name))
       // Druid's finalizingFieldAccess: read the FINALIZED value of the
       // referenced aggregator. On the compiler path (unfinalized input) the

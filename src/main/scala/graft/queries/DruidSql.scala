@@ -664,7 +664,8 @@ object DruidSql {
   def metaFrame(spark: org.apache.spark.sql.SparkSession, parts: Seq[String],
       tables: Map[String, () => DataFrame],
       segmentStores: => Map[String, String],
-      tasks: => Seq[(String, String, String)] = Nil): Option[DataFrame] = {
+      tasks: => Seq[(String, String, String)] = Nil,
+      supervisors: => Seq[(String, String, Boolean)] = Nil): Option[DataFrame] = {
     import spark.implicits._
     parts match {
       case Seq("information_schema", "schemata") =>
@@ -708,6 +709,16 @@ object DruidSql {
         Some(Seq(("local", "localhost", 0, "broker", "_default_tier", 0L, 0L))
           .toDF("server", "host", "plaintext_port", "server_type", "tier",
             "curr_size", "max_size"))
+      // streaming ingestion routes surfaced as Druid supervisors (the
+      // sys.supervisors columns users actually read; healthy follows the
+      // attached query's liveness, spec payloads are not re-serialized)
+      case Seq("sys", "supervisors") =>
+        Some(supervisors.sortBy(_._1)
+          .map { case (id, state, healthy) =>
+            (id, state, state, if (healthy) 1L else 0L, "stream", id, 0L)
+          }
+          .toDF("supervisor_id", "state", "detailed_state", "healthy",
+            "type", "source", "suspended"))
       // async SQL statements surfaced as Druid's MSQ query tasks
       case Seq("sys", "tasks") =>
         Some(tasks.sortBy(_._1)

@@ -449,7 +449,11 @@ final class HttpIngestServer(
           .flatMap(p => graft.queries.DruidSql
             .metaFrame(spark, p, allQueryables(), storeRoots ++ sqlStoreDirs(),
               statements.values.asScala.toSeq
-                .map(st => (st.id, st.state, st.datasource)))
+                .map(st => (st.id, st.state, st.datasource)),
+              routes.toSeq.map { case (ds, ing) =>
+                val active = ing.activeQuery.exists(_.isActive)
+                (ds, if (active) "RUNNING" else "STOPPED", active)
+              })
             .map(p -> _)).toMap
         val resolved = resolveFrames(
           graft.queries.DruidSql.referencedTables(plan)

@@ -176,7 +176,35 @@ object BenchCompare {
       (s"$db/bktA", s"$db/bktB")
     }
 
+    // tuple-sketch comparison corpus: events ×10 with per-copy user
+    // remapping (10× the distinct-user keyspace — the dimension that
+    // hurts the exact plan)
+    lazy val bigEvents = {
+      val d = events.crossJoin(spark.range(10).withColumnRenamed("id", "__c"))
+        .select((col("user_id") + col("__c") * 10000000L).as("user_id"),
+          col("event_type"), col("value")).cache()
+      d.count(); d
+    }
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
+      // "distinct users AND their summed spend per group": the exact plan
+      // needs a user-keyed intermediate (keyspace = groups × users — the
+      // shuffle that explodes at 100 TB); the ArrayOfDoubles tuple sketch
+      // is ONE bounded-state pass (k retained keys per group) whose
+      // partials also re-merge from storage without re-reading raw data
+      "tuple_exact_two_pass_x10" -> (() => bigEvents
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value")).as("sv"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("uniq"), sum(col("sv")).as("spend"))),
+      "tuple_sketch_one_pass_x10" -> (() => bigEvents
+        .groupBy(col("event_type"))
+        .agg(call_function("tuple_sketch_agg",
+          col("user_id").cast("string"),
+          array(col("value").cast("double")), lit(4096)).as("sk"))
+        .select(col("event_type"),
+          call_function("tuple_estimate", col("sk")).as("uniq"),
+          call_function("tuple_metrics_sum", col("sk")).as("spend"))),
       "fact_join_plain_parquet" -> (() => {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         li.join(graft.queries.Tables.t(spark, sfDir, "orders"),

@@ -1168,4 +1168,35 @@ class DruidQuerySpec extends SparkSpec {
         "aggregations": [{"type": "count", "name": "cnt"}]}""")
     assert(limited == Seq("02:00", "01:00"), limited)
   }
+
+  test("KLL quantile sketch spellings alias the quantiles family " +
+      "(aggregator + every post-agg)") {
+    def q(aggType: String, paPrefix: String): Seq[org.apache.spark.sql.Row] =
+      run(s"""{"queryType": "timeseries", "dataSource": "events",
+          "granularity": "all",
+          "aggregations": [{"type": "$aggType", "name": "vq",
+                            "fieldName": "value", "k": 4096}],
+          "postAggregations": [
+            {"type": "${paPrefix}ToQuantile", "name": "p50",
+             "field": {"type": "fieldAccess", "fieldName": "vq"},
+             "fraction": 0.5},
+            {"type": "${paPrefix}ToRank", "name": "r8",
+             "field": {"type": "fieldAccess", "fieldName": "vq"},
+             "value": 8.0},
+            {"type": "${paPrefix}ToCDF", "name": "cdf",
+             "field": {"type": "fieldAccess", "fieldName": "vq"},
+             "splitPoints": [4.0]},
+            {"type": "${paPrefix}ToHistogram", "name": "hist",
+             "field": {"type": "fieldAccess", "fieldName": "vq"},
+             "splitPoints": [4.0]}]}""")
+        .select(col("p50"), col("r8"),
+          element_at(col("cdf"), 1), element_at(col("hist"), 2))
+        .collect().toSeq
+    val kll = q("KllDoublesSketch", "KllDoublesSketch")
+    val qds = q("quantilesDoublesSketch", "quantilesDoublesSketch")
+    assert(kll == qds, s"KLL alias diverged: $kll vs $qds")
+    // exact regime sanity: p50 of {1,2,4,8,16,32} (lower rank) = 4,
+    // inclusive rank of 8 = 4/6
+    assert(kll.head.getDouble(0) == 4.0 && kll.head.getDouble(1) == 4.0 / 6)
+  }
 }

@@ -432,6 +432,15 @@ class HttpIngestSpec extends SparkSpec {
       assert(ssb.contains("\"datasource\":\"clicks_hourly\"") &&
         ssb.contains("\"num_rows\":2"), ssb)
 
+      // sys.supervisors: streaming ingestion routes as Druid supervisors
+      val (svc, svb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT supervisor_id, state, healthy, source FROM sys.supervisors ORDER BY supervisor_id"}""")
+      assert(svc == 200, svb)
+      assert(svb.contains("\"supervisor_id\":\"clicks_ds\"") &&
+        svb.contains("\"supervisor_id\":\"views_ds\""), svb)
+      assert(svb.contains("\"state\":\"RUNNING\"") &&
+        svb.contains("\"healthy\":1"), svb)
+
       // EXPLAIN PLAN FOR: plans without running, names touched dataSources
       val (epc, epb) = post(handle.port, "/druid/v2/sql",
         """{"query": "EXPLAIN PLAN FOR SELECT etype, COUNT(*) FROM clicks_ds GROUP BY 1"}""")

@@ -40,7 +40,13 @@ class PlanLintSpec extends SparkSpec {
     // MinHash/SimHash/LSH variants
     "ngram_jaccard_pairs", "embedding_near_dups",
     // pair algebra over the per-event-type sketch aggregate (5 rows)
-    "theta_audience_overlap")
+    "theta_audience_overlap",
+    // ON TRUE join of a SINGLE-ROW ungrouped sketch aggregate under each
+    // of the 5 per-type rows (the subquery-sketch-intersection shape)
+    "druid_sql_tuple",
+    // 25-candidate re-rank stage: a bounded broadcast self-pair of the
+    // top-C cut; stage 1 (the corpus pass) is an equi-free scan+top-k
+    "mmr_diverse_topk")
 
   test("no query in the registry plans a CartesianProduct") {
     val offenders = SparkEntry.registry.flatMap { q =>
