@@ -46,16 +46,23 @@ object SpecLoader {
     val dataSource = str(ds, "dataSource", "")
     require(dataSource.nonEmpty, "dataSchema.dataSource is required")
 
+    // two accepted layouts: the LEGACY parser.parseSpec nesting (what
+    // tranquility-era specs carry) and the MODERN top-level
+    // dataSchema.timestampSpec / dataSchema.dimensionsSpec (what every
+    // index_parallel / streaming-supervisor spec since Druid 0.17 uses).
+    // Top-level wins when both appear, matching Druid's parser deprecation.
     val parseSpec = opt(ds, "parser").flatMap(opt(_, "parseSpec"))
 
-    val tsSpec = parseSpec.flatMap(opt(_, "timestampSpec")).map { t =>
+    val tsSpec = opt(ds, "timestampSpec")
+      .orElse(parseSpec.flatMap(opt(_, "timestampSpec"))).map { t =>
       TimestampSpec(
         column = str(t, "column", "timestamp"),
         format = str(t, "format", "auto"),
         missingValue = opt(t, "missingValue").map(_.asText))
     }.getOrElse(TimestampSpec())
 
-    val dimSpec: DimensionsSpec = parseSpec.flatMap(opt(_, "dimensionsSpec")).map { d =>
+    val dimSpec: DimensionsSpec = opt(ds, "dimensionsSpec")
+      .orElse(parseSpec.flatMap(opt(_, "dimensionsSpec"))).map { d =>
       val spatial = opt(d, "spatialDimensions").toSeq
         .flatMap(_.elements.asScala)
         .map { s =>

@@ -664,7 +664,8 @@ object DruidSql {
   def metaFrame(spark: org.apache.spark.sql.SparkSession, parts: Seq[String],
       tables: Map[String, () => DataFrame],
       segmentStores: => Map[String, String],
-      tasks: => Seq[(String, String, String)] = Nil,
+      /** (task_id, type, datasource, status) */
+      tasks: => Seq[(String, String, String, String)] = Nil,
       supervisors: => Seq[(String, String, Boolean)] = Nil): Option[DataFrame] = {
     import spark.implicits._
     parts match {
@@ -719,10 +720,9 @@ object DruidSql {
           }
           .toDF("supervisor_id", "state", "detailed_state", "healthy",
             "type", "source", "suspended"))
-      // async SQL statements surfaced as Druid's MSQ query tasks
+      // async SQL statements (MSQ query tasks) + JSON batch-ingestion tasks
       case Seq("sys", "tasks") =>
         Some(tasks.sortBy(_._1)
-          .map { case (id, status, ds) => (id, "query_controller", ds, status) }
           .toDF("task_id", "type", "datasource", "status"))
       case _ => None
     }

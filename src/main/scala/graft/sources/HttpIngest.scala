@@ -58,7 +58,12 @@ final class HttpIngestServer(
     routes: Map[String, IngestStream] = Map.empty,
     queryRoutes: Map[String, () => org.apache.spark.sql.DataFrame] = Map.empty,
     sqlIngestRoot: Option[String] = None,
-    storeRoots: Map[String, String] = Map.empty) {
+    storeRoots: Map[String, String] = Map.empty,
+    /** when set, `POST /druid/indexer/v1/task` accepts index/index_parallel
+      * batch-ingestion tasks ([[IndexTask]]); their segment stores land
+      * under `<root>/<ds>` and the dataSources become queryable through
+      * the finalizing [[graft.sink.SegmentStore.read]] path. */
+    indexTaskRoot: Option[String] = None) {
 
   private val mapper = new ObjectMapper
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -82,6 +87,9 @@ final class HttpIngestServer(
     }
     s.createContext("/status", (ex: HttpExchange) => handleStatus(ex))
     s.createContext("/lookups", (ex: HttpExchange) => handleLookups(ex))
+    if (indexTaskRoot.isDefined)
+      s.createContext("/druid/indexer/v1/task",
+        (ex: HttpExchange) => handleIndexer(ex))
     // without an executor the JDK server handles requests on ONE thread,
     // serializing posts across dataSources despite the per-ds locks
     val p = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -172,8 +180,11 @@ final class HttpIngestServer(
         withJobGroup(queryId, timeoutMs) {
           val df = graft.queries.DruidQueryCompiler.compile(body, name => {
             routes.get(name).foreach(_.activeQuery.foreach(_.processAllAvailable()))
-            queryRoutes.getOrElse(name, throw new IllegalArgumentException(
-              s"unknown dataSource '$name' (queryable: ${queryRoutes.keys.toSeq.sorted.mkString(",")})"))()
+            // routed streams first, then SQL-ingested / batch-task stores —
+            // one namespace, same as the SQL endpoint's resolution
+            val qs = allQueryables()
+            qs.getOrElse(name, throw new IllegalArgumentException(
+              s"unknown dataSource '$name' (queryable: ${qs.keys.toSeq.sorted.mkString(",")})"))()
           })
           // stream the row array: one partition in memory at a time (plus
           // the cap), like the SQL endpoint — never the whole result.
@@ -248,7 +259,15 @@ final class HttpIngestServer(
   private def allQueryables(): Map[String, () => org.apache.spark.sql.DataFrame] =
     sqlStoreDirs().map { case (ds, dir) =>
       ds -> (() => org.apache.spark.sql.SparkSession.active.read.parquet(dir))
-    } ++ queryRoutes
+    } ++
+      // batch-task stores read through the FINALIZING SegmentStore path
+      // (per-batch partials re-merge; sketch/mean/first-last finalize) —
+      // the same read path the streaming stores' routes use
+      taskStores.asScala.toMap.map { case (ds, (dir, spec)) =>
+        ds -> (() => graft.sink.SegmentStore.read(
+            org.apache.spark.sql.SparkSession.active, dir, spec)
+          .withColumnRenamed(graft.pipeline.Pipeline.TsCol, "__time"))
+      } ++ queryRoutes
 
   /** Drain + substitute only the dataSources a statement references
     * (case-insensitive, like Spark identifier resolution). `allowEmpty` for
@@ -447,9 +466,13 @@ final class HttpIngestServer(
         // (failing) resolution
         val metaFrames = graft.queries.DruidSql.referencedMeta(plan)
           .flatMap(p => graft.queries.DruidSql
-            .metaFrame(spark, p, allQueryables(), storeRoots ++ sqlStoreDirs(),
+            .metaFrame(spark, p, allQueryables(),
+              storeRoots ++ sqlStoreDirs() ++
+                taskStores.asScala.map { case (ds, (dir, _)) => ds -> dir },
               statements.values.asScala.toSeq
-                .map(st => (st.id, st.state, st.datasource)),
+                .map(st => (st.id, "query_controller", st.datasource, st.state)) ++
+                indexTasks.values.asScala.toSeq
+                  .map(t => (t.id, "index_parallel", t.datasource, t.state)),
               routes.toSeq.map { case (ds, ing) =>
                 val active = ing.activeQuery.exists(_.isActive)
                 (ds, if (active) "RUNNING" else "STOPPED", active)
@@ -507,6 +530,74 @@ final class HttpIngestServer(
 
   private val statements =
     new java.util.concurrent.ConcurrentHashMap[String, Statement]()
+
+  /** batch-ingestion task bookkeeping: id → (dataSource, status, errorMsg)
+    * for `GET …/task/{id}/status` + sys.tasks; ds → (storeDir, spec) for
+    * the queryable registry (reads go through SegmentStore.read, the
+    * finalizing path the streaming stores use). */
+  private final class IndexTaskState(val id: String, val datasource: String) {
+    @volatile var state: String = "RUNNING"
+    @volatile var error: Option[String] = None
+    @volatile var rows: Long = 0L
+  }
+  private val indexTasks =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexTaskState]()
+  private val taskStores = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, graft.config.IngestionSpec)]()
+
+  /** `POST /druid/indexer/v1/task` (index/index_parallel JSON task in,
+    * `{"task": id}` out) + `GET …/task/{id}/status` (Druid's status
+    * envelope). The task runs synchronously inside the submit — a
+    * documented delta; the response shape and polling contract match
+    * upstream. */
+  private def handleIndexer(ex: HttpExchange): Unit =
+    try {
+      val sub = ex.getRequestURI.getPath
+        .stripPrefix("/druid/indexer/v1/task").stripPrefix("/")
+      (ex.getRequestMethod, sub) match {
+        case ("POST", "") =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val id = s"index_graft_${java.util.UUID.randomUUID().toString.take(8)}"
+          val spark = org.apache.spark.sql.SparkSession.active
+          val st = try {
+            val r = IndexTask.run(spark, body,
+              indexTaskRoot.getOrElse(throw new IllegalStateException(
+                "index task API not enabled")))
+            val s = new IndexTaskState(id, r.dataSource)
+            s.state = "SUCCESS"; s.rows = r.rowsIngested
+            taskStores.put(r.dataSource, (r.storeDir, r.spec))
+            s
+          } catch {
+            case NonFatal(e) =>
+              val s = new IndexTaskState(id, null)
+              s.state = "FAILED"; s.error = Some(String.valueOf(e.getMessage))
+              s
+          }
+          indexTasks.put(id, st)
+          // Druid replies 200 with the task id; failures surface via status
+          reply(ex, 200, s"""{"task":${quote(id)}}""")
+        case ("GET", path) if path.endsWith("/status") =>
+          val id = path.stripSuffix("/status").stripSuffix("/")
+          Option(indexTasks.get(id)) match {
+            case Some(st) =>
+              val err = st.error.map(quote).getOrElse("null")
+              reply(ex, 200,
+                s"""{"task":${quote(id)},"status":{"id":${quote(id)},""" +
+                  s""""type":"index_parallel","status":${quote(st.state)},""" +
+                  s""""dataSource":${quote(String.valueOf(st.datasource))},""" +
+                  s""""rowsProcessed":${st.rows},"errorMsg":$err}}""")
+            case scala.None =>
+              reply(ex, 404, s"""{"error":${quote(s"no such task '$id'")}}""")
+          }
+        case (m, p) =>
+          reply(ex, 405, s"""{"error":${quote(
+            s"unsupported $m /druid/indexer/v1/task/$p — POST a task or " +
+              "GET {id}/status")}}""")
+      }
+    } catch {
+      case NonFatal(e) =>
+        reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
 
   /** created in start(), torn down in stop() — see stop()'s restart note. */
   @volatile private var asyncPool: Option[java.util.concurrent.ExecutorService] = None

@@ -136,6 +136,33 @@ class ConfigSpec extends AnyFunSuite {
     }.getMessage.contains("expression"))
   }
 
+  test("modern dataSchema layout: top-level timestampSpec/dimensionsSpec parse " +
+      "(and win over a legacy parser.parseSpec)") {
+    val modern = SpecLoader.fromJson(
+      """{"dataSchema": {"dataSource": "wiki",
+           "timestampSpec": {"column": "t", "format": "posix"},
+           "dimensionsSpec": {"dimensions": ["page", "user"]},
+           "metricsSpec": [{"type": "count", "name": "cnt"}],
+           "granularitySpec": {"segmentGranularity": "HOUR",
+                               "queryGranularity": "MINUTE"}}}""")
+    assert(modern.dataSchema.timestampSpec ==
+      TimestampSpec("t", "posix", scala.None))
+    assert(modern.dataSchema.dimensionsSpec ==
+      SpecificDimensions(Seq("page", "user")))
+    // both layouts present: top-level wins (Druid's parser deprecation)
+    val both = SpecLoader.fromJson(
+      """{"dataSchema": {"dataSource": "wiki",
+           "timestampSpec": {"column": "t_new"},
+           "dimensionsSpec": {"dimensions": ["d_new"]},
+           "parser": {"parseSpec": {
+             "timestampSpec": {"column": "t_old"},
+             "dimensionsSpec": {"dimensions": ["d_old"]}}},
+           "metricsSpec": [{"type": "count", "name": "cnt"}]}}""")
+    assert(both.dataSchema.timestampSpec.column == "t_new")
+    assert(both.dataSchema.dimensionsSpec ==
+      SpecificDimensions(Seq("d_new")))
+  }
+
   test("typed filters (equality/range/null): typed compare, open ends, null semantics, rejections") {
     val spark = SparkSpec.session
     import spark.implicits._

@@ -977,4 +977,82 @@ class HttpIngestSpec extends SparkSpec {
       assert(hc == 400 && hb.contains("header"), hb)
     } finally server.stop()
   }
+
+  test("JSON batch-ingestion task API: index_parallel submit/status, SQL + " +
+      "native queries over the store, append re-merge, sys.tasks, failure") {
+    val tmp = Files.createTempDirectory("graft-indexer").toString
+    Files.createDirectories(Paths.get(s"$tmp/spool"))
+    val server = new HttpIngestServer(s"$tmp/spool",
+      queryRoutes = Map("dummy_ds" -> (() =>
+        Seq((Timestamp.valueOf("2024-03-01 00:00:00"), 1L)).toDF("__time", "v"))),
+      indexTaskRoot = Some(s"$tmp/tasks"))
+    val port = server.start()
+    try {
+      def task(append: Boolean, data: String) =
+        s"""{"type": "index_parallel", "spec": {
+             "dataSchema": {"dataSource": "batch_ds",
+               "timestampSpec": {"column": "ts", "format": "auto"},
+               "dimensionsSpec": {"dimensions": ["etype"]},
+               "metricsSpec": [{"type": "count", "name": "cnt"},
+                 {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+               "granularitySpec": {"segmentGranularity": "DAY",
+                                   "queryGranularity": "DAY"}},
+             "ioConfig": {"type": "index_parallel",
+               "inputSource": {"type": "inline", "data": "$data"},
+               "inputFormat": {"type": "csv", "columns": ["ts", "etype", "value"]},
+               "appendToExisting": $append}}}"""
+      // submit: replaces the dataSource (default), modern dataSchema layout
+      val (c1, b1) = post(port, "/druid/indexer/v1/task",
+        task(append = false,
+          "2024-03-01 01:00:00,click,1.0\\n2024-03-01 02:00:00,click,2.0\\n" +
+            "2024-03-02 01:00:00,view,4.0"))
+      assert(c1 == 200 && b1.contains("\"task\":\"index_graft_"), b1)
+      val id1 = "index_graft_[0-9a-f]+".r.findFirstIn(b1).get
+      // status: Druid's envelope, SUCCESS, rows = rolled-up store rows
+      val (sc1, sb1) = get(port, s"/druid/indexer/v1/task/$id1/status")
+      assert(sc1 == 200, sb1)
+      assert(sb1.contains("\"status\":\"SUCCESS\"") &&
+        sb1.contains("\"dataSource\":\"batch_ds\"") &&
+        sb1.contains("\"rowsProcessed\":2"), sb1)
+      // the dataSource is queryable over SQL — day-rolled, finalized
+      val (qc, qb) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT etype, SUM(cnt) AS n, SUM(total) AS t FROM batch_ds GROUP BY etype ORDER BY etype"}""")
+      assert(qc == 200, qb)
+      assert(qb.contains("\"etype\":\"click\"") && qb.contains("\"n\":2") &&
+        qb.contains("\"t\":3.0"), qb)
+      assert(qb.contains("\"etype\":\"view\"") && qb.contains("\"t\":4.0"), qb)
+      // appendToExisting=true: a second batch whose partials RE-MERGE with
+      // the first at read (same day+etype bucket folds into one row)
+      val (c2, b2) = post(port, "/druid/indexer/v1/task",
+        task(append = true, "2024-03-01 03:00:00,click,8.0"))
+      assert(c2 == 200, b2)
+      val (qc2, qb2) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT etype, SUM(cnt) AS n, SUM(total) AS t FROM batch_ds GROUP BY etype ORDER BY etype"}""")
+      assert(qc2 == 200, qb2)
+      assert(qb2.contains("\"n\":3") && qb2.contains("\"t\":11.0"), qb2)
+      // native query path resolves the task store too (__time present)
+      val (nc, nb) = post(port, "/druid/v2",
+        """{"queryType": "timeseries", "dataSource": "batch_ds",
+            "granularity": "all",
+            "aggregations": [{"type": "longSum", "name": "n",
+                              "fieldName": "cnt"}]}""")
+      assert(nc == 200 && nb.contains("\"n\":4"), nb)
+      // sys.tasks lists both ingestion tasks as index_parallel
+      val (tc, tb) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT task_id, type, status FROM sys.tasks WHERE type = 'index_parallel' ORDER BY task_id"}""")
+      assert(tc == 200, tb)
+      assert(tb.contains(id1) && tb.contains("\"type\":\"index_parallel\""), tb)
+      // a broken task fails LOUDLY via status (submit still returns the id)
+      val (c3, b3) = post(port, "/druid/indexer/v1/task",
+        """{"type": "kill", "spec": {}}""")
+      assert(c3 == 200, b3)
+      val id3 = "index_graft_[0-9a-f]+".r.findFirstIn(b3).get
+      val (sc3, sb3) = get(port, s"/druid/indexer/v1/task/$id3/status")
+      assert(sc3 == 200 && sb3.contains("\"status\":\"FAILED\"") &&
+        sb3.contains("unsupported task type"), sb3)
+      // unknown task id is a 404
+      val (sc4, _) = get(port, "/druid/indexer/v1/task/nope/status")
+      assert(sc4 == 404)
+    } finally server.stop()
+  }
 }
