@@ -472,7 +472,7 @@ final class HttpIngestServer(
               statements.values.asScala.toSeq
                 .map(st => (st.id, "query_controller", st.datasource, st.state)) ++
                 indexTasks.values.asScala.toSeq
-                  .map(t => (t.id, "index_parallel", t.datasource, t.state)),
+                  .map(t => (t.id, t.taskType, t.datasource, t.state)),
               routes.toSeq.map { case (ds, ing) =>
                 val active = ing.activeQuery.exists(_.isActive)
                 (ds, if (active) "RUNNING" else "STOPPED", active)
@@ -535,7 +535,8 @@ final class HttpIngestServer(
     * for `GET …/task/{id}/status` + sys.tasks; ds → (storeDir, spec) for
     * the queryable registry (reads go through SegmentStore.read, the
     * finalizing path the streaming stores use). */
-  private final class IndexTaskState(val id: String, val datasource: String) {
+  private final class IndexTaskState(val id: String, val datasource: String,
+      val taskType: String = "index_parallel") {
     @volatile var state: String = "RUNNING"
     @volatile var error: Option[String] = None
     @volatile var rows: Long = 0L
@@ -559,17 +560,46 @@ final class HttpIngestServer(
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           val id = s"index_graft_${java.util.UUID.randomUUID().toString.take(8)}"
           val spark = org.apache.spark.sql.SparkSession.active
+          val root = mapper.readTree(body)
+          val taskType = Option(root.get("type")).map(_.asText).getOrElse("")
           val st = try {
-            val r = IndexTask.run(spark, body,
-              indexTaskRoot.getOrElse(throw new IllegalStateException(
-                "index task API not enabled")))
-            val s = new IndexTaskState(id, r.dataSource)
-            s.state = "SUCCESS"; s.rows = r.rowsIngested
-            taskStores.put(r.dataSource, (r.storeDir, r.spec))
-            s
+            taskType match {
+              case "kill" =>
+                // the coordinator kill-task analog: drop whole segment
+                // chunks of a TASK-ingested store whose start falls in the
+                // interval (SegmentStore.killInterval's whole-chunk rule)
+                val ds = Option(root.get("dataSource")).map(_.asText)
+                  .filter(_.nonEmpty).getOrElse(throw new IllegalArgumentException(
+                    "kill task needs a dataSource"))
+                val iv = Option(root.get("interval")).map(_.asText).getOrElse(
+                  throw new IllegalArgumentException("kill task needs an interval"))
+                val (dir, spec) = Option(taskStores.get(ds)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"kill task knows only task-ingested dataSources " +
+                      s"(have: ${taskStores.keySet().asScala.toSeq.sorted.mkString(",")})"))
+                val (lo, hi) = graft.time.Intervals.parse(iv)
+                val killed = graft.sink.SegmentStore.killInterval(spark, dir,
+                  spec, new java.sql.Timestamp(lo), new java.sql.Timestamp(hi))
+                val s = new IndexTaskState(id, ds, "kill")
+                s.state = "SUCCESS"; s.rows = killed.size.toLong
+                s
+              case "index" | "index_parallel" =>
+                val r = IndexTask.run(spark, body,
+                  indexTaskRoot.getOrElse(throw new IllegalStateException(
+                    "index task API not enabled")))
+                val s = new IndexTaskState(id, r.dataSource)
+                s.state = "SUCCESS"; s.rows = r.rowsIngested
+                taskStores.put(r.dataSource, (r.storeDir, r.spec))
+                s
+              case other => throw new IllegalArgumentException(
+                s"unsupported task type '$other' (index/index_parallel/kill; " +
+                  "streaming supervisors attach as server routes, SQL " +
+                  "ingestion via INSERT INTO)")
+            }
           } catch {
             case NonFatal(e) =>
-              val s = new IndexTaskState(id, null)
+              val s = new IndexTaskState(id, null,
+                if (taskType.nonEmpty) taskType else "unknown")
               s.state = "FAILED"; s.error = Some(String.valueOf(e.getMessage))
               s
           }
@@ -583,7 +613,7 @@ final class HttpIngestServer(
               val err = st.error.map(quote).getOrElse("null")
               reply(ex, 200,
                 s"""{"task":${quote(id)},"status":{"id":${quote(id)},""" +
-                  s""""type":"index_parallel","status":${quote(st.state)},""" +
+                  s""""type":${quote(st.taskType)},"status":${quote(st.state)},""" +
                   s""""dataSource":${quote(String.valueOf(st.datasource))},""" +
                   s""""rowsProcessed":${st.rows},"errorMsg":$err}}""")
             case scala.None =>

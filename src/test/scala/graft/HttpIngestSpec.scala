@@ -980,6 +980,7 @@ class HttpIngestSpec extends SparkSpec {
 
   test("JSON batch-ingestion task API: index_parallel submit/status, SQL + " +
       "native queries over the store, append re-merge, sys.tasks, failure") {
+    spark.version // force the shared session so handler threads see a default
     val tmp = Files.createTempDirectory("graft-indexer").toString
     Files.createDirectories(Paths.get(s"$tmp/spool"))
     val server = new HttpIngestServer(s"$tmp/spool",
@@ -1042,9 +1043,23 @@ class HttpIngestSpec extends SparkSpec {
         """{"query": "SELECT task_id, type, status FROM sys.tasks WHERE type = 'index_parallel' ORDER BY task_id"}""")
       assert(tc == 200, tb)
       assert(tb.contains(id1) && tb.contains("\"type\":\"index_parallel\""), tb)
+      // kill task: drops the whole Mar-2 day chunk (view rows), keeps Mar 1
+      val (kc, kb) = post(port, "/druid/indexer/v1/task",
+        """{"type": "kill", "dataSource": "batch_ds",
+            "interval": "2024-03-02T00:00:00/2024-03-03T00:00:00"}""")
+      assert(kc == 200, kb)
+      val idk = "index_graft_[0-9a-f]+".r.findFirstIn(kb).get
+      val (skc, skb) = get(port, s"/druid/indexer/v1/task/$idk/status")
+      assert(skc == 200 && skb.contains("\"type\":\"kill\"") &&
+        skb.contains("\"status\":\"SUCCESS\"") &&
+        skb.contains("\"rowsProcessed\":1"), skb)
+      val (qc3, qb3) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT etype, SUM(cnt) AS n FROM batch_ds GROUP BY etype ORDER BY etype"}""")
+      assert(qc3 == 200 && qb3.contains("\"etype\":\"click\"") &&
+        !qb3.contains("view"), qb3)
       // a broken task fails LOUDLY via status (submit still returns the id)
       val (c3, b3) = post(port, "/druid/indexer/v1/task",
-        """{"type": "kill", "spec": {}}""")
+        """{"type": "compact", "spec": {}}""")
       assert(c3 == 200, b3)
       val id3 = "index_graft_[0-9a-f]+".r.findFirstIn(b3).get
       val (sc3, sb3) = get(port, s"/druid/indexer/v1/task/$id3/status")
