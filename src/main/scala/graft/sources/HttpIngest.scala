@@ -583,6 +583,25 @@ final class HttpIngestServer(
                 val s = new IndexTaskState(id, ds, "kill")
                 s.state = "SUCCESS"; s.rows = killed.size.toLong
                 s
+              case "compact" =>
+                // the coordinator compaction-task analog: per-batch partial
+                // files of a task-ingested store merge into one zstd file
+                // per segment (sketches stay binary, zone-map regenerated),
+                // and the queryable registry flips to the compacted dir
+                val ds = Option(root.get("dataSource")).map(_.asText)
+                  .filter(_.nonEmpty).getOrElse(throw new IllegalArgumentException(
+                    "compact task needs a dataSource"))
+                val (dir, spec) = Option(taskStores.get(ds)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"compact task knows only task-ingested dataSources " +
+                      s"(have: ${taskStores.keySet().asScala.toSeq.sorted.mkString(",")})"))
+                val out = s"${dir.stripSuffix("/")}__compacted_$id"
+                graft.sink.SegmentStore.compact(spark, dir, spec, out)
+                taskStores.put(ds, (out, spec))
+                val s = new IndexTaskState(id, ds, "compact")
+                s.state = "SUCCESS"
+                s.rows = graft.sink.SegmentStore.read(spark, out, spec).count()
+                s
               case "index" | "index_parallel" =>
                 val r = IndexTask.run(spark, body,
                   indexTaskRoot.getOrElse(throw new IllegalStateException(
@@ -592,9 +611,9 @@ final class HttpIngestServer(
                 taskStores.put(r.dataSource, (r.storeDir, r.spec))
                 s
               case other => throw new IllegalArgumentException(
-                s"unsupported task type '$other' (index/index_parallel/kill; " +
-                  "streaming supervisors attach as server routes, SQL " +
-                  "ingestion via INSERT INTO)")
+                s"unsupported task type '$other' (index/index_parallel/" +
+                  "kill/compact; streaming supervisors attach as server " +
+                  "routes, SQL ingestion via INSERT INTO)")
             }
           } catch {
             case NonFatal(e) =>

@@ -1057,9 +1057,22 @@ class HttpIngestSpec extends SparkSpec {
         """{"query": "SELECT etype, SUM(cnt) AS n FROM batch_ds GROUP BY etype ORDER BY etype"}""")
       assert(qc3 == 200 && qb3.contains("\"etype\":\"click\"") &&
         !qb3.contains("view"), qb3)
+      // compact task: per-batch partials merge into one file per segment;
+      // the queryable flips to the compacted store and answers identically
+      val (cc, cb) = post(port, "/druid/indexer/v1/task",
+        """{"type": "compact", "dataSource": "batch_ds"}""")
+      assert(cc == 200, cb)
+      val idc = "index_graft_[0-9a-f]+".r.findFirstIn(cb).get
+      val (scc, scb) = get(port, s"/druid/indexer/v1/task/$idc/status")
+      assert(scc == 200 && scb.contains("\"type\":\"compact\"") &&
+        scb.contains("\"status\":\"SUCCESS\""), scb)
+      val (qc4, qb4) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT etype, SUM(cnt) AS n, SUM(total) AS t FROM batch_ds GROUP BY etype ORDER BY etype"}""")
+      assert(qc4 == 200 && qb4.contains("\"n\":3") &&
+        qb4.contains("\"t\":11.0"), qb4)
       // a broken task fails LOUDLY via status (submit still returns the id)
       val (c3, b3) = post(port, "/druid/indexer/v1/task",
-        """{"type": "compact", "spec": {}}""")
+        """{"type": "wrong_type", "spec": {}}""")
       assert(c3 == 200, b3)
       val id3 = "index_graft_[0-9a-f]+".r.findFirstIn(b3).get
       val (sc3, sb3) = get(port, s"/druid/indexer/v1/task/$id3/status")
