@@ -87,9 +87,12 @@ final class HttpIngestServer(
     }
     s.createContext("/status", (ex: HttpExchange) => handleStatus(ex))
     s.createContext("/lookups", (ex: HttpExchange) => handleLookups(ex))
-    if (indexTaskRoot.isDefined)
+    if (indexTaskRoot.isDefined) {
       s.createContext("/druid/indexer/v1/task",
         (ex: HttpExchange) => handleIndexer(ex))
+      s.createContext("/druid/coordinator/v1/rules",
+        (ex: HttpExchange) => handleRules(ex))
+    }
     // without an executor the JDK server handles requests on ONE thread,
     // serializing posts across dataSources despite the per-ds locks
     val p = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -264,9 +267,18 @@ final class HttpIngestServer(
       // (per-batch partials re-merge; sketch/mean/first-last finalize) —
       // the same read path the streaming stores' routes use
       taskStores.asScala.toMap.map { case (ds, (dir, spec)) =>
-        ds -> (() => graft.sink.SegmentStore.read(
-            org.apache.spark.sql.SparkSession.active, dir, spec)
-          .withColumnRenamed(graft.pipeline.Pipeline.TsCol, "__time"))
+        ds -> { () =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          // a store whose every segment was dropped (kill / retention) has
+          // no schema to read — a LOUD named error, not a parquet
+          // inference failure (Druid: the dataSource vanishes)
+          require(graft.sink.SegmentStore
+              .listSegmentDirs(spark, dir).nonEmpty,
+            s"dataSource '$ds' has no segments (all dropped by " +
+              "kill/retention) — re-ingest before querying")
+          graft.sink.SegmentStore.read(spark, dir, spec)
+            .withColumnRenamed(graft.pipeline.Pipeline.TsCol, "__time")
+        }
       } ++ queryRoutes
 
   /** Drain + substitute only the dataSources a statement references
@@ -546,6 +558,99 @@ final class HttpIngestServer(
   private val taskStores = new java.util.concurrent.ConcurrentHashMap[
     String, (String, graft.config.IngestionSpec)]()
 
+  /** stored per-dataSource rule arrays (verbatim JSON) for GET */
+  private val retentionRules =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Druid coordinator retention rules
+    * (`POST /druid/coordinator/v1/rules/{dataSource}` + GETs). Recognized
+    * rule shapes, applied to TASK-ingested stores:
+    *  - `[loadByPeriod(P), dropForever]` — the canonical keep-last-window
+    *    pair → [[graft.sink.SegmentStore.applyRetention]] with
+    *    keepFrom = now − P;
+    *  - `[dropByInterval(i)]` → [[graft.sink.SegmentStore.killInterval]];
+    *  - `[loadForever]` — keep everything (no-op).
+    * Anything else is a loud 400 naming the supported shapes. DOCUMENTED
+    * DELTA: rules apply ONCE at submission (the coordinator-cycle analog
+    * collapsed to the submit) — resubmit to re-apply. */
+  private def handleRules(ex: HttpExchange): Unit =
+    try {
+      val sub = ex.getRequestURI.getPath
+        .stripPrefix("/druid/coordinator/v1/rules").stripPrefix("/")
+      (ex.getRequestMethod, sub) match {
+        case ("GET", "") =>
+          val all = retentionRules.asScala.toSeq.sortBy(_._1)
+            .map { case (ds, r) => s"${quote(ds)}:$r" }
+          reply(ex, 200, all.mkString("{", ",", "}"))
+        case ("GET", ds) =>
+          reply(ex, 200, Option(retentionRules.get(ds)).getOrElse("[]"))
+        case ("POST", ds) if ds.nonEmpty =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          try {
+            val rules = mapper.readTree(body)
+            require(rules != null && rules.isArray && rules.size > 0,
+              "rules body must be a non-empty JSON array")
+            val (dir, spec) = Option(taskStores.get(ds)).getOrElse(
+              throw new IllegalArgumentException(
+                s"rules apply to task-ingested dataSources " +
+                  s"(have: ${taskStores.keySet().asScala.toSeq.sorted.mkString(",")})"))
+            val spark = org.apache.spark.sql.SparkSession.active
+            val types = rules.elements().asScala
+              .map(r => Option(r.get("type")).map(_.asText).getOrElse("")).toSeq
+            val dropped: Seq[String] = types match {
+              case Seq("loadForever") => Nil
+              case Seq("loadByPeriod", "dropForever") =>
+                val period = Option(rules.get(0).get("period")).map(_.asText)
+                  .getOrElse(throw new IllegalArgumentException(
+                    "loadByPeriod rule needs a period"))
+                // full ISO-8601 period (calendar and/or time part, e.g.
+                // P7D, PT6H, P1DT12H): split at 'T', subtract each half in
+                // the session zone's calendar
+                val zdt = java.time.ZonedDateTime.now(
+                  java.time.ZoneId.of(spark.conf.get(
+                    "spark.sql.session.timeZone",
+                    java.util.TimeZone.getDefault.getID)))
+                val (datePart, timePart) = period.indexOf('T') match {
+                  case -1 => (period, scala.None)
+                  case i => (period.substring(0, i),
+                    Some("PT" + period.substring(i + 1)))
+                }
+                val afterDate =
+                  if (datePart == "P") zdt
+                  else zdt.minus(java.time.Period.parse(datePart))
+                val keepFrom = timePart
+                  .map(t => afterDate.minus(java.time.Duration.parse(t)))
+                  .getOrElse(afterDate).toInstant
+                graft.sink.SegmentStore.applyRetention(spark, dir, spec,
+                  java.sql.Timestamp.from(keepFrom))
+              case Seq("dropByInterval") =>
+                val iv = Option(rules.get(0).get("interval")).map(_.asText)
+                  .getOrElse(throw new IllegalArgumentException(
+                    "dropByInterval rule needs an interval"))
+                val (lo, hi) = graft.time.Intervals.parse(iv)
+                graft.sink.SegmentStore.killInterval(spark, dir, spec,
+                  new java.sql.Timestamp(lo), new java.sql.Timestamp(hi))
+              case other => throw new IllegalArgumentException(
+                s"unsupported rule chain ${other.mkString("[", ",", "]")} — " +
+                  "supported: [loadForever], [loadByPeriod, dropForever], " +
+                  "[dropByInterval]")
+            }
+            retentionRules.put(ds, rules.toString)
+            reply(ex, 200, s"""{"dataSource":${quote(ds)},""" +
+              s""""dropped":${dropped.map(quote).mkString("[", ",", "]")}}""")
+          } catch {
+            case NonFatal(e) =>
+              reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+          }
+        case (m, p) =>
+          reply(ex, 405, s"""{"error":${quote(
+            s"unsupported $m /druid/coordinator/v1/rules/$p")}}""")
+      }
+    } catch {
+      case NonFatal(e) =>
+        reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+
   /** `POST /druid/indexer/v1/task` (index/index_parallel JSON task in,
     * `{"task": id}` out) + `GET …/task/{id}/status` (Druid's status
     * envelope). The task runs synchronously inside the submit — a
@@ -625,6 +730,15 @@ final class HttpIngestServer(
           indexTasks.put(id, st)
           // Druid replies 200 with the task id; failures surface via status
           reply(ex, 200, s"""{"task":${quote(id)}}""")
+        // `GET /druid/indexer/v1/tasks` — the JDK context on …/task
+        // prefix-matches the plural path with remainder "s"
+        case ("GET", "s") =>
+          val rows = indexTasks.values.asScala.toSeq.sortBy(_.id).map { t =>
+            s"""{"id":${quote(t.id)},"type":${quote(t.taskType)},""" +
+              s""""status":${quote(t.state)},""" +
+              s""""dataSource":${quote(String.valueOf(t.datasource))}}"""
+          }
+          reply(ex, 200, rows.mkString("[", ",", "]"))
         case ("GET", path) if path.endsWith("/status") =>
           val id = path.stripSuffix("/status").stripSuffix("/")
           Option(indexTasks.get(id)) match {

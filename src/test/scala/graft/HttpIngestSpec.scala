@@ -1081,6 +1081,32 @@ class HttpIngestSpec extends SparkSpec {
       // unknown task id is a 404
       val (sc4, _) = get(port, "/druid/indexer/v1/task/nope/status")
       assert(sc4 == 404)
+      // the plural listing carries every submitted task with its type
+      val (lc, lb) = get(port, "/druid/indexer/v1/tasks")
+      assert(lc == 200, lb)
+      assert(lb.contains(id1) && lb.contains(idk) && lb.contains(idc) &&
+        lb.contains(id3), lb)
+      assert(lb.contains("\"type\":\"kill\"") &&
+        lb.contains("\"type\":\"compact\"") &&
+        lb.contains("\"status\":\"FAILED\""), lb)
+
+      // coordinator retention rules: keep-last-window drops the 2024 data
+      // (now ≫ 2024 + P30D), loadForever keeps, unsupported chains are loud
+      val (rc0, rb0) = post(port, "/druid/coordinator/v1/rules/batch_ds",
+        """[{"type": "loadForever"}]""")
+      assert(rc0 == 200 && rb0.contains("\"dropped\":[]"), rb0)
+      val (rcg, rbg) = get(port, "/druid/coordinator/v1/rules/batch_ds")
+      assert(rcg == 200 && rbg.contains("loadForever"), rbg)
+      val (rcx, rbx) = post(port, "/druid/coordinator/v1/rules/batch_ds",
+        """[{"type": "dropForever"}]""")
+      assert(rcx == 400 && rbx.contains("unsupported rule chain"), rbx)
+      val (rc1, rb1) = post(port, "/druid/coordinator/v1/rules/batch_ds",
+        """[{"type": "loadByPeriod", "period": "P30D"},
+            {"type": "dropForever"}]""")
+      assert(rc1 == 200 && rb1.contains("2024-03-01"), rb1)
+      val (qc5, qb5) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT COUNT(*) AS n FROM batch_ds"}""")
+      assert(qc5 == 400 && qb5.contains("no segments"), qb5)
     } finally server.stop()
   }
 }
