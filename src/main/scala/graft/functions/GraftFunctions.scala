@@ -171,6 +171,12 @@ object GraftFunctions {
         require(args.length == 2, "theta_difference(a, b) takes 2 arguments")
         ThetaDifference(args(0), args(1))
       }),
+    (new FunctionIdentifier("alphanumeric_key"),
+      new ExpressionInfo(classOf[AlphanumericKey].getName, "alphanumeric_key"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "alphanumeric_key(s) takes 1 argument")
+        AlphanumericKey(args(0))
+      }),
     (new FunctionIdentifier("tuple_sketch_agg"),
       new ExpressionInfo(classOf[TupleSketchAgg].getName, "tuple_sketch_agg"),
       (args: Seq[Expression]) => {

@@ -706,6 +706,30 @@ object DruidNativeQueries {
                    CAST((SELECT count(*) FROM a) + (SELECT count(*) FROM b)
                      AS DOUBLE) AS est_sum""")),
 
+    // -- alphanumeric dimension ordering (r6 s2): Druid's digit-run
+    // collation (StringComparators ALPHANUMERIC) in a limitSpec
+    // dimensionOrder — u0..u9 selected in NUMERIC suffix order where
+    // lexicographic would pick u0,u1,u10,u11,… (a different row SET, so
+    // the oracle distinguishes the collations, not just their order) ----
+    QueryDef("druid_json_alphanumeric_order", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "all",
+         "virtualColumns": [
+           {"type": "expression", "name": "tag",
+            "expression": "concat('u', user_id % 25)"}],
+         "dimensions": ["tag"],
+         "aggregations": [{"type": "count", "name": "cnt"}],
+         "limitSpec": {"type": "default", "limit": 10,
+           "columns": [{"dimension": "tag", "direction": "ascending",
+                        "dimensionOrder": "alphanumeric"}]}}""")
+        .select(col("tag"), col("cnt"))
+    },
+    Some("""SELECT 'u' || CAST(user_id % 25 AS VARCHAR) AS tag,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
+            ORDER BY CAST(substr(tag, 2) AS INT) LIMIT 10""")),
+
     // -- ArrayOfDoubles TUPLE sketch post-aggregators (r6, the
     // datasketches-tuple extension): filtered arrayOfDoublesSketch aggs
     // (distinct users carrying summed spend), ToNumEntries /

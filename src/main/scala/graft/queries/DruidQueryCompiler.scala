@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 import graft.config.SpecLoader
 import graft.pipeline.{Aggregators, Filters, Pipeline}
@@ -889,11 +889,33 @@ object DruidQueryCompiler {
           throw new IllegalArgumentException("inverted metric needs a metric")),
           dim, !inverted)
       case "dimension" | "lexicographic" =>
-        Seq(if (inverted) col(dim).desc else col(dim).asc)
+        // Druid DimensionTopNMetricSpec `ordering`: lexicographic (default)
+        // / alphanumeric (digit-run collation via the order-preserving
+        // [[graft.functions.AlphanumericKey]]) / numeric / strlen
+        val keys = dimOrderKeys(col(dim), str(m, "ordering", "lexicographic"))
+        keys.map(k => if (inverted) k.desc else k.asc)
       case other => throw new IllegalArgumentException(
         s"unsupported topN metric type '$other' (numeric/inverted/dimension)")
     }
   }
+
+  /** Druid's dimension-ordering names → sort key columns (several for
+    * strlen: length, then value). Shared by topN dimension specs, limitSpec
+    * `dimensionOrder`, and the search `sort` spec. */
+  private def dimOrderKeys(c: Column, ordering: String): Seq[Column] =
+    ordering match {
+      case "lexicographic" => Seq(c.cast(StringType))
+      case "alphanumeric" =>
+        Seq(org.apache.spark.sql.graft.GraftSqlBridge.column(
+          graft.functions.AlphanumericKey(
+            org.apache.spark.sql.graft.GraftSqlBridge.expression(
+              c.cast(StringType)))))
+      case "numeric" => Seq(c.try_cast(DoubleType))
+      case "strlen" => Seq(length(c.cast(StringType)), c.cast(StringType))
+      case other => throw new IllegalArgumentException(
+        s"unsupported dimension ordering '$other' " +
+          "(lexicographic/alphanumeric/numeric/strlen)")
+    }
 
   // ----------------------------------------------------------------- groupBy
 
@@ -945,18 +967,30 @@ object DruidQueryCompiler {
   private def limited(df: DataFrame, n: JsonNode): DataFrame = {
     require(str(n, "type", "default") == "default",
       s"unsupported limitSpec type '${str(n, "type", "")}'")
-    val explicit: Seq[(String, Column)] =
+    val explicit: Seq[(String, Seq[Column])] =
       opt(n, "columns").toSeq.flatMap(_.elements.asScala).map { c =>
-        if (c.isTextual) c.asText -> col(c.asText).asc
+        if (c.isTextual) c.asText -> Seq(col(c.asText).asc)
         else {
           val d = str(c, "dimension", "")
-          d -> (if (str(c, "direction", "ascending").toLowerCase.startsWith("desc"))
-            col(d).desc else col(d).asc)
+          val desc = str(c, "direction", "ascending")
+            .toLowerCase.startsWith("desc")
+          // Druid OrderByColumnSpec `dimensionOrder`: lexicographic (the
+          // spec default for string columns) / alphanumeric / numeric /
+          // strlen. Absent = the column's own type order (metric columns
+          // sort numerically — forcing the string default would break
+          // metric-ordered limitSpecs).
+          val keys = opt(c, "dimensionOrder") match {
+            case Some(o) =>
+              dimOrderKeys(col(d),
+                if (o.isTextual) o.asText else str(o, "type", "lexicographic"))
+            case scala.None => Seq(col(d))
+          }
+          d -> keys.map(k => if (desc) k.desc else k.asc)
         }
       }.toSeq
     val named = explicit.map(_._1).toSet
     val tiebreak = df.columns.filterNot(named).map(col(_).asc).toSeq
-    val ordered = df.orderBy(explicit.map(_._2) ++ tiebreak: _*)
+    val ordered = df.orderBy(explicit.flatMap(_._2) ++ tiebreak: _*)
     val offset = opt(n, "offset").map(_.asInt).getOrElse(0)
     val shifted = if (offset > 0) ordered.offset(offset) else ordered
     opt(n, "limit").map(_.asInt).map(shifted.limit).getOrElse(shifted)
@@ -1109,19 +1143,14 @@ object DruidQueryCompiler {
         .filter(col("value").isNotNull && matches(col("value")))
     }.reduce(_.unionAll(_))
       .groupBy(TimeCol, "dimension", "value").agg(count(lit(1)).as("cnt"))
-    // Druid search `sort` spec: orders the hit list. `alphanumeric`
-    // (digit-run-aware compare) is rejected with a pointer rather than
-    // silently approximated by the lexicographic order.
+    // Druid search `sort` spec: orders the hit list through the shared
+    // dimension-ordering keys (lexicographic/alphanumeric/numeric/strlen)
     opt(root, "sort").map(s => str(s, "type", "lexicographic")) match {
       case scala.None => grouped
-      case Some("lexicographic") =>
-        grouped.orderBy(col(TimeCol), col("value"), col("dimension"))
-      case Some("strlen") =>
-        grouped.orderBy(col(TimeCol), length(col("value")), col("value"),
-          col("dimension"))
-      case Some(other) => throw new IllegalArgumentException(
-        s"unsupported search sort '$other' (lexicographic/strlen; " +
-          "alphanumeric needs a digit-run collation — sort client-side)")
+      case Some(ordering) =>
+        grouped.orderBy(col(TimeCol) +:
+          dimOrderKeys(col("value"), ordering) :+ col("value") :+
+          col("dimension"): _*)
     }
   }
 

@@ -856,8 +856,8 @@ class DruidQuerySpec extends SparkSpec {
       .contains("collides"))
   }
 
-  test("search sort spec: lexicographic and strlen order the hit list; " +
-      "alphanumeric rejected with a pointer") {
+  test("search sort spec: lexicographic, strlen and alphanumeric order the " +
+      "hit list; unknown sorts rejected") {
     val base = """"queryType": "search", "dataSource": "events",
       "granularity": "all", "searchDimensions": ["event_type", "user"],
       "query": {"type": "insensitive_contains", "value": "b"}"""
@@ -867,9 +867,14 @@ class DruidQuerySpec extends SparkSpec {
     val sl = run(s"""{$base, "sort": {"type": "strlen"}}""")
       .collect().map(_.getAs[String]("value")).toSeq
     assert(sl == Seq("bob", "buy")) // same length → value tiebreak
+    // alphanumeric runs now (r6 s2: the digit-run collation landed); no
+    // digits here so it agrees with lexicographic
+    val an = run(s"""{$base, "sort": {"type": "alphanumeric"}}""")
+      .collect().map(_.getAs[String]("value")).toSeq
+    assert(an == Seq("bob", "buy"))
     assert(intercept[IllegalArgumentException] {
-      run(s"""{$base, "sort": {"type": "alphanumeric"}}""")
-    }.getMessage.contains("alphanumeric"))
+      run(s"""{$base, "sort": {"type": "caseInsensitive"}}""").collect()
+    }.getMessage.contains("dimension ordering"))
   }
 
   // ---------------------------------------------- sketch post-aggregators
@@ -1167,6 +1172,33 @@ class DruidQuerySpec extends SparkSpec {
         "descending": true, "limit": 2,
         "aggregations": [{"type": "count", "name": "cnt"}]}""")
     assert(limited == Seq("02:00", "01:00"), limited)
+  }
+
+  test("alphanumeric collation: order-preserving key follows the Alphanum " +
+      "algorithm (digit runs by length then digits)") {
+    import org.apache.spark.sql.graft.GraftSqlBridge.{column => asCol, expression => ex}
+    val vals = Seq("a10", "a2", "x10y", "x9y", "b007", "b07", "b7",
+      "u1", "u10", "u2")
+    val sorted = vals.toDF("v")
+      .orderBy(asCol(graft.functions.AlphanumericKey(ex(col("v")))))
+      .collect().map(_.getString(0)).toSeq
+    assert(sorted == Seq("a2", "a10", "b7", "b07", "b007",
+      "u1", "u2", "u10", "x9y", "x10y"), sorted)
+    // topN dimension ordering accepts the same names; unknown ones are loud
+    val e = intercept[IllegalArgumentException](run("""
+      {"queryType": "topN", "dataSource": "events", "granularity": "all",
+       "dimension": "event_type", "threshold": 2,
+       "metric": {"type": "dimension", "ordering": "caseInsensitive"},
+       "aggregations": [{"type": "count", "name": "cnt"}]}""").collect())
+    assert(e.getMessage.contains("dimension ordering"))
+    // strlen ordering through the same path
+    val strlen = run("""
+      {"queryType": "topN", "dataSource": "events", "granularity": "all",
+       "dimension": "event_type", "threshold": 2,
+       "metric": {"type": "dimension", "ordering": "strlen"},
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select("event_type").collect().map(_.getString(0)).toSeq
+    assert(strlen == Seq("buy", "view"), strlen) // 3 < 4 < 5 (click)
   }
 
   test("KLL quantile sketch spellings alias the quantiles family " +
