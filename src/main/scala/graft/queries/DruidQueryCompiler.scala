@@ -867,12 +867,38 @@ object DruidQueryCompiler {
     // finalize BEFORE ordering: Druid's topN metric compares finalized
     // values (a struct/binary partial has no metric order)
     val grouped = finalizeAggs(aggregate(df, root, Seq(name -> dcol)), root)
-    val ordering = topNOrdering(opt(root, "metric").getOrElse(
-      throw new IllegalArgumentException("topN needs a metric")), name)
+    val metricNode = opt(root, "metric").getOrElse(
+      throw new IllegalArgumentException("topN needs a metric"))
+    val ordering = topNOrdering(metricNode, name)
+    // dimension-spec pagination: `previousStop` resumes strictly after the
+    // given value in the spec's own collation (before / below it when the
+    // spec is inverted) — Druid's lexicographic-topN paging knob
+    val paged = previousStopFilter(metricNode, name, inverted = false)
+      .map(grouped.filter).getOrElse(grouped)
     val w = Window.partitionBy(col(TimeCol)).orderBy(ordering: _*)
-    grouped.withColumn("__rank", row_number().over(w))
+    paged.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= threshold).drop("__rank")
   }
+
+  private def previousStopFilter(m: JsonNode, dim: String,
+      inverted: Boolean): Option[Column] =
+    if (m.isTextual) scala.None
+    else str(m, "type", "") match {
+      case "inverted" => opt(m, "metric")
+        .flatMap(previousStopFilter(_, dim, !inverted))
+      case "dimension" | "lexicographic" =>
+        opt(m, "previousStop").filterNot(_.isNull).map(_.asText).map { ps =>
+          val ord = str(m, "ordering", "lexicographic")
+          val l = dimOrderKeys(col(dim), ord)
+          val r = dimOrderKeys(lit(ps), ord)
+          // multi-key orderings (strlen) compare as a struct tuple
+          val (lk, rk) =
+            if (l.size == 1) (l.head, r.head)
+            else (struct(l: _*), struct(r: _*))
+          if (inverted) lk < rk else lk > rk
+        }
+      case _ => scala.None
+    }
 
   /** Druid topN metric spec → deterministic ordering (dimension ascending
     * breaks metric ties — Druid leaves ties unspecified). `inverted` flips

@@ -1201,6 +1201,22 @@ class DruidQuerySpec extends SparkSpec {
     assert(strlen == Seq("buy", "view"), strlen) // 3 < 4 < 5 (click)
   }
 
+  test("topN previousStop: resumes after the value in the spec's collation, " +
+      "below it when inverted") {
+    def dims(metric: String): Seq[String] = run(s"""
+      {"queryType": "topN", "dataSource": "events", "granularity": "all",
+       "dimension": "event_type", "threshold": 10, "metric": $metric,
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select("event_type").collect().map(_.getString(0)).toSeq
+    assert(dims("""{"type": "dimension", "previousStop": "buy"}""") ==
+      Seq("click", "view"))
+    assert(dims("""{"type": "inverted", "metric":
+        {"type": "dimension", "previousStop": "view"}}""") ==
+      Seq("click", "buy"))
+    // no previousStop → full list, unchanged
+    assert(dims("""{"type": "dimension"}""") == Seq("buy", "click", "view"))
+  }
+
   test("KLL quantile sketch spellings alias the quantiles family " +
       "(aggregator + every post-agg)") {
     def q(aggType: String, paPrefix: String): Seq[org.apache.spark.sql.Row] =
