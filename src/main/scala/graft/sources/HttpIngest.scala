@@ -90,6 +90,8 @@ final class HttpIngestServer(
     if (indexTaskRoot.isDefined) {
       s.createContext("/druid/indexer/v1/task",
         (ex: HttpExchange) => handleIndexer(ex))
+      s.createContext("/druid/indexer/v1/sampler",
+        (ex: HttpExchange) => handleSampler(ex))
       s.createContext("/druid/coordinator/v1/rules",
         (ex: HttpExchange) => handleRules(ex))
     }
@@ -645,6 +647,31 @@ final class HttpIngestServer(
         case (m, p) =>
           reply(ex, 405, s"""{"error":${quote(
             s"unsupported $m /druid/coordinator/v1/rules/$p")}}""")
+      }
+    } catch {
+      case NonFatal(e) =>
+        reply(ex, 500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+
+  /** `POST /druid/indexer/v1/sampler` — the console's spec-preview: runs
+    * the pipeline over ≤ samplerConfig.numRows input rows, no segments
+    * written ([[IndexTask.sample]]'s envelope subset). Errors are 400s
+    * (the preview loop's contract — a bad spec is the expected case). */
+  private def handleSampler(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") {
+        reply(ex, 405, """{"error":"POST a sampler spec"}"""); return
+      }
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      try {
+        val (read, indexed, rows) = IndexTask.sample(
+          org.apache.spark.sql.SparkSession.active, body)
+        val data = rows.map(r => s"""{"parsed":$r}""").mkString("[", ",", "]")
+        reply(ex, 200,
+          s"""{"numRowsRead":$read,"numRowsIndexed":$indexed,"data":$data}""")
+      } catch {
+        case NonFatal(e) =>
+          reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
       }
     } catch {
       case NonFatal(e) =>

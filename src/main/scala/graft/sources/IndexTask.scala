@@ -81,6 +81,43 @@ object IndexTask {
     Result(ds, target, ingestion, rows, segments)
   }
 
+  /** `POST /druid/indexer/v1/sampler` core (upstream SamplerResource — the
+    * console's spec-preview): run the ingestion pipeline over at most
+    * `numRows` input rows WITHOUT writing segments, reporting
+    * (numRowsRead, numRowsIndexed, indexed-row JSON previews). The
+    * defensible subset of upstream's envelope: entries carry the `parsed`
+    * (post-rollup) rows; per-input `input` echoes are omitted rather than
+    * approximated (row alignment through a rollup is not 1:1). */
+  def sample(spark: SparkSession, taskJson: String): (Long, Long, Seq[String]) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val root = mapper.readTree(taskJson)
+    val taskType = str(root, "type")
+    require(taskType == "index_parallel" || taskType == "index",
+      s"unsupported sampler task type '$taskType' (index/index_parallel)")
+    val spec = Option(root.get("spec")).getOrElse(
+      throw new IllegalArgumentException("sampler needs a spec"))
+    val numRows = Option(root.get("samplerConfig"))
+      .flatMap(c => Option(c.get("numRows"))).map(_.asInt).getOrElse(200)
+    require(numRows > 0, "samplerConfig.numRows must be positive")
+    val ingestion = SpecLoader.fromJson(spec.toString)
+    val io = Option(spec.get("ioConfig")).getOrElse(
+      throw new IllegalArgumentException("sampler spec needs an ioConfig"))
+    val raw = frame(spark,
+      Option(io.get("inputSource")).getOrElse(throw new IllegalArgumentException(
+        "ioConfig needs an inputSource")),
+      Option(io.get("inputFormat")).getOrElse(throw new IllegalArgumentException(
+        "ioConfig needs an inputFormat"))).limit(numRows).cache()
+    try {
+      val read = raw.count()
+      val p = new Pipeline(ingestion)
+      val indexed = p.rollup(p.project(p.extractTimestamp(raw))).cache()
+      try {
+        val n = indexed.count()
+        (read, n, indexed.limit(numRows).toJSON.collect().toSeq)
+      } finally indexed.unpersist()
+    } finally raw.unpersist()
+  }
+
   /** ioConfig.inputSource + inputFormat → raw DataFrame. `local` (baseDir
     * [+filter glob] or files) and `inline` sources — this engine runs
     * without egress, so http/s3/gcs are a loud error naming the gap;

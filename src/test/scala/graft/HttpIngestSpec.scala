@@ -1090,6 +1090,33 @@ class HttpIngestSpec extends SparkSpec {
         lb.contains("\"type\":\"compact\"") &&
         lb.contains("\"status\":\"FAILED\""), lb)
 
+      // sampler: the spec-preview — pipeline over ≤numRows inputs, no
+      // segments written; rollup folds 3 inputs into 2 indexed rows
+      val (spc, spb) = post(port, "/druid/indexer/v1/sampler",
+        s"""{"type": "index_parallel", "spec": {
+             "dataSchema": {"dataSource": "batch_ds",
+               "timestampSpec": {"column": "ts", "format": "auto"},
+               "dimensionsSpec": {"dimensions": ["etype"]},
+               "metricsSpec": [{"type": "count", "name": "cnt"},
+                 {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+               "granularitySpec": {"segmentGranularity": "DAY",
+                                   "queryGranularity": "DAY"}},
+             "ioConfig": {"type": "index_parallel",
+               "inputSource": {"type": "inline",
+                 "data": "2024-03-01 01:00:00,click,1.0\\n2024-03-01 02:00:00,click,2.0\\n2024-03-02 01:00:00,view,4.0"},
+               "inputFormat": {"type": "csv",
+                 "columns": ["ts", "etype", "value"]}}},
+            "samplerConfig": {"numRows": 100}}""")
+      assert(spc == 200, spb)
+      assert(spb.contains("\"numRowsRead\":3") &&
+        spb.contains("\"numRowsIndexed\":2"), spb)
+      assert(spb.contains("\"parsed\":{") && spb.contains("\"cnt\":2"), spb)
+      // a bad sampler spec is a 400, not a 500
+      val (spc2, spb2) = post(port, "/druid/indexer/v1/sampler",
+        """{"type": "index_parallel", "spec": {"dataSchema":
+            {"dataSource": "x"}}}""")
+      assert(spc2 == 400, spb2)
+
       // coordinator retention rules: keep-last-window drops the 2024 data
       // (now ≫ 2024 + P30D), loadForever keeps, unsupported chains are loud
       val (rc0, rb0) = post(port, "/druid/coordinator/v1/rules/batch_ds",
