@@ -86,19 +86,39 @@ object TupleSketch {
       }
     }
 
+    /** Late width discovery: rows inserted while the width was unknown
+      * (null metric arrays only) are zero-width — pad them so every
+      * retained row matches `numValues`. */
+    def adoptWidth(w: Int): Unit = {
+      require(numValues == 0 || numValues == w,
+        s"tuple sketch numValues mismatch: $numValues vs $w")
+      if (numValues == 0) {
+        numValues = w
+        var i = 0
+        while (i < size) {
+          if (values(i).length != w) values(i) = new Array[Double](w)
+          i += 1
+        }
+      }
+    }
+
     def mergeWith(other: Buffer): Unit = {
       // adopt capacity/width (k=0 & numValues=0 sentinel the union agg's
       // empty buffer); when both sides carry a k, the SMALLER bounds the
       // union's accuracy (upstream union semantics)
       if (other.k > 0) k = if (k == 0) other.k else math.min(k, other.k)
-      if (other.numValues > 0) {
-        require(numValues == 0 || numValues == other.numValues,
-          s"tuple sketch numValues mismatch: $numValues vs ${other.numValues}")
-        numValues = other.numValues
-      }
+      if (other.numValues > 0) adoptWidth(other.numValues)
       if (k > 0 && size > k) size = k // truncate if k shrank
       var i = 0
-      while (i < other.size) { add(other.hashes(i), other.values(i)); i += 1 }
+      while (i < other.size) {
+        // a width-less partial (all-null metric arrays) carries zero-width
+        // rows — pad to this buffer's width (zeros) before inserting
+        val row =
+          if (other.values(i).length == numValues) other.values(i)
+          else java.util.Arrays.copyOf(other.values(i), numValues)
+        add(other.hashes(i), row)
+        i += 1
+      }
     }
 
     /** θ as a fraction of the hash space (1.0 while sparse). */
@@ -236,6 +256,11 @@ case class TupleSketchAgg(
     val key = left.eval(input)
     if (key != null) {
       val arr = right.eval(input)
+      // a NULL metrics array counts the key with all-zero values (like
+      // null elements — the row still contributes to the distinct count);
+      // its width comes from the buffer once known, and zero-width rows
+      // inserted before the first non-null array are padded on adoption
+      // ([[TupleSketch.Buffer.adoptWidth]])
       val vals: Array[Double] = arr match {
         case a: ArrayData =>
           val n = a.numElements()
@@ -243,9 +268,9 @@ case class TupleSketchAgg(
           var m = 0
           while (m < n) { if (!a.isNullAt(m)) out(m) = a.getDouble(m); m += 1 }
           out
-        case _ => Array.empty[Double]
+        case _ => new Array[Double](buf.numValues)
       }
-      if (buf.numValues == 0) buf.numValues = vals.length
+      if (buf.numValues == 0 && vals.length > 0) buf.adoptWidth(vals.length)
       require(vals.length == buf.numValues,
         s"tuple_sketch_agg metrics width changed: ${vals.length} vs ${buf.numValues}")
       buf.add(ThetaSketch.hash(key.asInstanceOf[UTF8String]), vals)

@@ -20,6 +20,10 @@ object Filters {
   /** Exact-name reference (join-prefixed dims carry dots) — [[Cols]]. */
   private def col(name: String): Column = Cols.exact(name)
 
+  /** Typed-filter numeric comparison type: 23 integral digits cover the
+    * full LONG range exactly, 15 fractional ≈ double precision. */
+  private val NumCmpType = org.apache.spark.sql.types.DecimalType(38, 15)
+
   def toColumn(f: graft.config.FilterSpec): Column = f match {
     case graft.config.SelectorFilter(d, v) => col(d) <=> lit(v)
     // `isNotNull && pred` rather than `coalesce(pred, false)`: identical
@@ -102,23 +106,34 @@ object Filters {
     case graft.config.FalseFilter() => lit(false)
     case graft.config.NullFilter(d) => col(d).isNull
     case graft.config.EqualityFilter(d, t, v) =>
-      // typed compare: numeric matchValueTypes all compare as DOUBLE —
-      // try_cast-null (unparseable string value) never matches, and a
-      // double column against a LONG matchValue doesn't truncate-match
-      // (2.7 != 2). STRING compares the stringified column.
+      // typed compare: LONG goes through DECIMAL(38,15) — a double compare
+      // would false-match longs that collide above 2^53, and Druid's LONG
+      // comparison is exact 64-bit — while still not truncate-matching a
+      // fractional column value (2.7 != 2). DOUBLE/FLOAT compare as
+      // double (their own semantics, and the cast stays pushdown-erasable
+      // on double columns). try_cast-null (unparseable string value)
+      // never matches. STRING compares the stringified column.
       if (t == "STRING") col(d).cast(StringType) <=> lit(v)
-      else {
+      else if (t == "LONG") {
+        val c = col(d).try_cast(NumCmpType)
+        c.isNotNull && c === lit(new java.math.BigDecimal(v)).cast(NumCmpType)
+      } else {
         val c = col(d).try_cast(DoubleType)
         c.isNotNull && c === lit(v.toDouble)
       }
     case r: graft.config.TypedRangeFilter =>
       // bound-filter shape with typed ordering: lowerOpen/upperOpen true =
-      // strict. Same pushdown-friendly isNotNull && range conjunction.
+      // strict. Same pushdown-friendly isNotNull && range conjunction;
+      // LONG bounds compare through DECIMAL(38,15) like equality.
       val c =
         if (r.matchValueType == "STRING") col(r.column).cast(StringType)
+        else if (r.matchValueType == "LONG") col(r.column).try_cast(NumCmpType)
         else col(r.column).try_cast(DoubleType)
       def bound(v: String): Column =
-        if (r.matchValueType == "STRING") lit(v) else lit(v.toDouble)
+        if (r.matchValueType == "STRING") lit(v)
+        else if (r.matchValueType == "LONG")
+          lit(new java.math.BigDecimal(v)).cast(NumCmpType)
+        else lit(v.toDouble)
       val lo = r.lower.map(v => if (r.lowerOpen) c > bound(v) else c >= bound(v))
       val hi = r.upper.map(v => if (r.upperOpen) c < bound(v) else c <= bound(v))
       c.isNotNull && (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true))

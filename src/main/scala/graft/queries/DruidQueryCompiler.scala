@@ -679,20 +679,24 @@ object DruidQueryCompiler {
     // partials, Druid's rule), post-aggs and finalization applied on top
     val grandTotal = opt(root, "context").flatMap(c => opt(c, "grandTotal"))
       .exists(_.asBoolean)
-    val withTotal =
-      if (!grandTotal) base
-      else base.unionByName(finalizeAggs(aggregateAll(df, root), root))
     // Druid's timeseries envelope is TIME-ORDERED — ascending unless the
-    // query sets "descending": true; the null-stamped grandTotal row
-    // renders last either way. Bucket counts are small (intervals/width),
-    // so the final sort is negligible; Catalyst's EliminateSorts drops it
-    // when a wrapping query dataSource re-aggregates.
-    val ordered =
+    // query sets "descending": true. Bucket counts are small
+    // (intervals/width), so the final sort is negligible; Catalyst's
+    // EliminateSorts drops it when a wrapping query dataSource
+    // re-aggregates.
+    def timeOrder(d: DataFrame): DataFrame =
       if (opt(root, "descending").exists(_.asBoolean))
-        withTotal.orderBy(col(TimeCol).desc_nulls_last)
-      else withTotal.orderBy(col(TimeCol).asc_nulls_last)
-    // Druid timeseries `limit`: first N buckets in the envelope's order
-    opt(root, "limit").map(_.asInt).map(ordered.limit).getOrElse(ordered)
+        d.orderBy(col(TimeCol).desc_nulls_last)
+      else d.orderBy(col(TimeCol).asc_nulls_last)
+    // Druid timeseries `limit`: first N BUCKETS in the envelope's order —
+    // applied before the grandTotal union, because Druid appends the
+    // null-stamped total row AFTER limiting (limit+grandTotal returns
+    // N buckets + the total, never N-1 buckets)
+    val limited = opt(root, "limit").map(_.asInt)
+      .map(timeOrder(base).limit).getOrElse(base)
+    if (!grandTotal) timeOrder(limited)
+    else timeOrder(limited.unionByName(
+      finalizeAggs(aggregateAll(df, root), root)))
   }
 
   /** One-row whole-input aggregation for `grandTotal`: same aggregators and

@@ -232,52 +232,51 @@ object DruidSql {
     // subquery expression must shadow within that subquery, so each
     // substitute level re-collects names reachable at its root and unions
     // the enclosing scope's.
-    def cteNamesOf(
-        plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : Set[String] =
-      collectWithSubqueries(plan) {
-        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-          w.cteRelations.map { case (name, _, _) =>
-            name.toLowerCase(java.util.Locale.ROOT) }
-      }.flatten.toSet
+    // SCOPED top-down substitution: each UnresolvedWith extends the shadow
+    // set for ITS OWN subtree only — a CTE defined inside a derived table
+    // or a subquery expression must not shadow a same-named dataSource in
+    // the enclosing query (SQL scoping, Druid's rule; the old
+    // collect-all-names approach failed exactly those statements).
+    // Subquery-expression PLANS are not plan children, so each node's own
+    // expressions recurse explicitly with the current scope.
     def substitute(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        shadowed: Set[String])
-        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-      val cteNames = shadowed ++ cteNamesOf(plan)
-      plan.transformUp {
-        // CTE definition bodies are NOT plan children — recurse explicitly
-        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-          w.copy(cteRelations = w.cteRelations.map { case (n, s, o) =>
-            (n, substitute(s, cteNames).asInstanceOf[SubqueryAlias], o)
+        scope: Set[String])
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = plan match {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        // names are visible to the WITH's child AND to every cte body
+        // (later CTEs reference earlier ones; conservatively all)
+        val names = w.cteRelations.map { case (n, _, _) =>
+          n.toLowerCase(java.util.Locale.ROOT) }.toSet ++ scope
+        w.copy(
+          child = substitute(w.child, names),
+          cteRelations = w.cteRelations.map { case (n, s, o) =>
+            (n, substitute(s, names).asInstanceOf[SubqueryAlias], o)
           })
-        case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
-            !cteNames(r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) &&
-            framesCi.contains(r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) =>
-          // alias under the name AS WRITTEN so qualified column references
-          // (`CLICKS_DS.etype`) keep resolving
-          SubqueryAlias(r.multipartIdentifier.head,
-            framesCi(r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT))
-              .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-              .queryExecution.logical)
-        // metadata tables: two-part names (INFORMATION_SCHEMA.TABLES,
-        // sys.segments) — alias under the LAST part so `FROM
-        // INFORMATION_SCHEMA.COLUMNS` columns resolve unqualified
-        case r: UnresolvedRelation if r.multipartIdentifier.length == 2 &&
-            metaFrames.contains(
-              r.multipartIdentifier.map(_.toLowerCase(java.util.Locale.ROOT))) =>
-          SubqueryAlias(r.multipartIdentifier.last,
-            metaFrames(r.multipartIdentifier.map(
-                _.toLowerCase(java.util.Locale.ROOT)))
-              .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-              .queryExecution.logical)
-        // subquery expressions hold PLANS transformUp never visits — a
-        // dataSource referenced only inside a scalar/IN/EXISTS subquery
-        // must substitute too
-        case node => node.transformExpressionsUp {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
+          !scope(r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) &&
+          framesCi.contains(r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) =>
+        // alias under the name AS WRITTEN so qualified column references
+        // (`CLICKS_DS.etype`) keep resolving
+        SubqueryAlias(r.multipartIdentifier.head,
+          framesCi(r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT))
+            .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+            .queryExecution.logical)
+      // metadata tables: two-part names (INFORMATION_SCHEMA.TABLES,
+      // sys.segments) — alias under the LAST part so `FROM
+      // INFORMATION_SCHEMA.COLUMNS` columns resolve unqualified
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 2 &&
+          metaFrames.contains(
+            r.multipartIdentifier.map(_.toLowerCase(java.util.Locale.ROOT))) =>
+        SubqueryAlias(r.multipartIdentifier.last,
+          metaFrames(r.multipartIdentifier.map(
+              _.toLowerCase(java.util.Locale.ROOT)))
+            .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+            .queryExecution.logical)
+      case node =>
+        node.mapChildren(substitute(_, scope)).mapExpressions(_.transform {
           case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-            sub.withNewPlan(substitute(sub.plan, cteNames))
-        }
-      }
+            sub.withNewPlan(substitute(sub.plan, scope))
+        })
     }
     GraftSqlBridge.ofRows(spark, dialectRewrite(substitute(
       if (approxCountDistinct) approxCountDistinctRewrite(parsed) else parsed,
@@ -367,6 +366,16 @@ object DruidSql {
         if (c == '\\' && quote != '`') {
           out += c; i += 1; if (i < sql.length) out += sql(i)
         } else { if (c == quote) quote = 0; out += c }
+      } else if (c == '-' && i + 1 < sql.length && sql(i + 1) == '-') {
+        // `--` line comment: a '?' inside is commentary, not a placeholder
+        val end = sql.indexOf('\n', i)
+        val stop = if (end < 0) sql.length else end
+        out ++= sql.substring(i, stop); i = stop - 1
+      } else if (c == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
+        // `/* */` block comment (no nesting — the SQL standard's form)
+        val end = sql.indexOf("*/", i + 2)
+        val stop = if (end < 0) sql.length else end + 2
+        out ++= sql.substring(i, stop); i = stop - 1
       } else if (c == '\'' || c == '"' || c == '`') { quote = c; out += c }
       else if (c == '?') {
         require(next < params.length,
@@ -836,11 +845,6 @@ object DruidSql {
         .sortWithinPartitions(cluster.map(col): _*)
     val spark = selected.sparkSession
     val target = s"${storeRoot.stripSuffix("/")}/$ds"
-    if (overwriteAll) {
-      val p = new org.apache.hadoop.fs.Path(target)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
     // OVERWRITE WHERE: half-open [from, to) __time range — the wall-clock
     // literals are interpreted in the SESSION timezone, the same zone the
     // segment labels, truncation, and dir names live in (never the JVM
@@ -920,12 +924,6 @@ object DruidSql {
             org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
               .unescapePathName(d.getName.stripPrefix("segment=")) -> d
           }
-        // straddle probes are BOUNDED: no chunk granularity is coarser
-        // than YEAR, so only earlier dirs starting within one year of
-        // `from` can extend into the range — everything older is skipped
-        // without a read (footer-stat pushdown keeps the rest cheap)
-        val probeFloor = fmt.format(
-          from.atZone(sessionZone).minusYears(1).toInstant)
         // a segment=all dir (an earlier PARTITIONED BY ALL ingest) covers
         // every instant: no time range can replace it whole, and leaving
         // it would duplicate in-range rows — always loud
@@ -933,10 +931,14 @@ object DruidSql {
           "the dataSource contains an ALL-granularity segment (from a " +
             "PARTITIONED BY ALL ingest) — OVERWRITE WHERE cannot replace " +
             "part of it; use REPLACE … OVERWRITE ALL")
+        // EVERY earlier dir is probed — an earlier ingest may have used an
+        // arbitrarily long custom Duration chunk (PARTITIONED BY 'PT…'),
+        // so no fixed look-back window is sound. The probe is a limit(1)
+        // count with the time predicate pushed to parquet footers, so
+        // out-of-range dirs cost metadata reads, not scans.
         val (doomed, earlier) =
           (byName.filter { case (n, _) => n >= lo && n < hi }.map(_._2),
-            byName.filter { case (n, _) => n < lo && n >= probeFloor }
-              .map(_._2))
+            byName.filter { case (n, _) => n < lo }.map(_._2))
         def overlapRows(dirs: Seq[org.apache.hadoop.fs.Path],
             cond: org.apache.spark.sql.Column): Long =
           if (dirs.isEmpty) 0L
@@ -958,7 +960,25 @@ object DruidSql {
         doomed.foreach(d => fs.delete(d, true))
       }
     }
-    arranged.write.mode("append").partitionBy("segment").parquet(target)
+    if (overwriteAll) {
+      // STAGE-THEN-SWAP: the SELECT may read the target dataSource itself
+      // (Druid's canonical self-REPLACE reindex) — deleting the store
+      // before the plan materializes would scan a destroyed path and wipe
+      // the data with nothing written back. Write the new segments to a
+      // staging dir first, then swap directories; a failed write leaves
+      // the original store untouched.
+      val tp = new org.apache.hadoop.fs.Path(target)
+      val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new org.apache.hadoop.fs.Path(target + "__staging")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      arranged.write.mode("overwrite").partitionBy("segment")
+        .parquet(staging.toString)
+      if (fs.exists(tp)) fs.delete(tp, true)
+      require(fs.rename(staging, tp),
+        s"failed to swap staged segments into '$target'")
+    } else {
+      arranged.write.mode("append").partitionBy("segment").parquet(target)
+    }
     } finally overwriteRange.foreach(_ => selected.unpersist())
     // zero-row ingestion publishes zero segments (only _SUCCESS lands) —
     // Druid's contract; an unguarded read of the empty store would throw

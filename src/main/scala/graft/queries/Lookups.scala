@@ -125,8 +125,13 @@ object Lookups {
           s"keyColumn '$keyCol' / valueColumn '$valCol' must appear in columns $cols")
         val skip = Option(parse.get("skipHeaderRows")).map(_.asInt).getOrElse(0) +
           (if (Option(parse.get("hasHeaderRow")).exists(_.asBoolean)) 1 else 0)
+        require(delim.length == 1,
+          s"$f namespaceParseSpec delimiter must be one character, got '$delim'")
         fileLines.flatMap(_.drop(skip)).map { l =>
-          val parts = l.split(java.util.regex.Pattern.quote(delim), -1)
+          // RFC-4180 field split (Druid parses with a real CSV parser):
+          // quoted fields may contain the delimiter, "" inside quotes is a
+          // literal quote — a raw split would silently corrupt such values
+          val parts = splitDelimited(l, delim.charAt(0))
           require(parts.length >= cols.length,
             s"$f row has ${parts.length} of ${cols.length} columns: $l")
           parts(ki) -> parts(vi)
@@ -158,6 +163,33 @@ object Lookups {
         s"unsupported namespaceParseSpec format '$other' " +
           "(csv/tsv/simpleJson/customJson)")
     }
+  }
+
+  /** RFC-4180 line split: unquoted delimiters separate fields; a field
+    * starting with `"` runs to its closing quote ("" = literal quote) and
+    * the delimiter inside it is data. An unterminated quote falls back to
+    * taking the rest of the line as the field (loud enough downstream via
+    * the column-count require). */
+  private[queries] def splitDelimited(line: String, delim: Char): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var i = 0
+    var inQuotes = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') {
+            cur.append('"'); i += 1
+          } else inQuotes = false
+        } else cur.append(c)
+      } else if (c == '"' && cur.length() == 0) inQuotes = true
+      else if (c == delim) { out += cur.toString; cur.setLength(0) }
+      else cur.append(c)
+      i += 1
+    }
+    out += cur.toString
+    out.toArray
   }
 
   /** Broadcast of the lookup's CURRENT version, cached so repeated queries

@@ -211,6 +211,16 @@ class ConfigSpec extends AnyFunSuite {
       "upperOpen": true}""")
     assert(ids(rows, rgS) == Set("a", "e"))
 
+    // LONG compares exactly past 2^53 (a double compare would collide)
+    val bigRows = Seq(
+      ("p", java.lang.Long.valueOf(9007199254740993L)),
+      ("q", java.lang.Long.valueOf(9007199254740992L))
+    ).toDF("id", "n")
+    val eqBig = parse("""{"type": "equality", "column": "n",
+      "matchValueType": "LONG", "matchValue": 9007199254740993}""")
+    assert(bigRows.filter(graft.pipeline.Filters.toColumn(eqBig))
+      .select("id").as[String].collect().toSeq == Seq("p"))
+
     // null filter MATCHES nulls (the one filter that does); not() excludes
     val nl = parse("""{"type": "null", "column": "s"}""")
     assert(nl == NullFilter("s"))

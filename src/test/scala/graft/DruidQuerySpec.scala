@@ -1172,6 +1172,13 @@ class DruidQuerySpec extends SparkSpec {
         "descending": true, "limit": 2,
         "aggregations": [{"type": "count", "name": "cnt"}]}""")
     assert(limited == Seq("02:00", "01:00"), limited)
+    // limit + grandTotal: Druid appends the total AFTER limiting — N
+    // buckets AND the null-stamped total, never N-1 buckets
+    val limitedTotal = buckets("""{"queryType": "timeseries",
+        "dataSource": "events", "granularity": "hour",
+        "limit": 2, "context": {"grandTotal": true},
+        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+    assert(limitedTotal == Seq("00:00", "01:00", null), limitedTotal)
   }
 
   test("alphanumeric collation: order-preserving key follows the Alphanum " +

@@ -210,6 +210,21 @@ class DruidSqlSpec extends SparkSpec {
          PARTITIONED BY ALL""",
       Map("events" -> events), root)
     assert(empty.collect().isEmpty)
+
+    // SELF-referential REPLACE (Druid's canonical reindex): the SELECT
+    // reads the very store OVERWRITE ALL replaces — the stage-then-swap
+    // write must materialize the new segments BEFORE touching the old
+    // store, or the scan hits a deleted path and the data is gone
+    val dsFrame = spark.read.parquet(s"$root/ds")
+      .withColumnRenamed("segment", "__old_segment")
+    val r4 = DruidSql.ingest(
+      """REPLACE INTO ds OVERWRITE ALL
+         SELECT __time, event_type FROM ds
+         PARTITIONED BY P1M""",
+      Map("ds" -> dsFrame), root)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r4 == Map(
+      "2024-03-01T00:00:00" -> 4L, "2024-06-01T00:00:00" -> 1L), r4)
   }
 
   test("useApproximateCountDistinct=true rewrites COUNT(DISTINCT) to " +
@@ -542,6 +557,43 @@ class DruidSqlSpec extends SparkSpec {
       """WITH events AS (SELECT 1 AS one) SELECT sum(one) AS s FROM events""",
       Map("events" -> events)).head()
     assert(r.getLong(0) == 1L)
+    // …but scoping is PER SUBTREE: a CTE defined only inside a subquery
+    // expression or derived table must NOT shadow the outer dataSource —
+    // the outer `events` still substitutes while the inner one resolves
+    // to the CTE (SQL scoping; the old collect-all-names approach failed
+    // this with TABLE_OR_VIEW_NOT_FOUND)
+    val sub = DruidSql.run(
+      """SELECT count(*) AS c FROM events
+         WHERE value IN (SELECT v FROM
+           (WITH events AS (SELECT 1.0 AS v) SELECT v FROM events) t)""",
+      Map("events" -> events)).head()
+    assert(sub.getLong(0) == 1L, sub) // only the value=1.0 row matches
+    val derived = DruidSql.run(
+      """SELECT (SELECT count(*) FROM
+           (WITH events AS (SELECT 1 AS one) SELECT one FROM events) i)
+           + count(*) AS c
+         FROM events""",
+      Map("events" -> events)).head()
+    assert(derived.getLong(0) == 1L + events.count(), derived.toString)
+  }
+
+  test("bindParameters: '?' inside comments is commentary, not a placeholder") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    def p(json: String) = mapper.readTree(json)
+    val bound = DruidSql.bindParameters(
+      "SELECT * FROM t WHERE a = ? -- is this right?\n" +
+        "/* or maybe? */ AND b = ?",
+      Seq(p("""{"type":"BIGINT","value":7}"""),
+        p("""{"type":"VARCHAR","value":"x"}""")))
+    assert(bound.contains("a = 7") && bound.contains("b = 'x'"), bound)
+    assert(bound.contains("right?") && bound.contains("maybe?"), bound)
+    // an unterminated block comment swallows the rest (standard SQL) —
+    // the trailing '?' binds nothing and the count check stays loud
+    assert(intercept[IllegalArgumentException] {
+      DruidSql.bindParameters("SELECT ? /* open ?",
+        Seq(p("""{"type":"BIGINT","value":1}"""),
+          p("""{"type":"BIGINT","value":2}""")))
+    }.getMessage.contains("placeholders"))
   }
 
   test("CONTAINS_STRING / ICONTAINS_STRING: literal needle, null haystack → null") {

@@ -486,6 +486,35 @@ class FunctionsSpec extends SparkSpec {
     val w2 = new TupleSketch.Buffer(64, 2)
     w2.add(h("z"), Array(1.0, 2.0))
     assertThrows[IllegalArgumentException](w2.mergeWith(mk(64, Seq("q" -> 1.0))))
+    // NULL metric arrays count the key with zero values — including when
+    // the null arrives BEFORE the width is known (zero-width rows pad on
+    // adoption; a merge of a width-less partial pads too)
+    val late = new TupleSketch.Buffer(64, 0)
+    late.add(h("n1"), Array.empty[Double]) // null-array row, width unknown
+    late.adoptWidth(1)
+    late.add(h("n2"), Array(5.0))
+    assert(TupleSketch.estimate(late) == 2.0 &&
+      TupleSketch.metricsSumEstimate(late).toSeq == Seq(5.0))
+    val rt2 = TupleSketch.deserialize(TupleSketch.serialize(late))
+    assert(TupleSketch.metricsSumEstimate(rt2).toSeq == Seq(5.0))
+    val widthless = new TupleSketch.Buffer(64, 0)
+    widthless.add(h("n3"), Array.empty[Double])
+    late.mergeWith(widthless)
+    assert(TupleSketch.estimate(late) == 3.0 &&
+      TupleSketch.metricsSumEstimate(late).toSeq == Seq(5.0))
+    // end-to-end: CASE WHEN null arrays through the real aggregate (the
+    // null row still counts toward the distinct estimate)
+    val df = Seq(("b", Option.empty[Double]), ("a", Some(1.0)),
+      ("a", Some(2.0))).toDF("k", "v").coalesce(1)
+      .select($"k",
+        when($"v".isNotNull, array($"v".cast("double"))).as("m"))
+    graft.functions.GraftFunctions.register(spark)
+    val agg = df.agg(call_function("tuple_sketch_agg", $"k", $"m", lit(64))
+      .as("sk"))
+      .select(call_function("tuple_estimate", $"sk").as("est"),
+        element_at(call_function("tuple_metrics_sum", $"sk"), 1).as("s"))
+      .head()
+    assert(agg.getDouble(0) == 2.0 && agg.getDouble(1) == 3.0, agg.toString)
   }
 
   test("multimodal stub decode: partition-wise feature extraction") {

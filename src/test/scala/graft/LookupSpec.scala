@@ -121,6 +121,15 @@ class LookupSpec extends SparkSpec {
         "namespaceParseSpec":{"format":"tsv","delimiter":"|",
           "columns":["k","v"]}}""") == Map("a" -> "x", "b" -> "y"))
 
+    // RFC-4180 quoting: a quoted field may contain the delimiter, and ""
+    // inside quotes is a literal quote — a raw split would truncate the
+    // value silently (Druid parses with a real CSV parser)
+    val qUri = write("q.csv",
+      "k1,\"New York, NY\"\nk2,\"say \"\"hi\"\"\"\nk3,plain\n")
+    assert(load(s"""{"type":"uri","uri":"$qUri",
+        "namespaceParseSpec":{"format":"csv","columns":["k","v"]}}""") ==
+      Map("k1" -> "New York, NY", "k2" -> "say \"hi\"", "k3" -> "plain"))
+
     // simpleJson: one {key: value} object per line
     val sjUri = write("m.sjson", """{"k1":"v1"}""" + "\n" + """{"k2":"v2"}""")
     assert(load(s"""{"type":"uri","uri":"$sjUri",
