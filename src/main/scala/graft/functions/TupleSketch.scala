@@ -198,6 +198,12 @@ object TupleSketch {
     val out = new Buffer(
       if (a.k > 0 && b.k > 0) math.min(a.k, b.k) else math.max(a.k, b.k),
       math.max(a.numValues, b.numValues))
+    // width-less inputs (all-NULL metric arrays) carry zero-width rows —
+    // pad to the output width like mergeWith does, so set algebra over
+    // them neither corrupts the buffer nor throws
+    def pad(v: Array[Double]): Array[Double] =
+      if (v.length == out.numValues) v
+      else java.util.Arrays.copyOf(v, out.numValues)
     op match {
       case "UNION" =>
         out.mergeWith(a); out.mergeWith(b)
@@ -210,9 +216,10 @@ object TupleSketch {
           else if (y < x) j += 1
           else {
             if (x <= cut) {
-              val row = a.values(i).clone()
+              val row = pad(a.values(i)).clone()
+              val other = pad(b.values(j))
               var m = 0
-              while (m < out.numValues) { row(m) += b.values(j)(m); m += 1 }
+              while (m < out.numValues) { row(m) += other(m); m += 1 }
               out.add(x, row)
             }
             i += 1; j += 1
@@ -226,7 +233,7 @@ object TupleSketch {
           if (x > cut) i = a.size // ascending: nothing more below θ
           else {
             while (j < b.size && b.hashes(j) < x) j += 1
-            if (j >= b.size || b.hashes(j) != x) out.add(x, a.values(i))
+            if (j >= b.size || b.hashes(j) != x) out.add(x, pad(a.values(i)))
             i += 1
           }
         }

@@ -24,6 +24,17 @@ object Filters {
     * full LONG range exactly, 15 fractional ≈ double precision. */
   private val NumCmpType = org.apache.spark.sql.types.DecimalType(38, 15)
 
+  /** The exact-decimal half of a LONG-typed comparison: Some(condition)
+    * when the match value is a finite decimal, applied only to rows whose
+    * value fits DECIMAL(38,15) (overflow rows keep the double verdict);
+    * None when the value itself is NaN/Infinity (double-only compare). */
+  private def longExact(c: Column, v: String,
+      cmp: (Column, Column) => Column): Option[Column] =
+    scala.util.Try(new java.math.BigDecimal(v)).toOption.map { bd =>
+      val cd = c.try_cast(NumCmpType)
+      when(cd.isNotNull, cmp(cd, lit(bd).cast(NumCmpType))).otherwise(lit(true))
+    }
+
   def toColumn(f: graft.config.FilterSpec): Column = f match {
     case graft.config.SelectorFilter(d, v) => col(d) <=> lit(v)
     // `isNotNull && pred` rather than `coalesce(pred, false)`: identical
@@ -106,17 +117,23 @@ object Filters {
     case graft.config.FalseFilter() => lit(false)
     case graft.config.NullFilter(d) => col(d).isNull
     case graft.config.EqualityFilter(d, t, v) =>
-      // typed compare: LONG goes through DECIMAL(38,15) — a double compare
-      // would false-match longs that collide above 2^53, and Druid's LONG
-      // comparison is exact 64-bit — while still not truncate-matching a
-      // fractional column value (2.7 != 2). DOUBLE/FLOAT compare as
-      // double (their own semantics, and the cast stays pushdown-erasable
-      // on double columns). try_cast-null (unparseable string value)
-      // never matches. STRING compares the stringified column.
+      // typed compare. LONG requires BOTH the double comparison (the
+      // baseline semantic: fractional values never truncate-match, tiny
+      // non-zero values never round-match) AND, where the value fits
+      // DECIMAL(38,15), the exact decimal comparison — which separates
+      // longs a double compare collides above 2^53. Values outside the
+      // decimal range (|x| ≥ 1e23, or NaN/Infinity match values) fall
+      // back to the double verdict alone, where doubles are the exact
+      // arbiter anyway. DOUBLE/FLOAT compare as double (their own
+      // semantics, pushdown-erasable on double columns); try_cast-null
+      // (unparseable string value) never matches; STRING compares the
+      // stringified column.
       if (t == "STRING") col(d).cast(StringType) <=> lit(v)
       else if (t == "LONG") {
-        val c = col(d).try_cast(NumCmpType)
-        c.isNotNull && c === lit(new java.math.BigDecimal(v)).cast(NumCmpType)
+        val cdb = col(d).try_cast(DoubleType)
+        val base = cdb.isNotNull && cdb === lit(v.toDouble)
+        longExact(col(d), v, (cd, dl) => cd === dl)
+          .map(base && _).getOrElse(base)
       } else {
         val c = col(d).try_cast(DoubleType)
         c.isNotNull && c === lit(v.toDouble)
@@ -124,18 +141,22 @@ object Filters {
     case r: graft.config.TypedRangeFilter =>
       // bound-filter shape with typed ordering: lowerOpen/upperOpen true =
       // strict. Same pushdown-friendly isNotNull && range conjunction;
-      // LONG bounds compare through DECIMAL(38,15) like equality.
+      // LONG bounds add the exact decimal check like equality.
+      val isLong = r.matchValueType == "LONG"
       val c =
         if (r.matchValueType == "STRING") col(r.column).cast(StringType)
-        else if (r.matchValueType == "LONG") col(r.column).try_cast(NumCmpType)
         else col(r.column).try_cast(DoubleType)
       def bound(v: String): Column =
-        if (r.matchValueType == "STRING") lit(v)
-        else if (r.matchValueType == "LONG")
-          lit(new java.math.BigDecimal(v)).cast(NumCmpType)
-        else lit(v.toDouble)
-      val lo = r.lower.map(v => if (r.lowerOpen) c > bound(v) else c >= bound(v))
-      val hi = r.upper.map(v => if (r.upperOpen) c < bound(v) else c <= bound(v))
+        if (r.matchValueType == "STRING") lit(v) else lit(v.toDouble)
+      def cond(v: String, cmp: (Column, Column) => Column): Column = {
+        val base = cmp(c, bound(v))
+        if (!isLong) base
+        else longExact(col(r.column), v, cmp).map(base && _).getOrElse(base)
+      }
+      val lo = r.lower.map(v =>
+        if (r.lowerOpen) cond(v, _ > _) else cond(v, _ >= _))
+      val hi = r.upper.map(v =>
+        if (r.upperOpen) cond(v, _ < _) else cond(v, _ <= _))
       c.isNotNull && (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true))
     case b: graft.config.BoundFilter =>
       val c = b.ordering match {

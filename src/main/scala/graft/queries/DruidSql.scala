@@ -243,14 +243,19 @@ object DruidSql {
         scope: Set[String])
         : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = plan match {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-        // names are visible to the WITH's child AND to every cte body
-        // (later CTEs reference earlier ones; conservatively all)
-        val names = w.cteRelations.map { case (n, _, _) =>
-          n.toLowerCase(java.util.Locale.ROOT) }.toSet ++ scope
+        // visibility follows Spark's own (non-recursive) CTE resolution:
+        // a body sees the enclosing scope plus STRICTLY EARLIER siblings —
+        // a self- or forward-reference is NOT the CTE, so a same-named
+        // dataSource still substitutes there (Druid's behavior:
+        // `WITH x AS (SELECT … FROM x)` reads the dataSource x)
+        val lower = w.cteRelations.map { case (n, _, _) =>
+          n.toLowerCase(java.util.Locale.ROOT) }
         w.copy(
-          child = substitute(w.child, names),
-          cteRelations = w.cteRelations.map { case (n, s, o) =>
-            (n, substitute(s, names).asInstanceOf[SubqueryAlias], o)
+          child = substitute(w.child, scope ++ lower),
+          cteRelations = w.cteRelations.zipWithIndex.map {
+            case ((n, s, o), i) =>
+              (n, substitute(s, scope ++ lower.take(i))
+                .asInstanceOf[SubqueryAlias], o)
           })
       case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
           !scope(r.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) &&
@@ -969,7 +974,13 @@ object DruidSql {
       // the original store untouched.
       val tp = new org.apache.hadoop.fs.Path(target)
       val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new org.apache.hadoop.fs.Path(target + "__staging")
+      // dot-prefixed staging name: hidden from the dataSource namespace
+      // (sqlStoreDirs skips ._-prefixed dirs, Spark scans ignore them), so
+      // a half-written or crash-leaked staging dir never surfaces as a
+      // queryable dataSource; a stale one from a crashed run is replaced
+      // here on the next OVERWRITE ALL of the same dataSource
+      val staging = new org.apache.hadoop.fs.Path(
+        tp.getParent, s".staging_${tp.getName}")
       if (fs.exists(staging)) fs.delete(staging, true)
       arranged.write.mode("overwrite").partitionBy("segment")
         .parquet(staging.toString)

@@ -125,13 +125,16 @@ object Lookups {
           s"keyColumn '$keyCol' / valueColumn '$valCol' must appear in columns $cols")
         val skip = Option(parse.get("skipHeaderRows")).map(_.asInt).getOrElse(0) +
           (if (Option(parse.get("hasHeaderRow")).exists(_.asBoolean)) 1 else 0)
-        require(delim.length == 1,
-          s"$f namespaceParseSpec delimiter must be one character, got '$delim'")
         fileLines.flatMap(_.drop(skip)).map { l =>
-          // RFC-4180 field split (Druid parses with a real CSV parser):
-          // quoted fields may contain the delimiter, "" inside quotes is a
-          // literal quote — a raw split would silently corrupt such values
-          val parts = splitDelimited(l, delim.charAt(0))
+          // csv: RFC-4180 field split (Druid's CSVParser) — quoted fields
+          // may contain the delimiter, "" inside quotes is a literal
+          // quote; a raw split would silently corrupt such values.
+          // tsv/delimited: PLAIN split on the (possibly multi-character)
+          // delimiter, NO quote semantics — Druid's DelimitedParser
+          // behavior, where a quote character is data.
+          val parts =
+            if (f == "csv") splitDelimited(l, ',')
+            else l.split(java.util.regex.Pattern.quote(delim), -1)
           require(parts.length >= cols.length,
             s"$f row has ${parts.length} of ${cols.length} columns: $l")
           parts(ki) -> parts(vi)

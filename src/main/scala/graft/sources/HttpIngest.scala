@@ -255,6 +255,10 @@ final class HttpIngestServer(
         org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) Nil
       else fs.listStatus(p).filter(_.isDirectory)
+        // ._-prefixed dirs are internal (OVERWRITE ALL staging,
+        // metadata sidecars) — never queryable dataSources
+        .filterNot(st => st.getPath.getName.startsWith(".") ||
+          st.getPath.getName.startsWith("_"))
         .map(st => st.getPath.getName -> st.getPath.toString).toSeq
     }.toMap
 

@@ -220,6 +220,21 @@ class ConfigSpec extends AnyFunSuite {
       "matchValueType": "LONG", "matchValue": 9007199254740993}""")
     assert(bigRows.filter(graft.pipeline.Filters.toColumn(eqBig))
       .select("id").as[String].collect().toSeq == Seq("p"))
+    // values past the decimal comparison range keep the double verdict —
+    // a LONG range must not silently drop a 1e30 row
+    val hugeRows = Seq(("h", java.lang.Double.valueOf(1e30)),
+      ("l", java.lang.Double.valueOf(-5.0))).toDF("id", "x")
+    val rgHuge = parse("""{"type": "range", "column": "x",
+      "matchValueType": "LONG", "lower": 0}""")
+    assert(hugeRows.filter(graft.pipeline.Filters.toColumn(rgHuge))
+      .select("id").as[String].collect().toSeq == Seq("h"))
+    // and a tiny non-zero double must not round-match LONG 0
+    val tinyRows = Seq(("t", java.lang.Double.valueOf(1e-16)),
+      ("z", java.lang.Double.valueOf(0.0))).toDF("id", "x")
+    val eqZero = parse("""{"type": "equality", "column": "x",
+      "matchValueType": "LONG", "matchValue": 0}""")
+    assert(tinyRows.filter(graft.pipeline.Filters.toColumn(eqZero))
+      .select("id").as[String].collect().toSeq == Seq("z"))
 
     // null filter MATCHES nulls (the one filter that does); not() excludes
     val nl = parse("""{"type": "null", "column": "s"}""")

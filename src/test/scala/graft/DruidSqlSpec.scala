@@ -575,6 +575,13 @@ class DruidSqlSpec extends SparkSpec {
          FROM events""",
       Map("events" -> events)).head()
     assert(derived.getLong(0) == 1L + events.count(), derived.toString)
+    // a CTE's OWN BODY does not see itself (non-recursive WITH): the inner
+    // reference reads the DATASOURCE — Druid's `WITH x AS (… FROM x)`
+    val selfRef = DruidSql.run(
+      """WITH events AS (SELECT * FROM events WHERE event_type = 'click')
+         SELECT count(*) AS c FROM events""",
+      Map("events" -> events)).head()
+    assert(selfRef.getLong(0) == 3L, selfRef)
   }
 
   test("bindParameters: '?' inside comments is commentary, not a placeholder") {

@@ -502,6 +502,18 @@ class FunctionsSpec extends SparkSpec {
     late.mergeWith(widthless)
     assert(TupleSketch.estimate(late) == 3.0 &&
       TupleSketch.metricsSumEstimate(late).toSeq == Seq(5.0))
+    // set ops pad width-less inputs too (intersect/not must not index
+    // zero-width rows)
+    val wl2 = new TupleSketch.Buffer(64, 0)
+    wl2.add(h("n2"), Array.empty[Double])
+    val iWl = TupleSketch.setOp(late, wl2, "INTERSECT")
+    assert(TupleSketch.estimate(iWl) == 1.0 &&
+      TupleSketch.metricsSumEstimate(iWl).toSeq == Seq(5.0))
+    val nWl = TupleSketch.setOp(wl2, late, "NOT")
+    assert(TupleSketch.estimate(nWl) == 0.0)
+    assert(TupleSketch.metricsSumEstimate(
+      TupleSketch.deserialize(TupleSketch.serialize(
+        TupleSketch.setOp(late, wl2, "NOT")))).toSeq == Seq(0.0))
     // end-to-end: CASE WHEN null arrays through the real aggregate (the
     // null row still counts toward the distinct estimate)
     val df = Seq(("b", Option.empty[Double]), ("a", Some(1.0)),

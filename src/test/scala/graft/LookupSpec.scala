@@ -129,6 +129,13 @@ class LookupSpec extends SparkSpec {
     assert(load(s"""{"type":"uri","uri":"$qUri",
         "namespaceParseSpec":{"format":"csv","columns":["k","v"]}}""") ==
       Map("k1" -> "New York, NY", "k2" -> "say \"hi\"", "k3" -> "plain"))
+    // tsv keeps Druid's DelimitedParser semantics: NO quote handling (a
+    // quote character is data), and multi-character delimiters work
+    val tq = write("tq.tsv", "k1||\"v1\"\nk2||x\n")
+    assert(load(s"""{"type":"uri","uri":"$tq",
+        "namespaceParseSpec":{"format":"tsv","delimiter":"||",
+          "columns":["k","v"]}}""") ==
+      Map("k1" -> "\"v1\"", "k2" -> "x"))
 
     // simpleJson: one {key: value} object per line
     val sjUri = write("m.sjson", """{"k1":"v1"}""" + "\n" + """{"k2":"v2"}""")
