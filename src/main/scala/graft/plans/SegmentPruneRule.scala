@@ -108,6 +108,15 @@ class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (a.name, v.toString)
       case EqualTo(Literal(v, StringType), a: AttributeReference) if v != null =>
         (a.name, v.toString)
+      // the filter DSL compiles selector/equality to `<=>` (never-NULL
+      // contract): with a NON-NULL literal its admission set is the same
+      // as EqualTo's (a null dim value matches neither, and zone-map
+      // ranges never cover nulls) — without this, native-query selector
+      // filters over store reads would silently skip pruning
+      case EqualNullSafe(a: AttributeReference, Literal(v, StringType))
+          if v != null => (a.name, v.toString)
+      case EqualNullSafe(Literal(v, StringType), a: AttributeReference)
+          if v != null => (a.name, v.toString)
     }
     val stringInAll = collectStringDisjunctions(conjuncts)
     val numericBoundsAll = collectNumericBounds(conjuncts)
@@ -253,6 +262,11 @@ class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case EqualTo(a: AttributeReference, l: Literal)
               if a.dataType == StringType => strLit(l).map(a.name -> _)
           case EqualTo(l: Literal, a: AttributeReference)
+              if a.dataType == StringType => strLit(l).map(a.name -> _)
+          // `<=>` with a non-null literal — same admission as EqualTo
+          case EqualNullSafe(a: AttributeReference, l: Literal)
+              if a.dataType == StringType => strLit(l).map(a.name -> _)
+          case EqualNullSafe(l: Literal, a: AttributeReference)
               if a.dataType == StringType => strLit(l).map(a.name -> _)
           case _ => None
         }

@@ -975,6 +975,17 @@ class StreamingSpec extends SparkSpec {
         .filter(col("total") >= 0.0 && col("total") <= 10.0)
       assert(scanOf(q2).selectedPartitions.partitionCount == 1)
 
+      // `<=>` — what the filter DSL compiles selector/equality filters to
+      // (never-NULL contract) — admits like EqualTo: a native-query
+      // selector over a store read prunes too
+      val q1n = s2.read.parquet(s"$tmp/out").filter(col("etype") <=> "alpha")
+      assert(scanOf(q1n).selectedPartitions.partitionCount == 1,
+        "EqualNullSafe selector must prune like EqualTo")
+      val q1o = s2.read.parquet(s"$tmp/out")
+        .filter(col("etype") <=> "alpha" || col("etype") <=> "nosuch")
+      assert(scanOf(q1o).selectedPartitions.partitionCount == 1,
+        "OR of <=> equalities must prune via the union of admissions")
+
       // disjoint range: nothing admitted, nothing scanned, empty result
       val q3 = s2.read.parquet(s"$tmp/out")
         .filter(col("total") >= 500.0 && col("total") <= 900.0)
