@@ -1122,13 +1122,33 @@ object DruidQueryCompiler {
     val cols = opt(root, "columns").toSeq.flatMap(_.elements.asScala)
       .map(_.asText).toSeq
     val projected = if (cols.isEmpty) df else df.select(cols.map(col): _*)
-    val ordered = str(root, "order", "none").toLowerCase match {
-      case "none"       => projected
-      case "ascending"  => projected.orderBy(col(TimeCol).asc)
-      case "descending" => projected.orderBy(col(TimeCol).desc)
-      case other => throw new IllegalArgumentException(
-        s"unsupported scan order '$other' (none/ascending/descending)")
-    }
+    // Druid 26+ scan `orderBy`: arbitrary-column sort specs
+    // [{"columnName": c, "order": "ascending|descending"}, …] — wins over
+    // the legacy time-only `order` string when both appear (Druid rejects
+    // the combination; the explicit form is strictly more expressive)
+    val orderBySpecs = opt(root, "orderBy").toSeq
+      .flatMap(_.elements.asScala).map { o =>
+        val c = str(o, "columnName", "")
+        require(c.nonEmpty, "scan orderBy entry needs a columnName")
+        str(o, "order", "ascending").toLowerCase match {
+          case "ascending"  => col(c).asc
+          case "descending" => col(c).desc
+          case other => throw new IllegalArgumentException(
+            s"unsupported scan orderBy order '$other' (ascending/descending)")
+        }
+      }.toSeq
+    val ordered =
+      if (orderBySpecs.nonEmpty) {
+        require(str(root, "order", "none") == "none",
+          "scan takes either `orderBy` or the legacy time `order`, not both")
+        projected.orderBy(orderBySpecs: _*)
+      } else str(root, "order", "none").toLowerCase match {
+        case "none"       => projected
+        case "ascending"  => projected.orderBy(col(TimeCol).asc)
+        case "descending" => projected.orderBy(col(TimeCol).desc)
+        case other => throw new IllegalArgumentException(
+          s"unsupported scan order '$other' (none/ascending/descending)")
+      }
     val offset = opt(root, "offset").map(_.asInt).getOrElse(0)
     val shifted = if (offset > 0) ordered.offset(offset) else ordered
     opt(root, "limit").map(_.asInt).map(shifted.limit).getOrElse(shifted)

@@ -1208,6 +1208,28 @@ class DruidQuerySpec extends SparkSpec {
     assert(strlen == Seq("buy", "view"), strlen) // 3 < 4 < 5 (click)
   }
 
+  test("scan orderBy: arbitrary-column sort specs; combining with the legacy " +
+      "time order is loud") {
+    val vals = run("""
+      {"queryType": "scan", "dataSource": "events",
+       "columns": ["event_type", "value"],
+       "orderBy": [{"columnName": "event_type", "order": "ascending"},
+                   {"columnName": "value", "order": "descending"}],
+       "limit": 4}""")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(vals == Seq(("buy", 32.0), ("click", 8.0), ("click", 4.0),
+      ("click", 1.0)), vals)
+    assert(intercept[IllegalArgumentException](run("""
+      {"queryType": "scan", "dataSource": "events",
+       "order": "ascending",
+       "orderBy": [{"columnName": "value", "order": "ascending"}]}""").collect())
+      .getMessage.contains("not both"))
+    assert(intercept[IllegalArgumentException](run("""
+      {"queryType": "scan", "dataSource": "events",
+       "orderBy": [{"columnName": "value", "order": "sideways"}]}""").collect())
+      .getMessage.contains("sideways"))
+  }
+
   test("topN previousStop: resumes after the value in the spec's collation, " +
       "below it when inverted") {
     def dims(metric: String): Seq[String] = run(s"""
