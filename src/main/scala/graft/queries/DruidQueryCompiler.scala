@@ -1042,16 +1042,42 @@ object DruidQueryCompiler {
     if (n.isTextual) n.asText -> dimCol(n.asText)
     else {
       val d = str(n, "dimension", "")
-      require(d.nonEmpty, s"dimensionSpec needs a dimension: $n")
       val out = str(n, "outputName", d)
       str(n, "type", "default") match {
-        case "default" => out -> dimCol(d)
+        case "default" =>
+          require(d.nonEmpty, s"dimensionSpec needs a dimension: $n")
+          out -> dimCol(d)
         case "extraction" =>
+          require(d.nonEmpty, s"dimensionSpec needs a dimension: $n")
           out -> extraction(dimCol(d), opt(n, "extractionFn").getOrElse(
             throw new IllegalArgumentException(
               "extraction dimensionSpec needs an extractionFn")))
+        // multi-value value filters (Druid listFiltered / regexFiltered):
+        // drop array ELEMENTS before grouping. The filtered array then
+        // groups with this engine's documented MV SET semantics (one row
+        // per distinct array) — per-value row fan-out is the `unnest`
+        // dataSource's job, as in modern Druid.
+        case t @ ("listFiltered" | "regexFiltered") =>
+          val delegate = dimensionSpec(opt(n, "delegate").getOrElse(
+            throw new IllegalArgumentException(s"$t dimensionSpec needs a delegate")))
+          val outName = if (str(n, "outputName", "").nonEmpty) out else delegate._1
+          val pred: Column => Column =
+            if (t == "listFiltered") {
+              val values = opt(n, "values").toSeq
+                .flatMap(_.elements.asScala).map(_.asText)
+              require(values.nonEmpty, "listFiltered needs values")
+              val white = opt(n, "isWhitelist").forall(_.asBoolean)
+              x => if (white) x.isin(values: _*)
+                   else !coalesce(x.isin(values: _*), lit(false))
+            } else {
+              val p = str(n, "pattern", "")
+              require(p.nonEmpty, "regexFiltered needs a pattern")
+              x => x.rlike(p)
+            }
+          outName -> filter(delegate._2, pred)
         case other => throw new IllegalArgumentException(
-          s"unsupported dimensionSpec type '$other' (default/extraction)")
+          s"unsupported dimensionSpec type '$other' " +
+            "(default/extraction/listFiltered/regexFiltered)")
       }
     }
 

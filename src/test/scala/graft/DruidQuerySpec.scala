@@ -1208,6 +1208,42 @@ class DruidQuerySpec extends SparkSpec {
     assert(strlen == Seq("buy", "view"), strlen) // 3 < 4 < 5 (click)
   }
 
+  test("listFiltered/regexFiltered dimension specs: MV element filtering " +
+      "before set-grouping") {
+    def grouped(dimSpec: String): Seq[(Seq[String], Long)] = run(s"""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "virtualColumns": [{"type": "expression", "name": "tags",
+         "expression": "array(event_type, user)"}],
+       "dimensions": [$dimSpec],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select(col("kept"), col("cnt"))
+      .collect().map(r => (r.getSeq[String](0).toSeq, r.getLong(1)))
+      .toSeq.sortBy(_.toString)
+    // whitelist keeps only event-type elements → arrays collapse to them
+    val white = grouped("""{"type": "listFiltered", "outputName": "kept",
+      "delegate": {"type": "default", "dimension": "tags"},
+      "values": ["click", "view", "buy"]}""")
+    assert(white == Seq(Seq("buy") -> 1L, Seq("click") -> 3L,
+      Seq("view") -> 2L).sortBy(_.toString), white)
+    // blacklist drops them → arrays collapse to the user element
+    val black = grouped("""{"type": "listFiltered", "outputName": "kept",
+      "delegate": {"type": "default", "dimension": "tags"},
+      "values": ["click", "view", "buy"], "isWhitelist": false}""")
+    assert(black == Seq(Seq("alice") -> 3L, Seq("bob") -> 3L)
+      .sortBy(_.toString), black)
+    // regexFiltered keeps matching elements only
+    val rex = grouped("""{"type": "regexFiltered", "outputName": "kept",
+      "delegate": {"type": "default", "dimension": "tags"},
+      "pattern": "a.*"}""")
+    assert(rex == Seq(Seq("alice") -> 3L, Seq[String]() -> 3L)
+      .sortBy(_.toString), rex)
+    // missing knobs are loud
+    assert(intercept[IllegalArgumentException](grouped(
+      """{"type": "listFiltered",
+          "delegate": {"type": "default", "dimension": "tags"}}"""))
+      .getMessage.contains("values"))
+  }
+
   test("scan orderBy: arbitrary-column sort specs; combining with the legacy " +
       "time order is loud") {
     val vals = run("""
