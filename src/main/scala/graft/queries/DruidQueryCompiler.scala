@@ -1136,10 +1136,43 @@ object DruidQueryCompiler {
           else opt(fn, "replaceMissingValueWith").map(v => lit(v.asText))
             .getOrElse(lit(null).cast(StringType))
         coalesce(looked, onMiss)
+      // chain of extraction fns, applied left to right (upstream
+      // CascadeExtractionFn)
+      case "cascade" =>
+        val fns = opt(fn, "extractionFns").toSeq
+          .flatMap(_.elements.asScala).toSeq
+        require(fns.nonEmpty, "cascade extractionFn needs extractionFns")
+        fns.foldLeft(c)(extraction)
+      // java.util.Formatter over the dimension value (upstream
+      // StringFormatExtractionFn); nullHandling picks what a NULL input
+      // renders as — NULLSTRING (the word, Druid's default) / EMPTYSTRING
+      // / RETURNNULL
+      case "stringFormat" =>
+        val f = str(fn, "format", "")
+        require(f.nonEmpty, "stringFormat extractionFn needs a format")
+        val in = str(fn, "nullHandling", "NULLSTRING") match {
+          case "NULLSTRING"  => coalesce(c.cast(StringType), lit("null"))
+          case "EMPTYSTRING" => coalesce(c.cast(StringType), lit(""))
+          case "RETURNNULL"  => c.cast(StringType)
+          case other => throw new IllegalArgumentException(
+            s"unsupported stringFormat nullHandling '$other' " +
+              "(NULLSTRING/EMPTYSTRING/RETURNNULL)")
+        }
+        when(in.isNull, lit(null).cast(StringType))
+          .otherwise(format_string(f, in))
+      // numeric bucketing (upstream BucketExtractionFn): floor to
+      // offset-anchored buckets of `size`, rendered as the bucket start
+      case "bucket" =>
+        val size = opt(fn, "size").map(_.asDouble).getOrElse(1.0)
+        val off = opt(fn, "offset").map(_.asDouble).getOrElse(0.0)
+        require(size > 0, s"bucket extractionFn size must be positive, got $size")
+        val x = c.try_cast(DoubleType)
+        (floor((x - lit(off)) / lit(size)) * lit(size) + lit(off))
+          .cast(StringType)
       case other => throw new IllegalArgumentException(
         s"unsupported extractionFn type '$other' " +
           "(substring/upper/lower/strlen/regex/timeFormat/lookup/" +
-          "registeredLookup)")
+          "registeredLookup/cascade/stringFormat/bucket)")
     }
 
   // -------------------------------------------------------------------- scan

@@ -1208,6 +1208,45 @@ class DruidQuerySpec extends SparkSpec {
     assert(strlen == Seq("buy", "view"), strlen) // 3 < 4 < 5 (click)
   }
 
+  test("cascade/stringFormat/bucket extraction fns") {
+    val rows = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": [
+         {"type": "extraction", "dimension": "event_type", "outputName": "tag",
+          "extractionFn": {"type": "cascade", "extractionFns": [
+            {"type": "substring", "index": 0, "length": 2},
+            {"type": "upper"},
+            {"type": "stringFormat", "format": "<%s>"}]}},
+         {"type": "extraction", "dimension": "value", "outputName": "bkt",
+          "extractionFn": {"type": "bucket", "size": 10.0, "offset": 2.0}}],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select(col("tag"), col("bkt"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq.sortBy(_.toString)
+    // values 1,4,8 → bucket [-8,2); 16 → [12,22); 32 → [22,32) wait: offset
+    // 2, size 10 → buckets …[-8,2),[2,12),[12,22),[22,32),[32,42)
+    assert(rows == Seq(("<BU>", "32.0", 1L), ("<CL>", "-8.0", 1L),
+      ("<CL>", "2.0", 2L), ("<VI>", "2.0", 1L), ("<VI>", "12.0", 1L))
+      .sortBy(_.toString), rows)
+    // stringFormat nullHandling forms
+    val nh = run("""
+      {"queryType": "scan", "dataSource": "events",
+       "virtualColumns": [{"type": "expression", "name": "nv",
+         "expression": "nullif(event_type, 'click')"}],
+       "columns": ["event_type", "nv"]}""")
+    assert(nh.columns.contains("nv")) // virtual column plumbing sanity
+    val nulls = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "virtualColumns": [{"type": "expression", "name": "nv",
+         "expression": "nullif(event_type, 'click')"}],
+       "dimensions": [{"type": "extraction", "dimension": "nv",
+         "outputName": "s",
+         "extractionFn": {"type": "stringFormat", "format": "[%s]"}}],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select(col("s")).collect().map(_.getString(0)).toSet
+    assert(nulls == Set("[null]", "[buy]", "[view]"), nulls)
+  }
+
   test("listFiltered/regexFiltered dimension specs: MV element filtering " +
       "before set-grouping") {
     def grouped(dimSpec: String): Seq[(Seq[String], Long)] = run(s"""
