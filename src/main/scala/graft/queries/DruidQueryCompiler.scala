@@ -978,9 +978,16 @@ object DruidQueryCompiler {
     case "filter" => Filters.toColumn(SpecLoader.parseFilter(
       opt(n, "filter").getOrElse(
         throw new IllegalArgumentException("filter having needs a filter"))))
+    // dimension OUTPUT equality (upstream DimensionSelectorHavingSpec) —
+    // the never-NULL selector semantics, over the grouped dim column
+    case "dimSelector" =>
+      col(str(n, "dimension", "")).cast(
+        org.apache.spark.sql.types.StringType) <=>
+        lit(opt(n, "value").map(_.asText).getOrElse(
+          throw new IllegalArgumentException("dimSelector having needs a value")))
     case other => throw new IllegalArgumentException(
       s"unsupported having type '$other' " +
-        "(greaterThan/lessThan/equalTo/and/or/not/filter)")
+        "(greaterThan/lessThan/equalTo/dimSelector/and/or/not/filter)")
   }
 
   private def havingValue(n: JsonNode): Column =

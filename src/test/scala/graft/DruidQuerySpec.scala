@@ -184,6 +184,16 @@ class DruidQuerySpec extends SparkSpec {
          {"type": "like", "dimension": "event_type", "pattern": "%i%"}}}""")
       .collect().map(_.getAs[String]("event_type")).toSet
     assert(viaFilter == Set("click", "view"))
+
+    // dimSelector having: dimension-output equality
+    val viaDim = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": ["event_type"],
+       "aggregations": [{"type": "count", "name": "cnt"}],
+       "having": {"type": "dimSelector", "dimension": "event_type",
+                  "value": "buy"}}""")
+      .collect().map(_.getAs[String]("event_type")).toSeq
+    assert(viaDim == Seq("buy"))
   }
 
   test("limitSpec: metric order + offset pagination is deterministic") {
