@@ -865,7 +865,8 @@ object DruidQueryCompiler {
 
   private def topN(df: DataFrame, root: JsonNode): DataFrame = {
     val (name, dcol) = dimensionSpec(opt(root, "dimension").getOrElse(
-      throw new IllegalArgumentException("topN needs a dimension")))
+      throw new IllegalArgumentException("topN needs a dimension")),
+      Some(df.schema))
     val threshold = opt(root, "threshold").map(_.asInt).getOrElse(
       throw new IllegalArgumentException("topN needs a threshold"))
     // finalize BEFORE ordering: Druid's topN metric compares finalized
@@ -951,7 +952,7 @@ object DruidQueryCompiler {
 
   private def groupBy(df: DataFrame, root: JsonNode): DataFrame = {
     val dims = opt(root, "dimensions").toSeq.flatMap(_.elements.asScala)
-      .map(dimensionSpec).toSeq
+      .map(dimensionSpec(_, Some(df.schema))).toSeq
     val subtotals = opt(root, "subtotalsSpec").map(_.elements.asScala
       .map(s => s.elements.asScala.map(_.asText).toSeq).toSeq)
     // finalize BEFORE having/limit: Druid's having and metric-ordered
@@ -978,13 +979,20 @@ object DruidQueryCompiler {
     case "filter" => Filters.toColumn(SpecLoader.parseFilter(
       opt(n, "filter").getOrElse(
         throw new IllegalArgumentException("filter having needs a filter"))))
-    // dimension OUTPUT equality (upstream DimensionSelectorHavingSpec) —
-    // the never-NULL selector semantics, over the grouped dim column
+    // dimension OUTPUT equality (upstream DimensionSelectorHavingSpec),
+    // over the grouped dim column — optionally through an extractionFn
+    // (Druid supports one); an explicit null value matches NULL dimension
+    // rows, the upstream null-selector semantics
     case "dimSelector" =>
-      col(str(n, "dimension", "")).cast(
-        org.apache.spark.sql.types.StringType) <=>
-        lit(opt(n, "value").map(_.asText).getOrElse(
-          throw new IllegalArgumentException("dimSelector having needs a value")))
+      val base = col(str(n, "dimension", ""))
+      val c = opt(n, "extractionFn").map(extraction(base, _)).getOrElse(base)
+        .cast(StringType)
+      opt(n, "value") match {
+        case scala.None => throw new IllegalArgumentException(
+          "dimSelector having needs a value")
+        case Some(v) if v.isNull => c.isNull
+        case Some(v) => c <=> lit(v.asText)
+      }
     case other => throw new IllegalArgumentException(
       s"unsupported having type '$other' " +
         "(greaterThan/lessThan/equalTo/dimSelector/and/or/not/filter)")
@@ -1046,6 +1054,10 @@ object DruidQueryCompiler {
     * lower / regex / timeFormat / strlen). Output name defaults to the
     * dimension name. */
   private def dimensionSpec(n: JsonNode): (String, Column) =
+    dimensionSpec(n, scala.None)
+
+  private def dimensionSpec(n: JsonNode,
+      schema: Option[org.apache.spark.sql.types.StructType]): (String, Column) =
     if (n.isTextual) n.asText -> dimCol(n.asText)
     else {
       val d = str(n, "dimension", "")
@@ -1065,23 +1077,49 @@ object DruidQueryCompiler {
         // per distinct array) — per-value row fan-out is the `unnest`
         // dataSource's job, as in modern Druid.
         case t @ ("listFiltered" | "regexFiltered") =>
-          val delegate = dimensionSpec(opt(n, "delegate").getOrElse(
-            throw new IllegalArgumentException(s"$t dimensionSpec needs a delegate")))
+          val delNode = opt(n, "delegate").getOrElse(
+            throw new IllegalArgumentException(s"$t dimensionSpec needs a delegate"))
+          val delegate = dimensionSpec(delNode, schema)
           val outName = if (str(n, "outputName", "").nonEmpty) out else delegate._1
           val pred: Column => Column =
             if (t == "listFiltered") {
               val values = opt(n, "values").toSeq
                 .flatMap(_.elements.asScala).map(_.asText)
               require(values.nonEmpty, "listFiltered needs values")
-              val white = opt(n, "isWhitelist").forall(_.asBoolean)
+              // explicit null isWhitelist = the default TRUE (Druid's
+              // Boolean deserialization), never a silent blacklist flip
+              val white = opt(n, "isWhitelist").filterNot(_.isNull)
+                .forall(_.asBoolean)
               x => if (white) x.isin(values: _*)
                    else !coalesce(x.isin(values: _*), lit(false))
             } else {
               val p = str(n, "pattern", "")
               require(p.nonEmpty, "regexFiltered needs a pattern")
-              x => x.rlike(p)
+              // Druid's RegexFilteredDimensionSpec uses FULL-string
+              // matches(), not substring find — anchor the pattern
+              x => x.rlike("^(?:" + p + ")$")
             }
-          outName -> filter(delegate._2, pred)
+          // a SINGLE-VALUE delegate (plain non-array column, or any
+          // extraction output) follows Druid's SV rule: the value
+          // survives the filter or becomes null — functions.filter only
+          // types against arrays. Unknown schema defaults to the MV form.
+          val delegateIsArray = {
+            val plainDim =
+              if (delNode.isTextual) Some(delNode.asText)
+              else if (str(delNode, "type", "default") == "default")
+                Some(str(delNode, "dimension", ""))
+              else scala.None // extraction outputs are strings
+            plainDim match {
+              case Some(d) => schema.forall(_.fields.exists(f =>
+                f.name == d &&
+                  f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+              case scala.None => false
+            }
+          }
+          outName -> (
+            if (delegateIsArray) filter(delegate._2, pred)
+            else when(pred(delegate._2.cast(StringType)), delegate._2)
+              .otherwise(lit(null)))
         case other => throw new IllegalArgumentException(
           s"unsupported dimensionSpec type '$other' " +
             "(default/extraction/listFiltered/regexFiltered)")
@@ -1157,16 +1195,21 @@ object DruidQueryCompiler {
       case "stringFormat" =>
         val f = str(fn, "format", "")
         require(f.nonEmpty, "stringFormat extractionFn needs a format")
-        val in = str(fn, "nullHandling", "NULLSTRING") match {
-          case "NULLSTRING"  => coalesce(c.cast(StringType), lit("null"))
-          case "EMPTYSTRING" => coalesce(c.cast(StringType), lit(""))
-          case "RETURNNULL"  => c.cast(StringType)
+        // format the RAW value (Druid's String.format over the object) so
+        // numeric conversions like %d / %.1f work; only the NULL
+        // replacement is a string, exactly what Druid substitutes
+        val formatted = format_string(f, c)
+        str(fn, "nullHandling", "NULLSTRING") match {
+          case "NULLSTRING" =>
+            when(c.isNull, format_string(f, lit("null"))).otherwise(formatted)
+          case "EMPTYSTRING" =>
+            when(c.isNull, format_string(f, lit(""))).otherwise(formatted)
+          case "RETURNNULL" =>
+            when(c.isNull, lit(null).cast(StringType)).otherwise(formatted)
           case other => throw new IllegalArgumentException(
             s"unsupported stringFormat nullHandling '$other' " +
               "(NULLSTRING/EMPTYSTRING/RETURNNULL)")
         }
-        when(in.isNull, lit(null).cast(StringType))
-          .otherwise(format_string(f, in))
       // numeric bucketing (upstream BucketExtractionFn): floor to
       // offset-anchored buckets of `size`, rendered as the bucket start
       case "bucket" =>
@@ -1205,7 +1248,7 @@ object DruidQueryCompiler {
       }.toSeq
     val ordered =
       if (orderBySpecs.nonEmpty) {
-        require(str(root, "order", "none") == "none",
+        require(str(root, "order", "none").toLowerCase == "none",
           "scan takes either `orderBy` or the legacy time `order`, not both")
         projected.orderBy(orderBySpecs: _*)
       } else str(root, "order", "none").toLowerCase match {

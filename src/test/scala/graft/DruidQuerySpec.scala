@@ -1280,12 +1280,37 @@ class DruidQuerySpec extends SparkSpec {
       "values": ["click", "view", "buy"], "isWhitelist": false}""")
     assert(black == Seq(Seq("alice") -> 3L, Seq("bob") -> 3L)
       .sortBy(_.toString), black)
-    // regexFiltered keeps matching elements only
+    // regexFiltered is a FULL-string match (Druid's matches(), not a
+    // substring find): "li" alone keeps nothing, "[a-z]*li[a-z]*" keeps
+    // alice AND click
+    val rexNone = grouped("""{"type": "regexFiltered", "outputName": "kept",
+      "delegate": {"type": "default", "dimension": "tags"},
+      "pattern": "li"}""")
+    assert(rexNone == Seq(Seq[String]() -> 6L), rexNone)
     val rex = grouped("""{"type": "regexFiltered", "outputName": "kept",
       "delegate": {"type": "default", "dimension": "tags"},
-      "pattern": "a.*"}""")
-    assert(rex == Seq(Seq("alice") -> 3L, Seq[String]() -> 3L)
-      .sortBy(_.toString), rex)
+      "pattern": "[a-z]*li[a-z]*"}""")
+    // [click,alice]×2 keep both; [click,bob]→[click]; [view,alice]→[alice];
+    // [view,bob]/[buy,bob]→[]
+    assert(rex == Seq(Seq("click", "alice") -> 2L, Seq[String]() -> 2L,
+      Seq("click") -> 1L, Seq("alice") -> 1L).sortBy(_.toString), rex)
+    // a SINGLE-VALUE delegate follows Druid's SV rule: survive-or-null
+    val sv = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": [{"type": "listFiltered", "outputName": "kept",
+         "delegate": {"type": "default", "dimension": "event_type"},
+         "values": ["click"]}],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select(col("kept"), col("cnt"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+      .toSeq.sortBy(_.toString)
+    assert(sv == Seq(Option.empty[String] -> 3L, Some("click") -> 3L)
+      .sortBy(_.toString), sv)
+    // explicit null isWhitelist = the DEFAULT whitelist, never blacklist
+    val nullWl = grouped("""{"type": "listFiltered", "outputName": "kept",
+      "delegate": {"type": "default", "dimension": "tags"},
+      "values": ["click", "view", "buy"], "isWhitelist": null}""")
+    assert(nullWl == white, nullWl)
     // missing knobs are loud
     assert(intercept[IllegalArgumentException](grouped(
       """{"type": "listFiltered",
