@@ -406,39 +406,45 @@ object DruidSql {
     * by a reserved relation name `__extern_N`, returned with its three
     * argument strings; the caller builds the frames via [[externFrame]]
     * and passes them like any dataSource. */
+  /** First occurrence of `word` (whole-identifier, case-insensitive) at or
+    * after `from` that is OUTSIDE any string literal / quoted identifier —
+    * the shared scanner behind the TABLE(EXTERN)/TABLE(APPEND) rewrites. */
+  private def findWord(s: String, word: String, from: Int): Int = {
+    var i = from
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if (s.regionMatches(true, i, word, 0, word.length) &&
+          (i == 0 || !isIdent(s(i - 1))) &&
+          (i + word.length >= s.length || !isIdent(s(i + word.length))))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Index of the ')' matching the '(' at `open`, quote-aware. */
+  private def matchParen(s: String, open: Int): Int = {
+    var i = open; var depth = 0; var quote: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parentheses")
+  }
+
   def extractExterns(sql: String)
       : (String, Seq[(String, (String, String, String))]) = {
-    def findWord(s: String, word: String, from: Int): Int = {
-      var i = from
-      var quote: Char = 0
-      while (i < s.length) {
-        val c = s(i)
-        if (quote != 0) {
-          if (c == '\\' && quote != '`') i += 1
-          else if (c == quote) quote = 0
-        } else if (c == '\'' || c == '"' || c == '`') quote = c
-        else if (s.regionMatches(true, i, word, 0, word.length) &&
-            (i == 0 || !isIdent(s(i - 1))) &&
-            (i + word.length >= s.length || !isIdent(s(i + word.length))))
-          return i
-        i += 1
-      }
-      -1
-    }
-    def matchParen(s: String, open: Int): Int = {
-      var i = open; var depth = 0; var quote: Char = 0
-      while (i < s.length) {
-        val c = s(i)
-        if (quote != 0) {
-          if (c == '\\' && quote != '`') i += 1
-          else if (c == quote) quote = 0
-        } else if (c == '\'' || c == '"' || c == '`') quote = c
-        else if (c == '(') depth += 1
-        else if (c == ')') { depth -= 1; if (depth == 0) return i }
-        i += 1
-      }
-      throw new IllegalArgumentException("EXTERN(: unbalanced parentheses")
-    }
     // three SQL string literals ('' self-escape) separated by commas
     def parseArgs(s: String): Seq[String] = {
       var i = 0
@@ -576,27 +582,50 @@ object DruidSql {
     * dataSources, missing columns null-filled — the SQL twin of the native
     * `union` dataSource. Each occurrence rewrites to a `__append_N`
     * relation; callers build its frame from the member names via
-    * [[appendFrame]]. (Regex-scoped: an APPEND call spelled inside a
-    * string literal would also match — the EXTERN scanner's quote
-    * awareness is overkill for a plain quoted-name list.) */
-  private val AppendRe =
-    ("""(?is)TABLE\s*\(\s*APPEND\s*\(\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)\s*\)""").r
-
+    * [[appendFrame]]. Quote-aware like the EXTERN scanner — the pattern
+    * spelled inside a string literal or quoted identifier is data and
+    * must not be rewritten (a regex-only pass corrupted such literals). */
   def extractAppends(sql: String): (String, Seq[(String, Seq[String])]) = {
     val specs = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
-    var i = 0
-    val rew = AppendRe.replaceAllIn(sql, m => {
-      // names come out of their quotes individually — a comma INSIDE a
-      // quoted name must not split it
-      val names = "'([^']*)'".r.findAllMatchIn(m.group(1))
-        .map(_.group(1)).toSeq
-      require(names.nonEmpty && names.forall(_.nonEmpty),
-        "APPEND needs at least one dataSource name")
-      val alias = s"__append_$i"; i += 1
-      specs += alias -> names
-      alias
-    })
-    (rew, specs.toSeq)
+    var s = sql
+    var from = 0
+    var n = 0
+    while (true) {
+      val a = findWord(s, "append", from)
+      if (a < 0) return (s, specs.toSeq)
+      // backward: `TABLE (` must precede, exactly like the EXTERN scanner
+      var b = a - 1
+      while (b >= 0 && s(b).isWhitespace) b -= 1
+      if (b < 0 || s(b) != '(') { from = a + 1 }
+      else {
+        var t = b - 1
+        while (t >= 0 && s(t).isWhitespace) t -= 1
+        val tStart = t - 4
+        if (tStart < 0 || !s.regionMatches(true, tStart, "table", 0, 5) ||
+            (tStart > 0 && isIdent(s(tStart - 1)))) { from = a + 1 }
+        else {
+          var j = a + "append".length
+          while (j < s.length && s(j).isWhitespace) j += 1
+          require(j < s.length && s(j) == '(',
+            "APPEND must be followed by a parenthesized name list")
+          val closeA = matchParen(s, j)
+          val closeT = matchParen(s, b)
+          require(closeT > closeA, "TABLE(APPEND(...)): unbalanced parentheses")
+          // names come out of their quotes individually — a comma INSIDE a
+          // quoted name must not split it ('' self-escape honored)
+          val body = s.substring(j + 1, closeA)
+          val names = "'((?:[^']|'')*)'".r.findAllMatchIn(body)
+            .map(_.group(1).replace("''", "'")).toSeq
+          require(names.nonEmpty && names.forall(_.nonEmpty),
+            "APPEND needs at least one dataSource name")
+          val alias = s"__append_$n"; n += 1
+          specs += alias -> names
+          s = s.substring(0, tStart) + alias + s.substring(closeT + 1)
+          from = tStart + alias.length
+        }
+      }
+    }
+    (s, specs.toSeq) // unreachable
   }
 
   /** Frame for one APPEND: members resolved case-insensitively from

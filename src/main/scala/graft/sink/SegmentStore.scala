@@ -463,12 +463,40 @@ object SegmentStore {
     // expensive full-store merge must not run twice
     val finals = read(spark, path, spec, finalizeSketches = false).persist()
     try {
-      finals.write.mode("overwrite").partitionBy(Pipeline.SegmentCol)
+      // keep the (segment, __batch_id) layout invariant: compacted rows land
+      // as batch 0, so later appendToExisting tasks (batch ids ≥ 1) coexist
+      // in the same directory tree — mixed flat/nested layouts would break
+      // parquet partition discovery
+      finals.withColumn("__batch_id", org.apache.spark.sql.functions.lit(0L))
+        .write.mode("overwrite")
+        .partitionBy(Pipeline.SegmentCol, "__batch_id")
         .option("compression", "zstd").parquet(outPath)
       // regenerate the zone-map for the compacted store (segment already in
       // dir-string form here)
       SegmentSink.appendStats(finals, outPath)
     } finally finals.unpersist()
+  }
+
+  /** [[compact]] staged-then-swapped into the ORIGINAL directory, so the
+    * dataSource keeps ONE canonical store dir across its whole task history
+    * (index → compact → kill/retention → append). Compact-to-a-new-dir with
+    * a registry flip silently forked the lineage: a later index task wrote
+    * to and re-registered the original dir, discarding the compaction and
+    * any kills applied in between. The write to the staging dir completes
+    * fully (persisted source — one materialization) before the original is
+    * replaced, so a crash mid-compact leaves the original store intact.
+    */
+  def compactInPlace(spark: SparkSession, path: String,
+      spec: IngestionSpec): Unit = {
+    val staging = s"${path.stripSuffix("/")}__compacting"
+    compact(spark, path, spec, staging)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val s = new org.apache.hadoop.fs.Path(staging)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.delete(p, true)) throw new java.io.IOException(
+      s"compactInPlace: could not remove pre-compaction store $path")
+    if (!fs.rename(s, p)) throw new java.io.IOException(
+      s"compactInPlace: could not swap $staging into $path")
   }
 
   // ------------------------------------------------- bucketed at-rest layout

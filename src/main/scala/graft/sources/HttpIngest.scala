@@ -193,12 +193,15 @@ final class HttpIngestServer(
           })
           // stream the row array: one partition in memory at a time (plus
           // the cap), like the SQL endpoint — never the whole result.
-          // A scan query that EXPLICITLY sets resultFormat gets Druid's
-          // batched scan envelope; the plain row array stays the default
-          // for every queryType (documented delta).
-          val scanFmt = Option(root.get("resultFormat")).map(_.asText)
-            .filter(_ => Option(root.get("queryType"))
-              .map(_.asText).contains("scan"))
+          // Scan queries ALWAYS get Druid's batched ScanResultValue
+          // envelope — upstream defaults resultFormat to "list" when
+          // absent, and clients parse that shape, so the wire format must
+          // match even for default-configured requests.
+          val scanFmt =
+            if (Option(root.get("queryType")).map(_.asText).contains("scan"))
+              Some(Option(root.get("resultFormat")).map(_.asText)
+                .getOrElse("list"))
+            else scala.None
           scanFmt match {
             case Some(fmt) =>
               val batchSize = Option(root.get("batchSize")).map(_.asInt)
@@ -362,6 +365,13 @@ final class HttpIngestServer(
         val (sqlQueryId, timeoutMs, _) = sqlContext(root)
         qid = sqlQueryId
         ex.getResponseHeaders.set("X-Druid-SQL-Query-Id", sqlQueryId)
+        // surface the one silent default divergence from upstream: Druid
+        // defaults useApproximateCountDistinct=true, this engine defaults
+        // to EXACT. Announced per-response whenever the client did not pick
+        // a side, so result comparisons against Druid aren't mysterious.
+        if (!Option(root.get("context")).exists(_.has("useApproximateCountDistinct")))
+          ex.getResponseHeaders.set("X-Graft-Default-Delta",
+            "useApproximateCountDistinct=false (upstream Druid defaults true)")
         // the streamed write runs INSIDE the job group: every job the
         // row-at-a-time iterator submits stays cancellable/timeout-bound
         withJobGroup(sqlQueryId, timeoutMs) {
@@ -472,9 +482,17 @@ final class HttpIngestServer(
           // loudness rationale)
           val approxCdIngest = Option(root.get("context")).flatMap(c =>
             Option(c.get("useApproximateCountDistinct"))).exists(_.asBoolean)
-          Inline(graft.queries.DruidSql.ingest(sqlText, frames, storeRoot,
-              approxCd = approxCdIngest)
-            .toJSON.collect().mkString("[", ",", "]"))
+          // The inline collect is bounded BY CONSTRUCTION: one report row
+          // per written segment. Enforce the bound rather than assume it —
+          // a pathological segmentGranularity (e.g. second-granularity over
+          // years) must fail loud, not OOM the server.
+          val report = graft.queries.DruidSql.ingest(sqlText, frames,
+            storeRoot, approxCd = approxCdIngest)
+            .toJSON.limit(100001).collect()
+          require(report.length <= 100000,
+            "ingestion produced >100000 segments — segmentGranularity is " +
+              "almost certainly too fine for the data's time range")
+          Inline(report.mkString("[", ",", "]"))
         } else {
         // parse ONCE; drain + substitute only the dataSources the statement
         // references (case-insensitive, like Spark identifier resolution)
@@ -731,17 +749,20 @@ final class HttpIngestServer(
                   throw new IllegalArgumentException(
                     s"compact task knows only task-ingested dataSources " +
                       s"(have: ${taskStores.keySet().asScala.toSeq.sorted.mkString(",")})"))
-                val out = s"${dir.stripSuffix("/")}__compacted_$id"
-                graft.sink.SegmentStore.compact(spark, dir, spec, out)
-                taskStores.put(ds, (out, spec))
+                // in-place (stage-then-swap): the dataSource keeps ONE
+                // canonical dir, so later index/kill/retention tasks keep
+                // operating on the compacted store instead of silently
+                // resurrecting the pre-compaction one
+                graft.sink.SegmentStore.compactInPlace(spark, dir, spec)
                 val s = new IndexTaskState(id, ds, "compact")
                 s.state = "SUCCESS"
-                s.rows = graft.sink.SegmentStore.read(spark, out, spec).count()
+                s.rows = graft.sink.SegmentStore.read(spark, dir, spec).count()
                 s
               case "index" | "index_parallel" =>
                 val r = IndexTask.run(spark, body,
                   indexTaskRoot.getOrElse(throw new IllegalStateException(
-                    "index task API not enabled")))
+                    "index task API not enabled")),
+                  ds => Option(taskStores.get(ds)).map(_._1))
                 val s = new IndexTaskState(id, r.dataSource)
                 s.state = "SUCCESS"; s.rows = r.rowsIngested
                 taskStores.put(r.dataSource, (r.storeDir, r.spec))

@@ -37,8 +37,11 @@ object IndexTask {
       spec: IngestionSpec, rowsIngested: Long, segments: Long)
 
   /** Parse + run one task document; segments land under
-    * `<storeRoot>/<dataSource>`. */
-  def run(spark: SparkSession, taskJson: String, storeRoot: String): Result = {
+    * `<storeRoot>/<dataSource>`, unless `currentDir` resolves the dataSource
+    * to an already-registered store dir — then THAT dir is the target, so a
+    * task history (index → compact → append) stays on one canonical store. */
+  def run(spark: SparkSession, taskJson: String, storeRoot: String,
+      currentDir: String => Option[String] = _ => None): Result = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
     val root = mapper.readTree(taskJson)
     val taskType = str(root, "type")
@@ -62,13 +65,28 @@ object IndexTask {
     val p = new Pipeline(ingestion)
     val out = p.withSegment(p.rollup(p.project(p.extractTimestamp(raw))))
 
-    val target = s"${storeRoot.stripSuffix("/")}/$ds"
+    val target = currentDir(ds).getOrElse(s"${storeRoot.stripSuffix("/")}/$ds")
     val tp = new org.apache.hadoop.fs.Path(target)
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!append && fs.exists(tp)) fs.delete(tp, true)
+    // The store nests `__batch_id=N` INSIDE each `segment=…` dir, and
+    // writeMicroBatch uses DYNAMIC partition overwrite keyed on
+    // (segment, __batch_id) — so a reused batch id silently overwrites a
+    // prior append's rows for every segment both batches share. Derive the
+    // next id from the MAX existing id across all segment dirs (not a
+    // top-level dir count, which is always 0 here).
     val batchId =
       if (!append || !fs.exists(tp)) 0L
-      else 1L + fs.listStatus(tp).count(_.getPath.getName.startsWith("__batch"))
+      else {
+        val ids = for {
+          seg <- fs.listStatus(tp).toSeq
+          if seg.isDirectory && seg.getPath.getName.contains("=")
+          b <- fs.listStatus(seg.getPath).toSeq
+          name = b.getPath.getName if name.startsWith("__batch_id=")
+          id <- scala.util.Try(name.stripPrefix("__batch_id=").toLong).toOption
+        } yield id
+        if (ids.isEmpty) 0L else ids.max + 1L
+      }
     graft.sink.SegmentSink.writeMicroBatch(target)(out, batchId)
 
     val stored = graft.sink.SegmentStore.read(spark, target, ingestion)

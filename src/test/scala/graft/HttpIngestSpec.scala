@@ -174,11 +174,14 @@ class HttpIngestSpec extends SparkSpec {
       assert(qb.contains("\"n\":2") && qb.contains("\"t\":3.0"), qb)
       assert(qb.contains("2024-03-01T12:00:00"), qb) // hour bucket, ISO ts
 
+      // a scan WITHOUT resultFormat gets the batched "list" envelope —
+      // upstream's default wire shape (clients parse columns + events)
       val (qc2, qb2) = post(handle.port, "/druid/v2",
         """{"queryType": "scan", "dataSource": "views_ds",
             "columns": ["__time", "etype", "total"]}""")
       assert(qc2 == 200 && qb2.contains("\"etype\":\"v\"") &&
         qb2.contains("\"total\":4.0"), qb2)
+      assert(qb2.contains("\"events\":") && qb2.contains("\"columns\":"), qb2)
 
       // unknown dataSource and malformed query both reply 400, not 500
       val (qc3, qb3) = post(handle.port, "/druid/v2",
@@ -194,14 +197,20 @@ class HttpIngestSpec extends SparkSpec {
       // rows; maxQueryRows=1 truncates the scan to one
       post(handle.port, "/v1/post/clicks_ds",
         """{"ts":"2024-03-01 12:05:00","etype":"d","value":8.0}""")
+      def scanEvents(body: String): Int = {
+        val env = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        var n = 0
+        env.forEach(b => n += b.get("events").size)
+        n
+      }
       val (qc5a, qb5a) = post(handle.port, "/druid/v2",
         """{"queryType": "scan", "dataSource": "clicks_ds",
             "columns": ["__time", "etype"]}""")
-      assert(qc5a == 200 && qb5a.count(_ == '{') == 2, qb5a)
+      assert(qc5a == 200 && scanEvents(qb5a) == 2, qb5a)
       val (qc5, qb5) = post(handle.port, "/druid/v2",
         """{"queryType": "scan", "dataSource": "clicks_ds",
             "columns": ["__time", "etype"], "context": {"maxQueryRows": 1}}""")
-      assert(qc5 == 200 && qb5.count(_ == '{') == 1, qb5)
+      assert(qc5 == 200 && scanEvents(qb5) == 1, qb5)
 
       // native join dataSource over the ROUTED store E2E: left = the
       // clicks_ds stream (drained read-your-writes), right = a registered
@@ -246,6 +255,13 @@ class HttpIngestSpec extends SparkSpec {
       val (apc2, apb2) = post(handle.port, "/druid/v2/sql",
         """{"query": "SELECT COUNT(*) FROM TABLE(APPEND('clicks_ds', 'nope_ds'))"}""")
       assert(apc2 == 400 && apb2.contains("nope_ds"), apb2)
+      // the APPEND pattern spelled INSIDE a string literal is data — the
+      // rewrite is quote-aware (like the EXTERN scanner) and must not
+      // corrupt the literal into a __append_N reference
+      val (apc3, apb3) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT 'TABLE(APPEND(''clicks_ds''))' AS s FROM clicks_ds LIMIT 1"}""")
+      assert(apc3 == 200 &&
+        apb3.contains("TABLE(APPEND('clicks_ds'))"), apb3)
       // a dataSource referenced ONLY inside a subquery expression still
       // routes (collect must reach subquery plans)
       val (sqc, sqb) = post(handle.port, "/druid/v2/sql",
@@ -889,11 +905,15 @@ class HttpIngestSpec extends SparkSpec {
       assert(csvLines.size == 60001 && csvLines.head == "id")
       assert(csvLines(1) == "0" && csvLines.last == "59999")
 
-      // the native endpoint shares the streamed renderer
+      // the native endpoint shares the streamed renderer; a default scan is
+      // the "list" envelope (3 batches of the default 20480 batchSize)
       val (nc, nb) = post(port, "/druid/v2",
         """{"queryType": "scan", "dataSource": "big_ds",
             "columns": ["id"], "context": {"maxQueryRows": 100000}}""")
-      assert(nc == 200 && nb.count(_ == '{') == 60000, nb.take(200))
+      assert(nc == 200, nb.take(200))
+      val nEnv = new com.fasterxml.jackson.databind.ObjectMapper().readTree(nb)
+      assert(nEnv.isArray && nEnv.size == 3, nEnv.size) // ceil(60000/20480)
+      assert((0 until nEnv.size).map(nEnv.get(_).get("events").size).sum == 60000)
 
       // explicit scan resultFormat → Druid's batched envelope: 3 batches of
       // batchSize with columns + events; compactedList is positional
@@ -1031,13 +1051,24 @@ class HttpIngestSpec extends SparkSpec {
         """{"query": "SELECT etype, SUM(cnt) AS n, SUM(total) AS t FROM batch_ds GROUP BY etype ORDER BY etype"}""")
       assert(qc2 == 200, qb2)
       assert(qb2.contains("\"n\":3") && qb2.contains("\"t\":11.0"), qb2)
+      // a SECOND overlapping append must NOT overwrite the first append's
+      // rows (regression: batch ids were derived from a top-level dir count
+      // that was always 0, so every append reused the same id and dynamic
+      // partition overwrite silently dropped the previous append)
+      val (c2b, b2b) = post(port, "/druid/indexer/v1/task",
+        task(append = true, "2024-03-01 04:00:00,click,16.0"))
+      assert(c2b == 200, b2b)
+      val (qc2b, qb2b) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT SUM(cnt) AS n, SUM(total) AS t FROM batch_ds WHERE etype = 'click'"}""")
+      assert(qc2b == 200 && qb2b.contains("\"n\":4") &&
+        qb2b.contains("\"t\":27.0"), qb2b)
       // native query path resolves the task store too (__time present)
       val (nc, nb) = post(port, "/druid/v2",
         """{"queryType": "timeseries", "dataSource": "batch_ds",
             "granularity": "all",
             "aggregations": [{"type": "longSum", "name": "n",
                               "fieldName": "cnt"}]}""")
-      assert(nc == 200 && nb.contains("\"n\":4"), nb)
+      assert(nc == 200 && nb.contains("\"n\":5"), nb)
       // sys.tasks lists both ingestion tasks as index_parallel
       val (tc, tb) = post(port, "/druid/v2/sql",
         """{"query": "SELECT task_id, type, status FROM sys.tasks WHERE type = 'index_parallel' ORDER BY task_id"}""")
@@ -1068,8 +1099,24 @@ class HttpIngestSpec extends SparkSpec {
         scb.contains("\"status\":\"SUCCESS\""), scb)
       val (qc4, qb4) = post(port, "/druid/v2/sql",
         """{"query": "SELECT etype, SUM(cnt) AS n, SUM(total) AS t FROM batch_ds GROUP BY etype ORDER BY etype"}""")
-      assert(qc4 == 200 && qb4.contains("\"n\":3") &&
-        qb4.contains("\"t\":11.0"), qb4)
+      assert(qc4 == 200 && qb4.contains("\"n\":4") &&
+        qb4.contains("\"t\":27.0"), qb4)
+      // append AFTER compact: the dataSource keeps ONE canonical dir, so
+      // the new batch lands beside the compacted rows (regression: a
+      // post-compact index task used to write to and re-register the
+      // pre-compaction dir, silently discarding the compaction and
+      // resurrecting killed segments)
+      val (c5, b5) = post(port, "/druid/indexer/v1/task",
+        task(append = true, "2024-03-01 05:00:00,click,32.0"))
+      assert(c5 == 200, b5)
+      val (qc4b, qb4b) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT SUM(cnt) AS n, SUM(total) AS t FROM batch_ds WHERE etype = 'click'"}""")
+      assert(qc4b == 200 && qb4b.contains("\"n\":5") &&
+        qb4b.contains("\"t\":59.0"), qb4b)
+      // …and the killed Mar-2 'view' chunk stays killed, not resurrected
+      val (qc4c, qb4c) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT COUNT(*) AS n FROM batch_ds WHERE etype = 'view'"}""")
+      assert(qc4c == 200 && qb4c.contains("\"n\":0"), qb4c)
       // a broken task fails LOUDLY via status (submit still returns the id)
       val (c3, b3) = post(port, "/druid/indexer/v1/task",
         """{"type": "wrong_type", "spec": {}}""")
