@@ -90,6 +90,24 @@ object GraftFunctions {
         require(args.length == 1, "simhash64(text) takes 1 argument")
         SimHash64(args(0))
       }),
+    (new FunctionIdentifier("gear_chunks"),
+      new ExpressionInfo(classOf[GearChunks].getName, "gear_chunks"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 1 && args.length <= 4,
+          "gear_chunks(text[, mask[, minLen, maxLen]]) takes 1-4 arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"gear_chunks $what must be an integer literal, got $other")
+        }
+        val mask = if (args.length >= 2) intLit(args(1), "mask") else 64
+        val (mn, mx) =
+          if (args.length == 4) (intLit(args(2), "minLen"), intLit(args(3), "maxLen"))
+          else if (args.length == 3) throw new IllegalArgumentException(
+            "gear_chunks: minLen and maxLen must be given together")
+          else (0, 0)
+        GearChunks(args(0), mask, mn, mx)
+      }),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

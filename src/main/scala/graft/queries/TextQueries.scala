@@ -23,43 +23,20 @@ object TextQueries {
   private val TokenPattern = TextFunctions.TokenPattern
 
   /** Gear-hash CDC chunking of the documents table → one (doc_id, source,
-    * chunk) row per chunk. Each stage lands in its OWN projected column:
-    * referencing a Column expression twice embeds two copies of its tree,
-    * and higher-order lambdas are CodegenFallback — interpreted eval
-    * re-runs every copy, so an inlined `gs` inside the per-position lambda
-    * is O(L) work per position (O(L²)), and an inlined `bnd` inside the
-    * per-chunk lambda squares it again: measured MINUTES per 500 tiny
-    * docs. Materialized attributes evaluate once per row (CollapseProject
-    * keeps expensive multi-referenced projections separate), so
-    * element_at reads the row's ARRAY VALUE in O(1) and the whole doc is
-    * O(L). Shared by `cdc_chunk_stats` and `cdc_containment_pairs`. */
+    * chunk) row per chunk, via the compiled [[graft.functions.GearChunks]]
+    * expression: one codegen O(L) pass per document. (The original
+    * higher-order-function formulation — per-char hash array + windowed
+    * boundary filter + per-chunk substr — was CodegenFallback interpreted
+    * per element and dominated every scale probe; GearChunksSpec pins
+    * chunk-for-chunk equality against that formulation, and the DuckDB
+    * oracles of both CDC queries pin the semantics end-to-end.) Shared by
+    * `cdc_chunk_stats` and `cdc_containment_pairs`. */
   private def cdcChunkFrame(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val t = col("text")
-    val gear = Tables.t(s, dir, "documents")
-      .withColumn("__len", length(t))
-      .withColumn("__gs", transform(filter(split(t, ""), c => c =!= lit("")),
-        c => ascii(c) * lit(167) + lit(13)))
-      .withColumn("__bnd", when(col("__len") >= 7,
-        filter(sequence(lit(6), col("__len") - 1), i =>
-          (element_at(col("__gs"), i - 5) * 32 +
-            element_at(col("__gs"), i - 4) * 16 +
-            element_at(col("__gs"), i - 3) * 8 +
-            element_at(col("__gs"), i - 2) * 4 +
-            element_at(col("__gs"), i - 1) * 2 +
-            element_at(col("__gs"), i)) % 64 === 0))
-        .otherwise(array().cast("array<int>")))
-    // ~L/64 chunks per doc: the per-chunk substr is fine (one O(pos)
-    // scan per CHUNK, not per position)
-    val bnd = col("__bnd")
-    val chunks = transform(sequence(lit(1), size(bnd) + 1), k => {
-      val start = when(k === 1, lit(1))
-        .otherwise(element_at(bnd, k - 1) + 1)
-      val end = when(k === size(bnd) + 1, col("__len"))
-        .otherwise(element_at(bnd, k))
-      t.substr(start, end - start + 1)
-    })
-    gear.select(col("doc_id"), col("source"), explode(chunks).as("chunk"))
+    graft.functions.GraftFunctions.register(s)
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.GearChunks(col("text"), mask = 64)).as("chunk"))
   }
 
   val all: Seq[QueryDef] = Seq(
