@@ -48,7 +48,7 @@ object Sources {
     * DataFrame with `ts` as a proper TimestampType.
     */
   def eventsReplay(spark: SparkSession, sfDir: String, stagingDir: String,
-      splits: Int = 8): DataFrame = {
+      splits: Int = 8, maxFilesPerTrigger: Int = 1): DataFrame = {
     // ns→µs conversion happens at stage time (same rule as Tables.t: only
     // when ts was physically read as a nanos long — re-written copies of the
     // table already carry TimestampType), so the staged files and the stream
@@ -62,7 +62,7 @@ object Sources {
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    parquetFileStream(spark, stagingDir, schema)
+    parquetFileStream(spark, stagingDir, schema, maxFilesPerTrigger)
   }
 
   /** The record shape Spark's kafka source produces — also the contract any
