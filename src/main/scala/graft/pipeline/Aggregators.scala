@@ -17,6 +17,27 @@ object Aggregators {
   /** Exact-name reference (join-prefixed fields carry dots) — [[Cols]]. */
   private def col(name: String): Column = Cols.exact(name)
 
+  /** Rewrite references to the event-time column `from` inside FILTERED
+    * aggregators (full-DSL filterSpec, legacy dimension==value pair, nested
+    * delegates) to `to`. The aggregation cores overwrite the time column
+    * with its granularity bucket before aggregating but keep the raw value
+    * under [[Pipeline.RawTsCol]]; Druid evaluates filtered-agg filters
+    * against the RAW row, so they must read the preserved copy.
+    * (NativeSqlFuzzSpec regression: an interval-filtered agg under
+    * granularity day/all silently matched nothing.) */
+  def remapFilterTime(spec: AggregatorSpec, from: String,
+      to: String): AggregatorSpec = {
+    val delegated = spec.aggregator match {
+      case Some(d) => spec.copy(aggregator = Some(remapFilterTime(d, from, to)))
+      case scala.None => spec
+    }
+    if (spec.aggType != "filtered") delegated
+    else delegated.copy(
+      filterSpec = delegated.filterSpec.map(Filters.renameColumn(_, from, to)),
+      filterDimension = delegated.filterDimension.map(d =>
+        if (d == from) to else d))
+  }
+
   def toColumn(spec: AggregatorSpec): Column = spec.aggType match {
     case "count"     => count(lit(1)).as(spec.name)
     case "longSum"   => sum(field(spec)).cast(LongType).as(spec.name)

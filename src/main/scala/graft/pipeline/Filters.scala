@@ -178,6 +178,55 @@ object Filters {
         (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true))
   }
 
+  /** Rewrite every reference to column `from` into `to`, recursively.
+    * Used by the aggregation cores (DruidQueryCompiler.aggregate,
+    * Pipeline.rollup): they overwrite the event-time column with its
+    * granularity bucket BEFORE the aggregators run, so a filtered
+    * aggregator's filter naming the time column would silently compare
+    * against the truncated bucket — Druid evaluates filtered-agg filters
+    * against the RAW row, which both cores preserve under
+    * [[Pipeline.RawTsCol]]. (Found by NativeSqlFuzzSpec: a filtered agg
+    * with an interval filter under granularity `day`/`all` matched nothing.)
+    * expression filters reject the rename loudly rather than rewrite SQL. */
+  def renameColumn(f: graft.config.FilterSpec, from: String,
+      to: String): graft.config.FilterSpec = {
+    def r(x: graft.config.FilterSpec): graft.config.FilterSpec =
+      renameColumn(x, from, to)
+    def n(d: String): String = if (d == from) to else d
+    f match {
+      case graft.config.SelectorFilter(d, v) => graft.config.SelectorFilter(n(d), v)
+      case graft.config.InFilter(d, vs)      => graft.config.InFilter(n(d), vs)
+      case graft.config.AndFilter(fs)        => graft.config.AndFilter(fs.map(r))
+      case graft.config.OrFilter(fs)         => graft.config.OrFilter(fs.map(r))
+      case graft.config.NotFilter(x)         => graft.config.NotFilter(r(x))
+      case graft.config.RegexFilter(d, p)    => graft.config.RegexFilter(n(d), p)
+      case graft.config.IntervalFilter(d, is) => graft.config.IntervalFilter(n(d), is)
+      case graft.config.LikeFilter(d, p)     => graft.config.LikeFilter(n(d), p)
+      case graft.config.SearchFilter(d, v, cs) => graft.config.SearchFilter(n(d), v, cs)
+      case graft.config.SpatialRectFilter(d, lo, hi) =>
+        graft.config.SpatialRectFilter(n(d), lo, hi)
+      case graft.config.SpatialRadiusFilter(d, c, rad) =>
+        graft.config.SpatialRadiusFilter(n(d), c, rad)
+      case graft.config.SpatialPolygonFilter(d, xs, ys) =>
+        graft.config.SpatialPolygonFilter(n(d), xs, ys)
+      case graft.config.ColumnComparisonFilter(ds) =>
+        graft.config.ColumnComparisonFilter(ds.map(n))
+      case e @ graft.config.ExpressionFilter(ex) =>
+        require(!dimensions(e).contains(from),
+          s"an expression filter reading '$from' cannot be used where " +
+            s"'$from' is rewritten (filtered aggregators under a bucketing " +
+            "granularity); reference the raw time another way")
+        e
+      case t @ graft.config.TrueFilter()  => t
+      case t @ graft.config.FalseFilter() => t
+      case graft.config.NullFilter(d)     => graft.config.NullFilter(n(d))
+      case graft.config.EqualityFilter(d, t, v) =>
+        graft.config.EqualityFilter(n(d), t, v)
+      case tr: graft.config.TypedRangeFilter => tr.copy(column = n(tr.column))
+      case b: graft.config.BoundFilter       => b.copy(dimension = n(b.dimension))
+    }
+  }
+
   /** Column names a filter reads — so projection keeps them (e.g. a
     * filtered-aggregator predicate over a column that isn't a declared
     * dimension). */

@@ -241,7 +241,11 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
       // before the bucket key overwrites it
       val bucketed = df.withColumn(RawTsCol, col(TsCol))
         .withColumn(TsCol, gran.queryGranularity.truncate(col(TsCol)))
-      val aggs = schema.aggregators.map(Aggregators.toColumn) match {
+      // filtered-agg filters naming the event-time column compare against
+      // the RAW time (Druid's rule), not the bucket written above
+      val aggs = schema.aggregators
+        .map(Aggregators.remapFilterTime(_, TsCol, RawTsCol))
+        .map(Aggregators.toColumn) match {
         case Nil => Seq(count(lit(1)).as("rows"))
         case xs  => xs
       }

@@ -523,7 +523,9 @@ object DruidQueryCompiler {
       dims: Seq[(String, Column)],
       subtotals: Option[Seq[Seq[String]]] = None): DataFrame = {
     val aggSpecs = opt(root, "aggregations").toSeq.flatMap(_.elements.asScala)
-      .map(SpecLoader.parseAgg).toSeq
+      .map(SpecLoader.parseAgg)
+      // filtered-agg filters see the RAW event time, not the bucket below
+      .map(Aggregators.remapFilterTime(_, TimeCol, Pipeline.RawTsCol)).toSeq
     val aggs = aggSpecs.map(Aggregators.toColumn) match {
       case Nil => Seq(count(lit(1)).as("rows"))
       case xs  => xs
@@ -670,8 +672,13 @@ object DruidQueryCompiler {
       require(intervals.nonEmpty, "skipEmptyBuckets=false needs intervals")
       val buckets = bucketFrame(df.sparkSession, intervals, gran,
         granularityZone(root), granularityOrigin(root))
-      val joined = buckets.join(grouped, Seq(TimeCol), "left")
-      zeroFill(joined, root, grouped)
+      // presence marker: zero-fill must hit only JOIN-MISS buckets — a
+      // present bucket whose sum is legitimately null (every input value
+      // null) keeps its null; a bare coalesce over the agg column cannot
+      // tell the two apart (NativeSqlFuzzSpec regression)
+      val joined = buckets.join(
+        grouped.withColumn(PresentCol, lit(true)), Seq(TimeCol), "left")
+      zeroFill(joined, root, grouped).drop(PresentCol)
     }, root)
     // context.grandTotal (Druid timeseries): append ONE null-timestamped
     // row RE-AGGREGATED from the filtered+clipped input (never a re-sum of
@@ -705,7 +712,9 @@ object DruidQueryCompiler {
     * captured BEFORE nulling so the first/last family still orders. */
   private def aggregateAll(df: DataFrame, root: JsonNode): DataFrame = {
     val aggSpecs = opt(root, "aggregations").toSeq.flatMap(_.elements.asScala)
-      .map(SpecLoader.parseAgg).toSeq
+      .map(SpecLoader.parseAgg)
+      // same raw-time rule as [[aggregate]]: __time is nulled below
+      .map(Aggregators.remapFilterTime(_, TimeCol, Pipeline.RawTsCol)).toSeq
     val aggs = aggSpecs.map(Aggregators.toColumn) match {
       case Nil => Seq(count(lit(1)).as("rows"))
       case xs  => xs
@@ -857,9 +866,13 @@ object DruidQueryCompiler {
       typed: DataFrame): DataFrame = {
     val types = typed.schema.fields.map(f => f.name -> f.dataType).toMap
     val zeroed = zeroableNames(root).foldLeft(joined)((d, n) =>
-      d.withColumn(n, coalesce(col(n), lit(0).cast(types(n)))))
+      d.withColumn(n, when(col(PresentCol).isNull, lit(0).cast(types(n)))
+        .otherwise(col(n))))
     applyPostAggs(zeroed, root)
   }
+
+  /** Join-side marker for the dense-timeseries fill — see [[timeseries]]. */
+  private val PresentCol = "__graft_bucket_present"
 
   // ------------------------------------------------------------------- topN
 
@@ -1434,16 +1447,18 @@ object DruidQueryCompiler {
       dimNames.map(n => col(n).as(s"__bd_$n")) ++
       base.columns.filterNot(c => c == TimeCol || dimNames.contains(c))
         .toSeq.map(col)
-    val bJoin = base.select(bCols: _*)
+    val bJoin = base.select(bCols: _*).withColumn(PresentCol, lit(true))
     val cond = (col(TimeCol) === col("__bt")) +: dimNames.map(n =>
       col(n) <=> col(s"__bd_$n"))
     val joined = frame.join(bJoin, cond.reduce(_ && _), "left")
       .drop("__bt").drop(dimNames.map(n => s"__bd_$n"): _*)
-    // empty buckets: counts/sums (incl. through filtered wrappers) become
-    // zero; min/max/first/last/sketches keep null — Druid's identities.
-    // Finalized before the averagers read them (averagers window over
-    // finalized metric values).
-    val zeroFilled = finalizeAggs(zeroFill(joined, root, base), root)
+    // EMPTY buckets (join misses — the PresentCol marker): counts/sums
+    // (incl. through filtered wrappers) become zero; min/max/first/last/
+    // sketches keep null — Druid's identities. A present bucket whose sum is
+    // legitimately null keeps its null. Finalized before the averagers read
+    // them (averagers window over finalized metric values).
+    val zeroFilled =
+      finalizeAggs(zeroFill(joined, root, base), root).drop(PresentCol)
 
     // Upstream's FULL averager set (the movingAverage extension ships
     // constant + double/long {Mean, MeanNoNulls, Sum, Max, Min} — there is

@@ -1,0 +1,862 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+import graft.queries.{DruidQueryCompiler, DruidSql}
+
+/** Metamorphic fuzz over the Druid-surface compilers: random well-formed
+  * NATIVE queries (groupBy / topN / timeseries / scan) are cross-checked
+  * against an independently rendered Druid-SQL twin (run through the
+  * [[DruidSql]] dialect engine) and, for groupBy, a third DataFrame twin
+  * built directly from the generator's AST. The enumerated per-shape oracles
+  * in DruidNativeQueries pin one point each; this suite generates 500+
+  * combinations per run (filter trees × extraction dims × agg families ×
+  * filtered wrappers × post-aggs × having × limitSpec × granularities ×
+  * intervals × scan paging) and fails with the exact JSON + SQL + seed of
+  * any divergence, after shrinking the case to a minimal failing variant.
+  *
+  * Semantics notes the renderers encode (and thereby pin):
+  *  - native filters are 2-VALUED match semantics (a null dim never matches
+  *    a leaf, so it DOES match the leaf's `not`); the SQL twin wraps every
+  *    leaf in COALESCE(…, FALSE) to express the same thing in 3-valued SQL;
+  *  - topN order is (metric desc|asc, dimension asc) — deterministic, so the
+  *    twin compares ORDERED;
+  *  - groupBy limitSpec appends every unnamed output column ascending as the
+  *    tiebreak; the SQL twin spells the same ORDER BY;
+  *  - dense timeseries (the default with intervals + fixed-width
+  *    granularity) zero-fills count/longSum/doubleSum, leaves min/max/mean
+  *    null, recomputes post-aggs over the filled values, and time-orders the
+  *    envelope; the expected frame is computed DRIVER-SIDE from the sparse
+  *    SQL result plus plain-Scala bucket enumeration.
+  *
+  * Reproduction: every case is generated from Seed(BaseSeed + index); a
+  * failure prints the index. Rerun a single case via
+  * `-Dgraft.fuzz.only=<index>` and change the base via
+  * `-Dgraft.fuzz.seed=<long>`.
+  */
+class NativeSqlFuzzSpec extends SparkSpec {
+
+  // ------------------------------------------------------------ input corpus
+
+  private val BaseSeed: Long =
+    sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(20260814L)
+  private val Only: Option[Int] = sys.props.get("graft.fuzz.only").map(_.toInt)
+
+  private val Epoch = Timestamp.valueOf("2024-03-01 00:00:00").getTime // UTC session
+
+  /** ~300 rows, UNIQUE __time (minute steps over 2 days), nulls in etype and
+    * value — deterministic (plain LCG; ScalaCheck seeds drive the QUERIES). */
+  private lazy val events: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val minutes = rnd.shuffle((0 until 2 * 24 * 60).toList).take(300).sorted
+    val etypes = Seq("click", "view", "buy", "scroll")
+    val users = Seq("alice", "bob", "carol", "dave")
+    val rows = minutes.map { m =>
+      val et = if (rnd.nextInt(10) == 0) null else etypes(rnd.nextInt(etypes.size))
+      val v: java.lang.Double =
+        if (rnd.nextInt(10) == 0) null
+        else math.round((rnd.nextDouble() * 150 - 50) * 100) / 100.0
+      (new Timestamp(Epoch + m * 60000L), et, users(rnd.nextInt(users.size)),
+        v, (rnd.nextInt(26) - 5).toLong)
+    }
+    import spark.implicits._
+    val df = rows.toDF("__time", "etype", "user", "value", "n")
+    graft.functions.GraftFunctions.register(spark)
+    df
+  }
+
+  private def resolve(name: String): DataFrame =
+    if (name == "events") events else fail(s"unexpected dataSource $name")
+
+  private def runNative(json: String): DataFrame =
+    DruidQueryCompiler.compile(json, resolve)
+
+  private def runSql(sql: String): DataFrame =
+    DruidSql.run(sql, Map("events" -> events))
+
+  // ------------------------------------------------------------- filter AST
+
+  private sealed trait F
+  private case class Sel(d: String, v: String) extends F
+  private case class InF(d: String, vs: Seq[String]) extends F
+  private case class BoundN(d: String, lo: Option[Double], hi: Option[Double],
+      loS: Boolean, hiS: Boolean) extends F
+  private case class BoundL(d: String, lo: Option[String], hi: Option[String],
+      loS: Boolean, hiS: Boolean) extends F
+  private case class LikeF(d: String, p: String) extends F
+  private case class RegexF(d: String, p: String) extends F
+  private case class NullF(d: String) extends F
+  private case class SearchF(d: String, v: String, cs: Boolean) extends F
+  private case class Ival(loMin: Int, hiMin: Int) extends F // minutes past Epoch
+  private case class AndF(fs: Seq[F]) extends F
+  private case class OrF(fs: Seq[F]) extends F
+  private case class NotF(f: F) extends F
+
+  private def isoMin(m: Int): String =
+    java.time.Instant.ofEpochMilli(Epoch + m * 60000L).toString.stripSuffix("Z")
+  private def sqlTs(m: Int): String = {
+    val i = java.time.Instant.ofEpochMilli(Epoch + m * 60000L).toString
+    s"TIMESTAMP '${i.stripSuffix("Z").replace("T", " ")}'"
+  }
+
+  private def fJson(f: F): String = f match {
+    case Sel(d, v) => s"""{"type":"selector","dimension":"$d","value":"$v"}"""
+    case InF(d, vs) =>
+      s"""{"type":"in","dimension":"$d","values":[${vs.map("\"" + _ + "\"").mkString(",")}]}"""
+    case BoundN(d, lo, hi, loS, hiS) =>
+      val parts = Seq(s""""type":"bound"""", s""""dimension":"$d"""",
+        s""""ordering":"numeric"""") ++
+        lo.map(v => s""""lower":"$v"""") ++ hi.map(v => s""""upper":"$v"""") ++
+        Seq(s""""lowerStrict":$loS""", s""""upperStrict":$hiS""")
+      parts.mkString("{", ",", "}")
+    case BoundL(d, lo, hi, loS, hiS) =>
+      val parts = Seq(s""""type":"bound"""", s""""dimension":"$d"""") ++
+        lo.map(v => s""""lower":"$v"""") ++ hi.map(v => s""""upper":"$v"""") ++
+        Seq(s""""lowerStrict":$loS""", s""""upperStrict":$hiS""")
+      parts.mkString("{", ",", "}")
+    case LikeF(d, p) => s"""{"type":"like","dimension":"$d","pattern":"$p"}"""
+    case RegexF(d, p) =>
+      s"""{"type":"regex","dimension":"$d","pattern":"${p.replace("\\", "\\\\")}"}"""
+    case NullF(d) => s"""{"type":"null","column":"$d"}"""
+    case SearchF(d, v, cs) =>
+      s"""{"type":"search","dimension":"$d","query":{"type":"contains","value":"$v","caseSensitive":$cs}}"""
+    case Ival(lo, hi) =>
+      s"""{"type":"interval","dimension":"__time","intervals":["${isoMin(lo)}/${isoMin(hi)}"]}"""
+    case AndF(fs) => s"""{"type":"and","fields":[${fs.map(fJson).mkString(",")}]}"""
+    case OrF(fs)  => s"""{"type":"or","fields":[${fs.map(fJson).mkString(",")}]}"""
+    case NotF(x)  => s"""{"type":"not","field":${fJson(x)}}"""
+  }
+
+  /** 2-valued SQL twin: every leaf COALESCE(…, FALSE), so not/and/or compose
+    * with exactly the native DSL's null-never-matches semantics. */
+  private def fSql(f: F): String = f match {
+    case Sel(d, v) => s"COALESCE($d = '$v', FALSE)"
+    case InF(d, vs) => s"COALESCE($d IN (${vs.map("'" + _ + "'").mkString(",")}), FALSE)"
+    case BoundN(d, lo, hi, loS, hiS) =>
+      val c = s"CAST($d AS DOUBLE)"
+      val conds = lo.map(v => s"$c ${if (loS) ">" else ">="} $v").toSeq ++
+        hi.map(v => s"$c ${if (hiS) "<" else "<="} $v")
+      s"COALESCE(${if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")}, FALSE)"
+    case BoundL(d, lo, hi, loS, hiS) =>
+      val conds = lo.map(v => s"$d ${if (loS) ">" else ">="} '$v'").toSeq ++
+        hi.map(v => s"$d ${if (hiS) "<" else "<="} '$v'")
+      s"COALESCE(${if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")}, FALSE)"
+    case LikeF(d, p) => s"COALESCE($d LIKE '$p', FALSE)"
+    case RegexF(d, p) => s"COALESCE($d RLIKE '$p', FALSE)"
+    case NullF(d) => s"$d IS NULL"
+    case SearchF(d, v, cs) =>
+      if (cs) s"COALESCE(CONTAINS_STRING($d, '$v'), FALSE)"
+      else s"COALESCE(ICONTAINS_STRING($d, '$v'), FALSE)"
+    case Ival(lo, hi) =>
+      s"COALESCE(__time >= ${sqlTs(lo)} AND __time < ${sqlTs(hi)}, FALSE)"
+    case AndF(fs) => fs.map(fSql).mkString("(", " AND ", ")")
+    case OrF(fs)  => fs.map(fSql).mkString("(", " OR ", ")")
+    case NotF(x)  => s"(NOT ${fSql(x)})"
+  }
+
+  /** Third, Column-API rendering (the DataFrame twin's filter). */
+  private def fCol(f: F): Column = f match {
+    case Sel(d, v) => col(d) <=> lit(v)
+    case InF(d, vs) => coalesce(col(d).isin(vs: _*), lit(false))
+    case BoundN(d, lo, hi, loS, hiS) =>
+      val c = col(d).cast("double")
+      val conds = lo.map(v => if (loS) c > v else c >= v).toSeq ++
+        hi.map(v => if (hiS) c < v else c <= v)
+      coalesce(conds.reduceOption(_ && _).getOrElse(lit(true)), lit(false))
+    case BoundL(d, lo, hi, loS, hiS) =>
+      val c = col(d)
+      val conds = lo.map(v => if (loS) c > v else c >= v).toSeq ++
+        hi.map(v => if (hiS) c < v else c <= v)
+      coalesce(conds.reduceOption(_ && _).getOrElse(lit(true)), lit(false))
+    case LikeF(d, p) => coalesce(col(d).like(p), lit(false))
+    case RegexF(d, p) => coalesce(col(d).rlike(p), lit(false))
+    case NullF(d) => col(d).isNull
+    case SearchF(d, v, cs) =>
+      if (cs) coalesce(col(d).contains(v), lit(false))
+      else coalesce(lower(col(d)).contains(v.toLowerCase), lit(false))
+    case Ival(lo, hi) =>
+      coalesce(col("__time") >= timestamp_millis(lit(Epoch + lo * 60000L)) &&
+        col("__time") < timestamp_millis(lit(Epoch + hi * 60000L)), lit(false))
+    case AndF(fs) => fs.map(fCol).reduce(_ && _)
+    case OrF(fs)  => fs.map(fCol).reduce(_ || _)
+    case NotF(x)  => !fCol(x)
+  }
+
+  // -------------------------------------------------------------- aggregates
+
+  /** typ ∈ count/longSum/doubleSum/longMin/longMax/doubleMin/doubleMax/
+    * doubleMean; `filter` wraps it in a filtered aggregator. */
+  private case class Agg(typ: String, name: String, filter: Option[F])
+
+  private def aggField(typ: String): String =
+    if (typ.startsWith("double")) "value" else "n"
+
+  private def aggJson(a: Agg): String = {
+    val inner =
+      if (a.typ == "count") s"""{"type":"count","name":"${a.name}"}"""
+      else s"""{"type":"${a.typ}","name":"${a.name}","fieldName":"${aggField(a.typ)}"}"""
+    a.filter match {
+      case scala.None => inner
+      case Some(f) =>
+        s"""{"type":"filtered","name":"${a.name}","filter":${fJson(f)},"aggregator":$inner}"""
+    }
+  }
+
+  /** aliased form for SELECT lists; [[aggSqlExpr]] is the bare expression
+    * (post-agg / having twins re-embed it — output aliases are not visible
+    * there). */
+  private def aggSql(a: Agg): String = s"${aggSqlExpr(a)} AS ${a.name}"
+
+  private def aggSqlExpr(a: Agg): String = {
+    def fld(raw: String): String = a.filter match {
+      case scala.None => raw
+      case Some(f)    => s"CASE WHEN ${fSql(f)} THEN $raw END"
+    }
+    val v = "CAST(value AS DOUBLE)"
+    a.typ match {
+      case "count"      => s"COUNT(${fld("1")})"
+      case "longSum"    => s"CAST(SUM(${fld("n")}) AS BIGINT)"
+      case "doubleSum"  => s"SUM(${fld(v)})"
+      case "longMin"    => s"CAST(MIN(${fld("n")}) AS BIGINT)"
+      case "longMax"    => s"CAST(MAX(${fld("n")}) AS BIGINT)"
+      case "doubleMin"  => s"MIN(${fld(v)})"
+      case "doubleMax"  => s"MAX(${fld(v)})"
+      case "doubleMean" => s"SUM(${fld(v)}) / COUNT(${fld("value")})"
+    }
+  }
+
+  private def aggCol(a: Agg): Column = {
+    def fld(raw: Column): Column = a.filter match {
+      case scala.None => raw
+      case Some(f)    => when(fCol(f), raw)
+    }
+    val v = col("value").cast("double")
+    a.typ match {
+      case "count"      => count(fld(lit(1))).as(a.name)
+      case "longSum"    => sum(fld(col("n"))).cast("long").as(a.name)
+      case "doubleSum"  => sum(fld(v)).as(a.name)
+      case "longMin"    => min(fld(col("n"))).cast("long").as(a.name)
+      case "longMax"    => max(fld(col("n"))).cast("long").as(a.name)
+      case "doubleMin"  => min(fld(v)).as(a.name)
+      case "doubleMax"  => max(fld(v)).as(a.name)
+      case "doubleMean" => (sum(fld(v)) / count(fld(col("value")))).as(a.name)
+    }
+  }
+
+  /** Arithmetic post-agg over two operands (agg refs / constants). */
+  private case class PA(name: String, fn: String, a: Either[String, Double],
+      b: Either[String, Double])
+
+  /** `meanNames`: aggs whose raw output is a struct partial — upstream Druid
+    * requires finalizingFieldAccess for those (plain fieldAccess over a mean
+    * is invalid in Druid too), so the generator emits the finalizing form,
+    * which also keeps that path under fuzz pressure. */
+  private def paJson(p: PA, meanNames: Set[String]): String = {
+    def f(x: Either[String, Double]) = x match {
+      case Left(n) if meanNames(n) =>
+        s"""{"type":"finalizingFieldAccess","fieldName":"$n"}"""
+      case Left(n)  => s"""{"type":"fieldAccess","fieldName":"$n"}"""
+      case Right(v) => s"""{"type":"constant","value":$v}"""
+    }
+    s"""{"type":"arithmetic","name":"${p.name}","fn":"${p.fn}","fields":[${f(p.a)},${f(p.b)}]}"""
+  }
+
+  /** SQL over the agg EXPRESSIONS (the twin has no intermediate columns). */
+  private def paSql(p: PA, aggSqlByName: Map[String, String]): String = {
+    def f(x: Either[String, Double]) = x match {
+      case Left(n)  => s"CAST((${aggSqlByName(n)}) AS DOUBLE)"
+      case Right(v) => s"CAST($v AS DOUBLE)"
+    }
+    val (a, b) = (f(p.a), f(p.b))
+    val body = p.fn match {
+      case "/" => s"CASE WHEN $b = CAST(0.0 AS DOUBLE) THEN 0.0 ELSE $a / $b END"
+      case op  => s"$a $op $b"
+    }
+    s"($body) AS ${p.name}"
+  }
+
+  private def paCol(p: PA, aggColByName: Map[String, Column]): Column = {
+    def f(x: Either[String, Double]) = x match {
+      case Left(n)  => aggColByName(n).cast("double")
+      case Right(v) => lit(v)
+    }
+    val (a, b) = (f(p.a), f(p.b))
+    (p.fn match {
+      case "+" => a + b
+      case "-" => a - b
+      case "*" => a * b
+      case "/" => when(b === 0, lit(0.0)).otherwise(a / b)
+    }).as(p.name)
+  }
+
+  // ------------------------------------------------------------- generators
+
+  private val etypeVals = Seq("click", "view", "buy", "scroll", "zzz")
+  private val userVals = Seq("alice", "bob", "carol", "dave", "eve")
+
+  private def leafGen: Gen[F] = Gen.oneOf(
+    for { d <- Gen.oneOf("etype", "user")
+          v <- Gen.oneOf(if (true) etypeVals ++ userVals else Nil) } yield Sel(d, v),
+    for { d <- Gen.oneOf("etype", "user")
+          vs <- Gen.nonEmptyListOf(Gen.oneOf(etypeVals ++ userVals)).map(_.take(3).distinct) }
+      yield InF(d, vs),
+    for { d <- Gen.oneOf("value", "n")
+          a <- Gen.chooseNum(-40.0, 40.0).map(x => math.round(x * 4) / 4.0)
+          w <- Gen.chooseNum(1.0, 60.0).map(x => math.round(x * 4) / 4.0)
+          hasLo <- Gen.prob(0.8); hasHi <- Gen.prob(0.8)
+          loS <- Gen.prob(0.5); hiS <- Gen.prob(0.5) }
+      yield BoundN(d, if (hasLo || !hasHi) Some(a) else scala.None,
+        if (hasHi) Some(a + w) else scala.None, loS, hiS),
+    for { d <- Gen.oneOf("etype", "user")
+          lo <- Gen.oneOf("a", "b", "ca", "cl", "d")
+          hi <- Gen.oneOf("e", "s", "v", "zz")
+          loS <- Gen.prob(0.5); hiS <- Gen.prob(0.5) }
+      yield BoundL(d, Some(lo), Some(hi), loS, hiS),
+    for { d <- Gen.oneOf("etype", "user")
+          p <- Gen.oneOf("c%", "%i%", "%w", "_lice", "b%b") } yield LikeF(d, p),
+    for { d <- Gen.oneOf("etype", "user")
+          p <- Gen.oneOf("^[abc]", "i.e", "o|u", "ck$") } yield RegexF(d, p),
+    Gen.oneOf("etype", "value").map(NullF(_)),
+    for { d <- Gen.oneOf("etype", "user")
+          v <- Gen.oneOf("li", "VI", "o", "CK", "da")
+          cs <- Gen.prob(0.5) } yield SearchF(d, v, cs),
+    for { lo <- Gen.chooseNum(0, 2000); w <- Gen.chooseNum(30, 900) }
+      yield Ival(lo, lo + w))
+
+  private def filterGen(depth: Int): Gen[F] =
+    if (depth <= 0) leafGen
+    else Gen.frequency(
+      4 -> leafGen,
+      2 -> Gen.choose(2, 3).flatMap(n =>
+        Gen.listOfN(n, filterGen(depth - 1)).map(AndF(_))),
+      2 -> Gen.choose(2, 3).flatMap(n =>
+        Gen.listOfN(n, filterGen(depth - 1)).map(OrF(_))),
+      1 -> filterGen(depth - 1).map(NotF(_)))
+
+  private val aggTypes = Seq("count", "longSum", "doubleSum", "longMin",
+    "longMax", "doubleMin", "doubleMax", "doubleMean")
+
+  private def aggsGen: Gen[Seq[Agg]] = for {
+    n <- Gen.choose(1, 4)
+    typs <- Gen.listOfN(n, Gen.oneOf(aggTypes))
+    filters <- Gen.listOfN(n, Gen.option(leafGen)
+      .flatMap(o => Gen.prob(0.3).map(keep => if (keep) o else scala.None)))
+  } yield typs.zip(filters).zipWithIndex.map { case ((t, f), i) =>
+    Agg(t, s"a$i", f) }
+
+  private def pasGen(aggs: Seq[Agg]): Gen[Seq[PA]] = {
+    val refs = aggs.map(_.name)
+    def operand: Gen[Either[String, Double]] = Gen.frequency(
+      3 -> Gen.oneOf(refs).map(Left(_)),
+      1 -> Gen.chooseNum(-5.0, 5.0).map(x => Right(math.round(x * 2) / 2.0)))
+    for {
+      n <- Gen.choose(0, 2)
+      fns <- Gen.listOfN(n, Gen.oneOf("+", "-", "*", "/"))
+      ops <- Gen.listOfN(n, Gen.zip(operand, operand))
+    } yield fns.zip(ops).zipWithIndex.map { case ((fn, (a, b)), i) =>
+      PA(s"p$i", fn, a, b) }
+  }
+
+  // ------------------------------------------------------------- dimensions
+
+  /** (output name, native dimensionSpec JSON, SQL expression, Column). */
+  private case class Dim(name: String, json: String, sql: String, c: Column)
+
+  private def dimGen: Gen[Dim] = Gen.oneOf(
+    Gen.oneOf("etype", "user").map(d => Dim(d, s""""$d"""", d, col(d))),
+    for { d <- Gen.oneOf("etype", "user"); len <- Gen.oneOf(1, 2, 3) }
+      yield Dim(s"x_$d",
+        s"""{"type":"extraction","dimension":"$d","outputName":"x_$d","extractionFn":{"type":"substring","index":0,"length":$len}}""",
+        s"SUBSTRING($d, 1, $len)", substring(col(d), 1, len)),
+    Gen.oneOf("etype", "user").map(d => Dim(s"u_$d",
+      s"""{"type":"extraction","dimension":"$d","outputName":"u_$d","extractionFn":{"type":"upper"}}""",
+      s"UPPER($d)", upper(col(d)))),
+    Gen.oneOf("etype", "user").map(d => Dim(s"l_$d",
+      s"""{"type":"extraction","dimension":"$d","outputName":"l_$d","extractionFn":{"type":"strlen"}}""",
+      s"CAST(LENGTH($d) AS STRING)", length(col(d)).cast("string"))))
+
+  // ------------------------------------------------------------------ having
+
+  private sealed trait H
+  private case class Hcmp(op: String, agg: String, v: Double) extends H
+  private case class Hand(hs: Seq[H]) extends H
+  private case class Hor(hs: Seq[H]) extends H
+  private case class Hnot(h: H) extends H
+
+  private def hJson(h: H): String = h match {
+    case Hcmp(op, a, v) => s"""{"type":"$op","aggregation":"$a","value":$v}"""
+    case Hand(hs) => s"""{"type":"and","havingSpecs":[${hs.map(hJson).mkString(",")}]}"""
+    case Hor(hs)  => s"""{"type":"or","havingSpecs":[${hs.map(hJson).mkString(",")}]}"""
+    case Hnot(x)  => s"""{"type":"not","havingSpec":${hJson(x)}}"""
+  }
+
+  /** over the agg EXPRESSIONS (SQL twin's HAVING can't see output aliases
+    * portably) — 3-valued like the native havingColumn. */
+  private def hSql(h: H, aggSqlByName: Map[String, String]): String = h match {
+    case Hcmp(op, a, v) =>
+      val e = s"(${aggSqlByName(a)})"
+      op match {
+        case "greaterThan" => s"$e > $v"
+        case "lessThan"    => s"$e < $v"
+        case "equalTo"     => s"$e = $v"
+      }
+    case Hand(hs) => hs.map(hSql(_, aggSqlByName)).mkString("(", " AND ", ")")
+    case Hor(hs)  => hs.map(hSql(_, aggSqlByName)).mkString("(", " OR ", ")")
+    case Hnot(x)  => s"(NOT ${hSql(x, aggSqlByName)})"
+  }
+
+  private def havingGen(aggs: Seq[Agg]): Gen[H] = {
+    // count-typed aggs keep equalTo meaningful; any agg works for ranges
+    val cmp = for {
+      a <- Gen.oneOf(aggs.map(_.name))
+      op <- Gen.oneOf("greaterThan", "lessThan")
+      v <- Gen.chooseNum(-20.0, 60.0).map(x => math.round(x * 2) / 2.0)
+    } yield Hcmp(op, a, v)
+    Gen.frequency(
+      5 -> cmp,
+      1 -> Gen.listOfN(2, cmp).map(Hand(_)),
+      1 -> Gen.listOfN(2, cmp).map(Hor(_)),
+      1 -> cmp.map(Hnot(_)))
+  }
+
+  // ------------------------------------------------------------ query shapes
+
+  private case class GB(dims: Seq[Dim], filter: Option[F], aggs: Seq[Agg],
+      pas: Seq[PA], having: Option[H], orderCols: Seq[(String, Boolean)],
+      limit: Option[Int], interval: Option[(Int, Int)])
+
+  private def gbGen: Gen[GB] = for {
+    nd <- Gen.choose(1, 2)
+    dims0 <- Gen.listOfN(nd, dimGen)
+    dims = dims0.groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
+    filter <- Gen.option(filterGen(2))
+    aggs <- aggsGen
+    pas <- pasGen(aggs)
+    having <- Gen.option(havingGen(aggs))
+    withLimit <- Gen.prob(0.4)
+    orderCols <- if (!withLimit) Gen.const(Seq.empty[(String, Boolean)])
+      else Gen.someOf(dims.map(_.name) ++ aggs.map(_.name))
+        .map(_.take(2).toSeq)
+        .flatMap(cs => Gen.listOfN(cs.size, Gen.prob(0.5)).map(cs.zip(_)))
+    limit <- if (withLimit) Gen.choose(1, 8).map(Some(_)) else Gen.const(scala.None)
+    interval <- Gen.option(Gen.chooseNum(0, 1500).flatMap(lo =>
+      Gen.chooseNum(60, 1380).map(w => (lo, lo + w))))
+  } yield GB(dims, filter, aggs, pas, having, orderCols, limit, interval)
+
+  private def gbJson(q: GB): String = {
+    val parts = Seq(
+      s""""queryType":"groupBy"""",
+      s""""dataSource":"events"""",
+      s""""granularity":"all"""",
+      s""""dimensions":[${q.dims.map(_.json).mkString(",")}]""",
+      s""""aggregations":[${q.aggs.map(aggJson).mkString(",")}]""") ++
+      (if (q.pas.nonEmpty)
+        Seq(s""""postAggregations":[${q.pas.map(paJson(_, q.aggs.filter(_.typ == "doubleMean").map(_.name).toSet)).mkString(",")}]""")
+      else Nil) ++
+      q.filter.map(f => s""""filter":${fJson(f)}""") ++
+      q.interval.map { case (lo, hi) =>
+        s""""intervals":["${isoMin(lo)}/${isoMin(hi)}"]""" } ++
+      q.having.map(h => s""""having":${hJson(h)}""") ++
+      q.limit.map { l =>
+        val cols = q.orderCols.map { case (c, desc) =>
+          s"""{"dimension":"$c","direction":"${if (desc) "descending" else "ascending"}"}"""
+        }.mkString(",")
+        s""""limitSpec":{"type":"default","limit":$l,"columns":[$cols]}"""
+      }
+    parts.mkString("{", ",", "}")
+  }
+
+  private def gbSql(q: GB): String = {
+    val aggSqlByName = q.aggs.map(a => a.name -> aggSqlExpr(a)).toMap
+    val select = (q.dims.map(d => s"${d.sql} AS ${d.name}") ++
+      q.aggs.map(aggSql) ++ q.pas.map(paSql(_, aggSqlByName))).mkString(", ")
+    val where = (q.filter.map(fSql).toSeq ++ q.interval.map { case (lo, hi) =>
+      s"__time >= ${sqlTs(lo)} AND __time < ${sqlTs(hi)}" }) match {
+      case Nil => ""
+      case cs  => s" WHERE ${cs.mkString(" AND ")}"
+    }
+    val group = s" GROUP BY ${(1 to q.dims.size).mkString(", ")}"
+    val having = q.having.map(h => s" HAVING ${hSql(h, aggSqlByName)}").getOrElse("")
+    val order = q.limit.map { l =>
+      // the native limitSpec appends every unnamed output column ascending
+      // as tiebreak (__time is the constant granularity-all epoch — skip)
+      val named = q.orderCols.map(_._1).toSet
+      val explicit = q.orderCols.map { case (c, desc) =>
+        s"$c ${if (desc) "DESC" else "ASC"}" }
+      val tiebreak = (q.dims.map(_.name) ++ q.aggs.map(_.name) ++
+        q.pas.map(_.name)).filterNot(named).map(c => s"$c ASC")
+      s" ORDER BY ${(explicit ++ tiebreak).mkString(", ")} LIMIT $l"
+    }.getOrElse("")
+    s"SELECT $select FROM events$where$group$having$order"
+  }
+
+  /** DataFrame twin (third implementation, Column API). */
+  private def gbFrame(q: GB): DataFrame = {
+    val pre = (q.filter.map(fCol).toSeq ++ q.interval.map { case (lo, hi) =>
+      col("__time") >= timestamp_millis(lit(Epoch + lo * 60000L)) &&
+        col("__time") < timestamp_millis(lit(Epoch + hi * 60000L)) })
+      .reduceOption(_ && _).map(events.filter).getOrElse(events)
+    val aggCols = q.aggs.map(aggCol)
+    val grouped = pre.groupBy(q.dims.map(d => d.c.as(d.name)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val aggColByName = q.aggs.map(a => a.name -> col(a.name)).toMap
+    val withPas = q.pas.foldLeft(grouped)((d, p) =>
+      d.withColumn(p.name, paCol(p, aggColByName)))
+    val hved = q.having.map { h =>
+      def hc(x: H): Column = x match {
+        case Hcmp("greaterThan", a, v) => col(a) > v
+        case Hcmp("lessThan", a, v)    => col(a) < v
+        case Hcmp("equalTo", a, v)     => col(a) === v
+        case Hcmp(o, _, _)             => fail(s"op $o")
+        case Hand(hs) => hs.map(hc).reduce(_ && _)
+        case Hor(hs)  => hs.map(hc).reduce(_ || _)
+        case Hnot(y)  => !hc(y)
+      }
+      withPas.filter(hc(h))
+    }.getOrElse(withPas)
+    q.limit.map { l =>
+      val named = q.orderCols.map(_._1).toSet
+      val explicit = q.orderCols.map { case (c, desc) =>
+        if (desc) col(c).desc else col(c).asc }
+      val tiebreak = (q.dims.map(_.name) ++ q.aggs.map(_.name) ++
+        q.pas.map(_.name)).filterNot(named).map(col(_).asc)
+      hved.orderBy(explicit ++ tiebreak: _*).limit(l)
+    }.getOrElse(hved)
+  }
+
+  private case class TN(dim: Dim, metric: String, inverted: Boolean,
+      threshold: Int, filter: Option[F], aggs: Seq[Agg], pas: Seq[PA])
+
+  private def tnGen: Gen[TN] = for {
+    dim <- dimGen
+    filter <- Gen.option(filterGen(1))
+    aggs <- aggsGen
+    pas <- pasGen(aggs)
+    metric <- Gen.oneOf(aggs.map(_.name) ++ pas.map(_.name))
+    inverted <- Gen.prob(0.3)
+    threshold <- Gen.choose(1, 7)
+  } yield TN(dim, metric, inverted, threshold, filter, aggs, pas)
+
+  private def tnJson(q: TN): String = {
+    val m = if (q.inverted)
+      s"""{"type":"inverted","metric":{"type":"numeric","metric":"${q.metric}"}}"""
+    else s""""${q.metric}""""
+    (Seq(
+      s""""queryType":"topN"""", s""""dataSource":"events"""",
+      s""""granularity":"all"""", s""""dimension":${q.dim.json}""",
+      s""""metric":$m""", s""""threshold":${q.threshold}""",
+      s""""aggregations":[${q.aggs.map(aggJson).mkString(",")}]""") ++
+      (if (q.pas.nonEmpty)
+        Seq(s""""postAggregations":[${q.pas.map(paJson(_, q.aggs.filter(_.typ == "doubleMean").map(_.name).toSet)).mkString(",")}]""")
+      else Nil) ++
+      q.filter.map(f => s""""filter":${fJson(f)}""")).mkString("{", ",", "}")
+  }
+
+  private def tnSql(q: TN): String = {
+    val aggSqlByName = q.aggs.map(a => a.name -> aggSqlExpr(a)).toMap
+    val select = (Seq(s"${q.dim.sql} AS ${q.dim.name}") ++ q.aggs.map(aggSql) ++
+      q.pas.map(paSql(_, aggSqlByName))).mkString(", ")
+    val where = q.filter.map(f => s" WHERE ${fSql(f)}").getOrElse("")
+    val dir = if (q.inverted) "ASC" else "DESC"
+    // native order: metric desc|asc NULLS native-default, dimension asc —
+    // Spark: DESC = nulls last, ASC = nulls first, same on both paths
+    s"SELECT $select FROM events$where GROUP BY 1 " +
+      s"ORDER BY ${q.metric} $dir, ${q.dim.name} ASC LIMIT ${q.threshold}"
+  }
+
+  private case class TS(gran: String, widthSec: Long, filter: Option[F],
+      aggs: Seq[Agg], pas: Seq[PA], interval: (Int, Int), skipEmpty: Boolean,
+      descending: Boolean, limit: Option[Int])
+
+  private def tsGen: Gen[TS] = for {
+    (g, w) <- Gen.oneOf(("fifteen_minute", 900L), ("hour", 3600L),
+      ("six_hour", 21600L), ("day", 86400L), ("PT2H", 7200L))
+    filter <- Gen.option(filterGen(1))
+    aggs <- aggsGen
+    pas <- pasGen(aggs)
+    lo <- Gen.chooseNum(0, 1200)
+    width <- Gen.chooseNum(120, 1600)
+    skipEmpty <- Gen.prob(0.4)
+    descending <- Gen.prob(0.3)
+    limit <- Gen.option(Gen.choose(1, 10))
+  } yield TS(g, w, filter, aggs, pas, (lo, lo + width), skipEmpty, descending,
+    limit)
+
+  private def tsJson(q: TS): String =
+    (Seq(
+      s""""queryType":"timeseries"""", s""""dataSource":"events"""",
+      s""""granularity":"${q.gran}"""",
+      s""""intervals":["${isoMin(q.interval._1)}/${isoMin(q.interval._2)}"]""",
+      s""""aggregations":[${q.aggs.map(aggJson).mkString(",")}]""") ++
+      (if (q.pas.nonEmpty)
+        Seq(s""""postAggregations":[${q.pas.map(paJson(_, q.aggs.filter(_.typ == "doubleMean").map(_.name).toSet)).mkString(",")}]""")
+      else Nil) ++
+      q.filter.map(f => s""""filter":${fJson(f)}""") ++
+      (if (q.descending) Seq(s""""descending":true""") else Nil) ++
+      q.limit.map(l => s""""limit":$l""") ++
+      (if (q.skipEmpty) Seq(s""""context":{"skipEmptyBuckets":true}""") else Nil))
+      .mkString("{", ",", "}")
+
+  /** sparse SQL twin: one row per non-empty bucket, time-ascending. */
+  private def tsSparseSql(q: TS): String = {
+    val aggSqlByName = q.aggs.map(a => a.name -> aggSqlExpr(a)).toMap
+    val iso = q.gran match {
+      case "fifteen_minute" => "PT15M"
+      case "hour"           => "PT1H"
+      case "six_hour"       => "PT6H"
+      case "day"            => "P1D"
+      case other            => other // already ISO (PT2H)
+    }
+    val select = (Seq(s"TIME_FLOOR(__time, '$iso') AS __time") ++
+      q.aggs.map(aggSql) ++ q.pas.map(paSql(_, aggSqlByName))).mkString(", ")
+    val where = (q.filter.map(fSql).toSeq :+
+      s"(__time >= ${sqlTs(q.interval._1)} AND __time < ${sqlTs(q.interval._2)})")
+      .mkString(" AND ")
+    s"SELECT $select FROM events WHERE $where GROUP BY 1 ORDER BY 1"
+  }
+
+  private case class SC(cols: Seq[String], filter: Option[F], order: String,
+      limit: Option[Int], offset: Int)
+
+  private def scGen: Gen[SC] = for {
+    cols <- Gen.someOf(Seq("etype", "user", "value", "n")).map(_.toSeq.sorted)
+    filter <- Gen.option(filterGen(2))
+    order <- Gen.oneOf("ascending", "descending")
+    limit <- Gen.option(Gen.choose(1, 40))
+    offset <- Gen.frequency(3 -> Gen.const(0), 1 -> Gen.choose(1, 20))
+  } yield SC("__time" +: cols, filter, order, limit, offset)
+
+  private def scJson(q: SC): String =
+    (Seq(
+      s""""queryType":"scan"""", s""""dataSource":"events"""",
+      s""""columns":[${q.cols.map("\"" + _ + "\"").mkString(",")}]""",
+      s""""order":"${q.order}"""") ++
+      q.filter.map(f => s""""filter":${fJson(f)}""") ++
+      q.limit.map(l => s""""limit":$l""") ++
+      (if (q.offset > 0) Seq(s""""offset":${q.offset}""") else Nil))
+      .mkString("{", ",", "}")
+
+  private def scSql(q: SC): String = {
+    val where = q.filter.map(f => s" WHERE ${fSql(f)}").getOrElse("")
+    val dir = if (q.order == "descending") "DESC" else "ASC"
+    val off = if (q.offset > 0) s" OFFSET ${q.offset}" else ""
+    val lim = q.limit.map(l => s" LIMIT $l").getOrElse("")
+    // Spark SQL wants LIMIT before OFFSET textually? Use LIMIT … OFFSET …
+    s"SELECT ${q.cols.mkString(", ")} FROM events$where ORDER BY __time $dir$lim$off"
+  }
+
+  // ----------------------------------------------------------- canonicalizer
+
+  /** rows → canonical rendering: columns sorted by name, doubles to 9
+    * significant digits (absorbs fold-order float drift between plans),
+    * timestamps as instants. */
+  private def canon(df: DataFrame): (Seq[String], Seq[Seq[String]]) = {
+    val cols = df.columns.sorted.toSeq
+    val picked = df.select(cols.map(graft.pipeline.Cols.exact): _*).collect()
+    def render(v: Any): String = v match {
+      case null => "<null>"
+      case d: java.lang.Double =>
+        if (d.isNaN || d.isInfinite) d.toString
+        else if (d == 0.0) "0" // -0.0 ≡ 0.0
+        else new java.math.BigDecimal(d)
+          .round(new java.math.MathContext(9)).stripTrailingZeros.toPlainString
+      case f: java.lang.Float => render(f.toDouble)
+      case t: Timestamp => t.toInstant.toString
+      case x => x.toString
+    }
+    (cols, picked.toSeq.map(r => (0 until r.length).map(i => render(r.get(i)))))
+  }
+
+  private def describe(rows: Seq[Seq[String]]): String =
+    rows.take(12).map(_.mkString("[", " | ", "]")).mkString("\n")
+
+  /** multiset or ordered comparison; returns an error description or None. */
+  private def diff(a: DataFrame, b: DataFrame, ordered: Boolean,
+      what: String): Option[String] = {
+    val (ca, ra0) = canon(a)
+    val (cb, rb0) = canon(b)
+    if (ca != cb) return Some(s"$what: column sets differ: $ca vs $cb")
+    val (ra, rb) = if (ordered) (ra0, rb0) else (ra0.sortBy(_.mkString(" ")),
+      rb0.sortBy(_.mkString(" ")))
+    if (ra == rb) scala.None
+    else Some(s"$what: ${ra.size} vs ${rb.size} rows (${ca.mkString(",")})\n" +
+      s"--- left\n${describe(ra.diff(rb))}\n--- right\n${describe(rb.diff(ra))}")
+  }
+
+  // ------------------------------------------------------------------ shrink
+
+  /** Minimal structural shrinking for groupBy: drop clauses / simplify the
+    * filter until the failure disappears, report the last failing variant. */
+  private def shrinkGB(q: GB, fails: GB => Boolean): GB = {
+    def variants(x: GB): Seq[GB] =
+      (x.filter match {
+        case Some(AndF(fs)) => fs.map(f => x.copy(filter = Some(f))) :+
+          x.copy(filter = scala.None)
+        case Some(OrF(fs)) => fs.map(f => x.copy(filter = Some(f))) :+
+          x.copy(filter = scala.None)
+        case Some(NotF(f)) => Seq(x.copy(filter = Some(f)),
+          x.copy(filter = scala.None))
+        case Some(_) => Seq(x.copy(filter = scala.None))
+        case scala.None => Nil
+      }) ++
+        (if (x.having.nonEmpty) Seq(x.copy(having = scala.None)) else Nil) ++
+        (if (x.limit.nonEmpty)
+          Seq(x.copy(limit = scala.None, orderCols = Seq.empty)) else Nil) ++
+        (if (x.pas.nonEmpty) Seq(x.copy(pas = Seq.empty)) else Nil) ++
+        (if (x.interval.nonEmpty) Seq(x.copy(interval = scala.None)) else Nil) ++
+        (if (x.aggs.size > 1)
+          x.aggs.indices.map(i =>
+            x.copy(aggs = x.aggs.patch(i, Nil, 1))).filter(_.aggs.nonEmpty)
+        else Nil) ++
+        (if (x.dims.size > 1) x.dims.indices.map(i =>
+          x.copy(dims = x.dims.patch(i, Nil, 1))) else Nil)
+    var cur = q
+    var continue = true
+    while (continue) {
+      variants(cur).find(v => scala.util.Try(fails(v)).getOrElse(false)) match {
+        case Some(smaller) => cur = smaller
+        case scala.None    => continue = false
+      }
+    }
+    cur
+  }
+
+  // ------------------------------------------------------------------ driver
+
+  private def seeds(n: Int, offset: Int): Seq[(Int, rng.Seed)] =
+    (0 until n).map(i => (offset + i, rng.Seed(BaseSeed + offset + i)))
+      .filter { case (i, _) => Only.forall(_ == i) }
+
+  private def gen[T](g: Gen[T], s: rng.Seed): T =
+    g.pureApply(Gen.Parameters.default, s)
+
+  test("fuzz groupBy: native ≡ SQL twin ≡ DataFrame twin (180 cases)") {
+    events.count() // materialize once
+    for ((i, s) <- seeds(180, 0)) {
+      val q = gen(gbGen, s)
+      def check(x: GB): Option[String] = {
+        val ordered = x.limit.nonEmpty
+        val native = runNative(gbJson(x)).drop("__time")
+        diff(native, runSql(gbSql(x)), ordered, "native-vs-sql")
+          .orElse(diff(native, gbFrame(x), ordered, "native-vs-frame"))
+      }
+      check(q).foreach { err =>
+        val min = shrinkGB(q, x => check(x).nonEmpty)
+        fail(s"groupBy case $i diverged: $err\n" +
+          s"minimal native: ${gbJson(min)}\nminimal sql: ${gbSql(min)}\n" +
+          s"original native: ${gbJson(q)}")
+      }
+    }
+  }
+
+  test("fuzz topN: native ≡ ordered SQL twin (120 cases)") {
+    for ((i, s) <- seeds(120, 1000)) {
+      val q = gen(tnGen, s)
+      val native = runNative(tnJson(q)).drop("__time")
+      diff(native, runSql(tnSql(q)), ordered = true, "native-vs-sql").foreach {
+        err => fail(s"topN case $i diverged: $err\n" +
+          s"native: ${tnJson(q)}\nsql: ${tnSql(q)}")
+      }
+    }
+  }
+
+  test("fuzz scan: native ≡ ordered SQL twin (120 cases)") {
+    for ((i, s) <- seeds(120, 2000)) {
+      val q = gen(scGen, s)
+      val native = runNative(scJson(q))
+      diff(native, runSql(scSql(q)), ordered = true, "native-vs-sql").foreach {
+        err => fail(s"scan case $i diverged: $err\n" +
+          s"native: ${scJson(q)}\nsql: ${scSql(q)}")
+      }
+    }
+  }
+
+  test("fuzz timeseries: native ≡ driver-densified SQL twin (100 cases)") {
+    for ((i, s) <- seeds(100, 3000)) {
+      val q = gen(tsGen, s)
+      val native = runNative(tsJson(q))
+      val sparse = runSql(tsSparseSql(q))
+
+      // expected frame, driver-side: sparse rows + zero-filled buckets
+      val (cols, sparseRows) = canon(sparse)
+      val tIdx = cols.indexOf("__time")
+      val byBucket = sparseRows.map(r => r(tIdx) -> r).toMap
+      val widthMs = q.widthSec * 1000L
+      val (loMs, hiMs) =
+        (Epoch + q.interval._1 * 60000L, Epoch + q.interval._2 * 60000L)
+      val buckets = Iterator.iterate(
+        Math.floorDiv(loMs, widthMs) * widthMs)(_ + widthMs)
+        .takeWhile(_ <= Math.floorDiv(hiMs - 1, widthMs) * widthMs).toSeq
+      val zeroable = q.aggs.filter(a =>
+        Seq("count", "longSum", "doubleSum").contains(a.typ)).map(_.name).toSet
+      def fillRow(b: Long): Seq[String] = {
+        val aggVals: Map[String, Option[Double]] = q.aggs.map(a =>
+          a.name -> (if (zeroable(a.name)) Some(0.0) else scala.None)).toMap
+        def paVal(p: PA): Option[Double] = {
+          def f(x: Either[String, Double]): Option[Double] = x match {
+            case Left(n)  => aggVals(n)
+            case Right(v) => Some(v)
+          }
+          (f(p.a), f(p.b)) match {
+            case (Some(a), Some(bb)) => Some(p.fn match {
+              case "+" => a + bb
+              case "-" => a - bb
+              case "*" => a * bb
+              case "/" => if (bb == 0.0) 0.0 else a / bb
+            })
+            case _ => scala.None
+          }
+        }
+        cols.map {
+          case "__time" => java.time.Instant.ofEpochMilli(b).toString
+          case c if aggVals.contains(c) =>
+            aggVals(c) match {
+              case scala.None => "<null>"
+              case Some(v) =>
+                // longs render without decimals, like the typed native column
+                val a = q.aggs.find(_.name == c).get
+                if (a.typ == "count" || a.typ == "longSum") v.toLong.toString
+                else if (v == 0.0) "0"
+                else new java.math.BigDecimal(v)
+                  .round(new java.math.MathContext(9))
+                  .stripTrailingZeros.toPlainString
+            }
+          case c =>
+            q.pas.find(_.name == c).flatMap(paVal) match {
+              case scala.None => "<null>"
+              case Some(v) =>
+                if (v == 0.0) "0"
+                else new java.math.BigDecimal(v)
+                  .round(new java.math.MathContext(9))
+                  .stripTrailingZeros.toPlainString
+            }
+        }
+      }
+      var expected =
+        if (q.skipEmpty) sparseRows
+        else buckets.map { b =>
+          val key = java.time.Instant.ofEpochMilli(b).toString
+          byBucket.getOrElse(key, fillRow(b))
+        }
+      if (q.descending) expected = expected.reverse
+      q.limit.foreach(l => expected = expected.take(l))
+
+      val (nCols, nRows) = canon(native)
+      val err =
+        if (nCols != cols) Some(s"column sets differ: $nCols vs $cols")
+        else if (nRows != expected)
+          Some(s"${nRows.size} vs ${expected.size} rows\n--- native\n" +
+            s"${describe(nRows.diff(expected))}\n--- expected\n" +
+            s"${describe(expected.diff(nRows))}")
+        else scala.None
+      err.foreach { e =>
+        fail(s"timeseries case $i diverged: $e\n" +
+          s"native: ${tsJson(q)}\nsparse sql: ${tsSparseSql(q)}")
+      }
+    }
+  }
+}
