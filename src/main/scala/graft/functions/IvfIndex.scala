@@ -27,6 +27,9 @@ final class IvfIndex private (
 
   /** Top-k cosine search probing the nProbe clusters nearest to the query. */
   def search(spark: SparkSession, query: Array[Float], topK: Int, nProbe: Int): DataFrame = {
+    // idempotent: a LOADED index (AnnIndexStore) may be the session's first
+    // touch of the custom expressions — build() registering is not enough
+    GraftFunctions.register(spark)
     val probes = centroids
       .map { case (cid, c) => (cid, IvfIndex.cosineLocal(query.map(_.toDouble), c)) }
       .sortBy { case (_, sim) => -sim }
@@ -58,46 +61,63 @@ object IvfIndex {
   /** Build the index over (idCol: long, vecCol: array<float>).
     *
     * Seeding is deterministic farthest-first (the k-means++ spreading idea
-    * minus its RNG): seed 1 = vector with the smallest xxhash64(id)
-    * (arbitrary-but-stable, not biased toward low ids); each next seed
-    * maximizes cosine distance to its nearest chosen seed, ties broken by
-    * hash then id. Each pick is one distributed argmax over the broadcast
-    * seed list — k scans at build time, no vector shuffle, driver state
-    * still O(k·dim).
+    * minus its RNG) over a BOUNDED deterministic sample: the
+    * min(n, max(10 000, 50·k)) vectors with the smallest xxhash64(id)
+    * (arbitrary-but-stable, not biased toward low ids) collect to the
+    * driver — O(sample·dim) memory, ~6 MB at k=256/dim=64 — and the
+    * farthest-first picks run as tight local loops with an INCREMENTAL
+    * min-distance array (seed 1 = smallest hash; each next seed maximizes
+    * cosine distance to its nearest chosen seed; ties resolve to the
+    * smaller hash/id). The earlier distributed formulation ran pick i as an
+    * argmax whose expression re-scored all i prior seeds — O(k²·n) cosines
+    * total, ~5 BILLION at k≈200/n≈200k (measured minutes of build time
+    * before the first Lloyd pass; at 100 TB it would never finish). The
+    * sample cap bounds seeding at O(k·sample) local flops while Lloyd's
+    * refinement below still runs over the FULL corpus, so centroid quality
+    * at convergence is unchanged.
     */
   def build(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int = 5): IvfIndex = {
     GraftFunctions.register(spark)
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
 
-    // the farthest-first loop below runs kEff distributed argmax scans and
-    // each Lloyd pass two more passes over the same rows — persist once so
-    // build time is O(k) over a cached frame, not k re-reads of the source
+    // Lloyd passes run two scans each over the same rows — persist once.
     val hashed = base.withColumn("__h", xxhash64(col("id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // k is capped at n: with fewer vectors than requested clusters the
-    // farthest-first loop would re-pick already-chosen vectors forever
-    // (duplicate centroids, empty clusters). Counting the PERSISTED frame
-    // warms the cache — the count pass is also the cache fill, not an
-    // extra read of the source.
+    // k is capped at n (fewer vectors than clusters would mean duplicate
+    // centroids / empty clusters). Counting the PERSISTED frame warms the
+    // cache — the count pass is also the cache fill.
     val n = hashed.count()
     if (n == 0) { hashed.unpersist(); throw new IllegalArgumentException(
       "IvfIndex.build: input has no vectors") }
     val kEff = math.min(k, n).toInt
-    def vecOf(df0: DataFrame): Array[Double] =
-      df0.limit(1).select(col("vec")).collect().head
-        .getSeq[Float](0).map(_.toDouble).toArray
-    val seeds = scala.collection.mutable.ArrayBuffer(
-      vecOf(hashed.orderBy(col("__h"), col("id"))))
-    while (seeds.length < kEff) {
-      val distCols = seeds.toSeq.map(c =>
-        lit(1.0) - CosineSimilarity(col("vec"), typedlit(c)))
-      val minDist = if (distCols.size == 1) distCols.head else least(distCols: _*)
-      seeds += vecOf(hashed.withColumn("__mind", minDist)
-        .orderBy(col("__mind").desc, col("__h"), col("id")))
+    val sampleSize = math.min(n, math.max(10000L, 50L * kEff)).toInt
+    val sample: Array[Array[Double]] = hashed
+      .orderBy(col("__h"), col("id")).limit(sampleSize)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val chosen = new Array[Int](kEff)
+    chosen(0) = 0 // smallest hash — same first seed as the distributed form
+    val minDist = sample.map(v => 1.0 - cosineLocal(v, sample(0)))
+    var s = 1
+    while (s < kEff) {
+      var best = 0; var bestD = Double.NegativeInfinity
+      var i = 0
+      while (i < sample.length) {
+        if (minDist(i) > bestD) { bestD = minDist(i); best = i }
+        i += 1
+      }
+      chosen(s) = best
+      i = 0
+      while (i < sample.length) {
+        val d = 1.0 - cosineLocal(sample(i), sample(best))
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+      s += 1
     }
     var cents: Array[(Int, Array[Double])] =
-      seeds.zipWithIndex.map { case (c, i) => (i, c) }.toArray
+      chosen.zipWithIndex.map { case (idx, i) => (i, sample(idx)) }
 
     // Lloyd passes read the same rows as seeding: route them through the
     // cached frame (Spark's cache manager substitutes the persisted subtree)

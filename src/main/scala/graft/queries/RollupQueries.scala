@@ -631,6 +631,40 @@ object RollupQueries {
              count(*) AS cnt, round(sum(value), 2) AS v
             FROM events GROUP BY 1""")),
 
+    // -- the TASK-API route to the bucketed layout (SegmentStore.compactTask
+    // — the function the HTTP compact-task handler invokes): per-batch
+    // partials → hashed-partitionsSpec compaction (Druid's tuningConfig
+    // analog: partitionDimensions=[event_type], numShards=4) → the
+    // superseded partials dir is removed, readBucketed serves the result
+    // with zero-exchange same-key plans. Values hash-gated end-to-end.
+    QueryDef("rollup_bucketed_task", (s, dir) => {
+      val spec = IngestionSpec(DataSchema("events",
+        TimestampSpec("ts"), SpecificDimensions(Seq("event_type")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("doubleMax", "vmax", Some("value"))),
+        GranularitySpec(Granularity.Month, Granularity.Day)))
+      val p = new Pipeline(spec)
+      val ev = Tables.t(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bkttask").toString
+      graft.sink.SegmentSink.writeMicroBatch(s"$tmp/store")(
+        p.withSegment(p.rollup(p.project(p.extractTimestamp(
+          ev.filter(col("user_id") % 2 === 0))))), 0L)
+      graft.sink.SegmentSink.writeMicroBatch(s"$tmp/store")(
+        p.withSegment(p.rollup(p.project(p.extractTimestamp(
+          ev.filter(col("user_id") % 2 === 1))))), 1L)
+      val newDir = graft.sink.SegmentStore.compactTask(s, s"$tmp/store", spec,
+        partitionsSpec = Some((Seq("event_type"), 4)), table = "graft_q_bkttask")
+      graft.sink.SegmentStore.readBucketed(s, newDir, "graft_q_bkttask")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(LongType).as("days"),
+          sum(col("cnt")).cast(LongType).as("cnt"),
+          round(max(col("vmax")), 2).as("vmax"))
+    },
+    Some("""SELECT event_type,
+             CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS days,
+             count(*) AS cnt, round(max(value), 2) AS vmax
+            FROM events GROUP BY 1""")),
+
     // -- stored-sketch histogram through the real streaming store: centroid
     // histogram partials (binary) written per batch, hist_merge_agg at read,
     // quantiles finalized last. The metric has 40 distinct values against

@@ -545,6 +545,53 @@ object SegmentStore {
     } finally finals.unpersist()
   }
 
+  /** True iff `path` carries the [[compactBucketed]] sidecar — i.e. its file
+    * NAMES encode a bucket layout a catalog table can exploit. Guards the
+    * task API: appending plain (segment, __batch_id) partials into a
+    * bucketed store would corrupt the layout silently. */
+  def hasBucketLayout(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$BucketMetaFile")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The compact-TASK entry point (shared by the HTTP task handler and
+    * library callers): plain compaction stays in place ([[compactInPlace]] —
+    * one canonical dir); a `partitionsSpec` (the Druid hashed-partitions
+    * tuningConfig analog: partitionDimensions → bucket dims, numShards →
+    * bucket count) produces the BUCKETED at-rest layout instead. The
+    * bucketed store lands in a sibling `<dir>__bucketed` (bucket layout
+    * lives in a catalog table whose location must outlive the swap dance)
+    * and the returned dir becomes the dataSource's canonical store; plain
+    * [[read]] keeps working on it (bucket-named files are ordinary parquet,
+    * the sidecar is `_`-hidden), while [[readBucketed]] callers get the
+    * zero-exchange plan. A bucketed store is a TERMINAL layout: later
+    * append/index/kill tasks must re-compact first (loud errors at those
+    * sites), exactly like a hash-partitioned Druid compaction supersedes
+    * its input segments.
+    *
+    * Returns the (possibly new) canonical store dir.
+    */
+  def compactTask(spark: SparkSession, dir: String, spec: IngestionSpec,
+      partitionsSpec: Option[(Seq[String], Int)], table: String): String =
+    partitionsSpec match {
+      case scala.None =>
+        require(!hasBucketLayout(spark, dir),
+          "this store already has a bucketed layout; plain re-compaction " +
+            "would discard it — pass partitionsSpec again (or kill and " +
+            "re-ingest for a plain store)")
+        compactInPlace(spark, dir, spec); dir
+      case Some((bucketDims, numBuckets)) =>
+        val out = s"${dir.stripSuffix("/")}__bucketed"
+        compactBucketed(spark, dir, spec, out, table, bucketDims, numBuckets)
+        // the pre-compaction partials are superseded — remove them so the
+        // dataSource has ONE live store on disk
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.delete(p, true)) throw new java.io.IOException(
+          s"compactTask: could not remove superseded store $dir")
+        out
+    }
+
   /** Read a [[compactBucketed]] store WITH its bucket layout: returns the
     * catalog table (attaching it first when this session has never seen the
     * store — `CREATE TABLE … CLUSTERED BY … LOCATION` over the existing

@@ -619,6 +619,10 @@ final class HttpIngestServer(
                 s"rules apply to task-ingested dataSources " +
                   s"(have: ${taskStores.keySet().asScala.toSeq.sorted.mkString(",")})"))
             val spark = org.apache.spark.sql.SparkSession.active
+            require(!graft.sink.SegmentStore.hasBucketLayout(spark, dir),
+              s"dataSource '$ds' is a bucketed (hashed-compacted) store — " +
+                "retention drops would leave its catalog partitions stale; " +
+                "re-ingest or re-compact plain first")
             val types = rules.elements().asScala
               .map(r => Option(r.get("type")).map(_.asText).getOrElse("")).toSeq
             val dropped: Seq[String] = types match {
@@ -731,6 +735,10 @@ final class HttpIngestServer(
                   throw new IllegalArgumentException(
                     s"kill task knows only task-ingested dataSources " +
                       s"(have: ${taskStores.keySet().asScala.toSeq.sorted.mkString(",")})"))
+                require(!graft.sink.SegmentStore.hasBucketLayout(spark, dir),
+                  s"dataSource '$ds' is a bucketed (hashed-compacted) " +
+                    "store — its catalog partitions would go stale under a " +
+                    "segment kill; re-ingest or re-compact plain first")
                 val (lo, hi) = graft.time.Intervals.parse(iv)
                 val killed = graft.sink.SegmentStore.killInterval(spark, dir,
                   spec, new java.sql.Timestamp(lo), new java.sql.Timestamp(hi))
@@ -749,14 +757,34 @@ final class HttpIngestServer(
                   throw new IllegalArgumentException(
                     s"compact task knows only task-ingested dataSources " +
                       s"(have: ${taskStores.keySet().asScala.toSeq.sorted.mkString(",")})"))
-                // in-place (stage-then-swap): the dataSource keeps ONE
-                // canonical dir, so later index/kill/retention tasks keep
-                // operating on the compacted store instead of silently
-                // resurrecting the pre-compaction one
-                graft.sink.SegmentStore.compactInPlace(spark, dir, spec)
+                // tuningConfig.partitionsSpec (Druid's hashed-partitions
+                // compaction): partitionDimensions → bucket dims, numShards
+                // → bucket count — the output is the BUCKETED at-rest
+                // layout (zero-exchange joins/groupBys via readBucketed).
+                // Absent → plain in-place compaction (stage-then-swap: the
+                // dataSource keeps ONE canonical dir, so later index/kill/
+                // retention tasks keep operating on the compacted store).
+                val pspec = Option(root.get("tuningConfig"))
+                  .flatMap(t => Option(t.get("partitionsSpec"))).map { ps =>
+                    require(Option(ps.get("type")).map(_.asText)
+                        .contains("hashed"),
+                      "compact partitionsSpec supports type=hashed " +
+                        "(partitionDimensions + numShards → bucketed layout)")
+                    val dims = Option(ps.get("partitionDimensions")).toSeq
+                      .flatMap(_.elements.asScala.map(_.asText))
+                    require(dims.nonEmpty,
+                      "hashed partitionsSpec needs partitionDimensions")
+                    val shards = Option(ps.get("numShards")).map(_.asInt)
+                      .getOrElse(throw new IllegalArgumentException(
+                        "hashed partitionsSpec needs numShards"))
+                    (dims, shards)
+                  }
+                val newDir = graft.sink.SegmentStore.compactTask(spark, dir,
+                  spec, pspec, table = s"graft_task_$ds")
+                taskStores.put(ds, (newDir, spec))
                 val s = new IndexTaskState(id, ds, "compact")
                 s.state = "SUCCESS"
-                s.rows = graft.sink.SegmentStore.read(spark, dir, spec).count()
+                s.rows = graft.sink.SegmentStore.read(spark, newDir, spec).count()
                 s
               case "index" | "index_parallel" =>
                 val r = IndexTask.run(spark, body,

@@ -66,6 +66,15 @@ object IndexTask {
     val out = p.withSegment(p.rollup(p.project(p.extractTimestamp(raw))))
 
     val target = currentDir(ds).getOrElse(s"${storeRoot.stripSuffix("/")}/$ds")
+    // a bucketed (hashed-compacted) store is a TERMINAL layout: appending
+    // (segment, __batch_id) partials into bucket-named files would corrupt
+    // the layout silently, and overwriting would orphan the catalog table —
+    // loud either way (Druid analog: hashed compaction supersedes its input
+    // segments; new data means a new compaction round)
+    require(!graft.sink.SegmentStore.hasBucketLayout(spark, target),
+      s"dataSource '$ds' is a bucketed (hashed-compacted) store at $target " +
+        "— index tasks cannot write into it; ingest to a fresh dataSource " +
+        "and re-compact, or drop the bucketed store first")
     val tp = new org.apache.hadoop.fs.Path(target)
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!append && fs.exists(tp)) fs.delete(tp, true)

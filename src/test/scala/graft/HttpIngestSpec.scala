@@ -998,6 +998,106 @@ class HttpIngestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("compact task with hashed partitionsSpec: bucketed at-rest layout, " +
+      "queries stay correct, zero-exchange self-join, terminal-layout guards") {
+    spark.version
+    val tmp = Files.createTempDirectory("graft-bktapi").toString
+    Files.createDirectories(Paths.get(s"$tmp/spool"))
+    val server = new HttpIngestServer(s"$tmp/spool",
+      // query contexts register only with at least one route — same dummy
+      // route the sibling task-API test uses
+      queryRoutes = Map("dummy2_ds" -> (() =>
+        Seq((Timestamp.valueOf("2024-03-01 00:00:00"), 1L)).toDF("__time", "v"))),
+      indexTaskRoot = Some(s"$tmp/tasks"))
+    val port = server.start()
+    try {
+      def task(append: Boolean, data: String) =
+        s"""{"type": "index_parallel", "spec": {
+             "dataSchema": {"dataSource": "bkt_ds",
+               "timestampSpec": {"column": "ts", "format": "auto"},
+               "dimensionsSpec": {"dimensions": ["etype"]},
+               "metricsSpec": [{"type": "count", "name": "cnt"},
+                 {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+               "granularitySpec": {"segmentGranularity": "DAY",
+                                   "queryGranularity": "DAY"}},
+             "ioConfig": {"type": "index_parallel",
+               "inputSource": {"type": "inline", "data": "$data"},
+               "inputFormat": {"type": "csv", "columns": ["ts", "etype", "value"]},
+               "appendToExisting": $append}}}"""
+      val (c1, b1) = post(port, "/druid/indexer/v1/task",
+        task(append = false,
+          "2024-03-01 01:00:00,click,1.0\\n2024-03-01 02:00:00,view,2.0\\n" +
+            "2024-03-02 01:00:00,click,4.0"))
+      assert(c1 == 200, b1)
+      val (c2, b2) = post(port, "/druid/indexer/v1/task",
+        task(append = true, "2024-03-02 02:00:00,view,8.0"))
+      assert(c2 == 200, b2)
+      // hashed-partitionsSpec compaction: Druid's tuningConfig analog →
+      // the bucketed at-rest layout (partitionDimensions = bucket dims)
+      val (cc, cb) = post(port, "/druid/indexer/v1/task",
+        """{"type": "compact", "dataSource": "bkt_ds",
+            "tuningConfig": {"partitionsSpec": {"type": "hashed",
+              "partitionDimensions": ["etype"], "numShards": 4}}}""")
+      assert(cc == 200, cb)
+      val idc = "index_graft_[0-9a-f]+".r.findFirstIn(cb).get
+      val (scc, scb) = get(port, s"/druid/indexer/v1/task/$idc/status")
+      assert(scc == 200 && scb.contains("\"status\":\"SUCCESS\""), scb)
+      // queries over the bucketed store answer identically (plain read path)
+      val (qc, qb) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT etype, SUM(cnt) AS n, SUM(total) AS t FROM bkt_ds GROUP BY etype ORDER BY etype"}""")
+      assert(qc == 200 && qb.contains("\"n\":2") && qb.contains("\"t\":5.0") &&
+        qb.contains("\"t\":10.0"), qb)
+      // the layout is real: readBucketed self-join plans with ZERO exchanges
+      // (broadcast disabled so the tiny table doesn't sidestep the check)
+      val bktDir = s"$tmp/tasks/bkt_ds__bucketed"
+      assert(graft.sink.SegmentStore.hasBucketLayout(spark, bktDir))
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      try {
+        val t = graft.sink.SegmentStore.readBucketed(spark, bktDir,
+          "graft_task_bkt_ds")
+        val joined = t.as("a").join(t.as("b"), "etype")
+          .select(col("a.cnt"), col("b.total"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed self-join must not shuffle:\n$plan")
+        assert(joined.count() > 0)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      // …and the pre-compaction partials dir is gone (one live store)
+      assert(!Files.exists(Paths.get(s"$tmp/tasks/bkt_ds")))
+      // terminal layout: index/append, kill, and retention all refuse loudly
+      val (ca, ba) = post(port, "/druid/indexer/v1/task",
+        task(append = true, "2024-03-03 01:00:00,click,16.0"))
+      assert(ca == 200, ba)
+      val ida = "index_graft_[0-9a-f]+".r.findFirstIn(ba).get
+      val (sca, sba) = get(port, s"/druid/indexer/v1/task/$ida/status")
+      assert(sca == 200 && sba.contains("\"status\":\"FAILED\"") &&
+        sba.contains("bucketed"), sba)
+      val (ck, bk) = post(port, "/druid/indexer/v1/task",
+        """{"type": "kill", "dataSource": "bkt_ds",
+            "interval": "2024-03-01T00:00:00/2024-03-02T00:00:00"}""")
+      assert(ck == 200, bk)
+      val idk = "index_graft_[0-9a-f]+".r.findFirstIn(bk).get
+      val (sck, sbk) = get(port, s"/druid/indexer/v1/task/$idk/status")
+      assert(sck == 200 && sbk.contains("\"status\":\"FAILED\"") &&
+        sbk.contains("bucketed"), sbk)
+      val (cr, br) = post(port,
+        "/druid/coordinator/v1/rules/bkt_ds",
+        """[{"type": "dropByInterval",
+             "interval": "2024-03-01T00:00:00/2024-03-02T00:00:00"}]""")
+      assert(cr == 400 && br.contains("bucketed"), s"$cr $br")
+      // a second PLAIN compact refuses too (would discard the layout)
+      val (cp, bp) = post(port, "/druid/indexer/v1/task",
+        """{"type": "compact", "dataSource": "bkt_ds"}""")
+      assert(cp == 200, bp)
+      val idp = "index_graft_[0-9a-f]+".r.findFirstIn(bp).get
+      val (scp, sbp) = get(port, s"/druid/indexer/v1/task/$idp/status")
+      assert(scp == 200 && sbp.contains("\"status\":\"FAILED\"") &&
+        sbp.contains("bucketed"), sbp)
+    } finally server.stop()
+  }
+
   test("JSON batch-ingestion task API: index_parallel submit/status, SQL + " +
       "native queries over the store, append re-merge, sys.tasks, failure") {
     spark.version // force the shared session so handler threads see a default
