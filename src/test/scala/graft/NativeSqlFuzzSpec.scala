@@ -649,6 +649,199 @@ class NativeSqlFuzzSpec extends SparkSpec {
     s"SELECT ${q.cols.mkString(", ")} FROM events$where ORDER BY __time $dir$lim$off"
   }
 
+  // ----------------------------------------------- phase-2 query shapes
+  // hour granularity, subtotalsSpec, virtual columns, limitSpec
+  // dimensionOrder, nested query dataSources — the interaction space the
+  // phase-1 shapes hold fixed.
+
+  /** hour-granularity groupBy: __time joins the output and the tiebreak;
+    * order columns may carry a dimensionOrder (numeric / strlen). */
+  private case class GBH(dims: Seq[Dim], filter: Option[F], aggs: Seq[Agg],
+      orderCols: Seq[(String, Boolean, Option[String])], limit: Option[Int],
+      interval: (Int, Int))
+
+  private def gbhGen: Gen[GBH] = for {
+    nd <- Gen.choose(1, 2)
+    dims0 <- Gen.listOfN(nd, dimGen)
+    dims = dims0.groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
+    filter <- Gen.option(filterGen(1))
+    aggs <- aggsGen
+    withLimit <- Gen.prob(0.5)
+    orderCols <- if (!withLimit) Gen.const(Seq.empty[(String, Boolean, Option[String])])
+      else for {
+        cs <- Gen.someOf(dims.map(_.name)).map(_.take(1).toSeq)
+        descs <- Gen.listOfN(cs.size, Gen.prob(0.5))
+        ords <- Gen.listOfN(cs.size,
+          Gen.option(Gen.oneOf("numeric", "strlen")))
+      } yield cs.lazyZip(descs).lazyZip(ords).toSeq
+    limit <- if (withLimit) Gen.choose(1, 10).map(Some(_))
+      else Gen.const(scala.None)
+    lo <- Gen.chooseNum(0, 1500); w <- Gen.chooseNum(120, 1380)
+  } yield GBH(dims, filter, aggs, orderCols, limit, (lo, lo + w))
+
+  private def gbhJson(q: GBH): String =
+    (Seq(
+      s""""queryType":"groupBy"""", s""""dataSource":"events"""",
+      s""""granularity":"hour"""",
+      s""""intervals":["${isoMin(q.interval._1)}/${isoMin(q.interval._2)}"]""",
+      s""""dimensions":[${q.dims.map(_.json).mkString(",")}]""",
+      s""""aggregations":[${q.aggs.map(aggJson).mkString(",")}]""") ++
+      q.filter.map(f => s""""filter":${fJson(f)}""") ++
+      q.limit.map { l =>
+        val cols = q.orderCols.map { case (c, desc, ord) =>
+          val dir = if (desc) "descending" else "ascending"
+          ord match {
+            case scala.None => s"""{"dimension":"$c","direction":"$dir"}"""
+            case Some(o) =>
+              s"""{"dimension":"$c","direction":"$dir","dimensionOrder":"$o"}"""
+          }
+        }.mkString(",")
+        s""""limitSpec":{"type":"default","limit":$l,"columns":[$cols]}"""
+      }).mkString("{", ",", "}")
+
+  private def gbhSql(q: GBH): String = {
+    val select = (Seq("TIME_FLOOR(__time, 'PT1H') AS __time") ++
+      q.dims.map(d => s"${d.sql} AS ${d.name}") ++ q.aggs.map(aggSql))
+      .mkString(", ")
+    val where = (q.filter.map(fSql).toSeq :+
+      s"(__time >= ${sqlTs(q.interval._1)} AND __time < ${sqlTs(q.interval._2)})")
+      .mkString(" AND ")
+    val group = s" GROUP BY ${(1 to q.dims.size + 1).mkString(", ")}"
+    val order = q.limit.map { l =>
+      val named = q.orderCols.map(_._1).toSet
+      val explicit = q.orderCols.flatMap { case (c, desc, ord) =>
+        val dir = if (desc) "DESC" else "ASC"
+        ord match {
+          // the same key columns dimOrderKeys builds, spelled in SQL
+          case Some("numeric") => Seq(s"TRY_CAST($c AS DOUBLE) $dir")
+          case Some("strlen")  => Seq(s"LENGTH($c) $dir", s"$c $dir")
+          case _               => Seq(s"$c $dir")
+        }
+      }
+      // native tiebreak = every unnamed output column ascending, in
+      // output-column order (__time first)
+      val tiebreak = (Seq("__time") ++ q.dims.map(_.name) ++
+        q.aggs.map(_.name)).filterNot(named).map(c => s"$c ASC")
+      s" ORDER BY ${(explicit ++ tiebreak).mkString(", ")} LIMIT $l"
+    }.getOrElse("")
+    s"SELECT $select FROM events WHERE $where$group$order"
+  }
+
+  /** subtotalsSpec groupBy ≡ SQL GROUPING SETS (granularity all). */
+  private case class GBS(dims: Seq[Dim], filter: Option[F], aggs: Seq[Agg],
+      sets: Seq[Seq[String]])
+
+  private def gbsGen: Gen[GBS] = for {
+    dims0 <- Gen.listOfN(2, dimGen)
+    dims = dims0.groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
+    filter <- Gen.option(filterGen(1))
+    aggs <- aggsGen
+    allSets = dims.map(_.name).toSet.subsets().map(_.toSeq.sorted).toSeq
+    sets <- Gen.someOf(allSets).map(_.toSeq).suchThat(_.nonEmpty)
+  } yield GBS(dims, filter, aggs, sets)
+
+  private def gbsJson(q: GBS): String =
+    (Seq(
+      s""""queryType":"groupBy"""", s""""dataSource":"events"""",
+      s""""granularity":"all"""",
+      s""""dimensions":[${q.dims.map(_.json).mkString(",")}]""",
+      s""""subtotalsSpec":[${q.sets.map(s =>
+        s.map("\"" + _ + "\"").mkString("[", ",", "]")).mkString(",")}]""",
+      s""""aggregations":[${q.aggs.map(aggJson).mkString(",")}]""") ++
+      q.filter.map(f => s""""filter":${fJson(f)}""")).mkString("{", ",", "}")
+
+  private def gbsSql(q: GBS): String = {
+    // a dim in NO subtotal set is null on every output row (the native
+    // semantics) — select it as NULL rather than as a non-grouped column
+    // (every dim variant is string-typed)
+    val inAnySet = q.sets.flatten.toSet
+    val select = (q.dims.map(d =>
+      if (inAnySet(d.name)) s"${d.sql} AS ${d.name}"
+      else s"CAST(NULL AS STRING) AS ${d.name}") ++
+      q.aggs.map(aggSql)).mkString(", ")
+    val where = q.filter.map(f => s" WHERE ${fSql(f)}").getOrElse("")
+    // grouping over the dim EXPRESSIONS (aliases are not visible there)
+    val exprOf = q.dims.map(d => d.name -> d.sql).toMap
+    val sets = q.sets.map(s =>
+      s.map(exprOf).mkString("(", ", ", ")")).mkString(", ")
+    s"SELECT $select FROM events$where GROUP BY GROUPING SETS ($sets)"
+  }
+
+  /** a virtual (expression) column used as the grouping dimension. */
+  private case class GBV(vexpr: String, filter: Option[F], aggs: Seq[Agg])
+
+  private val virtualExprs = Seq(
+    "concat(user, '_', coalesce(etype, 'na'))",
+    "upper(coalesce(etype, user))",
+    "cast(length(user) + n as string)",
+    "cast(cast(value as int) % 10 as string)")
+
+  private def gbvGen: Gen[GBV] = for {
+    v <- Gen.oneOf(virtualExprs)
+    filter <- Gen.option(filterGen(1))
+    aggs <- aggsGen
+  } yield GBV(v, filter, aggs)
+
+  private def gbvJson(q: GBV): String =
+    (Seq(
+      s""""queryType":"groupBy"""", s""""dataSource":"events"""",
+      s""""granularity":"all"""",
+      s""""virtualColumns":[{"type":"expression","name":"vdim","expression":"${q.vexpr.replace("\"", "\\\"")}"}]""",
+      s""""dimensions":["vdim"]""",
+      s""""aggregations":[${q.aggs.map(aggJson).mkString(",")}]""") ++
+      q.filter.map(f => s""""filter":${fJson(f)}""")).mkString("{", ",", "}")
+
+  private def gbvSql(q: GBV): String = {
+    val select = (Seq(s"${q.vexpr} AS vdim") ++ q.aggs.map(aggSql)).mkString(", ")
+    val where = q.filter.map(f => s" WHERE ${fSql(f)}").getOrElse("")
+    s"SELECT $select FROM events$where GROUP BY 1"
+  }
+
+  /** nested query dataSource: outer groupBy over an inner groupBy's
+    * result (the per-user count histogram shape). */
+  private case class NQ(innerFilter: Option[F], innerAgg: String,
+      outerAgg: String, innerDim: String)
+
+  private def nqGen: Gen[NQ] = for {
+    f <- Gen.option(filterGen(1))
+    ia <- Gen.oneOf("count", "longSum")
+    oa <- Gen.oneOf("count", "longSum", "longMax")
+    d <- Gen.oneOf("user", "etype")
+  } yield NQ(f, ia, oa, d)
+
+  private def nqJson(q: NQ): String = {
+    val innerAgg =
+      if (q.innerAgg == "count") s"""{"type":"count","name":"m"}"""
+      else s"""{"type":"longSum","name":"m","fieldName":"n"}"""
+    val outerAgg =
+      if (q.outerAgg == "count") s"""{"type":"count","name":"c2"}"""
+      else s"""{"type":"${q.outerAgg}","name":"c2","fieldName":"m"}"""
+    val inner = (Seq(
+      s""""queryType":"groupBy"""", s""""dataSource":"events"""",
+      s""""granularity":"all"""",
+      s""""dimensions":["${q.innerDim}"]""",
+      s""""aggregations":[$innerAgg]""") ++
+      q.innerFilter.map(f => s""""filter":${fJson(f)}""")).mkString("{", ",", "}")
+    s"""{"queryType":"groupBy","dataSource":{"type":"query","query":$inner},
+        "granularity":"all","dimensions":["m"],
+        "aggregations":[$outerAgg]}"""
+  }
+
+  private def nqSql(q: NQ): String = {
+    val innerAgg =
+      if (q.innerAgg == "count") "COUNT(1)"
+      else "CAST(SUM(n) AS BIGINT)"
+    val outerAgg = q.outerAgg match {
+      case "count"   => "COUNT(1)"
+      case "longSum" => "CAST(SUM(m) AS BIGINT)"
+      case "longMax" => "CAST(MAX(m) AS BIGINT)"
+    }
+    val where = q.innerFilter.map(f => s" WHERE ${fSql(f)}").getOrElse("")
+    s"""SELECT m, $outerAgg AS c2 FROM
+        (SELECT ${q.innerDim}, $innerAgg AS m FROM events$where
+         GROUP BY 1) GROUP BY 1"""
+  }
+
   // ----------------------------------------------------------- canonicalizer
 
   /** rows → canonical rendering: columns sorted by name, doubles to 9
@@ -772,6 +965,51 @@ class NativeSqlFuzzSpec extends SparkSpec {
         err => fail(s"scan case $i diverged: $err\n" +
           s"native: ${scJson(q)}\nsql: ${scSql(q)}")
       }
+    }
+  }
+
+  test("fuzz groupBy phase 2: hour granularity + dimensionOrder (80), " +
+      "subtotalsSpec ≡ GROUPING SETS (50), virtual dims (50)") {
+    events.count()
+    for ((i, s) <- seeds(80, 4000)) {
+      val q = gen(gbhGen, s)
+      val native = runNative(gbhJson(q))
+      diff(native, runSql(gbhSql(q)), ordered = q.limit.nonEmpty,
+        "native-vs-sql").foreach { err =>
+        fail(s"groupBy-hour case $i diverged: $err\n" +
+          s"native: ${gbhJson(q)}\nsql: ${gbhSql(q)}")
+      }
+    }
+    for ((i, s) <- seeds(50, 4500)) {
+      val q = gen(gbsGen, s)
+      val native = runNative(gbsJson(q)).drop("__time")
+      diff(native, runSql(gbsSql(q)), ordered = false, "native-vs-sql")
+        .foreach { err =>
+          fail(s"subtotals case $i diverged: $err\n" +
+            s"native: ${gbsJson(q)}\nsql: ${gbsSql(q)}")
+        }
+    }
+    for ((i, s) <- seeds(50, 4800)) {
+      val q = gen(gbvGen, s)
+      val native = runNative(gbvJson(q)).drop("__time")
+      diff(native, runSql(gbvSql(q)), ordered = false, "native-vs-sql")
+        .foreach { err =>
+          fail(s"virtual-dim case $i diverged: $err\n" +
+            s"native: ${gbvJson(q)}\nsql: ${gbvSql(q)}")
+        }
+    }
+  }
+
+  test("fuzz nested query dataSource: outer groupBy over inner ≡ SQL subquery (40 cases)") {
+    events.count()
+    for ((i, s) <- seeds(40, 5200)) {
+      val q = gen(nqGen, s)
+      val native = runNative(nqJson(q)).drop("__time")
+      diff(native, runSql(nqSql(q)), ordered = false, "native-vs-sql")
+        .foreach { err =>
+          fail(s"nested-query case $i diverged: $err\n" +
+            s"native: ${nqJson(q)}\nsql: ${nqSql(q)}")
+        }
     }
   }
 
