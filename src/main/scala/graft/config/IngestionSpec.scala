@@ -72,6 +72,12 @@ final case class AggregatorSpec(
       * regex/like/bound) — Druid allows any query filter inside a filtered
       * aggregator, not just selector. Wins over the legacy pair when set. */
     filterSpec: Option[FilterSpec] = scala.None,
+    /** for `filtered` with an extractionFn-bearing filter: the RAW filter
+      * JSON. Only the query path can compile extraction filters (the
+      * extraction compiler lives in DruidQueryCompiler); ingest-time
+      * metricsSpec rejects these at LOAD. Exactly one of
+      * filterSpec/filterJson is set for a DSL-filtered aggregator. */
+    filterJson: Option[com.fasterxml.jackson.databind.JsonNode] = scala.None,
     /** delegate for `filtered` */
     aggregator: Option[AggregatorSpec] = scala.None,
     /** for `cardinality`/`hyperUnique`/`exactCardinality` over a dimension

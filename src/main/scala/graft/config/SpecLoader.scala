@@ -100,6 +100,17 @@ object SpecLoader {
 
     val metrics = opt(ds, "metricsSpec").toSeq
       .flatMap(_.elements.asScala).map(parseAgg)
+    // extraction filters stay a query-path feature: an ingest-time filtered
+    // metric silently comparing the RAW dimension would be wrong data, and
+    // the extraction compiler lives on the query side — refuse at LOAD
+    def noExtraction(a: AggregatorSpec): Unit = {
+      require(a.filterJson.isEmpty,
+        s"filtered metric '${a.name}': extractionFn filters are not " +
+          "supported in ingest metricsSpec (apply the extraction in " +
+          "transformSpec and filter the derived column instead)")
+      a.aggregator.foreach(noExtraction)
+    }
+    metrics.foreach(noExtraction)
 
     val postAggs = opt(ds, "postAggregations").toSeq
       .flatMap(_.elements.asScala).map(parsePostAgg)
@@ -191,6 +202,13 @@ object SpecLoader {
   /** Druid filter DSL subset: selector / in / and / or / not / bound.
     * Malformed filters fail HERE, where every other spec error surfaces —
     * not at first query time. */
+  /** Whether any node of a filter tree carries an extractionFn (those
+    * compile only on the query path — [[parseAgg]] keeps the raw JSON). */
+  private[graft] def hasExtractionFn(n: JsonNode): Boolean =
+    opt(n, "extractionFn").isDefined ||
+      opt(n, "fields").exists(_.elements.asScala.exists(hasExtractionFn)) ||
+      opt(n, "field").exists(hasExtractionFn)
+
   private[graft] def parseFilter(n: JsonNode): FilterSpec = {
     // extraction-bearing filters only exist on the query path, where
     // DruidQueryCompiler.filterColumn compiles them BEFORE reaching here;
@@ -403,11 +421,17 @@ object SpecLoader {
         name = str(n, "name", delegate.name),
         // the full filter DSL — same language as transformSpec.filter /
         // the query filter clause (Druid allows any filter here); a
-        // type-less {"dimension","value"} object is the selector shorthand
-        filterSpec = Some(
-          if (opt(f, "type").isEmpty)
-            SelectorFilter(str(f, "dimension", ""), str(f, "value", ""))
-          else parseFilter(f)),
+        // type-less {"dimension","value"} object is the selector shorthand.
+        // Extraction-bearing trees keep the RAW JSON: only the query
+        // compiler can compile extractionFns (Druid allows them here too);
+        // the ingest path rejects filterJson at spec LOAD below.
+        filterSpec =
+          if (hasExtractionFn(f)) scala.None
+          else Some(
+            if (opt(f, "type").isEmpty)
+              SelectorFilter(str(f, "dimension", ""), str(f, "value", ""))
+            else parseFilter(f)),
+        filterJson = if (hasExtractionFn(f)) Some(f) else scala.None,
         aggregator = Some(delegate))
     } else {
       // arrayOfDoublesSketch reuses `fields` for its metricColumns (the

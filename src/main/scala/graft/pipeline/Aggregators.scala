@@ -34,11 +34,48 @@ object Aggregators {
     if (spec.aggType != "filtered") delegated
     else delegated.copy(
       filterSpec = delegated.filterSpec.map(Filters.renameColumn(_, from, to)),
+      filterJson = delegated.filterJson.map(remapJsonTime(_, from, to)),
       filterDimension = delegated.filterDimension.map(d =>
         if (d == from) to else d))
   }
 
-  def toColumn(spec: AggregatorSpec): Column = spec.aggType match {
+  /** JSON-tree twin of [[Filters.renameColumn]] for extraction-bearing
+    * filter trees ([[AggregatorSpec.filterJson]]): rewrite every
+    * `dimension`/`column` reference to `from` in a DEEP COPY. Expression
+    * nodes whose text mentions `from` get the same loud rejection as the
+    * parsed path — a silent stale reference would read the bucketed time. */
+  private def remapJsonTime(n: com.fasterxml.jackson.databind.JsonNode,
+      from: String, to: String): com.fasterxml.jackson.databind.JsonNode = {
+    val copy = n.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+    def walk(x: com.fasterxml.jackson.databind.JsonNode): Unit = x match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        for (k <- Seq("dimension", "column"))
+          if (o.hasNonNull(k) && o.get(k).isTextual && o.get(k).asText == from)
+            o.put(k, to)
+        if (o.hasNonNull("expression") && o.get("expression").isTextual)
+          require(!o.get("expression").asText.contains(from),
+            s"an expression filter reading '$from' cannot be used where " +
+              s"'$from' is rewritten (filtered aggregators under a " +
+              "bucketing granularity); reference the raw time another way")
+        // extractionFn subtrees carry no column refs; field/fields do
+        o.properties.forEach(e => walk(e.getValue))
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        a.forEach(walk)
+      case _ => ()
+    }
+    walk(copy)
+    copy
+  }
+
+  def toColumn(spec: AggregatorSpec): Column = toColumn(spec, scala.None)
+
+  /** `extractionFilter`: query-path compiler for extraction-bearing filter
+    * JSON ([[AggregatorSpec.filterJson]] — DruidQueryCompiler.filterColumn).
+    * Ingest callers leave it None and get a loud error if such a filter
+    * slips past the LOAD-time guard. */
+  def toColumn(spec: AggregatorSpec,
+      extractionFilter: Option[com.fasterxml.jackson.databind.JsonNode => Column])
+      : Column = spec.aggType match {
     case "count"     => count(lit(1)).as(spec.name)
     case "longSum"   => sum(field(spec)).cast(LongType).as(spec.name)
     case "doubleSum" => sum(field(spec).cast(DoubleType)).as(spec.name)
@@ -130,11 +167,18 @@ object Aggregators {
       val delegate = spec.aggregator.getOrElse(
         throw new IllegalArgumentException(s"filtered agg ${spec.name} lacks delegate"))
       // full DSL when present (any Druid filter wraps an aggregator);
-      // legacy dimension==value pair otherwise
-      val cond = spec.filterSpec.map(Filters.toColumn).getOrElse {
-        require(spec.filterDimension.nonEmpty && spec.filterValue.nonEmpty,
-          s"filtered agg ${spec.name} needs filterSpec or dimension+value")
-        col(spec.filterDimension.get) === lit(spec.filterValue.get)
+      // legacy dimension==value pair otherwise; extraction-bearing trees
+      // (filterJson) compile through the query path's filterColumn
+      val cond = spec.filterJson match {
+        case Some(j) => extractionFilter.getOrElse(
+          throw new IllegalArgumentException(
+            s"filtered agg ${spec.name}: extractionFn filters compile on " +
+              "the query path only"))(j)
+        case scala.None => spec.filterSpec.map(Filters.toColumn).getOrElse {
+          require(spec.filterDimension.nonEmpty && spec.filterValue.nonEmpty,
+            s"filtered agg ${spec.name} needs filterSpec or dimension+value")
+          col(spec.filterDimension.get) === lit(spec.filterValue.get)
+        }
       }
       // sum(when(cond, x)) — map-side partial filtered aggregation, no
       // separate pass over the data (SURVEY §2.4 `filtered` wrapper)
@@ -392,7 +436,25 @@ object Aggregators {
   def inputFields(spec: AggregatorSpec): Seq[String] =
     spec.fieldName.toSeq ++ spec.fields ++ spec.filterDimension.toSeq ++
       spec.filterSpec.toSeq.flatMap(Filters.dimensions) ++
+      spec.filterJson.toSeq.flatMap(jsonFilterDims) ++
       spec.aggregator.toSeq.flatMap(inputFields)
+
+  /** `dimension`/`column` refs of a raw extraction-filter tree. */
+  private def jsonFilterDims(
+      n: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    def walk(x: com.fasterxml.jackson.databind.JsonNode): Unit = x match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        for (k <- Seq("dimension", "column"))
+          if (o.hasNonNull(k) && o.get(k).isTextual) out += o.get(k).asText
+        o.properties.forEach(e =>
+          if (e.getKey != "extractionFn") walk(e.getValue))
+      case a: com.fasterxml.jackson.databind.node.ArrayNode => a.forEach(walk)
+      case _ => ()
+    }
+    walk(n)
+    out.toSeq.distinct
+  }
 
   private def field(spec: AggregatorSpec): Column =
     col(spec.fieldName.getOrElse(

@@ -911,6 +911,44 @@ object DruidNativeQueries {
             WHERE value >= 10.5 AND value < 420.0
               AND nullif(event_type, 'view') IS NOT NULL
               AND user_id % 7 = 3
-            GROUP BY 1"""))
+            GROUP BY 1""")),
+
+    // -- the null-producing extraction fns (r7): `partial` (regex
+    // find-retain), `searchQuery` (spec-accept-retain) and `time`
+    // (parse-with-timeFormat → render-with-resultFormat, unparseable
+    // passthrough) — each grouped on, so the null-out semantics land in a
+    // visible null group rather than vanishing. The `time` input is a
+    // dd/MM/yyyy virtual column derived from __time, so parse→render is a
+    // pure month truncation the oracle states directly -------------------
+    QueryDef("druid_json_retain_extraction_fns", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "groupBy", "dataSource": "events",
+         "granularity": "all",
+         "virtualColumns": [{"type": "expression", "name": "dmy",
+           "expression": "date_format(__time, 'dd/MM/yyyy')"}],
+         "dimensions": [
+           {"type": "extraction", "dimension": "event_type",
+            "outputName": "p",
+            "extractionFn": {"type": "partial", "expr": "^(cl|pu)"}},
+           {"type": "extraction", "dimension": "event_type",
+            "outputName": "sq",
+            "extractionFn": {"type": "searchQuery",
+              "query": {"type": "insensitive_contains", "value": "E"}}},
+           {"type": "extraction", "dimension": "dmy", "outputName": "ym",
+            "extractionFn": {"type": "time", "timeFormat": "dd/MM/yyyy",
+              "resultFormat": "yyyy-MM"}}],
+         "aggregations": [
+           {"type": "count", "name": "cnt"},
+           {"type": "doubleSum", "name": "sum_v", "fieldName": "value"}]}""")
+        .select(col("p"), col("sq"), col("ym"), col("cnt"),
+          round(col("sum_v"), 2).as("sum_v"))
+    },
+    Some("""SELECT CASE WHEN regexp_matches(event_type, '^(cl|pu)')
+                     THEN event_type END AS p,
+              CASE WHEN contains(lower(event_type), 'e')
+                   THEN event_type END AS sq,
+              strftime(ts, '%Y-%m') AS ym,
+              count(*) AS cnt, round(sum(value), 2) AS sum_v
+            FROM events GROUP BY 1, 2, 3"""))
   )
 }

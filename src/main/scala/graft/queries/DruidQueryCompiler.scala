@@ -526,7 +526,7 @@ object DruidQueryCompiler {
       .map(SpecLoader.parseAgg)
       // filtered-agg filters see the RAW event time, not the bucket below
       .map(Aggregators.remapFilterTime(_, TimeCol, Pipeline.RawTsCol)).toSeq
-    val aggs = aggSpecs.map(Aggregators.toColumn) match {
+    val aggs = aggSpecs.map(Aggregators.toColumn(_, Some(filterColumn))) match {
       case Nil => Seq(count(lit(1)).as("rows"))
       case xs  => xs
     }
@@ -715,7 +715,7 @@ object DruidQueryCompiler {
       .map(SpecLoader.parseAgg)
       // same raw-time rule as [[aggregate]]: __time is nulled below
       .map(Aggregators.remapFilterTime(_, TimeCol, Pipeline.RawTsCol)).toSeq
-    val aggs = aggSpecs.map(Aggregators.toColumn) match {
+    val aggs = aggSpecs.map(Aggregators.toColumn(_, Some(filterColumn))) match {
       case Nil => Seq(count(lit(1)).as("rows"))
       case xs  => xs
     }
@@ -1232,10 +1232,38 @@ object DruidQueryCompiler {
         val x = c.try_cast(DoubleType)
         (floor((x - lit(off)) / lit(size)) * lit(size) + lit(off))
           .cast(StringType)
+      // retain values the regex FINDS a match in (find(), not full-match
+      // — rlike's semantics), null out the rest (upstream
+      // PartialDimExtractionFn)
+      case "partial" =>
+        val pattern = str(fn, "expr", "")
+        require(pattern.nonEmpty, "partial extractionFn needs expr")
+        val s0 = c.cast(StringType)
+        when(s0.rlike(pattern), s0)
+      // retain values the searchQuerySpec accepts, null out the rest
+      // (upstream SearchQuerySpecDimExtractionFn) — same spec grammar as
+      // the search queryType
+      case "searchQuery" =>
+        val q = opt(fn, "query").getOrElse(throw new IllegalArgumentException(
+          "searchQuery extractionFn needs a query"))
+        val s0 = c.cast(StringType)
+        when(s0.isNotNull && searchMatcher(q)(s0), s0)
+      // re-render a formatted time STRING: parse with timeFormat, emit with
+      // resultFormat; a value the input format can't parse passes through
+      // UNCHANGED — upstream TimeDimExtractionFn's documented fallback, and
+      // why this needs try_to_timestamp under ANSI mode
+      case "time" =>
+        val inFmt = str(fn, "timeFormat", "")
+        val outFmt = str(fn, "resultFormat", "")
+        require(inFmt.nonEmpty && outFmt.nonEmpty,
+          "time extractionFn needs timeFormat and resultFormat")
+        val s0 = c.cast(StringType)
+        val parsed = try_to_timestamp(s0, lit(inFmt))
+        when(parsed.isNotNull, date_format(parsed, outFmt)).otherwise(s0)
       case other => throw new IllegalArgumentException(
         s"unsupported extractionFn type '$other' " +
-          "(substring/upper/lower/strlen/regex/timeFormat/lookup/" +
-          "registeredLookup/cascade/stringFormat/bucket)")
+          "(substring/upper/lower/strlen/regex/partial/searchQuery/time/" +
+          "timeFormat/lookup/registeredLookup/cascade/stringFormat/bucket)")
     }
 
   // -------------------------------------------------------------------- scan
@@ -1281,13 +1309,13 @@ object DruidQueryCompiler {
   /** search: per-dimension matching values with per-bucket counts — the
     * row shape of Druid's search result array. One narrow union branch per
     * searched dimension; each branch is a pruned (2-column) scan. */
-  private def search(df: DataFrame, root: JsonNode): DataFrame = {
-    val dims = opt(root, "searchDimensions").toSeq.flatMap(_.elements.asScala)
-      .map(_.asText).toSeq
-    require(dims.nonEmpty, "search needs searchDimensions")
-    val q = opt(root, "query").getOrElse(
-      throw new IllegalArgumentException("search needs a query"))
-    val matches: Column => Column = str(q, "type", "") match {
+  /** searchQuerySpec → predicate over a string column. Shared by the
+    * `search` queryType and the `searchQuery` extractionFn, which accept
+    * the same contains / insensitive_contains / fragment spec shapes
+    * upstream (the search FILTER goes through the parsed
+    * [[graft.pipeline.Filters]] path instead). */
+  private def searchMatcher(q: JsonNode): Column => Column =
+    str(q, "type", "") match {
       case "contains" =>
         val v = str(q, "value", "")
         if (opt(q, "caseSensitive").forall(_.asBoolean)) c => c.contains(v)
@@ -1306,6 +1334,14 @@ object DruidQueryCompiler {
         s"unsupported search query type '$other' " +
           "(contains/insensitive_contains/fragment)")
     }
+
+  private def search(df: DataFrame, root: JsonNode): DataFrame = {
+    val dims = opt(root, "searchDimensions").toSeq.flatMap(_.elements.asScala)
+      .map(_.asText).toSeq
+    require(dims.nonEmpty, "search needs searchDimensions")
+    val q = opt(root, "query").getOrElse(
+      throw new IllegalArgumentException("search needs a query"))
+    val matches: Column => Column = searchMatcher(q)
     val g = granularity(root)
     val gtz = granularityZone(root)
     val gorig = granularityOrigin(root)

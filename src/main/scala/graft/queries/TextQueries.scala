@@ -833,6 +833,172 @@ object TextQueries {
             FROM documents d LEFT JOIN per USING (doc_id)"""),
     headline = true),
 
+    // -- EXACT-SUBSTRING SPAN DEDUP, stats half (r7 — the REMOVAL step of
+    // Lee et al. 2021, arXiv:2107.06499 §3, word-gram approximation of the
+    // suffix-array pass): every 10-word gram occurrence is ranked globally
+    // by (doc_id, pos); the FIRST occurrence of each duplicated gram
+    // survives, every later occurrence marks its [pos, pos+10) token window
+    // as duplicated; overlapping/adjacent marked windows merge into maximal
+    // spans (gaps-and-islands over a running max-end), which is exactly the
+    // paper's "remove all but one copy of every duplicated substring"
+    // contract at word granularity. Plan shape: one shuffle keyed by the
+    // gram (rank + occurrence count in ONE window pass over that key), one
+    // doc-keyed window pass for the island merge, one per-doc agg — no
+    // pairwise doc comparison, O(total gram positions) end to end. At
+    // 100 TB the gram string in the shuffle key is replaced by its
+    // xxhash64 fingerprint (the string form here keeps the oracle
+    // portable), and the doc-keyed window is cheap because marked windows
+    // per doc are few. Keep-first needs a GLOBAL total order on
+    // occurrences — (doc_id, pos) is Lee et al.'s arbitrary-but-fixed
+    // choice, and makes every column exact-integer for the oracle.
+    QueryDef("span_dedup_stats", (s, dir) => {
+      val W = 10
+      val docs = Tables.t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+        .withColumn("n", size(col("l")).cast("long"))
+      val grams = toks.filter(col("n") >= W)
+        .select(col("doc_id"), col("l"),
+          explode(sequence(lit(0L), col("n") - W)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          array_join(slice(col("l"), (col("pos") + 1).cast("int"), lit(W)), " ").as("g"))
+      val byGram = Window.partitionBy(col("g"))
+      val ranked = grams
+        .withColumn("rn", row_number().over(byGram.orderBy(col("doc_id"), col("pos"))))
+        .withColumn("occ", count(lit(1)).over(byGram))
+      val marked = ranked.filter(col("occ") >= 2 && col("rn") >= 2)
+        .select(col("doc_id"), col("pos"), (col("pos") + W).as("fin"))
+      // islands: a marked window starts a NEW span iff it begins past the
+      // running max end of everything before it (adjacency merges too —
+      // contiguous duplicated text is one removable region)
+      val prev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val run = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spans = marked
+        .withColumn("brk",
+          when(col("pos") > coalesce(max(col("fin")).over(prev), lit(-1L)), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(run))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("s"), max(col("fin")).as("e"))
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("dup_tokens"))
+      toks.select(col("doc_id"), col("n"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_tok"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n"), 5)
+            .as("dup_frac"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l,
+                     len(string_split(text, ' ')) AS n FROM documents),
+            grams AS (SELECT doc_id, u.s AS pos,
+                        array_to_string(l[u.s + 1 : u.s + 10], ' ') AS g
+                      FROM toks, UNNEST(range(0, n - 10 + 1)) AS u(s)),
+            ranked AS (SELECT doc_id, pos,
+                         row_number() OVER (PARTITION BY g
+                           ORDER BY doc_id, pos) AS rn,
+                         count(*) OVER (PARTITION BY g) AS occ
+                       FROM grams),
+            marked AS (SELECT doc_id, pos, pos + 10 AS fin
+                       FROM ranked WHERE occ >= 2 AND rn >= 2),
+            islands AS (SELECT doc_id, pos, fin,
+                          CASE WHEN pos > coalesce(max(fin) OVER (
+                                 PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                               -1) THEN 1 ELSE 0 END AS brk
+                        FROM marked),
+            numbered AS (SELECT doc_id, pos, fin,
+                           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS island
+                         FROM islands),
+            spans AS (SELECT doc_id, island, min(pos) AS s, max(fin) AS e
+                      FROM numbered GROUP BY 1, 2),
+            per_doc AS (SELECT doc_id, count(*) AS n_spans,
+                          sum(e - s) AS dup_tokens
+                        FROM spans GROUP BY 1)
+            SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tok,
+              CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+              CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+              round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / t.n, 5) AS dup_frac
+            FROM toks t LEFT JOIN per_doc p USING (doc_id)""")),
+
+    // -- EXACT-SUBSTRING SPAN DEDUP, rewrite half (r7): materialize the
+    // CLEANED corpus the stats query describes — drop every token position
+    // covered by a non-first duplicated-gram occurrence, reassemble the
+    // remainder in order, and fingerprint it (md5 is the portable
+    // cross-engine digest; a doc that is ENTIRELY duplicate text keeps its
+    // row with kept_tokens=0 and a NULL digest rather than vanishing).
+    // Plan shape: the same gram-keyed shuffle as the stats half, then the
+    // covered set joins the per-token position table with a LEFT ANTI join
+    // on (doc_id, pos) — both sides doc-keyed, so with the corpus
+    // pre-bucketed by doc_id this is a co-located join at scale — and one
+    // per-doc agg rebuilds the text via sort_array(collect_list(struct)),
+    // which is exact because token positions are unique. Token fan-out is
+    // W·marked-windows, bounded by W× the duplicated region size, NOT W×
+    // corpus size.
+    QueryDef("span_dedup_clean", (s, dir) => {
+      val W = 10
+      val docs = Tables.t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+        .withColumn("n", size(col("l")).cast("long"))
+      val grams = toks.filter(col("n") >= W)
+        .select(col("doc_id"), col("l"),
+          explode(sequence(lit(0L), col("n") - W)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          array_join(slice(col("l"), (col("pos") + 1).cast("int"), lit(W)), " ").as("g"))
+      val byGram = Window.partitionBy(col("g"))
+      val covered = grams
+        .withColumn("rn", row_number().over(byGram.orderBy(col("doc_id"), col("pos"))))
+        .withColumn("occ", count(lit(1)).over(byGram))
+        .filter(col("occ") >= 2 && col("rn") >= 2)
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (W - 1))).as("pos"))
+        .distinct()
+      val positions = toks
+        .select(col("doc_id"), col("l"), explode(sequence(lit(0L), col("n") - 1)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          element_at(col("l"), (col("pos") + 1).cast("int")).as("w"))
+      val kept = positions.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("kept_tokens"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ")).as("clean_md5"))
+      toks.select(col("doc_id"), col("n"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_tok"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          col("clean_md5"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l,
+                     len(string_split(text, ' ')) AS n FROM documents),
+            grams AS (SELECT doc_id, u.s AS pos,
+                        array_to_string(l[u.s + 1 : u.s + 10], ' ') AS g
+                      FROM toks, UNNEST(range(0, n - 10 + 1)) AS u(s)),
+            ranked AS (SELECT doc_id, pos,
+                         row_number() OVER (PARTITION BY g
+                           ORDER BY doc_id, pos) AS rn,
+                         count(*) OVER (PARTITION BY g) AS occ
+                       FROM grams),
+            covered AS (SELECT DISTINCT doc_id, c.p AS pos
+                        FROM ranked, UNNEST(range(pos, pos + 10)) AS c(p)
+                        WHERE occ >= 2 AND rn >= 2),
+            positions AS (SELECT doc_id, l, u.p AS pos
+                          FROM toks, UNNEST(range(0, n)) AS u(p)),
+            kept AS (SELECT p.doc_id, p.pos, p.l[p.pos + 1] AS w
+                     FROM positions p ANTI JOIN covered c
+                       ON c.doc_id = p.doc_id AND c.pos = p.pos),
+            agg AS (SELECT doc_id, count(*) AS kept_tokens,
+                      md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+                    FROM kept GROUP BY 1)
+            SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tok,
+              CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+              a.clean_md5
+            FROM toks t LEFT JOIN agg a USING (doc_id)""")),
+
     // -- SOURCE MIXING with temperature α=0.5 (the multilingual-pretraining
     // exponential-smoothing rule, p_s ∝ T_s^α — XLM-R / mT5 shape) plus the
     // deterministic resample realizing those weights. Determinism strategy:

@@ -51,6 +51,33 @@ class ConfigSpec extends AnyFunSuite {
     assert(spec.tuning.dedupKeys == Seq("page", "user"))
   }
 
+  test("ingest metricsSpec rejects extractionFn filtered metrics at LOAD; " +
+      "query-path parseAgg keeps the raw JSON") {
+    val bad =
+      """{"dataSchema": {"dataSource": "t",
+           "parser": {"parseSpec": {
+             "timestampSpec": {"column": "ts"},
+             "dimensionsSpec": {"dimensions": ["user"]}}},
+           "metricsSpec": [
+             {"type": "filtered", "name": "m",
+              "filter": {"type": "selector", "dimension": "user", "value": "B",
+                "extractionFn": {"type": "upper"}},
+              "aggregator": {"type": "count", "name": "m"}}]}}"""
+    val e = intercept[IllegalArgumentException](SpecLoader.fromJson(bad))
+    assert(e.getMessage.contains("extractionFn"))
+    assert(e.getMessage.contains("transformSpec"))
+    // the same aggregator parsed standalone (the query path) carries the
+    // raw JSON for DruidQueryCompiler.filterColumn, not a parsed FilterSpec
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.readTree(
+      """{"type": "filtered", "name": "m",
+          "filter": {"type": "selector", "dimension": "user", "value": "B",
+            "extractionFn": {"type": "upper"}},
+          "aggregator": {"type": "count", "name": "m"}}""")
+    val spec = SpecLoader.parseAgg(node)
+    assert(spec.filterSpec.isEmpty && spec.filterJson.isDefined)
+  }
+
   test("parses transformSpec: derived columns + nested filter DSL") {
     val spec = SpecLoader.fromJson(
       """{"dataSchema": {"dataSource": "t",

@@ -1257,6 +1257,42 @@ class DruidQuerySpec extends SparkSpec {
     assert(nulls == Set("[null]", "[buy]", "[view]"), nulls)
   }
 
+  test("partial/searchQuery/time extraction fns") {
+    // partial: find()-retain (rlike) — "click" matches ^c, others null out
+    val partial = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": [{"type": "extraction", "dimension": "event_type",
+         "outputName": "k",
+         "extractionFn": {"type": "partial", "expr": "^c"}}],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(partial == Map("click" -> 3L, (null: String) -> 3L), partial)
+    // searchQuery: retain values the spec accepts — 'i' appears in
+    // click/view but not buy
+    val sq = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": [{"type": "extraction", "dimension": "event_type",
+         "outputName": "k",
+         "extractionFn": {"type": "searchQuery",
+           "query": {"type": "insensitive_contains", "value": "I"}}}],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sq == Map("click" -> 3L, "view" -> 2L, (null: String) -> 1L), sq)
+    // time: parse dd/MM/yyyy → render yyyy-MM-dd; the unparseable value
+    // passes through UNCHANGED (upstream TimeDimExtractionFn fallback)
+    val t = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "virtualColumns": [{"type": "expression", "name": "d",
+         "expression": "case when user = 'alice' then '01/03/2024' else 'not a date' end"}],
+       "dimensions": [{"type": "extraction", "dimension": "d",
+         "outputName": "k",
+         "extractionFn": {"type": "time", "timeFormat": "dd/MM/yyyy",
+           "resultFormat": "yyyy-MM-dd"}}],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(t == Map("2024-03-01" -> 3L, "not a date" -> 3L), t)
+  }
+
   test("listFiltered/regexFiltered dimension specs: MV element filtering " +
       "before set-grouping") {
     def grouped(dimSpec: String): Seq[(Seq[String], Long)] = run(s"""

@@ -1097,4 +1097,274 @@ class NativeSqlFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  // ============================================================ phase 3:
+  // the filter-DSL frontier — typed (Druid 26+) equality/range leaves,
+  // expression filters, and extractionFn-wrapped selector/in/bound — each
+  // grounded three ways (native scan ≡ SQL twin ≡ DataFrame), then pushed
+  // through boolean-algebra METAMORPHIC identities (partition, chain rule,
+  // De Morgan, inclusion–exclusion, absorption) that need no twin at all
+  // and specifically stress the 2-valued not() semantics where null
+  // dimensions must flip from never-match to always-match.
+
+  private sealed trait X
+  private case object XUpper extends X
+  private case object XLower extends X
+  private case class XSubstr(len: Int) extends X
+  private case object XStrlen extends X
+  private case object XFmt extends X // stringFormat "[%s]", NULLSTRING default
+  private case class XCascade(xs: Seq[X]) extends X
+
+  private def xJson(x: X): String = x match {
+    case XUpper      => """{"type":"upper"}"""
+    case XLower      => """{"type":"lower"}"""
+    case XSubstr(l)  => s"""{"type":"substring","index":0,"length":$l}"""
+    case XStrlen     => """{"type":"strlen"}"""
+    case XFmt        => """{"type":"stringFormat","format":"[%s]"}"""
+    case XCascade(xs) =>
+      s"""{"type":"cascade","extractionFns":[${xs.map(xJson).mkString(",")}]}"""
+  }
+  private def xSql(x: X, in: String): String = x match {
+    case XUpper      => s"UPPER($in)"
+    case XLower      => s"LOWER($in)"
+    case XSubstr(l)  => s"SUBSTRING($in, 1, $l)"
+    case XStrlen     => s"CAST(LENGTH($in) AS STRING)"
+    // NULLSTRING null handling: a null input renders as the word "null"
+    case XFmt        => s"CONCAT('[', COALESCE($in, 'null'), ']')"
+    case XCascade(xs) => xs.foldLeft(in)((acc, e) => xSql(e, acc))
+  }
+  private def xCol(x: X, in: Column): Column = x match {
+    case XUpper      => upper(in)
+    case XLower      => lower(in)
+    case XSubstr(l)  => substring(in, 1, l)
+    case XStrlen     => length(in).cast("string")
+    case XFmt        => concat(lit("["), coalesce(in, lit("null")), lit("]"))
+    case XCascade(xs) => xs.foldLeft(in)((acc, e) => xCol(e, acc))
+  }
+
+  private case class EqT(c: String, t: String, v: String) extends F
+  private case class RangeT(c: String, t: String, lo: Option[String],
+      hi: Option[String], loO: Boolean, hiO: Boolean) extends F
+  private case class ExprF(e: String) extends F
+  private case class SelX(d: String, x: X, v: String) extends F
+  private case class InX(d: String, x: X, vs: Seq[String]) extends F
+  private case class BoundLX(d: String, x: X, lo: Option[String],
+      hi: Option[String], loS: Boolean, hiS: Boolean) extends F
+
+  private def f3Json(f: F): String = f match {
+    case EqT(c, t, v) =>
+      val mv = if (t == "STRING") s""""$v"""" else v
+      s"""{"type":"equality","column":"$c","matchValue":$mv,"matchValueType":"$t"}"""
+    case RangeT(c, t, lo, hi, loO, hiO) =>
+      def b(v: String) = if (t == "STRING") s""""$v"""" else v
+      (Seq(s""""type":"range"""", s""""column":"$c"""",
+        s""""matchValueType":"$t"""") ++
+        lo.map(v => s""""lower":${b(v)}""") ++ hi.map(v => s""""upper":${b(v)}""") ++
+        Seq(s""""lowerOpen":$loO""", s""""upperOpen":$hiO"""))
+        .mkString("{", ",", "}")
+    case ExprF(e) => s"""{"type":"expression","expression":"$e"}"""
+    case SelX(d, x, v) =>
+      s"""{"type":"selector","dimension":"$d","value":"$v","extractionFn":${xJson(x)}}"""
+    case InX(d, x, vs) =>
+      s"""{"type":"in","dimension":"$d","values":[${vs.map("\"" + _ + "\"").mkString(",")}],"extractionFn":${xJson(x)}}"""
+    case BoundLX(d, x, lo, hi, loS, hiS) =>
+      (Seq(s""""type":"bound"""", s""""dimension":"$d"""") ++
+        lo.map(v => s""""lower":"$v"""") ++ hi.map(v => s""""upper":"$v"""") ++
+        Seq(s""""lowerStrict":$loS""", s""""upperStrict":$hiS""",
+          s""""extractionFn":${xJson(x)}""")).mkString("{", ",", "}")
+    case AndF(fs) => s"""{"type":"and","fields":[${fs.map(f3Json).mkString(",")}]}"""
+    case OrF(fs)  => s"""{"type":"or","fields":[${fs.map(f3Json).mkString(",")}]}"""
+    case NotF(x)  => s"""{"type":"not","field":${f3Json(x)}}"""
+    case other    => fJson(other)
+  }
+
+  private def f3Sql(f: F): String = f match {
+    case EqT(c, t, v) =>
+      if (t == "STRING") s"COALESCE(CAST($c AS STRING) = '$v', FALSE)"
+      else s"COALESCE(TRY_CAST($c AS DOUBLE) = ${v.toDouble}, FALSE)"
+    case RangeT(c, t, lo, hi, loO, hiO) =>
+      val cc = if (t == "STRING") s"CAST($c AS STRING)" else s"TRY_CAST($c AS DOUBLE)"
+      def b(v: String) = if (t == "STRING") s"'$v'" else s"${v.toDouble}"
+      val conds = lo.map(v => s"$cc ${if (loO) ">" else ">="} ${b(v)}").toSeq ++
+        hi.map(v => s"$cc ${if (hiO) "<" else "<="} ${b(v)}")
+      s"COALESCE(${conds.mkString(" AND ")}, FALSE)"
+    case ExprF(e) => s"COALESCE(CAST(($e) AS BOOLEAN), FALSE)"
+    case SelX(d, x, v) => s"COALESCE(${xSql(x, d)} = '$v', FALSE)"
+    case InX(d, x, vs) =>
+      s"COALESCE(${xSql(x, d)} IN (${vs.map("'" + _ + "'").mkString(",")}), FALSE)"
+    case BoundLX(d, x, lo, hi, loS, hiS) =>
+      val cc = xSql(x, d)
+      val conds = lo.map(v => s"$cc ${if (loS) ">" else ">="} '$v'").toSeq ++
+        hi.map(v => s"$cc ${if (hiS) "<" else "<="} '$v'")
+      s"COALESCE(${if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")}, FALSE)"
+    case AndF(fs) => fs.map(f3Sql).mkString("(", " AND ", ")")
+    case OrF(fs)  => fs.map(f3Sql).mkString("(", " OR ", ")")
+    case NotF(x)  => s"(NOT ${f3Sql(x)})"
+    case other    => fSql(other)
+  }
+
+  private def f3Col(f: F): Column = f match {
+    case EqT(c, t, v) =>
+      if (t == "STRING") col(c).cast("string") <=> lit(v)
+      else {
+        val cc = col(c).try_cast(org.apache.spark.sql.types.DoubleType)
+        cc.isNotNull && cc === lit(v.toDouble)
+      }
+    case RangeT(c, t, lo, hi, loO, hiO) =>
+      val cc = if (t == "STRING") col(c).cast("string")
+        else col(c).try_cast(org.apache.spark.sql.types.DoubleType)
+      def b(v: String): Column = if (t == "STRING") lit(v) else lit(v.toDouble)
+      val conds = lo.map(v => if (loO) cc > b(v) else cc >= b(v)).toSeq ++
+        hi.map(v => if (hiO) cc < b(v) else cc <= b(v))
+      cc.isNotNull && conds.reduce(_ && _)
+    case ExprF(e) => coalesce(expr(e).cast("boolean"), lit(false))
+    case SelX(d, x, v) => xCol(x, col(d)) <=> lit(v)
+    case InX(d, x, vs) =>
+      val cc = xCol(x, col(d))
+      cc.isNotNull && cc.isin(vs: _*)
+    case BoundLX(d, x, lo, hi, loS, hiS) =>
+      val cc = xCol(x, col(d))
+      val conds = lo.map(v => if (loS) cc > lit(v) else cc >= lit(v)).toSeq ++
+        hi.map(v => if (hiS) cc < lit(v) else cc <= lit(v))
+      cc.isNotNull && conds.reduceOption(_ && _).getOrElse(lit(true))
+    case AndF(fs) => fs.map(f3Col).reduce(_ && _)
+    case OrF(fs)  => fs.map(f3Col).reduce(_ || _)
+    case NotF(x)  => !f3Col(x)
+    case other    => fCol(other)
+  }
+
+  // --------------------------------------------------- phase-3 generators
+
+  private def xGen: Gen[X] = {
+    val simple = Gen.oneOf[X](XUpper, XLower, XSubstr(2), XSubstr(3),
+      XStrlen, XFmt)
+    Gen.frequency(5 -> simple,
+      1 -> Gen.listOfN(2, simple).map(XCascade(_)))
+  }
+
+  /** post-extraction match-value pool per extraction fn, seeded with values
+    * that actually occur (incl. the "[null]" sentinel XFmt can emit for a
+    * NULL dimension — the one extraction that makes selector MATCH nulls). */
+  private def xValues(x: X): Seq[String] = x match {
+    case XUpper     => Seq("CLICK", "VIEW", "ALICE", "BOB", "ZZZ")
+    case XLower     => Seq("click", "buy", "carol", "dave")
+    case XSubstr(2) => Seq("cl", "vi", "bu", "al", "bo", "ca")
+    case XSubstr(_) => Seq("cli", "vie", "buy", "ali", "dav")
+    case XStrlen    => Seq("3", "4", "5", "6")
+    case XFmt       => Seq("[click]", "[buy]", "[alice]", "[null]", "[x]")
+    case XCascade(xs) => xs.lastOption.map(xValues).getOrElse(Seq("x"))
+  }
+
+  private def leaf3Gen: Gen[F] = Gen.frequency(
+    2 -> leafGen,
+    1 -> Gen.oneOf(
+      for { (c, t) <- Gen.oneOf(("etype", "STRING"), ("user", "STRING"))
+            v <- Gen.oneOf(etypeVals ++ userVals) } yield EqT(c, t, v),
+      Gen.chooseNum(-5, 20).map(v => EqT("n", "LONG", v.toString)),
+      Gen.chooseNum(-40.0, 40.0).map(v =>
+        EqT("value", "DOUBLE", (math.round(v * 4) / 4.0).toString))),
+    1 -> (for {
+      (c, t) <- Gen.oneOf(("n", "LONG"), ("value", "DOUBLE"), ("user", "STRING"))
+      loN <- Gen.chooseNum(-30.0, 30.0).map(x => math.round(x * 2) / 2.0)
+      w <- Gen.chooseNum(1.0, 40.0).map(x => math.round(x * 2) / 2.0)
+      loS <- Gen.oneOf("b", "ca", "d"); hiS <- Gen.oneOf("do", "m", "zz")
+      hasLo <- Gen.prob(0.8); hasHi <- Gen.prob(0.8)
+      loO <- Gen.prob(0.5); hiO <- Gen.prob(0.5)
+    } yield {
+      val (lo, hi) =
+        if (t == "STRING") (Some(loS), Some(hiS))
+        else (Some(loN.toString), Some((loN + w).toString))
+      RangeT(c, t, if (hasLo || !hasHi) lo else scala.None,
+        if (hasHi) hi else scala.None, loO, hiO)
+    }),
+    1 -> Gen.oneOf("n % 3 = 1", "value > 10.0", "length(user) = 5",
+      "n > length(etype)", "abs(n) >= 4", "n + length(user) > 8")
+      .map(ExprF(_)),
+    2 -> (for {
+      d <- Gen.oneOf("etype", "user")
+      x <- xGen
+      kind <- Gen.choose(0, 2)
+      v <- Gen.oneOf(xValues(x))
+      vs <- Gen.listOfN(3, Gen.oneOf(xValues(x))).map(_.distinct)
+      lo <- Gen.oneOf(xValues(x)); hi <- Gen.oneOf(xValues(x))
+      loS <- Gen.prob(0.5); hiS <- Gen.prob(0.5)
+    } yield kind match {
+      case 0 => SelX(d, x, v)
+      case 1 => InX(d, x, vs)
+      case 2 =>
+        val (l, h) = if (lo <= hi) (lo, hi) else (hi, lo)
+        BoundLX(d, x, Some(l), Some(h), loS, hiS)
+    }))
+
+  private def filter3Gen(depth: Int): Gen[F] =
+    if (depth <= 0) leaf3Gen
+    else Gen.frequency(
+      3 -> leaf3Gen,
+      2 -> Gen.choose(2, 3).flatMap(n =>
+        Gen.listOfN(n, filter3Gen(depth - 1)).map(AndF(_))),
+      2 -> Gen.choose(2, 3).flatMap(n =>
+        Gen.listOfN(n, filter3Gen(depth - 1)).map(OrF(_))),
+      2 -> filter3Gen(depth - 1).map(NotF(_)))
+
+  /** native row count under filter `f` via a scan query (the query-filter
+    * path: virtual/filter/project pipeline identical to production). */
+  private def scanCount(f: F): Long = runNative(
+    s"""{"queryType":"scan","dataSource":"events",
+        "intervals":["${isoMin(0)}/${isoMin(4000)}"],
+        "columns":["__time"],"filter":${f3Json(f)}}""").count()
+
+  test("fuzz filter phase 3: typed/expression/extraction leaves — " +
+      "native scan ≡ SQL twin ≡ DataFrame (150 cases)") {
+    events.count()
+    for ((i, s) <- seeds(150, 7000)) {
+      val f = gen(filter3Gen(2), s)
+      val native = scanCount(f)
+      val viaSql = runSql(
+        s"SELECT COUNT(*) AS c FROM events WHERE ${f3Sql(f)}")
+        .collect().head.getLong(0)
+      val viaFrame = events.filter(f3Col(f)).count()
+      if (native != viaSql || native != viaFrame)
+        fail(s"filter case $i diverged: native=$native sql=$viaSql " +
+          s"frame=$viaFrame\nfilter: ${f3Json(f)}\nsql: ${f3Sql(f)}")
+    }
+  }
+
+  test("fuzz filter phase 3: boolean-algebra identities over filtered " +
+      "aggregators (100 cases)") {
+    events.count()
+    val total = events.count()
+    for ((i, s) <- seeds(100, 7500)) {
+      val (f, g) = gen(Gen.zip(filter3Gen(2), filter3Gen(1)), s)
+      def fc(name: String, x: F): String =
+        s"""{"type":"filtered","name":"$name","filter":${f3Json(x)},
+            "aggregator":{"type":"count","name":"$name"}}"""
+      val aggs = Seq(
+        fc("c_f", f), fc("c_nf", NotF(f)), fc("c_g", g),
+        fc("c_fg", AndF(Seq(f, g))), fc("c_fng", AndF(Seq(f, NotF(g)))),
+        fc("c_or", OrF(Seq(f, g))), fc("c_dm1", NotF(AndF(Seq(f, g)))),
+        fc("c_dm2", OrF(Seq(NotF(f), NotF(g)))),
+        fc("c_abs", OrF(Seq(f, AndF(Seq(f, g))))),
+        """{"type":"count","name":"c_all"}""").mkString(",")
+      val row = runNative(
+        s"""{"queryType":"timeseries","dataSource":"events",
+            "granularity":"all","aggregations":[$aggs]}""").collect().head
+      def c(n: String): Long = row.getAs[Long](n)
+      val checks = Seq(
+        ("partition: F + ¬F = all", c("c_f") + c("c_nf"), c("c_all")),
+        ("total row count", c("c_all"), total),
+        ("chain: F∧G + F∧¬G = F", c("c_fg") + c("c_fng"), c("c_f")),
+        ("De Morgan: ¬(F∧G) = ¬F∨¬G", c("c_dm1"), c("c_dm2")),
+        ("incl-excl: F∨G = F + G − F∧G",
+          c("c_or"), c("c_f") + c("c_g") - c("c_fg")),
+        ("absorption: F∨(F∧G) = F", c("c_abs"), c("c_f")))
+      for ((nm, a, b) <- checks if a != b)
+        fail(s"algebra case $i broke [$nm]: $a != $b\n" +
+          s"F: ${f3Json(f)}\nG: ${f3Json(g)}")
+      // cross-path: the filtered-agg count must equal the query-filter scan
+      val sc = scanCount(f)
+      if (sc != c("c_f"))
+        fail(s"algebra case $i: scan count $sc != filtered-agg ${c("c_f")}\n" +
+          s"F: ${f3Json(f)}")
+    }
+  }
 }
