@@ -77,7 +77,22 @@ object MinHash {
       k: Int = 32,
       bands: Int = 8,
       shingleWidth: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    // exact-duplicate pre-collapse: LSH + verification run once per
+    // DISTINCT text; clone-class pairs re-expand afterwards, bit-identical
+    // (see ExactCollapse — on dup-heavy corpora this is the difference
+    // between clone-class-quadratic verification and class-count-linear)
+    ExactCollapse.pairsByText(df, idCol, textCol, threshold)(reps =>
+      pairsOnDistinct(reps, k, bands, shingleWidth, threshold))
+
+  /** The raw pipeline over (id, text) rows assumed pairwise-distinct in
+    * text (the collapse wrapper's representatives). */
+  private def pairsOnDistinct(
+      df: DataFrame,
+      k: Int,
+      bands: Int,
+      shingleWidth: Int,
+      threshold: Double): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     // persisted: this subtree feeds THREE consumers (two bucket branches +
     // the candidate verification join) — without it the shingle+signature
@@ -90,7 +105,7 @@ object MinHash {
     // computation on one core (measured ×11 on the ×30 probe corpus —
     // see graft.pipeline.Parallelism)
     val withSig = graft.pipeline.Parallelism.fanOut(
-        df.select(col(idCol).as("id"), col(textCol).as("text")))
+        df.select(col("id"), col("text")))
       .withColumn("sh", array_distinct(shingles(col("text"), shingleWidth)))
       .withColumn("sig", signature(col("sh"), k))
       .withColumn("bands", bandHashes(col("sig"), k, bands))

@@ -83,12 +83,27 @@ object SimHashLsh {
       maxHamming: Int = 7,
       bands: Int = 8,
       shingleWidth: Int = 3,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3): DataFrame =
+    // exact-duplicate pre-collapse (shared with MinHash.nearDupPairs):
+    // identical texts → identical fingerprints (hamming 0 always collides)
+    // and identical shingle sets (jaccard exactly 1.0), so the expansion
+    // is bit-identical to the raw pipeline — see ExactCollapse
+    ExactCollapse.pairsByText(df, idCol, textCol, threshold)(reps =>
+      verifiedOnDistinct(reps, maxHamming, bands, shingleWidth, threshold))
+
+  /** The raw pipeline over (id, text) rows assumed pairwise-distinct in
+    * text (the collapse wrapper's representatives). */
+  private def verifiedOnDistinct(
+      df: DataFrame,
+      maxHamming: Int,
+      bands: Int,
+      shingleWidth: Int,
+      threshold: Double): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     // one pass computes fingerprint + shingle set; persisted because the
     // subtree feeds the bucket join twice and the verification join once
     val base = graft.pipeline.Parallelism.fanOut(
-        df.select(col(idCol).as("id"), col(textCol).as("__text")))
+        df.select(col("id"), col("text").as("__text")))
       .select(col("id"),
         TextFunctions.simhash(col("__text")).as("sh"),
         array_distinct(MinHash.shingles(col("__text"), shingleWidth)).as("shg"))

@@ -1265,6 +1265,7 @@ class DruidQuerySpec extends SparkSpec {
          "outputName": "k",
          "extractionFn": {"type": "partial", "expr": "^c"}}],
        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select(col("k"), col("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(partial == Map("click" -> 3L, (null: String) -> 3L), partial)
     // searchQuery: retain values the spec accepts — 'i' appears in
@@ -1276,6 +1277,7 @@ class DruidQuerySpec extends SparkSpec {
          "extractionFn": {"type": "searchQuery",
            "query": {"type": "insensitive_contains", "value": "I"}}}],
        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select(col("k"), col("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(sq == Map("click" -> 3L, "view" -> 2L, (null: String) -> 1L), sq)
     // time: parse dd/MM/yyyy → render yyyy-MM-dd; the unparseable value
@@ -1289,6 +1291,7 @@ class DruidQuerySpec extends SparkSpec {
          "extractionFn": {"type": "time", "timeFormat": "dd/MM/yyyy",
            "resultFormat": "yyyy-MM-dd"}}],
        "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .select(col("k"), col("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(t == Map("2024-03-01" -> 3L, "not a date" -> 3L), t)
   }

@@ -52,6 +52,48 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("exact-dup pre-collapse is bit-identical to brute-force all-pairs " +
+      "jaccard (minhash + simhash paths, exact classes / nulls / empties)") {
+    // clone classes A×3 and B×2 (B a near-dup of A), a distinct doc, two
+    // null texts, two empty texts — exercises within-class expansion,
+    // cross-class inheritance, the null-class exclusion, and the
+    // empty-text degenerate shingle
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val df = Seq(
+      (1L, a), (5L, a), (3L, a), (2L, b), (4L, b), (6L, other),
+      (7L, null.asInstanceOf[String]), (8L, null.asInstanceOf[String]),
+      (9L, ""), (10L, "")).toDF("id", "text")
+
+    // ground truth: brute-force exact shingle jaccard over all pairs (LSH
+    // recall is 1 here — every true pair is exact or one-word-changed)
+    val sh = df.select($"id",
+      array_distinct(MinHash.shingles($"text", 3)).as("sh"))
+    val bf = sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
+      .withColumn("j",
+        size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh"))))
+      .filter($"j" >= 0.3)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round($"j", 4).as("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bf.exists(_._3 == 1.0) && bf.exists(p => p._3 < 1.0 && p._3 >= 0.8),
+      s"test corpus should contain exact AND near pairs, got $bf")
+
+    val viaMinhash = MinHash.nearDupPairs(df, "id", "text",
+        k = 32, bands = 8, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaMinhash == bf, s"minhash collapse diverged:\n" +
+      s"extra=${viaMinhash -- bf}\nmissing=${bf -- viaMinhash}")
+
+    val viaSimhash = SimHashLsh.nearDupsVerified(df, "id", "text",
+        maxHamming = 7, bands = 8, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaSimhash == bf, s"simhash collapse diverged:\n" +
+      s"extra=${viaSimhash -- bf}\nmissing=${bf -- viaSimhash}")
+  }
+
   test("shingles: w-word windows, short docs degrade to whole-text shingle") {
     val df = Seq("a b c d", "a b").toDF("text")
     val got = df.select(MinHash.shingles($"text", 3).as("s")).as[Seq[String]].collect()

@@ -1367,4 +1367,384 @@ class NativeSqlFuzzSpec extends SparkSpec {
           s"F: ${f3Json(f)}")
     }
   }
+
+  // ============================================================ phase 4:
+  // zoned / origin-anchored PERIOD granularities across DST transitions.
+  // The engine buckets via a from_utc → truncate → to_utc column sandwich
+  // (DruidQueryCompiler.truncateInZone) and densifies via driver-side
+  // wall-clock enumeration (wallClockFrame); the twin here is a SECOND,
+  // independent java.time model of the same PeriodGranularity semantics —
+  // wall-clock truncation with java's gap/overlap resolution — applied
+  // per-row through a plain Scala UDF and per-frame through plain-Scala
+  // stepping. Divergence at a spring-forward gap (2024-03-10 America/
+  // Los_Angeles) or fall-back overlap (2024-11-03) fails with the exact
+  // query JSON + seed. Half-hour zones ride along (Asia/Kolkata +05:30,
+  // America/St_Johns -03:30 WITH DST).
+
+  private val SpringMs =
+    java.time.Instant.parse("2024-03-09T00:00:00Z").toEpochMilli
+  private val FallMs =
+    java.time.Instant.parse("2024-11-02T00:00:00Z").toEpochMilli
+  private val WindowMin = 3 * 24 * 60 // each corpus window spans 3 days
+
+  /** 360 rows: 180 minute-stamped events in each DST window, same column
+    * shape as `events` so the agg/filter renderers apply unchanged. */
+  private lazy val events4: DataFrame = {
+    val rnd = new scala.util.Random(11)
+    val etypes = Seq("click", "view", "buy", "scroll")
+    val users = Seq("alice", "bob", "carol", "dave")
+    val rows = Seq(SpringMs, FallMs).flatMap { base =>
+      rnd.shuffle((0 until WindowMin).toList).take(180).sorted.map { m =>
+        val et = if (rnd.nextInt(10) == 0) null else etypes(rnd.nextInt(etypes.size))
+        val v: java.lang.Double =
+          if (rnd.nextInt(10) == 0) null
+          else math.round((rnd.nextDouble() * 150 - 50) * 100) / 100.0
+        (new Timestamp(base + m * 60000L), et, users(rnd.nextInt(users.size)),
+          v, (rnd.nextInt(26) - 5).toLong)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("__time", "etype", "user", "value", "n")
+  }
+
+  private def runNative4(json: String): DataFrame =
+    DruidQueryCompiler.compile(json,
+      n => if (n == "events4") events4 else resolve(n))
+
+  /** period-granularity spec: calUnit None → fixed width `widthSec`. */
+  private case class PG(period: String, widthSec: Long,
+      calUnit: Option[String], tz: Option[String], originMs: Option[Long]) {
+    def json: String =
+      (Seq(s""""type":"period"""", s""""period":"$period"""") ++
+        tz.map(z => s""""timeZone":"$z"""") ++
+        originMs.map(o => s""""origin":$o""")).mkString("{", ",", "}")
+  }
+
+  private val periods4 = Seq(
+    ("PT15M", 900L, Option.empty[String]), ("PT1H", 3600L, Option.empty[String]),
+    ("PT6H", 21600L, Option.empty[String]), ("P1D", 86400L, Option.empty[String]),
+    ("P1W", -1L, Option("week")), ("P1M", -1L, Option("month")))
+  private val zones4 = Seq("America/Los_Angeles", "Asia/Kolkata",
+    "America/St_Johns", "UTC")
+
+  private def pgGen: Gen[PG] = for {
+    pwc <- Gen.oneOf(periods4)
+    tz <- Gen.option(Gen.oneOf(zones4))
+    withOrigin <- Gen.prob(0.25)
+    originMin <- Gen.chooseNum(0, 1440)
+  } yield PG(pwc._1, pwc._2, pwc._3, tz,
+    // origin is fixed-width-only in the engine (loud otherwise)
+    if (withOrigin && pwc._3.isEmpty) Some(SpringMs + originMin * 60000L)
+    else scala.None)
+
+  /** Independent wall-clock truncation (twin of the engine's wallTrunc):
+    * fixed widths floor the UTC-LABELED wall value in epoch space; calendar
+    * units truncate the local date (ISO Monday weeks). */
+  private def wallTrunc4(g: PG,
+      wall: java.time.LocalDateTime): java.time.LocalDateTime = g.calUnit match {
+    case scala.None =>
+      val e = wall.toEpochSecond(java.time.ZoneOffset.UTC)
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(e, g.widthSec) * g.widthSec, 0, java.time.ZoneOffset.UTC)
+    case Some("week") =>
+      wall.toLocalDate.minusDays(wall.getDayOfWeek.getValue - 1L).atStartOfDay
+    case Some("month") => wall.toLocalDate.withDayOfMonth(1).atStartOfDay
+    case Some(u) => fail(s"unexpected calendar unit $u")
+  }
+
+  /** Bucket start instant for `ms` — the java.time model of
+    * truncateInZone: explicit origin → instant-space (t−o) mod w (timezone-
+    * invariant); zoned → wall-clock truncate, back via atZone (java's
+    * gap/overlap rules: gap shifts forward, overlap takes the earlier
+    * offset — the same resolution Spark's to_utc_timestamp applies). */
+  private def bucket4(ms: Long, g: PG): Long = g.originMs match {
+    case Some(o) =>
+      val w = g.widthSec * 1000L
+      o + Math.floorDiv(ms - o, w) * w
+    case scala.None =>
+      val zone = java.time.ZoneId.of(g.tz.getOrElse("UTC"))
+      val wall = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ms), zone)
+      wallTrunc4(g, wall).atZone(zone).toInstant.toEpochMilli
+  }
+
+  /** Dense bucket-label instants covering [s, e) — the java.time model of
+    * bucketFrame/wallClockFrame: start at the truncated interval start,
+    * step whole periods in WALL space, dedupe resolved instants (a spring-
+    * forward gap label resolves onto its successor and collapses). */
+  private def frame4(g: PG, s: Long, e: Long): Seq[Long] = g.originMs match {
+    case Some(o) =>
+      val w = g.widthSec * 1000L
+      val first = o + Math.floorDiv(s - o, w) * w
+      Iterator.iterate(first)(_ + w).takeWhile(_ < e).toSeq
+    case scala.None =>
+      val zone = java.time.ZoneId.of(g.tz.getOrElse("UTC"))
+      var l = wallTrunc4(g, java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(s), zone))
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      while (l.atZone(zone).toInstant.toEpochMilli < e) {
+        out += l.atZone(zone).toInstant.toEpochMilli
+        l = g.calUnit match {
+          case scala.None   => l.plusSeconds(g.widthSec)
+          case Some("week") => l.plusWeeks(1)
+          case _            => l.plusMonths(1)
+        }
+      }
+      out.toSeq
+  }
+
+  // phase-4 filter leaves: no Ival (its minute base is the phase-1 epoch)
+  private def leaf4Gen: Gen[F] = Gen.oneOf(
+    for { d <- Gen.oneOf("etype", "user")
+          v <- Gen.oneOf(etypeVals ++ userVals) } yield Sel(d, v),
+    for { d <- Gen.oneOf("etype", "user")
+          vs <- Gen.nonEmptyListOf(Gen.oneOf(etypeVals ++ userVals))
+            .map(_.take(3).distinct) } yield InF(d, vs),
+    for { d <- Gen.oneOf("value", "n")
+          a <- Gen.chooseNum(-40.0, 40.0).map(x => math.round(x * 4) / 4.0)
+          w <- Gen.chooseNum(1.0, 60.0).map(x => math.round(x * 4) / 4.0)
+          loS <- Gen.prob(0.5); hiS <- Gen.prob(0.5) }
+      yield BoundN(d, Some(a), Some(a + w), loS, hiS),
+    Gen.oneOf("etype", "value").map(NullF(_)))
+
+  private case class ZQ(g: PG, dims: Seq[Dim], filter: Option[F],
+      aggs: Seq[Agg], interval: Option[(Long, Long)])
+
+  private def zqGen: Gen[ZQ] = for {
+    g <- pgGen
+    nd <- Gen.choose(0, 1)
+    dims <- Gen.listOfN(nd, dimGen)
+    filter <- Gen.option(leaf4Gen)
+    aggs <- aggsGen
+    spring <- Gen.prob(0.5)
+    withIval <- Gen.prob(0.6)
+    lo <- Gen.chooseNum(0, 1200); w <- Gen.chooseNum(300, 3000)
+  } yield {
+    val base = if (spring) SpringMs else FallMs
+    ZQ(g, dims, filter, aggs,
+      if (withIval) Some((base + lo * 60000L,
+        math.min(base + (lo + w) * 60000L, base + WindowMin * 60000L)))
+      else scala.None)
+  }
+
+  private def zqJson(q: ZQ, queryType: String, extra: Seq[String] = Nil): String =
+    (Seq(
+      s""""queryType":"$queryType"""", s""""dataSource":"events4"""",
+      s""""granularity":${q.g.json}""",
+      s""""aggregations":[${q.aggs.map(aggJson).mkString(",")}]""") ++
+      (if (queryType == "groupBy")
+        Seq(s""""dimensions":[${q.dims.map(_.json).mkString(",")}]""") else Nil) ++
+      q.filter.map(f => s""""filter":${fJson(f)}""") ++
+      q.interval.map { case (s0, e0) =>
+        val iso = (m: Long) => java.time.Instant.ofEpochMilli(m)
+          .toString.stripSuffix("Z")
+        s""""intervals":["${iso(s0)}/${iso(e0)}"]"""
+      } ++ extra).mkString("{", ",", "}")
+
+  /** The UDF-labeled DataFrame twin of the zoned/origin bucketing. */
+  private def zqTwin(q: ZQ, withDims: Boolean): DataFrame = {
+    val g = q.g
+    val bUdf = udf((t: Timestamp) => new Timestamp(bucket4(t.getTime, g)))
+    var df = events4
+    q.interval.foreach { case (s0, e0) =>
+      df = df.filter(col("__time") >= timestamp_millis(lit(s0)) &&
+        col("__time") < timestamp_millis(lit(e0)))
+    }
+    q.filter.foreach(f => df = df.filter(fCol(f)))
+    val aggs = q.aggs.map(aggCol)
+    val keys = bUdf(col("__time")).as("__time") +:
+      (if (withDims) q.dims.map(d => d.c.as(d.name)) else Nil)
+    df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  test("fuzz period granularity phase 4: zoned/origin groupBy across DST " +
+      "≡ java.time twin (120 cases)") {
+    events4.count()
+    for ((i, s) <- seeds(120, 8000)) {
+      val q = gen(zqGen, s)
+      val native = runNative4(zqJson(q, "groupBy"))
+      val twin = zqTwin(q, withDims = true)
+      diff(native, twin, ordered = false, s"zoned groupBy case $i").foreach {
+        e => fail(s"$e\nquery: ${zqJson(q, "groupBy")}\ngranularity: ${q.g}")
+      }
+    }
+  }
+
+  test("fuzz period granularity phase 4: dense zoned timeseries across " +
+      "DST ≡ driver-enumerated frame (80 cases)") {
+    events4.count()
+    for ((i, s) <- seeds(80, 8500)) {
+      val q0 = gen(zqGen, s)
+      // dense needs a finite frame: force an interval; cap the frame size
+      // for PT15M over 3 days (288 buckets — fine)
+      val q = if (q0.interval.nonEmpty) q0
+        else q0.copy(interval = Some((SpringMs, SpringMs + 1440 * 60000L)))
+      val desc = i % 3 == 0
+      val native = runNative4(zqJson(q.copy(dims = Nil), "timeseries",
+        if (desc) Seq(""""descending":true""") else Nil))
+
+      // expected: sparse twin rows + zero-filled frame buckets
+      val sparse = zqTwin(q, withDims = false)
+      val (cols, sparseRows) = canon(sparse)
+      val tIdx = cols.indexOf("__time")
+      val byBucket = sparseRows.map(r => r(tIdx) -> r).toMap
+      val zeroable = q.aggs.filter(a =>
+        Seq("count", "longSum", "doubleSum").contains(a.typ)).map(_.name).toSet
+      def fillRow(b: Long): Seq[String] = cols.map {
+        case "__time" => java.time.Instant.ofEpochMilli(b).toString
+        case c if zeroable(c) => "0"
+        case _ => "<null>"
+      }
+      val (s0, e0) = q.interval.get
+      var expected = frame4(q.g, s0, e0).map { b =>
+        byBucket.getOrElse(java.time.Instant.ofEpochMilli(b).toString, fillRow(b))
+      }
+      if (desc) expected = expected.reverse
+
+      val (nCols, nRows) = canon(native)
+      val err =
+        if (nCols != cols) Some(s"column sets differ: $nCols vs $cols")
+        else if (nRows != expected)
+          Some(s"${nRows.size} vs ${expected.size} rows\n--- native\n" +
+            s"${describe(nRows.diff(expected))}\n--- expected\n" +
+            s"${describe(expected.diff(nRows))}")
+        else scala.None
+      err.foreach { e =>
+        fail(s"zoned timeseries case $i diverged: $e\n" +
+          s"query: ${zqJson(q.copy(dims = Nil), "timeseries")}\n" +
+          s"granularity: ${q.g} descending=$desc")
+      }
+    }
+  }
+
+  // ============================================================ phase 5:
+  // the SQL-dialect TIME_* family (DruidSqlFunctions) against java.time
+  // ground truth, per-row over the DST corpus. FLOOR/CEIL/SHIFT/EXTRACT/
+  // FORMAT/PARSE each have enumerated oracles for one point; here every
+  // (period × zone × origin × step × unit × pattern) combination is
+  // checked against a SECOND implementation of the documented semantics
+  // (wall-clock arithmetic with java's gap/overlap rules; origins in
+  // instant space; calendar shifts preserving local time-of-day).
+
+  private def runSql4(sql: String): DataFrame =
+    DruidSql.run(sql, Map("events4" -> events4))
+
+  private def wallOf(ms: Long, tz: Option[String]): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofInstant(java.time.Instant.ofEpochMilli(ms),
+      java.time.ZoneId.of(tz.getOrElse("UTC")))
+
+  private def wallToInstant(l: java.time.LocalDateTime, tz: Option[String]): Long =
+    l.atZone(java.time.ZoneId.of(tz.getOrElse("UTC"))).toInstant.toEpochMilli
+
+  private def ceil4(ms: Long, g: PG): Long = g.originMs match {
+    case Some(o) =>
+      val w = g.widthSec * 1000L
+      val r = Math.floorMod(ms - o, w)
+      if (r == 0) ms else ms - r + w
+    case scala.None =>
+      val wall = wallOf(ms, g.tz)
+      val next = g.calUnit match {
+        case scala.None =>
+          val wu = wall.toEpochSecond(java.time.ZoneOffset.UTC) * 1000L +
+            wall.getNano / 1000000L
+          val w = g.widthSec * 1000L
+          val r = Math.floorMod(wu, w)
+          val cu = if (r == 0) wu else wu - r + w
+          java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(cu, 1000L),
+            ((cu % 1000L) * 1000000L).toInt, java.time.ZoneOffset.UTC)
+        case Some(u) =>
+          val tr = wallTrunc4(g, wall)
+          if (tr == wall) wall
+          else if (u == "week") tr.plusWeeks(1) else tr.plusMonths(1)
+      }
+      wallToInstant(next, g.tz)
+  }
+
+  private def shift4(ms: Long, g: PG, step: Long): Long = g.calUnit match {
+    case scala.None => ms + step * g.widthSec * 1000L
+    case Some(u) =>
+      val wall = wallOf(ms, g.tz)
+      val moved = if (u == "week") wall.plusWeeks(step) else wall.plusMonths(step)
+      wallToInstant(moved, g.tz)
+  }
+
+  private def extract4(ms: Long, unit: String, tz: Option[String]): Long = {
+    val wall = wallOf(ms, tz)
+    unit match {
+      case "EPOCH"   => Math.floorDiv(ms, 1000L)
+      case "MILLIS"  => ms
+      case "SECOND"  => wall.getSecond.toLong
+      case "MINUTE"  => wall.getMinute.toLong
+      case "HOUR"    => wall.getHour.toLong
+      case "DAY"     => wall.getDayOfMonth.toLong
+      case "DOW"     => wall.getDayOfWeek.getValue.toLong // ISO Mon=1
+      case "DOY"     => wall.getDayOfYear.toLong
+      case "WEEK"    => wall.get(java.time.temporal.WeekFields.ISO
+        .weekOfWeekBasedYear()).toLong
+      case "MONTH"   => wall.getMonthValue.toLong
+      case "QUARTER" => ((wall.getMonthValue - 1) / 3 + 1).toLong
+      case "YEAR"    => wall.getYear.toLong
+      case "ISOYEAR" => wall.get(java.time.temporal.IsoFields.WEEK_BASED_YEAR).toLong
+    }
+  }
+
+  test("fuzz TIME_* dialect phase 5: floor/ceil/shift/extract/format/parse " +
+      "≡ java.time across DST (100 cases)") {
+    events4.count()
+    val units = Seq("EPOCH", "MILLIS", "SECOND", "MINUTE", "HOUR", "DAY",
+      "DOW", "DOY", "WEEK", "MONTH", "QUARTER", "YEAR", "ISOYEAR")
+    val patterns = Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss")
+    val caseGen = for {
+      g <- pgGen
+      step <- Gen.chooseNum(-3L, 3L)
+      unit <- Gen.oneOf(units)
+      pat <- Gen.oneOf(patterns)
+    } yield (g, step, unit, pat)
+
+    for ((i, s) <- seeds(100, 9000)) {
+      val (g, step, unit, pat) = gen(caseGen, s)
+      val tzSql = g.tz.map(z => s", '$z'").getOrElse("")
+      val originSql = g.originMs match {
+        case Some(o) =>
+          s", '${java.time.Instant.ofEpochMilli(o).toString.stripSuffix("Z")}'"
+        case scala.None => if (g.tz.isDefined) ", NULL" else ""
+      }
+      // TIME_PARSE re-reads TIME_FORMAT's wall-clock rendering in the same
+      // zone — NOT a roundtrip law (a fall-back overlap hour legitimately
+      // collapses onto the earlier offset), so it compares against the
+      // java.time parse of the java.time-formatted string instead
+      val patSql = pat.replace("'", "''") // SQL string-literal quote doubling
+      val sql =
+        s"""SELECT __time,
+            TIME_FLOOR(__time, '${g.period}'$originSql$tzSql) AS fl,
+            TIME_CEIL(__time, '${g.period}'$originSql$tzSql) AS ce,
+            TIME_SHIFT(__time, '${g.period}', $step$tzSql) AS sh,
+            TIME_EXTRACT(__time, '$unit'$tzSql) AS ext,
+            TIME_FORMAT(__time, '$patSql'$tzSql) AS fm,
+            TIME_PARSE(TIME_FORMAT(__time, '$patSql'$tzSql), '$patSql'$tzSql) AS pr,
+            MILLIS_TO_TIMESTAMP(TIMESTAMP_TO_MILLIS(__time)) AS rt
+            FROM events4"""
+      val rows = runSql4(sql).collect()
+      assert(rows.length == 360, s"case $i: expected 360 rows")
+      val fmt = java.time.format.DateTimeFormatter.ofPattern(pat)
+      rows.foreach { r =>
+        val ms = r.getTimestamp(0).getTime
+        def got(col: String): Long = r.getTimestamp(r.fieldIndex(col)).getTime
+        def chk(what: String, gotV: Any, wantV: Any): Unit =
+          if (gotV != wantV)
+            fail(s"phase-5 case $i [$what] diverged at " +
+              s"${java.time.Instant.ofEpochMilli(ms)}: got $gotV want $wantV\n" +
+              s"g=$g step=$step unit=$unit pat=$pat\nsql: $sql")
+        chk("floor", got("fl"), bucket4(ms, g))
+        chk("ceil", got("ce"), ceil4(ms, g))
+        chk("shift", got("sh"), shift4(ms, g, step))
+        chk("extract", r.getLong(r.fieldIndex("ext")), extract4(ms, unit, g.tz))
+        val wantFm = wallOf(ms, g.tz).format(fmt)
+        chk("format", r.getString(r.fieldIndex("fm")), wantFm)
+        chk("parse", got("pr"),
+          wallToInstant(java.time.LocalDateTime.parse(wantFm, fmt), g.tz))
+        chk("millis roundtrip", got("rt"), ms)
+      }
+    }
+  }
 }
