@@ -847,21 +847,22 @@ class NativeSqlFuzzSpec extends SparkSpec {
   /** rows → canonical rendering: columns sorted by name, doubles to 9
     * significant digits (absorbs fold-order float drift between plans),
     * timestamps as instants. */
+  private def renderVal(v: Any): String = v match {
+    case null => "<null>"
+    case d: java.lang.Double =>
+      if (d.isNaN || d.isInfinite) d.toString
+      else if (d == 0.0) "0" // -0.0 ≡ 0.0
+      else new java.math.BigDecimal(d)
+        .round(new java.math.MathContext(9)).stripTrailingZeros.toPlainString
+    case f: java.lang.Float => renderVal(f.toDouble)
+    case t: Timestamp => t.toInstant.toString
+    case x => x.toString
+  }
+
   private def canon(df: DataFrame): (Seq[String], Seq[Seq[String]]) = {
     val cols = df.columns.sorted.toSeq
     val picked = df.select(cols.map(graft.pipeline.Cols.exact): _*).collect()
-    def render(v: Any): String = v match {
-      case null => "<null>"
-      case d: java.lang.Double =>
-        if (d.isNaN || d.isInfinite) d.toString
-        else if (d == 0.0) "0" // -0.0 ≡ 0.0
-        else new java.math.BigDecimal(d)
-          .round(new java.math.MathContext(9)).stripTrailingZeros.toPlainString
-      case f: java.lang.Float => render(f.toDouble)
-      case t: Timestamp => t.toInstant.toString
-      case x => x.toString
-    }
-    (cols, picked.toSeq.map(r => (0 until r.length).map(i => render(r.get(i)))))
+    (cols, picked.toSeq.map(r => (0 until r.length).map(i => renderVal(r.get(i)))))
   }
 
   private def describe(rows: Seq[Seq[String]]): String =
@@ -1744,6 +1745,135 @@ class NativeSqlFuzzSpec extends SparkSpec {
         chk("parse", got("pr"),
           wallToInstant(java.time.LocalDateTime.parse(wantFm, fmt), g.tz))
         chk("millis roundtrip", got("rt"), ms)
+      }
+    }
+  }
+
+  // ============================================================ phase 6:
+  // movingAverage over zoned/origin granularities — the engine extends the
+  // range backward by the largest window, zero-fills a dense frame, and
+  // slides row-windows over it; the twin recomputes every step driver-side
+  // from the phase-4 java.time model (frame4 enumeration + per-bucket
+  // values from the UDF-bucketed sparse twin + plain-Scala window math).
+
+  private case class Avgr(name: String, typ: String, field: String,
+      buckets: Int, const: Double) {
+    def json: String = typ match {
+      case "constant" => s"""{"type":"constant","name":"$name","value":$const}"""
+      case t =>
+        s"""{"type":"$t","name":"$name","fieldName":"$field","buckets":$buckets}"""
+    }
+  }
+
+  private def avgrGen(aggs: Seq[Agg]): Gen[Seq[Avgr]] = for {
+    n <- Gen.choose(1, 3)
+    typs <- Gen.listOfN(n, Gen.frequency(
+      3 -> Gen.const("doubleMean"), 2 -> Gen.const("doubleMeanNoNulls"),
+      2 -> Gen.const("doubleSum"), 1 -> Gen.const("doubleMax"),
+      1 -> Gen.const("doubleMin"), 1 -> Gen.const("constant")))
+    fields <- Gen.listOfN(n, Gen.oneOf(aggs.map(_.name)))
+    wins <- Gen.listOfN(n, Gen.choose(1, 4))
+    consts <- Gen.listOfN(n, Gen.chooseNum(-3.0, 3.0).map(x => math.round(x * 2) / 2.0))
+  } yield (0 until n).map(i =>
+    Avgr(s"m$i", typs(i), fields(i), wins(i), consts(i)))
+
+  test("fuzz movingAverage phase 6: zoned/origin windows ≡ driver-side " +
+      "java.time twin (60 cases)") {
+    events4.count()
+    for ((i, s) <- seeds(60, 9500)) {
+      val q0 = gen(zqGen, s)
+      val q = if (q0.interval.nonEmpty) q0
+        else q0.copy(interval = Some((FallMs, FallMs + 1440 * 60000L)))
+      val avgrs = gen(avgrGen(q.aggs), s.next)
+      val (s0, e0) = q.interval.get
+      val json = zqJson(q.copy(dims = Nil), "movingAverage",
+        Seq(s""""averagers":[${avgrs.map(_.json).mkString(",")}]"""))
+      val native = runNative4(json)
+
+      // --- expected, driver-side ---
+      val maxB = avgrs.filter(_.typ != "constant").map(_.buckets)
+        .foldLeft(1)(math.max)
+      // extended start: (maxB-1) whole buckets before the interval's bucket
+      val firstBucket = bucket4(s0, q.g)
+      val extStart = q.g.originMs match {
+        case Some(o) => firstBucket - (maxB - 1).toLong * q.g.widthSec * 1000L
+        case scala.None =>
+          val zone = java.time.ZoneId.of(q.g.tz.getOrElse("UTC"))
+          val wall = wallOf(firstBucket, q.g.tz)
+          val back = q.g.calUnit match {
+            case scala.None   => wall.minusSeconds((maxB - 1).toLong * q.g.widthSec)
+            case Some("week") => wall.minusWeeks((maxB - 1).toLong)
+            case _            => wall.minusMonths((maxB - 1).toLong)
+          }
+          back.atZone(zone).toInstant.toEpochMilli
+      }
+      // per-bucket finalized agg values over [extStart, e0)
+      val sparse = zqTwin(q.copy(interval = Some((extStart, e0))),
+        withDims = false).collect()
+      val byBucket = sparse.map(r => r.getTimestamp(0).getTime -> r).toMap
+      val zeroable = q.aggs.filter(a =>
+        Seq("count", "longSum", "doubleSum").contains(a.typ)).map(_.name).toSet
+      val frame = frame4(q.g, extStart, e0)
+      def num(v: Any): Option[Double] = v match {
+        case null                => scala.None
+        case l: java.lang.Long   => Some(l.toDouble)
+        case d: java.lang.Double => Some(d)
+        case x                   => Some(x.toString.toDouble)
+      }
+      // bucket → (aggName → raw value) with the zero-fill identities
+      val vals: Seq[Map[String, Any]] = frame.map { b =>
+        byBucket.get(b) match {
+          case Some(r) => q.aggs.map(a =>
+            a.name -> r.get(r.fieldIndex(a.name))).toMap
+          case scala.None => q.aggs.map(a =>
+            a.name -> (if (zeroable(a.name)) (0L: Any) else (null: Any))).toMap
+        }
+      }
+      val expected = frame.zipWithIndex
+        .filter { case (b, _) => b >= firstBucket }
+        .map { case (b, idx) =>
+          val aggVals = vals(idx)
+          val avgVals: Seq[(String, Any)] = avgrs.map { a =>
+            a.name -> (a.typ match {
+              case "constant" => (a.const: Any)
+              case t =>
+                val win = ((idx - a.buckets + 1).max(0) to idx)
+                  .map(j => num(vals(j)(a.field)))
+                t match {
+                  case "doubleMean" =>
+                    (win.map(_.getOrElse(0.0)).sum / a.buckets: Any)
+                  case "doubleMeanNoNulls" =>
+                    val nn = win.flatten
+                    if (nn.isEmpty) (null: Any) else (nn.sum / nn.size: Any)
+                  case "doubleSum" => (win.map(_.getOrElse(0.0)).sum: Any)
+                  case "doubleMax" =>
+                    val nn = win.flatten
+                    if (nn.isEmpty) (null: Any) else (nn.max: Any)
+                  case "doubleMin" =>
+                    val nn = win.flatten
+                    if (nn.isEmpty) (null: Any) else (nn.min: Any)
+                }
+            })
+          }
+          val all: Map[String, Any] = aggVals ++ avgVals.toMap +
+            ("__time" -> java.time.Instant.ofEpochMilli(b).toString)
+          all.toSeq.sortBy(_._1).map { case (_, v) => renderVal(v) }
+        }
+
+      val (nCols, nRows) = canon(native)
+      val wantCols = ("__time" +: (q.aggs.map(_.name) ++ avgrs.map(_.name))).sorted
+      val sortedN = nRows.sortBy(_.mkString(" "))
+      val sortedE = expected.sortBy(_.mkString(" "))
+      val err =
+        if (nCols != wantCols) Some(s"column sets differ: $nCols vs $wantCols")
+        else if (sortedN != sortedE)
+          Some(s"${sortedN.size} vs ${sortedE.size} rows\n--- native\n" +
+            s"${describe(sortedN.diff(sortedE))}\n--- expected\n" +
+            s"${describe(sortedE.diff(sortedN))}")
+        else scala.None
+      err.foreach { e =>
+        fail(s"movingAverage case $i diverged: $e\nquery: $json\n" +
+          s"granularity: ${q.g} maxBuckets=$maxB")
       }
     }
   }
