@@ -39,8 +39,15 @@ object ExactCollapse {
     *   distinct text. */
   def pairsByText(df: DataFrame, idCol: String, textCol: String,
       threshold: Double)(pairsOnDistinct: DataFrame => DataFrame): DataFrame = {
-    // one slim row per DISTINCT text; the member list is bounded by clone-
-    // class size, which also bounds the (mandatory) output pair count
+    // one row per DISTINCT text; the member list is bounded by clone-class
+    // size, which also bounds the (mandatory) output pair count. Persisted
+    // because it feeds THREE consumers (reps, within-class expansion,
+    // member join) and AQE does not reuse exchanges across those branches —
+    // unpersisted, each re-derives the corpus groupBy. Like the sibling
+    // withSig/base caches in MinHash/SimHashLsh, the cache is retained for
+    // the result's lifetime; callers looping over MANY corpora should
+    // checkpoint the class table to storage instead (it carries the full
+    // distinct texts — the heaviest of the three caches).
     val classes = df
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .groupBy(col("__text"))

@@ -90,12 +90,24 @@ object IvfIndex {
     val n = hashed.count()
     if (n == 0) { hashed.unpersist(); throw new IllegalArgumentException(
       "IvfIndex.build: input has no vectors") }
-    val kEff = math.min(k, n).toInt
-    val sampleSize = math.min(n, math.max(10000L, 50L * kEff)).toInt
+    val kCap = math.min(k, n).toInt
+    val sampleSize = math.min(n, math.max(10000L, 50L * kCap)).toInt
+    // sample DISTINCT vectors (deterministic min-hash representative per
+    // vector): on a duplicate-heavy corpus a raw row sample can hold fewer
+    // distinct vectors than k, and once every distinct sample vector is a
+    // seed the farthest-first argmax (all minDist 0) would emit duplicate
+    // centroids — silently collapsing the index to far fewer clusters
+    // (review finding r7). One vec-keyed shuffle at build time, bounded by
+    // the same scan budget as a Lloyd pass.
     val sample: Array[Array[Double]] = hashed
+      .groupBy(col("vec"))
+      .agg(min(col("__h")).as("__h"), min(col("id")).as("id"))
       .orderBy(col("__h"), col("id")).limit(sampleSize)
       .select(col("vec")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // fewer distinct vectors than k ⇒ k collapses to them (the sample is
+    // exhaustive exactly when it is smaller than sampleSize)
+    val kEff = math.min(kCap, sample.length)
     val chosen = new Array[Int](kEff)
     chosen(0) = 0 // smallest hash — same first seed as the distributed form
     val minDist = sample.map(v => 1.0 - cosineLocal(v, sample(0)))

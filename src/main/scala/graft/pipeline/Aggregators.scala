@@ -17,25 +17,31 @@ object Aggregators {
   /** Exact-name reference (join-prefixed fields carry dots) — [[Cols]]. */
   private def col(name: String): Column = Cols.exact(name)
 
-  /** Rewrite references to the event-time column `from` inside FILTERED
-    * aggregators (full-DSL filterSpec, legacy dimension==value pair, nested
-    * delegates) to `to`. The aggregation cores overwrite the time column
-    * with its granularity bucket before aggregating but keep the raw value
-    * under [[Pipeline.RawTsCol]]; Druid evaluates filtered-agg filters
-    * against the RAW row, so they must read the preserved copy.
-    * (NativeSqlFuzzSpec regression: an interval-filtered agg under
-    * granularity day/all silently matched nothing.) */
+  /** Rewrite references to the event-time column `from` inside aggregators
+    * (filtered-agg filter trees — full-DSL filterSpec, legacy
+    * dimension==value pair, nested delegates — AND the aggregator's own
+    * `fieldName`/`fields` inputs) to `to`. The aggregation cores overwrite
+    * the time column with its granularity bucket before aggregating but
+    * keep the raw value under [[Pipeline.RawTsCol]]; Druid evaluates BOTH
+    * filtered-agg filters and aggregator inputs against the RAW row, so a
+    * `longMax(fieldName=__time)` must read the preserved copy, not the
+    * bucket start. (NativeSqlFuzzSpec regression for the filter half: an
+    * interval-filtered agg under granularity day/all silently matched
+    * nothing; review finding r7 for the input half.) */
   def remapFilterTime(spec: AggregatorSpec, from: String,
       to: String): AggregatorSpec = {
     val delegated = spec.aggregator match {
       case Some(d) => spec.copy(aggregator = Some(remapFilterTime(d, from, to)))
       case scala.None => spec
     }
-    if (spec.aggType != "filtered") delegated
-    else delegated.copy(
-      filterSpec = delegated.filterSpec.map(Filters.renameColumn(_, from, to)),
-      filterJson = delegated.filterJson.map(remapJsonTime(_, from, to)),
-      filterDimension = delegated.filterDimension.map(d =>
+    val inputs = delegated.copy(
+      fieldName = delegated.fieldName.map(f => if (f == from) to else f),
+      fields = delegated.fields.map(f => if (f == from) to else f))
+    if (spec.aggType != "filtered") inputs
+    else inputs.copy(
+      filterSpec = inputs.filterSpec.map(Filters.renameColumn(_, from, to)),
+      filterJson = inputs.filterJson.map(remapJsonTime(_, from, to)),
+      filterDimension = inputs.filterDimension.map(d =>
         if (d == from) to else d))
   }
 
@@ -52,8 +58,14 @@ object Aggregators {
         for (k <- Seq("dimension", "column"))
           if (o.hasNonNull(k) && o.get(k).isTextual && o.get(k).asText == from)
             o.put(k, to)
+        // precise identifier check, same extraction the parsed path's
+        // Filters.dimensions uses — a column merely CONTAINING the text
+        // '$from' (or the literal inside a string constant) must not trip
+        // the rejection (review finding r7)
         if (o.hasNonNull("expression") && o.get("expression").isTextual)
-          require(!o.get("expression").asText.contains(from),
+          require(!Filters.dimensions(
+              graft.config.ExpressionFilter(o.get("expression").asText))
+            .contains(from),
             s"an expression filter reading '$from' cannot be used where " +
               s"'$from' is rewritten (filtered aggregators under a " +
               "bucketing granularity); reference the raw time another way")
@@ -456,7 +468,13 @@ object Aggregators {
     out.toSeq.distinct
   }
 
-  private def field(spec: AggregatorSpec): Column =
-    col(spec.fieldName.getOrElse(
-      throw new IllegalArgumentException(s"aggregator ${spec.name} needs fieldName")))
+  private def field(spec: AggregatorSpec): Column = {
+    val f = spec.fieldName.getOrElse(
+      throw new IllegalArgumentException(s"aggregator ${spec.name} needs fieldName"))
+    // the preserved raw event time reads as epoch MILLIS — Druid's numeric
+    // form of __time (a bare timestamp→long cast would yield SECONDS);
+    // remapFilterTime rewrites fieldName __time → RawTsCol at every
+    // aggregation core, so this is the one resolution point
+    if (f == Pipeline.RawTsCol) unix_millis(col(f)) else col(f)
+  }
 }

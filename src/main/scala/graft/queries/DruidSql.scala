@@ -616,8 +616,18 @@ object DruidSql {
           val body = s.substring(j + 1, closeA)
           val names = "'((?:[^']|'')*)'".r.findAllMatchIn(body)
             .map(_.group(1).replace("''", "'")).toSeq
+          // the body must be NOTHING BUT quoted names, commas, and
+          // whitespace — an unquoted member or a missing comma would
+          // otherwise be silently dropped and the query would run over a
+          // partial member list (wrong rows, no error)
+          val residue = "'(?:[^']|'')*'".r.replaceAllIn(body, "")
+          require(residue.forall(c => c == ',' || c.isWhitespace),
+            s"APPEND arguments must be a comma-separated list of quoted " +
+              s"dataSource names; unexpected token(s): '${residue.trim}'")
           require(names.nonEmpty && names.forall(_.nonEmpty),
             "APPEND needs at least one dataSource name")
+          require(residue.count(_ == ',') == names.size - 1,
+            "APPEND arguments must be separated by single commas")
           val alias = s"__append_$n"; n += 1
           specs += alias -> names
           s = s.substring(0, tStart) + alias + s.substring(closeT + 1)

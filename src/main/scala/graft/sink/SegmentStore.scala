@@ -482,21 +482,45 @@ object SegmentStore {
     * (index → compact → kill/retention → append). Compact-to-a-new-dir with
     * a registry flip silently forked the lineage: a later index task wrote
     * to and re-registered the original dir, discarding the compaction and
-    * any kills applied in between. The write to the staging dir completes
-    * fully (persisted source — one materialization) before the original is
-    * replaced, so a crash mid-compact leaves the original store intact.
+    * any kills applied in between.
+    *
+    * Crash safety: the staging write completes fully BEFORE the swap, and
+    * the swap is rename(original → retired) then rename(staging →
+    * original) then delete(retired) — two metadata renames, never a
+    * delete-then-rename that would leave NO store at the canonical path
+    * for the duration of a recursive delete (review finding r7). The only
+    * no-store window is between the two renames; a crash there is repaired
+    * by the recovery preamble of the NEXT compactInPlace (the retired dir
+    * is restored verbatim and the interrupted compaction is discarded —
+    * rerunning the task redoes it). Same-filesystem staging/retired
+    * siblings keep the renames rename-able.
     */
   def compactInPlace(spark: SparkSession, path: String,
       spec: IngestionSpec): Unit = {
     val staging = s"${path.stripSuffix("/")}__compacting"
-    compact(spark, path, spec, staging)
+    val retired = s"${path.stripSuffix("/")}__retired"
     val p = new org.apache.hadoop.fs.Path(path)
     val s = new org.apache.hadoop.fs.Path(staging)
+    val r = new org.apache.hadoop.fs.Path(retired)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.delete(p, true)) throw new java.io.IOException(
-      s"compactInPlace: could not remove pre-compaction store $path")
-    if (!fs.rename(s, p)) throw new java.io.IOException(
-      s"compactInPlace: could not swap $staging into $path")
+    // recovery: the canonical dir is only ever absent between the two
+    // renames of an interrupted previous swap — restore the retired store
+    // (the safe choice: a staging dir of unknown completeness is discarded)
+    if (!fs.exists(p) && fs.exists(r) && !fs.rename(r, p))
+      throw new java.io.IOException(
+        s"compactInPlace: could not restore interrupted swap $retired → $path")
+    fs.delete(s, true) // stale staging from an interrupted previous write
+    fs.delete(r, true)
+    compact(spark, path, spec, staging)
+    if (!fs.rename(p, r)) throw new java.io.IOException(
+      s"compactInPlace: could not retire pre-compaction store $path")
+    if (!fs.rename(s, p)) {
+      // put the original back rather than leave no store at the path
+      fs.rename(r, p)
+      throw new java.io.IOException(
+        s"compactInPlace: could not swap $staging into $path")
+    }
+    fs.delete(r, true)
   }
 
   // ------------------------------------------------- bucketed at-rest layout

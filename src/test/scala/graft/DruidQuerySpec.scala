@@ -1425,4 +1425,59 @@ class DruidQuerySpec extends SparkSpec {
     // inclusive rank of 8 = 4/6
     assert(kll.head.getDouble(0) == 4.0 && kll.head.getDouble(1) == 4.0 / 6)
   }
+
+  test("aggregator inputs read the RAW row, not the granularity bucket") {
+    // longMax over __time under hour buckets: Druid evaluates aggregator
+    // inputs against the raw row, so each bucket's max is its latest EVENT
+    // time, never the bucket start (review finding r7 — the filter half of
+    // this rule was already pinned by the fuzz suite)
+    val rows = run("""
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "hour",
+       "aggregations": [{"type": "longMax", "name": "last_ms",
+                         "fieldName": "__time"}]}""")
+      .select(col("__time"), col("last_ms")).collect()
+      .map(r => r.getTimestamp(0).toInstant.toString -> r.getLong(1)).toMap
+    def ms(t: String): Long = ts(t).getTime
+    assert(rows("2024-03-01T00:00:00Z") == ms("2024-03-01 00:40:00"), rows)
+    assert(rows("2024-03-01T01:00:00Z") == ms("2024-03-01 01:20:00"), rows)
+    assert(rows("2024-03-01T02:00:00Z") == ms("2024-03-01 02:45:00"), rows)
+    // same rule through a filtered wrapper delegate
+    val f = run("""
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "hour",
+       "aggregations": [{"type": "filtered", "name": "last_click",
+         "filter": {"type": "selector", "dimension": "event_type",
+                    "value": "click"},
+         "aggregator": {"type": "longMax", "name": "last_click",
+                        "fieldName": "__time"}}]}""")
+      .select(col("__time"), col("last_click")).collect()
+      .map(r => r.getTimestamp(0).toInstant.toString ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(f("2024-03-01T01:00:00Z") == Some(ms("2024-03-01 01:20:00")), f)
+    assert(f("2024-03-01T02:00:00Z") == None, f) // no clicks that hour
+  }
+
+  test("expression filters in filtered aggs reject only REAL __time reads") {
+    // the literal text '__time' inside a string constant is data, not a
+    // column reference — must compile (review finding r7: the old check
+    // was a raw substring match)
+    val ok = run("""
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "hour",
+       "aggregations": [{"type": "filtered", "name": "n",
+         "filter": {"type": "expression",
+                    "expression": "event_type != '__time'"},
+         "aggregator": {"type": "count", "name": "n"}}]}""")
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(ok == 6L, s"expected all 6 rows, got $ok")
+    // an expression that actually READS __time still fails loud
+    val e = intercept[Exception] { run("""
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "hour",
+       "aggregations": [{"type": "filtered", "name": "n",
+         "filter": {"type": "expression", "expression": "__time > 0"},
+         "aggregator": {"type": "count", "name": "n"}}]}""").collect() }
+    assert(e.getMessage.contains("__time"), e.getMessage)
+  }
 }

@@ -327,6 +327,30 @@ class FunctionsSpec extends SparkSpec {
       idx.indexed.select("id", "cluster").collect().toSet)
   }
 
+  test("IVF build on a duplicate-heavy corpus: k collapses to the distinct " +
+      "vector count, no duplicate centroids") {
+    // 3 distinct vectors × 50 exact copies, k = 8: the seed sample must
+    // dedupe vectors (review finding r7 — a raw row sample would exhaust
+    // its distinct vectors and emit duplicate centroids, silently
+    // collapsing the index)
+    val base = Seq(
+      Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f), Array(0.0f, 0.0f, 1.0f))
+    val rows = (0 until 150).map(i => (i.toLong, base(i % 3)))
+    val df = rows.toDF("vec_id", "embedding")
+    val idx = IvfIndex.build(spark, df, "vec_id", "embedding", k = 8,
+      iterations = 2)
+    assert(idx.centroids.length == 3,
+      s"expected k to collapse to 3 distinct vectors, got ${idx.centroids.length}")
+    // centroids pairwise distinct
+    val cents = idx.centroids.map(_._2.toSeq).toSet
+    assert(cents.size == 3, s"duplicate centroids: $cents")
+    // every copy of a vector lands in one cluster with its twins
+    val byCluster = idx.indexed.select("id", "cluster")
+      .as[(Long, Int)].collect().groupBy(_._2).view.mapValues(_.map(_._1 % 3).toSet)
+    assert(byCluster.values.forall(_.size == 1), s"mixed clusters: $byCluster")
+    idx.close()
+  }
+
   test("sign-LSH ANN: multi-probe recall floor, and recall beats random sampling") {
     // sf0.1 embeddings: 2000 near-uniform random vectors — the worst case
     // for sign-LSH top-k (true neighbours sit at cos ≈ 0.35, where each

@@ -262,6 +262,15 @@ class HttpIngestSpec extends SparkSpec {
         """{"query": "SELECT 'TABLE(APPEND(''clicks_ds''))' AS s FROM clicks_ds LIMIT 1"}""")
       assert(apc3 == 200 &&
         apb3.contains("TABLE(APPEND('clicks_ds'))"), apb3)
+      // an UNQUOTED member (or any other residue in the body) must fail
+      // LOUD — a silent partial member list would return wrong rows
+      val (apc4, apb4) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT COUNT(*) FROM TABLE(APPEND(clicks_ds, 'views_ds'))"}""")
+      assert(apc4 == 400 && apb4.contains("quoted"), apb4)
+      // adjacent quoted names without the comma are malformed, not a list
+      val (apc5, apb5) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT COUNT(*) FROM TABLE(APPEND('clicks_ds' 'views_ds'))"}""")
+      assert(apc5 == 400 && apb5.contains("comma"), apb5)
       // a dataSource referenced ONLY inside a subquery expression still
       // routes (collect must reach subquery plans)
       val (sqc, sqb) = post(handle.port, "/druid/v2/sql",

@@ -375,6 +375,40 @@ class StreamingSpec extends SparkSpec {
     assert(again.count() == 1)
   }
 
+  test("compactInPlace: swap keeps one canonical dir; an interrupted swap " +
+      "is repaired by the next run's recovery preamble") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-compact-swap").toString
+    val now = ts("2024-03-01 12:00:00")
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    input.addData(Ev(ts("2024-03-01 12:01:00"), "click", 1.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:02:00"), "click", 2.0))
+    ingest.flushAndStop()
+
+    graft.sink.SegmentStore.compactInPlace(spark, s"$tmp/out", spec)
+    val out = graft.sink.SegmentStore.read(spark, s"$tmp/out", spec)
+    assert(out.count() == 1) // compacted in the SAME dir
+    // no staging/retired residue after a clean swap
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/out__compacting")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/out__retired")))
+
+    // simulate a crash BETWEEN the two swap renames: canonical dir absent,
+    // retired dir present (the only no-store window the swap has)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/out"),
+      new org.apache.hadoop.fs.Path(s"$tmp/out__retired")))
+    graft.sink.SegmentStore.compactInPlace(spark, s"$tmp/out", spec)
+    val recovered = graft.sink.SegmentStore.read(spark, s"$tmp/out", spec)
+    val row = recovered.select($"cnt", $"total").as[(Long, Double)].head()
+    assert(row == ((2L, 3.0)), s"recovered store lost data: $row")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/out__retired")))
+  }
+
   test("reindex coarsens granularity and drops dims; partials re-merge; sketches survive") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-reindex").toString
