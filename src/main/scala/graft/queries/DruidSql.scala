@@ -220,10 +220,12 @@ object DruidSql {
       frames: Map[String, DataFrame],
       metaFrames: Map[Seq[String], DataFrame] = Map.empty,
       approxCountDistinct: Boolean = false): DataFrame = {
-    require(frames.nonEmpty || metaFrames.nonEmpty,
-      "DruidSql.run needs at least one dataSource frame")
+    // no frames is legitimate for a TABLE-LESS statement (SELECT 1 — the
+    // JDBC health-check pattern); a table-referencing statement with no
+    // matching frame still fails loud at name resolution below
     val spark = frames.headOption.map(_._2.sparkSession)
-      .getOrElse(metaFrames.head._2.sparkSession)
+      .orElse(metaFrames.headOption.map(_._2.sparkSession))
+      .getOrElse(org.apache.spark.sql.SparkSession.active)
     graft.functions.GraftFunctions.register(spark)
     val framesCi = frames.map { case (k, v) =>
       k.toLowerCase(java.util.Locale.ROOT) -> v }

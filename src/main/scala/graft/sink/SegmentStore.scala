@@ -101,11 +101,30 @@ object SegmentStore {
       finalizeSketches: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // sketch merge functions
     val df = baseFilter(spark.read.option("mergeSchema", "true").parquet(path))
+    mergePartials(df, spec, finalizeSketches)
+  }
+
+  /** Shared partial→final merge for [[read]] and [[readUnion]] (one
+    * definition so the dim-classification and implicit-count rules cannot
+    * silently diverge — review finding r7):
+    *  - raw-append store (rollup=false): rows were written unmodified, the
+    *    spec's aggregator columns were never materialized — nothing to
+    *    merge;
+    *  - an aggregator-less rollup spec writes Pipeline.rollup's implicit
+    *    count column `rows` — its re-merge is a sum (and it must not be
+    *    mistaken for a dimension). */
+  private def mergePartials(df: DataFrame, spec: IngestionSpec,
+      finalizeSketches: Boolean): DataFrame = {
+    if (!spec.dataSchema.granularitySpec.rollup) return df.drop("__batch_id")
+    val implicitRows = spec.dataSchema.aggregators.isEmpty
     val dimNames = df.columns.toSeq.filterNot { c =>
       c == Pipeline.TsCol || c == Pipeline.SegmentCol || c == "__batch_id" ||
+        (implicitRows && c == "rows") ||
         spec.dataSchema.aggregators.exists(_.name == c)
     }
-    val merges = spec.dataSchema.aggregators.map(mergeColumn(_, finalizeSketches))
+    val merges =
+      if (implicitRows) Seq(sum(col("rows")).cast(LongType).as("rows"))
+      else spec.dataSchema.aggregators.map(mergeColumn(_, finalizeSketches))
     df.groupBy((Pipeline.TsCol +: Pipeline.SegmentCol +: dimNames).map(col): _*)
       .agg(merges.head, merges.tail: _*)
   }
@@ -177,13 +196,22 @@ object SegmentStore {
     * glob — which is exactly what keeps the sidecar out of normal store
     * reads. Driver state is the segment list (bounded by time chunks).
     */
+  /** True iff the zone-map sidecar exists AND holds at least one parquet
+    * file. A crash during appendStats can leave an empty dir (or only a
+    * _temporary child); every sidecar consumer must degrade conservatively
+    * (keep-all / null ranges) instead of failing the read on the empty
+    * glob — one shared check so no consumer forgets (review finding r7). */
+  private def hasStatsSidecar(spark: SparkSession, path: String): Boolean = {
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/${SegmentSink.StatsDir}")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(statsPath) &&
+      fs.listStatus(statsPath).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
   private def pruneWith(spark: SparkSession, path: String)(
       admit: DataFrame => DataFrame): Seq[String] = {
     val segDirs = listSegmentDirs(spark, path)
-    val statsPath = new org.apache.hadoop.fs.Path(s"$path/${SegmentSink.StatsDir}")
-    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(statsPath)) // no sidecar (pre-zone-map store): keep all
-      return segDirs
+    if (!hasStatsSidecar(spark, path)) return segDirs
     // mergeSchema: a store written across sidecar versions keeps old rows
     // readable (missing typed columns surface as nulls → conservative)
     val stats = spark.read.option("mergeSchema", "true")
@@ -249,26 +277,44 @@ object SegmentStore {
     */
   def readInterval(spark: SparkSession, path: String, spec: IngestionSpec,
       from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
-    // render bounds in the SESSION timezone — segment dir names were
-    // produced by date_format under it, so a non-UTC consumer session still
-    // compares like with like
-    val tz = spark.conf.get("spark.sql.session.timeZone",
-      java.util.TimeZone.getDefault.getID)
-    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH.mm.ss")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone(tz))
     val gran = spec.dataSchema.granularitySpec
-    // calendar truncation in the SESSION zone, matching the dir names /
-    // bucket values date_trunc produced (see applyRetention)
-    val zone = java.time.ZoneId.of(tz)
-    val fromSeg = java.sql.Timestamp.from(
-      gran.segmentGranularity.truncateInstant(from.toInstant, zone))
-    val fromBucket = java.sql.Timestamp.from(
-      gran.queryGranularity.truncateInstant(from.toInstant, zone))
+    // rolled rows carry their queryGranularity BUCKET timestamp, so the
+    // lower bound truncates to the bucket (Druid's interval-resolution
+    // rule); raw-append rows (rollup=false) keep their UNtruncated event
+    // time, so the raw bound applies — a truncated bound would return rows
+    // before `from` (review finding r7)
+    val fromBucket =
+      if (!gran.rollup) from
+      else java.sql.Timestamp.from(
+        gran.queryGranularity.truncateInstant(from.toInstant, sessionZone(spark)))
     read(spark, path, spec, df =>
-      df.filter(col(Pipeline.SegmentCol) >= fmt.format(fromSeg) &&
-        col(Pipeline.SegmentCol) <= fmt.format(to))
+      df.filter(col(Pipeline.SegmentCol) >=
+          chunkName(spark, gran.segmentGranularity, from) &&
+        col(Pipeline.SegmentCol) <= sessionFmt(spark).format(to))
         .filter(col(Pipeline.TsCol) >= lit(fromBucket) && col(Pipeline.TsCol) < lit(to)))
   }
+
+  /** Session-zone scaffolding shared by every chunk-name comparison
+    * ([[readInterval]]/[[applyRetention]]/[[killInterval]]): segment dir
+    * names were produced by date_format + date_trunc under the SESSION
+    * timezone, so bounds must render and truncate the same way — one
+    * definition, not three copies that can silently diverge (review
+    * finding r7). */
+  private def sessionZone(spark: SparkSession): java.time.ZoneId =
+    java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
+
+  private def sessionFmt(spark: SparkSession): java.text.SimpleDateFormat = {
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH.mm.ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(sessionZone(spark)))
+    fmt
+  }
+
+  /** Dir-name of the segment chunk containing `t` at `gran`. */
+  private def chunkName(spark: SparkSession, gran: graft.time.Granularity,
+      t: java.sql.Timestamp): String =
+    sessionFmt(spark).format(java.sql.Timestamp.from(
+      gran.truncateInstant(t.toInstant, sessionZone(spark))))
 
   /** Per-segment metadata — the Druid segmentMetadata query analog: row
     * count, batch count, and merged dim value ranges from the zone-map
@@ -282,9 +328,7 @@ object SegmentStore {
     val rows = df
       .groupBy(col(Pipeline.SegmentCol))
       .agg(count(lit(1)).as("rows"), batches.as("batches"))
-    val statsPath = new org.apache.hadoop.fs.Path(s"$path/${SegmentSink.StatsDir}")
-    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(statsPath)) // stats-less store: dim_ranges = null
+    if (!hasStatsSidecar(spark, path)) // stats-less store: dim_ranges = null
       return rows.withColumn("dim_ranges", lit(null).cast(
         "array<struct<column:string,min_val:string,max_val:string>>"))
     val raw = spark.read.option("mergeSchema", "true")
@@ -319,18 +363,12 @@ object SegmentStore {
     */
   def applyRetention(spark: SparkSession, path: String, spec: IngestionSpec,
       keepFrom: java.sql.Timestamp): Seq[String] = {
-    val tz = spark.conf.get("spark.sql.session.timeZone",
-      java.util.TimeZone.getDefault.getID)
-    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH.mm.ss")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone(tz))
     // a segment whose CHUNK END is at or before the bound holds only expired
     // rows; the chunk containing keepFrom is retained whole (Druid drops
-    // whole segments, never partial). Calendar truncation runs in the
-    // SESSION zone — dir names came from date_trunc under it, so a UTC
-    // truncation could name a nonexistent boundary and drop the live chunk.
-    val gran = spec.dataSchema.granularitySpec.segmentGranularity
-    val keepSeg = fmt.format(java.sql.Timestamp.from(
-      gran.truncateInstant(keepFrom.toInstant, java.time.ZoneId.of(tz))))
+    // whole segments, never partial) — chunkName runs the session-zone
+    // truncation the dir names were produced under.
+    val keepSeg = chunkName(spark,
+      spec.dataSchema.granularitySpec.segmentGranularity, keepFrom)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dropped = listSegmentDirs(spark, path).filter(_ < keepSeg)
@@ -352,20 +390,13 @@ object SegmentStore {
     */
   def killInterval(spark: SparkSession, path: String, spec: IngestionSpec,
       start: java.sql.Timestamp, end: java.sql.Timestamp): Seq[String] = {
-    val tz = spark.conf.get("spark.sql.session.timeZone",
-      java.util.TimeZone.getDefault.getID)
-    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH.mm.ss")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone(tz))
     val gran = spec.dataSchema.granularitySpec.segmentGranularity
-    def chunk(t: java.sql.Timestamp): String = fmt.format(
-      java.sql.Timestamp.from(
-        gran.truncateInstant(t.toInstant, java.time.ZoneId.of(tz))))
-    val (s0, e0) = (chunk(start), chunk(end))
+    val (s0, e0) = (chunkName(spark, gran, start), chunkName(spark, gran, end))
     // a mid-chunk START must not kill the chunk containing it (that chunk
     // holds rows before the interval); only chunks fully inside survive
     // the cut — Druid's whole-chunk kill contract
     val alignedStart = gran.truncateInstant(start.toInstant,
-      java.time.ZoneId.of(tz)) == start.toInstant
+      sessionZone(spark)) == start.toInstant
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val killed = listSegmentDirs(spark, path)
@@ -389,14 +420,8 @@ object SegmentStore {
     graft.functions.GraftFunctions.register(spark)
     val parts = paths.map(p =>
       spark.read.option("mergeSchema", "true").parquet(p).drop("__batch_id"))
-    val df = parts.reduce(_ unionByName (_, allowMissingColumns = true))
-    val dimNames = df.columns.toSeq.filterNot { c =>
-      c == Pipeline.TsCol || c == Pipeline.SegmentCol ||
-        spec.dataSchema.aggregators.exists(_.name == c)
-    }
-    val merges = spec.dataSchema.aggregators.map(mergeColumn(_, finalizeSketches))
-    df.groupBy((Pipeline.TsCol +: Pipeline.SegmentCol +: dimNames).map(col): _*)
-      .agg(merges.head, merges.tail: _*)
+    mergePartials(parts.reduce(_ unionByName (_, allowMissingColumns = true)),
+      spec, finalizeSketches)
   }
 
   /** Compaction: rewrite per-batch partials as finals, one pass per store —

@@ -67,6 +67,15 @@ final class HttpIngestServer(
 
   private val mapper = new ObjectMapper
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** Serializes every control-plane STORE WRITE: index/kill/compact tasks
+    * and SQL-ingestion statements. Concurrent same-dataSource writers would
+    * otherwise race (two appends compute the same next __batch_id and the
+    * second dynamic-partition overwrite silently drops the first's rows; a
+    * compact swap can interleave a replace's delete — review finding r7).
+    * One global lock, not per-dataSource: these are infrequent control
+    * operations and an INSERT's target is only known after parsing; reads
+    * and the /v1/post streaming path are untouched. */
+  private val storeWriteLock = new Object
   /** queryId → Spark job group of an in-flight query (native or SQL), for
     * `DELETE /druid/v2/{queryId}` / `DELETE /druid/v2/sql/{sqlQueryId}`. */
   private val running = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -77,7 +86,11 @@ final class HttpIngestServer(
   def start(port: Int = 0): Int = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.createContext("/v1/post", (ex: HttpExchange) => handle(ex))
-    if (queryRoutes.nonEmpty) {
+    // queryables also resolve DYNAMICALLY (SQL-ingested stores under
+    // sqlIngestRoot, task-ingested stores) — a server configured with only
+    // those roots must still serve queries and INSERT INTO statements, not
+    // 404 them (review finding r7: the old queryRoutes-only gate)
+    if (queryRoutes.nonEmpty || sqlIngestRoot.isDefined || indexTaskRoot.isDefined) {
       s.createContext("/druid/v2", (ex: HttpExchange) => handleQuery(ex))
       // longest-prefix routing: /druid/v2/sql and /druid/v2/datasources win
       // over /druid/v2
@@ -122,16 +135,33 @@ final class HttpIngestServer(
       if (ex.getRequestMethod != "POST") { reply(ex, 405, """{"error":"POST only"}"""); return }
       val dataSource = ex.getRequestURI.getPath.stripPrefix("/v1/post").stripPrefix("/")
       if (dataSource.isEmpty) { reply(ex, 404, """{"error":"missing dataSource"}"""); return }
+      // the name becomes a spool PATH SEGMENT — a traversal like
+      // '..%2F..%2Fetc' (URI.getPath percent-decodes) must never reach
+      // Paths.get (review finding r7); same identifier alphabet as Druid
+      // dataSource names, and the first char excludes '.' so '.'/'..'
+      // cannot resolve upward. Names carrying an EXPLICIT route are
+      // operator-configured (trusted) and were accepted before the check
+      // existed — only the attacker-controllable unrouted fallback gates.
+      if (!routes.contains(dataSource) &&
+          !dataSource.matches("[A-Za-z0-9_\\-][A-Za-z0-9_.\\-]*")) {
+        reply(ex, 400, s"""{"error":"invalid dataSource name"}"""); return
+      }
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val lines = try normalize(body) catch {
         case NonFatal(e) => reply(ex, 400, s"""{"error":${quote(e.getMessage)}}"""); return
       }
       val async = Option(ex.getRequestURI.getQuery).exists(_.contains("async=true"))
       val target = routes.get(dataSource).orElse(attach)
-      // serialized PER dataSource so sync counter deltas from concurrent
-      // posts don't interleave — posts to other dataSources (their own
-      // streams, their own counters) proceed in parallel
-      val lock = locks.computeIfAbsent(dataSource, _ => new Object)
+      // serialized PER target stream so sync counter deltas from concurrent
+      // posts don't interleave — posts routed to DIFFERENT streams proceed
+      // in parallel, but every dataSource falling back to the shared attach
+      // stream serializes on ONE lock (they share its cumulative `sent`
+      // counter; review finding r7). With NO attach stream there is no
+      // shared counter — spool-only posts keep per-dataSource parallelism.
+      val lockKey =
+        if (routes.contains(dataSource) || attach.isEmpty) dataSource
+        else "__attach__"
+      val lock = locks.computeIfAbsent(lockKey, _ => new Object)
       val result = lock.synchronized {
         val sent0 = target.map(_.sent).getOrElse(0L)
         spool(dataSource, lines)
@@ -304,7 +334,11 @@ final class HttpIngestServer(
         routes.get(ds).foreach(_.activeQuery.foreach(_.processAllAvailable()))
         ds -> thunk()
       }
-    require(frames.nonEmpty || allowEmpty,
+    // a statement that references NO table at all (SELECT 1 — the JDBC
+    // health-check pattern, valid in Druid SQL) is self-contained and needs
+    // no frames; only a statement whose references resolve to NOTHING is
+    // the loud error (review finding r7)
+    require(frames.nonEmpty || allowEmpty || referenced.isEmpty,
       "query references no known dataSource " +
         s"(queryable: ${allQueryables().keys.toSeq.sorted.mkString(",")})")
     frames
@@ -486,9 +520,11 @@ final class HttpIngestServer(
           // per written segment. Enforce the bound rather than assume it —
           // a pathological segmentGranularity (e.g. second-granularity over
           // years) must fail loud, not OOM the server.
-          val report = graft.queries.DruidSql.ingest(sqlText, frames,
-            storeRoot, approxCd = approxCdIngest)
-            .toJSON.limit(100001).collect()
+          val report = storeWriteLock.synchronized {
+            graft.queries.DruidSql.ingest(sqlText, frames,
+              storeRoot, approxCd = approxCdIngest)
+              .toJSON.limit(100001).collect()
+          }
           require(report.length <= 100000,
             "ingestion produced >100000 segments — segmentGranularity is " +
               "almost certainly too fine for the data's time range")
@@ -625,7 +661,11 @@ final class HttpIngestServer(
                 "re-ingest or re-compact plain first")
             val types = rules.elements().asScala
               .map(r => Option(r.get("type")).map(_.asText).getOrElse("")).toSeq
-            val dropped: Seq[String] = types match {
+            // rules-driven segment deletes are control-plane STORE WRITES —
+            // they take the same lock as tasks/SQL ingestion (an unlocked
+            // kill racing a compact swap could resurrect dropped segments;
+            // review finding r7)
+            val dropped: Seq[String] = storeWriteLock.synchronized { types match {
               case Seq("loadForever") => Nil
               case Seq("loadByPeriod", "dropForever") =>
                 val period = Option(rules.get(0).get("period")).map(_.asText)
@@ -662,7 +702,7 @@ final class HttpIngestServer(
                 s"unsupported rule chain ${other.mkString("[", ",", "]")} — " +
                   "supported: [loadForever], [loadByPeriod, dropForever], " +
                   "[dropByInterval]")
-            }
+            } }
             retentionRules.put(ds, rules.toString)
             reply(ex, 200, s"""{"dataSource":${quote(ds)},""" +
               s""""dropped":${dropped.map(quote).mkString("[", ",", "]")}}""")
@@ -720,7 +760,7 @@ final class HttpIngestServer(
           val spark = org.apache.spark.sql.SparkSession.active
           val root = mapper.readTree(body)
           val taskType = Option(root.get("type")).map(_.asText).getOrElse("")
-          val st = try {
+          val st = try storeWriteLock.synchronized {
             taskType match {
               case "kill" =>
                 // the coordinator kill-task analog: drop whole segment
@@ -1214,20 +1254,40 @@ final class HttpIngestServer(
     val group = groupOverride.getOrElse(newJobGroup(id))
     sc.setJobGroup(group, s"druid query $id", interruptOnCancel = true)
     running.put(id, group)
+    // per-request monitor: the timeout runnable and the finally block
+    // mutate `timedOut` under it, so a timeout firing at the same instant
+    // the body completes cannot add the (nonce'd, never-reused) group AFTER
+    // the finally removed it — an unsynchronized late add would leak the
+    // entry forever on a long-lived server (review finding r7)
+    val monitor = new Object
+    var completed = false
     val deadline =
       if (timeoutMs <= 0) None
       else Some(timeoutScheduler.schedule(new Runnable {
-        override def run(): Unit = {
-          timedOut.add(id)
-          sc.cancelJobGroupAndFutureJobs(group)
+        override def run(): Unit = monitor.synchronized {
+          if (!completed) {
+            // keyed by GROUP (unique per run), not the client-supplied id —
+            // two in-flight queries reusing an id must not cross-contaminate
+            // each other's timeout classification (review finding r7)
+            timedOut.add(group)
+            sc.cancelJobGroupAndFutureJobs(group)
+          }
         }
       }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
     try body
     catch {
-      case NonFatal(e) => if (timedOut.contains(id)) throw new QueryTimedOut else throw e
+      case NonFatal(e) =>
+        if (timedOut.contains(group)) throw new QueryTimedOut else throw e
     } finally {
       deadline.foreach(_.cancel(false))
-      running.remove(id); timedOut.remove(id); sc.clearJobGroup()
+      monitor.synchronized {
+        completed = true
+        // conditional remove: when a second query reused this id, `running`
+        // now maps it to THAT query's group — an unconditional remove would
+        // silently break its cancellation endpoint
+        running.remove(id, group); timedOut.remove(group)
+      }
+      sc.clearJobGroup()
     }
   }
 

@@ -65,6 +65,13 @@ object IndexTask {
     val p = new Pipeline(ingestion)
     val out = p.withSegment(p.rollup(p.project(p.extractTimestamp(raw))))
 
+    // the dataSource becomes a path segment under storeRoot AND (for
+    // replace tasks) the target of a recursive delete — a traversal like
+    // '../../victim' must never reach the filesystem (same rule as the
+    // /v1/post spool path; review finding r7)
+    require(ds.matches("[A-Za-z0-9_\\-][A-Za-z0-9_.\\-]*"),
+      s"invalid dataSource name '$ds' (letters/digits/._- only, not " +
+        "starting with '.')")
     val target = currentDir(ds).getOrElse(s"${storeRoot.stripSuffix("/")}/$ds")
     // a bucketed (hashed-compacted) store is a TERMINAL layout: appending
     // (segment, __batch_id) partials into bucket-named files would corrupt
@@ -98,11 +105,17 @@ object IndexTask {
       }
     graft.sink.SegmentSink.writeMicroBatch(target)(out, batchId)
 
-    val stored = graft.sink.SegmentStore.read(spark, target, ingestion)
+    // per-TASK counters over the rows this task produced (Druid's
+    // rowsProcessed is per-task, not cumulative). Counted from THIS task's
+    // just-written __batch_id partition (partition pruning reads only its
+    // files) — aggregating the lazy `out` plan would re-run the whole
+    // ingest pipeline, and the whole-store merge read before it grew
+    // linearly with store size on every append (review findings r7 ×2)
     val (segments, rows) = {
-      val agg = stored.agg(
-        count_distinct(col(Pipeline.SegmentCol)).as("segs"),
-        count(lit(1)).as("rows")).head()
+      val agg = spark.read.option("mergeSchema", "true").parquet(target)
+        .filter(col("__batch_id") === batchId)
+        .agg(count_distinct(col(Pipeline.SegmentCol)).as("segs"),
+          count(lit(1)).as("rows")).head()
       (agg.getLong(0), agg.getLong(1))
     }
     Result(ds, target, ingestion, rows, segments)

@@ -81,6 +81,81 @@ class HttpIngestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("spool path safety + table-less SQL: traversal names 400, SELECT 1 runs") {
+    spark.version
+    val tmp = Files.createTempDirectory("graft-http-safety").toString
+    val spool = s"$tmp/spool"
+    Files.createDirectories(Paths.get(spool))
+    val server = new HttpIngestServer(spool,
+      queryRoutes = Map("safety_ds" -> (() =>
+        Seq((Timestamp.valueOf("2024-03-01 00:00:00"), 1L)).toDF("__time", "v"))))
+    val port = server.start()
+    try {
+      // dataSource becomes a spool path segment: a percent-encoded
+      // traversal must be rejected, never resolved (review finding r7)
+      val (tc, tb) = post(port, "/v1/post/..%2F..%2Fevil", """{"a":1}""")
+      assert(tc == 400 && tb.contains("invalid dataSource"), s"$tc $tb")
+      assert(!Files.exists(Paths.get(tmp, "evil")) &&
+        !Files.exists(Paths.get(spool).getParent.getParent.resolve("evil")))
+      val (dc, db) = post(port, "/v1/post/." , """{"a":1}""")
+      assert(dc == 400, s"dot name accepted: $dc $db")
+      // a statement referencing NO table is self-contained (JDBC
+      // health-check pattern) — must run, not 400
+      val (hc, hb) = post(port, "/druid/v2/sql", """{"query": "SELECT 1 AS ok"}""")
+      assert(hc == 200 && hb.contains("\"ok\":1"), s"$hc $hb")
+      // a statement referencing an UNKNOWN table keeps the loud error
+      val (uc, ub) = post(port, "/druid/v2/sql",
+        """{"query": "SELECT * FROM nope_ds"}""")
+      assert(uc == 400 && ub.contains("no known dataSource"), s"$uc $ub")
+    } finally server.stop()
+  }
+
+  test("index-task dataSource names are path-safe; routed names outside " +
+      "the alphabet still post") {
+    spark.version
+    val tmp = Files.createTempDirectory("graft-task-safety").toString
+    Files.createDirectories(Paths.get(s"$tmp/spool"))
+    // an operator-configured ingest route may use any name — the alphabet
+    // gate applies only to the attacker-controllable unrouted spool
+    // fallback (the stream is never started: async posts only spool)
+    val oddSpec = IngestionSpec(
+      DataSchema("odd:name$ds", TimestampSpec("ts"),
+        SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("count", "cnt")),
+        GranularitySpec(Granularity.Hour, Granularity.Hour)))
+    val server = new HttpIngestServer(s"$tmp/spool",
+      routes = Map("odd:name$ds" ->
+        new IngestStream(spark, oddSpec, s"$tmp/cp-odd")),
+      indexTaskRoot = Some(s"$tmp/tasks"))
+    val port = server.start()
+    try {
+      // task-spec dataSource becomes a storeRoot path segment AND (replace
+      // mode) a recursive-delete target — traversal fails the task loud
+      val (c, b) = post(port, "/druid/indexer/v1/task",
+        s"""{"type": "index", "spec": {
+             "dataSchema": {"dataSource": "../../victim",
+               "timestampSpec": {"column": "ts", "format": "auto"},
+               "dimensionsSpec": {"dimensions": ["etype"]},
+               "metricsSpec": [{"type": "count", "name": "cnt"}],
+               "granularitySpec": {"segmentGranularity": "DAY",
+                 "queryGranularity": "DAY"}},
+             "ioConfig": {"type": "index",
+               "inputSource": {"type": "inline", "data": "2024-03-01 01:00:00,click"},
+               "inputFormat": {"type": "csv", "columns": ["ts", "etype"]}}}}""")
+      assert(c == 200, b)
+      val id = "index_graft_[0-9a-f]+".r.findFirstIn(b).get
+      val (sc, sb) = get(port, s"/druid/indexer/v1/task/$id/status")
+      assert(sc == 200 && sb.contains("\"status\":\"FAILED\"") &&
+        sb.contains("invalid dataSource"), sb)
+      assert(!Files.exists(Paths.get(tmp).getParent.getParent.resolve("victim")))
+      // the oddly-named ROUTE accepts posts (no spool-alphabet rejection);
+      // percent-encode the name for the URL
+      val (pc, pb) = post(port, "/v1/post/odd%3Aname%24ds?async=true",
+        """{"ts":"2024-03-01 01:00:00"}""")
+      assert(pc == 200, s"$pc $pb")
+    } finally server.stop()
+  }
+
   test("dataSource routing: one server, two specs, independent counters and stores") {
     val tmp = Files.createTempDirectory("graft-http-routes").toString
     val spool = s"$tmp/spool"
@@ -1012,11 +1087,10 @@ class HttpIngestSpec extends SparkSpec {
     spark.version
     val tmp = Files.createTempDirectory("graft-bktapi").toString
     Files.createDirectories(Paths.get(s"$tmp/spool"))
+    // NO queryRoutes: a task-only server must still serve /druid/v2 and
+    // /druid/v2/sql for the stores its tasks create (review finding r7 —
+    // the old gate 404'd queries unless a static route existed)
     val server = new HttpIngestServer(s"$tmp/spool",
-      // query contexts register only with at least one route — same dummy
-      // route the sibling task-API test uses
-      queryRoutes = Map("dummy2_ds" -> (() =>
-        Seq((Timestamp.valueOf("2024-03-01 00:00:00"), 1L)).toDF("__time", "v"))),
       indexTaskRoot = Some(s"$tmp/tasks"))
     val port = server.start()
     try {
@@ -1156,6 +1230,11 @@ class HttpIngestSpec extends SparkSpec {
       val (c2, b2) = post(port, "/druid/indexer/v1/task",
         task(append = true, "2024-03-01 03:00:00,click,8.0"))
       assert(c2 == 200, b2)
+      // rowsProcessed is PER-TASK (Druid semantics), not cumulative: the
+      // append's status reports its own 1 row, not the store's 3
+      val id2 = "index_graft_[0-9a-f]+".r.findFirstIn(b2).get
+      val (sc2b, sb2b) = get(port, s"/druid/indexer/v1/task/$id2/status")
+      assert(sc2b == 200 && sb2b.contains("\"rowsProcessed\":1"), sb2b)
       val (qc2, qb2) = post(port, "/druid/v2/sql",
         """{"query": "SELECT etype, SUM(cnt) AS n, SUM(total) AS t FROM batch_ds GROUP BY etype ORDER BY etype"}""")
       assert(qc2 == 200, qb2)

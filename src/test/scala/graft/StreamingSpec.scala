@@ -409,6 +409,43 @@ class StreamingSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/out__retired")))
   }
 
+  test("SegmentStore.read handles aggregator-less specs (implicit rows " +
+      "count) and rollup=false raw stores") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-read-edge").toString
+    val now = ts("2024-03-01 12:00:00")
+    // aggregator-less rollup: Pipeline writes the implicit `rows` count —
+    // read must re-merge it as a sum, not crash on merges.head or treat
+    // `rows` as a dimension (review finding r7)
+    val noAgg = spec.copy(dataSchema = spec.dataSchema.copy(aggregators = Nil))
+    val in1 = MemoryStream[Ev]
+    val ing1 = new IngestStream(spark, noAgg, s"$tmp/cp1")
+    ing1.start(in1.toDF(), s"$tmp/out1", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    in1.addData(Ev(ts("2024-03-01 12:01:00"), "click", 1.0))
+    ing1.activeQuery.get.processAllAvailable()
+    in1.addData(Ev(ts("2024-03-01 12:02:00"), "click", 2.0))
+    ing1.flushAndStop()
+    val merged = graft.sink.SegmentStore.read(spark, s"$tmp/out1", noAgg)
+    assert(merged.count() == 1)
+    assert(merged.select($"rows").as[Long].head() == 2L)
+
+    // rollup=false: raw rows come back unmodified (no aggregator columns
+    // to merge — the spec's aggregators were never materialized)
+    val raw = spec.copy(dataSchema = spec.dataSchema.copy(
+      granularitySpec = spec.dataSchema.granularitySpec.copy(rollup = false)))
+    val in2 = MemoryStream[Ev]
+    val ing2 = new IngestStream(spark, raw, s"$tmp/cp2")
+    ing2.start(in2.toDF(), s"$tmp/out2", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    in2.addData(Ev(ts("2024-03-01 12:01:00"), "click", 1.0),
+      Ev(ts("2024-03-01 12:02:00"), "click", 2.0))
+    ing2.flushAndStop()
+    val rawBack = graft.sink.SegmentStore.read(spark, s"$tmp/out2", raw)
+    assert(rawBack.count() == 2)
+    assert(rawBack.select($"value").as[Double].collect().toSet == Set(1.0, 2.0))
+  }
+
   test("reindex coarsens granularity and drops dims; partials re-merge; sketches survive") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-reindex").toString
