@@ -296,6 +296,17 @@ final case class IngestionSpec(
     if (exclusionClash.nonEmpty)
       throw new IllegalArgumentException(
         s"dimensionExclusions collide with metric names: ${exclusionClash.mkString(", ")}")
+    // engine-reserved columns: the pipeline OVERWRITES `segment` (partition
+    // key), `__ts` (normalized event time), `__graft_raw_ts` and
+    // `__batch_id` — a dim or metric with one of those names would be
+    // silently clobbered at rest (wrong data, no error; review finding r7)
+    val reserved = Set("segment", "__ts", "__graft_raw_ts", "__batch_id")
+    val reservedClash = (aggNames ++ dimNames).filter(reserved)
+    if (reservedClash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"field names collide with engine-reserved columns " +
+          s"(${reserved.toSeq.sorted.mkString(", ")}): " +
+          reservedClash.mkString(", "))
     this
   }
 }

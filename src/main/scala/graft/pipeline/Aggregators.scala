@@ -214,6 +214,11 @@ object Aggregators {
     // every sketch agg skips — same map-side single-pass shape as the
     // numeric wrappers (Druid allows `filtered` around any aggregator)
     case "hllSketch" => hll_sketch_agg(when(cond, field(d).cast(StringType)))
+    case "approxHistogram" =>
+      val probs = if (d.probabilities.nonEmpty) d.probabilities
+                  else Seq(0.25, 0.5, 0.75, 0.95)
+      percentile_approx(when(cond, field(d)), array(probs.map(lit): _*),
+        lit(d.accuracy.getOrElse(10000)))
     case "histogramSketch" =>
       call_function("hist_sketch_agg", when(cond, field(d).cast(DoubleType)),
         lit(d.accuracy.getOrElse(128)))

@@ -62,19 +62,23 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
     df.withColumn(TsCol, withMissing)
   }
 
-  /** Heuristic for "auto" numeric timestamps, by epoch magnitude: ≥1e17 →
+  /** Heuristic for "auto" numeric timestamps, by epoch MAGNITUDE: ≥1e17 →
     * nanos, ≥1e14 → micros, ≥1e12 → millis, else seconds. Post-1970 epochs in
     * the four units sit ~3 decades apart (1.7e9 s / 1.7e12 ms / 1.7e15 µs /
     * 1.7e18 ns), so the rungs are unambiguous for any realistic date. The
-    * ns→µs floor goes through decimal, not double: ns epochs need 61 bits,
-    * beyond double's exact-integer range.
+    * rungs compare |value| so pre-1970 instants (negative epochs) resolve in
+    * the same unit as their positive mirror instead of all falling to
+    * seconds (review finding r7: -86400000 is 1969-12-31 in millis, not year
+    * -768). The ns→µs floor goes through decimal, not double: ns epochs need
+    * 61 bits, beyond double's exact-integer range.
     */
   private def millisOrSeconds(c: Column): Column = {
     val l = c.cast(LongType)
-    when(l >= 100000000000000000L,
+    val m = abs(l)
+    when(m >= 100000000000000000L,
         timestamp_micros(floor(l.cast(DecimalType(38, 0)) / 1000).cast(LongType)))
-      .when(l >= 100000000000000L, timestamp_micros(l))
-      .when(l >= 1000000000000L, timestamp_millis(l))
+      .when(m >= 100000000000000L, timestamp_micros(l))
+      .when(m >= 1000000000000L, timestamp_millis(l))
       .otherwise(timestamp_seconds(l))
   }
 
@@ -184,6 +188,10 @@ class Pipeline(val spec: IngestionSpec) extends Serializable {
     }
     val metricCols = aggInputs
       .filterNot(dimNamesSelected.contains)
+      // TsCol is ALWAYS selected first — an aggregator (or filtered-agg
+      // filter) referencing the event time must not select it twice
+      // (AMBIGUOUS_REFERENCE in rollup's RawTsCol copy; review finding r7)
+      .filterNot(_ == TsCol)
       .filter(df.columns.contains).map(col)
     df.select((col(TsCol) +: (dims ++ spatial ++ metricCols)): _*)
   }

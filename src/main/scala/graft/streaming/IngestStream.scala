@@ -45,6 +45,7 @@ final class IngestStream(
       trigger: Trigger = Trigger.AvailableNow(),
       writer: Option[(DataFrame, Long) => Unit] = None,
       dedupKeys: Seq[String] = Nil): StreamingQuery = {
+    ensureListener()
     // Row-wise stages run on the STREAMING DataFrame so the `observe` drop
     // counters surface in StreamingQueryProgress.observedMetrics (inside
     // foreachBatch they'd belong to a detached batch query and vanish).
@@ -136,6 +137,20 @@ final class IngestStream(
       now: Column = current_timestamp(),
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val gran = spec.dataSchema.granularitySpec
+    // exactCardinality is unstreamable in EITHER mode: per-batch finalized
+    // distinct counts cannot re-merge (SegmentStore.mergeColumn rejects
+    // them — the store would ingest fine and throw on every read), and
+    // Structured Streaming rejects COUNT DISTINCT in stateful aggregation.
+    // Loud here, with the fixes named (review finding r7).
+    def exactIn(a: graft.config.AggregatorSpec): Boolean =
+      a.aggType == "exactCardinality" || a.aggregator.exists(exactIn)
+    require(!(gran.rollup && spec.dataSchema.aggregators.exists(exactIn)),
+      "exactCardinality cannot stream: per-batch finalized distinct counts " +
+        s"don't re-merge at read, and streaming aggregation cannot COUNT " +
+        s"DISTINCT (aggregators ${spec.dataSchema.aggregators.filter(exactIn)
+          .map(a => s"${a.name}:${a.aggType}").mkString(",")}). Use " +
+        "hyperUnique (estimate), the stored hllSketch form (mergeable " +
+        "binary), or a batch index task.")
     val finalized = Set("hyperUnique", "cardinality", "approxHistogram")
     // unwrap `filtered` wrappers: filtered(hyperUnique) needs the state
     // store exactly like bare hyperUnique (a per-batch store of finalized
@@ -146,12 +161,15 @@ final class IngestStream(
     // rows, so finalized sketches in the spec are inert there
     val needsState = gran.rollup && spec.dataSchema.aggregators.exists(finalizedIn)
     if (needsState && gran.queryGranularity.widthSeconds > 0)
-      startWatermarked(source, outputPath, trigger)
+      startWatermarked(source, outputPath, trigger, now)
     else {
+      // name offenders through finalizedIn (the routing predicate), so a
+      // filtered(hyperUnique) names its metric instead of an empty list
       require(!needsState,
         s"queryGranularity ${gran.queryGranularity.name} has no watermarked path " +
           "(calendar periods aren't streaming window widths) and aggregators " +
-          s"${spec.dataSchema.aggregators.filter(a => finalized(a.aggType)).map(_.aggType).mkString(",")} " +
+          s"${spec.dataSchema.aggregators.filter(finalizedIn)
+            .map(a => s"${a.name}:${a.aggType}").mkString(",")} " +
           "don't re-merge from finalized per-batch values. Use the stored sketch " +
           "forms instead (hyperUnique→hllSketch, approxHistogram→histogramSketch): " +
           "binary partials re-merge at read for ANY granularity.")
@@ -180,7 +198,9 @@ final class IngestStream(
   def startWatermarked(
       source: DataFrame,
       outputPath: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      now: Column = current_timestamp()): StreamingQuery = {
+    ensureListener()
     val gran = spec.dataSchema.granularitySpec
     require(gran.queryGranularity.widthSeconds > 0,
       s"watermarked mode needs fixed-width queryGranularity, got ${gran.queryGranularity.name}")
@@ -196,8 +216,18 @@ final class IngestStream(
     // schemaless path derives dims from actual columns, and the raw-ts
     // helper below must never become a dimension
     val dims = pipeline.dimensionNames(projected).map(col)
+    // future/null guard — start()'s windowFilter upper half. Without it a
+    // SINGLE future-stamped or unparseable event poisons this mode: the
+    // event-time watermark is CHECKPOINTED and monotonic, so one year-2255
+    // row silently drops all subsequent real traffic forever, and a null
+    // timestamp opens a null-window state group the watermark never closes
+    // (review findings r7 ×2). Late events stay the watermark's job.
+    val inWindow = col(Pipeline.TsCol).isNotNull &&
+      col(Pipeline.TsCol) <= now + expr(s"INTERVAL $wmSeconds SECOND")
     val watermarked = projected
-      .observe("graft_window", count(lit(1)).as("received"))
+      .observe("graft_window", count(lit(1)).as("received"),
+        count(when(!inWindow, 1)).as("dropped"))
+      .filter(inWindow)
       // raw event time for order-sensitive aggregators (first/last) — the
       // window() bucket replaces TsCol as the group key below
       .withColumn(Pipeline.RawTsCol, col(Pipeline.TsCol))
@@ -256,8 +286,11 @@ final class IngestStream(
       statsPath.foreach(graft.sink.SegmentSink.regenerateStats(spark, _))
     }
     // release the session-wide listener (counters remain readable — each
-    // read still folds the remaining progress buffer synchronously)
+    // read still folds the remaining progress buffer synchronously); a
+    // later start() re-registers it (ensureListener) so restarted queries
+    // keep listener-backed counters past the recentProgress ring buffer
     spark.streams.removeListener(progressListener)
+    listenerActive = false
   }
 
   /** Cumulative {received, sent, dropped} — the Tranquilizer counter surface
@@ -284,6 +317,16 @@ final class IngestStream(
   // registered for the object's lifetime (start may be called after a
   // restart); removed when the session would otherwise leak it
   spark.streams.addListener(progressListener)
+  @volatile private[this] var listenerActive = true
+
+  /** start()/startWatermarked re-register the listener a prior
+    * flushAndStop released — the restart path the registration supports. */
+  private def ensureListener(): Unit = this.synchronized {
+    if (!listenerActive) {
+      spark.streams.addListener(progressListener)
+      listenerActive = true
+    }
+  }
 
   private def accumulate(ps: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])
       : Unit = synchronized {

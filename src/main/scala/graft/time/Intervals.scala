@@ -12,6 +12,10 @@ object Intervals {
         java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli))
       .orElse(scala.util.Try(java.time.LocalDateTime.parse(s)
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+      // date-only endpoints ("2020-01-01/2020-01-02") are Druid's most
+      // common interval spelling — midnight UTC (review finding r7)
+      .orElse(scala.util.Try(java.time.LocalDate.parse(s).atStartOfDay
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
       .getOrElse(throw new IllegalArgumentException(
         s"cannot parse interval endpoint '$s' as an ISO-8601 instant"))
 

@@ -572,6 +572,25 @@ class ConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](bad.validate())
   }
 
+  test("validate rejects engine-reserved column names (segment/__ts/" +
+      "__graft_raw_ts/__batch_id would be silently clobbered)") {
+    val badDim = IngestionSpec(DataSchema("x", TimestampSpec("ts"),
+      SpecificDimensions(Seq("segment")), Nil))
+    val e = intercept[IllegalArgumentException](badDim.validate())
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    val badAgg = IngestionSpec(DataSchema("x", TimestampSpec("ts"),
+      SpecificDimensions(Seq("foo")),
+      Seq(AggregatorSpec("count", "__batch_id"))))
+    intercept[IllegalArgumentException](badAgg.validate())
+  }
+
+  test("interval endpoints accept date-only ISO spellings (Druid's most " +
+      "common form)") {
+    val (lo, hi) = graft.time.Intervals.parse("2020-01-01/2020-01-02")
+    assert(lo == java.time.Instant.parse("2020-01-01T00:00:00Z").toEpochMilli)
+    assert(hi - lo == 86400000L)
+  }
+
   test("object-form dimension entries: multiValueHandling + typed dims parse; " +
       "bad values are loud at projection") {
     val spec = SpecLoader.fromJson(

@@ -45,6 +45,49 @@ class PipelineSpec extends SparkSpec {
       ("10:01:00", "x", 1L, 8L, 0.25)))
   }
 
+  test("aggregators referencing the event time read raw millis (no " +
+      "ambiguous projection), filtered(approxHistogram) works, negative " +
+      "epochs parse by magnitude") {
+    // longMax over __ts: projection must not select the time column twice
+    // (review finding r7), and the value is the RAW event time in epoch
+    // millis per bucket, not the bucket start
+    val tsSpec = simpleSpec.copy(dataSchema = simpleSpec.dataSchema.copy(
+      aggregators = Seq(AggregatorSpec("longMax", "last_ms", Some("__ts")))))
+    val events = Seq(
+      (ts("2024-01-01 10:00:10"), "x", 1L, 0.5),
+      (ts("2024-01-01 10:00:50"), "x", 2L, 2.5)
+    ).toDF("ts", "foo", "bar", "baz")
+    val p = new Pipeline(tsSpec)
+    val out = p.rollup(p.project(p.extractTimestamp(events)))
+      .select($"last_ms").as[Long].head()
+    assert(out == ts("2024-01-01 10:00:50").getTime, out)
+
+    // filtered(approxHistogram): the wrapper supports every aggregator the
+    // bare form does (review finding r7 — this case was missing)
+    val fhSpec = simpleSpec.copy(dataSchema = simpleSpec.dataSchema.copy(
+      aggregators = Seq(AggregatorSpec("filtered", "p50x",
+        aggregator = Some(AggregatorSpec("approxHistogram", "p50x",
+          Some("baz"), probabilities = Seq(0.5))),
+        filterDimension = Some("foo"), filterValue = Some("x")))))
+    val p2 = new Pipeline(fhSpec)
+    val hist = p2.rollup(p2.project(p2.extractTimestamp(events)))
+      .select($"p50x").as[Seq[Double]].head()
+    assert(hist == Seq(0.5) || hist == Seq(2.5), hist) // median of {0.5, 2.5}
+
+    // negative epoch ("auto") resolves by MAGNITUDE like positives:
+    // -2e12 is 1906 in millis (|v| ≥ 1e12), not year -61386 in seconds
+    // (review finding r7; values within ±1e12 stay genuinely ambiguous and
+    // default to seconds, same as the positive rule)
+    val negSpec = simpleSpec.copy(dataSchema = simpleSpec.dataSchema.copy(
+      timestampSpec = TimestampSpec("ts", "auto"),
+      granularitySpec = GranularitySpec(Granularity.Day, Granularity.Day)))
+    val p3 = new Pipeline(negSpec)
+    val neg = p3.extractTimestamp(
+        Seq((-2000000000000L, "x", 1L, 0.5)).toDF("ts", "foo", "bar", "baz"))
+      .select($"__ts".cast("string")).as[String].head()
+    assert(neg.startsWith("1906-08-1"), neg)
+  }
+
   test("ANY / mean / first-last aggregators: batch rollup semantics") {
     import graft.config._
     val events = Seq(

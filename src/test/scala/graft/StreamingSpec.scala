@@ -323,6 +323,73 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 3.0, 2L)))
   }
 
+  test("watermarked mode: future and null timestamps are guarded out " +
+      "(one poison event must not advance the checkpointed watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    val wmSpec = IngestionSpec(
+      DataSchema("wm_guard", TimestampSpec("ts"),
+        SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("count", "cnt"),
+          AggregatorSpec("hyperUnique", "approx_vals", Some("value"))),
+        GranularitySpec(Granularity.Hour, Granularity.Minute)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(2)))
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-wm-guard").toString
+    val ingest = new IngestStream(spark, wmSpec, s"$tmp/checkpoint")
+    ingest.startWatermarked(input.toDF(), s"$tmp/out",
+      trigger = Trigger.ProcessingTime(50))
+    // a single year-2255 event: unguarded it would advance the CHECKPOINTED
+    // event-time watermark past all real traffic forever; a null timestamp
+    // would open a never-closing null-window state group
+    input.addData(Ev(ts("2255-01-01 00:00:00"), "poison", 1.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(null, "nullts", 1.0))
+    ingest.activeQuery.get.processAllAvailable()
+    // real traffic still aggregates and finalizes
+    input.addData(Ev(ts("2024-03-01 12:00:10"), "click", 1.0),
+      Ev(ts("2024-03-01 12:00:40"), "click", 2.0))
+    ingest.activeQuery.get.processAllAvailable()
+    input.addData(Ev(ts("2024-03-01 12:10:00"), "view", 8.0))
+    ingest.flushAndStop()
+    assert(ingest.received == 5, ingest.received)
+    assert(ingest.dropped == 2, s"poison+null should drop: ${ingest.dropped}")
+    val out = spark.read.parquet(s"$tmp/out")
+      .filter($"etype" === "click").select($"cnt").as[Long].collect().toSeq
+    assert(out == Seq(2L), s"real bucket must still emit: $out")
+  }
+
+  test("startRouted: exactCardinality is unstreamable in either mode - " +
+      "loud rejection naming the metric and the fixes") {
+    implicit val sqlCtx = spark.sqlContext
+    // per-batch finalized distinct counts don't re-merge at read, and
+    // Structured Streaming rejects COUNT DISTINCT in stateful aggregation -
+    // silently routing either way would ingest fine and fail later
+    // (review finding r7)
+    val ecSpec = IngestionSpec(
+      DataSchema("ec_events", TimestampSpec("ts"),
+        SpecificDimensions(Seq("etype")),
+        Seq(AggregatorSpec("exactCardinality", "uniq", Some("value"))),
+        GranularitySpec(Granularity.Hour, Granularity.Minute)),
+      Tuning(windowPeriod = java.time.Duration.ofMinutes(2)))
+    val tmp = Files.createTempDirectory("graft-ec-route").toString
+    val ingest = new IngestStream(spark, ecSpec, s"$tmp/checkpoint")
+    val e = intercept[IllegalArgumentException] {
+      ingest.startRouted(MemoryStream[Ev].toDF(), s"$tmp/out")
+    }
+    assert(e.getMessage.contains("uniq:exactCardinality") &&
+      e.getMessage.contains("hllSketch"), e.getMessage)
+    // the filtered-wrapped form is caught too
+    val wrapped = ecSpec.copy(dataSchema = ecSpec.dataSchema.copy(
+      aggregators = Seq(AggregatorSpec("filtered", "uniq",
+        aggregator = Some(AggregatorSpec("exactCardinality", "uniq",
+          Some("value"))),
+        filterDimension = Some("etype"), filterValue = Some("click")))))
+    intercept[IllegalArgumentException] {
+      new IngestStream(spark, wrapped, s"$tmp/cp2")
+        .startRouted(MemoryStream[Ev].toDF(), s"$tmp/out2")
+    }
+  }
+
   test("schema evolution across chunks: new dim applies to new segments only") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-evolve").toString
