@@ -77,14 +77,8 @@ object DruidSqlFunctions {
   /** Druid SQL period literal → engine granularity. ISO-8601 durations and
     * day-multiples go through [[Granularity.fromString]]; calendar periods
     * map to the calendar granularities. */
-  private[functions] def period(p: String): Granularity = p.toUpperCase match {
-    case "P1W"  => Granularity.Week
-    case "P1M"  => Granularity.Month
-    case "P3M"  => Granularity.Quarter
-    case "P1Y"  => Granularity.Year
-    case "P1D"  => Granularity.Day
-    case s      => Granularity.fromString(s)
-  }
+  private[functions] def period(p: String): Granularity =
+    Granularity.fromPeriod(p)
 
   /** Timezone argument → Some(zone) for a real non-UTC zone, None for
     * UTC/absent/null. The zone must be a known IANA/offset id at plan time —
@@ -190,14 +184,10 @@ object DruidSqlFunctions {
   }
 
   /** ISO-8601 instant literal → epoch millis (driver-side). */
+  // ONE definition (graft.time.Intervals) — a second private copy here had
+  // drifted past the date-only fallback too (review finding r7)
   private def instantMillis(s: String): Long =
-    scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
-      .orElse(scala.util.Try(
-        java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli))
-      .orElse(scala.util.Try(java.time.LocalDateTime.parse(s)
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot parse origin '$s' as an ISO-8601 instant"))
+    graft.time.Intervals.parseInstantMillis(s)
 
   /** TIME_FLOOR with a custom origin: integer epoch-millis arithmetic
     * (x − pmod(x − origin, width)) — exact, codegen-friendly. */

@@ -361,22 +361,34 @@ object DruidQueryCompiler {
           throw new IllegalArgumentException(
             s"extraction filter '$t' reached without extractionFn"))
         val extracted = extraction(col(str(n, "dimension", "")), fn)
+        // an EXPLICIT JSON null is a null-match, never the 4-char string
+        // "null" (NullNode.asText's rendering — review finding r7; the
+        // file's other NullNode consumers already handle this)
+        def nonNull(k: String): Option[JsonNode] =
+          opt(n, k).filterNot(_.isNull)
         val c = t match {
-          case "selector" => extracted <=> lit(str(n, "value", ""))
+          case "selector" =>
+            nonNull("value") match {
+              case Some(v)    => extracted <=> lit(v.asText)
+              case scala.None => extracted.isNull
+            }
           case "in" =>
-            val vs = opt(n, "values").toSeq.flatMap(_.elements.asScala)
-              .map(_.asText)
-            extracted.isNotNull && extracted.isin(vs: _*)
+            val elems = opt(n, "values").toSeq
+              .flatMap(_.elements.asScala).toSeq
+            val vs = elems.filterNot(_.isNull).map(_.asText)
+            val nullMatch =
+              if (elems.exists(_.isNull)) extracted.isNull else lit(false)
+            (extracted.isNotNull && extracted.isin(vs: _*)) || nullMatch
           case "bound" =>
             // delegate range semantics to the shared BoundFilter compile by
             // re-parsing the node minus extractionFn, over a renamed column?
             // — simpler: lexicographic-only on the extracted string
             require(str(n, "ordering", "lexicographic") == "lexicographic",
               "bound filter with extractionFn supports lexicographic ordering")
-            val lo = opt(n, "lower").map(v =>
+            val lo = nonNull("lower").map(v =>
               if (opt(n, "lowerStrict").exists(_.asBoolean))
                 extracted > lit(v.asText) else extracted >= lit(v.asText))
-            val hi = opt(n, "upper").map(v =>
+            val hi = nonNull("upper").map(v =>
               if (opt(n, "upperStrict").exists(_.asBoolean))
                 extracted < lit(v.asText) else extracted <= lit(v.asText))
             extracted.isNotNull &&
@@ -402,14 +414,11 @@ object DruidQueryCompiler {
   /** ISO-8601 instant → epoch millis, JVM-side so session-timezone settings
     * can't shift zoned inputs; zone-less inputs are UTC (Druid's default).
     */
+  // ONE definition (graft.time.Intervals) — a private copy here had already
+  // drifted past Intervals' date-only fallback (review finding r7), so
+  // "2020-01-01/2020-01-02" failed on every native queryType
   private def instantMillis(s: String): Long =
-    scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
-      .orElse(scala.util.Try(
-        java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli))
-      .orElse(scala.util.Try(java.time.LocalDateTime.parse(s)
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot parse interval endpoint '$s' as an ISO-8601 instant"))
+    graft.time.Intervals.parseInstantMillis(s)
 
   /** ISO-8601 instant literal → timestamp Column. */
   private def tsLit(s: String): Column = timestamp_millis(lit(instantMillis(s)))
@@ -434,15 +443,9 @@ object DruidQueryCompiler {
           require(ms > 0 && ms % 1000 == 0,
             s"duration granularity must be a positive whole-second millis value, got $ms")
           Granularity.Duration(ms / 1000)
-        case "period" => str(n, "period", "").toUpperCase match {
-          // calendar periods (same mapping as the SQL TIME_FLOOR family)
-          case "P1W" => Granularity.Week
-          case "P1M" => Granularity.Month
-          case "P3M" => Granularity.Quarter
-          case "P1Y" => Granularity.Year
-          case "P1D" => Granularity.Day
-          case p     => Granularity.fromString(p)
-        }
+        // calendar-period mapping shared with the SQL TIME_* family and
+        // PARTITIONED BY (one definition in Granularity.fromPeriod)
+        case "period" => Granularity.fromPeriod(str(n, "period", ""))
         case other => throw new IllegalArgumentException(
           s"unsupported granularity type '$other' (duration/period or a name)")
       }
@@ -1157,13 +1160,19 @@ object DruidQueryCompiler {
         val group =
           if (java.util.regex.Pattern.compile(pattern).matcher("").groupCount() > 0) 1
           else 0
-        val extracted = regexp_extract(c.cast(StringType), pattern, group)
+        val s0 = c.cast(StringType)
+        val extracted = regexp_extract(s0, pattern, group)
         val onMiss =
           if (opt(fn, "replaceMissingValue").exists(_.asBoolean))
             opt(fn, "replaceMissingValueWith").map(v => lit(v.asText))
               .getOrElse(lit(null).cast(StringType))
-          else c.cast(StringType)
-        when(extracted =!= "", extracted).otherwise(onMiss)
+          else s0
+        // match/miss decided by an RLike GATE, not by the extracted text
+        // being non-empty — a pattern matching with an EMPTY capture group
+        // must emit the empty capture, never the miss fallback (review
+        // finding r7; the SQL dialect's regexp_extract override already
+        // uses this gate)
+        when(s0.isNotNull && s0.rlike(pattern), extracted).otherwise(onMiss)
       case "timeFormat" =>
         date_format(c, str(fn, "format", "yyyy-MM-dd'T'HH:mm:ss"))
       case "lookup" | "registeredLookup" =>
@@ -1317,8 +1326,11 @@ object DruidQueryCompiler {
   private def searchMatcher(q: JsonNode): Column => Column =
     str(q, "type", "") match {
       case "contains" =>
+        // absent caseSensitive defaults FALSE (upstream's primitive boolean
+        // — review finding r7; same default as the fragment branch and the
+        // search FILTER path)
         val v = str(q, "value", "")
-        if (opt(q, "caseSensitive").forall(_.asBoolean)) c => c.contains(v)
+        if (opt(q, "caseSensitive").exists(_.asBoolean)) c => c.contains(v)
         else c => lower(c).contains(v.toLowerCase)
       case "insensitive_contains" =>
         val v = str(q, "value", "").toLowerCase

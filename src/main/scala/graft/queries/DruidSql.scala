@@ -41,45 +41,14 @@ object DruidSql {
     * required (it names the emitted column), like Druid SQL itself.
     */
   private[queries] def rewriteUnnest(sql: String): String = {
-    // index of the next word-bounded, unquoted `unnest` at/after `from`
-    def findUnnest(s: String, from: Int): Int = {
-      var i = from
-      var quote: Char = 0
-      while (i < s.length) {
-        val c = s(i)
-        if (quote != 0) {
-          if (c == '\\' && quote != '`') i += 1
-          else if (c == quote) quote = 0
-        } else if (c == '\'' || c == '"' || c == '`') quote = c
-        else if ((c == 'u' || c == 'U') &&
-            s.regionMatches(true, i, "unnest", 0, 6) &&
-            (i == 0 || !isIdent(s(i - 1))) &&
-            (i + 6 >= s.length || !isIdent(s(i + 6)))) return i
-        i += 1
-      }
-      -1
-    }
-    // closing-paren index matching the '(' at `open` (quote-aware)
-    def matchParen(s: String, open: Int): Int = {
-      var i = open
-      var depth = 0
-      var quote: Char = 0
-      while (i < s.length) {
-        val c = s(i)
-        if (quote != 0) {
-          if (c == '\\' && quote != '`') i += 1
-          else if (c == quote) quote = 0
-        } else if (c == '\'' || c == '"' || c == '`') quote = c
-        else if (c == '(') depth += 1
-        else if (c == ')') { depth -= 1; if (depth == 0) return i }
-        i += 1
-      }
-      throw new IllegalArgumentException("UNNEST(: unbalanced parentheses")
-    }
+    // the quote-aware word scan and paren matcher are the OBJECT-level
+    // findWord/matchParen — one scanner definition, so a quote/escape rule
+    // fix cannot make the UNNEST rewrite and the EXTERN/APPEND rewrites
+    // disagree on where strings end (review finding r7)
     var s = sql
     var from = 0
     while (true) {
-      val u = findUnnest(s, from)
+      val u = findWord(s, "unnest", from)
       if (u < 0) return s
       // backward: skip ws, then either `cross join` or a bare comma
       var b = u - 1
@@ -339,10 +308,15 @@ object DruidSql {
         .getOrElse(throw new IllegalArgumentException("parameter needs a type"))
       val v = Option(p.get("value")).getOrElse(
         throw new IllegalArgumentException("parameter needs a value"))
+      // backslashes escape too: Catalyst's default lexer treats \' as an
+      // escaped quote, so a value ENDING in a backslash would otherwise
+      // swallow the closing quote and let the next parameter break out of
+      // the literal (SQL injection; review finding r7)
+      def q(s: String): String =
+        "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
       if (v.isNull) "NULL"
       else t match {
-        case "VARCHAR" | "CHAR" =>
-          "'" + v.asText.replace("'", "''") + "'"
+        case "VARCHAR" | "CHAR" => q(v.asText)
         case "BIGINT" | "INTEGER" | "SMALLINT" | "TINYINT" =>
           val s = v.asText
           require(scala.util.Try(s.toLong).isSuccess,
@@ -355,8 +329,8 @@ object DruidSql {
           s
         case "BOOLEAN" =>
           if (v.asBoolean(v.asText.equalsIgnoreCase("true"))) "TRUE" else "FALSE"
-        case "TIMESTAMP" => "TIMESTAMP '" + v.asText.replace("'", "''") + "'"
-        case "DATE"      => "DATE '" + v.asText.replace("'", "''") + "'"
+        case "TIMESTAMP" => "TIMESTAMP " + q(v.asText)
+        case "DATE"      => "DATE " + q(v.asText)
         case other => throw new IllegalArgumentException(
           s"unsupported parameter type '$other' (VARCHAR/CHAR, BIGINT/" +
             "INTEGER/SMALLINT/TINYINT, DOUBLE/FLOAT/REAL/DECIMAL, BOOLEAN, " +
@@ -497,6 +471,10 @@ object DruidSql {
           val closeE = matchParen(s, j)
           val closeT = matchParen(s, b)
           require(closeT > closeE, "TABLE(EXTERN(...)): unbalanced parentheses")
+          // anything between EXTERN's close and TABLE's close would be
+          // silently spliced away — loud instead (review finding r7)
+          require(s.substring(closeE + 1, closeT).forall(_.isWhitespace),
+            "TABLE(...) must contain exactly one EXTERN(...) call")
           val args = parseArgs(s.substring(j + 1, closeE))
           require(args.length == 3,
             s"EXTERN takes (inputSource, inputFormat, signature) — got ${args.length} args")
@@ -613,6 +591,10 @@ object DruidSql {
           val closeA = matchParen(s, j)
           val closeT = matchParen(s, b)
           require(closeT > closeA, "TABLE(APPEND(...)): unbalanced parentheses")
+          // ditto: tokens between APPEND's close and TABLE's close must not
+          // be silently discarded (review finding r7)
+          require(s.substring(closeA + 1, closeT).forall(_.isWhitespace),
+            "TABLE(...) must contain exactly one APPEND(...) call")
           // names come out of their quotes individually — a comma INSIDE a
           // quoted name must not split it ('' self-escape honored)
           val body = s.substring(j + 1, closeA)
@@ -827,14 +809,7 @@ object DruidSql {
     if (t.toUpperCase(java.util.Locale.ROOT).startsWith("ALL")) Granularity.All
     else {
       val raw = if (t.startsWith("'")) t.substring(1, t.length - 1) else t
-      raw.toUpperCase(java.util.Locale.ROOT) match {
-        case "P1W" => Granularity.Week
-        case "P1M" => Granularity.Month
-        case "P3M" => Granularity.Quarter
-        case "P1Y" => Granularity.Year
-        case "P1D" => Granularity.Day
-        case s     => Granularity.fromString(s)
-      }
+      Granularity.fromPeriod(raw)
     }
   }
 
@@ -926,6 +901,7 @@ object DruidSql {
     // rejected statement must not pin cached blocks in a long-lived broker)
     overwriteRange.foreach(_ => selected.persist())
     try {
+    var doomedDirs: Seq[org.apache.hadoop.fs.Path] = Nil
     overwriteRange.foreach { case (from, to) =>
       // Druid's partial-overwrite contract, enforced loudly:
       //  1. the range must align to PARTITIONED BY chunk boundaries (whole
@@ -1003,7 +979,10 @@ object DruidSql {
           "a segment inside the OVERWRITE WHERE range contains rows at or " +
             "after its end — deleting it would lose data outside the " +
             "range; widen the range to cover the whole segment")
-        doomed.foreach(d => fs.delete(d, true))
+        // NOT deleted here: the write phase below stages the new rows
+        // first, so a failure (or a cache-evicted recompute of a
+        // self-REPLACE reading these dirs) cannot lose the old data
+        doomedDirs = doomed.toSeq
       }
     }
     if (overwriteAll) {
@@ -1028,8 +1007,35 @@ object DruidSql {
       if (fs.exists(tp)) fs.delete(tp, true)
       require(fs.rename(staging, tp),
         s"failed to swap staged segments into '$target'")
-    } else {
+    } else if (overwriteRange.isEmpty) {
       arranged.write.mode("append").partitionBy("segment").parquet(target)
+    } else {
+      // OVERWRITE WHERE: stage the new rows FULLY before deleting the
+      // doomed segment dirs — the SELECT may read the target itself
+      // (self-reindex), and a cache-evicted recompute after the delete
+      // would scan destroyed paths; a failed write must leave the store
+      // untouched (the OVERWRITE ALL stage-then-swap rule applied to the
+      // partial form — review finding r7). Staged part files then MOVE
+      // into the target per-file (unique part names, metadata renames).
+      val tp = new org.apache.hadoop.fs.Path(target)
+      val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new org.apache.hadoop.fs.Path(
+        tp.getParent, s".staging_where_${tp.getName}")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      arranged.write.mode("overwrite").partitionBy("segment")
+        .parquet(staging.toString)
+      doomedDirs.foreach(d => fs.delete(d, true))
+      if (!fs.exists(tp)) fs.mkdirs(tp)
+      fs.listStatus(staging).filter(_.isDirectory).foreach { seg =>
+        val dest = new org.apache.hadoop.fs.Path(tp, seg.getPath.getName)
+        if (!fs.exists(dest)) fs.mkdirs(dest)
+        fs.listStatus(seg.getPath).foreach { f =>
+          require(fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(dest, f.getPath.getName)),
+            s"failed to move staged file ${f.getPath} into $dest")
+        }
+      }
+      fs.delete(staging, true)
     }
     } finally overwriteRange.foreach(_ => selected.unpersist())
     // zero-row ingestion publishes zero segments (only _SUCCESS lands) —

@@ -113,6 +113,22 @@ object Granularity {
   val values: Seq[Granularity] = Seq(None, Second, Minute, FiveMinute, TenMinute,
     FifteenMinute, ThirtyMinute, Hour, SixHour, Day, Week, Month, Quarter, Year, All)
 
+  /** Druid period literal → granularity: the calendar periods (P1W/P1M/
+    * P3M/P1Y) map to calendar granularities, P1D to the fixed-width day,
+    * everything else through [[fromString]]. ONE definition — the native
+    * granularity object form, the SQL TIME_* family, and PARTITIONED BY
+    * all share it (three private copies had already drifted once; review
+    * finding r7). */
+  def fromPeriod(p: String): Granularity =
+    p.toUpperCase(java.util.Locale.ROOT) match {
+      case "P1W" => Week
+      case "P1M" => Month
+      case "P3M" => Quarter
+      case "P1Y" => Year
+      case "P1D" => Day
+      case s     => fromString(s)
+    }
+
   /** Named granularities plus ISO-8601 durations ("PT90S", "PT2H" — the
     * Druid duration-granularity analog; sub-second durations rejected). */
   def fromString(s: String): Granularity =

@@ -1426,6 +1426,48 @@ class DruidQuerySpec extends SparkSpec {
     assert(kll.head.getDouble(0) == 4.0 && kll.head.getDouble(1) == 4.0 / 6)
   }
 
+  test("native-surface semantics pinned by review r7: date-only intervals, " +
+      "search contains default, explicit-null extraction values, " +
+      "empty regex captures") {
+    // date-only ISO interval endpoints (Druid's most common spelling)
+    val dd = run("""
+      {"queryType": "timeseries", "dataSource": "events",
+       "granularity": "all", "intervals": ["2024-03-01/2024-03-02"],
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+      .select(col("n")).as[Long].head()
+    assert(dd == 6L, dd)
+    // search `contains` without caseSensitive is INSENSITIVE (upstream's
+    // primitive-boolean default; matches the fragment branch + filter path)
+    val sc = run("""
+      {"queryType": "search", "dataSource": "events",
+       "granularity": "all", "searchDimensions": ["event_type"],
+       "query": {"type": "contains", "value": "CLICK"}}""")
+      .select(col("value")).as[String].collect().toSet
+    assert(sc == Set("click"), sc)
+    // explicit JSON null under an extraction selector is a NULL match,
+    // never the 4-char string "null": lookup leaves 'buy' unmapped → null
+    val nl = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": ["event_type"],
+       "filter": {"type": "selector", "dimension": "event_type", "value": null,
+         "extractionFn": {"type": "lookup", "lookup": {"type": "map",
+           "map": {"click": "c", "view": "v"}}}},
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+      .select(col("event_type"), col("n")).as[(String, Long)].collect().toSet
+    assert(nl == Set(("buy", 1L)), nl)
+    // a regex that MATCHES with an empty capture emits the empty capture,
+    // not the miss fallback (raw input)
+    val re = run("""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": [{"type": "extraction", "dimension": "event_type",
+         "outputName": "k",
+         "extractionFn": {"type": "regex", "expr": "^click(.*)$"}}],
+       "aggregations": [{"type": "count", "name": "n"}]}""")
+      .select(col("k"), col("n")).as[(String, Long)].collect().toMap
+    assert(re.get("") == Some(3L), re) // 'click' matched, capture empty
+    assert(re.get("click") == None, re)
+  }
+
   test("aggregator inputs read the RAW row, not the granularity bucket") {
     // longMax over __time under hour buckets: Druid evaluates aggregator
     // inputs against the raw row, so each bucket's max is its latest EVENT

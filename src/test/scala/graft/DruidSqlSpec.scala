@@ -265,6 +265,44 @@ class DruidSqlSpec extends SparkSpec {
     assert(subPhys.contains("approx_count_distinct"), subPhys)
   }
 
+  test("REPLACE OVERWRITE WHERE reading its own dataSource (self-reindex): " +
+      "staged before the doomed dirs drop, nothing lost") {
+    val root = java.nio.file.Files.createTempDirectory("graft-owself").toString
+    DruidSql.ingest(
+      """INSERT INTO ds SELECT __time, event_type, value FROM events
+         PARTITIONED BY DAY""", Map("events" -> events), root)
+    // the SELECT reads ds ITSELF — the new rows must be fully staged
+    // before the replaced chunk's dirs are deleted (review finding r7:
+    // an un-staged delete-then-append could scan destroyed paths on a
+    // cache-evicted recompute and lose the range)
+    val dsFrame = spark.read.parquet(s"$root/ds")
+      .select(org.apache.spark.sql.functions.col("__time").cast("timestamp").as("__time"),
+        org.apache.spark.sql.functions.col("event_type"), org.apache.spark.sql.functions.col("value"))
+    val r = DruidSql.ingest(
+      """REPLACE INTO ds
+         OVERWRITE WHERE __time >= TIMESTAMP '2024-03-01'
+           AND __time < TIMESTAMP '2024-03-02'
+         SELECT __time, event_type, value * 2 AS value FROM ds
+         WHERE __time < TIMESTAMP '2024-03-02 00:00:00'
+         PARTITIONED BY DAY""",
+      Map("events" -> events, "ds" -> dsFrame), root)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("2024-03-01T00:00:00") == 3L, r)
+    // doubled values landed; other chunks untouched; no staging residue
+    val back = spark.read.parquet(s"$root/ds")
+    assert(back.count() == 5, back.count())
+    val mar1 = back.filter(org.apache.spark.sql.functions.col("__time").cast("timestamp") <
+        java.sql.Timestamp.valueOf("2024-03-02 00:00:00"))
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("value"))).head().getDouble(0)
+    val orig = events.filter(org.apache.spark.sql.functions.col("__time") <
+        java.sql.Timestamp.valueOf("2024-03-02 00:00:00"))
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("value"))).head().getDouble(0)
+    assert(math.abs(mar1 - 2 * orig) < 1e-9, s"$mar1 vs ${2 * orig}")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/.staging_where_ds")))
+  }
+
   test("REPLACE OVERWRITE WHERE: replaces only the covered chunks; " +
       "alignment, in-range rows, and canonical predicate enforced") {
     val root = java.nio.file.Files.createTempDirectory("graft-owhere").toString
@@ -601,6 +639,31 @@ class DruidSqlSpec extends SparkSpec {
         Seq(p("""{"type":"BIGINT","value":1}"""),
           p("""{"type":"BIGINT","value":2}""")))
     }.getMessage.contains("placeholders"))
+  }
+
+  test("bindParameters: a trailing backslash cannot break out of the " +
+      "literal (Catalyst treats backslash-quote as an escaped quote)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    def p(json: String) = mapper.readTree(json)
+    // value ends in '\': naive quote-doubling renders '...\' whose \' is an
+    // ESCAPED quote to Catalyst — the next parameter would then inject into
+    // the predicate (review finding r7)
+    val bound = DruidSql.bindParameters(
+      "SELECT * FROM t WHERE a = ? AND b = ?",
+      Seq(p("""{"type":"VARCHAR","value":"x\\"}"""),
+        p("""{"type":"VARCHAR","value":" OR 1=1 --"}""")))
+    // the rendered statement must PARSE back to two string literals with
+    // the original values — no token of the second value escapes quoting
+    val plan = DruidSql.parse(bound)
+    val lits = plan.collect { case n =>
+      n.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType == org.apache.spark.sql.types.StringType =>
+          l.value.toString
+      })
+    }.flatten
+    assert(lits.toSet == Set("x\\", " OR 1=1 --"),
+      s"literal breakout: $lits\nbound: $bound")
   }
 
   test("CONTAINS_STRING / ICONTAINS_STRING: literal needle, null haystack → null") {
