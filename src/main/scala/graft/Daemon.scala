@@ -38,9 +38,13 @@ object Daemon {
         scala.util.Try(s.flushAndStop()).failed.toOption.map(ds -> _)
       }
       failures.headOption.foreach { case (ds, e) =>
-        throw new RuntimeException(
+        val ex = new RuntimeException(
           s"daemon shutdown: ${failures.size} stream(s) failed to drain " +
             s"(first: $ds)", e)
+        // the other drains' causes ride along as suppressed — an operator
+        // debugging a multi-stream shutdown sees every failure
+        failures.drop(1).foreach { case (_, e2) => ex.addSuppressed(e2) }
+        throw ex
       }
     }
   }
@@ -53,7 +57,11 @@ object Daemon {
     val names = specs.map(_.dataSchema.dataSource)
     require(names.distinct.size == names.size,
       s"duplicate dataSource across spec files: ${names.diff(names.distinct).distinct.mkString(",")}")
-    val streams = specs.map { spec =>
+    // started incrementally: a later spec failing to start (bad aggregator
+    // combination, claimed checkpoint) must stop the queries already
+    // running, not leak them holding checkpoint locks
+    val started = scala.collection.mutable.LinkedHashMap.empty[String, IngestStream]
+    try specs.foreach { spec =>
       val ds = spec.dataSchema.dataSource
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$workDir/spool/$ds"))
       val ingest = new IngestStream(spark, spec, s"$workDir/checkpoints/$ds")
@@ -61,8 +69,14 @@ object Daemon {
         Sources.jsonFileStream(spark, s"$workDir/spool/$ds", valueSchema,
           maxFilesPerTrigger = 16),
         s"$workDir/stores/$ds", now = now, trigger = trigger)
-      ds -> ingest
-    }.toMap
+      started += ds -> ingest
+    } catch {
+      case e: Throwable =>
+        started.values.foreach(s =>
+          scala.util.Try(s.activeQuery.foreach(_.stop())))
+        throw e
+    }
+    val streams = started.toMap
     // broker-style query endpoint: each dataSource resolves to its store's
     // merged, finalized rollup view (fresh read per query; Druid's __time
     // envelope; the segment/bookkeeping columns are storage detail). Sketch
@@ -71,10 +85,20 @@ object Daemon {
     // SegmentStore.read(finalizeSketches = false) directly.
     val queryRoutes = specs.map { spec =>
       val ds = spec.dataSchema.dataSource
-      ds -> (() => graft.sink.SegmentStore
-        .read(spark, s"$workDir/stores/$ds", spec)
-        .drop(graft.pipeline.Pipeline.SegmentCol)
-        .withColumnRenamed(graft.pipeline.Pipeline.TsCol, "__time"))
+      ds -> (() => {
+        // a query before the first micro-batch commits must fail LOUD with
+        // the real reason, not a raw PATH_NOT_FOUND 500 (the task-store
+        // route already guards this; review finding r7)
+        val p = new org.apache.hadoop.fs.Path(s"$workDir/stores/$ds")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(p) && fs.listStatus(p).exists(_.isDirectory),
+          s"dataSource '$ds' has no committed segments yet — post events " +
+            "and wait for the first micro-batch")
+        graft.sink.SegmentStore
+          .read(spark, s"$workDir/stores/$ds", spec)
+          .drop(graft.pipeline.Pipeline.SegmentCol)
+          .withColumnRenamed(graft.pipeline.Pipeline.TsCol, "__time")
+      })
     }.toMap
     // SQL ingestion (INSERT/REPLACE INTO … PARTITIONED BY) lands segments
     // beside the streaming stores, under its own namespace so a SQL-written

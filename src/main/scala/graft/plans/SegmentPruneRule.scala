@@ -132,8 +132,11 @@ class SegmentPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (stringEq.isEmpty && stringIn.isEmpty && numericBounds.isEmpty &&
         tsBounds.isEmpty) return None
 
-    val tz = spark.conf.get("spark.sql.session.timeZone",
-      java.util.TimeZone.getDefault.getID)
+    // parse dir names in the zone they were WRITTEN under (the sink's
+    // marker; session-zone fallback for pre-marker stores) — a reader
+    // session in a different zone would otherwise silently prune valid
+    // boundary segments (review finding r7)
+    val tz = SegmentStore.writerZone(spark, path).getId
     val names = SegmentStore.listSegmentDirs(spark, path)
     if (names.isEmpty) return None
     val key = s"$path@$mtime@$tz@${names.size}:${names.hashCode}|" +

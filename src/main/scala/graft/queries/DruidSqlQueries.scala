@@ -122,7 +122,7 @@ object DruidSqlQueries {
     // checks the full write→layout→read round trip: rows per DAY segment =
     // distinct (hour, event_type) pairs of that day, events = raw count ---
     QueryDef("druid_sql_insert", (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sqlingest").toString
+      val tmp = Scratch.dir("sqlingest")
       DruidSql.ingest(
         """INSERT INTO events_rollup
            SELECT TIME_FLOOR(__time, 'PT1H') AS __time, event_type,

@@ -38,19 +38,24 @@ object Lookups {
   def register(name: String, mapping: Map[String, String]): Unit = {
     require(name.nonEmpty, "lookup name must be non-empty")
     require(mapping.nonEmpty, s"lookup '$name' must be non-empty")
-    registry.put(name, Entry(versions.incrementAndGet(), mapping))
-    dropBroadcasts(name)
+    val v = versions.incrementAndGet()
+    registry.put(name, Entry(v, mapping))
+    // drop STALE versions only — an unconditional drop could unpersist the
+    // broadcast a concurrent broadcastFor just built for THIS version
+    // (review finding r7)
+    dropBroadcasts(name, keepAtOrAbove = v)
   }
 
   def unregister(name: String): Unit = {
     registry.remove(name)
-    dropBroadcasts(name)
+    dropBroadcasts(name, keepAtOrAbove = Long.MaxValue)
   }
 
-  private def dropBroadcasts(name: String): Unit =
-    broadcasts.keys.filter(_._1 == name).foreach { k =>
-      broadcasts.remove(k).foreach(_.unpersist(blocking = false))
-    }
+  private def dropBroadcasts(name: String, keepAtOrAbove: Long): Unit =
+    broadcasts.keys.filter(k => k._1 == name && k._2 < keepAtOrAbove)
+      .foreach { k =>
+        broadcasts.remove(k).foreach(_.unpersist(blocking = false))
+      }
 
   def get(name: String): Option[Map[String, String]] =
     registry.get(name).map(_.mapping)
@@ -75,8 +80,11 @@ object Lookups {
   def loadUriNamespace(spark: SparkSession,
       ns: com.fasterxml.jackson.databind.JsonNode): Map[String, String] = {
     import scala.jdk.CollectionConverters._
+    // explicit JSON null is ABSENT, not the 4-char string "null" (Jackson
+    // NullNode.asText — review finding r7; the customJson branch already
+    // guards this)
     def str(n: com.fasterxml.jackson.databind.JsonNode, f: String): Option[String] =
-      Option(n.get(f)).map(_.asText)
+      Option(n.get(f)).filterNot(_.isNull).map(_.asText)
     val nsType = str(ns, "type").getOrElse("")
     require(nsType == "uri",
       s"unsupported extractionNamespace type '$nsType' (only 'uri' — no " +
@@ -206,6 +214,16 @@ object Lookups {
       e.mapping.foreach { case (k, v) => m.put(k, v) }
       spark.sparkContext.broadcast(m)
     })
-    (e.version, bc)
+    // re-validate: a concurrent unregister (or a re-register that bumped
+    // the version) may have raced the insert above — the cache entry would
+    // otherwise be keyed to a dead version and leak for the JVM lifetime
+    // (review finding r7)
+    registry.get(name) match {
+      case Some(cur) if cur.version == e.version => (e.version, bc)
+      case _ =>
+        broadcasts.remove((name, e.version))
+          .foreach(_.unpersist(blocking = false))
+        (e.version, bc) // still usable by THIS caller; just not cached
+    }
   }
 }

@@ -543,7 +543,7 @@ object RollupQueries {
         // partitions=8 → per-batch writes spread ~30 Day-segment dirs over 8
         // tasks instead of one task serializing 30 zstd file opens (~2s/batch)
         Tuning(windowPeriod = java.time.Duration.ofDays(3650), partitions = 8))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
+      val tmp = Scratch.dir("replay")
       // 8 staged files in 2 micro-batches (maxFilesPerTrigger=4): the
       // replay-merge contract needs >1 batch, but each batch's fixed cost is
       // the dynamic-overwrite commit of the SAME ~30 day-segment dirs — at
@@ -580,7 +580,7 @@ object RollupQueries {
       val p = new Pipeline(spec)
       val ev = Tables.t(s, dir, "events")
         .withColumn("user_bucket", col("user_id") % 50)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-hllstore").toString
+      val tmp = Scratch.dir("hllstore")
       // two half-stores stand in for two micro-batches of the same buckets
       graft.sink.SegmentSink.writeMicroBatch(tmp)(
         p.withSegment(p.rollup(p.project(p.extractTimestamp(
@@ -611,7 +611,7 @@ object RollupQueries {
         GranularitySpec(Granularity.Month, Granularity.Day)))
       val p = new Pipeline(spec)
       val ev = Tables.t(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bktq").toString
+      val tmp = Scratch.dir("bktq")
       graft.sink.SegmentSink.writeMicroBatch(s"$tmp/raw")(
         p.withSegment(p.rollup(p.project(p.extractTimestamp(
           ev.filter(col("event_id") % 2 === 0))))), 0L)
@@ -645,7 +645,7 @@ object RollupQueries {
         GranularitySpec(Granularity.Month, Granularity.Day)))
       val p = new Pipeline(spec)
       val ev = Tables.t(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bkttask").toString
+      val tmp = Scratch.dir("bkttask")
       graft.sink.SegmentSink.writeMicroBatch(s"$tmp/store")(
         p.withSegment(p.rollup(p.project(p.extractTimestamp(
           ev.filter(col("user_id") % 2 === 0))))), 0L)
@@ -682,7 +682,7 @@ object RollupQueries {
       val p = new Pipeline(spec)
       val ev = Tables.t(s, dir, "events")
         .withColumn("user_bucket", col("user_id") % 40)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-histstore").toString
+      val tmp = Scratch.dir("histstore")
       // two half-stores stand in for two micro-batches of the same buckets
       graft.sink.SegmentSink.writeMicroBatch(tmp)(
         p.withSegment(p.rollup(p.project(p.extractTimestamp(
@@ -786,7 +786,7 @@ object RollupQueries {
         GranularitySpec(Granularity.Day, Granularity.Day)))
       val p = new Pipeline(spec)
       val ev = Tables.t(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-thetastore").toString
+      val tmp = Scratch.dir("thetastore")
       graft.sink.SegmentSink.writeMicroBatch(tmp)(
         p.withSegment(p.rollup(p.project(p.extractTimestamp(
           ev.filter(col("event_id") % 2 === 0))))), 0L)
@@ -842,7 +842,7 @@ object RollupQueries {
         GranularitySpec(Granularity.Day, Granularity.Day)))
       val p = new Pipeline(spec)
       val ev = Tables.t(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tuplestore").toString
+      val tmp = Scratch.dir("tuplestore")
       graft.sink.SegmentSink.writeMicroBatch(tmp)(
         p.withSegment(p.rollup(p.project(p.extractTimestamp(
           ev.filter(col("event_id") % 2 === 0))))), 0L)

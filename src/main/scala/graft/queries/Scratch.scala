@@ -1,0 +1,35 @@
+package graft.queries
+
+/** One JVM-wide scratch root for QueryDef bodies that materialize segment
+  * stores (the replay headliner, stored-sketch oracles, bucketed-store
+  * oracles, SQL ingestion). Each body previously called
+  * `Files.createTempDirectory` per INVOCATION and never deleted it — a
+  * bench loop or long-lived gate run accumulated unbounded /tmp data
+  * (review finding r7). Here every query name maps to ONE subdir under a
+  * shared root: re-invocation wipes and reuses it (bounded at one copy per
+  * query), and a shutdown hook removes the whole root on JVM exit.
+  */
+object Scratch {
+
+  private lazy val root: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft-scratch")
+    sys.addShutdownHook(delete(r))
+    r
+  }
+
+  private def delete(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+    }
+
+  /** Fresh empty dir under the shared root; a prior invocation's contents
+    * of the same name are removed first. */
+  def dir(name: String): String = synchronized {
+    val d = root.resolve(name)
+    delete(d)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+}

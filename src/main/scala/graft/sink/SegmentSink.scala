@@ -27,6 +27,27 @@ object SegmentSink {
     */
   val StatsDir = "_graft_stats"
 
+  /** Marker file persisting the WRITE session's timezone: segment dir names
+    * are `date_format` renderings under it, so every later chunk-name
+    * comparison (the prune rule, interval reads, retention/kill) must parse
+    * with the WRITER's zone, not the reader's — a mismatched reader session
+    * would silently prune/drop valid segments (review finding r7). Written
+    * once per store, first write wins. */
+  val TzMarker = "_graft_tz"
+
+  private def writeTzMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$TzMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val tz = spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID)
+      val os = fs.create(p, true)
+      try os.write(tz.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    }
+  }
+
   /** Batch append, partitioned by segment bucket (expects SegmentCol present).
     * Alongside the data, appends a per-(segment, string-dim) min/max zone-map
     * row to [[StatsDir]] — [[SegmentStore.pruneSegments]] turns a dim
@@ -51,6 +72,7 @@ object SegmentSink {
         // ingest the storage/IO saving dominates the extra encode CPU
         .option("compression", "zstd")
         .parquet(path)
+      writeTzMarker(df.sparkSession, path)
       appendStats(out, path)
     } finally out.unpersist()
   }
@@ -132,7 +154,7 @@ object SegmentSink {
     }
   }
 
-  private def writeData(out: DataFrame, path: String): Unit =
+  private def writeData(out: DataFrame, path: String): Unit = {
     out.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(SegmentCol, "__batch_id")
@@ -142,6 +164,8 @@ object SegmentSink {
       .option("compression",
         out.sparkSession.conf.get("spark.graft.partialCompression", "zstd"))
       .parquet(path)
+    writeTzMarker(out.sparkSession, path)
+  }
 
   /** Rebuild the zone-map sidecar from the store itself, one aggregation
     * over already-reduced partials — the flush-time companion of the

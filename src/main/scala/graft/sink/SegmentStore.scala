@@ -285,12 +285,12 @@ object SegmentStore {
     // before `from` (review finding r7)
     val fromBucket =
       if (!gran.rollup) from
-      else java.sql.Timestamp.from(
-        gran.queryGranularity.truncateInstant(from.toInstant, sessionZone(spark)))
+      else java.sql.Timestamp.from(gran.queryGranularity
+        .truncateInstant(from.toInstant, writerZone(spark, path)))
     read(spark, path, spec, df =>
       df.filter(col(Pipeline.SegmentCol) >=
-          chunkName(spark, gran.segmentGranularity, from) &&
-        col(Pipeline.SegmentCol) <= sessionFmt(spark).format(to))
+          chunkName(spark, path, gran.segmentGranularity, from) &&
+        col(Pipeline.SegmentCol) <= writerFmt(spark, path).format(to))
         .filter(col(Pipeline.TsCol) >= lit(fromBucket) && col(Pipeline.TsCol) < lit(to)))
   }
 
@@ -304,17 +304,44 @@ object SegmentStore {
     java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID))
 
-  private def sessionFmt(spark: SparkSession): java.text.SimpleDateFormat = {
+  /** The zone segment dir names were FORMATTED under: the sink's
+    * [[SegmentSink.TzMarker]] when present (cached — the marker never
+    * changes once written), else the reader's session zone (pre-marker
+    * stores keep the old same-session assumption). A reader session in a
+    * DIFFERENT zone than the writer would otherwise compare bounds against
+    * dir names shifted by the offset — silently pruning or dropping valid
+    * segments (review finding r7). */
+  private val tzCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.time.ZoneId]()
+  private[graft] def writerZone(spark: SparkSession,
+      path: String): java.time.ZoneId = {
+    val cached = tzCache.get(path)
+    if (cached != null) return cached
+    val p = new org.apache.hadoop.fs.Path(s"$path/${SegmentSink.TzMarker}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return sessionZone(spark) // NOT cached: may appear
+    val in = fs.open(p)
+    val tz = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    finally in.close()
+    val zone = java.time.ZoneId.of(tz)
+    tzCache.put(path, zone)
+    zone
+  }
+
+  private def writerFmt(spark: SparkSession,
+      path: String): java.text.SimpleDateFormat = {
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH.mm.ss")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone(sessionZone(spark)))
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(writerZone(spark, path)))
     fmt
   }
 
-  /** Dir-name of the segment chunk containing `t` at `gran`. */
-  private def chunkName(spark: SparkSession, gran: graft.time.Granularity,
-      t: java.sql.Timestamp): String =
-    sessionFmt(spark).format(java.sql.Timestamp.from(
-      gran.truncateInstant(t.toInstant, sessionZone(spark))))
+  /** Dir-name of the segment chunk containing `t` at `gran`, parsed and
+    * truncated in the STORE's write zone. */
+  private def chunkName(spark: SparkSession, path: String,
+      gran: graft.time.Granularity, t: java.sql.Timestamp): String =
+    writerFmt(spark, path).format(java.sql.Timestamp.from(
+      gran.truncateInstant(t.toInstant, writerZone(spark, path))))
 
   /** Per-segment metadata — the Druid segmentMetadata query analog: row
     * count, batch count, and merged dim value ranges from the zone-map
@@ -367,7 +394,7 @@ object SegmentStore {
     // rows; the chunk containing keepFrom is retained whole (Druid drops
     // whole segments, never partial) — chunkName runs the session-zone
     // truncation the dir names were produced under.
-    val keepSeg = chunkName(spark,
+    val keepSeg = chunkName(spark, path,
       spec.dataSchema.granularitySpec.segmentGranularity, keepFrom)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -391,12 +418,13 @@ object SegmentStore {
   def killInterval(spark: SparkSession, path: String, spec: IngestionSpec,
       start: java.sql.Timestamp, end: java.sql.Timestamp): Seq[String] = {
     val gran = spec.dataSchema.granularitySpec.segmentGranularity
-    val (s0, e0) = (chunkName(spark, gran, start), chunkName(spark, gran, end))
+    val (s0, e0) =
+      (chunkName(spark, path, gran, start), chunkName(spark, path, gran, end))
     // a mid-chunk START must not kill the chunk containing it (that chunk
     // holds rows before the interval); only chunks fully inside survive
     // the cut — Druid's whole-chunk kill contract
     val alignedStart = gran.truncateInstant(start.toInstant,
-      sessionZone(spark)) == start.toInstant
+      writerZone(spark, path)) == start.toInstant
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val killed = listSegmentDirs(spark, path)

@@ -390,6 +390,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stores carry the writer's timezone marker; chunk-name comparisons " +
+      "honor it over the reader session's zone") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val tmp = Files.createTempDirectory("graft-tzmark").toString
+    val now = ts("2024-03-01 12:00:00")
+    val ingest = new IngestStream(spark, spec, s"$tmp/checkpoint")
+    ingest.start(input.toDF(), s"$tmp/out", now = lit(now),
+      trigger = Trigger.ProcessingTime(50))
+    input.addData(Ev(ts("2024-03-01 12:01:00"), "click", 1.0))
+    ingest.flushAndStop()
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$tmp/out/_graft_tz")
+    assert(fs.exists(marker), "tz marker missing after ingest")
+    // read the marker FILE (writerZone caches per path — the cache is
+    // correct in production, where a marker never changes once written)
+    val in = fs.open(marker)
+    val written = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+    assert(written == "UTC", written)
+    // a store claiming a DIFFERENT writer zone: chunk comparisons must use
+    // it — dir names here are UTC-formatted, so a Tokyo-parsed kill of the
+    // UTC-named chunk's apparent interval removes NOTHING (the names parse
+    // +9h off), where a session-zone parse would have removed the chunk
+    // (review finding r7: reader/writer zone mismatch must not silently
+    // drop valid segments)
+    val os = fs.create(marker, true)
+    try os.write("Asia/Tokyo".getBytes("UTF-8")) finally os.close()
+    val killed = graft.sink.SegmentStore.killInterval(spark, s"$tmp/out",
+      spec, ts("2024-03-01 12:00:00"), ts("2024-03-01 13:00:00"))
+    assert(killed.isEmpty,
+      s"kill used the session zone, not the store's marker: $killed")
+  }
+
   test("schema evolution across chunks: new dim applies to new segments only") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-evolve").toString
