@@ -24,11 +24,14 @@ object Scratch {
         .foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
     }
 
-  /** Fresh empty dir under the shared root; a prior invocation's contents
-    * of the same name are removed first. */
-  def dir(name: String): String = synchronized {
-    val d = root.resolve(name)
-    delete(d)
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Fresh empty dir under the shared root. Each invocation gets a UNIQUE
+    * numbered subdir — no synchronous delete in the (benchmarked) hot
+    * path; accumulation within one JVM run is bounded by that run's
+    * invocation count and the shutdown hook removes the whole root. */
+  def dir(name: String): String = {
+    val d = root.resolve(s"${name}_${seq.incrementAndGet()}")
     java.nio.file.Files.createDirectories(d)
     d.toString
   }
