@@ -6,11 +6,19 @@ import org.apache.spark.sql.SparkSession
   * ONE JSON line {"metric":…,"queries":{…}} (driver contract). Each query is
   * forced with a full-result count after a warm-up pass over every headline
   * (JIT + code cache), then timed k times with the MIN reported — a single
-  * noisy-neighbor burst can inflate one shot 4-17x (observed twice: r4 and
-  * r5 driver benches, both refuted by idle-box reruns of identical code),
-  * and min-of-k is the standard way to recover the engine's intrinsic cost
-  * from a contended box. The JSON also stamps /proc/loadavg at start and end
-  * so contamination is detectable post-hoc from the artifact itself.
+  * noisy-neighbor burst can inflate one shot 4-17x (observed three times: r4,
+  * r5 and r7 driver benches, all refuted by idle-box reruns of identical
+  * code), and min-of-k is the standard way to recover the engine's intrinsic
+  * cost from a contended box.
+  *
+  * Repeats are INTERLEAVED round-robin over the whole query list (repeat 1 of
+  * every query, then repeat 2 of every query, …) rather than back-to-back per
+  * query: contention sustained for ~1 minute poisons all k consecutive
+  * repeats of one query (exactly the r7 failure mode) but under interleaving
+  * it inflates the same-numbered repeat of MANY queries, leaving each query's
+  * other repeats clean for the min to recover. The JSON stamps /proc/loadavg
+  * at start/end AND per (query, repeat) — `"loads"` mirrors `"times"` — so a
+  * poisoned repeat is identifiable post-hoc from the artifact itself.
   */
 object Bench {
   /** 1-minute load average + running/total task counts, e.g. "12.42 1/830".
@@ -57,21 +65,36 @@ object Bench {
     // parquet footer cache) so the timed pass measures steady-state execution
     qs.foreach(q => try q.run(spark, sfDir).count() catch { case _: Throwable => () })
 
+    // Interleaved timing: outer loop over repeat number, inner over queries,
+    // so sustained contention can never own all k repeats of one query.
+    // times(q) = per-repeat wall seconds; loads(q) = 1-min loadavg sampled
+    // just before that repeat ran. Failed queries report -1, never a
+    // plausible timing.
+    val times = scala.collection.mutable.LinkedHashMap(
+      qs.map(q => q.name -> Vector.empty[Double]): _*)
+    val loads = scala.collection.mutable.LinkedHashMap(
+      qs.map(q => q.name -> Vector.empty[Double]): _*)
+    for (_ <- 1 to repeats; q <- qs) {
+      val load1m = try loadStamp().split("\\s+")(0).toDouble
+                   catch { case _: Throwable => -1.0 }
+      val t0 = System.nanoTime()
+      val sec = try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+                catch { case _: Throwable => -1.0 }
+      times(q.name) :+= sec
+      loads(q.name) :+= load1m
+    }
     val results = qs.map { q =>
-      // min over k repeats: intrinsic engine cost, robust to transient box
-      // contention. Failed queries report -1, never a plausible timing.
-      val times = (1 to repeats).map { _ =>
-        val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      }
-      q.name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      val ts = times(q.name)
+      q.name -> (if (ts.contains(-1.0)) -1.0 else ts.min)
     }
     val loadEnd = loadStamp()
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    def vecJson(m: scala.collection.Map[String, Vector[Double]]): String =
+      m.map { case (k, vs) => "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","repeats":$repeats,"timing":"min_of_k","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","repeats":$repeats,"timing":"min_of_k_interleaved","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","times":${vecJson(times)},"loads":${vecJson(loads)}}""")
     spark.stop()
   }
 }

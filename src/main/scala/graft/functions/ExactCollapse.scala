@@ -40,19 +40,23 @@ object ExactCollapse {
   def pairsByText(df: DataFrame, idCol: String, textCol: String,
       threshold: Double)(pairsOnDistinct: DataFrame => DataFrame): DataFrame = {
     // one row per DISTINCT text; the member list is bounded by clone-class
-    // size, which also bounds the (mandatory) output pair count. Persisted
-    // because it feeds THREE consumers (reps, within-class expansion,
-    // member join) and AQE does not reuse exchanges across those branches —
-    // unpersisted, each re-derives the corpus groupBy. Like the sibling
-    // withSig/base caches in MinHash/SimHashLsh, the cache is retained for
-    // the result's lifetime; callers looping over MANY corpora should
-    // checkpoint the class table to storage instead (it carries the full
-    // distinct texts — the heaviest of the three caches).
-    val classes = df
+    // size, which also bounds the (mandatory) output pair count. Cached for
+    // ONE materialization of the result (CacheScope releases it after the
+    // first action — advice r7) because it feeds THREE consumers (reps,
+    // within-class expansion, member join) and AQE does not reuse exchanges
+    // across those branches — unpersisted, each re-derives the corpus
+    // groupBy. Callers looping over MANY corpora should checkpoint the
+    // class table to storage instead (it carries the full distinct texts —
+    // the heaviest of the sibling caches).
+    graft.pipeline.CacheScope.withCached(df
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .groupBy(col("__text"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .persist()
+      // collect_SET, not list: input containing duplicated (id, text) rows
+      // must not yield repeated ids in the class, or the within-class
+      // expansion would emit self-pairs (id_a == id_b) that the raw
+      // pipeline's strict id_a < id_b candidate filter never produces.
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+    ) { classes =>
     val reps = classes.select(element_at(col("ids"), 1).as("id"),
       col("__text").as("text"))
     val repPairs = pairsOnDistinct(reps)
@@ -83,5 +87,6 @@ object ExactCollapse {
         greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
 
     within.unionByName(cross)
+    }
   }
 }

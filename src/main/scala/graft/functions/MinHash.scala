@@ -94,22 +94,24 @@ object MinHash {
       shingleWidth: Int,
       threshold: Double): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    // persisted: this subtree feeds THREE consumers (two bucket branches +
-    // the candidate verification join) — without it the shingle+signature
-    // pass, the dominant cost, runs three times. The cache is retained for
-    // the result's lifetime (callers looping over many corpora should
-    // checkpoint signatures to storage and pass precomputed pairs instead —
-    // that is also the 100 TB shape).
+    // cached for ONE materialization of the result (CacheScope releases it
+    // after the first action — advice r7): this subtree feeds THREE
+    // consumers (two bucket branches + the candidate verification join) —
+    // without it the shingle+signature pass, the dominant cost, runs three
+    // times (callers looping over many corpora should checkpoint
+    // signatures to storage and pass precomputed pairs instead — that is
+    // also the 100 TB shape).
     // fanOut BEFORE the signature stage: a dup-heavy corpus compresses to
     // few/one input partitions and would serialize the k-hash signature
     // computation on one core (measured ×11 on the ×30 probe corpus —
     // see graft.pipeline.Parallelism)
-    val withSig = graft.pipeline.Parallelism.fanOut(
-        df.select(col("id"), col("text")))
-      .withColumn("sh", array_distinct(shingles(col("text"), shingleWidth)))
-      .withColumn("sig", signature(col("sh"), k))
-      .withColumn("bands", bandHashes(col("sig"), k, bands))
-      .persist()
+    graft.pipeline.CacheScope.withCached(
+      graft.pipeline.Parallelism.fanOut(
+          df.select(col("id"), col("text")))
+        .withColumn("sh", array_distinct(shingles(col("text"), shingleWidth)))
+        .withColumn("sig", signature(col("sh"), k))
+        .withColumn("bands", bandHashes(col("sig"), k, bands))
+    ) { withSig =>
 
     // explode to (id, bandIdx, bandHash): the LSH bucket key. The self-join
     // shuffles ONLY these slim rows; shingle sets are joined back afterwards
@@ -134,5 +136,6 @@ object MinHash {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
   }
 }

@@ -100,14 +100,17 @@ object SimHashLsh {
       shingleWidth: Int,
       threshold: Double): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    // one pass computes fingerprint + shingle set; persisted because the
-    // subtree feeds the bucket join twice and the verification join once
-    val base = graft.pipeline.Parallelism.fanOut(
-        df.select(col("id"), col("text").as("__text")))
-      .select(col("id"),
-        TextFunctions.simhash(col("__text")).as("sh"),
-        array_distinct(MinHash.shingles(col("__text"), shingleWidth)).as("shg"))
-      .persist()
+    // one pass computes fingerprint + shingle set; cached for ONE
+    // materialization (CacheScope releases it after the first action —
+    // advice r7) because the subtree feeds the bucket join twice and the
+    // verification join once
+    graft.pipeline.CacheScope.withCached(
+      graft.pipeline.Parallelism.fanOut(
+          df.select(col("id"), col("text").as("__text")))
+        .select(col("id"),
+          TextFunctions.simhash(col("__text")).as("sh"),
+          array_distinct(MinHash.shingles(col("__text"), shingleWidth)).as("shg"))
+    ) { base =>
     val cand = nearDupsFromFingerprints(
       base.select(col("id"), col("sh")), "id", "sh", maxHamming, bands)
     val sets = base.select(col("id"), col("shg"))
@@ -119,6 +122,7 @@ object SimHashLsh {
           size(array_union(col("sg_a"), col("sg_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
   }
 
   /** End-to-end: text → SimHash64 → banded candidate pairs → exact hamming. */

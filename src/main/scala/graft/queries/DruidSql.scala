@@ -827,6 +827,92 @@ object DruidSql {
     * co-located and ordered by the query keys — at 100 TB this is what
     * makes per-key reads touch one file run instead of every file.
     */
+  /** Hidden same-parent siblings used by the OVERWRITE WHERE commit
+    * protocol: dot-prefixed (invisible to dataSource listing and Spark
+    * scans), same filesystem/parent as the target so every commit step is
+    * a metadata rename. (staging, retired, journal). */
+  private def whereSiblings(tp: org.apache.hadoop.fs.Path)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path,
+          org.apache.hadoop.fs.Path) =
+    (new org.apache.hadoop.fs.Path(tp.getParent,
+        s".staging_where_${tp.getName}"),
+      new org.apache.hadoop.fs.Path(tp.getParent,
+        s".retired_where_${tp.getName}"),
+      new org.apache.hadoop.fs.Path(tp.getParent,
+        s".journal_where_${tp.getName}"))
+
+  /** The rename-only commit of an OVERWRITE WHERE: (1) retire every doomed
+    * dir out of the store, (2) rename every staged segment dir in, (3)
+    * delete retired + staging + journal. Every step skips already-done
+    * work, so the SAME call both commits a live statement and rolls an
+    * interrupted one forward from its journal. */
+  private def commitWhere(fs: org.apache.hadoop.fs.FileSystem,
+      tp: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
+      retired: org.apache.hadoop.fs.Path,
+      journal: org.apache.hadoop.fs.Path,
+      staged: Seq[org.apache.hadoop.fs.Path],
+      doomed: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    if (doomed.nonEmpty && !fs.exists(retired)) fs.mkdirs(retired)
+    doomed.foreach { d =>
+      if (fs.exists(d))
+        require(fs.rename(d,
+            new org.apache.hadoop.fs.Path(retired, d.getName)),
+          s"failed to retire doomed segment dir $d")
+    }
+    if (!fs.exists(tp)) fs.mkdirs(tp)
+    staged.foreach { s =>
+      if (fs.exists(s)) {
+        val dest = new org.apache.hadoop.fs.Path(tp, s.getName)
+        // dest existing alongside s would mean an in-range dir escaped the
+        // doomed set — loud, never Hadoop's silent move-INTO-existing-dir
+        require(!fs.exists(dest) && fs.rename(s, dest),
+          s"failed to move staged segment dir $s into $dest")
+      }
+    }
+    fs.delete(retired, true)
+    fs.delete(staging, true)
+    fs.delete(journal, false)
+  }
+
+  /** Recovery preamble for the journaled OVERWRITE WHERE commit — runs at
+    * the start of every ingestion into `target` (the compactInPlace
+    * pattern: the store self-repairs at its next control-plane touch).
+    * Journal present: the crashed statement's staging was complete (the
+    * journal publishes atomically AFTER the staged write), so roll its
+    * commit forward — no data loss, the statement simply completes late.
+    * Journal absent: staging/retired leftovers are from a statement that
+    * never reached its commit point — discard staging (unknown
+    * completeness), restore any retired dirs (cannot normally exist
+    * without a journal; restored defensively). */
+  private def recoverInterruptedWhere(
+      spark: org.apache.spark.sql.SparkSession, target: String): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(target)
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (staging, retired, journal) = whereSiblings(tp)
+    if (fs.exists(journal)) {
+      val in = fs.open(journal)
+      val lines = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+      finally in.close()
+      val staged = lines.filter(_.startsWith("staged ")).map(l =>
+        new org.apache.hadoop.fs.Path(staging, l.stripPrefix("staged ")))
+      val doomed = lines.filter(_.startsWith("doomed ")).map(l =>
+        new org.apache.hadoop.fs.Path(tp, l.stripPrefix("doomed ")))
+      commitWhere(fs, tp, staging, retired, journal, staged, doomed)
+    } else {
+      if (fs.exists(retired)) {
+        fs.listStatus(retired).foreach { d =>
+          val dest = new org.apache.hadoop.fs.Path(tp, d.getPath.getName)
+          if (!fs.exists(dest)) fs.rename(d.getPath, dest)
+        }
+        fs.delete(retired, true)
+      }
+      if (fs.exists(staging)) fs.delete(staging, true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        tp.getParent, journal.getName + ".tmp"), false)
+    }
+  }
+
   def ingest(sqlText: String, frames: Map[String, DataFrame],
       storeRoot: String,
       // named approxCd: spark.sql.functions exports a deprecated
@@ -866,6 +952,9 @@ object DruidSql {
         .sortWithinPartitions(cluster.map(col): _*)
     val spark = selected.sparkSession
     val target = s"${storeRoot.stripSuffix("/")}/$ds"
+    // repair an interrupted OVERWRITE WHERE of this dataSource BEFORE any
+    // listing/validation below observes the store (advice r7)
+    recoverInterruptedWhere(spark, target)
     // OVERWRITE WHERE: half-open [from, to) __time range — the wall-clock
     // literals are interpreted in the SESSION timezone, the same zone the
     // segment labels, truncation, and dir names live in (never the JVM
@@ -936,6 +1025,10 @@ object DruidSql {
       val p = new org.apache.hadoop.fs.Path(target)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
+        // dir names and the bounds below render under the SESSION zone —
+        // fail loud first if the store's marker records a different writer
+        // zone (mixed-zone dirs would silently mis-match, advice r7)
+        graft.sink.SegmentSink.writeTzMarker(spark, target)
         val fmt = java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(sessionZone)
         val (lo, hi) = (fmt.format(from), fmt.format(to))
@@ -1004,38 +1097,52 @@ object DruidSql {
       if (fs.exists(staging)) fs.delete(staging, true)
       arranged.write.mode("overwrite").partitionBy("segment")
         .parquet(staging.toString)
+      // marker lands IN staging so the swap installs data+zone atomically;
+      // the old store's marker (possibly a different zone) dies with it —
+      // an OVERWRITE ALL legitimately re-zones the store (advice r7)
+      graft.sink.SegmentSink.writeTzMarker(spark, staging.toString)
       if (fs.exists(tp)) fs.delete(tp, true)
       require(fs.rename(staging, tp),
         s"failed to swap staged segments into '$target'")
     } else if (overwriteRange.isEmpty) {
+      // writes marker if absent; fails loud BEFORE data lands if this
+      // session's zone differs from the store's writer zone (advice r7)
+      graft.sink.SegmentSink.writeTzMarker(spark, target)
       arranged.write.mode("append").partitionBy("segment").parquet(target)
     } else {
-      // OVERWRITE WHERE: stage the new rows FULLY before deleting the
-      // doomed segment dirs — the SELECT may read the target itself
-      // (self-reindex), and a cache-evicted recompute after the delete
-      // would scan destroyed paths; a failed write must leave the store
-      // untouched (the OVERWRITE ALL stage-then-swap rule applied to the
-      // partial form — review finding r7). Staged part files then MOVE
-      // into the target per-file (unique part names, metadata renames).
+      // OVERWRITE WHERE, crash-atomic (advice r7): stage the new rows
+      // FULLY first — the SELECT may read the target itself (self-reindex)
+      // and a failed write must leave the store untouched — then publish a
+      // commit journal ATOMICALLY (tmp + rename), then commit with
+      // directory-level renames only: retire doomed dirs into a hidden
+      // sibling, rename staged segment dirs in, clean up. Old rows are
+      // only RENAMED, never deleted, until every staged dir is in place; a
+      // crash at any point is repaired by [[recoverInterruptedWhere]] at
+      // the next ingest of this dataSource (journal absent → the commit
+      // never started, stale staging discarded; journal present → staging
+      // was complete, the commit rolls FORWARD to completion).
       val tp = new org.apache.hadoop.fs.Path(target)
       val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new org.apache.hadoop.fs.Path(
-        tp.getParent, s".staging_where_${tp.getName}")
+      val (staging, retired, journal) = whereSiblings(tp)
       if (fs.exists(staging)) fs.delete(staging, true)
       arranged.write.mode("overwrite").partitionBy("segment")
         .parquet(staging.toString)
-      doomedDirs.foreach(d => fs.delete(d, true))
       if (!fs.exists(tp)) fs.mkdirs(tp)
-      fs.listStatus(staging).filter(_.isDirectory).foreach { seg =>
-        val dest = new org.apache.hadoop.fs.Path(tp, seg.getPath.getName)
-        if (!fs.exists(dest)) fs.mkdirs(dest)
-        fs.listStatus(seg.getPath).foreach { f =>
-          require(fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(dest, f.getPath.getName)),
-            s"failed to move staged file ${f.getPath} into $dest")
-        }
-      }
-      fs.delete(staging, true)
+      // covers the store-did-not-exist case (validation-phase check only
+      // runs when the target already exists); idempotent otherwise
+      graft.sink.SegmentSink.writeTzMarker(spark, target)
+      val stagedDirs = fs.listStatus(staging).filter(_.isDirectory)
+        .map(_.getPath).toSeq
+      val body = (stagedDirs.map(d => s"staged ${d.getName}") ++
+        doomedDirs.map(d => s"doomed ${d.getName}")).mkString("\n")
+      val jTmp = new org.apache.hadoop.fs.Path(
+        tp.getParent, journal.getName + ".tmp")
+      val os = fs.create(jTmp, true)
+      try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      require(fs.rename(jTmp, journal),
+        s"failed to publish OVERWRITE WHERE journal $journal")
+      commitWhere(fs, tp, staging, retired, journal, stagedDirs, doomedDirs)
     }
     } finally overwriteRange.foreach(_ => selected.unpersist())
     // zero-row ingestion publishes zero segments (only _SUCCESS lands) —

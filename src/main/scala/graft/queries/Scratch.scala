@@ -5,9 +5,11 @@ package graft.queries
   * oracles, SQL ingestion). Each body previously called
   * `Files.createTempDirectory` per INVOCATION and never deleted it — a
   * bench loop or long-lived gate run accumulated unbounded /tmp data
-  * (review finding r7). Here every query name maps to ONE subdir under a
-  * shared root: re-invocation wipes and reuses it (bounded at one copy per
-  * query), and a shutdown hook removes the whole root on JVM exit.
+  * (review finding r7). Here every invocation gets a fresh NUMBERED subdir
+  * under ONE shared root (no synchronous delete in the benchmarked hot
+  * path, so within-JVM growth is bounded by that run's invocation count,
+  * not unbounded /tmp litter across runs), and a shutdown hook removes the
+  * whole root on JVM exit.
   */
 object Scratch {
 

@@ -194,16 +194,17 @@ object TextQueries {
     // stop-shingle removal) → equi-join on the hash → per-pair count.
     // Never all-pairs; quadratic work only inside bounded df buckets.
     QueryDef("cdc_containment_pairs", (s, dir) => {
-      // persisted: the chunking (the dominant cost — per-char interpreted
-      // lambdas) feeds THREE plan branches (the df aggregation and both
-      // self-join sides); without the cache each branch re-chunks the
-      // corpus. Session-lifetime cache of (doc_id, hash) pairs — corpus-
+      // cached for ONE materialization (CacheScope releases it after the
+      // first action — advice r7): the chunking (the dominant cost —
+      // per-char interpreted lambdas) feeds THREE plan branches (the df
+      // aggregation and both self-join sides); without the cache each
+      // branch re-chunks the corpus. (doc_id, hash) pairs — corpus-
       // chunk-count rows, spilling to disk at scale.
-      val hashed = cdcChunkFrame(s, dir)
+      graft.pipeline.CacheScope.withCached(cdcChunkFrame(s, dir)
         .filter(length(col("chunk")) >= 20) // trivial slivers match noise
         .select(col("doc_id"), md5(col("chunk")).as("h"))
         .distinct()
-        .persist()
+      ) { hashed =>
       val df = hashed.groupBy(col("h"))
         .agg(count(lit(1)).as("d"))
         .filter(col("d") >= 2 && col("d") <= 50)
@@ -214,6 +215,7 @@ object TextQueries {
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).cast(LongType).as("shared_chunks"))
         .filter(col("shared_chunks") >= 2)
+      }
     },
     Some("""WITH b AS (
               SELECT doc_id, text, len(text) AS L,
@@ -1315,13 +1317,16 @@ object TextQueries {
       // corpus explode runs twice (cb build + final join) instead of four
       // times — the dominant cost at scale is the corpus scan, never the
       // count-table aggregation
-      // persisted: cb (the distinct-bigram count table, vocab²-sized —
-      // corpus-SUBLINEAR, the one safely cacheable table here) feeds ch,
-      // cu, nb AND the score join; unpersisted, each derivation re-plans
-      // the full corpus scan+explode+agg (5 scans measured in the plan
-      // dump — AQE does not reuse the exchange across these branches)
-      val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-        .persist()
+      // cached for ONE materialization (CacheScope releases it after the
+      // first action — advice r7): cb (the distinct-bigram count table,
+      // vocab²-sized — corpus-SUBLINEAR, the one safely cacheable table
+      // here) feeds ch, cu, nb AND the score join; unpersisted, each
+      // derivation re-plans the full corpus scan+explode+agg (5 scans
+      // measured in the plan dump — AQE does not reuse the exchange
+      // across these branches)
+      graft.pipeline.CacheScope.withCached(
+        pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      ) { cb =>
       val ch = cb.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
       val cu = cb.groupBy(col("w2")).agg(sum(col("cb")).as("cu"))
       val nb = cb.agg(sum(col("cb")).as("nb"))
@@ -1341,6 +1346,7 @@ object TextQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(col("term")), 5).as("mean_logprob"))
+      }
     },
     Some("""WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS l,

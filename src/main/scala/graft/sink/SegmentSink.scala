@@ -32,19 +32,39 @@ object SegmentSink {
     * comparison (the prune rule, interval reads, retention/kill) must parse
     * with the WRITER's zone, not the reader's — a mismatched reader session
     * would silently prune/drop valid segments (review finding r7). Written
-    * once per store, first write wins. */
+    * once per store, first write wins; a later APPEND from a session in a
+    * DIFFERENT zone fails loud BEFORE writing (advice r7): its dir names
+    * would render under its own zone, producing a mixed-zone store that the
+    * marker then parses entirely wrong — silent mis-prune/mis-kill. */
   val TzMarker = "_graft_tz"
 
-  private def writeTzMarker(spark: org.apache.spark.sql.SparkSession,
+  /** Write the marker if absent; fail loud if present with a different
+    * zone. Called BEFORE the data write so a mismatched session can never
+    * land mixed-zone segment dirs. Equal-rules zones (e.g. `Etc/UTC` vs
+    * `UTC`) render identically, so compare by rendering rules, not id. */
+  private[graft] def writeTzMarker(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$TzMarker")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
     if (!fs.exists(p)) {
-      val tz = spark.conf.get("spark.sql.session.timeZone",
-        java.util.TimeZone.getDefault.getID)
       val os = fs.create(p, true)
-      try os.write(tz.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try os.write(sessionTz.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
+    } else {
+      val in = fs.open(p)
+      val marked = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      val mz = java.time.ZoneId.of(marked).normalized()
+      val sz = java.time.ZoneId.of(sessionTz).normalized()
+      require(mz == sz || mz.getRules == sz.getRules,
+        s"segment store '$path' was written under timezone '$marked' but " +
+          s"this session's spark.sql.session.timeZone is '$sessionTz' — " +
+          "appending would render segment dir names in a different zone " +
+          "and corrupt chunk-boundary comparisons for the whole store; " +
+          s"set spark.sql.session.timeZone to '$marked' to append here")
     }
   }
 
@@ -64,6 +84,7 @@ object SegmentSink {
     // persisted: the data write and the stats agg are TWO actions — without
     // the cache the second re-executes the batch plan, which would both
     // redo the rollup and double-count upstream `observe` metrics.
+    writeTzMarker(df.sparkSession, path) // zone check BEFORE any data lands
     val out = df.withColumn(SegmentCol,
       date_format(col(SegmentCol), "yyyy-MM-dd'T'HH.mm.ss")).persist()
     try {
@@ -72,7 +93,6 @@ object SegmentSink {
         // ingest the storage/IO saving dominates the extra encode CPU
         .option("compression", "zstd")
         .parquet(path)
-      writeTzMarker(df.sparkSession, path)
       appendStats(out, path)
     } finally out.unpersist()
   }
@@ -155,6 +175,7 @@ object SegmentSink {
   }
 
   private def writeData(out: DataFrame, path: String): Unit = {
+    writeTzMarker(out.sparkSession, path) // zone check BEFORE any data lands
     out.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(SegmentCol, "__batch_id")
@@ -164,7 +185,6 @@ object SegmentSink {
       .option("compression",
         out.sparkSession.conf.get("spark.graft.partialCompression", "zstd"))
       .parquet(path)
-    writeTzMarker(out.sparkSession, path)
   }
 
   /** Rebuild the zone-map sidecar from the store itself, one aggregation

@@ -305,28 +305,42 @@ object SegmentStore {
       java.util.TimeZone.getDefault.getID))
 
   /** The zone segment dir names were FORMATTED under: the sink's
-    * [[SegmentSink.TzMarker]] when present (cached — the marker never
-    * changes once written), else the reader's session zone (pre-marker
-    * stores keep the old same-session assumption). A reader session in a
-    * DIFFERENT zone than the writer would otherwise compare bounds against
-    * dir names shifted by the offset — silently pruning or dropping valid
-    * segments (review finding r7). */
-  private val tzCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.time.ZoneId]()
+    * [[SegmentSink.TzMarker]] when present, else the reader's session zone
+    * (pre-marker stores keep the old same-session assumption). A reader
+    * session in a DIFFERENT zone than the writer would otherwise compare
+    * bounds against dir names shifted by the offset — silently pruning or
+    * dropping valid segments (review finding r7).
+    *
+    * The cache is validated against the marker file's modification time on
+    * EVERY lookup (one getFileStatus — a metadata read, not a marker read):
+    * a store deleted/recreated or OVERWRITE-ALL-swapped at the same path in
+    * a long-lived server must not keep serving the pre-swap zone (advice
+    * r7). Marker gone → entry dropped; marker mtime changed → re-read. */
+  private val tzCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, java.time.ZoneId)]()
   private[graft] def writerZone(spark: SparkSession,
       path: String): java.time.ZoneId = {
-    val cached = tzCache.get(path)
-    if (cached != null) return cached
     val p = new org.apache.hadoop.fs.Path(s"$path/${SegmentSink.TzMarker}")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return sessionZone(spark) // NOT cached: may appear
-    val in = fs.open(p)
-    val tz = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8).trim
-    finally in.close()
-    val zone = java.time.ZoneId.of(tz)
-    tzCache.put(path, zone)
-    zone
+    val status = try Some(fs.getFileStatus(p))
+                 catch { case _: java.io.FileNotFoundException => None }
+    status match {
+      case None =>
+        tzCache.remove(path)
+        sessionZone(spark) // NOT cached: a marker may appear later
+      case Some(st) =>
+        val cached = tzCache.get(path)
+        if (cached != null && cached._1 == st.getModificationTime) cached._2
+        else {
+          val in = fs.open(p)
+          val tz = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+          val zone = java.time.ZoneId.of(tz)
+          tzCache.put(path, (st.getModificationTime, zone))
+          zone
+        }
+    }
   }
 
   private def writerFmt(spark: SparkSession,
