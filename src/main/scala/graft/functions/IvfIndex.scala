@@ -41,6 +41,36 @@ final class IvfIndex private (
       .limit(topK)
       .select(col("id"), col("cluster"), col("cos_sim"))
   }
+
+  /** Top-k EXACT-L2 search probing the nProbe L2-nearest clusters — the
+    * IVF-flat fallback target for the PQ query paths (verdict r7 #2),
+    * whose metric is L2², not cosine. Same pruning shape as [[search]];
+    * the scored candidates carry exact squared distances. */
+  def searchFlatL2(spark: SparkSession, query: Array[Float], topK: Int,
+      nProbe: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val q = query.map(_.toDouble)
+    def l2sq(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(q.length, c.length)
+      while (i < n) { val d = q(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val probes = centroids.map { case (cid, c) => (cid, l2sq(c)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1)
+    val qLit = typedlit(query)
+    indexed
+      .filter(col("cluster").isin(probes.toSeq: _*))
+      .withColumn("approx_dist", aggregate(
+        zip_with(col("vec"), qLit,
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => a + x))
+      .orderBy(col("approx_dist").asc_nulls_last, col("id"))
+      .limit(topK)
+      .select(col("id"), col("cluster"),
+        round(col("approx_dist"), 6).as("approx_dist"))
+  }
 }
 
 object IvfIndex {

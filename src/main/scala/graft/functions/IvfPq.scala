@@ -71,6 +71,44 @@ final case class IvfPqIndex(
       .limit(topK)
       .select(col("id"), col("cluster"), round(col("approx_dist"), 6).as("approx_dist"))
   }
+
+  /** IVF-FLAT fallback search (advice/verdict r7 #3): keep the coarse
+    * nProbe pruning — the part of IVFADC that scales — but score the
+    * probed clusters' rows with EXACT L2² against the caller's original
+    * vectors instead of lossy residual-PQ codes. Used when
+    * [[PqIndex.sampledRecall]] says the codes cannot rank this corpus
+    * (near-uniform embeddings: measured 0.007–0.073 recall@10 at ×100,
+    * vs ~0.9 for the flat path — ANN_RECALL_r7/r8). Cost: exact float math
+    * over nProbe/kCoarse of the corpus instead of code lookups — the same
+    * candidate set, so pruning and partition locality at scale are
+    * unchanged. `vectors` must be the corpus the index was built from. */
+  def searchFlat(vectors: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], topK: Int, nProbe: Int): DataFrame = {
+    val q = query.map(_.toDouble)
+    def l2sq(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(q.length, c.length)
+      while (i < n) { val d = q(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val probes = coarse.map { case (cid, c) => (cid, l2sq(c)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1)
+    val qLit = typedlit(query)
+    encoded
+      .filter(col("cluster").isin(probes.toSeq: _*))
+      .select(col("id"), col("cluster"))
+      .join(vectors.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("__v")), Seq("id"))
+      .withColumn("approx_dist", aggregate(
+        zip_with(col("__v"), qLit,
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => a + x))
+      .orderBy(col("approx_dist").asc_nulls_last, col("id"))
+      .limit(topK)
+      .select(col("id"), col("cluster"),
+        round(col("approx_dist"), 6).as("approx_dist"))
+  }
 }
 
 object IvfPq {

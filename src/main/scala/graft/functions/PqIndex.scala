@@ -167,4 +167,79 @@ object PqIndex {
       .limit(topK)
       .select(col("id"), round(col("dist"), 6).as("dist"))
   }
+
+  /** Deterministic bounded sample of (id, vec) for [[sampledRecall]]: the
+    * `n` rows with the smallest xxhash64(id) — arbitrary-but-stable, not
+    * biased toward low ids (the IvfIndex seeding sample's rule). */
+  def collectSample(df: DataFrame, idCol: String, vecCol: String,
+      n: Int): Array[(Long, Array[Double])] =
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(n)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+
+  /** Cheap code-fidelity probe (advice/verdict r7 #3): estimated recall@k
+    * of ADC ranking vs exact L2 WITHIN a bounded sample, computed entirely
+    * on the driver (sample·m·ks encode flops + queries·sample distance
+    * evals — ~10⁷ flops at the defaults, microseconds of work, no Spark
+    * jobs beyond the sample collect). PQ codes rank near-uniform
+    * high-dimensional corpora at catastrophically low recall (measured
+    * 0.007–0.2 at ×100 on the synthetic embeddings — ANN_RECALL_r7) while
+    * ranking clustered corpora well; this probe tells the two apart at
+    * query time so the caller can fall back to IVF-flat instead of
+    * returning near-0-recall answers. Self-calibrating: it measures the
+    * failure mode itself (ranking fidelity), not a structural proxy with a
+    * hand-tuned threshold. Deterministic: fixed sample rule, first
+    * `nQueries` sample points as queries, stable tiebreaks. */
+  def sampledRecall(sample: Array[(Long, Array[Double])], cb: PqCodebook,
+      nQueries: Int = 8, topK: Int = 10): Double = {
+    if (sample.length <= topK) return 1.0
+    // local encode: nearest code per subspace, first-min tiebreak (the
+    // encode() expression's semantics)
+    def encodeLocal(v: Array[Double]): Array[Int] = Array.tabulate(cb.m) { j =>
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cb.ks) {
+        var s = 0.0; var d = 0
+        while (d < cb.subDim) {
+          val diff = v(j * cb.subDim + d) - cb.codebook(j)(c)(d)
+          s += diff * diff; d += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    val codes = sample.map { case (id, v) => (id, encodeLocal(v)) }
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val qs = sample.take(math.min(nQueries, sample.length))
+    val hits = qs.map { case (qid, qv) =>
+      val adcTable = Array.tabulate(cb.m) { j =>
+        Array.tabulate(cb.ks) { c =>
+          var s = 0.0; var d = 0
+          while (d < cb.subDim) {
+            val diff = qv(j * cb.subDim + d) - cb.codebook(j)(c)(d)
+            s += diff * diff; d += 1
+          }
+          s
+        }
+      }
+      val exact = sample.iterator.filter(_._1 != qid)
+        .map { case (id, v) => (id, l2sq(qv, v)) }.toArray
+        .sortBy { case (id, d) => (d, id) }.take(topK).map(_._1).toSet
+      val approx = codes.iterator.filter(_._1 != qid)
+        .map { case (id, cs) =>
+          var s = 0.0; var j = 0
+          while (j < cb.m) { s += adcTable(j)(cs(j)); j += 1 }
+          (id, s)
+        }.toArray
+        .sortBy { case (id, d) => (d, id) }.take(topK).map(_._1).toSet
+      (exact & approx).size.toDouble / topK
+    }
+    hits.sum / hits.length
+  }
 }

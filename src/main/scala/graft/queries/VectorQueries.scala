@@ -370,8 +370,19 @@ object VectorQueries {
     // -- Product-quantization ANN (scale path #3: ADC over 8-byte codes;
     //    rows-only — codebooks are engine-learned; PqSpec asserts the
     //    planted-dup rank-1 guarantee, measured recall floor vs exact L2,
-    //    and training determinism)
+    //    and training determinism).
+    //    DEFAULT GUARDED BY A CODE-FIDELITY PROBE (verdict r7 #2): on
+    //    near-uniform corpora — exactly the shipped synthetic embeddings —
+    //    32-bit PQ codes rank at 0.007–0.2 recall@10 (ANN_RECALL_r7), so a
+    //    bare ADC default is a footgun. PqIndex.sampledRecall estimates ADC
+    //    ranking fidelity on a bounded driver-side sample; below 0.5 the
+    //    query falls back to IVF-flat (coarse pruning + exact L2 — measured
+    //    ~0.9 recall at ×100), sharing ann_ivf_topk's persisted index. On
+    //    clustered corpora (where PQ earns its keep) the probe passes and
+    //    the ADC scan runs with an exact top-10·10 rerank (searchRerank —
+    //    the paper's IVFADC+R refinement, cost bounded by the shortlist).
     QueryDef("ann_pq_topk", (s, dir) => {
+      import org.apache.spark.sql.{functions => F}
       val e = Tables.t(s, dir, "embeddings")
       val path = annCachePath(s, dir, "pq", "m8ks16it4v1")
       val handle =
@@ -387,15 +398,46 @@ object VectorQueries {
       try {
         val query = e.filter(col("vec_id") === 0)
           .select(col("embedding")).collect().head.getSeq[Float](0).toArray
-        localize(s, graft.functions.PqIndex.search(
-            handle.encoded.filter(col("id") =!= 0), query, handle.cb, topK = 10)
-          .select(col("id").as("vec_id"), col("approx_dist")))
+        val sample = graft.functions.PqIndex.collectSample(
+          e, "vec_id", "embedding", 2000)
+        val fidelity = graft.functions.PqIndex.sampledRecall(sample, handle.cb)
+        if (fidelity >= 0.5)
+          localize(s, graft.functions.PqIndex.searchRerank(
+              handle.encoded.filter(col("id") =!= 0), e, "vec_id",
+              "embedding", query, handle.cb, topK = 10)
+            .select(col("id").as("vec_id"), col("dist").as("approx_dist")))
+        else {
+            // fallback: IVF-flat over ann_ivf_topk's shared index — probe
+            // clusters by L2 (this query's metric), exact L2 on candidates
+            val ivfPath = annCachePath(s, dir, "ivf", "k8it5v1")
+            val idx =
+              if (graft.sink.AnnIndexStore.exists(s, ivfPath, "ivf"))
+                graft.sink.AnnIndexStore.loadIvf(s, ivfPath)
+              else {
+                val built = graft.functions.IvfIndex.build(
+                  s, e, "vec_id", "embedding", k = 8, iterations = 5)
+                graft.sink.AnnIndexStore.saveIvf(ivfPath, built)
+                built
+              }
+            try
+              localize(s, idx.searchFlatL2(s, query, topK = 11, nProbe = 5)
+                .filter(col("id") =!= 0).limit(10)
+                .select(col("id").as("vec_id"), col("approx_dist")))
+            finally idx.close()
+          }
       } finally handle.close()
     }, None),
 
     // -- IVFADC (scale path #4: coarse-cluster pruning + residual-PQ codes;
     //    rows-only — IvfPqSpec carries the planted-dup, pruning and recall
-    //    guarantees)
+    //    guarantees).
+    //    Like ann_pq_topk, the ADC default is guarded by a code-fidelity
+    //    probe on the RESIDUAL vectors (verdict r7 #2): residual-PQ codes
+    //    rank near-uniform corpora at 0.007–0.027 recall@10
+    //    (ANN_RECALL_r7); below 0.5 sampled recall the query keeps the
+    //    coarse nProbe pruning — the part of IVFADC that scales — but
+    //    scores candidates with exact L2 (IvfPq.searchFlat, IVF-flat
+    //    semantics, ~0.9 measured recall at ×100).
     QueryDef("ann_ivfpq_topk", (s, dir) => {
       val e = Tables.t(s, dir, "embeddings")
       val path = annCachePath(s, dir, "ivfpq", "kc8m8ks16it4v1")
@@ -411,7 +453,24 @@ object VectorQueries {
       try {
         val query = e.filter(col("vec_id") === 0)
           .select(col("embedding")).collect().head.getSeq[Float](0).toArray
-        localize(s, idx.search(query, topK = 11, nProbe = 3)
+        // probe on residuals — the vectors the codes actually quantize
+        val sample = graft.functions.PqIndex.collectSample(
+          e, "vec_id", "embedding", 2000)
+        val clusters: Map[Long, Int] = idx.encoded
+          .filter(col("id").isin(sample.map(_._1).toSeq: _*))
+          .select(col("id"), col("cluster")).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val cents = idx.coarse.toMap
+        val resSample = sample.flatMap { case (id, v) =>
+          clusters.get(id).flatMap(cents.get).map { c =>
+            id -> Array.tabulate(v.length)(i => v(i) - c(i)) }
+        }
+        val fidelity = graft.functions.PqIndex.sampledRecall(resSample, idx.cb)
+        val res =
+          if (fidelity >= 0.5) idx.search(query, topK = 11, nProbe = 3)
+          else idx.searchFlat(e, "vec_id", "embedding", query,
+            topK = 11, nProbe = 3)
+        localize(s, res
           .filter(col("id") =!= 0).limit(10)
           .select(col("id").as("vec_id"), col("cluster"), col("approx_dist")))
       } finally idx.close()

@@ -155,6 +155,31 @@ object AnnRecallProbe {
       }
       emit("pq_rerank", s""""m":$pqM,"ks":$pqKs,"oversample":10""",
         recall(truthL2, rrByQ), pqBuildSec, rrSec)
+
+      // ---- GUARDED defaults (r8, verdict r7 #2): the code-fidelity probe
+      // + fallback the shipped ann_pq_topk / ann_ivfpq_topk queries now
+      // use, measured end-to-end. On this near-uniform corpus the probe
+      // should fail (<0.5) and the IVF-flat fallback engage.
+      val probeSample = PqIndex.collectSample(corpus, "vec_id", "embedding", 2000)
+      val pqFidelity = PqIndex.sampledRecall(probeSample, cb)
+      val (ivfFb, fbBuildSec) = timed(IvfIndex.build(
+        spark, corpus, "vec_id", "embedding", k = 8, iterations = 5))
+      val gByQ = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+      val (_, gSec) = timed {
+        queries.foreach { case (qid, qv) =>
+          gByQ(qid) =
+            (if (pqFidelity >= 0.5)
+              PqIndex.searchRerank(encoded, corpus, "vec_id", "embedding",
+                qv, cb, topK = 11)
+            else ivfFb.searchFlatL2(spark, qv, topK = 11, nProbe = 5))
+            .select($"id").as[Long].collect().toSeq
+        }
+      }
+      emit("pq_guarded", s""""m":$pqM,"ks":$pqKs""", recall(truthL2, gByQ),
+        pqBuildSec + fbBuildSec, gSec,
+        f""","probe_fidelity":$pqFidelity%.3f,""" +
+          s""""fallback_engaged":${pqFidelity < 0.5}""")
+      ivfFb.close()
       encoded.unpersist()
 
       // ---- IVF-PQ: shipped default (kCoarse=8, nProbe=3) + scaled coarse
@@ -171,6 +196,35 @@ object AnnRecallProbe {
         }
         emit("ivfpq", s""""kCoarse":$kc,"m":8,"ks":16,"nProbe":$nProbe""",
           recall(truthL2, byQ), bSec, sSec)
+        // guarded path: probe residual-code fidelity, fall back to
+        // IVF-flat (coarse pruning + exact L2) — the shipped query default
+        if (kc == 8) {
+          val sample = PqIndex.collectSample(corpus, "vec_id", "embedding", 2000)
+          val clusters = ivfpq.encoded
+            .filter($"id".isin(sample.map(_._1).toSeq: _*))
+            .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+          val cents = ivfpq.coarse.toMap
+          val resSample = sample.flatMap { case (id, v) =>
+            clusters.get(id).flatMap(cents.get).map { c =>
+              id -> Array.tabulate(v.length)(i => v(i) - c(i)) }
+          }
+          val fidelity = PqIndex.sampledRecall(resSample, ivfpq.cb)
+          val gQ = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+          val (_, gsSec) = timed {
+            queries.foreach { case (qid, qv) =>
+              gQ(qid) =
+                (if (fidelity >= 0.5) ivfpq.search(qv, topK = 11, nProbe = nProbe)
+                else ivfpq.searchFlat(corpus, "vec_id", "embedding", qv,
+                  topK = 11, nProbe = nProbe))
+                .select($"id").as[Long].collect().toSeq
+            }
+          }
+          emit("ivfpq_guarded",
+            s""""kCoarse":$kc,"m":8,"ks":16,"nProbe":$nProbe""",
+            recall(truthL2, gQ), bSec, gsSec,
+            f""","probe_fidelity":$fidelity%.3f,""" +
+              s""""fallback_engaged":${fidelity < 0.5}""")
+        }
         ivfpq.close()
       }
 

@@ -81,4 +81,54 @@ class IvfPqSpec extends SparkSpec {
       assert(pruned >= 0.15, f"pruned recall collapsed: $pruned%.2f")
     } finally idx.close()
   }
+
+  test("r8 guard: residual-code probe fails on near-uniform vectors and searchFlat clears recall 0.5") {
+    val uni = spark.range(0, 2000)
+      .select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63), j ->
+                 cast(pmod(xxhash64(id * 64 + j), 2000001) / 1000000.0 - 1.0
+                   as float))""").as("embedding"))
+      .persist()
+    val idx = IvfPq.build(spark, uni, "vec_id", "embedding", kCoarse = 8,
+      m = 8, ks = 16, iterations = 4)
+    try {
+      // residual sample: what the shipped ann_ivfpq_topk query probes
+      val sample = graft.functions.PqIndex.collectSample(
+        uni, "vec_id", "embedding", 2000)
+      val clusters = idx.encoded
+        .filter(col("id").isin(sample.map(_._1).toSeq: _*))
+        .select(col("id"), col("cluster")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val cents = idx.coarse.toMap
+      val resSample = sample.flatMap { case (id, v) =>
+        clusters.get(id).flatMap(cents.get).map { c =>
+          id -> Array.tabulate(v.length)(i => v(i) - c(i)) }
+      }
+      val fid = graft.functions.PqIndex.sampledRecall(resSample, idx.cb)
+      info(f"residual-code probe fidelity on 2000 uniform vectors: $fid%.3f")
+      assert(fid < 0.5, f"probe should fail on uniform data, got $fid%.2f")
+
+      val queries = uni.filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val recalls = queries.map { case (qid, q) =>
+        val truth = uni.filter(col("vec_id") =!= qid)
+          .select(col("vec_id"),
+            aggregate(zip_with(col("embedding"), typedlit(q),
+              (x, y) => (x.cast("double") - y.cast("double")) *
+                (x.cast("double") - y.cast("double"))),
+              lit(0.0), (a, x) => a + x).as("d"))
+          .orderBy(col("d").asc, col("vec_id")).limit(10)
+          .collect().map(_.getLong(0)).toSet
+        val got = idx.searchFlat(uni, "vec_id", "embedding", q,
+            topK = 11, nProbe = 3)
+          .filter(col("id") =!= qid).limit(10)
+          .collect().map(_.getLong(0)).toSet
+        (truth & got).size.toDouble / 10
+      }
+      val mean = recalls.sum / recalls.length
+      info(f"searchFlat fallback recall@10 (nProbe=3 of 8): $mean%.2f")
+      assert(mean >= 0.5, f"fallback recall below the r8 gate: $mean%.2f")
+    } finally { idx.close(); uni.unpersist(); () }
+  }
 }

@@ -138,4 +138,71 @@ class PqSpec extends SparkSpec {
     // exact re-rank should recover most of the true top-10
     assert(mean >= 0.7, f"rerank recall too low: $mean%.2f")
   }
+
+  // ---- the r8 default guard: sampledRecall separates corpora PQ codes can
+  // rank from corpora they can't, and the IVF-flat fallback clears the 0.5
+  // recall floor exactly where ADC collapses (verdict r7 #2).
+  private def uniformCorpus(n: Int) = spark.range(0, n)
+    .select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), j ->
+               cast(pmod(xxhash64(id * 64 + j), 2000001) / 1000000.0 - 1.0
+                 as float))""").as("embedding"))
+
+  test("fidelity probe FAILS on near-uniform vectors and the IVF-flat fallback clears recall 0.5") {
+    val uni = uniformCorpus(2000).persist()
+    try {
+      val cb = PqIndex.train(spark, uni, "vec_id", "embedding", m = 8,
+        ks = 16, iterations = 4)
+      val sample = PqIndex.collectSample(uni, "vec_id", "embedding", 2000)
+      val fid = PqIndex.sampledRecall(sample, cb)
+      info(f"probe fidelity on 2000 uniform vectors: $fid%.3f")
+      assert(fid < 0.5, f"probe should fail on uniform data, got $fid%.2f")
+
+      // the fallback the query takes: IVF-flat (L2 probes + exact L2)
+      val ivf = graft.functions.IvfIndex.build(spark, uni, "vec_id",
+        "embedding", k = 8, iterations = 5)
+      try {
+        val queries = uni.filter(col("vec_id") < 5)
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        val recalls = queries.map { case (qid, q) =>
+          val truth = uni.filter(col("vec_id") =!= qid)
+            .select(col("vec_id"),
+              aggregate(zip_with(col("embedding"), typedlit(q),
+                (x, y) => (x.cast("double") - y.cast("double")) *
+                  (x.cast("double") - y.cast("double"))),
+                lit(0.0), (a, x) => a + x).as("d"))
+            .orderBy(col("d").asc, col("vec_id")).limit(10)
+            .collect().map(_.getLong(0)).toSet
+          val got = ivf.searchFlatL2(spark, q, topK = 11, nProbe = 5)
+            .filter(col("id") =!= qid).limit(10)
+            .collect().map(_.getLong(0)).toSet
+          (truth & got).size.toDouble / 10
+        }
+        val mean = recalls.sum / recalls.length
+        info(f"IVF-flat fallback recall@10 on the probe-failing corpus: $mean%.2f")
+        assert(mean >= 0.5, f"fallback recall below the r8 gate: $mean%.2f")
+      } finally ivf.close()
+    } finally uni.unpersist()
+  }
+
+  test("fidelity probe PASSES where codes rank exactly (discrete per-subspace patterns)") {
+    // each 8-dim subvector is one of 16 discrete patterns → k-means(ks=16)
+    // recovers them with zero quantization error → ADC distance IS the
+    // exact distance and the probe must report (near-)perfect fidelity
+    val clustered = spark.range(0, 2000)
+      .select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63), j ->
+                 cast(pmod(xxhash64(pmod(xxhash64(id * 8 + cast(j / 8 as long)), 16)
+                       * 64 + j), 1001) / 100.0 as float))""").as("embedding"))
+      .persist()
+    try {
+      val cb = PqIndex.train(spark, clustered, "vec_id", "embedding", m = 8,
+        ks = 16, iterations = 4)
+      val sample = PqIndex.collectSample(clustered, "vec_id", "embedding", 2000)
+      val fid = PqIndex.sampledRecall(sample, cb)
+      info(f"probe fidelity on the discrete-pattern corpus: $fid%.3f")
+      assert(fid >= 0.5, f"probe should pass on code-rankable data, got $fid%.2f")
+    } finally clustered.unpersist()
+  }
 }

@@ -1,0 +1,269 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.HttpIngestServer
+
+/** [EXT] Seeded model-based fuzz over the task-API control plane (verdict
+  * r7 #4): r7's 51 hand-found review findings all lived in
+  * HttpIngest/SegmentStore/task code while the QUERY surface's fuzz found
+  * its bugs automatically — this suite closes that asymmetry.
+  *
+  * Each sequence targets a fresh dataSource on ONE long-lived server and
+  * interleaves, from a seeded RNG: index (replace) × legacy-parser /
+  * modern-layout specs, appends, whole-chunk kills, plain compactions,
+  * MALFORMED task documents (truncated JSON, traversal dataSource names,
+  * missing fields, unknown targets, bad partitionsSpec), and CONCURRENT
+  * append pairs. A driver-side model tracks the expected
+  * (day, etype) → (cnt, total) table; after every kill / concurrent pair
+  * and at every sequence end the store is re-read through the public SQL
+  * endpoint and must equal the model exactly — no lost rows, no
+  * resurrected segments, and malformed documents must change NOTHING.
+  * Batch-id monotonicity (the r7 reused-batch-id overwrite fix) is
+  * asserted from the store layout after every append.
+  *
+  * Reproduce a failure with GRAFT_FUZZ_SEED=<seed printed in the report>.
+  */
+class TaskApiFuzzSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+  private def get(port: Int, path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(s"http://127.0.0.1:$port$path")).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+
+  private val days = Seq("2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04")
+  private val etypes = Seq("a", "b", "c")
+
+  /** (dayIdx, etype, value) rows rendered as inline CSV. */
+  private def rowsCsv(rows: Seq[(Int, String, Int)]): String =
+    rows.map { case (d, e, v) =>
+      s"${days(d)} 0${1 + v % 5}:00:00,$e,$v.0" }.mkString("\\n")
+
+  /** Modern (top-level timestampSpec) or legacy (parser.parseSpec) task
+    * document — both must drive the same pipeline. */
+  private def indexDoc(ds: String, append: Boolean, legacy: Boolean,
+      csv: String): String = {
+    val schemaCore =
+      if (legacy)
+        s""""parser": {"parseSpec": {
+              "timestampSpec": {"column": "ts", "format": "auto"},
+              "dimensionsSpec": {"dimensions": ["etype"]}}},"""
+      else
+        s""""timestampSpec": {"column": "ts", "format": "auto"},
+            "dimensionsSpec": {"dimensions": ["etype"]},"""
+    s"""{"type": "index_parallel", "spec": {
+         "dataSchema": {"dataSource": "$ds",
+           $schemaCore
+           "metricsSpec": [{"type": "count", "name": "cnt"},
+             {"type": "doubleSum", "name": "total", "fieldName": "value"}],
+           "granularitySpec": {"segmentGranularity": "DAY",
+                               "queryGranularity": "DAY"}},
+         "ioConfig": {"type": "index_parallel",
+           "inputSource": {"type": "inline", "data": "$csv"},
+           "inputFormat": {"type": "csv", "columns": ["ts", "etype", "value"]},
+           "appendToExisting": $append}}}"""
+  }
+
+  private def submit(port: Int, doc: String): (Int, String, Option[String]) = {
+    val (c, b) = post(port, "/druid/indexer/v1/task", doc)
+    val id = "index_graft_[0-9a-f]+".r.findFirstIn(b)
+    (c, b, id)
+  }
+  private def status(port: Int, id: String): String = {
+    val (c, b) = get(port, s"/druid/indexer/v1/task/$id/status")
+    assert(c == 200, b)
+    val st = mapper.readTree(b).get("status")
+    st.get("status").asText
+  }
+
+  /** Store contents via the public SQL surface, keyed like the model. */
+  private def observed(port: Int, ds: String): Map[(String, String), (Long, Double)] = {
+    val (c, b) = post(port, "/druid/v2/sql",
+      s"""{"query": "SELECT TIME_FORMAT(__time, 'yyyy-MM-dd') AS d, etype, SUM(cnt) AS n, SUM(total) AS t FROM $ds GROUP BY 1, 2 ORDER BY 1, 2"}""")
+    assert(c == 200, s"query over $ds failed: $b")
+    mapper.readTree(b).elements.asScala.map { r =>
+      (r.get("d").asText.take(10), r.get("etype").asText) ->
+        (r.get("n").asLong, r.get("t").asDouble)
+    }.toMap
+  }
+
+  /** Max __batch_id and the (segment dir, batch id) pairs in the partials
+    * layout; empty after a compaction finalizes the files. */
+  private def batchIds(dir: String): Set[(String, Long)] = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return Set.empty
+    Files.list(root).iterator.asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("segment="))
+      .flatMap { seg =>
+        Files.list(seg).iterator.asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("__batch_id="))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix("__batch_id=").toLong).toOption)
+          .map(seg.getFileName.toString -> _)
+      }.toSet
+  }
+
+  test("200 seeded task sequences: model equivalence, no resurrection, batch-id monotonicity, malformed-doc no-ops") {
+    spark.version // force session init before server threads need it
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(8152026L)
+    info(s"GRAFT_FUZZ_SEED=$seed")
+    val rnd = new scala.util.Random(seed)
+    val tmp = Files.createTempDirectory("graft-taskfuzz").toString
+    Files.createDirectories(Paths.get(s"$tmp/spool"))
+    val server = new HttpIngestServer(s"$tmp/spool",
+      indexTaskRoot = Some(s"$tmp/tasks"))
+    val port = server.start()
+    try {
+      val nSeq = sys.env.get("GRAFT_FUZZ_SEQUENCES").map(_.toInt).getOrElse(200)
+      var malformedRuns = 0
+      for (i <- 0 until nSeq) {
+        val ds = s"fz_$i"
+        val model = scala.collection.mutable.Map
+          .empty[(String, String), (Long, Double)]
+        def addRows(rows: Seq[(Int, String, Int)]): Unit = rows.foreach {
+          case (d, e, v) =>
+            val k = (days(d), e)
+            val (c0, t0) = model.getOrElse(k, (0L, 0.0))
+            model(k) = (c0 + 1, t0 + v)
+        }
+        def genRows(n: Int): Seq[(Int, String, Int)] = Seq.fill(n)(
+          (rnd.nextInt(days.length), etypes(rnd.nextInt(etypes.length)),
+            1 + rnd.nextInt(9)))
+
+        // op 1 is always a valid REPLACE seeding every day, so the store
+        // exists and later kills can never empty it completely
+        val seedRows = days.indices.map(d =>
+          (d, etypes(rnd.nextInt(etypes.length)), 1 + rnd.nextInt(9))) ++
+          genRows(2)
+        val (c0, b0, id0) = submit(port,
+          indexDoc(ds, append = false, legacy = rnd.nextBoolean(),
+            rowsCsv(seedRows)))
+        assert(c0 == 200 && id0.isDefined, b0)
+        assert(status(port, id0.get) == "SUCCESS", s"$ds seed ingest failed")
+        addRows(seedRows)
+        var seenBatches = batchIds(s"$tmp/tasks/$ds")
+        var maxBatch: Option[Long] =
+          if (seenBatches.isEmpty) None else Some(seenBatches.map(_._2).max)
+
+        def check(context: String): Unit = {
+          val obs = observed(port, ds)
+          val exp = model.toMap
+          assert(obs == exp,
+            s"[$context seq=$i ds=$ds seed=$seed]\n expected: ${exp.toSeq.sorted}\n observed: ${obs.toSeq.sorted}")
+        }
+
+        val nOps = 2 + rnd.nextInt(2)
+        for (_ <- 0 until nOps) rnd.nextInt(100) match {
+          case r if r < 35 => // append
+            val rows = genRows(1 + rnd.nextInt(3))
+            val (c, b, id) = submit(port,
+              indexDoc(ds, append = true, legacy = rnd.nextBoolean(),
+                rowsCsv(rows)))
+            assert(c == 200 && id.isDefined, b)
+            assert(status(port, id.get) == "SUCCESS", s"$ds append failed: $b")
+            addRows(rows)
+            val now = batchIds(s"$tmp/tasks/$ds")
+            if (now.nonEmpty) {
+              val newMax = now.map(_._2).max
+              // monotonic: a reused batch id would dynamic-overwrite a
+              // prior append's rows in every shared segment (r7 finding)
+              maxBatch.foreach(m => assert(newMax > m,
+                s"batch id not monotonic: $newMax after $m (seq=$i seed=$seed)"))
+              // prior partials survive an append untouched
+              assert(seenBatches.subsetOf(now),
+                s"append dropped partials: ${seenBatches -- now} (seq=$i seed=$seed)")
+              maxBatch = Some(newMax); seenBatches = now
+            }
+          case r if r < 50 => // kill days [0, 1+rnd(2)) — days 3/4 survive
+            val hi = 1 + rnd.nextInt(2)
+            val (c, b, id) = submit(port,
+              s"""{"type": "kill", "dataSource": "$ds",
+                   "interval": "${days(0)}T00:00:00/${days(hi)}T00:00:00"}""")
+            assert(c == 200 && id.isDefined, b)
+            assert(status(port, id.get) == "SUCCESS", s"$ds kill failed: $b")
+            val killed = days.take(hi).toSet
+            killed.foreach(d => etypes.foreach(e => model.remove((d, e))))
+            seenBatches = batchIds(s"$tmp/tasks/$ds")
+            maxBatch =
+              if (seenBatches.isEmpty) None else Some(seenBatches.map(_._2).max)
+            check("after kill")
+          case r if r < 65 => // plain compaction: model-invariant
+            val (c, b, id) = submit(port,
+              s"""{"type": "compact", "dataSource": "$ds"}""")
+            assert(c == 200 && id.isDefined, b)
+            assert(status(port, id.get) == "SUCCESS", s"$ds compact failed: $b")
+            seenBatches = batchIds(s"$tmp/tasks/$ds")
+            maxBatch =
+              if (seenBatches.isEmpty) None else Some(seenBatches.map(_._2).max)
+          case r if r < 85 => // malformed document: MUST change nothing
+            malformedRuns += 1
+            val doc = rnd.nextInt(8) match {
+              case 0 => indexDoc(ds, append = true, legacy = false,
+                rowsCsv(genRows(1))).dropRight(10) // truncated JSON
+              case 1 => s"""{"type": "wipe_all", "dataSource": "$ds"}"""
+              case 2 => indexDoc("../../etc", append = false, legacy = false,
+                rowsCsv(genRows(1))) // traversal dataSource
+              case 3 => s"""{"type": "kill", "dataSource": "$ds"}"""
+              case 4 => s"""{"type": "kill", "dataSource": "no_such_ds_$i",
+                             "interval": "2024-03-01T00:00:00/2024-03-02T00:00:00"}"""
+              case 5 => s"""{"type": "compact", "dataSource": "no_such_ds_$i"}"""
+              case 6 => s"""{"type": "index_parallel", "spec": {
+                             "dataSchema": {"dataSource": "$ds"}}}"""
+              case 7 => s"""{"type": "compact", "dataSource": "$ds",
+                             "tuningConfig": {"partitionsSpec": {
+                               "type": "hashed",
+                               "partitionDimensions": ["etype"]}}}"""
+            }
+            val (c, _, id) = submit(port, doc)
+            // either rejected at the door or surfaced as a FAILED task —
+            // never SUCCESS, and never a store mutation (check() enforces)
+            if (c == 200 && id.isDefined)
+              assert(status(port, id.get) == "FAILED",
+                s"malformed doc reported SUCCESS (seq=$i seed=$seed): $doc")
+          case _ => // concurrent append pair: commutative, both must land
+            val rowsA = genRows(1 + rnd.nextInt(2))
+            val rowsB = genRows(1 + rnd.nextInt(2))
+            val docA = indexDoc(ds, append = true, legacy = false, rowsCsv(rowsA))
+            val docB = indexDoc(ds, append = true, legacy = true, rowsCsv(rowsB))
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+            try {
+              val fa = pool.submit(new java.util.concurrent.Callable[(Int, String, Option[String])] {
+                def call() = submit(port, docA) })
+              val fb = pool.submit(new java.util.concurrent.Callable[(Int, String, Option[String])] {
+                def call() = submit(port, docB) })
+              val (ca, ba, ia) = fa.get()
+              val (cb2, bb, ib) = fb.get()
+              assert(ca == 200 && ia.isDefined, ba)
+              assert(cb2 == 200 && ib.isDefined, bb)
+              assert(status(port, ia.get) == "SUCCESS", s"conc A failed: $ba")
+              assert(status(port, ib.get) == "SUCCESS", s"conc B failed: $bb")
+            } finally pool.shutdown()
+            addRows(rowsA); addRows(rowsB)
+            seenBatches = batchIds(s"$tmp/tasks/$ds")
+            maxBatch =
+              if (seenBatches.isEmpty) None else Some(seenBatches.map(_._2).max)
+            check("after concurrent pair")
+        }
+        check("sequence end")
+      }
+      info(s"$nSeq sequences fuzzed ($malformedRuns malformed docs), all invariants held")
+    } finally server.stop()
+  }
+}
