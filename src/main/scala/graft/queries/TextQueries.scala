@@ -799,14 +799,52 @@ object TextQueries {
     // integer arithmetic (dup·5 ≥ n) — no float threshold ambiguity.
     QueryDef("dup_passage_stats", (s, dir) => {
       val docs = Tables.t(s, dir, "documents")
-      val grams = docs.select(col("doc_id"),
-        explode(graft.functions.MinHash.strictShingles(col("text"), 5)).as("gram"))
-      val byGram = grams.groupBy(col("gram"))
-        .agg(count_distinct(col("doc_id")).as("ndocs"))
-      val per = grams.join(byGram, Seq("gram"))
+      // r8 rewrite, found when the noop-forced harness exposed the old
+      // shape at 298 s / ×100 (count() timing had optimizer-pruned it to
+      // ~0 in every earlier bench): the old plan ran count_distinct per
+      // gram (an Expand + two aggs over corpus-position STRING rows) and
+      // then re-shuffled the full position table to join ndocs back on the
+      // ~60 B gram string. Now: (1) the gram string never rides a shuffle —
+      // xxhash64 keys it immediately (engine-internal key; the oracle twin
+      // groups the strings, identical output absent ~n²/2⁶⁴ collisions —
+      // the line_dedup_stats r7 precedent); (2) ONE corpus shuffle
+      // pre-aggregates positions to distinct (doc_id, gh) with the
+      // per-doc occurrence count; (3) ndocs is a plain count over those
+      // already-distinct rows (no Expand), map-side-combining down to the
+      // distinct-gram table, which joins back AQE-broadcastable on
+      // dup-heavy corpora; (4) the per-doc agg runs over distinct
+      // (doc, gram) rows, not positions. ×100: 298 s → see SCALE_r8.
+      // grams NEVER materialize as strings: strictShingles is a HOF
+      // (transform+slice+concat_ws) whose lambdas run INTERPRETED — at
+      // ×100 that is 27M interpreted sub-array copies + 60 B string
+      // builds before the hash. Instead: codegen'd posexplode over
+      // positions + ONE chained xxhash64 of the 5 words (key-equivalent
+      // to hashing the joined gram: equal iff the 5 words are equal,
+      // modulo 2⁻⁶⁴ chain collisions).
+      val toksDp = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+      val grams = toksDp.filter(col("n") >= 5)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), col("n") - 4)).as("i"))
+        .select(col("doc_id"), xxhash64(
+          element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1),
+          element_at(col("w"), col("i") + 2),
+          element_at(col("w"), col("i") + 3),
+          element_at(col("w"), col("i") + 4)).as("gh"))
+      // cached for ONE materialization: perDocGram feeds byGram AND the
+      // join — uncached, the corpus explode+shuffle subtree runs twice
+      // (AQE does not reuse exchanges across branches; measured +85 s
+      // at ×100)
+      graft.pipeline.CacheScope.withCached(
+        grams.groupBy(col("doc_id"), col("gh")).agg(count(lit(1)).as("c"))
+      ) { perDocGram =>
+      val byGram = perDocGram.groupBy(col("gh"))
+        .agg(count(lit(1)).as("ndocs"))
+      val per = perDocGram.join(byGram, Seq("gh"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+        .agg(sum(col("c")).as("n_grams"),
+          sum(when(col("ndocs") >= 2, col("c")).otherwise(0L)).as("dup_grams"))
       docs.select(col("doc_id"))
         .join(per, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -815,6 +853,7 @@ object TextQueries {
           round(col("dup_grams").cast("double") / col("n_grams"), 6).as("dup_frac"),
           when(col("dup_grams") * 5 >= col("n_grams"), 1).otherwise(0)
             .cast("int").as("flagged"))
+      }
     },
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
                        FROM documents),
@@ -858,12 +897,25 @@ object TextQueries {
       val docs = Tables.t(s, dir, "documents")
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
         .withColumn("n", size(col("l")).cast("long"))
+      // 100 TB shape, now wired (verdict r7 #5): with
+      // spark.graft.spanDedup.hashGramKey=true the ~10-word gram STRING
+      // (~60 B) never exists — the key is ONE chained xxhash64 over the
+      // W words (codegen'd element_at chain, key-equivalent to hashing
+      // the joined gram), so the dominant gram-keyed shuffle's rows
+      // shrink to (doc_id, pos, long). Collision odds ~n²/2⁶⁴ over gram
+      // positions; the string default keeps the DuckDB oracle twin
+      // exact. A/B measured in SCALE_r8.
+      val hashedKey = s.conf.getOption("spark.graft.spanDedup.hashGramKey")
+        .contains("true")
+      def spanGramKey = if (hashedKey)
+          xxhash64((1 to W).map(k =>
+            element_at(col("l"), (col("pos") + k).cast("int"))): _*)
+        else array_join(slice(col("l"), (col("pos") + 1).cast("int"), lit(W)), " ")
       val grams = toks.filter(col("n") >= W)
         .select(col("doc_id"), col("l"),
           explode(sequence(lit(0L), col("n") - W)).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          array_join(slice(col("l"), (col("pos") + 1).cast("int"), lit(W)), " ").as("g"))
-      val byGram = Window.partitionBy(col("g"))
+        .select(col("doc_id"), col("pos"), spanGramKey.as("gk"))
+      val byGram = Window.partitionBy(col("gk"))
       val ranked = grams
         .withColumn("rn", row_number().over(byGram.orderBy(col("doc_id"), col("pos"))))
         .withColumn("occ", count(lit(1)).over(byGram))
@@ -946,12 +998,19 @@ object TextQueries {
       val docs = Tables.t(s, dir, "documents")
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
         .withColumn("n", size(col("l")).cast("long"))
+      // same hashed-gram-key scale flag as span_dedup_stats (verdict r7
+      // #5): chained xxhash64 over the W words, no gram string built
+      val hashedKey = s.conf.getOption("spark.graft.spanDedup.hashGramKey")
+        .contains("true")
+      def spanGramKey = if (hashedKey)
+          xxhash64((1 to W).map(k =>
+            element_at(col("l"), (col("pos") + k).cast("int"))): _*)
+        else array_join(slice(col("l"), (col("pos") + 1).cast("int"), lit(W)), " ")
       val grams = toks.filter(col("n") >= W)
         .select(col("doc_id"), col("l"),
           explode(sequence(lit(0L), col("n") - W)).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          array_join(slice(col("l"), (col("pos") + 1).cast("int"), lit(W)), " ").as("g"))
-      val byGram = Window.partitionBy(col("g"))
+        .select(col("doc_id"), col("pos"), spanGramKey.as("gk"))
+      val byGram = Window.partitionBy(col("gk"))
       val covered = grams
         .withColumn("rn", row_number().over(byGram.orderBy(col("doc_id"), col("pos"))))
         .withColumn("occ", count(lit(1)).over(byGram))
@@ -1337,12 +1396,31 @@ object TextQueries {
       // count joins. No pre-dedupe of pairs: when the score table
       // broadcasts (the common case — measured), a (doc, w1, w2)
       // pre-aggregation is a pure-overhead extra corpus shuffle.
-      val bs = cb.join(ch, Seq("w1")).join(cu, Seq("w2"))
+      val bs0 = cb.join(ch, Seq("w1")).join(cu, Seq("w2"))
         .crossJoin(broadcast(nb))
         .select(col("w1"), col("w2"),
           log(lit(0.7) * col("cb").cast("double") / col("ch") +
             lit(0.3) * col("cu").cast("double") / col("nb")).as("term"))
-      pairs.join(bs, Seq("w1", "w2"))
+      // spark.graft.bigram.hashJoinKey=true (the ×100 lever, verdict r7
+      // #6): the SECOND corpus explode emits xxhash64(w1, w2) longs
+      // instead of two-string structs — slimmer rows through the explode
+      // AND an 8-byte join key against the (hashed) score table. Output-
+      // identical modulo 64-bit hash collisions between distinct bigrams
+      // (~vocab⁴/2⁶⁴ odds); the string default keeps the oracle exact.
+      // A/B measured in SCALE_r8.
+      if (s.conf.getOption("spark.graft.bigram.hashJoinKey").contains("true")) {
+        val bs = bs0.select(xxhash64(col("w1"), col("w2")).as("bk"), col("term"))
+        toks.select(col("doc_id"),
+            explode(zip_with(
+              slice(col("t"), lit(1), col("n") - 1),
+              slice(col("t"), lit(2), col("n") - 1),
+              (x, y) => xxhash64(x, y))).as("bk"))
+          .join(bs, Seq("bk"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(col("term")), 5).as("mean_logprob"))
+      } else
+      pairs.join(bs0, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(col("term")), 5).as("mean_logprob"))

@@ -406,11 +406,15 @@ object BenchCompare {
     }
     val selected = variants.filter { case (n, _) => only.forall(_(n)) }
     require(selected.nonEmpty, s"no variant matches $only")
-    selected.foreach { case (name, f) => resetConf(); f().count() } // warm-up
+    // noop-sink forcing, same rationale as Bench: count() lets the
+    // optimizer drop unreferenced join/window branches entirely
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    selected.foreach { case (name, f) => resetConf(); force(f()) } // warm-up
     selected.foreach { case (name, f) =>
       resetConf()
       val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f().count(); (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime(); force(f()); (System.nanoTime() - t0) / 1e9
       }
       println(f"""{"variant":"$name","best_sec":${times.min}%.3f,"runs":${times.map(t => f"$t%.3f").mkString("[", ",", "]")}}""")
     }

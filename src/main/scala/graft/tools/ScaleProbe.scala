@@ -28,6 +28,27 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // A/B lever: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" sets session confs (e.g.
+    // spark.graft.spanDedup.hashGramKey=true for the SCALE_r8 gram-key A/B)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
+
+    // per-query shuffle-write accounting: TASK-level metrics accumulated by
+    // a listener (stage-level StageInfo.taskMetrics proved unreliable —
+    // measured ~0 for real shuffles), snapshotted around each timed run
+    // (warm-ups excluded)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
 
     // replicate facts with key remapping so join fan-outs stay realistic;
     // dims stay as-is (they'd be broadcast at any scale)
@@ -42,6 +63,11 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
     val t0 = System.nanoTime()
+    // A/B reruns over the same replicated corpus skip the (dominant)
+    // generation cost: SPARK_GRAFT_SKIP_GEN=1 + an existing dir reuses it
+    val skipGen = sys.env.get("SPARK_GRAFT_SKIP_GEN").contains("1") &&
+      new java.io.File(s"$out/documents.parquet").exists()
+    if (!skipGen) {
     replicate("lineitem", Seq("l_orderkey"))
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("customer", Seq("c_custkey"))
@@ -53,6 +79,7 @@ object ScaleProbe {
       graft.queries.Tables.t(spark, baseSf, t)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    }
     val genSec = (System.nanoTime() - t0) / 1e9
 
     // 3rd arg: comma-separated query names (default: the bench headliners)
@@ -62,16 +89,25 @@ object ScaleProbe {
         graft.SparkEntry.registry.filter(q => want(q.name))
       case scala.None => graft.SparkEntry.headlines
     }
-    qs.foreach(q => try q.run(spark, out).count() catch { case _: Throwable => () })
+    // noop-sink forcing, same rationale as Bench: count() lets the
+    // optimizer drop unreferenced join/window branches entirely
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    qs.foreach(q => try force(q.run(spark, out)) catch { case _: Throwable => () })
     val results = qs.map { q =>
       val s0 = System.nanoTime()
-      val ok = try { q.run(spark, out).count(); true }
+      val sb0 = shuffleBytes.get()
+      val ok = try { force(q.run(spark, out)); true }
                catch { case e: Throwable =>
                  System.err.println(s"[scale] ${q.name} FAILED: ${e.getMessage}"); false }
-      q.name -> (if (ok) (System.nanoTime() - s0) / 1e9 else -1.0)
+      // listener events drain async — small grace so the last stages land
+      Thread.sleep(200)
+      val sb = shuffleBytes.get() - sb0
+      q.name -> (if (ok) (System.nanoTime() - s0) / 1e9 else -1.0, sb)
     }
-    val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(f"""{"scale_x":$n,"gen_sec":$genSec%.1f,"total_sec":${results.map(_._2).sum}%.3f,"queries":$qJson}""")
+    val qJson = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val sJson = results.map { case (k, (_, sb)) => "\"" + k + s"""\":$sb""" }.mkString("{", ",", "}")
+    println(f"""{"scale_x":$n,"gen_sec":$genSec%.1f,"total_sec":${results.map(_._2._1).sum}%.3f,"queries":$qJson,"shuffle_write_bytes":$sJson}""")
     spark.stop()
   }
 }

@@ -983,4 +983,69 @@ class DruidSqlSpec extends SparkSpec {
         Map.empty, spark).collect()
     }.getMessage.toLowerCase.contains("missing"))
   }
+
+  test("OVERWRITE WHERE crash recovery: a published journal rolls forward " +
+      "at the next ingest; unjournaled staging is discarded") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val root = java.nio.file.Files.createTempDirectory("graft-owcrash").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    DruidSql.ingest(
+      """INSERT INTO ds SELECT __time, event_type, value FROM events
+         PARTITIONED BY DAY""", Map("events" -> events), root)
+
+    // ---- manufacture the crash state of
+    //   REPLACE INTO ds OVERWRITE WHERE [Mar-01, Mar-02)
+    //     SELECT …, value * 2 … PARTITIONED BY DAY
+    // interrupted AFTER the journal published but BEFORE any rename:
+    // staging holds the doubled Mar-01 chunk, target is still intact.
+    DruidSql.ingest(
+      """INSERT INTO scratch_src
+         SELECT __time, event_type, value * 2 AS value FROM events
+         WHERE __time < TIMESTAMP '2024-03-02 00:00:00'
+         PARTITIONED BY DAY""", Map("events" -> events), root)
+    val segName = fs.listStatus(p(s"$root/scratch_src"))
+      .map(_.getPath.getName).find(_.startsWith("segment=")).get
+    fs.mkdirs(p(s"$root/.staging_where_ds"))
+    assert(fs.rename(p(s"$root/scratch_src/$segName"),
+      p(s"$root/.staging_where_ds/$segName")))
+    fs.delete(p(s"$root/scratch_src"), true)
+    val journal = s"staged $segName\ndoomed $segName"
+    val os = fs.create(p(s"$root/.journal_where_ds"), true)
+    os.write(journal.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    os.close()
+
+    // next ingest of ds (any statement) rolls the commit FORWARD first
+    DruidSql.ingest(
+      """INSERT INTO ds
+         SELECT __time, event_type, value FROM events
+         WHERE __time >= TIMESTAMP '2024-06-01 00:00:00'
+         PARTITIONED BY DAY""", Map("events" -> events), root)
+    val back = spark.read.parquet(s"$root/ds")
+    // Mar-01 rows are the DOUBLED staged set (1+2+4 → 14.0), not lost,
+    // not duplicated alongside the doomed originals
+    val mar1 = back.filter(col("__time").cast("timestamp") <
+        java.sql.Timestamp.valueOf("2024-03-02 00:00:00"))
+    assert(mar1.count() == 3, mar1.count())
+    assert(math.abs(mar1.agg(fsum(col("value"))).head.getDouble(0) - 14.0) < 1e-9)
+    // the other chunks are intact and the append landed (Jun-30 ×2 rows)
+    assert(back.count() == 6, back.count())
+    // commit artifacts fully cleaned
+    assert(!fs.exists(p(s"$root/.staging_where_ds")))
+    assert(!fs.exists(p(s"$root/.retired_where_ds")))
+    assert(!fs.exists(p(s"$root/.journal_where_ds")))
+
+    // ---- unjournaled staging (crash BEFORE the journal published) is
+    // discarded: the statement never started committing
+    fs.mkdirs(p(s"$root/.staging_where_ds/segment=junk"))
+    val before = back.count()
+    DruidSql.ingest(
+      """INSERT INTO ds
+         SELECT __time, event_type, value FROM events
+         WHERE __time >= TIMESTAMP '2024-06-01 00:00:00'
+         PARTITIONED BY DAY""", Map("events" -> events), root)
+    assert(!fs.exists(p(s"$root/.staging_where_ds")))
+    assert(spark.read.parquet(s"$root/ds").count() == before + 1)
+  }
 }

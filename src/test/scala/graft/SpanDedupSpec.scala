@@ -70,4 +70,15 @@ class SpanDedupSpec extends SparkSpec {
     assert(clean(5L) == Seq(20L, 20L, md5hex(words("q", 20))))
     assert(clean(6L) == Seq(20L, 0L, null))               // fully duplicated
   }
+
+  test("hashGramKey=true (the 100 TB shuffle-slim flag) is row-identical to the string key") {
+    val stats = TextQueries.all.find(_.name == "span_dedup_stats").get
+    val cleanQ = TextQueries.all.find(_.name == "span_dedup_clean").get
+    val plain = (byDoc(stats.run(spark, dir)), byDoc(cleanQ.run(spark, dir)))
+    spark.conf.set("spark.graft.spanDedup.hashGramKey", "true")
+    try {
+      val hashed = (byDoc(stats.run(spark, dir)), byDoc(cleanQ.run(spark, dir)))
+      assert(hashed == plain)
+    } finally spark.conf.unset("spark.graft.spanDedup.hashGramKey")
+  }
 }
