@@ -61,15 +61,10 @@ object Bench {
     val loadStart = loadStamp()
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val qs = SparkEntry.headlines
-    // FORCE through the noop sink, never count(): count() lets Catalyst
-    // ELIMINATE un-referenced plan branches — a left join whose right side
-    // aggregates on the join key is dropped wholesale (verified: the
-    // span-dedup count() plan contains NO Window and NO Join), and even a
-    // plain groupBy prunes its aggregate value expressions when only the
-    // row count is consumed. The noop sink consumes every column of every
-    // row, so the timed plan is the plan a real consumer pays for.
+    // FORCE through the noop sink, never count() — see graft.tools.Force
+    // (count() lets Catalyst eliminate un-referenced plan branches)
     def force(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
+      graft.tools.Force.noop(df)
     // warm-up: run every headline once untimed (JIT + codegen compile +
     // parquet footer cache) so the timed pass measures steady-state execution
     qs.foreach(q => try force(q.run(spark, sfDir)) catch { case _: Throwable => () })

@@ -42,30 +42,29 @@ final class IvfIndex private (
       .select(col("id"), col("cluster"), col("cos_sim"))
   }
 
-  /** Top-k EXACT-L2 search probing the nProbe L2-nearest clusters — the
-    * IVF-flat fallback target for the PQ query paths (verdict r7 #2),
-    * whose metric is L2², not cosine. Same pruning shape as [[search]];
-    * the scored candidates carry exact squared distances. */
+  /** Top-k EXACT-L2 search probing clusters near the query — the IVF-flat
+    * fallback target for the PQ query paths (verdict r7 #2), whose metric
+    * is L2², not cosine. Cluster MEMBERSHIP was assigned by cosine
+    * (direction), so on unnormalized corpora the L2-nearest centroids can
+    * miss the clusters that hold the L2-nearest members (review finding
+    * r8) — the probe set is therefore the UNION of the nProbe L2-nearest
+    * and the nProbe cosine-nearest centroids (≤ 2·nProbe clusters; both
+    * rankings are driver-side flops over k centroids). Scored candidates
+    * carry exact squared distances. */
   def searchFlatL2(spark: SparkSession, query: Array[Float], topK: Int,
       nProbe: Int): DataFrame = {
     GraftFunctions.register(spark)
     val q = query.map(_.toDouble)
-    def l2sq(c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(q.length, c.length)
-      while (i < n) { val d = q(i) - c(i); s += d * d; i += 1 }
-      s
-    }
-    val probes = centroids.map { case (cid, c) => (cid, l2sq(c)) }
+    val byL2 = centroids.map { case (cid, c) => (cid, VectorMath.l2sqLocal(q, c)) }
       .sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1)
+    val byCos = centroids
+      .map { case (cid, c) => (cid, IvfIndex.cosineLocal(q, c)) }
+      .sortBy { case (cid, sim) => (-sim, cid) }.take(nProbe).map(_._1)
+    val probes = (byL2 ++ byCos).distinct
     val qLit = typedlit(query)
     indexed
       .filter(col("cluster").isin(probes.toSeq: _*))
-      .withColumn("approx_dist", aggregate(
-        zip_with(col("vec"), qLit,
-          (x, y) => (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (a, x) => a + x))
+      .withColumn("approx_dist", VectorMath.l2sqCol(col("vec"), qLit))
       .orderBy(col("approx_dist").asc_nulls_last, col("id"))
       .limit(topK)
       .select(col("id"), col("cluster"),

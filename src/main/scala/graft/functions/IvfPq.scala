@@ -34,13 +34,7 @@ final case class IvfPqIndex(
     */
   def search(query: Array[Float], topK: Int, nProbe: Int): DataFrame = {
     val q = query.map(_.toDouble)
-    def l2sq(c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(q.length, c.length)
-      while (i < n) { val d = q(i) - c(i); s += d * d; i += 1 }
-      s
-    }
-    val probes = coarse.map { case (cid, c) => (cid, l2sq(c)) }
+    val probes = coarse.map { case (cid, c) => (cid, VectorMath.l2sqLocal(q, c)) }
       .sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1)
 
     // per-probed-cluster ADC tables on the query's residual
@@ -85,13 +79,7 @@ final case class IvfPqIndex(
   def searchFlat(vectors: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], topK: Int, nProbe: Int): DataFrame = {
     val q = query.map(_.toDouble)
-    def l2sq(c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(q.length, c.length)
-      while (i < n) { val d = q(i) - c(i); s += d * d; i += 1 }
-      s
-    }
-    val probes = coarse.map { case (cid, c) => (cid, l2sq(c)) }
+    val probes = coarse.map { case (cid, c) => (cid, VectorMath.l2sqLocal(q, c)) }
       .sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1)
     val qLit = typedlit(query)
     encoded
@@ -99,11 +87,7 @@ final case class IvfPqIndex(
       .select(col("id"), col("cluster"))
       .join(vectors.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("__v")), Seq("id"))
-      .withColumn("approx_dist", aggregate(
-        zip_with(col("__v"), qLit,
-          (x, y) => (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (a, x) => a + x))
+      .withColumn("approx_dist", VectorMath.l2sqCol(col("__v"), qLit))
       .orderBy(col("approx_dist").asc_nulls_last, col("id"))
       .limit(topK)
       .select(col("id"), col("cluster"),

@@ -158,11 +158,7 @@ object PqIndex {
     vectors
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
       .join(broadcast(shortlist), Seq("id"))
-      .withColumn("dist", aggregate(
-        zip_with(col("__v"), qLit,
-          (x, y) => (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (a, x) => a + x))
+      .withColumn("dist", VectorMath.l2sqCol(col("__v"), qLit))
       .orderBy(col("dist").asc_nulls_last, col("id"))
       .limit(topK)
       .select(col("id"), round(col("dist"), 6).as("dist"))
@@ -193,7 +189,13 @@ object PqIndex {
     * `nQueries` sample points as queries, stable tiebreaks. */
   def sampledRecall(sample: Array[(Long, Array[Double])], cb: PqCodebook,
       nQueries: Int = 8, topK: Int = 10): Double = {
-    if (sample.length <= topK) return 1.0
+    // fail CLOSED (review finding r8): no/too-little evidence must engage
+    // the exact-scoring fallback, not vouch for the codes — an empty
+    // sample (e.g. a stale cached index whose ids no longer join the
+    // corpus) returning 1.0 would re-open the exact footgun this probe
+    // exists to close. On genuinely tiny corpora the fallback is
+    // near-exact and cheap anyway.
+    if (sample.length <= 2 * topK) return 0.0
     // local encode: nearest code per subspace, first-min tiebreak (the
     // encode() expression's semantics)
     def encodeLocal(v: Array[Double]): Array[Int] = Array.tabulate(cb.m) { j =>
@@ -210,12 +212,6 @@ object PqIndex {
       best
     }
     val codes = sample.map { case (id, v) => (id, encodeLocal(v)) }
-    def l2sq(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
     val qs = sample.take(math.min(nQueries, sample.length))
     val hits = qs.map { case (qid, qv) =>
       val adcTable = Array.tabulate(cb.m) { j =>
@@ -229,7 +225,7 @@ object PqIndex {
         }
       }
       val exact = sample.iterator.filter(_._1 != qid)
-        .map { case (id, v) => (id, l2sq(qv, v)) }.toArray
+        .map { case (id, v) => (id, VectorMath.l2sqLocal(qv, v)) }.toArray
         .sortBy { case (id, d) => (d, id) }.take(topK).map(_._1).toSet
       val approx = codes.iterator.filter(_._1 != qid)
         .map { case (id, cs) =>

@@ -845,16 +845,28 @@ object DruidSql {
     * dir out of the store, (2) rename every staged segment dir in, (3)
     * delete retired + staging + journal. Every step skips already-done
     * work, so the SAME call both commits a live statement and rolls an
-    * interrupted one forward from its journal. */
+    * interrupted one forward from its journal.
+    *
+    * Roll-forward disambiguation (review finding r8): when a segment name
+    * is BOTH doomed and staged (the common re-ingest case), a dir at that
+    * name in the target is the OLD data only while its staged twin still
+    * sits in staging — once the staged rename ran, the target dir IS the
+    * new data and must not be re-retired (that would delete the freshly
+    * committed segment on recovery after a crash between the renames and
+    * the journal delete). Renames are atomic, so "staged twin present in
+    * staging" is an exact witness for "target dir not yet replaced". */
   private def commitWhere(fs: org.apache.hadoop.fs.FileSystem,
       tp: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
       retired: org.apache.hadoop.fs.Path,
       journal: org.apache.hadoop.fs.Path,
       staged: Seq[org.apache.hadoop.fs.Path],
       doomed: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    val stagedNames = staged.map(_.getName).toSet
     if (doomed.nonEmpty && !fs.exists(retired)) fs.mkdirs(retired)
     doomed.foreach { d =>
-      if (fs.exists(d))
+      val replacedAlready = stagedNames.contains(d.getName) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(staging, d.getName))
+      if (fs.exists(d) && !replacedAlready)
         require(fs.rename(d,
             new org.apache.hadoop.fs.Path(retired, d.getName)),
           s"failed to retire doomed segment dir $d")

@@ -39,6 +39,21 @@ object TextQueries {
         explode(graft.functions.GearChunks(col("text"), mask = 64)).as("chunk"))
   }
 
+  /** Span-dedup gram key over a tokens column `l` at position `pos`
+    * (shared by span_dedup_stats / span_dedup_clean — one definition,
+    * review finding r8). String form (oracle-exact) joins the W words;
+    * with spark.graft.spanDedup.hashGramKey=true the key is ONE chained
+    * codegen'd xxhash64 over the W element_at's — no gram string is ever
+    * built, the gram-keyed shuffle ships (doc_id, pos, long). Collision
+    * odds ~n²/2⁶⁴ over gram positions. */
+  private def spanGramKey(s: org.apache.spark.sql.SparkSession,
+      w: Int): org.apache.spark.sql.Column =
+    if (s.conf.getOption("spark.graft.spanDedup.hashGramKey")
+        .contains("true"))
+      xxhash64((1 to w).map(k =>
+        element_at(col("l"), (col("pos") + k).cast("int"))): _*)
+    else array_join(slice(col("l"), (col("pos") + 1).cast("int"), lit(w)), " ")
+
   val all: Seq[QueryDef] = Seq(
 
     // -- exact dedup: hash-groupBy, keep min id (events has real dups) ------
@@ -897,24 +912,13 @@ object TextQueries {
       val docs = Tables.t(s, dir, "documents")
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
         .withColumn("n", size(col("l")).cast("long"))
-      // 100 TB shape, now wired (verdict r7 #5): with
-      // spark.graft.spanDedup.hashGramKey=true the ~10-word gram STRING
-      // (~60 B) never exists — the key is ONE chained xxhash64 over the
-      // W words (codegen'd element_at chain, key-equivalent to hashing
-      // the joined gram), so the dominant gram-keyed shuffle's rows
-      // shrink to (doc_id, pos, long). Collision odds ~n²/2⁶⁴ over gram
-      // positions; the string default keeps the DuckDB oracle twin
-      // exact. A/B measured in SCALE_r8.
-      val hashedKey = s.conf.getOption("spark.graft.spanDedup.hashGramKey")
-        .contains("true")
-      def spanGramKey = if (hashedKey)
-          xxhash64((1 to W).map(k =>
-            element_at(col("l"), (col("pos") + k).cast("int"))): _*)
-        else array_join(slice(col("l"), (col("pos") + 1).cast("int"), lit(W)), " ")
+      // 100 TB shape, now wired (verdict r7 #5): see [[spanGramKey]] —
+      // hashGramKey=true ships longs, the string default keeps the DuckDB
+      // oracle twin exact. A/B measured in SCALE_r8.
       val grams = toks.filter(col("n") >= W)
         .select(col("doc_id"), col("l"),
           explode(sequence(lit(0L), col("n") - W)).as("pos"))
-        .select(col("doc_id"), col("pos"), spanGramKey.as("gk"))
+        .select(col("doc_id"), col("pos"), spanGramKey(s, W).as("gk"))
       val byGram = Window.partitionBy(col("gk"))
       val ranked = grams
         .withColumn("rn", row_number().over(byGram.orderBy(col("doc_id"), col("pos"))))
@@ -998,18 +1002,12 @@ object TextQueries {
       val docs = Tables.t(s, dir, "documents")
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
         .withColumn("n", size(col("l")).cast("long"))
-      // same hashed-gram-key scale flag as span_dedup_stats (verdict r7
-      // #5): chained xxhash64 over the W words, no gram string built
-      val hashedKey = s.conf.getOption("spark.graft.spanDedup.hashGramKey")
-        .contains("true")
-      def spanGramKey = if (hashedKey)
-          xxhash64((1 to W).map(k =>
-            element_at(col("l"), (col("pos") + k).cast("int"))): _*)
-        else array_join(slice(col("l"), (col("pos") + 1).cast("int"), lit(W)), " ")
+      // same hashed-gram-key scale flag as span_dedup_stats — see
+      // [[spanGramKey]]
       val grams = toks.filter(col("n") >= W)
         .select(col("doc_id"), col("l"),
           explode(sequence(lit(0L), col("n") - W)).as("pos"))
-        .select(col("doc_id"), col("pos"), spanGramKey.as("gk"))
+        .select(col("doc_id"), col("pos"), spanGramKey(s, W).as("gk"))
       val byGram = Window.partitionBy(col("gk"))
       val covered = grams
         .withColumn("rn", row_number().over(byGram.orderBy(col("doc_id"), col("pos"))))

@@ -93,6 +93,20 @@ object VectorQueries {
     s"${annCacheRoot(s)}/${kind}_$key"
   }
 
+  /** Memoized code-fidelity verdicts, keyed by the index cache path
+    * (review finding r8): the sampled-recall probe is deterministic per
+    * (corpus, codebook) — the same fingerprinted path key AnnIndexStore
+    * uses — so bench repeats / server invocations must not re-pay its
+    * corpus sample scan every call. Per-JVM memo; a corpus change rotates
+    * the path key (file names+sizes+mtimes), invalidating naturally. */
+  private val fidelityMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def memoFidelity(key: String)(compute: => Double): Double = {
+    val got = fidelityMemo.get(key)
+    if (got != null) got.doubleValue
+    else { val v = compute; fidelityMemo.put(key, v); v }
+  }
+
   /** Materialize a small (top-k) result as a LOCAL frame so the index
     * handle can close() (unpersist) before the caller acts on the result. */
   private def localize(s: org.apache.spark.sql.SparkSession,
@@ -398,9 +412,11 @@ object VectorQueries {
       try {
         val query = e.filter(col("vec_id") === 0)
           .select(col("embedding")).collect().head.getSeq[Float](0).toArray
-        val sample = graft.functions.PqIndex.collectSample(
-          e, "vec_id", "embedding", 2000)
-        val fidelity = graft.functions.PqIndex.sampledRecall(sample, handle.cb)
+        val fidelity = memoFidelity(path) {
+          val sample = graft.functions.PqIndex.collectSample(
+            e, "vec_id", "embedding", 2000)
+          graft.functions.PqIndex.sampledRecall(sample, handle.cb)
+        }
         if (fidelity >= 0.5)
           localize(s, graft.functions.PqIndex.searchRerank(
               handle.encoded.filter(col("id") =!= 0), e, "vec_id",
@@ -454,18 +470,20 @@ object VectorQueries {
         val query = e.filter(col("vec_id") === 0)
           .select(col("embedding")).collect().head.getSeq[Float](0).toArray
         // probe on residuals — the vectors the codes actually quantize
-        val sample = graft.functions.PqIndex.collectSample(
-          e, "vec_id", "embedding", 2000)
-        val clusters: Map[Long, Int] = idx.encoded
-          .filter(col("id").isin(sample.map(_._1).toSeq: _*))
-          .select(col("id"), col("cluster")).collect()
-          .map(r => r.getLong(0) -> r.getInt(1)).toMap
-        val cents = idx.coarse.toMap
-        val resSample = sample.flatMap { case (id, v) =>
-          clusters.get(id).flatMap(cents.get).map { c =>
-            id -> Array.tabulate(v.length)(i => v(i) - c(i)) }
+        val fidelity = memoFidelity(path) {
+          val sample = graft.functions.PqIndex.collectSample(
+            e, "vec_id", "embedding", 2000)
+          val clusters: Map[Long, Int] = idx.encoded
+            .filter(col("id").isin(sample.map(_._1).toSeq: _*))
+            .select(col("id"), col("cluster")).collect()
+            .map(r => r.getLong(0) -> r.getInt(1)).toMap
+          val cents = idx.coarse.toMap
+          val resSample = sample.flatMap { case (id, v) =>
+            clusters.get(id).flatMap(cents.get).map { c =>
+              id -> Array.tabulate(v.length)(i => v(i) - c(i)) }
+          }
+          graft.functions.PqIndex.sampledRecall(resSample, idx.cb)
         }
-        val fidelity = graft.functions.PqIndex.sampledRecall(resSample, idx.cb)
         val res =
           if (fidelity >= 0.5) idx.search(query, topK = 11, nProbe = 3)
           else idx.searchFlat(e, "vec_id", "embedding", query,

@@ -59,12 +59,25 @@ object SegmentSink {
       finally in.close()
       val mz = java.time.ZoneId.of(marked).normalized()
       val sz = java.time.ZoneId.of(sessionTz).normalized()
-      require(mz == sz || mz.getRules == sz.getRules,
-        s"segment store '$path' was written under timezone '$marked' but " +
-          s"this session's spark.sql.session.timeZone is '$sessionTz' — " +
-          "appending would render segment dir names in a different zone " +
-          "and corrupt chunk-boundary comparisons for the whole store; " +
-          s"set spark.sql.session.timeZone to '$marked' to append here")
+      if (mz != sz && mz.getRules != sz.getRules) {
+        // a marker over ZERO segment dirs carries no zone claim (a failed
+        // first write can leave marker-without-data — review finding r8):
+        // re-zone it to this session instead of failing a legitimate
+        // first append
+        val hasSegments = fs.exists(p.getParent) &&
+          fs.listStatus(p.getParent).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("segment="))
+        if (!hasSegments) {
+          val os = fs.create(p, true)
+          try os.write(sessionTz.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally os.close()
+        } else throw new IllegalArgumentException(
+          s"segment store '$path' was written under timezone '$marked' but " +
+            s"this session's spark.sql.session.timeZone is '$sessionTz' — " +
+            "appending would render segment dir names in a different zone " +
+            "and corrupt chunk-boundary comparisons for the whole store; " +
+            s"set spark.sql.session.timeZone to '$marked' to append here")
+      }
     }
   }
 

@@ -406,10 +406,7 @@ object BenchCompare {
     }
     val selected = variants.filter { case (n, _) => only.forall(_(n)) }
     require(selected.nonEmpty, s"no variant matches $only")
-    // noop-sink forcing, same rationale as Bench: count() lets the
-    // optimizer drop unreferenced join/window branches entirely
-    def force(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
+    def force(df: org.apache.spark.sql.DataFrame): Unit = Force.noop(df)
     selected.foreach { case (name, f) => resetConf(); force(f()) } // warm-up
     selected.foreach { case (name, f) =>
       resetConf()

@@ -30,9 +30,14 @@ object ScaleProbe {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A/B lever: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" sets session confs (e.g.
     // spark.graft.spanDedup.hashGramKey=true for the SCALE_r8 gram-key A/B)
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
-    })
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_EXTRA_CONF segment '$kv' is not k=v")
+        }
+      })
 
     // per-query shuffle-write accounting: TASK-level metrics accumulated by
     // a listener (stage-level StageInfo.taskMetrics proved unreliable —
@@ -89,10 +94,7 @@ object ScaleProbe {
         graft.SparkEntry.registry.filter(q => want(q.name))
       case scala.None => graft.SparkEntry.headlines
     }
-    // noop-sink forcing, same rationale as Bench: count() lets the
-    // optimizer drop unreferenced join/window branches entirely
-    def force(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
+    def force(df: org.apache.spark.sql.DataFrame): Unit = Force.noop(df)
     qs.foreach(q => try force(q.run(spark, out)) catch { case _: Throwable => () })
     val results = qs.map { q =>
       val s0 = System.nanoTime()
@@ -100,8 +102,16 @@ object ScaleProbe {
       val ok = try { force(q.run(spark, out)); true }
                catch { case e: Throwable =>
                  System.err.println(s"[scale] ${q.name} FAILED: ${e.getMessage}"); false }
-      // listener events drain async — small grace so the last stages land
-      Thread.sleep(200)
+      // listener events drain async and the bus has no public drain
+      // barrier — poll until the counter is stable for two consecutive
+      // 250 ms windows (max 3 s) so late task-end events do not
+      // misattribute bytes to the next query (review finding r8)
+      var last = shuffleBytes.get(); var stable = 0; var waited = 0
+      while (stable < 2 && waited < 3000) {
+        Thread.sleep(250); waited += 250
+        val now = shuffleBytes.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
       val sb = shuffleBytes.get() - sb0
       q.name -> (if (ok) (System.nanoTime() - s0) / 1e9 else -1.0, sb)
     }

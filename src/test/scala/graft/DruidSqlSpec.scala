@@ -1047,5 +1047,35 @@ class DruidSqlSpec extends SparkSpec {
          PARTITIONED BY DAY""", Map("events" -> events), root)
     assert(!fs.exists(p(s"$root/.staging_where_ds")))
     assert(spark.read.parquet(s"$root/ds").count() == before + 1)
+
+    // ---- LATE crash (review finding r8): journal still present, staged
+    // dir ALREADY renamed into the target (staging twin gone, only
+    // cleanup remained). Recovery must recognize the target dir as the
+    // NEW data — re-retiring it would silently destroy the freshly
+    // committed segment.
+    val segNames = fs.listStatus(p(s"$root/ds")).map(_.getPath.getName)
+      .filter(_.startsWith("segment=")).sorted
+    val victim = segNames.head
+    val rowsBefore = spark.read.parquet(s"$root/ds").count()
+    val sumBefore = spark.read.parquet(s"$root/ds")
+      .agg(fsum(col("value"))).head.getDouble(0)
+    fs.mkdirs(p(s"$root/.staging_where_ds")) // empty: staged twin consumed
+    val os2 = fs.create(p(s"$root/.journal_where_ds"), true)
+    os2.write(s"staged $victim\ndoomed $victim"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    os2.close()
+    DruidSql.ingest(
+      """INSERT INTO ds
+         SELECT __time, event_type, value FROM events
+         WHERE __time >= TIMESTAMP '2024-06-01 00:00:00'
+         PARTITIONED BY DAY""", Map("events" -> events), root)
+    val after = spark.read.parquet(s"$root/ds")
+    // the victim chunk survived recovery; only the new append was added
+    assert(fs.exists(p(s"$root/ds/$victim")), s"recovery destroyed $victim")
+    assert(after.count() == rowsBefore + 1, after.count())
+    val sumAfter = after.agg(fsum(col("value"))).head.getDouble(0)
+    assert(sumAfter > sumBefore) // nothing lost, one row gained
+    assert(!fs.exists(p(s"$root/.journal_where_ds")))
+    assert(!fs.exists(p(s"$root/.retired_where_ds")))
   }
 }
