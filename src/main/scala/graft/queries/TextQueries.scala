@@ -600,10 +600,25 @@ object TextQueries {
     // C4/Dolma-style decontamination join shape at any corpus size ----------
     QueryDef("decontaminate_ngram_overlap", (s, dir) => {
       // fanOut: dup-heavy corpora compress to few input partitions and would
-      // serialize the 5-gram explosion on one core (Parallelism scaladoc)
+      // serialize the 5-gram explosion on one core (Parallelism scaladoc).
+      // Shingles participate ONLY as join/set keys here, so they are keyed
+      // by ONE chained codegen'd xxhash64 over the 5 words (the r8
+      // dup_passage_stats pattern) — no interpreted strictShingles HOF, no
+      // 60 B gram strings in the explode, the broadcast set is 8 B longs.
+      // Output (per-source survivor counts) is identical modulo ~n²/2⁶⁴
+      // hash collisions; the DuckDB twin keeps the string form.
       val docs = graft.pipeline.Parallelism.fanOut(Tables.t(s, dir, "documents"))
-      val sh = docs.select(col("doc_id"),
-        explode(graft.functions.MinHash.strictShingles(col("text"), 5)).as("s"))
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+      val sh = toks.filter(col("n") >= 5)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), col("n") - 4)).as("i"))
+        .select(col("doc_id"), xxhash64(
+          element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1),
+          element_at(col("w"), col("i") + 2),
+          element_at(col("w"), col("i") + 3),
+          element_at(col("w"), col("i") + 4)).as("s"))
       val bench = sh.filter(col("doc_id") % 100 === 0).select(col("s")).distinct()
       val contaminated = sh.filter(col("doc_id") % 100 =!= 0)
         .join(broadcast(bench), Seq("s")).select(col("doc_id")).distinct()

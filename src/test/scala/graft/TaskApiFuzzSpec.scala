@@ -171,7 +171,7 @@ class TaskApiFuzzSpec extends SparkSpec {
 
         val nOps = 2 + rnd.nextInt(2)
         for (_ <- 0 until nOps) rnd.nextInt(100) match {
-          case r if r < 35 => // append
+          case r if r < 30 => // append
             val rows = genRows(1 + rnd.nextInt(3))
             val (c, b, id) = submit(port,
               indexDoc(ds, append = true, legacy = rnd.nextBoolean(),
@@ -191,7 +191,7 @@ class TaskApiFuzzSpec extends SparkSpec {
                 s"append dropped partials: ${seenBatches -- now} (seq=$i seed=$seed)")
               maxBatch = Some(newMax); seenBatches = now
             }
-          case r if r < 50 => // kill days [0, 1+rnd(2)) — days 3/4 survive
+          case r if r < 42 => // kill days [0, 1+rnd(2)) — days 3/4 survive
             val hi = 1 + rnd.nextInt(2)
             val (c, b, id) = submit(port,
               s"""{"type": "kill", "dataSource": "$ds",
@@ -204,7 +204,7 @@ class TaskApiFuzzSpec extends SparkSpec {
             maxBatch =
               if (seenBatches.isEmpty) None else Some(seenBatches.map(_._2).max)
             check("after kill")
-          case r if r < 65 => // plain compaction: model-invariant
+          case r if r < 54 => // plain compaction: model-invariant
             val (c, b, id) = submit(port,
               s"""{"type": "compact", "dataSource": "$ds"}""")
             assert(c == 200 && id.isDefined, b)
@@ -212,7 +212,26 @@ class TaskApiFuzzSpec extends SparkSpec {
             seenBatches = batchIds(s"$tmp/tasks/$ds")
             maxBatch =
               if (seenBatches.isEmpty) None else Some(seenBatches.map(_._2).max)
-          case r if r < 85 => // malformed document: MUST change nothing
+          case r if r < 64 => // retention rules: dropByInterval ≡ kill
+            val hi = 1 + rnd.nextInt(2)
+            val (c, b) = post(port, s"/druid/coordinator/v1/rules/$ds",
+              s"""[{"type": "dropByInterval",
+                    "interval": "${days(0)}T00:00:00/${days(hi)}T00:00:00"}]""")
+            assert(c == 200, s"rules drop failed: $b")
+            val killed = days.take(hi).toSet
+            killed.foreach(d => etypes.foreach(e => model.remove((d, e))))
+            seenBatches = batchIds(s"$tmp/tasks/$ds")
+            maxBatch =
+              if (seenBatches.isEmpty) None else Some(seenBatches.map(_._2).max)
+            check("after rules drop")
+          case r if r < 72 => // sampler: a preview, NEVER a store mutation
+            val doc = indexDoc(ds, append = true, legacy = false,
+              rowsCsv(genRows(2))).dropRight(1) +
+              """, "samplerConfig": {"numRows": 50}}"""
+            val (c, b) = post(port, "/druid/indexer/v1/sampler", doc)
+            assert(c == 200 && b.contains("numRowsRead"), s"sampler: $b")
+            check("after sampler")
+          case r if r < 88 => // malformed document: MUST change nothing
             malformedRuns += 1
             val doc = rnd.nextInt(8) match {
               case 0 => indexDoc(ds, append = true, legacy = false,
