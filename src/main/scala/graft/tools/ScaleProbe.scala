@@ -64,7 +64,13 @@ object ScaleProbe {
       val remapped = keyCols.foldLeft(big) { (df, k) =>
         df.withColumn(k, col(k) + col("__copy") * 10000000L)
       }
-      remapped.drop("__copy")
+      // repartition before the write: the crossJoin-replicated frame often
+      // collapses to ONE output file, and a small single-file parquet scan
+      // is ONE input split — every per-doc (no-shuffle) query would then
+      // run single-threaded, an artifact of the probe, not of scale (a
+      // real 100 TB input arrives as thousands of splits). Found when a
+      // nested-HOF per-doc query pinned one core for 30+ minutes at ×30.
+      remapped.drop("__copy").repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
     val t0 = System.nanoTime()
