@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.queries.QueryDef
+
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR, prints
   * ONE JSON line {"metric":…,"queries":{…}} (driver contract). Each query is
   * forced through the full-row noop sink after a warm-up pass over every
@@ -78,7 +80,7 @@ object Bench {
       qs.map(q => q.name -> Vector.empty[Double]): _*)
     val loads = scala.collection.mutable.LinkedHashMap(
       qs.map(q => q.name -> Vector.empty[Double]): _*)
-    for (_ <- 1 to repeats; q <- qs) {
+    def runOnce(q: QueryDef): Unit = {
       val load1m = try loadStamp().split("\\s+")(0).toDouble
                    catch { case _: Throwable => -1.0 }
       val t0 = System.nanoTime()
@@ -87,18 +89,46 @@ object Bench {
       times(q.name) :+= sec
       loads(q.name) :+= load1m
     }
-    val results = qs.map { q =>
-      val ts = times(q.name)
-      q.name -> (if (ts.contains(-1.0)) -1.0 else ts.min)
+    for (_ <- 1 to repeats; q <- qs) runOnce(q)
+
+    // LOAD GATE (r8 verdict #3): the stamps made driver-box contention
+    // *visible* (r8 artifact: every repeat at load 3.8–9.2, +39% total vs
+    // idle); now make the reported min *robust* to it. A repeat is CLEAN
+    // when its pre-run 1-min load ≤ gate — 4.0 on 32 cpus clears this
+    // bench's own steady-state self-load (measured ≤3.2 across full idle
+    // runs, r8) while catching external contention. Queries with no clean
+    // repeat get up to 2 extra interleaved rounds; the min is then taken
+    // over clean repeats when any exist (falling back to min over all,
+    // flagged per-query in "clean" so the artifact says which regime each
+    // number came from).
+    val gate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "4.0").toDouble
+    def cleanTimes(n: String): Vector[Double] =
+      times(n).zip(loads(n)).collect {
+        case (t, l) if t >= 0 && l >= 0 && l <= gate => t }
+    var extraRounds = 0
+    while (extraRounds < 2 && qs.exists(q => cleanTimes(q.name).isEmpty)) {
+      for (q <- qs if cleanTimes(q.name).isEmpty) runOnce(q)
+      extraRounds += 1
     }
+    val results = qs.map { q =>
+      val ts = times(q.name).filter(_ >= 0)
+      val clean = cleanTimes(q.name)
+      val v = if (times(q.name).forall(_ < 0)) -1.0
+              else if (clean.nonEmpty) clean.min
+              else ts.min
+      q.name -> v
+    }
+    val cleanFlags = qs.map(q => q.name -> cleanTimes(q.name).nonEmpty).toMap
     val loadEnd = loadStamp()
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     def vecJson(m: scala.collection.Map[String, Vector[Double]]): String =
       m.map { case (k, vs) => "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]") }
         .mkString("{", ",", "}")
+    val cleanJson = qs.map(q => "\"" + q.name + s"""\":${cleanFlags(q.name)}""")
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","repeats":$repeats,"timing":"min_of_k_interleaved","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","times":${vecJson(times)},"loads":${vecJson(loads)}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","repeats":$repeats,"timing":"min_of_k_interleaved_load_gated","load_gate":$gate%.1f,"extra_rounds":$extraRounds,"clean":$cleanJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","times":${vecJson(times)},"loads":${vecJson(loads)}}""")
     spark.stop()
   }
 }

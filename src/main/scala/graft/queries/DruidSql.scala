@@ -855,6 +855,23 @@ object DruidSql {
     * committed segment on recovery after a crash between the renames and
     * the journal delete). Renames are atomic, so "staged twin present in
     * staging" is an exact witness for "target dir not yet replaced". */
+  /** TEST SEAM — crash-point injection for the OVERWRITE WHERE commit
+    * protocol (r8 verdict #5: the fuzz must kill the commit at a real
+    * rename boundary, not only replay manufactured crash states). When
+    * armed with n ≥ 0, the n-th commit-step boundary — the journal
+    * publish rename, then each retire rename, each staged-move rename
+    * and each cleanup delete, in execution order — throws
+    * [[InjectedCrash]] BEFORE that mutation runs, exactly what a process
+    * kill at that instant leaves on disk. Fires once (self-resets to
+    * -1); production value -1 costs one atomic read per step. */
+  private[graft] val crashAtStep =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+  private[graft] final class InjectedCrash
+    extends RuntimeException("injected crash at OVERWRITE WHERE commit step")
+  private def crashPoint(): Unit =
+    if (crashAtStep.getAndUpdate(v => if (v < 0) v else v - 1) == 0)
+      throw new InjectedCrash
+
   private def commitWhere(fs: org.apache.hadoop.fs.FileSystem,
       tp: org.apache.hadoop.fs.Path, staging: org.apache.hadoop.fs.Path,
       retired: org.apache.hadoop.fs.Path,
@@ -866,24 +883,27 @@ object DruidSql {
     doomed.foreach { d =>
       val replacedAlready = stagedNames.contains(d.getName) &&
         !fs.exists(new org.apache.hadoop.fs.Path(staging, d.getName))
-      if (fs.exists(d) && !replacedAlready)
+      if (fs.exists(d) && !replacedAlready) {
+        crashPoint()
         require(fs.rename(d,
             new org.apache.hadoop.fs.Path(retired, d.getName)),
           s"failed to retire doomed segment dir $d")
+      }
     }
     if (!fs.exists(tp)) fs.mkdirs(tp)
     staged.foreach { s =>
       if (fs.exists(s)) {
         val dest = new org.apache.hadoop.fs.Path(tp, s.getName)
+        crashPoint()
         // dest existing alongside s would mean an in-range dir escaped the
         // doomed set — loud, never Hadoop's silent move-INTO-existing-dir
         require(!fs.exists(dest) && fs.rename(s, dest),
           s"failed to move staged segment dir $s into $dest")
       }
     }
-    fs.delete(retired, true)
-    fs.delete(staging, true)
-    fs.delete(journal, false)
+    crashPoint(); fs.delete(retired, true)
+    crashPoint(); fs.delete(staging, true)
+    crashPoint(); fs.delete(journal, false)
   }
 
   /** Recovery preamble for the journaled OVERWRITE WHERE commit — runs at
@@ -1152,6 +1172,7 @@ object DruidSql {
       val os = fs.create(jTmp, true)
       try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
+      crashPoint() // seam: kill BEFORE the journal publishes → rolls back
       require(fs.rename(jTmp, journal),
         s"failed to publish OVERWRITE WHERE journal $journal")
       commitWhere(fs, tp, staging, retired, journal, stagedDirs, doomedDirs)

@@ -41,18 +41,25 @@ object TextQueries {
 
   /** Span-dedup gram key over a tokens column `l` at position `pos`
     * (shared by span_dedup_stats / span_dedup_clean — one definition,
-    * review finding r8). String form (oracle-exact) joins the W words;
-    * with spark.graft.spanDedup.hashGramKey=true the key is ONE chained
+    * review finding r8). DEFAULT (r9, was flag-gated in r8): ONE chained
     * codegen'd xxhash64 over the W element_at's — no gram string is ever
-    * built, the gram-keyed shuffle ships (doc_id, pos, long). Collision
-    * odds ~n²/2⁶⁴ over gram positions. */
+    * built, the gram-keyed shuffle ships (doc_id, pos, long). Neither
+    * query's OUTPUT carries a gram string, so the hashed key is safe to
+    * default (the dup_passage precedent, r8) and the DuckDB twins stay
+    * unchanged — correctness is exact modulo 64-bit fingerprint
+    * collisions between distinct grams (envelope: COVERAGE.md "hashed
+    * shuffle keys"; at 10¹¹ gram positions, expected collisions are
+    * single digits, and one collision merely marks one extra window as
+    * duplicated). spark.graft.spanDedup.stringGramKey=true restores the
+    * audit path that shuffles the literal 10-word gram
+    * (HashKeyParitySpec pins row-identity in both directions). */
   private def spanGramKey(s: org.apache.spark.sql.SparkSession,
       w: Int): org.apache.spark.sql.Column =
-    if (s.conf.getOption("spark.graft.spanDedup.hashGramKey")
+    if (s.conf.getOption("spark.graft.spanDedup.stringGramKey")
         .contains("true"))
-      xxhash64((1 to w).map(k =>
-        element_at(col("l"), (col("pos") + k).cast("int"))): _*)
-    else array_join(slice(col("l"), (col("pos") + 1).cast("int"), lit(w)), " ")
+      array_join(slice(col("l"), (col("pos") + 1).cast("int"), lit(w)), " ")
+    else xxhash64((1 to w).map(k =>
+      element_at(col("l"), (col("pos") + k).cast("int"))): _*)
 
   val all: Seq[QueryDef] = Seq(
 
@@ -954,9 +961,10 @@ object TextQueries {
       val docs = Tables.t(s, dir, "documents")
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
         .withColumn("n", size(col("l")).cast("long"))
-      // 100 TB shape, now wired (verdict r7 #5): see [[spanGramKey]] —
-      // hashGramKey=true ships longs, the string default keeps the DuckDB
-      // oracle twin exact. A/B measured in SCALE_r8.
+      // 100 TB shape, DEFAULT-ON since r9 (verdict r8 #4): see
+      // [[spanGramKey]] — the gram-keyed shuffle ships longs; the string
+      // audit path lives under spark.graft.spanDedup.stringGramKey.
+      // A/B measured in SCALE_r8 (stats 25.7→15.2 s at ×100).
       val grams = toks.filter(col("n") >= W)
         .select(col("doc_id"), col("l"),
           explode(sequence(lit(0L), col("n") - W)).as("pos"))
@@ -1025,54 +1033,71 @@ object TextQueries {
               round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / t.n, 5) AS dup_frac
             FROM toks t LEFT JOIN per_doc p USING (doc_id)""")),
 
-    // -- EXACT-SUBSTRING SPAN DEDUP, rewrite half (r7): materialize the
+    // -- EXACT-SUBSTRING SPAN DEDUP, rewrite half (r7; r9 REWRITE): the
     // CLEANED corpus the stats query describes — drop every token position
     // covered by a non-first duplicated-gram occurrence, reassemble the
     // remainder in order, and fingerprint it (md5 is the portable
     // cross-engine digest; a doc that is ENTIRELY duplicate text keeps its
     // row with kept_tokens=0 and a NULL digest rather than vanishing).
-    // Plan shape: the same gram-keyed shuffle as the stats half, then the
-    // covered set joins the per-token position table with a LEFT ANTI join
-    // on (doc_id, pos) — both sides doc-keyed, so with the corpus
-    // pre-bucketed by doc_id this is a co-located join at scale — and one
-    // per-doc agg rebuilds the text via sort_array(collect_list(struct)),
-    // which is exact because token positions are unique. Token fan-out is
-    // W·marked-windows, bounded by W× the duplicated region size, NOT W×
-    // corpus size.
+    // Plan shape (r9, verdict r8 #7): the same gram-keyed shuffle as the
+    // stats half builds MERGED removal spans per doc (few rows per doc —
+    // the stats half's gaps-and-islands pass), the span lists collect
+    // per-doc (a SPAN-sized shuffle), and the kept text is rebuilt IN-ROW
+    // by slicing the token array at the span complement (zip_with over
+    // spans+sentinels → slice per gap → flatten) — the corpus is never
+    // exploded to a per-token table. The r7→r8 shape anti-joined a
+    // corpus-TOKEN-sized position table and collect_list'd every kept
+    // token back through a doc-keyed shuffle: 1.8 GB shuffled both ways
+    // at ×100 (69 s). Here the only corpus-sized motion is the one
+    // doc-keyed join of the corpus against its span lists (AQE-broadcast
+    // when dup docs are sparse; co-located under doc_id bucketing at
+    // scale). A/B in SCALE_r9.
     QueryDef("span_dedup_clean", (s, dir) => {
       val W = 10
       val docs = Tables.t(s, dir, "documents")
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
         .withColumn("n", size(col("l")).cast("long"))
-      // same hashed-gram-key scale flag as span_dedup_stats — see
+      // same hashed-gram-key default as span_dedup_stats — see
       // [[spanGramKey]]
       val grams = toks.filter(col("n") >= W)
         .select(col("doc_id"), col("l"),
           explode(sequence(lit(0L), col("n") - W)).as("pos"))
         .select(col("doc_id"), col("pos"), spanGramKey(s, W).as("gk"))
       val byGram = Window.partitionBy(col("gk"))
-      val covered = grams
+      val marked = grams
         .withColumn("rn", row_number().over(byGram.orderBy(col("doc_id"), col("pos"))))
         .withColumn("occ", count(lit(1)).over(byGram))
         .filter(col("occ") >= 2 && col("rn") >= 2)
-        .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + (W - 1))).as("pos"))
-        .distinct()
-      val positions = toks
-        .select(col("doc_id"), col("l"), explode(sequence(lit(0L), col("n") - 1)).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          element_at(col("l"), (col("pos") + 1).cast("int")).as("w"))
-      val kept = positions.join(covered, Seq("doc_id", "pos"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("kept_tokens"),
-          md5(array_join(transform(
-            sort_array(collect_list(struct(col("pos"), col("w")))),
-            x => x.getField("w")), " ")).as("clean_md5"))
-      toks.select(col("doc_id"), col("n"))
-        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("pos"), (col("pos") + W).as("fin"))
+      // merged maximal spans — identical islands pass to span_dedup_stats
+      // (the union of covered windows IS the union of merged spans)
+      val prev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val run = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spans = marked
+        .withColumn("brk",
+          when(col("pos") > coalesce(max(col("fin")).over(prev), lit(-1L)), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(run))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("s"), max(col("fin")).as("e"))
+      val spanLists = spans.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
+      val emptySp = array().cast("array<struct<s:bigint,e:bigint>>")
+      toks.join(spanLists, Seq("doc_id"), "left")
+        .withColumn("sp", coalesce(col("sp"), emptySp))
+        // complement gaps: sentinels (−,0] and [n,n) bracket the sorted
+        // spans; each gap (a.e, b.s) keeps slice(l, a.e+1, b.s−a.e)
+        .withColumn("kept", flatten(zip_with(
+          concat(array(struct(lit(0L).as("s"), lit(0L).as("e"))), col("sp")),
+          concat(col("sp"), array(struct(col("n").as("s"), col("n").as("e")))),
+          (a, b) => slice(col("l"), (a.getField("e") + 1).cast("int"),
+            (b.getField("s") - a.getField("e")).cast("int")))))
         .select(col("doc_id"), col("n").as("n_tok"),
-          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-          col("clean_md5"))
+          size(col("kept")).cast("long").as("kept_tokens"),
+          when(size(col("kept")) > 0,
+            md5(array_join(col("kept"), " "))).as("clean_md5"))
     },
     Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l,
                      len(string_split(text, ' ')) AS n FROM documents),
@@ -1441,14 +1466,22 @@ object TextQueries {
         .select(col("w1"), col("w2"),
           log(lit(0.7) * col("cb").cast("double") / col("ch") +
             lit(0.3) * col("cu").cast("double") / col("nb")).as("term"))
-      // spark.graft.bigram.hashJoinKey=true (the ×100 lever, verdict r7
-      // #6): the SECOND corpus explode emits xxhash64(w1, w2) longs
-      // instead of two-string structs — slimmer rows through the explode
-      // AND an 8-byte join key against the (hashed) score table. Output-
-      // identical modulo 64-bit hash collisions between distinct bigrams
-      // (~vocab⁴/2⁶⁴ odds); the string default keeps the oracle exact.
-      // A/B measured in SCALE_r8.
-      if (s.conf.getOption("spark.graft.bigram.hashJoinKey").contains("true")) {
+      // Hashed join key — DEFAULT since r9 (verdict r8 #4; the ×100 lever,
+      // 55.5→28.6 s, first wired flag-gated per verdict r7 #6): the SECOND
+      // corpus explode emits xxhash64(w1, w2) longs instead of two-string
+      // structs — slimmer rows through the explode AND an 8-byte join key
+      // against the (hashed) score table. The output carries no bigram
+      // strings, so hashing the key is safe to default: output-identical
+      // modulo 64-bit collisions between distinct bigrams (~vocab⁴/2⁶⁴
+      // odds — envelope in COVERAGE.md "hashed shuffle keys").
+      // spark.graft.bigram.stringJoinKey=true restores the literal-string
+      // join for auditing (HashKeyParitySpec pins both directions).
+      if (s.conf.getOption("spark.graft.bigram.stringJoinKey").contains("true"))
+        pairs.join(bs0, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(col("term")), 5).as("mean_logprob"))
+      else {
         val bs = bs0.select(xxhash64(col("w1"), col("w2")).as("bk"), col("term"))
         toks.select(col("doc_id"),
             explode(zip_with(
@@ -1459,11 +1492,7 @@ object TextQueries {
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
             round(avg(col("term")), 5).as("mean_logprob"))
-      } else
-      pairs.join(bs0, Seq("w1", "w2"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(col("term")), 5).as("mean_logprob"))
+      }
       }
     },
     Some("""WITH toks AS (

@@ -484,10 +484,17 @@ object VectorQueries {
           }
           graft.functions.PqIndex.sampledRecall(resSample, idx.cb)
         }
+        // ADC path keeps nProbe=3 (the codes are the compression story);
+        // the FALLBACK probes 5 like the plain-IVF default — r8 measured
+        // the 0.527 recall ceiling as coarse-pruning loss at nProbe=3
+        // (IVF at nProbe=5: 0.85–0.91), and the fallback's scoring is
+        // already exact L2, so wider probing is the whole fix (r8 #2).
+        // Cost: candidate fraction ~0.38→0.63 of the corpus — still
+        // cluster-pruned, still partition-local at scale.
         val res =
           if (fidelity >= 0.5) idx.search(query, topK = 11, nProbe = 3)
           else idx.searchFlat(e, "vec_id", "embedding", query,
-            topK = 11, nProbe = 3)
+            topK = 11, nProbe = 5)
         localize(s, res
           .filter(col("id") =!= 0).limit(10)
           .select(col("id").as("vec_id"), col("cluster"), col("approx_dist")))

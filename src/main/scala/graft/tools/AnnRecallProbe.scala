@@ -209,18 +209,22 @@ object AnnRecallProbe {
               id -> Array.tabulate(v.length)(i => v(i) - c(i)) }
           }
           val fidelity = PqIndex.sampledRecall(resSample, ivfpq.cb)
+          // fallback probes 5 like the shipped query (r9: raised from 3 —
+          // the r8 ceiling was pruning loss, the scoring is exact L2)
+          val fbProbe = 5
           val gQ = scala.collection.mutable.Map.empty[Long, Seq[Long]]
           val (_, gsSec) = timed {
             queries.foreach { case (qid, qv) =>
               gQ(qid) =
                 (if (fidelity >= 0.5) ivfpq.search(qv, topK = 11, nProbe = nProbe)
                 else ivfpq.searchFlat(corpus, "vec_id", "embedding", qv,
-                  topK = 11, nProbe = nProbe))
+                  topK = 11, nProbe = fbProbe))
                 .select($"id").as[Long].collect().toSeq
             }
           }
           emit("ivfpq_guarded",
-            s""""kCoarse":$kc,"m":8,"ks":16,"nProbe":$nProbe""",
+            s""""kCoarse":$kc,"m":8,"ks":16,"nProbe":${
+              if (fidelity >= 0.5) nProbe else fbProbe}""",
             recall(truthL2, gQ), bSec, gsSec,
             f""","probe_fidelity":$fidelity%.3f,""" +
               s""""fallback_engaged":${fidelity < 0.5}""")

@@ -29,7 +29,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A/B lever: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" sets session confs (e.g.
-    // spark.graft.spanDedup.hashGramKey=true for the SCALE_r8 gram-key A/B)
+    // spark.graft.spanDedup.stringGramKey=true for a gram-key A/B against
+    // the hashed default)
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
       _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
         kv.split("=", 2) match {
@@ -108,6 +109,10 @@ object ScaleProbe {
       val ok = try { force(q.run(spark, out)); true }
                catch { case e: Throwable =>
                  System.err.println(s"[scale] ${q.name} FAILED: ${e.getMessage}"); false }
+      // wall time stops HERE — the listener drain below is measurement
+      // plumbing, not query cost (advisor finding r8: the ≥500 ms poll was
+      // inflating every reported timing)
+      val sec = (System.nanoTime() - s0) / 1e9
       // listener events drain async and the bus has no public drain
       // barrier — poll until the counter is stable for two consecutive
       // 250 ms windows (max 3 s) so late task-end events do not
@@ -119,7 +124,7 @@ object ScaleProbe {
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
       val sb = shuffleBytes.get() - sb0
-      q.name -> (if (ok) (System.nanoTime() - s0) / 1e9 else -1.0, sb)
+      q.name -> (if (ok) sec else -1.0, sb)
     }
     val qJson = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val sJson = results.map { case (k, (_, sb)) => "\"" + k + s"""\":$sb""" }.mkString("{", ",", "}")

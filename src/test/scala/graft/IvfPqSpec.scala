@@ -82,7 +82,7 @@ class IvfPqSpec extends SparkSpec {
     } finally idx.close()
   }
 
-  test("r8 guard: residual-code probe fails on near-uniform vectors and searchFlat clears recall 0.5") {
+  test("guard: residual-code probe fails on near-uniform vectors and searchFlat clears recall 0.7") {
     val uni = spark.range(0, 2000)
       .select(col("id").as("vec_id"),
         expr("""transform(sequence(0, 63), j ->
@@ -120,15 +120,18 @@ class IvfPqSpec extends SparkSpec {
               lit(0.0), (a, x) => a + x).as("d"))
           .orderBy(col("d").asc, col("vec_id")).limit(10)
           .collect().map(_.getLong(0)).toSet
+        // nProbe=5 of 8 — the shipped fallback's probe width (r9: raised
+        // from 3; the r8 recall ceiling was coarse-pruning loss, and the
+        // exact-L2 scoring makes wider probing the complete fix)
         val got = idx.searchFlat(uni, "vec_id", "embedding", q,
-            topK = 11, nProbe = 3)
+            topK = 11, nProbe = 5)
           .filter(col("id") =!= qid).limit(10)
           .collect().map(_.getLong(0)).toSet
         (truth & got).size.toDouble / 10
       }
       val mean = recalls.sum / recalls.length
-      info(f"searchFlat fallback recall@10 (nProbe=3 of 8): $mean%.2f")
-      assert(mean >= 0.5, f"fallback recall below the r8 gate: $mean%.2f")
+      info(f"searchFlat fallback recall@10 (nProbe=5 of 8): $mean%.2f")
+      assert(mean >= 0.7, f"fallback recall below the r9 gate: $mean%.2f")
     } finally { idx.close(); uni.unpersist(); () }
   }
 }

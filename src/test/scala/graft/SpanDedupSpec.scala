@@ -71,14 +71,17 @@ class SpanDedupSpec extends SparkSpec {
     assert(clean(6L) == Seq(20L, 0L, null))               // fully duplicated
   }
 
-  test("hashGramKey=true (the 100 TB shuffle-slim flag) is row-identical to the string key") {
+  test("hashed gram key (the r9 default) is row-identical to the string audit path, both directions") {
     val stats = TextQueries.all.find(_.name == "span_dedup_stats").get
     val cleanQ = TextQueries.all.find(_.name == "span_dedup_clean").get
-    val plain = (byDoc(stats.run(spark, dir)), byDoc(cleanQ.run(spark, dir)))
-    spark.conf.set("spark.graft.spanDedup.hashGramKey", "true")
-    try {
-      val hashed = (byDoc(stats.run(spark, dir)), byDoc(cleanQ.run(spark, dir)))
-      assert(hashed == plain)
-    } finally spark.conf.unset("spark.graft.spanDedup.hashGramKey")
+    val hashed = (byDoc(stats.run(spark, dir)), byDoc(cleanQ.run(spark, dir)))
+    spark.conf.set("spark.graft.spanDedup.stringGramKey", "true")
+    val plain =
+      try (byDoc(stats.run(spark, dir)), byDoc(cleanQ.run(spark, dir)))
+      finally spark.conf.unset("spark.graft.spanDedup.stringGramKey")
+    assert(hashed == plain)
+    // reverse direction: default re-run after the unset still matches
+    val hashedAgain = (byDoc(stats.run(spark, dir)), byDoc(cleanQ.run(spark, dir)))
+    assert(hashedAgain == plain)
   }
 }

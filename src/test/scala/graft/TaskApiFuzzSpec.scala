@@ -285,4 +285,98 @@ class TaskApiFuzzSpec extends SparkSpec {
       info(s"$nSeq sequences fuzzed ($malformedRuns malformed docs), all invariants held")
     } finally server.stop()
   }
+
+  /** Crash-op family (r8 verdict #5): kill the OVERWRITE WHERE commit at a
+    * RANDOM real rename/delete boundary via the [[DruidSql.crashAtStep]]
+    * seam — not a manufactured on-disk state — then drive the next-ingest
+    * recovery preamble and assert model ≡ store. The statement's outcome
+    * is decided by exactly one atomic fact: the journal's existence at
+    * crash time (absent → rolled back, present → rolled forward), which
+    * the model reads the same way recovery does. Covers every step class:
+    * pre-journal, each retire rename, each staged move (including the r8
+    * critical window between the last move and the journal delete, where
+    * a buggy roll-forward re-retired fresh data), and each cleanup delete.
+    */
+  test("crash-point fuzz: OVERWRITE WHERE killed at a random commit step, model ≡ store after recovery") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.DruidSql
+    val s = spark
+    import s.implicits._
+    val days = this.days // functions._ also exports a `days`
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(9152026L)
+    info(s"GRAFT_FUZZ_SEED=$seed")
+    val rnd = new scala.util.Random(seed)
+    val nSeq = sys.env.get("GRAFT_FUZZ_SEQUENCES").map(_.toInt).getOrElse(200)
+    def frame(rows: Seq[(String, String, Int)]) =
+      rows.toDF("d", "etype", "value")
+        .select(to_timestamp(col("d")).as("__time"), col("etype"),
+          col("value").cast("double").as("value"))
+    var crashes = 0; var rolledForward = 0
+    for (i <- 0 until nSeq) {
+      val root = Files.createTempDirectory(s"graft-owfuzz").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def exists(name: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/$name"))
+
+      // base corpus: every day seeded so the replace range always has
+      // doomed chunks; extra random rows vary the shapes
+      val baseRows = days.map(d => (d, etypes(rnd.nextInt(3)), 1 + rnd.nextInt(9))) ++
+        Seq.fill(rnd.nextInt(3))(
+          (days(rnd.nextInt(days.length)), etypes(rnd.nextInt(3)), 1 + rnd.nextInt(9)))
+      DruidSql.ingest(
+        "INSERT INTO ds SELECT __time, etype, value FROM src PARTITIONED BY DAY",
+        Map("src" -> frame(baseRows)), root)
+
+      // replacement over days [0, hi): some in-range days may get zero new
+      // rows (their chunk just drops), some several
+      val hi = 1 + rnd.nextInt(days.length - 1)
+      val repRows = Seq.fill(1 + rnd.nextInt(4))(
+        (days(rnd.nextInt(hi)), etypes(rnd.nextInt(3)), 1 + rnd.nextInt(9)))
+      DruidSql.crashAtStep.set(rnd.nextInt(12)) // may exceed steps → no crash
+      val crashed =
+        try {
+          DruidSql.ingest(
+            s"""REPLACE INTO ds
+                OVERWRITE WHERE __time >= TIMESTAMP '${days(0)}'
+                  AND __time < TIMESTAMP '${days(hi)}'
+                SELECT __time, etype, value FROM rep PARTITIONED BY DAY""",
+            Map("rep" -> frame(repRows)), root)
+          false
+        } catch { case _: DruidSql.InjectedCrash => true }
+      if (!crashed) DruidSql.crashAtStep.set(-1) // disarm unspent seam
+      else crashes += 1
+      // the journal's existence AT CRASH TIME is the commit's atomic
+      // decision point — recovery rolls forward iff it published
+      val applied = !crashed || exists(".journal_where_ds")
+      if (crashed && applied) rolledForward += 1
+
+      // next ingest into the dataSource runs the recovery preamble first
+      val fuRows = Seq((days(3), "fu", 7))
+      DruidSql.ingest(
+        "INSERT INTO ds SELECT __time, etype, value FROM fu PARTITIONED BY DAY",
+        Map("fu" -> frame(fuRows)), root)
+
+      val kept = if (applied) baseRows.filter { case (d, _, _) =>
+        days.indexOf(d) >= hi } ++ repRows
+      else baseRows
+      val expected = (kept ++ fuRows)
+        .map { case (d, e, v) => (d, e, v.toDouble) }.sorted
+      val got = spark.read.parquet(s"$root/ds")
+        .select(date_format(col("__time").cast("timestamp"), "yyyy-MM-dd"),
+          col("etype"), col("value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .toSeq.sorted
+      assert(got == expected,
+        s"[crash-fuzz seq=$i seed=$seed crashed=$crashed applied=$applied hi=$hi]\n" +
+          s" expected: $expected\n observed: $got")
+      // recovery leaves zero protocol residue
+      for (n <- Seq(".staging_where_ds", ".retired_where_ds",
+          ".journal_where_ds", ".journal_where_ds.tmp"))
+        assert(!exists(n), s"residue $n after recovery (seq=$i seed=$seed)")
+    }
+    info(s"$nSeq crash sequences: $crashes injected crashes, " +
+      s"$rolledForward rolled forward, ${crashes - rolledForward} rolled back")
+  }
 }
