@@ -32,6 +32,29 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => "n/a" }
 
+  /** (total busy jiffies across all cpus, THIS process's jiffies). The
+    * difference of deltas is CPU burned by OTHER processes during a
+    * window — the contention signal loadavg cannot give: measured on a
+    * verified-idle box, the bench's own bursts push 1-min loadavg to
+    * 9+ while repeat times stay flat, so any absolute loadavg gate
+    * misclassifies self-load (r9; the r8 driver contention, by contrast,
+    * was other processes' CPU — exactly what this isolates). */
+  private def cpuStamp(): (Long, Long) =
+    try {
+      val statSrc = scala.io.Source.fromFile("/proc/stat")
+      val cpu = try statSrc.getLines().next() finally statSrc.close()
+      val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      // busy = everything except idle(3) and iowait(4)
+      val busy = f.zipWithIndex.collect {
+        case (v, i) if i != 3 && i != 4 => v }.sum
+      val selfSrc = scala.io.Source.fromFile("/proc/self/stat")
+      val line = try selfSrc.mkString finally selfSrc.close()
+      // fields after the parenthesized comm (which can contain spaces):
+      // utime is field 14, stime 15 (1-based) = index 11, 12 post-comm
+      val rest = line.substring(line.lastIndexOf(')') + 2).split("\\s+")
+      (busy, rest(11).toLong + rest(12).toLong)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -80,31 +103,44 @@ object Bench {
       qs.map(q => q.name -> Vector.empty[Double]): _*)
     val loads = scala.collection.mutable.LinkedHashMap(
       qs.map(q => q.name -> Vector.empty[Double]): _*)
+    val others = scala.collection.mutable.LinkedHashMap(
+      qs.map(q => q.name -> Vector.empty[Double]): _*)
+    val ticksPerSec = 100.0 // USER_HZ on every mainstream linux
     def runOnce(q: QueryDef): Unit = {
       val load1m = try loadStamp().split("\\s+")(0).toDouble
                    catch { case _: Throwable => -1.0 }
+      val (busy0, self0) = cpuStamp()
       val t0 = System.nanoTime()
       val sec = try { force(q.run(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
                 catch { case _: Throwable => -1.0 }
+      val (busy1, self1) = cpuStamp()
+      // CPU cores burned by processes OTHER than this JVM while the
+      // repeat ran — the direct contention measurement
+      val othersCores =
+        if (busy0 < 0 || busy1 < 0 || sec <= 0) -1.0
+        else ((busy1 - busy0) - (self1 - self0)) / ticksPerSec / sec
       times(q.name) :+= sec
       loads(q.name) :+= load1m
+      others(q.name) :+= othersCores
     }
     for (_ <- 1 to repeats; q <- qs) runOnce(q)
 
-    // LOAD GATE (r8 verdict #3): the stamps made driver-box contention
-    // *visible* (r8 artifact: every repeat at load 3.8–9.2, +39% total vs
-    // idle); now make the reported min *robust* to it. A repeat is CLEAN
-    // when its pre-run 1-min load ≤ gate — 4.0 on 32 cpus clears this
-    // bench's own steady-state self-load (measured ≤3.2 across full idle
-    // runs, r8) while catching external contention. Queries with no clean
-    // repeat get up to 2 extra interleaved rounds; the min is then taken
-    // over clean repeats when any exist (falling back to min over all,
-    // flagged per-query in "clean" so the artifact says which regime each
-    // number came from).
+    // CONTENTION GATE (r8 verdict #3, metric revised r9): the r8 stamps
+    // made driver-box contention *visible*; this makes the reported min
+    // *robust* to it. The clean test is EXTERNAL CPU — cores burned by
+    // other processes during the repeat ((Δ/proc/stat busy − Δ/proc/self
+    // jiffies)/wall) — because 1-min loadavg cannot separate the bench's
+    // own bursts from neighbors (measured: idle-box self-load ramps to
+    // 9+ while repeat times stay flat). A repeat is clean when others
+    // burned ≤ gate cores (default 4.0 of 32, env-tunable). Queries with
+    // no clean repeat get up to 2 extra interleaved rounds; the min is
+    // then taken over clean repeats when any exist (falling back to min
+    // over all, flagged per-query in "clean"). -1 stamps (no /proc) are
+    // treated as clean — the gate degrades to plain min-of-k off-linux.
     val gate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "4.0").toDouble
     def cleanTimes(n: String): Vector[Double] =
-      times(n).zip(loads(n)).collect {
-        case (t, l) if t >= 0 && l >= 0 && l <= gate => t }
+      times(n).zip(others(n)).collect {
+        case (t, oc) if t >= 0 && (oc < 0 || oc <= gate) => t }
     var extraRounds = 0
     while (extraRounds < 2 && qs.exists(q => cleanTimes(q.name).isEmpty)) {
       for (q <- qs if cleanTimes(q.name).isEmpty) runOnce(q)
@@ -128,7 +164,7 @@ object Bench {
     val cleanJson = qs.map(q => "\"" + q.name + s"""\":${cleanFlags(q.name)}""")
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","repeats":$repeats,"timing":"min_of_k_interleaved_load_gated","load_gate":$gate%.1f,"extra_rounds":$extraRounds,"clean":$cleanJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","times":${vecJson(times)},"loads":${vecJson(loads)}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","repeats":$repeats,"timing":"min_of_k_interleaved_cpu_gated","gate_other_cores":$gate%.1f,"extra_rounds":$extraRounds,"clean":$cleanJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","times":${vecJson(times)},"loads":${vecJson(loads)},"others_cpu_cores":${vecJson(others)}}""")
     spark.stop()
   }
 }
