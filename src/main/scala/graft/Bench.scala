@@ -44,9 +44,11 @@ object Bench {
       val statSrc = scala.io.Source.fromFile("/proc/stat")
       val cpu = try statSrc.getLines().next() finally statSrc.close()
       val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
-      // busy = everything except idle(3) and iowait(4)
+      // busy = everything except idle(3), iowait(4) and guest/guest_nice
+      // (8/9) — the kernel already folds guest time into user/nice, so
+      // including them double-counts VM guests on a host (review r9)
       val busy = f.zipWithIndex.collect {
-        case (v, i) if i != 3 && i != 4 => v }.sum
+        case (v, i) if i != 3 && i != 4 && i != 8 && i != 9 => v }.sum
       val selfSrc = scala.io.Source.fromFile("/proc/self/stat")
       val line = try selfSrc.mkString finally selfSrc.close()
       // fields after the parenthesized comm (which can contain spaces):
@@ -149,7 +151,11 @@ object Bench {
     val results = qs.map { q =>
       val ts = times(q.name).filter(_ >= 0)
       val clean = cleanTimes(q.name)
-      val v = if (times(q.name).forall(_ < 0)) -1.0
+      // ANY failed repeat poisons the reported value (review r9: min over
+      // the successes would let an intermittently-failing query publish a
+      // healthy-looking number) — the per-repeat vectors still show which
+      // repeats ran
+      val v = if (times(q.name).exists(_ < 0)) -1.0
               else if (clean.nonEmpty) clean.min
               else ts.min
       q.name -> v

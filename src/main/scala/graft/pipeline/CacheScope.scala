@@ -76,6 +76,12 @@ object CacheScope {
     val released = new AtomicBoolean(false)
     val misses = new AtomicInteger(0)
     val deadlineNs: Long = System.nanoTime() + ttlMs * 1000000L
+    /** the scope's TTL timer task — cancelled on release so a scope
+      * released by its materialization event (the common case, seconds)
+      * does not stay strongly reachable from the timer queue for the
+      * full TTL (review r9: hundreds of pinned plan trees in a bench
+      * loop otherwise) */
+    @volatile var ttlTask: java.util.concurrent.ScheduledFuture[_] = null
 
     /** Idempotent. Decrements the canon refcount; unpersists the shared
       * entry only when this was the last live scope. blocking=false:
@@ -83,6 +89,8 @@ object CacheScope {
       * listener bus or the timer thread. */
     def release(): Unit =
       if (released.compareAndSet(false, true)) {
+        val t = ttlTask
+        if (t != null) t.cancel(false)
         val remaining = refs.compute(canon, (_, v) =>
           if (v == null || v <= 1) null else Integer.valueOf(v - 1))
         if (remaining == null)
@@ -161,10 +169,20 @@ object CacheScope {
     val out =
       try body(cached)
       catch { case e: Throwable => scope.release(); throw e }
-    state(spark).scopes.add(scope)
-    // TTL fires even if no execution ever happens on the session
-    timer.schedule(new Runnable { def run(): Unit = scope.release() },
-      ttlMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    val st = state(spark)
+    st.scopes.add(scope)
+    // TTL fires even if no execution ever happens on the session; it also
+    // removes the scope from the queue (onEvent never runs on a session
+    // with no executions, so without this the queue — and every DataFrame
+    // each scope holds — would grow without bound, review r9)
+    scope.ttlTask = timer.schedule(new Runnable {
+      def run(): Unit = { scope.release(); st.scopes.remove(scope); () }
+    }, ttlMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    // the materialization event may have already released the scope
+    // before ttlTask was assigned — don't leave that task pinning it
+    if (scope.released.get) {
+      scope.ttlTask.cancel(false); st.scopes.remove(scope); ()
+    }
     out
   }
 }

@@ -47,22 +47,26 @@ object Sources {
     * the send-batch cadence of the reference). Returns the streaming
     * DataFrame with `ts` as a proper TimestampType.
     */
-  def eventsReplay(spark: SparkSession, sfDir: String, stagingDir: String,
-      splits: Int = 8, maxFilesPerTrigger: Int = 1): DataFrame = {
-    // ns→µs conversion happens at stage time (same rule as Tables.t: only
-    // when ts was physically read as a nanos long — re-written copies of the
-    // table already carry TimestampType), so the staged files and the stream
-    // schema are uniformly TimestampType.
-    val raw = graft.queries.Tables.t(spark, sfDir, "events")
-    raw.repartition(splits)
+  /** staged-events schema: ns→µs conversion happens at stage time (same
+    * rule as Tables.t — re-written copies already carry TimestampType),
+    * so staged files and the stream schema are uniformly TimestampType. */
+  private val stagedEventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def stageEvents(spark: SparkSession, sfDir: String,
+      stagingDir: String, splits: Int): Unit =
+    graft.queries.Tables.t(spark, sfDir, "events")
+      .repartition(splits)
       // staging is transient replay scratch (read back once, then dead) —
       // snappy's cheaper encode beats zstd's smaller files here
       .write.mode("overwrite").option("compression", "snappy").parquet(stagingDir)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", TimestampType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    parquetFileStream(spark, stagingDir, schema, maxFilesPerTrigger)
+
+  def eventsReplay(spark: SparkSession, sfDir: String, stagingDir: String,
+      splits: Int = 8, maxFilesPerTrigger: Int = 1): DataFrame = {
+    stageEvents(spark, sfDir, stagingDir, splits)
+    parquetFileStream(spark, stagingDir, stagedEventsSchema, maxFilesPerTrigger)
   }
 
   // staged-replay corpora by (sfDir, splits): the staged files are a pure
@@ -86,16 +90,10 @@ object Sources {
     val staging = stagedReplays.computeIfAbsent((sfDir, splits), { _ =>
       val d = graft.queries.Scratch.dir(
         s"replay_staging_${Integer.toHexString(sfDir.hashCode)}_$splits")
-      val raw = graft.queries.Tables.t(spark, sfDir, "events")
-      raw.repartition(splits)
-        .write.mode("overwrite").option("compression", "snappy").parquet(d)
+      stageEvents(spark, sfDir, d, splits)
       d
     })
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", TimestampType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    parquetFileStream(spark, staging, schema, maxFilesPerTrigger)
+    parquetFileStream(spark, staging, stagedEventsSchema, maxFilesPerTrigger)
   }
 
   /** The record shape Spark's kafka source produces — also the contract any
