@@ -108,6 +108,12 @@ object GraftFunctions {
           else (0, 0)
         GearChunks(args(0), mask, mn, mx)
       }),
+    (new FunctionIdentifier("repetition_signals"),
+      new ExpressionInfo(classOf[RepetitionSignals].getName, "repetition_signals"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "repetition_signals(words) takes 1 argument")
+        RepetitionSignals(args(0))
+      }),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

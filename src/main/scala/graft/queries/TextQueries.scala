@@ -39,6 +39,69 @@ object TextQueries {
         explode(graft.functions.GearChunks(col("text"), mask = 64)).as("chunk"))
   }
 
+  /** The r8 relational formulation of the Gopher repetition battery over
+    * an arbitrary (doc_id, text) frame — kept as the parity twin of the
+    * [[graft.functions.RepetitionSignals]] expression the shipped query
+    * uses since r9 (RepetitionParitySpec pins row-identity; the DuckDB
+    * oracle independently pins the expression). Shape: materialized words
+    * array → codegen'd (n ∈ 2..10) × position explode (grams by
+    * slice+concat_ws, never re-split) → (doc,n,gram) count → per-(doc,n)
+    * aggregates → conditional pivot; ties break to the binary-largest
+    * gram via max(struct(c, gram)). */
+  private[graft] def gopherRepetitionRelational(
+      docsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .withColumn("total_chars",
+        length(translate(col("text"), " ", "")).cast(LongType))
+    val grams = docs
+      .select(col("doc_id"), col("w"),
+        explode(typedlit((2 to 10).toArray)).as("n"))
+      .filter(size(col("w")) >= col("n"))
+      .select(col("doc_id"), col("n"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (col("n") - 1))).as("i"))
+      .select(col("doc_id"), col("n"),
+        concat_ws(" ", slice(col("w"), col("i"), col("n"))).as("gram"))
+    val counts = grams.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("gc",
+        length(translate(col("gram"), " ", "")).cast(LongType))
+    val per = counts.groupBy(col("doc_id"), col("n"))
+      .agg(
+        sum(when(col("c") >= 2, col("c") * col("gc")).otherwise(0L))
+          .as("dup_chars"),
+        max(struct(col("c"), col("gram"))).as("top"))
+      .withColumn("top_chars", col("top.c") *
+        length(translate(col("top.gram"), " ", "")).cast(LongType))
+    def pick(n: Int, c: String) =
+      coalesce(max(when(col("n") === n, col(c))), lit(0L))
+    val wide = per.groupBy(col("doc_id"))
+      .agg(
+        pick(2, "top_chars").as("top2_chars"),
+        pick(3, "top_chars").as("top3_chars"),
+        pick(4, "top_chars").as("top4_chars"),
+        pick(5, "dup_chars").as("dup5_chars"),
+        pick(6, "dup_chars").as("dup6_chars"),
+        pick(7, "dup_chars").as("dup7_chars"),
+        pick(8, "dup_chars").as("dup8_chars"),
+        pick(9, "dup_chars").as("dup9_chars"),
+        pick(10, "dup_chars").as("dup10_chars"))
+    val topTh = Seq(2 -> 20, 3 -> 18, 4 -> 16)
+    val dupTh = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    val names = topTh.map { case (n, _) => s"top${n}_chars" } ++
+      dupTh.map { case (n, _) => s"dup${n}_chars" }
+    val joined = docs.select(col("doc_id"), col("total_chars"))
+      .join(wide, Seq("doc_id"), "left")
+      .select(Seq(col("doc_id"), col("total_chars")) ++
+        names.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    val keep = (topTh.map { case (n, t) =>
+        col(s"top${n}_chars") * 100 <= col("total_chars") * t } ++
+      dupTh.map { case (n, t) =>
+        col(s"dup${n}_chars") * 100 <= col("total_chars") * t })
+      .reduce(_ && _)
+    joined.withColumn("keep_repetition", keep.cast("int"))
+  }
+
   /** Span-dedup gram key over a tokens column `l` at position `pos`
     * (shared by span_dedup_stats / span_dedup_clean — one definition,
     * review finding r8). DEFAULT (r9, was flag-gated in r8): ONE chained
@@ -517,70 +580,35 @@ object TextQueries {
     // embarrassingly parallel at any corpus size. Most-frequent-gram ties
     // break to the lexicographically LARGEST gram on both sides ------------
     QueryDef("gopher_repetition_signals", (s, dir) => {
-      // r8 REWRITE into the relational shape the DuckDB twin always used,
-      // after the r8 probe caught the old per-row formulation burning 32
-      // cores for 45+ minutes at ×30: nested interpreted HOF lambdas
-      // (aggregate∘filter(array_distinct, g => size(filter(gs, …))))
-      // re-evaluated the gram array — and the split() beneath it — for
-      // EVERY outer element, O(L³)-with-string-ops per document. Now: one
-      // materialized words array, one codegen'd posexplode over (n ∈
-      // 2..10) × positions (grams built by slice+concat_ws of the COLUMN,
-      // never re-split), one (doc_id, n, gram) count, per-(doc, n)
-      // aggregates, conditional pivot. ~9·L rows per doc through a
-      // map-side-combining count — the embarrassingly-parallel claim now
-      // holds with a sane constant. Most-frequent-gram ties break to the
-      // lexicographically LARGEST gram via max(struct(c, gram)), matching
-      // the twin's ORDER BY c DESC, gram DESC.
+      // r9 PROMOTION to a native expression: every (doc, n, gram) count
+      // key is DOC-LOCAL, so the r8 relational shape (9-way codegen'd
+      // posexplode → (doc,n,gram) count → pivot) paid a ~17-of-24 s hash
+      // aggregation at ×30 for counts each document can compute alone
+      // (GopherProbe phase split). RepetitionSignals is one compiled
+      // O(9·L) pass per doc — prefix-summed char lengths + per-n hash-map
+      // counts, exact tie-break included — with NO row fan-out and NO
+      // shuffle; the projection stays inside whole-stage codegen. The r8
+      // relational formulation remains below as the parity twin
+      // ([[gopherRepetitionRelational]], RepetitionParitySpec) and the
+      // DuckDB oracle is unchanged. ×30: 24.3 → (see SCALE_r9). The r8
+      // lesson (interpreted HOFs re-evaluating per element) does NOT
+      // apply: this is compiled code, linear by construction.
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
         .withColumn("total_chars",
           length(translate(col("text"), " ", "")).cast(LongType))
-      val grams = docs
-        .select(col("doc_id"), col("w"),
-          explode(typedlit((2 to 10).toArray)).as("n"))
-        .filter(size(col("w")) >= col("n"))
-        .select(col("doc_id"), col("n"), col("w"),
-          explode(sequence(lit(1), size(col("w")) - (col("n") - 1))).as("i"))
-        .select(col("doc_id"), col("n"),
-          concat_ws(" ", slice(col("w"), col("i"), col("n"))).as("gram"))
-      val counts = grams.groupBy(col("doc_id"), col("n"), col("gram"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("gc",
-          length(translate(col("gram"), " ", "")).cast(LongType))
-      val per = counts.groupBy(col("doc_id"), col("n"))
-        .agg(
-          sum(when(col("c") >= 2, col("c") * col("gc")).otherwise(0L))
-            .as("dup_chars"),
-          max(struct(col("c"), col("gram"))).as("top"))
-        .withColumn("top_chars", col("top.c") *
-          length(translate(col("top.gram"), " ", "")).cast(LongType))
-      def pick(n: Int, c: String) =
-        coalesce(max(when(col("n") === n, col(c))), lit(0L))
-      val wide = per.groupBy(col("doc_id"))
-        .agg(
-          pick(2, "top_chars").as("top2_chars"),
-          pick(3, "top_chars").as("top3_chars"),
-          pick(4, "top_chars").as("top4_chars"),
-          pick(5, "dup_chars").as("dup5_chars"),
-          pick(6, "dup_chars").as("dup6_chars"),
-          pick(7, "dup_chars").as("dup7_chars"),
-          pick(8, "dup_chars").as("dup8_chars"),
-          pick(9, "dup_chars").as("dup9_chars"),
-          pick(10, "dup_chars").as("dup10_chars"))
       val topTh = Seq(2 -> 20, 3 -> 18, 4 -> 16)
       val dupTh = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
-      val names = topTh.map { case (n, _) => s"top${n}_chars" } ++
-        dupTh.map { case (n, _) => s"dup${n}_chars" }
-      val joined = docs.select(col("doc_id"), col("total_chars"))
-        .join(wide, Seq("doc_id"), "left")
-        .select(Seq(col("doc_id"), col("total_chars")) ++
-          names.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
       val keep = (topTh.map { case (n, t) =>
           col(s"top${n}_chars") * 100 <= col("total_chars") * t } ++
         dupTh.map { case (n, t) =>
           col(s"dup${n}_chars") * 100 <= col("total_chars") * t })
         .reduce(_ && _)
-      joined.withColumn("keep_repetition", keep.cast("int"))
+      docs.select(col("doc_id"), col("total_chars"),
+          call_function("repetition_signals", col("w")).as("r"))
+        .select(col("doc_id"), col("total_chars"), col("r.*"))
+        .withColumn("keep_repetition", keep.cast("int"))
     },
     Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words,
                    CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars
