@@ -49,6 +49,7 @@ object Lookups {
   def unregister(name: String): Unit = {
     registry.remove(name)
     dropBroadcasts(name, keepAtOrAbove = Long.MaxValue)
+    dropWatermark(name)
   }
 
   private def dropBroadcasts(name: String, keepAtOrAbove: Long): Unit =
@@ -87,8 +88,7 @@ object Lookups {
       Option(n.get(f)).filterNot(_.isNull).map(_.asText)
     val nsType = str(ns, "type").getOrElse("")
     require(nsType == "uri",
-      s"unsupported extractionNamespace type '$nsType' (only 'uri' — no " +
-        "jdbc/kafka loaders in this engine)")
+      s"loadUriNamespace got extractionNamespace type '$nsType' (use pollNamespace)")
     val conf = spark.sparkContext.hadoopConfiguration
     val files: Seq[org.apache.hadoop.fs.Path] =
       (str(ns, "uri"), str(ns, "uriPrefix")) match {
@@ -175,6 +175,114 @@ object Lookups {
           "(csv/tsv/simpleJson/customJson)")
     }
   }
+
+  /** One coordinator poll of a cachedNamespace extractionNamespace,
+    * dispatched on `type`: `uri` (file-backed) always reloads; `jdbc`
+    * reloads unless its `tsColumn` freshness check says the table is
+    * unchanged, in which case `None` is returned and the caller keeps the
+    * currently registered version (no version bump — upstream's
+    * lastUpdates skip). `kafka` namespaces stay a loud error (no kafka
+    * artifacts on this classpath, COVERAGE.md). */
+  def pollNamespace(spark: SparkSession, lookupName: String,
+      ns: com.fasterxml.jackson.databind.JsonNode): Option[Map[String, String]] =
+    Option(ns.get("type")).filterNot(_.isNull).map(_.asText).getOrElse("") match {
+      case "uri" => Some(loadUriNamespace(spark, ns))
+      case "jdbc" => loadJdbcNamespace(spark, lookupName, ns)
+      case other => throw new IllegalArgumentException(
+        s"unsupported extractionNamespace type '$other' (uri/jdbc — no " +
+          "kafka loader in this engine)")
+    }
+
+  // last successful MAX(tsColumn) watermark per lookup NAME — the
+  // freshness state behind upstream's lastUpdates skip; a name's watermark
+  // is only consulted while that name is still registered
+  private val jdbcWatermarks = TrieMap.empty[String, String]
+
+  /** Load a Druid `jdbc` extractionNamespace (the lookups-cached-global
+    * extension's JDBC-backed lookups, upstream
+    * `lookups-cached-global/.../JdbcCacheGenerator` semantics): one call is
+    * one coordinator poll of
+    * `SELECT keyColumn, valueColumn FROM table [WHERE filter]` through
+    * Spark's own JDBC source (`spark.read.format("jdbc")` — the driver
+    * class resolves from the URL via DriverManager; the Derby engine on
+    * Spark's classpath makes `jdbc:derby:` work out of the box). Behaviors
+    * kept from upstream:
+    *  - `tsColumn` freshness: the poll first reads `MAX(tsColumn)` (whole
+    *    table — upstream's check ignores `filter`) and SKIPS the reload
+    *    (returns None; the caller keeps the current version) when it equals
+    *    the previous successful poll's watermark for this lookup name.
+    *    Deletions that leave MAX(ts) unchanged are invisible until a row
+    *    advances it — upstream's documented limitation too.
+    *  - rows whose key or value is NULL are dropped (upstream's generator
+    *    skips them); keys and values are rendered as strings (Druid
+    *    lookups are string→string) by a Spark-side cast, so numeric /
+    *    timestamp columns format consistently across JDBC drivers.
+    *  - duplicate keys: last row wins (upstream map.put order).
+    * `pollPeriod`/`jitterSeconds`/`maxHeapPercentage` parse but don't
+    * schedule anything — this engine's contract is one POST = one poll.
+    * Lookup tables are config-sized by contract — the single-partition
+    * read collects to the driver; the broadcast regime in [[broadcastFor]]
+    * distributes big results to executors. */
+  def loadJdbcNamespace(spark: SparkSession, lookupName: String,
+      ns: com.fasterxml.jackson.databind.JsonNode): Option[Map[String, String]] = {
+    def str(n: com.fasterxml.jackson.databind.JsonNode, f: String): Option[String] =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asText)
+    val conn = Option(ns.get("connectorConfig")).filterNot(_.isNull).getOrElse(
+      throw new IllegalArgumentException(
+        "jdbc extractionNamespace needs a connectorConfig"))
+    val uri = str(conn, "connectURI").getOrElse(
+      throw new IllegalArgumentException(
+        "jdbc extractionNamespace needs connectorConfig.connectURI"))
+    val table = str(ns, "table").getOrElse(throw new IllegalArgumentException(
+      "jdbc extractionNamespace needs a table"))
+    val keyCol = str(ns, "keyColumn").getOrElse(
+      throw new IllegalArgumentException(
+        "jdbc extractionNamespace needs a keyColumn"))
+    val valCol = str(ns, "valueColumn").getOrElse(
+      throw new IllegalArgumentException(
+        "jdbc extractionNamespace needs a valueColumn"))
+    val filter = str(ns, "filter").filter(_.nonEmpty)
+
+    def read(query: String): org.apache.spark.sql.DataFrame = {
+      val r = spark.read.format("jdbc")
+        .option("url", uri).option("query", query)
+      val r2 = str(conn, "user").fold(r)(r.option("user", _))
+      str(conn, "password").fold(r2)(r2.option("password", _)).load()
+    }
+
+    val mxOpt = str(ns, "tsColumn").filter(_.nonEmpty).map { tsCol =>
+      // aliased: some engines (Derby) label an unaliased aggregate "1" in
+      // ResultSet metadata, which is not re-selectable by name when Spark
+      // builds the fetch query around the subquery
+      read(s"SELECT MAX($tsCol) AS mx FROM $table").collect().headOption
+        .map(r => if (r.isNullAt(0)) "<empty>" else String.valueOf(r.get(0)))
+        .getOrElse("<empty>")
+    }
+    val unchanged = mxOpt.exists(mx =>
+      jdbcWatermarks.get(lookupName).contains(mx) && registry.contains(lookupName))
+    if (unchanged) scala.None
+    else {
+      // column POSITIONS, not labels: drivers case-fold unquoted
+      // identifiers in ResultSet metadata (Derby upper-cases), and
+      // keyColumn == valueColumn would alias-collide — toDF renames
+      // positionally past both
+      val where = filter.map(f => s" WHERE $f").getOrElse("")
+      val rows = read(s"SELECT $keyCol, $valCol FROM $table$where")
+        .toDF("k", "v")
+        .select(org.apache.spark.sql.functions.col("k").cast("string"),
+          org.apache.spark.sql.functions.col("v").cast("string"))
+        .where("k IS NOT NULL AND v IS NOT NULL")
+        .collect()
+      // watermark advances only once the load SUCCEEDED — a failed reload
+      // must not make the next poll skip
+      mxOpt.foreach(mx => jdbcWatermarks.put(lookupName, mx))
+      Some(rows.map(r => r.getString(0) -> r.getString(1)).toMap)
+    }
+  }
+
+  /** Clears the tsColumn freshness watermark for a name — called on
+    * unregister so a re-created lookup never sees a stale skip. */
+  private def dropWatermark(name: String): Unit = jdbcWatermarks.remove(name)
 
   /** RFC-4180 line split: unquoted delimiters separate fields; a field
     * starting with `"` runs to its closing quote ("" = literal quote) and

@@ -624,6 +624,54 @@ object RelationalQueries {
              count(*) AS cnt, round(sum(value), 2) AS total
             FROM events GROUP BY 1""")),
 
+    // -- Druid JDBC cachedNamespace lookup (lookups-cached-global's jdbc
+    // extractionNamespace): the nation table lands in an embedded Derby DB
+    // (the JDBC engine on Spark's own classpath), one coordinator poll
+    // loads it through Spark's jdbc source — filter clause exercised by a
+    // sentinel row the poll must exclude — and LOOKUP() resolves it like
+    // any registered map. Oracle twin is the equivalent relational join. --
+    QueryDef("lookup_jdbc_dim", (s, dir) => {
+      val dbDir = Scratch.dir("lookup_jdbc_db")
+      val url = s"jdbc:derby:$dbDir/db"
+      val c = java.sql.DriverManager.getConnection(url + ";create=true")
+      try {
+        val st = c.createStatement()
+        st.executeUpdate(
+          "CREATE TABLE nation_lkp (nkey VARCHAR(16), nname VARCHAR(64))")
+        val ps = c.prepareStatement("INSERT INTO nation_lkp VALUES (?, ?)")
+        // 25 rows: config-sized by contract, driver-side insert is the point
+        Tables.t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+          .collect().foreach { r =>
+            ps.setString(1, String.valueOf(r.get(0)))
+            ps.setString(2, r.getString(1)); ps.executeUpdate()
+          }
+        ps.setString(1, "9999"); ps.setString(2, "NOT_A_NATION")
+        ps.executeUpdate() // the filter clause must keep this row out
+        ps.close(); st.close()
+      } finally c.close()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val ns = mapper.readTree(
+        s"""{"type":"jdbc",
+             "connectorConfig":{"connectURI":${"\"" + url + "\""}},
+             "table":"nation_lkp","keyColumn":"nkey","valueColumn":"nname",
+             "filter":"nkey <> '9999'"}""")
+      Lookups.register("jdbc_nation",
+        Lookups.pollNamespace(s, "jdbc_nation", ns).get)
+      graft.functions.GraftFunctions.register(s) // lookup() in this session
+      try Tables.t(s, dir, "customer")
+        .groupBy(expr("lookup(c_nationkey, 'jdbc_nation')").as("nation_name"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("c_acctbal")), 2).as("acctbal"))
+      finally { // release the Derby store before the scratch reaper runs
+        try java.sql.DriverManager.getConnection(url + ";shutdown=true")
+        catch { case _: java.sql.SQLException => () }
+      }
+    },
+    Some("""SELECT n_name AS nation_name,
+             count(*) AS cnt, round(sum(c_acctbal), 2) AS acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1""")),
+
     // -- Druid scan-query pagination: stable total order + offset/limit
     // (the reference's select/scan queries page through raw rows; the
     // (ts, event_id) order is total because event_id is unique) -------------

@@ -1417,13 +1417,14 @@ final class HttpIngestServer(
           }
           // Druid coordinator envelope: {"version": …,
           // "lookupExtractorFactory": {"type": "map", "map": {…}}} — unwrap
-          // to the inner map. Type "cachedNamespace" with a `uri`
-          // extractionNamespace loads file-backed lookups through
-          // [[graft.queries.Lookups.loadUriNamespace]] (one POST = one
-          // coordinator poll; re-POST re-loads + version-bumps); jdbc/kafka
-          // loaders stay a loud error, never a silently registered empty
-          // lookup. The bare key→value object body keeps working (the
-          // engine's native form).
+          // to the inner map. Type "cachedNamespace" with a `uri` (file-
+          // backed) or `jdbc` (Spark JDBC source) extractionNamespace loads
+          // through [[graft.queries.Lookups.pollNamespace]] (one POST = one
+          // coordinator poll; re-POST re-polls + version-bumps — except a
+          // jdbc tsColumn freshness skip, which keeps the current version
+          // and says so). kafka loaders stay a loud error, never a
+          // silently registered empty lookup. The bare key→value object
+          // body keeps working (the engine's native form).
           val mapNode = Option(root.get("lookupExtractorFactory")) match {
             case Some(f) =>
               Option(f.get("type")).map(_.asText).getOrElse("") match {
@@ -1438,21 +1439,38 @@ final class HttpIngestServer(
                       """{"error":"cachedNamespace needs an extractionNamespace"}""")
                     return
                   }
-                  val loaded = try graft.queries.Lookups.loadUriNamespace(
-                    org.apache.spark.sql.SparkSession.active, ns)
+                  val polled = try graft.queries.Lookups.pollNamespace(
+                    org.apache.spark.sql.SparkSession.active, n, ns)
                   catch {
                     case NonFatal(e) =>
                       reply(ex, 400, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
                       return
                   }
-                  if (loaded.isEmpty) {
-                    reply(ex, 400, """{"error":"uri lookup loaded no entries"}""")
-                    return
+                  polled match {
+                    case Some(loaded) =>
+                      if (loaded.isEmpty) {
+                        reply(ex, 400, """{"error":"cachedNamespace lookup loaded no entries"}""")
+                        return
+                      }
+                      graft.queries.Lookups.register(n, loaded)
+                      val v = graft.queries.Lookups.entry(n).get.version
+                      reply(ex, 200,
+                        s"""{"result":{"name":${quote(n)},"entries":${loaded.size},"version":$v}}""")
+                    case scala.None =>
+                      // jdbc tsColumn freshness skip: the table is
+                      // unchanged since the last successful poll — keep
+                      // the registered version (no bump), tell the caller.
+                      // A DELETE racing the poll can empty the registry
+                      // between the skip decision and here — loud, with
+                      // the fix spelled out, never a 500.
+                      graft.queries.Lookups.entry(n) match {
+                        case Some(e) => reply(ex, 200,
+                          s"""{"result":{"name":${quote(n)},"entries":${e.mapping.size},""" +
+                            s""""version":${e.version},"unchanged":true}}""")
+                        case scala.None => reply(ex, 400, s"""{"error":${quote(
+                          s"lookup '$n' was deleted concurrently; re-POST to reload")}}""")
+                      }
                   }
-                  graft.queries.Lookups.register(n, loaded)
-                  val v = graft.queries.Lookups.entry(n).get.version
-                  reply(ex, 200,
-                    s"""{"result":{"name":${quote(n)},"entries":${loaded.size},"version":$v}}""")
                   return
                 case t =>
                   reply(ex, 400, s"""{"error":${quote(

@@ -463,10 +463,48 @@ class HttpIngestSpec extends SparkSpec {
       val (luq, luqb) = post(handle.port, "/druid/v2/sql",
         """{"query": "SELECT LOOKUP('c', 'filetypes') AS label FROM clicks_ds LIMIT 1"}""")
       assert(luq == 200 && luqb.contains("\"label\":\"click-file\""), luqb)
+      // incomplete jdbc config is loud (needs connectorConfig), and kafka
+      // loaders stay rejected
       val (lbadu, lbadub) = post(handle.port, "/lookups/filetypes",
         """{"lookupExtractorFactory": {"type": "cachedNamespace",
             "extractionNamespace": {"type": "jdbc"}}}""")
-      assert(lbadu == 400 && lbadub.contains("jdbc"), lbadub)
+      assert(lbadu == 400 && lbadub.contains("connectorConfig"), lbadub)
+      val (lbadk, lbadkb) = post(handle.port, "/lookups/filetypes",
+        """{"lookupExtractorFactory": {"type": "cachedNamespace",
+            "extractionNamespace": {"type": "kafka"}}}""")
+      assert(lbadk == 400 && lbadkb.contains("kafka"), lbadkb)
+      // jdbc cachedNamespace E2E: embedded Derby table → one POST = one
+      // poll; a tsColumn re-POST with an unchanged table keeps the version
+      // and says so; advancing the table re-loads + bumps
+      val dbDir = Files.createTempDirectory("graft-http-jdbc")
+      val dbUrl = s"jdbc:derby:$dbDir/db"
+      val dbc = java.sql.DriverManager.getConnection(dbUrl + ";create=true")
+      val dbst = dbc.createStatement()
+      dbst.executeUpdate(
+        "CREATE TABLE etypes_db (k VARCHAR(8), v VARCHAR(32), ts INT)")
+      dbst.executeUpdate(
+        "INSERT INTO etypes_db VALUES ('c','click-db',1), ('d','disp-db',1)")
+      val jdbcBody = s"""{"version": "v1", "lookupExtractorFactory":
+           {"type": "cachedNamespace",
+            "extractionNamespace": {"type": "jdbc",
+              "connectorConfig": {"connectURI": "$dbUrl"},
+              "table": "etypes_db", "keyColumn": "k", "valueColumn": "v",
+              "tsColumn": "ts"}}}"""
+      val (ljc, ljb) = post(handle.port, "/lookups/dbtypes", jdbcBody)
+      assert(ljc == 200 && ljb.contains("\"entries\":2"), ljb)
+      val (ljq, ljqb) = post(handle.port, "/druid/v2/sql",
+        """{"query": "SELECT LOOKUP('c', 'dbtypes') AS label FROM clicks_ds LIMIT 1"}""")
+      assert(ljq == 200 && ljqb.contains("\"label\":\"click-db\""), ljqb)
+      val (lju, ljub) = post(handle.port, "/lookups/dbtypes", jdbcBody)
+      assert(lju == 200 && ljub.contains("\"unchanged\":true"), ljub)
+      dbst.executeUpdate("INSERT INTO etypes_db VALUES ('e','email-db',2)")
+      val (ljr, ljrb) = post(handle.port, "/lookups/dbtypes", jdbcBody)
+      assert(ljr == 200 && ljrb.contains("\"entries\":3") &&
+        !ljrb.contains("unchanged"), ljrb)
+      dbst.close(); dbc.close()
+      try java.sql.DriverManager.getConnection(dbUrl + ";shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+      graft.queries.Lookups.unregister("dbtypes")
 
       // SQL INGESTION over the socket (MSQ surface): INSERT INTO with a
       // rollup SELECT over the routed store; reply = per-segment task

@@ -169,9 +169,99 @@ class LookupSpec extends SparkSpec {
     assert(bad(s"""{"type":"uri","uri":"$tsvUri",
         "namespaceParseSpec":{"format":"csv","columns":["k","v"]}}""")
       .contains("columns"))
-    assert(bad(s"""{"type":"jdbc"}""").contains("jdbc"))
     assert(bad(s"""{"type":"uri",
         "namespaceParseSpec":{"format":"csv","columns":["k"]}}""")
       .contains("uri"))
+    // pollNamespace is the dispatch surface: kafka loaders stay loud
+    assert(intercept[IllegalArgumentException] {
+      Lookups.pollNamespace(spark, "x", mapper.readTree("""{"type":"kafka"}"""))
+    }.getMessage.contains("kafka"))
+  }
+
+  test("jdbc extractionNamespace loader: Derby poll, filter, tsColumn " +
+      "freshness skip, null handling, casts, loud failures") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val dir = java.nio.file.Files.createTempDirectory("graft-lk-jdbc")
+    val url = s"jdbc:derby:$dir/db"
+    val c = java.sql.DriverManager.getConnection(url + ";create=true")
+    val st = c.createStatement()
+    st.executeUpdate("CREATE TABLE lkp (k VARCHAR(32), v VARCHAR(64), " +
+      "updated_at INT)")
+    st.executeUpdate("INSERT INTO lkp VALUES ('a','A',1), ('b','B',1), " +
+      "(NULL,'X',1), ('c',NULL,1)")
+    def ns(extra: String = ""): com.fasterxml.jackson.databind.JsonNode =
+      mapper.readTree(s"""{"type":"jdbc",
+        "connectorConfig":{"connectURI":"$url"},
+        "table":"lkp","keyColumn":"k","valueColumn":"v"$extra}""")
+    def poll(name: String, n: com.fasterxml.jackson.databind.JsonNode) =
+      Lookups.pollNamespace(spark, name, n)
+    try {
+      // basic poll: NULL-key and NULL-value rows dropped (upstream's
+      // generator skips them), the rest registered verbatim
+      val m1 = poll("jdbc_t", ns()).get
+      assert(m1 == Map("a" -> "A", "b" -> "B"), m1)
+      Lookups.register("jdbc_t", m1)
+
+      // filter clause reaches the fetch SQL
+      val mf = poll("jdbc_f", ns(""","filter":"k <> 'b'"""")).get
+      assert(mf == Map("a" -> "A"), mf)
+
+      // tsColumn freshness: first poll loads + records the watermark;
+      // an unchanged table SKIPS (None — caller keeps current version);
+      // advancing MAX(ts) reloads and picks up the new row
+      val tsNs = ns(""","tsColumn":"updated_at"""")
+      val t1 = poll("jdbc_ts", tsNs).get
+      Lookups.register("jdbc_ts", t1)
+      assert(poll("jdbc_ts", tsNs).isEmpty, "unchanged table must skip")
+      st.executeUpdate("INSERT INTO lkp VALUES ('d','D',7)")
+      val t2 = poll("jdbc_ts", tsNs).get
+      assert(t2 == Map("a" -> "A", "b" -> "B", "d" -> "D"), t2)
+      // unregister clears the watermark: a re-created lookup of the same
+      // name must reload even though MAX(ts) is unchanged
+      Lookups.register("jdbc_ts", t2)
+      assert(poll("jdbc_ts", tsNs).isEmpty)
+      Lookups.unregister("jdbc_ts")
+      assert(poll("jdbc_ts", tsNs).nonEmpty)
+      // a name the registry has never seen (or whose load failed before
+      // registration) never skips, even with a recorded-looking state
+      assert(poll("jdbc_fresh", tsNs).nonEmpty)
+
+      // non-string columns render as strings via the Spark-side cast
+      st.executeUpdate("CREATE TABLE typed (ik INT, dv DOUBLE)")
+      st.executeUpdate("INSERT INTO typed VALUES (1, 2.5), (2, 3.0)")
+      val mt = poll("jdbc_typed", mapper.readTree(s"""{"type":"jdbc",
+        "connectorConfig":{"connectURI":"$url"},
+        "table":"typed","keyColumn":"ik","valueColumn":"dv"}""")).get
+      assert(mt == Map("1" -> "2.5", "2" -> "3.0"), mt)
+
+      // end-to-end: the registered jdbc map resolves through LOOKUP()
+      GraftFunctions.register(spark)
+      val looked = Seq("a", "zzz").toDF("kk")
+        .selectExpr("lookup(kk, 'jdbc_t') AS v").collect()
+        .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+      assert(looked == Seq("A", null))
+
+      // loud failures: missing connectorConfig / connectURI / table /
+      // keyColumn / valueColumn
+      def bad(json: String): String = intercept[IllegalArgumentException](
+        poll("jdbc_bad", mapper.readTree(json))).getMessage
+      assert(bad("""{"type":"jdbc"}""").contains("connectorConfig"))
+      assert(bad("""{"type":"jdbc","connectorConfig":{}}""")
+        .contains("connectURI"))
+      assert(bad(s"""{"type":"jdbc",
+        "connectorConfig":{"connectURI":"$url"}}""").contains("table"))
+      assert(bad(s"""{"type":"jdbc",
+        "connectorConfig":{"connectURI":"$url"},"table":"lkp"}""")
+        .contains("keyColumn"))
+      assert(bad(s"""{"type":"jdbc",
+        "connectorConfig":{"connectURI":"$url"},"table":"lkp",
+        "keyColumn":"k"}""").contains("valueColumn"))
+    } finally {
+      Seq("jdbc_t", "jdbc_ts", "jdbc_f", "jdbc_typed", "jdbc_fresh")
+        .foreach(Lookups.unregister)
+      st.close(); c.close()
+      try java.sql.DriverManager.getConnection(url + ";shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+    }
   }
 }
