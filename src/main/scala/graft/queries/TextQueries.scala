@@ -1293,7 +1293,16 @@ object TextQueries {
     // word wins, which is tf-idf's order whenever tf ties — so no float
     // comparison can flip ranks between engines; the tf·idf score itself
     // is emitted as a rounded display column. Two shuffles (doc-word tf,
-    // word df) + a window per doc.
+    // word df) + a window per doc. The df side carries an EXPLICIT
+    // broadcast hint: without it, AQE's incremental re-optimization can
+    // flip the build side to whichever join input MATERIALIZES FIRST when
+    // its compressed shuffle bytes clear the threshold — here the
+    // 11.6M-row tf table lz4-collapses under a small vocabulary, and the
+    // flip then streams the join through the vocab side's AQE-coalesced
+    // SINGLE partition: one task sorts every (doc, word) pair (measured
+    // at ×100: 5 s → 29 s, bimodal run-to-run by stage-completion order).
+    // df is vocab-sized (Heaps-law sublinear in the corpus), the hint's
+    // broadcast contract at 100 TB.
     QueryDef("tfidf_top_terms", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.t(s, dir, "documents")
@@ -1304,7 +1313,7 @@ object TextQueries {
       val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("w").asc)
-      tf.join(df_, Seq("w"))
+      tf.join(broadcast(df_), Seq("w"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("w").as("term"),

@@ -67,4 +67,21 @@ class PlanLintSpec extends SparkSpec {
       s"unexpected nested-loop joins in: $offenders — either rewrite to an " +
         "equi/bucketed shape or add to the allowlist with a boundedness note")
   }
+
+  test("tfidf pins the vocab side as the broadcast BUILD side (AQE " +
+      "side-flip guard)") {
+    // Without the explicit hint, AQE's incremental re-optimization could
+    // flip the build side to the 11.6M-row tf table once its
+    // lz4-compressed shuffle cleared the threshold — streaming the join
+    // through the vocab side's coalesced SINGLE partition (measured ×100:
+    // 5 s → 29 s, bimodal by stage-completion order). The hint makes the
+    // static plan a BroadcastHashJoin building the df (vocab) side, which
+    // AQE will not overturn.
+    val q = SparkEntry.registry.find(_.name == "tfidf_top_terms").get
+    val plan = q.run(spark, sf).queryExecution.sparkPlan.toString
+    val bhj = plan.linesIterator.find(_.contains("BroadcastHashJoin"))
+    assert(bhj.isDefined, s"expected a BroadcastHashJoin in:\n$plan")
+    assert(bhj.get.contains("BuildRight"),
+      s"df (vocab) side must be the build side: ${bhj.get}")
+  }
 }
