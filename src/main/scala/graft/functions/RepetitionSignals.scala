@@ -65,6 +65,26 @@ object RepetitionSignals {
 
   private val Sep = UTF8String.fromString(" ")
 
+  /** Non-space char count of a word — the prefix-sum unit. Counting
+    * NON-SPACE chars (not numChars) keeps gc ≡ the relational twin's
+    * `length(translate(gram, ' ', ''))` for ARBITRARY input arrays, not
+    * just split(text, ' ') output: an element containing spaces (legal
+    * when the function is called directly from SQL) contributes only its
+    * visible characters, and two different windows that concat to the
+    * same gram string then agree on gc by construction (review r9). The
+    * space byte 0x20 never occurs inside a multi-byte UTF-8 sequence, so
+    * the byte scan is exact. */
+  private def nonSpaceChars(w: UTF8String): Long = {
+    val n = w.numBytes()
+    var spaces = 0
+    var i = 0
+    while (i < n) {
+      if (w.getByte(i) == 0x20) spaces += 1
+      i += 1
+    }
+    w.numChars().toLong - spaces
+  }
+
   /** value cell: counts(0) = occurrences, counts(1) = first position (gc
     * derives from the prefix sums — same gram string ⇒ same gc) */
   def compute(arr: ArrayData): GenericInternalRow = {
@@ -75,7 +95,7 @@ object RepetitionSignals {
     while (i < L) {
       val w = arr.getUTF8String(i) // split() output: never null
       words(i) = w
-      pre(i + 1) = pre(i) + (if (w == null) 0L else w.numChars().toLong)
+      pre(i + 1) = pre(i) + (if (w == null) 0L else nonSpaceChars(w))
       i += 1
     }
     val out = new Array[Any](9)

@@ -193,10 +193,15 @@ object Lookups {
           "kafka loader in this engine)")
     }
 
-  // last successful MAX(tsColumn) watermark per lookup NAME — the
-  // freshness state behind upstream's lastUpdates skip; a name's watermark
-  // is only consulted while that name is still registered
-  private val jdbcWatermarks = TrieMap.empty[String, String]
+  // last successful MAX(tsColumn) watermark per lookup NAME, stored with a
+  // FINGERPRINT of the namespace config that produced it — the freshness
+  // state behind upstream's lastUpdates skip. The fingerprint guards
+  // re-pointing: a re-POST that changes the table/connectURI/columns/
+  // filter must reload even when the new table's MAX(ts) happens to render
+  // the same string (review r9 — small version counters make that
+  // realistic). A name's watermark is only consulted while that name is
+  // still registered.
+  private val jdbcWatermarks = TrieMap.empty[String, (String, String)]
 
   /** Load a Druid `jdbc` extractionNamespace (the lookups-cached-global
     * extension's JDBC-backed lookups, upstream
@@ -258,8 +263,10 @@ object Lookups {
         .map(r => if (r.isNullAt(0)) "<empty>" else String.valueOf(r.get(0)))
         .getOrElse("<empty>")
     }
+    val fingerprint = ns.toString
     val unchanged = mxOpt.exists(mx =>
-      jdbcWatermarks.get(lookupName).contains(mx) && registry.contains(lookupName))
+      jdbcWatermarks.get(lookupName).contains((fingerprint, mx)) &&
+        registry.contains(lookupName))
     if (unchanged) scala.None
     else {
       // column POSITIONS, not labels: drivers case-fold unquoted
@@ -273,9 +280,13 @@ object Lookups {
           org.apache.spark.sql.functions.col("v").cast("string"))
         .where("k IS NOT NULL AND v IS NOT NULL")
         .collect()
-      // watermark advances only once the load SUCCEEDED — a failed reload
-      // must not make the next poll skip
-      mxOpt.foreach(mx => jdbcWatermarks.put(lookupName, mx))
+      // watermark advances only on a load the caller can ACCEPT: a failed
+      // reload must not make the next poll skip, and neither may an EMPTY
+      // one — the coordinator rejects empty results without registering,
+      // so advancing here would freeze the previously registered mapping
+      // behind 200-unchanged replies (review r9)
+      if (rows.nonEmpty)
+        mxOpt.foreach(mx => jdbcWatermarks.put(lookupName, (fingerprint, mx)))
       Some(rows.map(r => r.getString(0) -> r.getString(1)).toMap)
     }
   }

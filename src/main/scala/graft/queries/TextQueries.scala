@@ -39,6 +39,30 @@ object TextQueries {
         explode(graft.functions.GearChunks(col("text"), mask = 64)).as("chunk"))
   }
 
+  /** Gopher repetition keep-thresholds (Rae et al. 2021 table A1), the
+    * SINGLE definition shared by the shipped native-expression query, the
+    * relational parity twin below, and RepetitionParitySpec — a threshold
+    * tweak that touched only one copy would silently pass the parity test
+    * while shipping different keeps (review r9). Percent of total
+    * non-space chars: top{2,3,4}-gram ≤ 20/18/16, dup{5..10}-gram ≤
+    * 15/14/13/12/11/10. */
+  private[graft] val gopherTopThresholds: Seq[(Int, Int)] =
+    Seq(2 -> 20, 3 -> 18, 4 -> 16)
+  private[graft] val gopherDupThresholds: Seq[(Int, Int)] =
+    Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+  private[graft] val gopherSignalNames: Seq[String] =
+    gopherTopThresholds.map { case (n, _) => s"top${n}_chars" } ++
+      gopherDupThresholds.map { case (n, _) => s"dup${n}_chars" }
+
+  /** The keep predicate over the signal columns + `total_chars` — integer
+    * cross-multiplication, no float boundary. */
+  private[graft] def gopherKeep: org.apache.spark.sql.Column =
+    (gopherTopThresholds.map { case (n, t) =>
+        col(s"top${n}_chars") * 100 <= col("total_chars") * t } ++
+      gopherDupThresholds.map { case (n, t) =>
+        col(s"dup${n}_chars") * 100 <= col("total_chars") * t })
+      .reduce(_ && _)
+
   /** The r8 relational formulation of the Gopher repetition battery over
     * an arbitrary (doc_id, text) frame — kept as the parity twin of the
     * [[graft.functions.RepetitionSignals]] expression the shipped query
@@ -86,20 +110,11 @@ object TextQueries {
         pick(8, "dup_chars").as("dup8_chars"),
         pick(9, "dup_chars").as("dup9_chars"),
         pick(10, "dup_chars").as("dup10_chars"))
-    val topTh = Seq(2 -> 20, 3 -> 18, 4 -> 16)
-    val dupTh = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
-    val names = topTh.map { case (n, _) => s"top${n}_chars" } ++
-      dupTh.map { case (n, _) => s"dup${n}_chars" }
     val joined = docs.select(col("doc_id"), col("total_chars"))
       .join(wide, Seq("doc_id"), "left")
       .select(Seq(col("doc_id"), col("total_chars")) ++
-        names.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
-    val keep = (topTh.map { case (n, t) =>
-        col(s"top${n}_chars") * 100 <= col("total_chars") * t } ++
-      dupTh.map { case (n, t) =>
-        col(s"dup${n}_chars") * 100 <= col("total_chars") * t })
-      .reduce(_ && _)
-    joined.withColumn("keep_repetition", keep.cast("int"))
+        gopherSignalNames.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    joined.withColumn("keep_repetition", gopherKeep.cast("int"))
   }
 
   /** Span-dedup gram key over a tokens column `l` at position `pos`
@@ -598,17 +613,10 @@ object TextQueries {
         .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
         .withColumn("total_chars",
           length(translate(col("text"), " ", "")).cast(LongType))
-      val topTh = Seq(2 -> 20, 3 -> 18, 4 -> 16)
-      val dupTh = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
-      val keep = (topTh.map { case (n, t) =>
-          col(s"top${n}_chars") * 100 <= col("total_chars") * t } ++
-        dupTh.map { case (n, t) =>
-          col(s"dup${n}_chars") * 100 <= col("total_chars") * t })
-        .reduce(_ && _)
       docs.select(col("doc_id"), col("total_chars"),
           call_function("repetition_signals", col("w")).as("r"))
         .select(col("doc_id"), col("total_chars"), col("r.*"))
-        .withColumn("keep_repetition", keep.cast("int"))
+        .withColumn("keep_repetition", gopherKeep.cast("int"))
     },
     Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words,
                    CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars

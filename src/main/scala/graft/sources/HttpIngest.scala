@@ -1453,9 +1453,15 @@ final class HttpIngestServer(
                         return
                       }
                       graft.queries.Lookups.register(n, loaded)
-                      val v = graft.queries.Lookups.entry(n).get.version
-                      reply(ex, 200,
-                        s"""{"result":{"name":${quote(n)},"entries":${loaded.size},"version":$v}}""")
+                      // a DELETE can race the register on this branch too
+                      // (review r9) — same loud 400, never a 500
+                      graft.queries.Lookups.entry(n) match {
+                        case Some(e) => reply(ex, 200,
+                          s"""{"result":{"name":${quote(n)},"entries":${loaded.size},""" +
+                            s""""version":${e.version}}}""")
+                        case scala.None => reply(ex, 400, s"""{"error":${quote(
+                          s"lookup '$n' was deleted concurrently; re-POST to reload")}}""")
+                      }
                     case scala.None =>
                       // jdbc tsColumn freshness skip: the table is
                       // unchanged since the last successful poll — keep

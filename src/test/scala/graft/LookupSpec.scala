@@ -226,6 +226,37 @@ class LookupSpec extends SparkSpec {
       // registration) never skips, even with a recorded-looking state
       assert(poll("jdbc_fresh", tsNs).nonEmpty)
 
+      // an EMPTY load must not advance the watermark: the coordinator
+      // rejects empty results without registering, so a skip here would
+      // freeze the registered mapping behind 200-unchanged replies
+      val t3 = poll("jdbc_ts", tsNs).get // re-establish the watermark
+      Lookups.register("jdbc_ts", t3)
+      st.executeUpdate("INSERT INTO lkp VALUES (NULL, 'ghost', 9)")
+      val emptyNs = mapper.readTree(s"""{"type":"jdbc",
+        "connectorConfig":{"connectURI":"$url"},
+        "table":"lkp","keyColumn":"k","valueColumn":"v",
+        "tsColumn":"updated_at","filter":"1 = 0"}""")
+      assert(poll("jdbc_ts", emptyNs).exists(_.isEmpty))
+      assert(poll("jdbc_ts", emptyNs).exists(_.isEmpty),
+        "an empty load must keep reloading, never skip as unchanged")
+
+      // the watermark is keyed by the namespace CONFIG too: re-pointing
+      // the same lookup name at a different table must reload even when
+      // the new table's MAX(ts) renders the same string
+      st.executeUpdate("CREATE TABLE lkp2 (k VARCHAR(32), v VARCHAR(64), " +
+        "updated_at INT)")
+      st.executeUpdate("INSERT INTO lkp2 VALUES ('zz','ZZ', 9)")
+      val t4 = poll("jdbc_ts", tsNs).get // watermark now (tsNs, 9)
+      Lookups.register("jdbc_ts", t4)
+      assert(poll("jdbc_ts", tsNs).isEmpty) // same config: skips
+      val ns2 = mapper.readTree(s"""{"type":"jdbc",
+        "connectorConfig":{"connectURI":"$url"},
+        "table":"lkp2","keyColumn":"k","valueColumn":"v",
+        "tsColumn":"updated_at"}""")
+      val m2 = poll("jdbc_ts", ns2) // same MAX(ts)=9, different table
+      assert(m2.contains(Map("zz" -> "ZZ")),
+        s"config change must reload despite an equal watermark: $m2")
+
       // non-string columns render as strings via the Spark-side cast
       st.executeUpdate("CREATE TABLE typed (ik INT, dv DOUBLE)")
       st.executeUpdate("INSERT INTO typed VALUES (1, 2.5), (2, 3.0)")

@@ -48,15 +48,11 @@ class RepetitionParitySpec extends SparkSpec {
       // long uniform run: n-gram counts all equal, max gram well-defined
       8L -> Seq.fill(30)("m").mkString(" ")
     ).toDF("doc_id", "text")
-    val keepCols = (2 to 4).map(n => s"top${n}_chars") ++
-      (5 to 10).map(n => s"dup${n}_chars")
-    val topTh = Seq(2 -> 20, 3 -> 18, 4 -> 16)
-    val dupTh = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
-    val keep = (topTh.map { case (n, t) =>
-        col(s"top${n}_chars") * 100 <= col("total_chars") * t } ++
-      dupTh.map { case (n, t) =>
-        col(s"dup${n}_chars") * 100 <= col("total_chars") * t })
-      .reduce(_ && _)
+    // the SHARED threshold/keep definitions (TextQueries.gopher*): this
+    // spec must drift together with the shipped query, not keep passing
+    // against a private copy (review r9)
+    val keepCols = TextQueries.gopherSignalNames
+    val keep = TextQueries.gopherKeep
     val expr = byDoc(docs
       .select(col("doc_id"),
         length(translate(col("text"), " ", "")).cast("long").as("total_chars"),
