@@ -114,6 +114,37 @@ object GraftFunctions {
         require(args.length == 1, "repetition_signals(words) takes 1 argument")
         RepetitionSignals(args(0))
       }),
+    (new FunctionIdentifier("media_header"),
+      new ExpressionInfo(classOf[MediaHeader].getName, "media_header"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "media_header(bytes) takes 1 argument")
+        MediaHeader(args(0))
+      }),
+    (new FunctionIdentifier("synth_wav"),
+      new ExpressionInfo(classOf[SynthWav].getName, "synth_wav"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "synth_wav(pcm, rate, channels, bits) takes 4 arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"synth_wav $what must be an int literal, got $other")
+        }
+        SynthWav(args(0), intLit(args(1), "rate"),
+          intLit(args(2), "channels"), intLit(args(3), "bits"))
+      }),
+    (new FunctionIdentifier("synth_bmp"),
+      new ExpressionInfo(classOf[SynthImage].getName, "synth_bmp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "synth_bmp(width, height) takes 2 arguments")
+        SynthImage(args(0), args(1), png = false)
+      }),
+    (new FunctionIdentifier("synth_png"),
+      new ExpressionInfo(classOf[SynthImage].getName, "synth_png"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "synth_png(width, height) takes 2 arguments")
+        SynthImage(args(0), args(1), png = true)
+      }),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

@@ -98,6 +98,57 @@ object MultimodalQueries {
                + (ascii(substr(text, 1, 1)) % 31) * (ascii(substr(text, 1, 1)) % 31)
                + ((strlen(text) // 1000 + 1) % 13) * ((strlen(text) // 1000 + 1) % 13)
                + (strlen(text) % 7) * (strlen(text) % 7) AS BIGINT) AS norm_sq
-            FROM documents"""))
+            FROM documents""")),
+
+    // -- REAL media-header decode (r9): WAV/BMP/PNG metadata is pure byte
+    // arithmetic, so the stub contract is replaced by a genuine parser for
+    // these formats ([[graft.functions.MediaHeader]] — RIFF chunk walk,
+    // BITMAPINFOHEADER, IHDR). The query synthesizes header-accurate media
+    // bytes per row (a third of each kind) with the matching REAL writers,
+    // parses them back in the same codegen'd projection, and aggregates
+    // the decoded fields — every one of which DuckDB recomputes with
+    // integer arithmetic, so a single mis-parsed header fails the hash.
+    // Scale shape: one compiled O(header) pass per row, zero shuffle
+    // before the final rollup; corrupt assets land in kind='unknown'
+    // instead of killing the batch (spec-pinned). ------------------------
+    QueryDef("multimodal_real_headers", (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("int").as("nc"),
+          col("text").cast("binary").as("pcm"))
+        .withColumn("w", (col("nc") % 61 + 1).cast("int"))
+        .withColumn("h", (col("nc") % 47 + 1).cast("int"))
+      val payload = when(col("doc_id") % 3 === 0,
+          expr("synth_wav(pcm, 16000, 1, 16)"))
+        .when(col("doc_id") % 3 === 1, expr("synth_bmp(w, h)"))
+        .otherwise(expr("synth_png(w, h)"))
+      docs.select(col("source"),
+          call_function("media_header", payload).as("m"))
+        .groupBy(col("source"), col("m.kind").as("kind"))
+        .agg(count(lit(1)).as("assets"),
+          sum(coalesce(col("m.width"), lit(0))).cast("long").as("sum_w"),
+          sum(coalesce(col("m.height"), lit(0))).cast("long").as("sum_h"),
+          sum(coalesce(col("m.data_bytes"), lit(0L))).as("sum_data_bytes"),
+          sum(coalesce(col("m.duration_ms"), lit(0L))).as("sum_duration_ms"))
+    },
+    Some("""WITH x AS (SELECT source,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' ELSE 'png' END AS kind,
+                   CAST(n_chars % 61 + 1 AS BIGINT) AS w,
+                   CAST(n_chars % 47 + 1 AS BIGINT) AS h,
+                   CAST(strlen(text) AS BIGINT) AS len
+                 FROM documents)
+            SELECT source, kind, count(*) AS assets,
+              CAST(sum(CASE WHEN kind IN ('bmp','png') THEN w ELSE 0 END)
+                AS BIGINT) AS sum_w,
+              CAST(sum(CASE WHEN kind IN ('bmp','png') THEN h ELSE 0 END)
+                AS BIGINT) AS sum_h,
+              CAST(sum(CASE WHEN kind = 'wav' THEN len
+                       WHEN kind = 'bmp' THEN ((w * 3 + 3) // 4 * 4) * h
+                       ELSE 0 END) AS BIGINT) AS sum_data_bytes,
+              CAST(sum(CASE WHEN kind = 'wav' THEN len * 1000 // 32000
+                       ELSE 0 END) AS BIGINT) AS sum_duration_ms
+            FROM x GROUP BY 1, 2"""))
   )
 }
