@@ -292,6 +292,72 @@ object DruidNativeQueries {
             WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
               AND event_type = 'purchase'""")),
 
+    // -- select (legacy, removed upstream 0.17): raw events with per-segment
+    // paging offsets; resumes mid-segment via pagingIdentifiers (fromNext
+    // default) and the page CROSSES into the next day segment (the Jan-5
+    // segment has 134 matching rows; resume 100 + threshold 60 spills into
+    // Jan-6 offsets 0…) — the twin recomputes the synthetic day-segment ids, the
+    // windowed offsets WITH THE SAME TIEBREAK ORDER, the resume predicate,
+    // and the scan-direction threshold cut
+    QueryDef("druid_json_select_paged", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "select", "dataSource": "events",
+         "granularity": "all",
+         "intervals": ["2024-01-05T00:00:00/2024-01-09T00:00:00"],
+         "filter": {"type": "in", "dimension": "event_type",
+                    "values": ["click", "view"]},
+         "dimensions": ["event_type"], "metrics": ["event_id", "value"],
+         "pagingSpec": {"pagingIdentifiers": {"events_2024-01-05": 100},
+                        "threshold": 60}}""")
+        .select(col("segmentId"), col("offset"),
+          date_format(col("__time"), fmt).as("event_ts"),
+          col("event_type"), col("event_id"), round(col("value"), 2).as("value"))
+    },
+    Some("""WITH ev AS (
+             SELECT 'events_' || strftime(ts, '%Y-%m-%d') AS "segmentId",
+                    ts, event_type, event_id, value
+             FROM events
+             WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-09'
+               AND event_type IN ('click', 'view')),
+           num AS (
+             SELECT "segmentId",
+                    row_number() OVER (PARTITION BY "segmentId"
+                      ORDER BY ts, event_type, event_id, value) - 1 AS "offset",
+                    ts, event_type, event_id, value
+             FROM ev)
+           SELECT "segmentId", "offset",
+                  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS event_ts,
+                  event_type, event_id, round(value, 2) AS value
+           FROM num
+           WHERE NOT ("segmentId" = 'events_2024-01-05' AND "offset" <= 100)
+           ORDER BY ts, event_type, event_id, value
+           LIMIT 60""")),
+
+    // -- timeFormat extraction with the FULL upstream option set: timeZone
+    // (formatting calendar), granularity (bucket BEFORE formatting), and
+    // asMillis (epoch-millis string) — the twin renders the hour bucket in
+    // New York wall clock via the ICU sandwich and recomputes the day
+    // bucket's epoch millis exactly
+    QueryDef("druid_json_timeformat_extraction", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": [
+           {"type": "extraction", "dimension": "__time", "outputName": "ny_hour",
+            "extractionFn": {"type": "timeFormat", "format": "yyyy-MM-dd HH",
+                             "timeZone": "America/New_York",
+                             "granularity": "hour"}},
+           {"type": "extraction", "dimension": "__time", "outputName": "day_ms",
+            "extractionFn": {"type": "timeFormat", "asMillis": true,
+                             "granularity": "day"}}],
+         "aggregations": [{"type": "count", "name": "cnt"}]}""")
+        .select(col("ny_hour"), col("day_ms"), col("cnt"))
+    },
+    Some("""SELECT strftime((date_trunc('hour', ts) AT TIME ZONE 'UTC')
+                     AT TIME ZONE 'America/New_York', '%Y-%m-%d %H') AS ny_hour,
+                   CAST(epoch_ms(date_trunc('day', ts)) AS VARCHAR) AS day_ms,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2""")),
+
     // -- search: insensitive_contains across dimension values ---------------
     QueryDef("druid_json_search", (s, dir) => {
       run(s, dir, """

@@ -25,8 +25,9 @@ import graft.time.Granularity
   *  - `groupBy`      dimensionSpecs (default + extraction fns) + having +
   *                   limitSpec (metric-ordered limit/offset)
   *  - `scan`         column projection + time order + limit/offset
-  *                   (`select` is rejected with a pointer here — Druid
-  *                   removed it in 0.17 for the same reason)
+  *  - `select`       (legacy, removed upstream 0.17 — tranquility-era
+  *                   Druid queried through it) raw events with
+  *                   per-segment paging offsets + pagingIdentifiers resume
   *  - `search`       per-dimension value matching (contains /
   *                   insensitive_contains / fragment)
   *  - `timeBoundary` min/max event time (bound: minTime | maxTime | both)
@@ -99,11 +100,10 @@ object DruidQueryCompiler {
       // filtered frame WITHOUT the intervals clause applied
       case "movingAverage"      =>
         movingAverage(dslFiltered(virtual(base, root), root), root)
-      case "select" => throw new IllegalArgumentException(
-        "queryType 'select' was removed upstream (Druid 0.17); use 'scan'")
+      case "select"             => select(prepared, root)
       case other => throw new IllegalArgumentException(
         s"unsupported queryType '$other' (timeseries/topN/groupBy/scan/" +
-          "search/timeBoundary/dataSourceMetadata/segmentMetadata/" +
+          "select/search/timeBoundary/dataSourceMetadata/segmentMetadata/" +
           "movingAverage)")
     }
   }
@@ -1173,8 +1173,43 @@ object DruidQueryCompiler {
         // finding r7; the SQL dialect's regexp_extract override already
         // uses this gate)
         when(s0.isNotNull && s0.rlike(pattern), extracted).otherwise(onMiss)
+      // upstream TimeFormatExtractionFn: `format` + `timeZone` (the
+      // formatting AND bucketing calendar) + `granularity` (bucket the
+      // instant BEFORE formatting — named or object form, object-form
+      // timeZone/origin win over the fn-level zone) + `asMillis` (epoch-
+      // millis output). `locale` is loud — Spark's date_format has no
+      // locale seam, and a silently-English month name is the silent-shift
+      // class this engine bans. Absent format keeps the engine's
+      // seconds-precision ISO default (documented delta: upstream's null
+      // format also renders the zone offset).
       case "timeFormat" =>
-        date_format(c, str(fn, "format", "yyyy-MM-dd'T'HH:mm:ss"))
+        require(opt(fn, "locale").isEmpty,
+          "timeFormat extractionFn locale is not supported " +
+            "(date_format has no locale seam; drop the key for the root default)")
+        val tzName = str(fn, "timeZone", "UTC")
+        require(scala.util.Try(java.time.ZoneId.of(tzName)).isSuccess,
+          s"timeFormat: unknown timeZone '$tzName'")
+        val fnZone = Some(tzName).filterNot { z =>
+          val rules = java.time.ZoneId.of(z).getRules
+          rules.isFixedOffset && rules.getOffset(java.time.Instant.EPOCH) ==
+            java.time.ZoneOffset.UTC
+        }
+        val g = granularity(fn)
+        val tcol = c.cast("timestamp")
+        val bucketed =
+          if (g == Granularity.All) tcol
+          else truncateInZone(g, granularityZone(fn).orElse(fnZone),
+            granularityOrigin(fn))(tcol)
+        if (opt(fn, "asMillis").exists(_.asBoolean)) {
+          require(opt(fn, "format").isEmpty,
+            "timeFormat: asMillis and format are mutually exclusive " +
+              "(upstream ignores format when asMillis is set; set one)")
+          unix_millis(bucketed).cast(StringType)
+        } else {
+          val local = fnZone.map(z => from_utc_timestamp(bucketed, z))
+            .getOrElse(bucketed)
+          date_format(local, str(fn, "format", "yyyy-MM-dd'T'HH:mm:ss"))
+        }
       case "lookup" | "registeredLookup" =>
         // inline map lookup (lookup type `map`) or a name from the
         // [[Lookups]] registry: either way a map literal keeps the
@@ -1311,6 +1346,86 @@ object DruidQueryCompiler {
     val offset = opt(root, "offset").map(_.asInt).getOrElse(0)
     val shifted = if (offset > 0) ordered.offset(offset) else ordered
     opt(root, "limit").map(_.asInt).map(shifted.limit).getOrElse(shifted)
+  }
+
+  // ------------------------------------------------------------------ select
+
+  /** The legacy `select` queryType (raw events + per-segment paging
+    * offsets) — removed upstream in Druid 0.17, but every tranquility-era
+    * deployment (Druid 0.9–0.12) queried through it, so migration needs it
+    * to WORK, not to point at scan (upstream
+    * `processing/.../select/SelectQuery.java`, pre-0.17 tree).
+    *
+    * Row shape: `segmentId`, `offset`, `__time`, then the requested
+    * `dimensions` ++ `metrics` (both empty → every data column; the engine
+    * reads a merged store view, so it cannot split dims from metrics on an
+    * arbitrary frame — documented delta, same as scan's `columns`).
+    * `segmentId` is the merged view's segment analog — `<ds>_<utc day>` of
+    * the event, the same `datasource_start` naming as `sys.segments`.
+    * `offset` is the row's position within its segment in scan direction
+    * under THIS query's filter+intervals (upstream offsets are filtered
+    * cursor positions, stable only across re-issues of the same query —
+    * the identical contract here): ascending 0,1,2,…; descending −1,−2,…
+    * (upstream's negative descending offsets). Ties on `__time` break on
+    * every data column in projection order, so paging is deterministic on
+    * any frame (full-duplicate rows are interchangeable — same multiset).
+    *
+    * `pagingSpec.pagingIdentifiers` resumes per segment: with
+    * `fromNext=true` (the modern upstream default) an identifier is the
+    * last offset already CONSUMED — rows strictly past it return; with
+    * `fromNext=false` the caller pre-advanced it and the offset itself is
+    * included. Unlisted segments return from the start. `threshold` caps
+    * the page in scan direction across all segments.
+    *
+    * Scale shape: one shuffle on the day-chunk segment key for the offset
+    * window (WindowGroupLimit caps nothing here — offsets must be stable
+    * across pages, so every surviving row is numbered), then a global
+    * top-`threshold` by time (TakeOrderedAndProject). That per-segment
+    * total order is exactly why upstream replaced select with scan; this
+    * implementation is the migration path, scan is the 100 TB path. */
+  private def select(df: DataFrame, root: JsonNode): DataFrame = {
+    opt(root, "granularity").foreach(g => require(
+      g.isTextual && g.asText == "all",
+      "select supports granularity 'all' only (bucketed select envelopes " +
+        "were a serialization concern upstream; use scan or timeseries)"))
+    val ds = opt(root, "dataSource") match {
+      case Some(n) if n.isTextual => n.asText
+      case Some(n) if str(n, "type", "") == "table" => str(n, "name", "inline")
+      case _ => "inline"
+    }
+    val descending = opt(root, "descending").exists(_.asBoolean)
+    val paging = opt(root, "pagingSpec").getOrElse(
+      throw new IllegalArgumentException("select needs a pagingSpec"))
+    val threshold = opt(paging, "threshold").map(_.asInt).getOrElse(0)
+    require(threshold > 0, "select pagingSpec.threshold must be positive")
+    val fromNext = opt(paging, "fromNext").forall(_.asBoolean)
+    val identifiers: Seq[(String, Long)] =
+      opt(paging, "pagingIdentifiers").toSeq
+        .flatMap(_.propertyStream.iterator.asScala)
+        .map(e => e.getKey -> e.getValue.asLong)
+    val dims = opt(root, "dimensions").toSeq.flatMap(_.elements.asScala)
+      .map(_.asText).toSeq
+    val mets = opt(root, "metrics").toSeq.flatMap(_.elements.asScala)
+      .map(_.asText).toSeq
+    val dataCols =
+      if (dims.isEmpty && mets.isEmpty) df.columns.toSeq.filter(_ != TimeCol)
+      else dims ++ mets
+    val segId = concat_ws("_", lit(ds), date_format(col(TimeCol), "yyyy-MM-dd"))
+    val sortCols = (col(TimeCol) +: dataCols.map(col)).map(c =>
+      if (descending) c.desc else c.asc)
+    val rn = row_number().over(
+      Window.partitionBy(segId).orderBy(sortCols: _*))
+    val off = (if (descending) -rn else rn - lit(1)).cast("long")
+    val numbered = df.select(
+      (segId.as("segmentId") +: off.as("offset") +: col(TimeCol) +:
+        dataCols.map(col)): _*)
+    val resumed = identifiers.foldLeft(numbered) { case (d, (seg, o)) =>
+      val consumed =
+        if (descending) { if (fromNext) col("offset") >= o else col("offset") > o }
+        else            { if (fromNext) col("offset") <= o else col("offset") < o }
+      d.filter(!(col("segmentId") === seg && consumed))
+    }
+    resumed.orderBy(sortCols: _*).limit(threshold)
   }
 
   // ------------------------------------------------------------------ search

@@ -239,6 +239,10 @@ final class HttpIngestServer(
               require(batchSize > 0, "batchSize must be positive")
               streamReply(ex, 200,
                 scanEnvelopeWriter(df.limit(cap), fmt, batchSize))
+            case scala.None
+                if Option(root.get("queryType")).map(_.asText)
+                  .contains("select") =>
+              streamReply(ex, 200, selectEnvelopeWriter(df.limit(cap), root))
             case scala.None =>
               streamReply(ex, 200,
                 renderSqlResultWriter(df.limit(cap), "object", header = false))
@@ -1195,6 +1199,50 @@ final class HttpIngestServer(
         batch += 1
       }
       w.write("]")
+      w.flush()
+    }
+  }
+
+  /** The legacy SELECT result envelope (pre-0.17 upstream wire shape,
+    * `SelectResultValue`): one entry whose result carries the
+    * `pagingIdentifiers` a client feeds back for the next page (last
+    * offset seen per segment in scan direction, `fromNext` semantics —
+    * matching the compiler's resume default), the echoed
+    * dimensions/metrics, and `events` as `{segmentId, offset, event}`
+    * wrappers with the row's `__time` rendered as the event `timestamp`.
+    * Unlike scan this BUFFERS the page — bounded by the query's own
+    * `pagingSpec.threshold` (the compiler caps the frame), so the memory
+    * contract is the client's page size, not the result size. */
+  private def selectEnvelopeWriter(df: org.apache.spark.sql.DataFrame,
+      root: com.fasterxml.jackson.databind.JsonNode):
+      java.io.OutputStream => Unit = {
+    val rows = df.toJSON.collect() // page-sized: threshold-capped upstreamly
+    val events = rows.map(mapper.readTree(_)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+    val pagingIds = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    events.foreach(e => pagingIds(e.get("segmentId").asText) =
+      e.get("offset").asLong)
+    def arr(key: String): String =
+      Option(root.get(key)).map(_.toString).getOrElse("[]")
+    out => {
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(out, UTF_8))
+      val ts = events.headOption.flatMap(e => Option(e.get("__time")))
+        .map(_.toString).getOrElse("null")
+      w.write(s"""[{"timestamp":$ts,"result":{"pagingIdentifiers":{""")
+      w.write(pagingIds.map { case (s, o) => s"${quote(s)}:$o" }.mkString(","))
+      w.write(s"""},"dimensions":${arr("dimensions")},""")
+      w.write(s""""metrics":${arr("metrics")},"events":[""")
+      events.zipWithIndex.foreach { case (e, i) =>
+        if (i > 0) w.write(",")
+        val seg = quote(e.get("segmentId").asText)
+        val off = e.get("offset").asLong
+        e.remove("segmentId"); e.remove("offset")
+        val t = e.remove("__time")
+        if (t != null)
+          e.set[com.fasterxml.jackson.databind.JsonNode]("timestamp", t)
+        w.write(s"""{"segmentId":$seg,"offset":$off,"event":${e.toString}}""")
+      }
+      w.write("]}}]")
       w.flush()
     }
   }

@@ -122,6 +122,41 @@ class DruidQuerySpec extends SparkSpec {
     assert(rows.contains(("b", "BUY", "02", "3", 1L)))
   }
 
+  test("timeFormat extraction: timeZone, granularity, asMillis, rejections") {
+    def dim(fn: String): Set[String] = run(s"""
+      {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+       "dimensions": [{"type": "extraction", "dimension": "__time",
+         "outputName": "x", "extractionFn": $fn}],
+       "aggregations": [{"type": "count", "name": "cnt"}]}""")
+      .collect().map(_.getAs[String]("x")).toSet
+    // format in a zone: 2024-03-01 00:10 UTC is Feb 29 19:10 New York (EST)
+    assert(dim("""{"type": "timeFormat", "format": "yyyy-MM-dd HH",
+                   "timeZone": "America/New_York"}""") ==
+      Set("2024-02-29 19", "2024-02-29 20", "2024-02-29 21"))
+    // granularity buckets BEFORE formatting: hour zeroes the minutes
+    assert(dim("""{"type": "timeFormat", "format": "HH:mm",
+                   "granularity": "hour"}""") ==
+      Set("00:00", "01:00", "02:00"))
+    // the zone applies to the bucketing CALENDAR too: every event falls in
+    // New York's Feb 29, and the day bucket renders as that wall-clock day
+    assert(dim("""{"type": "timeFormat", "format": "yyyy-MM-dd HH:mm",
+                   "granularity": "day",
+                   "timeZone": "America/New_York"}""") ==
+      Set("2024-02-29 00:00"))
+    // asMillis: the (UTC) day bucket as an epoch-millis string
+    assert(dim("""{"type": "timeFormat", "asMillis": true,
+                   "granularity": "day"}""") == Set("1709251200000"))
+    assert(intercept[IllegalArgumentException] {
+      dim("""{"type": "timeFormat", "locale": "fr"}""")
+    }.getMessage.contains("locale"))
+    assert(intercept[IllegalArgumentException] {
+      dim("""{"type": "timeFormat", "asMillis": true, "format": "HH"}""")
+    }.getMessage.contains("asMillis"))
+    assert(intercept[IllegalArgumentException] {
+      dim("""{"type": "timeFormat", "timeZone": "Mars/Olympus"}""")
+    }.getMessage.contains("timeZone"))
+  }
+
   test("regex extraction non-match keeps input; replaceMissingValue nulls it") {
     val keep = run("""
       {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
@@ -355,10 +390,109 @@ class DruidQuerySpec extends SparkSpec {
     }.getMessage.contains("needs a query"))
   }
 
-  test("rejections: select pointer, unknown type, missing __time, bad metric") {
+  test("select: paging round-trip — page 2 resumes exactly after page 1") {
+    def page(ids: String): Seq[(String, Long, Double)] = run(s"""
+      {"queryType": "select", "dataSource": "events",
+       "granularity": "all",
+       "intervals": ["2024-03-01T00:00:00/2024-03-02T00:00:00"],
+       "dimensions": ["event_type"], "metrics": ["value"],
+       "pagingSpec": {"pagingIdentifiers": {$ids}, "threshold": 3}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4))).toSeq
+    val p1 = page("")
+    // one synthetic day segment, ascending offsets from 0, time order
+    assert(p1 == Seq(("events_2024-03-01", 0L, 1.0),
+      ("events_2024-03-01", 1L, 2.0), ("events_2024-03-01", 2L, 4.0)))
+    // feed back the last offset per segment — upstream fromNext contract
+    val ids = p1.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).max }
+    val p2 = page(ids.map { case (s, o) => s""""$s": $o""" }.mkString(","))
+    assert(p2 == Seq(("events_2024-03-01", 3L, 8.0),
+      ("events_2024-03-01", 4L, 16.0), ("events_2024-03-01", 5L, 32.0)))
+    // fromNext=false: the caller pre-advanced, the offset itself returns
+    val p2eq = run("""
+      {"queryType": "select", "dataSource": "events",
+       "intervals": ["2024-03-01T00:00:00/2024-03-02T00:00:00"],
+       "dimensions": ["event_type"], "metrics": ["value"],
+       "pagingSpec": {"pagingIdentifiers": {"events_2024-03-01": 3},
+                      "fromNext": false, "threshold": 2}}""")
+      .collect().map(_.getLong(1)).toSeq
+    assert(p2eq == Seq(3L, 4L))
+    // identifiers naming absent segments are inert
+    assert(page("\"events_1999-01-01\": 7") == p1)
+  }
+
+  test("select: descending negative offsets; empty dims+metrics = all cols") {
+    val rows = run("""
+      {"queryType": "select", "dataSource": "events", "descending": true,
+       "intervals": ["2024-03-01T00:00:00/2024-03-02T00:00:00"],
+       "pagingSpec": {"pagingIdentifiers": {}, "threshold": 2}}""")
+    // all data columns projected after segmentId/offset/__time
+    assert(rows.columns.toSeq ==
+      Seq("segmentId", "offset", "__time", "event_type", "user", "value"))
+    val got = rows.collect().map(r => (r.getLong(1), r.getDouble(5))).toSeq
+    // newest first, offsets -1, -2 (upstream's descending convention)
+    assert(got == Seq((-1L, 32.0), (-2L, 16.0)))
+    // resume: everything at or past -2 is consumed, page 2 starts at -3
+    val p2 = run("""
+      {"queryType": "select", "dataSource": "events", "descending": true,
+       "intervals": ["2024-03-01T00:00:00/2024-03-02T00:00:00"],
+       "pagingSpec": {"pagingIdentifiers": {"events_2024-03-01": -2},
+                      "threshold": 2}}""")
+      .collect().map(r => (r.getLong(1), r.getDouble(5))).toSeq
+    assert(p2 == Seq((-3L, 8.0), (-4L, 4.0)))
+  }
+
+  test("select paging tiles the corpus exactly — every threshold, both directions") {
+    for (threshold <- 1 to 4; desc <- Seq(false, true)) {
+      var ids = Map.empty[String, Long]
+      var seen = Vector.empty[(String, Long, Double)]
+      var done = false
+      var guard = 0
+      while (!done && guard < 12) {
+        guard += 1
+        val idJson = ids.map { case (s, o) => s""""$s": $o""" }.mkString(",")
+        val page = run(s"""
+          {"queryType": "select", "dataSource": "events",
+           "descending": $desc,
+           "intervals": ["2024-03-01T00:00:00/2024-03-02T00:00:00"],
+           "dimensions": ["event_type"], "metrics": ["value"],
+           "pagingSpec": {"pagingIdentifiers": {$idJson},
+                          "threshold": $threshold}}""")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+        if (page.isEmpty) done = true
+        else {
+          seen ++= page
+          // feed back the furthest offset per segment, upstream-client style
+          page.groupBy(_._1).foreach { case (s, rs) =>
+            ids += s -> (if (desc) rs.map(_._2).min else rs.map(_._2).max)
+          }
+        }
+      }
+      val want = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0)
+      assert(seen.map(_._3) == (if (desc) want.reverse else want),
+        s"threshold=$threshold desc=$desc: $seen")
+      // offsets contiguous from 0 (ascending) / −1 (descending): no row is
+      // ever skipped or double-served across page boundaries
+      assert(seen.map(_._2) ==
+        (if (desc) (1 to 6).map(i => -i.toLong) else (0 to 5).map(_.toLong)),
+        s"threshold=$threshold desc=$desc: $seen")
+    }
+  }
+
+  test("select rejections: threshold, granularity, pagingSpec") {
+    assert(intercept[IllegalArgumentException] { run("""
+      {"queryType": "select", "dataSource": "events",
+       "pagingSpec": {"pagingIdentifiers": {}}}""")
+    }.getMessage.contains("threshold"))
+    assert(intercept[IllegalArgumentException] { run("""
+      {"queryType": "select", "dataSource": "events", "granularity": "day",
+       "pagingSpec": {"pagingIdentifiers": {}, "threshold": 5}}""")
+    }.getMessage.contains("granularity 'all'"))
     assert(intercept[IllegalArgumentException] { run(
       """{"queryType": "select", "dataSource": "events"}""")
-    }.getMessage.contains("scan"))
+    }.getMessage.contains("pagingSpec"))
+  }
+
+  test("rejections: unknown type, missing __time, bad metric") {
     assert(intercept[IllegalArgumentException] { run(
       """{"queryType": "mystery", "dataSource": "events"}""")
     }.getMessage.contains("unsupported queryType"))

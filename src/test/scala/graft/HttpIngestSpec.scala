@@ -287,6 +287,35 @@ class HttpIngestSpec extends SparkSpec {
             "columns": ["__time", "etype"], "context": {"maxQueryRows": 1}}""")
       assert(qc5 == 200 && scanEvents(qb5) == 1, qb5)
 
+      // legacy SELECT envelope: pagingIdentifiers round-trip over the
+      // socket — page 1, feed the returned identifiers back VERBATIM
+      // (fromNext default), get page 2; events carry segmentId/offset
+      // wrappers with __time re-keyed as the event `timestamp`
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val (sel1c, sel1b) = post(handle.port, "/druid/v2",
+        """{"queryType": "select", "dataSource": "clicks_ds",
+            "dimensions": ["etype"], "metrics": ["total"],
+            "pagingSpec": {"pagingIdentifiers": {}, "threshold": 1}}""")
+      assert(sel1c == 200, sel1b)
+      val selRes = om.readTree(sel1b).get(0).get("result")
+      assert(selRes.get("dimensions").toString == """["etype"]""", sel1b)
+      val selEv0 = selRes.get("events").get(0)
+      assert(selEv0.get("segmentId").asText == "clicks_ds_2024-03-01", sel1b)
+      assert(selEv0.get("offset").asLong == 0L, sel1b)
+      assert(selEv0.get("event").get("etype").asText == "c", sel1b)
+      assert(selEv0.get("event").has("timestamp") &&
+        !selEv0.get("event").has("__time"), sel1b)
+      val (sel2c, sel2b) = post(handle.port, "/druid/v2",
+        s"""{"queryType": "select", "dataSource": "clicks_ds",
+             "dimensions": ["etype"], "metrics": ["total"],
+             "pagingSpec": {
+               "pagingIdentifiers": ${selRes.get("pagingIdentifiers")},
+               "threshold": 1}}""")
+      assert(sel2c == 200, sel2b)
+      val selEv1 = om.readTree(sel2b).get(0).get("result").get("events").get(0)
+      assert(selEv1.get("offset").asLong == 1L &&
+        selEv1.get("event").get("etype").asText == "d", sel2b)
+
       // native join dataSource over the ROUTED store E2E: left = the
       // clicks_ds stream (drained read-your-writes), right = a registered
       // lookup, verbatim Druid join JSON over the socket
