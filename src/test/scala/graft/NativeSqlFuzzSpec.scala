@@ -649,6 +649,72 @@ class NativeSqlFuzzSpec extends SparkSpec {
     s"SELECT ${q.cols.mkString(", ")} FROM events$where ORDER BY __time $dir$lim$off"
   }
 
+  // ------------------------------------------------------------------ select
+
+  /** legacy select: random dims/mets split, filter, direction, threshold,
+    * and resume identifiers over the fixture's two day segments (present /
+    * absent / negative / beyond-end offsets all reachable), both fromNext
+    * regimes. The twin recomputes the synthetic segments and windowed
+    * offsets independently in SQL. */
+  private case class SELQ(dims: Seq[String], mets: Seq[String],
+      filter: Option[F], desc: Boolean, threshold: Int,
+      resume: Seq[(String, Long)], fromNext: Boolean) {
+    def dataCols: Seq[String] =
+      if (dims.isEmpty && mets.isEmpty) Seq("etype", "user", "value", "n")
+      else dims ++ mets
+  }
+
+  private def selGen: Gen[SELQ] = for {
+    cols <- Gen.someOf(Seq("etype", "user", "value", "n")).map(_.toSeq.sorted)
+    split <- Gen.choose(0, cols.size)
+    filter <- Gen.option(filterGen(2))
+    desc <- Gen.prob(0.5)
+    threshold <- Gen.choose(1, 25)
+    fromNext <- Gen.prob(0.5)
+    r1 <- Gen.option(Gen.choose(-30L, 40L))
+    r2 <- Gen.option(Gen.choose(-30L, 40L))
+  } yield SELQ(cols.take(split), cols.drop(split), filter, desc, threshold,
+    Seq("events_2024-03-01" -> r1, "events_2024-03-02" -> r2)
+      .collect { case (s, Some(o)) => s -> o }, fromNext)
+
+  private def selJson(q: SELQ): String = {
+    val ids = q.resume.map { case (s, o) => s""""$s":$o""" }.mkString(",")
+    (Seq(
+      s""""queryType":"select"""", s""""dataSource":"events"""",
+      s""""descending":${q.desc}""",
+      s""""dimensions":[${q.dims.map("\"" + _ + "\"").mkString(",")}]""",
+      s""""metrics":[${q.mets.map("\"" + _ + "\"").mkString(",")}]""",
+      s""""pagingSpec":{"pagingIdentifiers":{$ids},""" +
+        s""""threshold":${q.threshold},"fromNext":${q.fromNext}}""") ++
+      q.filter.map(f => s""""filter":${fJson(f)}"""))
+      .mkString("{", ",", "}")
+  }
+
+  private def selSql(q: SELQ): String = {
+    val where = q.filter.map(f => s" WHERE ${fSql(f)}").getOrElse("")
+    val dir = if (q.desc) " DESC" else ""
+    val ord = ("__time" +: q.dataCols).map(c => s"$c$dir").mkString(", ")
+    val offExpr =
+      if (q.desc) "-row_number() OVER w" else "row_number() OVER w - 1"
+    val resume = q.resume.map { case (s, o) =>
+      val cmp =
+        if (q.desc) { if (q.fromNext) s">= $o" else s"> $o" }
+        else { if (q.fromNext) s"<= $o" else s"< $o" }
+      s"NOT (segmentId = '$s' AND `offset` $cmp)"
+    } match {
+      case Nil => ""
+      case ps  => s" WHERE ${ps.mkString(" AND ")}"
+    }
+    s"""WITH num AS (
+          SELECT concat('events_', date_format(__time, 'yyyy-MM-dd')) AS segmentId,
+                 CAST($offExpr AS BIGINT) AS `offset`, __time,
+                 ${q.dataCols.mkString(", ")}
+          FROM events$where
+          WINDOW w AS (PARTITION BY date_format(__time, 'yyyy-MM-dd')
+                       ORDER BY $ord))
+        SELECT * FROM num$resume ORDER BY $ord LIMIT ${q.threshold}"""
+  }
+
   // ----------------------------------------------- phase-2 query shapes
   // hour granularity, subtotalsSpec, virtual columns, limitSpec
   // dimensionOrder, nested query dataSources — the interaction space the
@@ -965,6 +1031,18 @@ class NativeSqlFuzzSpec extends SparkSpec {
       diff(native, runSql(scSql(q)), ordered = true, "native-vs-sql").foreach {
         err => fail(s"scan case $i diverged: $err\n" +
           s"native: ${scJson(q)}\nsql: ${scSql(q)}")
+      }
+    }
+  }
+
+  test("fuzz select: per-segment paging offsets ≡ windowed SQL twin (100 cases)") {
+    events.count()
+    for ((i, s) <- seeds(100, 5600)) {
+      val q = gen(selGen, s)
+      val native = runNative(selJson(q))
+      diff(native, runSql(selSql(q)), ordered = true, "native-vs-sql").foreach {
+        err => fail(s"select case $i diverged: $err\n" +
+          s"native: ${selJson(q)}\nsql: ${selSql(q)}")
       }
     }
   }

@@ -68,6 +68,18 @@ class PlanLintSpec extends SparkSpec {
         "equi/bucketed shape or add to the allowlist with a boundedness note")
   }
 
+  test("select's threshold plans as TakeOrderedAndProject above the " +
+      "offset window") {
+    // the paging contract forces a full per-segment offset window (offsets
+    // must be stable across pages), but the threshold cut itself must stay
+    // a streaming top-k — a global Sort here would pay O(n log n) on every
+    // page fetch
+    val q = SparkEntry.registry.find(_.name == "druid_json_select_paged").get
+    val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("tfidf pins the vocab side as the broadcast BUILD side (AQE " +
       "side-flip guard)") {
     // Without the explicit hint, AQE's incremental re-optimization could
