@@ -946,6 +946,20 @@ object DruidQueryCompiler {
     }
   }
 
+  /** True when a DateTimeFormatter pattern contains a zone/offset letter
+    * (z/Z/x/X/V/O) OUTSIDE single-quoted literals. */
+  private def hasZonePattern(fmt: String): Boolean = {
+    var inQuote = false
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '\'') inQuote = !inQuote
+      else if (!inQuote && "zZxXVO".indexOf(ch.toInt) >= 0) return true
+      i += 1
+    }
+    false
+  }
+
   /** Druid's dimension-ordering names → sort key columns (several for
     * strlen: length, then value). Shared by topN dimension specs, limitSpec
     * `dimensionOrder`, and the search `sort` spec. */
@@ -1206,9 +1220,18 @@ object DruidQueryCompiler {
               "(upstream ignores format when asMillis is set; set one)")
           unix_millis(bucketed).cast(StringType)
         } else {
+          val fmt = str(fn, "format", "yyyy-MM-dd'T'HH:mm:ss")
+          // the zone shift is a from_utc_timestamp REBASE, so a zone
+          // PATTERN in the format would render the session zone's name
+          // against the requested zone's wall clock — silently wrong,
+          // so loud (quoted literals like 'Z' are fine)
+          require(fnZone.isEmpty || !hasZonePattern(fmt),
+            s"timeFormat: zone patterns (z/Z/x/X/V/O) in format '$fmt' " +
+              "with a non-UTC timeZone would render the session zone, " +
+              "not the requested one — drop the pattern or use UTC")
           val local = fnZone.map(z => from_utc_timestamp(bucketed, z))
             .getOrElse(bucketed)
-          date_format(local, str(fn, "format", "yyyy-MM-dd'T'HH:mm:ss"))
+          date_format(local, fmt)
         }
       case "lookup" | "registeredLookup" =>
         // inline map lookup (lookup type `map`) or a name from the

@@ -155,6 +155,15 @@ class DruidQuerySpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       dim("""{"type": "timeFormat", "timeZone": "Mars/Olympus"}""")
     }.getMessage.contains("timeZone"))
+    // a zone PATTERN with a non-UTC zone would render the session zone's
+    // name against the shifted wall clock — loud; quoted literals pass
+    assert(intercept[IllegalArgumentException] {
+      dim("""{"type": "timeFormat", "format": "HH:mm z",
+              "timeZone": "America/New_York"}""")
+    }.getMessage.contains("zone patterns"))
+    assert(dim("""{"type": "timeFormat", "format": "HH'Z'mm",
+                   "timeZone": "America/New_York"}""") ==
+      Set("19Z10", "19Z40", "20Z10", "20Z20", "21Z30", "21Z45"))
   }
 
   test("regex extraction non-match keeps input; replaceMissingValue nulls it") {
