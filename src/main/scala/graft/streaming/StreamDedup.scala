@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.functions.{GraftFunctions, MinHash}
+
+/** Streaming near-duplicate dedup AGAINST HISTORY — the continual-ingest
+  * analog of [[graft.functions.MinHash.nearDupPairs]]: every arriving
+  * document is checked against everything the stream has already seen, and
+  * dropped if a seen document is MinHash-similar. This is the operation a
+  * continuously-fed training-data pipeline runs at the door (the batch
+  * pair pipeline answers "which documents in THIS corpus duplicate each
+  * other"; this answers "is this NEW document a duplicate of anything,
+  * ever") — classic keep-first dedup over Broder MinHash signatures with
+  * LSH banding (Broder '97; Leskovec et al., MMDS ch. 3).
+  *
+  * Mechanics: one stateful operator, keyed by LSH band hash.
+  * `flatMapGroupsWithState` holds, per band bucket, the (docId, signature)
+  * of every seen document that hashed into it; an arriving document is a
+  * duplicate IN THAT BAND if a seen doc with a SMALLER docId has signature
+  * similarity (matching minhash components / k — the standard Jaccard
+  * estimator) ≥ `threshold`. All `bands` verdicts for a document emit in
+  * its own arrival micro-batch, so the per-document OR ("dup in any band")
+  * is a plain batch-local aggregation in `foreachBatch`
+  * ([[survivorIds]]) — no second stateful operator, which Structured
+  * Streaming would reject after flatMapGroupsWithState.
+  *
+  * Ordering contract (what makes the result deterministic and
+  * model-checkable): within a batch, bucket groups process documents in
+  * ascending docId; across batches, earlier batches are simply "seen".
+  * A document is therefore dropped iff some document with (earlier batch,
+  * or same batch AND smaller docId) — and, in all cases, smaller docId —
+  * collides in ≥1 band with signature similarity ≥ threshold. Feeding
+  * batches in ascending-docId order makes this EXACTLY the batch
+  * predicate "drop j iff ∃ i<j banded pair with sigSim ≥ t"
+  * (StreamDedupSpec pins stream ≡ an independent driver model, including
+  * across checkpoint restarts).
+  *
+  * Scale shape: per micro-batch, ONE shuffle keyed by band hash carrying
+  * slim rows (docId + k longs + the 8-byte key); the seen-document index
+  * IS the state store (RocksDB-backed on a real cluster), which is how a
+  * 100 TB continual-ingest dedup holds its history. `horizonMs` bounds
+  * each bucket by a dedup horizon: entries older than the horizon are
+  * evicted LAZILY, on the next access to their bucket — semantically
+  * equivalent to eager expiry, because suppression only ever happens on
+  * access (an expired entry can never drop a new document). Deliberately
+  * NOT GroupStateTimeout.ProcessingTimeTimeout: a processing-time timeout
+  * makes the stateful operator report "run another batch" on EVERY
+  * trigger, so the engine busy-loops no-data micro-batches for the life
+  * of the query (measured here: 100+ empty batches churned through
+  * codegen + the sink before the first real second elapsed). The cost of
+  * lazy eviction is storage, not correctness — a bucket never touched
+  * again keeps its tail until state-store-level retention reclaims it.
+  * 0 keeps history forever. Pair this with at-source EXACT dedup
+  * (`dropDuplicatesWithinWatermark` on a text digest, IngestStream's
+  * dedupKeys) so clone classes never reach the bucket state — the
+  * streaming edition of the ExactCollapse lesson: without it a clone
+  * class of size m adds m signatures to every one of its buckets.
+  */
+object StreamDedup {
+
+  /** One exploded row: a document's id + full signature, keyed by one of
+    * its band hashes. */
+  case class BandRow(docId: Long, sig: Array[Long], bandHash: Long)
+
+  /** Per-bucket state: every (docId, signature) that hashed here, stamped
+    * with its arrival batch's processing time for lazy horizon eviction. */
+  case class SeenDoc(docId: Long, sig: Array[Long], seenAtMs: Long)
+  case class BucketState(seen: List[SeenDoc])
+
+  /** Per-(document, band) verdict; OR over a document's bands = dup. */
+  case class BandVerdict(docId: Long, dup: Boolean)
+
+  /** Matching-component MinHash similarity ≥ threshold. */
+  private def simOk(a: Array[Long], b: Array[Long], t: Double): Boolean = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length >= t
+  }
+
+  /** The stateful core: streaming (doc_id, text) → per-band verdicts.
+    * Aggregate with [[survivorIds]] inside foreachBatch. */
+  def bandVerdicts(docs: DataFrame, k: Int = 32, bands: Int = 8,
+      shingleWidth: Int = 3, threshold: Double = 0.5,
+      horizonMs: Long = 0L): Dataset[BandVerdict] = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    require(horizonMs >= 0, s"horizonMs must be >= 0, got $horizonMs")
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = docs
+      .withColumn("sh", array_distinct(MinHash.shingles(col("text"), shingleWidth)))
+      .withColumn("sig", MinHash.signature(col("sh"), k))
+      .select(col("doc_id").cast("long").as("docId"), col("sig"),
+        explode(MinHash.bandHashes(col("sig"), k, bands)).as("bandHash"))
+      .as[BandRow]
+    rows.groupByKey(_.bandHash)
+      .flatMapGroupsWithState[BucketState, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[BandRow], state: GroupState[BucketState]) =>
+          // constant throughout the trigger → one clock per batch,
+          // restart-safe (stamps persist with the state)
+          val now = state.getCurrentProcessingTimeMs()
+          val prior = state.getOption.map(_.seen).getOrElse(Nil)
+          var seen =
+            if (horizonMs > 0) prior.filter(now - _.seenAtMs <= horizonMs)
+            else prior
+          // ascending docId makes intra-batch processing deterministic
+          // (groups receive batch rows in shuffle order, not input order)
+          val out = it.toSeq.sortBy(_.docId).map { d =>
+            val dup = seen.exists(s =>
+              s.docId < d.docId && simOk(s.sig, d.sig, threshold))
+            seen = SeenDoc(d.docId, d.sig, now) :: seen
+            BandVerdict(d.docId, dup)
+          }
+          state.update(BucketState(seen))
+          out.iterator
+      }
+  }
+
+  /** Batch-local OR over a document's band verdicts → surviving docIds.
+    * Valid inside foreachBatch because every band verdict for a document
+    * emits in the document's own arrival batch. */
+  def survivorIds(batchVerdicts: DataFrame): DataFrame =
+    batchVerdicts.groupBy("docId")
+      .agg(max(col("dup")).as("dup"))
+      .filter(!col("dup"))
+      .select(col("docId").as("doc_id"))
+
+  /** End-to-end convenience: survivors' doc_ids append to `outPath` as
+    * parquet, one file set per micro-batch stamped with the batch id,
+    * checkpoint at `checkpoint`. Restart-safe: the bucket state is
+    * checkpointed with the query. The parquet append itself is
+    * AT-LEAST-ONCE (a crash between write and commit replays the final
+    * batch with the SAME batch_id — dedupe on read by batch_id if that
+    * window matters; a clean stop commits first). */
+  def start(docs: DataFrame, outPath: String, checkpoint: String,
+      k: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
+      threshold: Double = 0.5, horizonMs: Long = 0L): StreamingQuery =
+    bandVerdicts(docs, k, bands, shingleWidth, threshold, horizonMs)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        survivorIds(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+}
