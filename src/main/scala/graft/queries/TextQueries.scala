@@ -452,6 +452,34 @@ object TextQueries {
                                    WHEN 'click' THEN 3 ELSE 1 END)
             GROUP BY 1""")),
 
+    // -- leakage-safe train/val/test split: the bucket is a pure function of
+    // the CONTENT fingerprint (md5 → first 8 hex digits → mod 20 → 80/10/10),
+    // so every exact clone of a text lands in the same split BY CONSTRUCTION
+    // — train/test leakage through duplicated documents is impossible, the
+    // assignment is reproducible across runs/engines (the DuckDB twin
+    // recomputes the identical md5 arithmetic), and at 100 TB it is one
+    // map-side expression + one (source, split) aggregation. Extend the key
+    // to a near-dup cluster representative (dedup_near_components) when
+    // paraphrase-level leakage matters — that variant inherits MinHash's
+    // no-oracle status, so the fingerprint form is the oracled baseline. --
+    QueryDef("leakage_safe_split", (s, dir) => {
+      val b = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 20
+      val split = when(b < 16, "train").when(b < 18, "val").otherwise("test")
+      Tables.t(s, dir, "documents")
+        .withColumn("split", split)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("docs"),
+          countDistinct(md5(col("text"))).as("distinct_texts"))
+    },
+    Some("""SELECT source,
+             CASE WHEN b < 16 THEN 'train' WHEN b < 18 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS docs, count(DISTINCT fp) AS distinct_texts
+            FROM (SELECT source, md5(text) AS fp,
+                    CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 20 AS b
+                  FROM documents) t
+            GROUP BY 1, 2""")),
+
     // -- length-distribution histogram (corpus stats primitive) -------------
     QueryDef("length_histogram", (s, dir) => {
       Tables.t(s, dir, "documents")
