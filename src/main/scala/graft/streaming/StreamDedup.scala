@@ -92,8 +92,13 @@ object StreamDedup {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
+    // NULL text would propagate a null signature into the state rows (an
+    // executor NPE at compare time); coalesce to empty — empty/short texts
+    // take the whole-text shingle fallback, so all empties are mutual
+    // exact dups and keep-first retains exactly one (spec-pinned)
     val rows = docs
-      .withColumn("sh", array_distinct(MinHash.shingles(col("text"), shingleWidth)))
+      .withColumn("sh", array_distinct(
+        MinHash.shingles(coalesce(col("text"), lit("")), shingleWidth)))
       .withColumn("sig", MinHash.signature(col("sh"), k))
       .select(col("doc_id").cast("long").as("docId"), col("sig"),
         explode(MinHash.bandHashes(col("sig"), k, bands)).as("bandHash"))

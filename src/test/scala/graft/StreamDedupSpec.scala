@@ -191,6 +191,26 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("null text never reaches the state rows: empties dedup among " +
+      "themselves, keep-first retains one") {
+    val tmp = Files.createTempDirectory("graft-sdedup-null").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.lang.Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamDedup.start(docs, s"$tmp/out", s"$tmp/ck",
+      k = K, bands = Bands, shingleWidth = W, threshold = T)
+    try {
+      input.addData(Seq((0L: java.lang.Long, null),
+        (1L: java.lang.Long, baseText(5, 15))))
+      q.processAllAvailable()
+      input.addData(Seq((2L: java.lang.Long, null))) // cross-batch empty dup
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$tmp/out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(0L, 1L), got) // doc 2 = exact dup of the null class
+    } finally q.stop()
+  }
+
   test("rejections: threshold range, horizon sign, band divisibility") {
     val df = Seq(Doc(0, "a b c")).toDF()
     assert(intercept[IllegalArgumentException] {
