@@ -42,7 +42,18 @@ object StreamDedupProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
 
-    val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+    // SPARK_GRAFT_PROBE_SCALE=N replicates the corpus ×N with remapped ids
+    // and IDENTICAL bodies — the adversarial worst case for bucket state
+    // (every clone lands in every one of its original's buckets), and
+    // self-validating: ids order originals-first, every clone is an exact
+    // dup of its original, so survivors at ×N must EQUAL survivors at ×1
+    val scale = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALE", "1").toInt
+    val base = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+    val docs =
+      if (scale <= 1) base
+      else base.crossJoin(spark.range(scale).withColumnRenamed("id", "__copy"))
+        .withColumn("doc_id", col("doc_id") + col("__copy") * 10000000L)
+        .drop("__copy")
     val total = docs.count()
     val root = java.nio.file.Files.createTempDirectory("graft-sdprobe").toString
 
@@ -105,7 +116,7 @@ object StreamDedupProbe {
     val batchSurv = total - dropped
 
     println(
-      f"""{"op":"stream_dedup","sf_dir":"$sfDir","docs":$total,""" +
+      f"""{"op":"stream_dedup","sf_dir":"$sfDir","scale_x":$scale,"docs":$total,""" +
       f""""k":$K,"bands":$Bands,"threshold":$T,"staged_files":$files,""" +
       f""""multi_batch":{"survivors":$multiSurv,"sec":$multiSec%.2f,""" +
       f""""docs_per_sec":${total / multiSec}%.0f},""" +
