@@ -333,6 +333,44 @@ object DruidNativeQueries {
            ORDER BY ts, event_type, event_id, value
            LIMIT 60""")),
 
+    // -- select DESCENDING + fromNext=false: negative offsets resume AT the
+    // identifier (caller pre-advanced it), the page crosses from the Jan-6
+    // segment (122 matching rows; resume −100 leaves 23) into Jan-5 --------
+    QueryDef("druid_json_select_desc", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "select", "dataSource": "events",
+         "descending": true,
+         "intervals": ["2024-01-05T00:00:00/2024-01-07T00:00:00"],
+         "filter": {"type": "in", "dimension": "event_type",
+                    "values": ["click", "view"]},
+         "dimensions": ["event_type"], "metrics": ["event_id", "value"],
+         "pagingSpec": {"pagingIdentifiers": {"events_2024-01-06": -100},
+                        "fromNext": false, "threshold": 50}}""")
+        .select(col("segmentId"), col("offset"),
+          date_format(col("__time"), fmt).as("event_ts"),
+          col("event_type"), col("event_id"), round(col("value"), 2).as("value"))
+    },
+    Some("""WITH ev AS (
+             SELECT 'events_' || strftime(ts, '%Y-%m-%d') AS "segmentId",
+                    ts, event_type, event_id, value
+             FROM events
+             WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-07'
+               AND event_type IN ('click', 'view')),
+           num AS (
+             SELECT "segmentId",
+                    -row_number() OVER (PARTITION BY "segmentId"
+                      ORDER BY ts DESC, event_type DESC, event_id DESC,
+                               value DESC) AS "offset",
+                    ts, event_type, event_id, value
+             FROM ev)
+           SELECT "segmentId", "offset",
+                  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS event_ts,
+                  event_type, event_id, round(value, 2) AS value
+           FROM num
+           WHERE NOT ("segmentId" = 'events_2024-01-06' AND "offset" > -100)
+           ORDER BY ts DESC, event_type DESC, event_id DESC, value DESC
+           LIMIT 50""")),
+
     // -- timeFormat extraction with the FULL upstream option set: timeZone
     // (formatting calendar), granularity (bucket BEFORE formatting), and
     // asMillis (epoch-millis string) — the twin renders the hour bucket in

@@ -1210,6 +1210,9 @@ final class HttpIngestServer(
     * matching the compiler's resume default), the echoed
     * dimensions/metrics, and `events` as `{segmentId, offset, event}`
     * wrappers with the row's `__time` rendered as the event `timestamp`.
+    * The entry-level timestamp is the first returned event's time (null
+    * on an empty page) — granularity is 'all' by the compiler's contract,
+    * so there is no bucket start to name.
     * Unlike scan this BUFFERS the page — bounded by the query's own
     * `pagingSpec.threshold` (the compiler caps the frame), so the memory
     * contract is the client's page size, not the result size. */
