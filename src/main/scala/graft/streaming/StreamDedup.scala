@@ -119,7 +119,26 @@ object StreamDedup {
           val out = it.toSeq.sortBy(_.docId).map { d =>
             val dup = seen.exists(s =>
               s.docId < d.docId && simOk(s.sig, d.sig, threshold))
-            seen = SeenDoc(d.docId, d.sig, now) :: seen
+            // in-state exact-clone collapse (the ExactCollapse lesson
+            // applied to the state store): a doc whose signature is
+            // IDENTICAL to an already-seen smaller-id entry is redundant —
+            // any future doc it could suppress (future.id > d.id > s.id,
+            // same similarity against equal sigs) is already suppressed by
+            // s. Refresh s's stamp instead of appending, so a clone class
+            // holds ONE state entry and stays horizon-live while clones
+            // keep arriving. Without this, clone-heavy streams re-encode
+            // ever-growing lists per arrival: measured 7.1x wall for 3.3x
+            // rows at x100 clone replication, restored to linear by the
+            // collapse (STREAMDEDUP_r9.json).
+            val redundant = dup && seen.exists(s =>
+              s.docId < d.docId && java.util.Arrays.equals(s.sig, d.sig))
+            seen =
+              if (redundant) seen.map(s =>
+                if (s.docId < d.docId &&
+                    java.util.Arrays.equals(s.sig, d.sig))
+                  s.copy(seenAtMs = now)
+                else s)
+              else SeenDoc(d.docId, d.sig, now) :: seen
             BandVerdict(d.docId, dup)
           }
           state.update(BucketState(seen))
