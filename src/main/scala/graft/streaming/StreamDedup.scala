@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, KeyValueGroupedDataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
@@ -81,14 +81,11 @@ object StreamDedup {
     eq.toDouble / a.length >= t
   }
 
-  /** The stateful core: streaming (doc_id, text) → per-band verdicts.
-    * Aggregate with [[survivorIds]] inside foreachBatch. */
-  def bandVerdicts(docs: DataFrame, k: Int = 32, bands: Int = 8,
-      shingleWidth: Int = 3, threshold: Double = 0.5,
-      horizonMs: Long = 0L): Dataset[BandVerdict] = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold must be in (0, 1], got $threshold")
-    require(horizonMs >= 0, s"horizonMs must be >= 0, got $horizonMs")
+  /** (docId, sig, bandHash) rows via the shared MinHash expressions — the
+    * SAME computation for the stream and the batch bootstrap, so their
+    * signatures can never diverge. */
+  private def bandRows(docs: DataFrame, k: Int, bands: Int,
+      shingleWidth: Int): Dataset[BandRow] = {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -96,16 +93,97 @@ object StreamDedup {
     // executor NPE at compare time); coalesce to empty — empty/short texts
     // take the whole-text shingle fallback, so all empties are mutual
     // exact dups and keep-first retains exactly one (spec-pinned)
-    val rows = docs
+    docs
       .withColumn("sh", array_distinct(
         MinHash.shingles(coalesce(col("text"), lit("")), shingleWidth)))
       .withColumn("sig", MinHash.signature(col("sh"), k))
       .select(col("doc_id").cast("long").as("docId"), col("sig"),
         explode(MinHash.bandHashes(col("sig"), k, bands)).as("bandHash"))
       .as[BandRow]
-    rows.groupByKey(_.bandHash)
-      .flatMapGroupsWithState[BucketState, BandVerdict](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+  }
+
+  /** Batch-build the bucket index from an EXISTING corpus, for use as the
+    * stream's initial state — the operation that makes continual-ingest
+    * dedup deployable at 100 TB: the history index is built ONCE, in batch,
+    * with one corpus shuffle keyed by the same band hash the stream groups
+    * on, instead of replaying the whole corpus through micro-batches.
+    * Exact-collapsed like the live state (one entry per signature class per
+    * bucket, smallest docId — the redundancy argument on the live path),
+    * so a clone-heavy corpus bootstraps to the same compact index the
+    * stream itself would converge to. `stampMs` is the horizon stamp the
+    * bootstrapped entries carry: leave 0 when the stream runs without a
+    * horizon (stamps are never read); pass the bootstrap wall-clock time
+    * when pairing with `horizonMs > 0`, or an older stamp to pre-age the
+    * corpus. The second, index-sized shuffle (grouping the per-bucket rows
+    * into the KeyValueGroupedDataset shape initialState wants) is over
+    * collapsed buckets, not the corpus.
+    *
+    * Initial state binds on the query's FIRST micro-batch only (batch 0) —
+    * a restart from checkpoint keeps the evolved store, exactly the
+    * deploy-once semantics a bootstrap should have (spec-pinned).
+    *
+    * The corpus scan + signature stage rides the INPUT layout (the engine
+    * never forces a reshuffle on a corpus-sized frame); everything after
+    * the first exchange re-parallelizes to spark.sql.shuffle.partitions.
+    * A single-file corpus therefore under-parallelizes exactly like any
+    * other single-file scan — lay the history out in >= cluster-core
+    * files, as any at-rest store already is. */
+  def bootstrapState(docs: DataFrame, k: Int = 32, bands: Int = 8,
+      shingleWidth: Int = 3, stampMs: Long = 0L)
+      : KeyValueGroupedDataset[Long, BucketState] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // collapse RELATIONALLY before anything typed touches the data: equal
+    // sigs ⇒ similarity 1.0 ≥ any legal threshold, so only the smallest
+    // docId per (bucket, signature) class can ever matter — the same
+    // collapse the live path applies in-state. As a codegen'd hash
+    // aggregate this gets map-side combine, so a clone-heavy corpus
+    // shrinks to its class representatives BEFORE the shuffle (the typed
+    // mapGroups formulation shipped every corpus band row through a typed
+    // exchange and ran 6x slower at x100 clones); only collapsed,
+    // index-sized rows reach the per-bucket list assembly.
+    bandRows(docs, k, bands, shingleWidth)
+      .groupBy(col("bandHash"), col("sig"))
+      .agg(min(col("docId")).as("docId"))
+      .select(col("bandHash"), struct(col("docId"), col("sig"),
+        lit(stampMs).as("seenAtMs")).as("sd"))
+      .groupBy(col("bandHash")).agg(collect_list(col("sd")).as("seen"))
+      .select(col("bandHash").as("_1"), struct(col("seen")).as("_2"))
+      .as[(Long, BucketState)]
+      .groupByKey(_._1).mapValues(_._2)
+  }
+
+  /** The stateful core: streaming (doc_id, text) → per-band verdicts.
+    * Aggregate with [[survivorIds]] inside foreachBatch. `initial` seeds
+    * the bucket index from [[bootstrapState]] — verdicts are only ever
+    * emitted for STREAMED documents; the bootstrap corpus is "already
+    * seen", it never re-emits. */
+  def bandVerdicts(docs: DataFrame, k: Int = 32, bands: Int = 8,
+      shingleWidth: Int = 3, threshold: Double = 0.5,
+      horizonMs: Long = 0L,
+      initial: Option[KeyValueGroupedDataset[Long, BucketState]] = None)
+      : Dataset[BandVerdict] = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    require(horizonMs >= 0, s"horizonMs must be >= 0, got $horizonMs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = bandRows(docs, k, bands, shingleWidth)
+    val grouped = rows.groupByKey(_.bandHash)
+    def core(kvd: KeyValueGroupedDataset[Long, BandRow],
+        init: Option[KeyValueGroupedDataset[Long, BucketState]]) = init match {
+      case Some(st) => kvd.flatMapGroupsWithState[BucketState, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, st)(verdictFunc(threshold, horizonMs))
+      case None => kvd.flatMapGroupsWithState[BucketState, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(verdictFunc(threshold, horizonMs))
+    }
+    core(grouped, initial)
+  }
+
+  /** The per-bucket state machine shared by the plain and bootstrapped
+    * paths. */
+  private def verdictFunc(threshold: Double, horizonMs: Long)
+      : (Long, Iterator[BandRow], GroupState[BucketState]) => Iterator[BandVerdict] = {
         (_: Long, it: Iterator[BandRow], state: GroupState[BucketState]) =>
           // constant throughout the trigger → one clock per batch,
           // restart-safe (stamps persist with the state)
@@ -114,6 +192,13 @@ object StreamDedup {
           var seen =
             if (horizonMs > 0) prior.filter(now - _.seenAtMs <= horizonMs)
             else prior
+          // track whether this batch changed the bucket at all: a bucket
+          // that only saw redundant clones (horizon disabled) needs NO
+          // state.update — the state store re-encodes the WHOLE list per
+          // updated key per batch, so skipping the no-op write is what
+          // keeps clone-heavy multi-batch streams from rewriting every
+          // bucket every batch (measured below)
+          var changed = seen.lengthCompare(prior.length) != 0
           // ascending docId makes intra-batch processing deterministic
           // (groups receive batch rows in shuffle order, not input order)
           val out = it.toSeq.sortBy(_.docId).map { d =>
@@ -129,21 +214,29 @@ object StreamDedup {
             // keep arriving. Without this, clone-heavy streams re-encode
             // ever-growing lists per arrival: measured 7.1x wall for 3.3x
             // rows at x100 clone replication, restored to linear by the
-            // collapse (STREAMDEDUP_r9.json).
+            // collapse (STREAMDEDUP_r9.json). With the horizon DISABLED the
+            // stamp is never read (the eviction filter above only runs when
+            // horizonMs > 0), so the refresh itself is skipped and a
+            // redundant arrival leaves the bucket byte-identical.
             val redundant = dup && seen.exists(s =>
               s.docId < d.docId && java.util.Arrays.equals(s.sig, d.sig))
-            seen =
-              if (redundant) seen.map(s =>
-                if (s.docId < d.docId &&
-                    java.util.Arrays.equals(s.sig, d.sig))
-                  s.copy(seenAtMs = now)
-                else s)
-              else SeenDoc(d.docId, d.sig, now) :: seen
+            if (redundant) {
+              if (horizonMs > 0) {
+                seen = seen.map(s =>
+                  if (s.docId < d.docId &&
+                      java.util.Arrays.equals(s.sig, d.sig))
+                    s.copy(seenAtMs = now)
+                  else s)
+                changed = true
+              }
+            } else {
+              seen = SeenDoc(d.docId, d.sig, now) :: seen
+              changed = true
+            }
             BandVerdict(d.docId, dup)
           }
-          state.update(BucketState(seen))
+          if (changed) state.update(BucketState(seen))
           out.iterator
-      }
   }
 
   /** Batch-local OR over a document's band verdicts → surviving docIds.
@@ -164,8 +257,12 @@ object StreamDedup {
     * window matters; a clean stop commits first). */
   def start(docs: DataFrame, outPath: String, checkpoint: String,
       k: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
-      threshold: Double = 0.5, horizonMs: Long = 0L): StreamingQuery =
-    bandVerdicts(docs, k, bands, shingleWidth, threshold, horizonMs)
+      threshold: Double = 0.5, horizonMs: Long = 0L,
+      bootstrap: Option[DataFrame] = None,
+      bootstrapStampMs: Long = 0L): StreamingQuery =
+    bandVerdicts(docs, k, bands, shingleWidth, threshold, horizonMs,
+      bootstrap.map(b => bootstrapState(b, k, bands, shingleWidth,
+        bootstrapStampMs)))
       .toDF()
       .writeStream
       .outputMode("append")

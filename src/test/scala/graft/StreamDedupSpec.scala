@@ -191,6 +191,38 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("horizonMs: a redundant exact clone REFRESHES its class's stamp — " +
+      "the clone class stays live past the original's own horizon") {
+    // the in-state clone collapse keeps ONE entry per clone class and, with
+    // a horizon armed, must refresh its stamp on every clone arrival (the
+    // class is still "being seen"); with the horizon DISABLED the stamp is
+    // never read and a redundant arrival skips the state write entirely —
+    // this test pins the armed-horizon half of that contract. Margins are
+    // wide (sleeps 6 s vs horizon 10 s) so slow batches can't flake it.
+    val hz = 10000L
+    val d0 = Doc(0, baseText(11, 20))
+    val clone = Doc(1, d0.text) // exact clone → redundant in-state
+    val near = Doc(2, mutate(d0.text, 9)) // near-dup of the class
+    val tmp = Files.createTempDirectory("graft-sdedup-refresh").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamDedup.start(input.toDF(), s"$tmp/out", s"$tmp/ck",
+      k = K, bands = Bands, shingleWidth = W, threshold = T,
+      horizonMs = hz)
+    try {
+      input.addData(Seq(d0)); q.processAllAvailable()
+      Thread.sleep(6000)
+      input.addData(Seq(clone)); q.processAllAvailable() // refresh at ~6 s
+      Thread.sleep(6000)
+      // ~12 s after d0 (past its horizon), ~6 s after the refresh (within):
+      // only the refreshed stamp can drop the near-dup
+      input.addData(Seq(near)); q.processAllAvailable()
+      val got = spark.read.parquet(s"$tmp/out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(0L), got) // clone dropped AND near-dup dropped
+    } finally q.stop()
+  }
+
   test("null text never reaches the state rows: empties dedup among " +
       "themselves, keep-first retains one") {
     val tmp = Files.createTempDirectory("graft-sdedup-null").toString
@@ -209,6 +241,96 @@ class StreamDedupSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(got == Set(0L, 1L), got) // doc 2 = exact dup of the null class
     } finally q.stop()
+  }
+
+  test("bootstrapState ≡ replaying the corpus as earlier batches (stream " +
+      "AND independent model agree); verdicts only cover streamed docs") {
+    // corpus: bases + clones + near-dups among themselves; stream: a mix of
+    // novel docs, exact clones of corpus docs, and near-dups of corpus docs
+    val corpus = Seq(
+      Doc(0, baseText(1, 20)), Doc(1, baseText(2, 20)),
+      Doc(2, baseText(1, 20)), // exact clone inside the corpus
+      Doc(3, mutate(baseText(2, 20), 5)))
+    val b1 = Seq(Doc(10, baseText(1, 20)), // exact clone of corpus 0
+      Doc(11, baseText(9, 20))) // novel
+    val b2 = Seq(Doc(12, mutate(baseText(1, 20), 6)), // near-dup of corpus 0
+      Doc(13, mutate(baseText(9, 20), 7)), // near-dup of b1's novel doc
+      Doc(14, baseText(3, 20))) // novel
+    val streamIds = (b1 ++ b2).map(_.doc_id).toSet
+    // reference 1: the plain stream with the corpus replayed as batch 0
+    val replay = streamSurvivors(Seq(corpus, b1, b2)).intersect(streamIds)
+    // reference 2: the independent driver model, same restriction
+    val model = modelSurvivors(Seq(corpus, b1, b2)).intersect(streamIds)
+    assert(replay == model, s"replay=$replay model=$model")
+    // the bootstrapped stream sees ONLY b1/b2 as data
+    val tmp = Files.createTempDirectory("graft-sdedup-boot").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamDedup.start(input.toDF(), s"$tmp/out", s"$tmp/ck",
+      k = K, bands = Bands, shingleWidth = W, threshold = T,
+      bootstrap = Some(corpus.toDF()))
+    val got = try {
+      Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+      spark.read.parquet(s"$tmp/out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    } finally q.stop()
+    assert(got == model, s"bootstrapped=$got model=$model")
+    // no corpus id ever reaches the sink — the bootstrap is state, not data
+    assert(got.subsetOf(streamIds), got)
+  }
+
+  test("bootstrap binds on batch 0 only: a restart from checkpoint keeps " +
+      "the evolved store without re-supplying the corpus") {
+    val corpus = Seq(Doc(0, baseText(4, 20)))
+    val novel = Doc(10, baseText(8, 20))
+    val tmp = Files.createTempDirectory("graft-sdedup-bootrs").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in1 = MemoryStream[Doc]
+    val q1 = StreamDedup.start(in1.toDF(), s"$tmp/out", s"$tmp/ck",
+      k = K, bands = Bands, shingleWidth = W, threshold = T,
+      bootstrap = Some(corpus.toDF()))
+    try { in1.addData(Seq(novel)); q1.processAllAvailable() } finally q1.stop()
+    // restart WITHOUT a bootstrap: both the corpus doc (from the initial
+    // state) and the pre-restart streamed doc must still suppress dups
+    val in2 = MemoryStream[Doc]
+    in2.addData(Seq(novel)) // replay source contract: offsets restart at 0
+    val q2 = StreamDedup.start(in2.toDF(), s"$tmp/out", s"$tmp/ck",
+      k = K, bands = Bands, shingleWidth = W, threshold = T)
+    val got = try {
+      in2.addData(Seq(
+        Doc(20, mutate(corpus.head.text, 3)), // near-dup of bootstrap doc
+        Doc(21, novel.text), // exact clone of pre-restart doc
+        Doc(22, baseText(6, 20)))) // novel
+      q2.processAllAvailable()
+      spark.read.parquet(s"$tmp/out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    } finally q2.stop()
+    assert(got == Set(10L, 22L), got)
+  }
+
+  test("bootstrap stamps interact with the horizon: pre-aged corpus " +
+      "entries are already expired, fresh ones suppress") {
+    val hz = 60000L // one minute — no sleeps, stamps are pre-aged instead
+    val c = Seq(Doc(0, baseText(12, 20)))
+    // EXACT clone: similarity 1.0 collides in every band, so survival can
+    // only mean eviction (a planted near-dup may legitimately never
+    // band-collide under a given hash draw — that's LSH, not a bug)
+    val dup = Doc(10, c.head.text)
+    def run(stamp: Long): Set[Long] = {
+      val tmp = Files.createTempDirectory("graft-sdedup-boothz").toString
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Doc]
+      val q = StreamDedup.start(input.toDF(), s"$tmp/out", s"$tmp/ck",
+        k = K, bands = Bands, shingleWidth = W, threshold = T,
+        horizonMs = hz, bootstrap = Some(c.toDF()), bootstrapStampMs = stamp)
+      try {
+        input.addData(Seq(dup)); q.processAllAvailable()
+        spark.read.parquet(s"$tmp/out").select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    assert(run(System.currentTimeMillis()) == Set.empty[Long]) // live → drop
+    assert(run(System.currentTimeMillis() - 2 * hz) == Set(10L)) // aged out
   }
 
   test("rejections: threshold range, horizon sign, band divisibility") {
