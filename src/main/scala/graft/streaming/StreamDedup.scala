@@ -73,8 +73,18 @@ object StreamDedup {
   /** Per-(document, band) verdict; OR over a document's bands = dup. */
   case class BandVerdict(docId: Long, dup: Boolean)
 
-  /** Matching-component MinHash similarity ≥ threshold. */
+  /** Matching-component MinHash similarity ≥ threshold. Unequal lengths
+    * mean the state was built with a different k than the stream (a
+    * bootstrapState/bandVerdicts mismatch) — fail LOUD; comparing a prefix
+    * would silently mis-score every verdict. A bands mismatch is not
+    * detectable here (disjoint band-hash keyspaces simply never collide,
+    * so history suppresses nothing) — keep k AND bands identical between
+    * the bootstrap and the stream, as start() does by construction. */
   private def simOk(a: Array[Long], b: Array[Long], t: Double): Boolean = {
+    if (a.length != b.length) throw new IllegalStateException(
+      s"signature length mismatch (${a.length} vs ${b.length}): the bucket " +
+        "state was built with a different k than this stream — " +
+        "bootstrapState and bandVerdicts must share k (and bands)")
     var eq = 0
     var i = 0
     while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
@@ -168,16 +178,14 @@ object StreamDedup {
     require(horizonMs >= 0, s"horizonMs must be >= 0, got $horizonMs")
     val spark = docs.sparkSession
     import spark.implicits._
-    val rows = bandRows(docs, k, bands, shingleWidth)
-    val grouped = rows.groupByKey(_.bandHash)
-    def core(kvd: KeyValueGroupedDataset[Long, BandRow],
-        init: Option[KeyValueGroupedDataset[Long, BucketState]]) = init match {
-      case Some(st) => kvd.flatMapGroupsWithState[BucketState, BandVerdict](
-        OutputMode.Append, GroupStateTimeout.NoTimeout, st)(verdictFunc(threshold, horizonMs))
-      case None => kvd.flatMapGroupsWithState[BucketState, BandVerdict](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(verdictFunc(threshold, horizonMs))
+    val grouped = bandRows(docs, k, bands, shingleWidth).groupByKey(_.bandHash)
+    val f = verdictFunc(threshold, horizonMs)
+    initial match {
+      case Some(st) => grouped.flatMapGroupsWithState[BucketState, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, st)(f)
+      case None => grouped.flatMapGroupsWithState[BucketState, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(f)
     }
-    core(grouped, initial)
   }
 
   /** The per-bucket state machine shared by the plain and bootstrapped
@@ -217,7 +225,12 @@ object StreamDedup {
             // collapse (STREAMDEDUP_r9.json). With the horizon DISABLED the
             // stamp is never read (the eviction filter above only runs when
             // horizonMs > 0), so the refresh itself is skipped and a
-            // redundant arrival leaves the bucket byte-identical.
+            // redundant arrival leaves the bucket byte-identical. CONTRACT
+            // CORNER: that means horizon-off checkpoints carry FIRST-seen
+            // stamps for clone classes; restarting the same checkpoint with
+            // a horizon newly armed ages those classes by first arrival,
+            // not last. Arming/raising a horizon mid-deployment is a
+            // re-bootstrap (or accept the conservative extra evictions).
             val redundant = dup && seen.exists(s =>
               s.docId < d.docId && java.util.Arrays.equals(s.sig, d.sig))
             if (redundant) {
@@ -259,7 +272,15 @@ object StreamDedup {
       k: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
       threshold: Double = 0.5, horizonMs: Long = 0L,
       bootstrap: Option[DataFrame] = None,
-      bootstrapStampMs: Long = 0L): StreamingQuery =
+      bootstrapStampMs: Long = 0L): StreamingQuery = {
+    // a bootstrap under an armed horizon with the default stamp (0) would
+    // silently expire the ENTIRE history index on each bucket's first
+    // access — every known duplicate would then survive. Fail loud at
+    // start; pass the bootstrap wall-clock (or an intentional pre-age).
+    require(bootstrap.isEmpty || horizonMs == 0L || bootstrapStampMs > 0L,
+      s"bootstrap with horizonMs=$horizonMs needs bootstrapStampMs > 0 " +
+        "(the bootstrap time, or an older stamp to pre-age the corpus); " +
+        "stamp 0 would expire the whole bootstrapped index immediately")
     bandVerdicts(docs, k, bands, shingleWidth, threshold, horizonMs,
       bootstrap.map(b => bootstrapState(b, k, bands, shingleWidth,
         bootstrapStampMs)))
@@ -274,4 +295,5 @@ object StreamDedup {
         ()
       }
       .start()
+  }
 }

@@ -17,7 +17,21 @@ object ScaleProbe {
     val n = args.headOption.map(_.toInt).getOrElse(10)
     val baseSf = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val out = s"/tmp/graft-scale-x$n"
+    // SPARK_GRAFT_PROBE_TABLES=documents[,events,…] restricts which FACT
+    // tables replicate ×N — the rest copy through at ×1 so any query still
+    // runs (e.g. a documents-only ×1000 that fits the box). Restricted runs
+    // are labeled: the output dir gets a suffix (so a SKIP_GEN reuse can
+    // never serve a mixed x1/xN corpus as the full one) and the JSON
+    // carries replicated_tables (so an artifact line can't pass x1 numbers
+    // off as xN for the unreplicated tables).
+    val replTables = sys.env.get("SPARK_GRAFT_PROBE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    replTables.foreach(s => require(s.nonEmpty,
+      "SPARK_GRAFT_PROBE_TABLES is set but empty — it would replicate " +
+        "NOTHING; unset it for the full fact set or name tables"))
+    val outSuffix = replTables.map(s => "-" + s.toSeq.sorted.mkString("_"))
+      .getOrElse("")
+    val out = s"/tmp/graft-scale-x$n$outSuffix"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -79,14 +93,21 @@ object ScaleProbe {
     // generation cost: SPARK_GRAFT_SKIP_GEN=1 + an existing dir reuses it
     val skipGen = sys.env.get("SPARK_GRAFT_SKIP_GEN").contains("1") &&
       new java.io.File(s"$out/documents.parquet").exists()
+    def wants(t: String): Boolean = replTables.forall(_.contains(t))
     if (!skipGen) {
-    replicate("lineitem", Seq("l_orderkey"))
-    replicate("orders", Seq("o_orderkey", "o_custkey"))
-    replicate("customer", Seq("c_custkey"))
-    replicate("events", Seq("event_id"))
-    // text corpus scales too (identical bodies per copy — adversarial for
-    // the gram/shingle shuffles: every key becomes n× hot)
-    replicate("documents", Seq("doc_id"))
+    val facts = Seq(
+      "lineitem" -> Seq("l_orderkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "customer" -> Seq("c_custkey"),
+      "events" -> Seq("event_id"),
+      // text corpus scales too (identical bodies per copy — adversarial for
+      // the gram/shingle shuffles: every key becomes n× hot)
+      "documents" -> Seq("doc_id"))
+    facts.foreach { case (t, keys) =>
+      if (wants(t)) replicate(t, keys)
+      else graft.queries.Tables.t(spark, baseSf, t)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     Seq("region", "nation", "supplier", "part", "embeddings").foreach { t =>
       graft.queries.Tables.t(spark, baseSf, t)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -128,7 +149,10 @@ object ScaleProbe {
     }
     val qJson = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val sJson = results.map { case (k, (_, sb)) => "\"" + k + s"""\":$sb""" }.mkString("{", ",", "}")
-    println(f"""{"scale_x":$n,"gen_sec":$genSec%.1f,"total_sec":${results.map(_._2._1).sum}%.3f,"queries":$qJson,"shuffle_write_bytes":$sJson}""")
+    val replJson = replTables
+      .map(s => s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .getOrElse("\"all_facts\"")
+    println(f"""{"scale_x":$n,"replicated_tables":$replJson,"gen_sec":$genSec%.1f,"total_sec":${results.map(_._2._1).sum}%.3f,"queries":$qJson,"shuffle_write_bytes":$sJson}""")
     spark.stop()
   }
 }

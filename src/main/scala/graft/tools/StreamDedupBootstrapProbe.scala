@@ -46,24 +46,12 @@ object StreamDedupBootstrapProbe {
     val files = sys.env.getOrElse("SPARK_GRAFT_PROBE_FILES", "8").toInt
     val scale = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALE", "1").toInt
     val novel = sys.env.getOrElse("SPARK_GRAFT_PROBE_NOVEL", "1000").toInt
-    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    if (stateStore == "rocksdb") {
-      builder.config(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // changelog checkpointing = the cluster-realistic commit path (per-batch
-      // incremental changelog instead of a full snapshot upload per partition
-      // per commit — measured here: 7 near-empty micro-batches against a
-      // bootstrapped 40k-entry store paid 178 s in snapshot uploads without it)
-      builder.config(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
-    }
+    val stateStore = StateStoreEnv(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -135,9 +123,12 @@ object StreamDedupBootstrapProbe {
     val q = StreamDedup.start(in, s"$root/out", s"$root/ck",
       k = K, bands = Bands, shingleWidth = W, threshold = T,
       bootstrap = Some(corpus))
-    // first trigger pays the bootstrap (initial state binds on batch 0)
-    while (q.lastProgress == null ||
-      q.lastProgress.numInputRows == 0) Thread.sleep(50)
+    // first trigger pays the bootstrap (initial state binds on batch 0);
+    // isActive guard: a batch-0 failure never publishes a progress event,
+    // so without it the loop would spin forever instead of rethrowing
+    while (q.isActive && (q.lastProgress == null ||
+      q.lastProgress.numInputRows == 0)) Thread.sleep(50)
+    if (!q.isActive) q.awaitTermination() // rethrows the batch-0 failure
     val firstSec = (System.nanoTime() - t0) / 1e9
     q.processAllAvailable()
     val totalSec = (System.nanoTime() - t0) / 1e9

@@ -36,25 +36,14 @@ object StreamDedupProbe {
     // SPARK_GRAFT_STATE_STORE=rocksdb measures the cluster-realistic state
     // backend (incremental changelog per batch instead of HDFSBackedStateStore
     // rewriting full in-memory maps to snapshot files) — the backend the
-    // StreamDedup scaladoc says a 100 TB continual-ingest dedup runs on
-    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
+    // StreamDedup scaladoc says a 100 TB continual-ingest dedup runs on;
+    // resolution + validation shared with the other probe in StateStoreEnv
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    if (stateStore == "rocksdb") {
-      builder.config(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // changelog checkpointing = the cluster-realistic commit path (per-batch
-      // incremental changelog instead of a full snapshot upload per partition
-      // per commit — measured here: 7 near-empty micro-batches against a
-      // bootstrapped 40k-entry store paid 178 s in snapshot uploads without it)
-      builder.config(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
-    }
+    val stateStore = StateStoreEnv(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)

@@ -344,5 +344,11 @@ class StreamDedupSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       StreamDedup.bandVerdicts(df, k = 16, bands = 5)
     }.getMessage.contains("bands"))
+    // bootstrap under an armed horizon with the default stamp (0) would
+    // silently expire the whole history index on first access — loud
+    assert(intercept[IllegalArgumentException] {
+      StreamDedup.start(df, "/tmp/graft-sdedup-na", "/tmp/graft-sdedup-nb",
+        horizonMs = 1000L, bootstrap = Some(df))
+    }.getMessage.contains("bootstrapStampMs"))
   }
 }
