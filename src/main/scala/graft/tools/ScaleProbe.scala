@@ -29,6 +29,19 @@ object ScaleProbe {
     replTables.foreach(s => require(s.nonEmpty,
       "SPARK_GRAFT_PROBE_TABLES is set but empty — it would replicate " +
         "NOTHING; unset it for the full fact set or name tables"))
+    // loud on typos (advice r9 #3): 'Documents' would pass the emptiness
+    // check, replicate nothing, and label the artifact scale_x=N anyway —
+    // the exact mislabeled-benchmark class StateStoreEnv rejects for
+    // backend names. Validate against the replicable fact set.
+    val knownFacts = Set("lineitem", "orders", "customer", "events", "documents")
+    replTables.foreach { s =>
+      val unknown = s -- knownFacts
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_PROBE_TABLES names unknown fact tables " +
+          s"${unknown.toSeq.sorted.mkString("[", ", ", "]")} — replicable " +
+          s"facts are ${knownFacts.toSeq.sorted.mkString("[", ", ", "]")} " +
+          "(dims always copy through at x1)")
+    }
     val outSuffix = replTables.map(s => "-" + s.toSeq.sorted.mkString("_"))
       .getOrElse("")
     val out = s"/tmp/graft-scale-x$n$outSuffix"
