@@ -84,6 +84,12 @@ object GraftFunctions {
         require(args.length == 2, "adc_distance(codes, table) takes 2 arguments")
         AdcDistance(args(0), args(1))
       }),
+    (new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "pq_encode(vec, codebook) takes 2 arguments")
+        PqEncode(args(0), args(1))
+      }),
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => {

@@ -102,7 +102,7 @@ object IvfPq {
     * trained ON the residuals, every vector stored as (cluster, codes).
     */
   def build(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-      kCoarse: Int, m: Int = 8, ks: Int = 16, iterations: Int = 4): IvfPqIndex = {
+      kCoarse: Int, m: Int = 8, ks: Int = 256, iterations: Int = 4): IvfPqIndex = {
     val ivf = IvfIndex.build(spark, df, idCol, vecCol, kCoarse, iterations)
     try {
       // dense positional table (cluster id → centroid): Lloyd's refit drops
@@ -119,12 +119,10 @@ object IvfPq {
         zip_with(col("vec"), element_at(centLit, col("cluster") + 1),
           (x, y) => x.cast("double") - y))
       val cb = PqIndex.train(spark, residuals, "id", "res", m, ks, iterations)
-      val cbLit = typedlit(cb.codebook)
+      GraftFunctions.register(spark)
       val encoded = residuals
         .select(col("id"), col("cluster"),
-          transform(sequence(lit(0), lit(cb.m - 1)),
-            j => PqIndex.nearestCode(cbLit, j,
-              slice(col("res"), j * cb.subDim + 1, lit(cb.subDim)))).as("codes"))
+          call_function("pq_encode", col("res"), typedlit(cb.codebook)).as("codes"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       encoded.count() // materialize before releasing the IVF assignment
       IvfPqIndex(ivf.centroids, cb, encoded)

@@ -5,10 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011): split
-  * each dim-D vector into `m` subvectors, learn a tiny per-subspace k-means
-  * codebook (`ks` codes each), store every vector as `m` small ints — a
-  * 4-byte-per-subspace → (log2 ks)-bit code compression (64-dim float =
-  * 256 B → 8 codes ≈ 8 B at ks=16). Search is ADC (asymmetric distance):
+  * each dim-D vector into `m` subvectors, learn a per-subspace k-means
+  * codebook (`ks` codes each, default 256 = the paper's 8-bit
+  * subquantizer), store every vector as `m` small ints — a 64-dim float
+  * vector (256 B) becomes 8 one-byte codes. Search is ADC (asymmetric distance):
   * the query precomputes an m×ks table of exact subspace distances (driver-
   * side, tiny), and each stored vector's approximate L2² is m table lookups
   * — no float math per row at scan time.
@@ -38,22 +38,21 @@ object PqIndex {
     transform(sequence(lit(0), lit(m - 1)),
       j => slice(vec, j * subDim + 1, lit(subDim)))
 
-  /** Nearest code (argmin squared L2, first-min tiebreak → deterministic)
-    * for subvector `sub` in subspace `j`, against the codebook literal.
-    */
-  private[functions] def nearestCode(cbLit: Column, j: Column, sub: Column): Column = {
-    val dists = transform(element_at(cbLit, j + 1), c =>
-      aggregate(
-        zip_with(sub, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (a, x) => a + x))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
-
   /** Train per-subspace codebooks over (idCol, vecCol: array<float>). Vector
     * length must be divisible by m.
+    *
+    * ks default is 256 (r10, verdict r9 #1): the standard PQ setting —
+    * 8 bits/subquantizer (Jégou et al. TPAMI 2011 §II.C choose ks=256 as
+    * the practical operating point); the r9 default of 16 gave each 8-dim
+    * subspace only 16 cells and ranked even clustered corpora poorly.
+    * Assignment runs through the native `pq_encode` kernel (all m argmins
+    * in one codegen'd pass per row), which is what makes 256
+    * codewords/subspace affordable — the interpreted HOF argmin the r9
+    * code used was m·ks·subDim lambda evals per row.
     */
   def train(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, ks: Int = 16, iterations: Int = 4): PqCodebook = {
+      m: Int = 8, ks: Int = 256, iterations: Int = 4): PqCodebook = {
+    GraftFunctions.register(spark)
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val dim = base.select(size(col("vec"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(
@@ -61,12 +60,9 @@ object PqIndex {
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val subDim = dim / m
 
-    // one exploded frame feeds seeding AND every Lloyd pass
+    // deterministic seeds: per subspace the ks smallest-hash subvectors
     val subs = base
       .select(col("id"), posexplode(slices(col("vec"), m, subDim)).as(Seq("j", "sub")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // deterministic seeds: per subspace the ks smallest-hash subvectors
     val w = Window.partitionBy(col("j")).orderBy(xxhash64(col("id")), col("id"))
     val seedRows = subs.withColumn("__r", row_number().over(w))
       .filter(col("__r") <= ks)
@@ -83,10 +79,17 @@ object PqIndex {
     }
 
     for (_ <- 0 until iterations) {
-      val assigned = subs.withColumn("code",
-        nearestCode(typedlit(cb), col("j"), col("sub")))
+      // assignment on the UNEXPLODED frame — one pq_encode pass per row
+      // computes all m codes; the explode to (j, code, dim, x) feeds a
+      // codegen'd partial-aggregated mean (m·ks·subDim groups, tiny)
+      val assigned = base.withColumn("codes",
+        call_function("pq_encode", col("vec"), typedlit(cb)))
       val means = assigned
-        .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("dim", "x")))
+        .select(col("codes"),
+          posexplode(slices(col("vec"), m, subDim)).as(Seq("j", "sub")))
+        .select(col("j"),
+          element_at(col("codes"), col("j") + 1).as("code"),
+          posexplode(col("sub")).as(Seq("dim", "x")))
         .groupBy(col("j"), col("code"), col("dim"))
         .agg(avg(col("x").cast("double")).as("mn"))
         .collect()
@@ -96,7 +99,6 @@ object PqIndex {
       }
       cb = next
     }
-    subs.unpersist()
     PqCodebook(m, ks, subDim, cb)
   }
 
@@ -105,11 +107,9 @@ object PqIndex {
     */
   def encode(df: DataFrame, idCol: String, vecCol: String,
       cb: PqCodebook): DataFrame = {
-    val cbLit = typedlit(cb.codebook)
+    GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).cast("long").as("id"),
-      transform(sequence(lit(0), lit(cb.m - 1)),
-        j => nearestCode(cbLit, j, slice(col(vecCol), j * cb.subDim + 1, lit(cb.subDim))))
-        .as("codes"))
+      call_function("pq_encode", col(vecCol), typedlit(cb.codebook)).as("codes"))
   }
 
   /** ADC top-k: approximate L2² = Σ_j table[j][code_j], table exact on the

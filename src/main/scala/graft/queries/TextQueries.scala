@@ -1437,34 +1437,53 @@ object TextQueries {
             FROM agg"""),
     headline = true),
 
-    // -- near-dup survivor selection by QUALITY (r4): dedup pipelines keep
-    // the BEST document of each duplicate cluster, not the lowest id —
-    // same component machinery as dedup_near_components, survivor =
-    // argmax(n_chars, tie → min doc_id) within the component. Ranking is
-    // exact-integer on both sides. Prefix-bounded pair build keeps the
-    // oracle cheap; MinHash/LSH is the documented 100 TB candidate route --
+    // -- near-dup survivor selection by QUALITY (r4; scan shape rebuilt
+    // r10, verdict r9 #2): dedup pipelines keep the BEST document of each
+    // duplicate cluster, not the lowest id — same component machinery as
+    // dedup_near_components, survivor = argmax(n_chars, tie → min doc_id)
+    // within the component. Ranking is exact-integer on both sides.
+    // The ×300 superlinear term was SCAN MULTIPLICITY, not pair work: the
+    // r9 body re-derived the filtered corpus projection for the pair
+    // build, the component vertex list AND the quality join, and with the
+    // probe's remapped ids defeating row-group skipping each derivation
+    // was a full corpus scan (~5× wall for 3× rows, SCALE_r9_sweep300).
+    // CacheScope pins ONE scan of the 200-row projection; everything
+    // downstream reads the cache. The pair build stays the exact all-pairs
+    // word-jaccard over the prefix — a RECORDED NEGATIVE from this round:
+    // swapping it for MinHash-LSH banded candidates (8 bands × 4 rows over
+    // word-set signatures) hash-mismatched the oracle at sf0.01 (146/200
+    // rows), because word-set jaccard ≥ 0.5 pairs here are MODERATELY
+    // similar docs, not planted clones — at j≈0.5 that banding collides
+    // only ~1−(1−0.5⁴)⁸ ≈ 40% of pairs. LSH candidates are oracle-safe
+    // only where qualifying pairs are near-identical (the shingle-space
+    // regime minhash_near_dups measures); at 100 TB this query's candidate
+    // route is that machinery at a threshold the banding actually covers.
     QueryDef("dedup_best_survivor", (s, dir) => {
-      val docs = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
-      val w = docs.select(col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("words"))
-      val a = w.select(col("doc_id").as("doc_a"), col("words").as("wa"))
-      val b = w.select(col("doc_id").as("doc_b"), col("words").as("wb"))
-      val pairs = a.join(b, col("doc_a") < col("doc_b"))
-        .filter(size(array_intersect(col("wa"), col("wb"))).cast("double") /
-          size(array_union(col("wa"), col("wb"))) >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      val comp = graft.functions.Dedup
-        .assignCanonical(docs, "doc_id", pairs, "doc_a", "doc_b")
-        .select(col("doc_id"), col("canonical"))
-      val withQ = comp.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-      val byQuality = Window.partitionBy(col("canonical"))
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      val best = withQ.withColumn("rn", row_number().over(byQuality))
-        .filter(col("rn") === 1)
-        .select(col("canonical"), col("doc_id").as("best_id"))
-      withQ.join(best, Seq("canonical"))
-        .select(col("doc_id"), col("canonical"), col("best_id"),
-          (col("doc_id") === col("best_id")).cast("int").as("is_survivor"))
+      val raw = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("words"),
+          col("n_chars"))
+      graft.pipeline.CacheScope.withCached(raw) { docs =>
+        val a = docs.select(col("doc_id").as("doc_a"), col("words").as("wa"))
+        val b = docs.select(col("doc_id").as("doc_b"), col("words").as("wb"))
+        val pairs = a.join(b, col("doc_a") < col("doc_b"))
+          .filter(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb"))) >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val comp = graft.functions.Dedup
+          .assignCanonical(docs, "doc_id", pairs, "doc_a", "doc_b")
+          .select(col("doc_id"), col("canonical"))
+        val withQ = comp.join(docs.select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        val byQuality = Window.partitionBy(col("canonical"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        val best = withQ.withColumn("rn", row_number().over(byQuality))
+          .filter(col("rn") === 1)
+          .select(col("canonical"), col("doc_id").as("best_id"))
+        withQ.join(best, Seq("canonical"))
+          .select(col("doc_id"), col("canonical"), col("best_id"),
+            (col("doc_id") === col("best_id")).cast("int").as("is_survivor"))
+      }
     },
     Some("""WITH RECURSIVE
             t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words

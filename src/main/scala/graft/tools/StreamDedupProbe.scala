@@ -38,11 +38,33 @@ object StreamDedupProbe {
     // rewriting full in-memory maps to snapshot files) — the backend the
     // StreamDedup scaladoc says a 100 TB continual-ingest dedup runs on;
     // resolution + validation shared with the other probe in StateStoreEnv
+    // SPARK_GRAFT_STATE_PARTS sizes the stateful operator's partition
+    // count (spark.sql.shuffle.partitions at query start binds the state
+    // layout): every state partition is a full RocksDB instance whose
+    // commit (memtable flush + checkpoint + changelog/snapshot sync) is
+    // per-batch machinery INDEPENDENT of row deltas — 32 instances on one
+    // box serialize on disk sync. On a cluster, size this to the executor
+    // count you actually have, not to a parallelism ideal: the map side
+    // (scan + signatures) parallelizes by INPUT splits regardless.
+    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", cpus)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", stateParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // micro-batch scan parallelism, part 1 (r10): small split size so a
+      // multi-row-group file fans out. NOT sufficient alone — a parquet
+      // ROW GROUP is read by the one split containing its midpoint, and a
+      // 62.5k-doc staged file is a single ~50 MB row group at the 128 MB
+      // writer default, so byte-range splits cannot parallelize it; the
+      // staging below (part 2) therefore writes MANY FILES PER TRIGGER.
+      // Measured at ×100/rocksdb: 1-file triggers ran the whole map side
+      // (parquet read + shingles + 32-hash MinHash signatures) on ONE core
+      // per batch — multi-batch 169.8 s vs single-batch 25.1 s for
+      // identical total work, the gap tracking batch count, not state size
+      // (4-file staging: 184.8 s / 46.4 s), and byte-range splits alone
+      // moved nothing (209–232 s) because of the row-group midpoint rule.
+      .config("spark.sql.files.maxPartitionBytes", 4 * 1024 * 1024)
     val stateStore = StateStoreEnv(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,9 +85,16 @@ object StreamDedupProbe {
     val total = docs.count()
     val root = java.nio.file.Files.createTempDirectory("graft-sdprobe").toString
 
-    // id-range-ordered staging: partition 0 = lowest ids, so path-ordered
-    // pickup approximates ascending arrival (throughput path only)
-    docs.repartitionByRange(files, col("doc_id"))
+    // micro-batch scan parallelism, part 2 (r10): stage `perTrigger` files
+    // per micro-batch (id-range-ordered ACROSS the whole file sequence, so
+    // "oldest perTrigger files" is still an ascending id block) — the
+    // file-source analog of a Kafka topic's partitions, which hand every
+    // trigger as many splits as the topic has partitions. One file per
+    // trigger serializes the map side on a single core (see the
+    // maxPartitionBytes note above for the measured cost).
+    val perTrigger = sys.env.getOrElse("SPARK_GRAFT_PROBE_FILES_PER_TRIGGER",
+      "8").toInt
+    docs.repartitionByRange(files * perTrigger, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(s"$root/staged")
     // FileStreamSource orders pickup by modification time, and a parallel
@@ -87,16 +116,30 @@ object StreamDedupProbe {
       val q = StreamDedup.start(in, s"$root/out-$tag", s"$root/ck-$tag",
         k = K, bands = Bands, shingleWidth = W, threshold = T)
       q.processAllAvailable()
+      // per-batch decomposition to stderr (the artifact stays ONE JSON
+      // line): durationMs separates plan/offset-log fixed costs from
+      // addBatch (execution incl. state commit); the state operator's
+      // commit/update times and the provider's custom metrics say whether
+      // a per-batch floor is state-store commit machinery or query work
+      q.recentProgress.foreach { p =>
+        val so = p.stateOperators.headOption
+        System.err.println(s"[sdprobe:$tag] batch=${p.batchId} " +
+          s"rows=${p.numInputRows} durationMs=${p.durationMs} " +
+          so.fold("")(o => s"stateCommitMs=${o.commitTimeMs} " +
+            s"updMs=${o.allUpdatesTimeMs} rmMs=${o.allRemovalsTimeMs} " +
+            s"stateRows=${o.numRowsTotal} mem=${o.memoryUsedBytes} " +
+            s"custom=${o.customMetrics}"))
+      }
       q.stop()
       val sec = (System.nanoTime() - t0) / 1e9
       (spark.read.parquet(s"$root/out-$tag").count(), sec)
     }
 
-    // throughput: one staged file per micro-batch
-    val (multiSurv, multiSec) = run(1, "multi")
+    // throughput: `files` micro-batches of perTrigger files each
+    val (multiSurv, multiSec) = run(perTrigger, "multi")
     // equality: everything in ONE batch — intra-batch ascending-docId
     // processing makes the result exactly the relational pair predicate
-    val (oneSurv, oneSec) = run(files, "one")
+    val (oneSurv, oneSec) = run(files * perTrigger, "one")
 
     // relational twin of the keep-first predicate at these (K, Bands, T)
     val withSig = docs
@@ -124,7 +167,8 @@ object StreamDedupProbe {
     println(
       f"""{"op":"stream_dedup","sf_dir":"$sfDir","scale_x":$scale,"docs":$total,""" +
       f""""state_store":"$stateStore",""" +
-      f""""k":$K,"bands":$Bands,"threshold":$T,"staged_files":$files,""" +
+      f""""k":$K,"bands":$Bands,"threshold":$T,"staged_files":${files * perTrigger},""" +
+      f""""files_per_trigger":$perTrigger,"state_parts":"$stateParts",""" +
       f""""multi_batch":{"survivors":$multiSurv,"sec":$multiSec%.2f,""" +
       f""""docs_per_sec":${total / multiSec}%.0f},""" +
       f""""single_batch":{"survivors":$oneSurv,"sec":$oneSec%.2f},""" +

@@ -331,6 +331,46 @@ class StreamDedupSpec extends SparkSpec {
     }
     assert(run(System.currentTimeMillis()) == Set.empty[Long]) // live → drop
     assert(run(System.currentTimeMillis() - 2 * hz) == Set(10L)) // aged out
+    // stamp 0 = UN-STAMPED = horizon-exempt (r10): the default bootstrap
+    // persists under an armed horizon instead of silently expiring on each
+    // bucket's first access (the r9 hazard its start() require guarded)
+    assert(run(0L) == Set.empty[Long])
+  }
+
+  test("bootstrap precedence: history suppresses a stream whose ids sit AT " +
+      "OR BELOW the corpus ids (advice r9 — the deploy-against-history " +
+      "shape must not depend on id spaces)") {
+    // corpus ids HIGH (500+), stream ids LOW (0..2) — under the r9
+    // keep-first-by-id predicate the whole bootstrap would no-op here
+    val cText = baseText(21, 20)
+    val corpus = Seq(Doc(500, cText), Doc(501, baseText(22, 20)))
+    def run(precedes: Boolean): Set[Long] = {
+      val tmp = Files.createTempDirectory("graft-sdedup-prec").toString
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Doc]
+      val q = StreamDedup.start(input.toDF(), s"$tmp/out", s"$tmp/ck",
+        k = K, bands = Bands, shingleWidth = W, threshold = T,
+        bootstrap = Some(corpus.toDF()), bootstrapPrecedesStream = precedes)
+      try {
+        input.addData(Seq(
+          Doc(0, cText),               // exact clone of corpus 500
+          Doc(1, mutate(cText, 23)),   // near-dup of corpus 500
+          Doc(2, baseText(29, 20))))   // novel
+        q.processAllAvailable()
+        spark.read.parquet(s"$tmp/out").select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    // default: bootstrap entries precede ANY streamed doc → clones dropped
+    val got = run(precedes = true)
+    assert(got.contains(2L) && !got.contains(0L), got)
+    // near-dup 1 drops iff its bands collide under this hash draw — but it
+    // must ALSO match the opt-out delta below, so pin only the exact clone
+    // opt-out (r9 semantics): same-id-space keep-first → corpus ids 500+
+    // cannot suppress stream ids 0..2, every streamed doc survives except
+    // intra-stream dups (doc 1 may drop against doc 0's identical-class sig)
+    val legacy = run(precedes = false)
+    assert(legacy.contains(0L) && legacy.contains(2L), legacy)
   }
 
   test("rejections: threshold range, horizon sign, band divisibility") {
@@ -344,11 +384,31 @@ class StreamDedupSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       StreamDedup.bandVerdicts(df, k = 16, bands = 5)
     }.getMessage.contains("bands"))
-    // bootstrap under an armed horizon with the default stamp (0) would
-    // silently expire the whole history index on first access — loud
-    assert(intercept[IllegalArgumentException] {
-      StreamDedup.start(df, "/tmp/graft-sdedup-na", "/tmp/graft-sdedup-nb",
-        horizonMs = 1000L, bootstrap = Some(df))
-    }.getMessage.contains("bootstrapStampMs"))
+    // (the packed-state k header guard is defense in depth: a k mismatch
+    // between bootstrap and stream also changes the band-hash keyspace, so
+    // the two nearly never share a bucket for the guard to fire in — keep
+    // k AND bands identical between bootstrap and stream, as start() does
+    // by construction)
+  }
+
+  test("batch execution: bandVerdicts + survivorIds on a plain DataFrame " +
+      "equals the single-batch model (the driver-visible correctness path)") {
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(100 + seed)
+      val base = (0 until 8).map(i =>
+        Doc(i.toLong, baseText(seed * 77 + i, 12 + r.nextInt(10))))
+      val derived = base.zipWithIndex.flatMap { case (d, i) =>
+        if (i % 2 == 0) Seq(Doc(100 + i, d.text),
+          Doc(200 + i, mutate(d.text, seed * 31 + i)))
+        else Nil
+      }
+      val all = base ++ derived
+      val got = StreamDedup.survivorIds(
+        StreamDedup.bandVerdicts(all.toDF(), k = K, bands = Bands,
+          shingleWidth = W, threshold = T).toDF())
+        .collect().map(_.getLong(0)).toSet
+      val want = modelSurvivors(Seq(all))
+      assert(got == want, s"seed=$seed got=$got want=$want")
+    }
   }
 }
