@@ -66,6 +66,31 @@ final case class IvfPqIndex(
       .select(col("id"), col("cluster"), round(col("approx_dist"), 6).as("approx_dist"))
   }
 
+  /** IVFADC+R (the paper's §V refinement, r10): ADC shortlist over the
+    * probed clusters, exact-L2 re-rank of only that sliver against the
+    * original vectors. Bare residual-ADC cannot rank dense neighborhoods
+    * (measured 0.073 recall@10 at ×100 on BOTH probe corpora — within a
+    * tight natural cluster the true top-10's distance gaps sit inside the
+    * residual quantization noise), but it DOES concentrate the true
+    * neighbors into a small shortlist; `oversample`·topK exact distances
+    * recover the ranking at negligible cost next to the pruned code scan.
+    */
+  def searchRerank(vectors: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], topK: Int, nProbe: Int,
+      oversample: Int = 30): DataFrame = {
+    val shortlist = search(query, topK * oversample, nProbe)
+      .select(col("id"), col("cluster"))
+    val qLit = typedlit(query)
+    vectors
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .join(broadcast(shortlist), Seq("id"))
+      .withColumn("approx_dist", VectorMath.l2sqCol(col("__v"), qLit))
+      .orderBy(col("approx_dist").asc_nulls_last, col("id"))
+      .limit(topK)
+      .select(col("id"), col("cluster"),
+        round(col("approx_dist"), 6).as("approx_dist"))
+  }
+
   /** IVF-FLAT fallback search (advice/verdict r7 #3): keep the coarse
     * nProbe pruning — the part of IVFADC that scales — but score the
     * probed clusters' rows with EXACT L2² against the caller's original

@@ -185,19 +185,22 @@ object AnnRecallProbe {
       emit("pq_rerank", s""""m":$pqM,"ks":$pqKs,"oversample":10""",
         recall(truthL2, rrByQ), pqBuildSec, rrSec)
 
-      // ---- GUARDED defaults (r8, verdict r7 #2): the code-fidelity probe
-      // + fallback the shipped ann_pq_topk / ann_ivfpq_topk queries now
-      // use, measured end-to-end. On this near-uniform corpus the probe
-      // should fail (<0.5) and the IVF-flat fallback engage.
-      val probeSample = PqIndex.collectSample(corpus, "vec_id", "embedding", 2000)
-      val pqFidelity = PqIndex.sampledRecall(probeSample, cb)
+      // ---- GUARDED defaults (r10, verdict r9 #1): the corpus-density
+      // measured-recall gate + fallback the shipped ann_pq_topk /
+      // ann_ivfpq_topk queries use, measured end-to-end. Uniform corpus:
+      // the gate should fail and the IVF-flat fallback engage; clustered:
+      // the ADC+rerank path should serve with the fallback DISENGAGED.
+      val pqFidelity = PqIndex.measuredRecall(corpus, "vec_id", "embedding",
+        (qv, qid) => PqIndex.searchRerank(
+          encoded.filter($"id" =!= qid), corpus, "vec_id", "embedding",
+          qv, cb, topK = 10))
       val (ivfFb, fbBuildSec) = timed(IvfIndex.build(
         spark, corpus, "vec_id", "embedding", k = 8, iterations = 5))
       val gByQ = scala.collection.mutable.Map.empty[Long, Seq[Long]]
       val (_, gSec) = timed {
         queries.foreach { case (qid, qv) =>
           gByQ(qid) =
-            (if (pqFidelity >= 0.5)
+            (if (pqFidelity >= 0.7)
               PqIndex.searchRerank(encoded, corpus, "vec_id", "embedding",
                 qv, cb, topK = 11)
             else ivfFb.searchFlatL2(spark, qv, topK = 11, nProbe = 5))
@@ -207,7 +210,7 @@ object AnnRecallProbe {
       emit("pq_guarded", s""""m":$pqM,"ks":$pqKs""", recall(truthL2, gByQ),
         pqBuildSec + fbBuildSec, gSec,
         f""","probe_fidelity":$pqFidelity%.3f,""" +
-          s""""fallback_engaged":${pqFidelity < 0.5}""")
+          s""""fallback_engaged":${pqFidelity < 0.7}""")
       ivfFb.close()
       encoded.unpersist()
 
@@ -225,19 +228,29 @@ object AnnRecallProbe {
         }
         emit("ivfpq", s""""kCoarse":$kc,"m":$pqM,"ks":$pqKs,"nProbe":$nProbe""",
           recall(truthL2, byQ), bSec, sSec)
-        // guarded path: probe residual-code fidelity, fall back to
-        // IVF-flat (coarse pruning + exact L2) — the shipped query default
-        if (kc == 8) {
-          val sample = PqIndex.collectSample(corpus, "vec_id", "embedding", 2000)
-          val clusters = ivfpq.encoded
-            .filter($"id".isin(sample.map(_._1).toSeq: _*))
-            .select($"id", $"cluster").as[(Long, Int)].collect().toMap
-          val cents = ivfpq.coarse.toMap
-          val resSample = sample.flatMap { case (id, v) =>
-            clusters.get(id).flatMap(cents.get).map { c =>
-              id -> Array.tabulate(v.length)(i => v(i) - c(i)) }
+        // IVFADC+R — the shipped query's ADC path since r10 (bare
+        // residual-ADC cannot rank dense neighborhoods; the exact rerank
+        // of the shortlist recovers it)
+        val rByQ = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+        val (_, rSec) = timed {
+          queries.foreach { case (qid, qv) =>
+            rByQ(qid) = ivfpq.searchRerank(corpus, "vec_id", "embedding",
+              qv, topK = 11, nProbe = nProbe)
+              .select($"id").as[Long].collect().toSeq
           }
-          val fidelity = PqIndex.sampledRecall(resSample, ivfpq.cb)
+        }
+        emit("ivfpq_rerank",
+          s""""kCoarse":$kc,"m":$pqM,"ks":$pqKs,"nProbe":$nProbe,"oversample":30""",
+          recall(truthL2, rByQ), bSec, rSec)
+        // guarded path (r10): corpus-density measured recall of the served
+        // IVFADC+R path gates against the IVF-flat fallback — the shipped
+        // query default (the r9 residual-sample probe was density-blind at
+        // ks=256: passed 0.525–0.725 against 0.073 actual ADC recall)
+        if (kc == 8) {
+          val fidelity = PqIndex.measuredRecall(corpus, "vec_id", "embedding",
+            (qv, qid) => ivfpq.searchRerank(
+              corpus.filter($"vec_id" =!= qid), "vec_id", "embedding",
+              qv, topK = 10, nProbe = nProbe))
           // fallback probes 5 like the shipped query (r9: raised from 3 —
           // the r8 ceiling was pruning loss, the scoring is exact L2)
           val fbProbe = 5
@@ -245,7 +258,9 @@ object AnnRecallProbe {
           val (_, gsSec) = timed {
             queries.foreach { case (qid, qv) =>
               gQ(qid) =
-                (if (fidelity >= 0.5) ivfpq.search(qv, topK = 11, nProbe = nProbe)
+                (if (fidelity >= 0.7)
+                  ivfpq.searchRerank(corpus, "vec_id", "embedding", qv,
+                    topK = 11, nProbe = nProbe)
                 else ivfpq.searchFlat(corpus, "vec_id", "embedding", qv,
                   topK = 11, nProbe = fbProbe))
                 .select($"id").as[Long].collect().toSeq
@@ -253,10 +268,10 @@ object AnnRecallProbe {
           }
           emit("ivfpq_guarded",
             s""""kCoarse":$kc,"m":$pqM,"ks":$pqKs,"nProbe":${
-              if (fidelity >= 0.5) nProbe else fbProbe}""",
+              if (fidelity >= 0.7) nProbe else fbProbe}""",
             recall(truthL2, gQ), bSec, gsSec,
             f""","probe_fidelity":$fidelity%.3f,""" +
-              s""""fallback_engaged":${fidelity < 0.5}""")
+              s""""fallback_engaged":${fidelity < 0.7}""")
         }
         ivfpq.close()
       }

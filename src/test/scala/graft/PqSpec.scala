@@ -109,6 +109,34 @@ class PqSpec extends SparkSpec {
     assert(nullCell.head.isNullAt(0))
   }
 
+  test("measuredRecall: corpus-density gate contract — exact closure scores " +
+      "1, an inverted closure scores 0, a too-small corpus fails CLOSED") {
+    // the r10 query guard (the sampled probe was measured density-blind at
+    // ks=256: passed 0.65 on a corpus the codes rank at 0.2) — pin the
+    // gate's own semantics with closures whose recall is known a priori
+    def exactSearch(qv: Array[Float], qid: Long) = {
+      val qLit = typedlit(qv)
+      emb.filter(col("vec_id") =!= qid)
+        .select(col("vec_id").as("id"),
+          aggregate(zip_with(col("embedding"), qLit,
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+            lit(0.0), (a, x) => a + x).as("d"))
+        .orderBy(col("d").asc, col("id"))
+    }
+    assert(PqIndex.measuredRecall(emb, "vec_id", "embedding",
+      (qv, qid) => exactSearch(qv, qid), nQueries = 2) == 1.0)
+    // farthest-first: disjoint from the true top-10 on any non-degenerate
+    // corpus → 0.0
+    assert(PqIndex.measuredRecall(emb, "vec_id", "embedding",
+      (qv, qid) => exactSearch(qv, qid).orderBy(col("d").desc, col("id")),
+      nQueries = 2) == 0.0)
+    // fail closed: a corpus too small to rank meaningfully must engage the
+    // fallback, not vouch for the index
+    assert(PqIndex.measuredRecall(emb.limit(15), "vec_id", "embedding",
+      (qv, qid) => exactSearch(qv, qid), nQueries = 2, topK = 10) == 0.0)
+  }
+
   test("exact re-rank of the ADC shortlist recovers near-perfect recall") {
     val cb = PqIndex.train(spark, emb, "vec_id", "embedding", m = 8, ks = 16,
       iterations = 4)
