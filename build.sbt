@@ -27,4 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ {
+  // A LARGE lazily-committed heap is a measurement hazard on virtualized
+  // hosts: G1 sizes young gen up to 60% of -Xmx, and growing into
+  // never-touched pages turns every young GC into a hypervisor
+  // page-fault storm (measured r10: minhash_near_dups 0.8-1.0 s at
+  // -Xmx8g vs 10-68 s WILDLY VARIANT at -Xmx48g on an otherwise idle
+  // box, with per-stage GC sums >160 s). When a big heap is requested,
+  // commit and touch it up front so steady-state timing is real; the
+  // one-time startup cost lands outside every timed region.
+  sys.env.get("SPARK_DRIVER_MEM").toSeq.flatMap(m =>
+    Seq(s"-Xms$m", "-XX:+AlwaysPreTouch"))
+}

@@ -39,7 +39,7 @@ object Bench {
     * 9+ while repeat times stay flat, so any absolute loadavg gate
     * misclassifies self-load (r9; the r8 driver contention, by contrast,
     * was other processes' CPU — exactly what this isolates). */
-  private def cpuStamp(): (Long, Long) =
+  private def cpuStamp(): (Long, Long, Long) =
     try {
       val statSrc = scala.io.Source.fromFile("/proc/stat")
       val cpu = try statSrc.getLines().next() finally statSrc.close()
@@ -54,8 +54,13 @@ object Bench {
       // fields after the parenthesized comm (which can contain spaces):
       // utime is field 14, stime 15 (1-based) = index 11, 12 post-comm
       val rest = line.substring(line.lastIndexOf(')') + 2).split("\\s+")
-      (busy, rest(11).toLong + rest(12).toLong)
-    } catch { case _: Throwable => (-1L, -1L) }
+      // steal (7) separately: it is inside `busy` (so the gate already
+      // fires on it), but a nonzero steal stamp tells the reader the
+      // "other process" is the HYPERVISOR — overcommitted-host noise no
+      // local process list will ever show (r10: measured ~1 steal-core on
+      // a 0-process box, with bench walls 2-7× a quiet window's)
+      (busy, rest(11).toLong + rest(12).toLong, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,23 +112,29 @@ object Bench {
       qs.map(q => q.name -> Vector.empty[Double]): _*)
     val others = scala.collection.mutable.LinkedHashMap(
       qs.map(q => q.name -> Vector.empty[Double]): _*)
+    val steals = scala.collection.mutable.LinkedHashMap(
+      qs.map(q => q.name -> Vector.empty[Double]): _*)
     val ticksPerSec = 100.0 // USER_HZ on every mainstream linux
     def runOnce(q: QueryDef): Unit = {
       val load1m = try loadStamp().split("\\s+")(0).toDouble
                    catch { case _: Throwable => -1.0 }
-      val (busy0, self0) = cpuStamp()
+      val (busy0, self0, steal0) = cpuStamp()
       val t0 = System.nanoTime()
       val sec = try { force(q.run(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
                 catch { case _: Throwable => -1.0 }
-      val (busy1, self1) = cpuStamp()
+      val (busy1, self1, steal1) = cpuStamp()
       // CPU cores burned by processes OTHER than this JVM while the
       // repeat ran — the direct contention measurement
       val othersCores =
         if (busy0 < 0 || busy1 < 0 || sec <= 0) -1.0
         else ((busy1 - busy0) - (self1 - self0)) / ticksPerSec / sec
+      val stealCores =
+        if (steal0 < 0 || steal1 < 0 || sec <= 0) -1.0
+        else (steal1 - steal0) / ticksPerSec / sec
       times(q.name) :+= sec
       loads(q.name) :+= load1m
       others(q.name) :+= othersCores
+      steals(q.name) :+= stealCores
     }
     for (_ <- 1 to repeats; q <- qs) runOnce(q)
 
@@ -170,7 +181,7 @@ object Bench {
     val cleanJson = qs.map(q => "\"" + q.name + s"""\":${cleanFlags(q.name)}""")
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val fullArtifact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","repeats":$repeats,"timing":"min_of_k_interleaved_cpu_gated","gate_other_cores":$gate%.1f,"extra_rounds":$extraRounds,"clean":$cleanJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","times":${vecJson(times)},"loads":${vecJson(loads)},"others_cpu_cores":${vecJson(others)}}"""
+    val fullArtifact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","repeats":$repeats,"timing":"min_of_k_interleaved_cpu_gated","gate_other_cores":$gate%.1f,"extra_rounds":$extraRounds,"clean":$cleanJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","times":${vecJson(times)},"loads":${vecJson(loads)},"others_cpu_cores":${vecJson(others)},"steal_cpu_cores":${vecJson(steals)}}"""
     println(fullArtifact)
     // The driver captures only a bounded TAIL of stdout: by r9 the full
     // artifact line (per-repeat times/loads/others for 18 queries) outgrew

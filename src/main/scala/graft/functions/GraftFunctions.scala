@@ -143,13 +143,45 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SynthImage].getName, "synth_bmp"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "synth_bmp(width, height) takes 2 arguments")
-        SynthImage(args(0), args(1), png = false)
+        SynthImage(args(0), args(1), kind = "bmp")
       }),
     (new FunctionIdentifier("synth_png"),
       new ExpressionInfo(classOf[SynthImage].getName, "synth_png"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "synth_png(width, height) takes 2 arguments")
-        SynthImage(args(0), args(1), png = true)
+        SynthImage(args(0), args(1), kind = "png")
+      }),
+    (new FunctionIdentifier("synth_jpeg"),
+      new ExpressionInfo(classOf[SynthImage].getName, "synth_jpeg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "synth_jpeg(width, height) takes 2 arguments")
+        SynthImage(args(0), args(1), kind = "jpeg")
+      }),
+    (new FunctionIdentifier("synth_flac"),
+      new ExpressionInfo(classOf[SynthFlac].getName, "synth_flac"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "synth_flac(samples, rate, channels, bits) takes 4 arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"synth_flac $what must be an int literal, got $other")
+        }
+        SynthFlac(args(0), intLit(args(1), "rate"),
+          intLit(args(2), "channels"), intLit(args(3), "bits"))
+      }),
+    (new FunctionIdentifier("synth_mp3"),
+      new ExpressionInfo(classOf[SynthMp3].getName, "synth_mp3"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "synth_mp3(frames) takes 1 argument")
+        SynthMp3(args(0))
+      }),
+    (new FunctionIdentifier("synth_mp4"),
+      new ExpressionInfo(classOf[SynthMp4].getName, "synth_mp4"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "synth_mp4(width, height, duration_ms) takes 3 arguments")
+        SynthMp4(args(0), args(1), args(2))
       }),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

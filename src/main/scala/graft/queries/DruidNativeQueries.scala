@@ -396,6 +396,39 @@ object DruidNativeQueries {
                    count(*) AS cnt
             FROM events GROUP BY 1, 2""")),
 
+    // -- timeFormat extraction with `locale` (r10) — the last timeFormat
+    // option, a loud reject until the zone-aware LocaleDateFormat
+    // expression existed. DuckDB's strftime is C-locale, so the twin
+    // recomputes the French month / German weekday names from the month
+    // and dow NUMBERS — an independent derivation of every rendered name,
+    // not an echo of the formatter under test -----------------------------
+    QueryDef("druid_json_timeformat_locale", (s, dir) => {
+      run(s, dir, """
+        {"queryType": "groupBy", "dataSource": "events", "granularity": "all",
+         "dimensions": [
+           {"type": "extraction", "dimension": "__time", "outputName": "fr_month",
+            "extractionFn": {"type": "timeFormat", "format": "MMMM yyyy",
+                             "locale": "fr", "granularity": "month"}},
+           {"type": "extraction", "dimension": "__time", "outputName": "de_dow",
+            "extractionFn": {"type": "timeFormat", "format": "EEEE",
+                             "locale": "de"}}],
+         "aggregations": [{"type": "count", "name": "cnt"}]}""")
+        .select(col("fr_month"), col("de_dow"), col("cnt"))
+    },
+    Some("""SELECT
+              CASE month(ts) WHEN 1 THEN 'janvier' WHEN 2 THEN 'février'
+                WHEN 3 THEN 'mars' WHEN 4 THEN 'avril' WHEN 5 THEN 'mai'
+                WHEN 6 THEN 'juin' WHEN 7 THEN 'juillet' WHEN 8 THEN 'août'
+                WHEN 9 THEN 'septembre' WHEN 10 THEN 'octobre'
+                WHEN 11 THEN 'novembre' ELSE 'décembre' END
+                || ' ' || CAST(year(ts) AS VARCHAR) AS fr_month,
+              CASE dayofweek(ts) WHEN 0 THEN 'Sonntag' WHEN 1 THEN 'Montag'
+                WHEN 2 THEN 'Dienstag' WHEN 3 THEN 'Mittwoch'
+                WHEN 4 THEN 'Donnerstag' WHEN 5 THEN 'Freitag'
+                ELSE 'Samstag' END AS de_dow,
+              count(*) AS cnt
+            FROM events GROUP BY 1, 2""")),
+
     // -- search: insensitive_contains across dimension values ---------------
     QueryDef("druid_json_search", (s, dir) => {
       run(s, dir, """

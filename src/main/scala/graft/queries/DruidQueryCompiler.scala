@@ -1191,15 +1191,14 @@ object DruidQueryCompiler {
       // formatting AND bucketing calendar) + `granularity` (bucket the
       // instant BEFORE formatting — named or object form, object-form
       // timeZone/origin win over the fn-level zone) + `asMillis` (epoch-
-      // millis output). `locale` is loud — Spark's date_format has no
-      // locale seam, and a silently-English month name is the silent-shift
-      // class this engine bans. Absent format keeps the engine's
+      // millis output) + `locale` (r10: a dedicated zone-aware
+      // [[graft.functions.LocaleDateFormat]] expression — Spark's
+      // date_format has no locale seam, and a silently-English month name
+      // is the silent-shift class this engine bans, so until r10 the key
+      // was a loud reject). Absent format keeps the engine's
       // seconds-precision ISO default (documented delta: upstream's null
       // format also renders the zone offset).
       case "timeFormat" =>
-        require(opt(fn, "locale").isEmpty,
-          "timeFormat extractionFn locale is not supported " +
-            "(date_format has no locale seam; drop the key for the root default)")
         val tzName = str(fn, "timeZone", "UTC")
         require(scala.util.Try(java.time.ZoneId.of(tzName)).isSuccess,
           s"timeFormat: unknown timeZone '$tzName'")
@@ -1218,8 +1217,21 @@ object DruidQueryCompiler {
           require(opt(fn, "format").isEmpty,
             "timeFormat: asMillis and format are mutually exclusive " +
               "(upstream ignores format when asMillis is set; set one)")
+          require(opt(fn, "locale").isEmpty,
+            "timeFormat: locale is meaningless with asMillis (epoch-millis " +
+              "output has no locale); drop one")
           unix_millis(bucketed).cast(StringType)
-        } else {
+        } else opt(fn, "locale").map(_.asText) match {
+          case Some(loc) =>
+            // locale path: a real zone-aware java.time formatter (the
+            // formatter renders the instant IN tzName), so unlike the
+            // rebase path below, zone patterns are legal and correct here
+            val fmt = str(fn, "format", "yyyy-MM-dd'T'HH:mm:ss")
+            org.apache.spark.sql.graft.GraftSqlBridge.column(
+              graft.functions.LocaleDateFormat(
+                org.apache.spark.sql.graft.GraftSqlBridge.expression(bucketed),
+                fmt, loc, tzName))
+          case scala.None =>
           val fmt = str(fn, "format", "yyyy-MM-dd'T'HH:mm:ss")
           // the zone shift is a from_utc_timestamp REBASE, so a zone
           // PATTERN in the format would render the session zone's name

@@ -86,19 +86,26 @@ object ScaleProbe {
     // replicate facts with key remapping so join fan-outs stay realistic;
     // dims stay as-is (they'd be broadcast at any scale)
     def replicate(table: String, keyCols: Seq[String]): Unit = {
+      // repartition the SMALL base table BEFORE the crossJoin, not the
+      // replicated frame after: a one-file sf0.1 parquet is ONE input
+      // split, so the ×N blow-up (and the whole post-blow-up shuffle map
+      // side) otherwise runs on ONE core — measured ~4 MB/s of shuffle
+      // write for a ×100 gen that then takes an hour (r10; r9 had moved a
+      // repartition AFTER the crossJoin, which fixed the output-file
+      // count but still paid a full single-threaded shuffle of the BIG
+      // frame first). Shuffling the base costs megabytes; each of the 32
+      // partitions then replicates and writes its own output file in
+      // parallel, and the write needs no second shuffle at all — the
+      // multi-file output that per-doc scan parallelism needs falls out
+      // of the parallel write (one file per partition).
       val src = graft.queries.Tables.t(spark, baseSf, table)
+        .repartition(cpus.toInt)
       val copies = spark.range(n).withColumnRenamed("id", "__copy")
       val big = src.crossJoin(copies)
       val remapped = keyCols.foldLeft(big) { (df, k) =>
         df.withColumn(k, col(k) + col("__copy") * 10000000L)
       }
-      // repartition before the write: the crossJoin-replicated frame often
-      // collapses to ONE output file, and a small single-file parquet scan
-      // is ONE input split — every per-doc (no-shuffle) query would then
-      // run single-threaded, an artifact of the probe, not of scale (a
-      // real 100 TB input arrives as thousands of splits). Found when a
-      // nested-HOF per-doc query pinned one core for 30+ minutes at ×30.
-      remapped.drop("__copy").repartition(cpus.toInt)
+      remapped.drop("__copy")
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
     val t0 = System.nanoTime()

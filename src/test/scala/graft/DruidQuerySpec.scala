@@ -146,8 +146,33 @@ class DruidQuerySpec extends SparkSpec {
     // asMillis: the (UTC) day bucket as an epoch-millis string
     assert(dim("""{"type": "timeFormat", "asMillis": true,
                    "granularity": "day"}""") == Set("1709251200000"))
+    // locale (r10): a real locale-aware formatter, zone- and
+    // granularity-composable — French month names, not silent English
+    assert(dim("""{"type": "timeFormat", "format": "MMMM yyyy",
+                   "locale": "fr", "granularity": "month"}""") ==
+      Set("mars 2024"))
+    // the locale formatter renders the instant IN the requested zone:
+    // every event is Feb 29 in New York → « février », and German
+    // day-of-week over the day bucket
+    assert(dim("""{"type": "timeFormat", "format": "MMMM",
+                   "locale": "fr", "timeZone": "America/New_York"}""") ==
+      Set("février"))
+    assert(dim("""{"type": "timeFormat", "format": "EEEE",
+                   "locale": "de", "granularity": "day"}""") ==
+      Set("Freitag"))
+    // zone patterns are LEGAL on the locale path (real zoned formatting,
+    // not the rebase) and render the REQUESTED zone
+    assert(dim("""{"type": "timeFormat", "format": "HH z", "locale": "en",
+                   "timeZone": "America/New_York"}""") ==
+      Set("19 EST", "20 EST", "21 EST"))
+    // legacy underscore tags resolve; garbage tags are loud
+    assert(dim("""{"type": "timeFormat", "format": "MMMM",
+                   "locale": "fr_FR"}""") == Set("mars"))
     assert(intercept[IllegalArgumentException] {
-      dim("""{"type": "timeFormat", "locale": "fr"}""")
+      dim("""{"type": "timeFormat", "format": "MMMM", "locale": "!!"}""")
+    }.getMessage.contains("locale"))
+    assert(intercept[IllegalArgumentException] {
+      dim("""{"type": "timeFormat", "asMillis": true, "locale": "fr"}""")
     }.getMessage.contains("locale"))
     assert(intercept[IllegalArgumentException] {
       dim("""{"type": "timeFormat", "asMillis": true, "format": "HH"}""")
