@@ -107,7 +107,7 @@ object MinHash {
     // see graft.pipeline.Parallelism)
     graft.pipeline.CacheScope.withCached(
       graft.pipeline.Parallelism.fanOut(
-          df.select(col("id"), col("text")))
+          df.select(col("id"), col("text")), col("id"))
         .withColumn("sh", array_distinct(shingles(col("text"), shingleWidth)))
         .withColumn("sig", signature(col("sh"), k))
         .withColumn("bands", bandHashes(col("sig"), k, bands))

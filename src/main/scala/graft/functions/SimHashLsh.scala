@@ -106,7 +106,7 @@ object SimHashLsh {
     // verification join once
     graft.pipeline.CacheScope.withCached(
       graft.pipeline.Parallelism.fanOut(
-          df.select(col("id"), col("text").as("__text")))
+          df.select(col("id"), col("text").as("__text")), col("id"))
         .select(col("id"),
           TextFunctions.simhash(col("__text")).as("sh"),
           array_distinct(MinHash.shingles(col("__text"), shingleWidth)).as("shg"))
@@ -139,7 +139,7 @@ object SimHashLsh {
     // MinHash.nearDupPairs; graft.pipeline.Parallelism scaladoc)
     nearDupsFromFingerprints(
       graft.pipeline.Parallelism.fanOut(
-          df.select(col(idCol).as("id"), col(textCol).as("__text")))
+          df.select(col(idCol).as("id"), col(textCol).as("__text")), col("id"))
         .select(col("id"), TextFunctions.simhash(col("__text")).as("sh")),
       "id", "sh", maxHamming, bands)
   }

@@ -45,7 +45,13 @@ object RelationalQueries {
 
     // -- 5-way star join (Q5-style): facts shuffle, dims broadcast ----------
     QueryDef("q5_star_join", (s, dir) => {
-      val li = Tables.t(s, dir, "lineitem")
+      // fanOut (r10): the fact scan is the probe side of FOUR broadcast
+      // joins + the partial agg; on a one-row-group input all of it ran in
+      // the single scan task. The keyed exchange moves only the narrow
+      // probe columns (Catalyst projects before the repartition) and the
+      // joins/agg run 32-way. No-op when the fact table already scans wide.
+      val li = graft.pipeline.Parallelism.fanOut(
+        Tables.t(s, dir, "lineitem"), col("l_orderkey"))
       val o = Tables.t(s, dir, "orders")
       val c = Tables.t(s, dir, "customer")
       val n = broadcast(Tables.t(s, dir, "nation"))
@@ -71,6 +77,9 @@ object RelationalQueries {
 
     // -- explicit broadcast join against a filtered dim ---------------------
     QueryDef("join_broadcast_part", (s, dir) => {
+      // fanOut measured a WASH here (r10 A/B, min-of-10 quiet window:
+      // 0.682 vs 0.688 s — one broadcast join is too little post-exchange
+      // work); deliberately left alone
       val li = Tables.t(s, dir, "lineitem")
       val p = broadcast(Tables.t(s, dir, "part").filter(col("p_size") >= 20))
       li.join(p, col("l_partkey") === col("p_partkey"))
@@ -360,6 +369,9 @@ object RelationalQueries {
       val c = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.t(s, dir, "orders")
         .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      // fanOut measured a WASH here (r10 A/B, min-of-10 quiet window:
+      // 0.535 vs 0.524 s): the shipdate filter leaves too few probe rows
+      // for the exchange to pay for itself — deliberately left alone
       val li = Tables.t(s, dir, "lineitem")
         .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
       li.join(o, col("l_orderkey") === col("o_orderkey"))

@@ -705,7 +705,7 @@ object TextQueries {
       // 60 B gram strings in the explode, the broadcast set is 8 B longs.
       // Output (per-source survivor counts) is identical modulo ~n²/2⁶⁴
       // hash collisions; the DuckDB twin keeps the string form.
-      val docs = graft.pipeline.Parallelism.fanOut(Tables.t(s, dir, "documents"))
+      val docs = graft.pipeline.Parallelism.fanOut(Tables.t(s, dir, "documents"), col("doc_id"))
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
         .withColumn("n", size(col("w")))
       val sh = toks.filter(col("n") >= 5)
@@ -744,7 +744,7 @@ object TextQueries {
     // training corpus never shuffles for the prefilter ----------------------
     QueryDef("decontaminate_bloom", (s, dir) => {
       GraftFunctions.register(s)
-      val docs = graft.pipeline.Parallelism.fanOut(Tables.t(s, dir, "documents"))
+      val docs = graft.pipeline.Parallelism.fanOut(Tables.t(s, dir, "documents"), col("doc_id"))
       val sh = docs.select(col("doc_id"),
         explode(graft.functions.MinHash.strictShingles(col("text"), 5)).as("s"))
       val bench = sh.filter(col("doc_id") % 100 === 0).select(col("s")).distinct()
@@ -949,7 +949,12 @@ object TextQueries {
       // positions + ONE chained xxhash64 of the 5 words (key-equivalent
       // to hashing the joined gram: equal iff the 5 words are equal,
       // modulo 2⁻⁶⁴ chain collisions).
-      val toksDp = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      // fanOut (r10): the gram branch's split+explode+hash+partial-agg is
+      // the dominant stage and ran on the scan's partitioning — one row
+      // group = one core (the Parallelism scaladoc pattern). The plain-doc
+      // branch below keeps the raw scan: no per-row work to parallelize.
+      val toksDp = graft.pipeline.Parallelism.fanOut(docs, col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
         .withColumn("n", size(col("w")))
       val grams = toksDp.filter(col("n") >= 5)
         .select(col("doc_id"), col("w"),
@@ -1253,7 +1258,11 @@ object TextQueries {
     // distributed mean's summation-order wobble is ~1e-13 — round(…,5)
     // sits 8 orders of magnitude above both.
     QueryDef("unigram_logprob_scores", (s, dir) => {
-      val docs = Tables.t(s, dir, "documents")
+      // fanOut (r10): `words` is derived twice (freq build + score join)
+      // and each derivation's split+explode ran on the scan's one-row-group
+      // partitioning — single-core map sides (Parallelism scaladoc)
+      val docs = graft.pipeline.Parallelism.fanOut(
+        Tables.t(s, dir, "documents"), col("doc_id"))
       val words = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -1383,7 +1392,9 @@ object TextQueries {
     // oracle needs the portable text key) -----------------------------------
     QueryDef("line_dedup_stats", (s, dir) => {
       val docs = Tables.t(s, dir, "documents")
-      val lines = docs
+      // fanOut (r10): split+explode+slice+join ran on the scan's one-row-
+      // group partitioning — single-core map side (Parallelism scaladoc)
+      val lines = graft.pipeline.Parallelism.fanOut(docs, col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("n_tok", size(col("toks")))
         .filter(col("n_tok") >= 1)
@@ -1519,7 +1530,11 @@ object TextQueries {
     // the corpus); three count shuffles keyed by bigram/history/word +
     // joins back on the same keys; the position total broadcasts ----------
     QueryDef("bigram_logprob_scores", (s, dir) => {
-      val docs = Tables.t(s, dir, "documents")
+      // fanOut (r10): both corpus explodes (cb build + score join) ran on
+      // the scan's one-row-group partitioning — single-core map sides
+      // (Parallelism scaladoc)
+      val docs = graft.pipeline.Parallelism.fanOut(
+        Tables.t(s, dir, "documents"), col("doc_id"))
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
         .withColumn("n", size(col("t")))
         .filter(col("n") >= 2)
