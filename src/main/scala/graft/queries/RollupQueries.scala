@@ -59,6 +59,10 @@ object RollupQueries {
     // -- core rollup at HOUR queryGranularity -------------------------------
     QueryDef("rollup_hour", (s, dir) => {
       val p = new Pipeline(baseSpec(Granularity.Hour))
+      // fanOut measured a WASH here (r10 A/B min-of-8: 0.625 vs 0.622 s —
+      // timestamp-normalize + truncate + partial agg is too little per-row
+      // work to amortize an exchange of the raw events); the whole
+      // events-rollup family is deliberately left on the bare scan
       val ev = Tables.t(s, dir, "events")
       p.rollup(p.project(p.extractTimestamp(ev)))
         .select(

@@ -1028,7 +1028,12 @@ object TextQueries {
     QueryDef("span_dedup_stats", (s, dir) => {
       val W = 10
       val docs = Tables.t(s, dir, "documents")
-      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+      // fanOut (r10): the W-gram explode+hash is the dominant map stage and
+      // ran on the scan's partitioning — one row group = one core; no-op on
+      // multi-file corpora (Parallelism scaladoc). The final left-join
+      // branch re-derives toks from the raw scan — cheap, no explode.
+      val toks = graft.pipeline.Parallelism.fanOut(docs, col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
         .withColumn("n", size(col("l")).cast("long"))
       // 100 TB shape, DEFAULT-ON since r9 (verdict r8 #4): see
       // [[spanGramKey]] — the gram-keyed shuffle ships longs; the string
@@ -1124,6 +1129,9 @@ object TextQueries {
     QueryDef("span_dedup_clean", (s, dir) => {
       val W = 10
       val docs = Tables.t(s, dir, "documents")
+      // fanOut measured a WASH here (r10 A/B min-of-6: 0.993 vs 1.004 s —
+      // unlike the stats half, the rebuild join + md5 dominate, not the
+      // gram explode); deliberately left alone
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
         .withColumn("n", size(col("l")).cast("long"))
       // same hashed-gram-key default as span_dedup_stats — see
@@ -1294,7 +1302,10 @@ object TextQueries {
     // (broadcast), the corpus sees one explode + one broadcast join + one
     // doc-keyed agg — no corpus-sized shuffle beyond the final groupBy -----
     QueryDef("dsir_importance_scores", (s, dir) => {
-      val docs = Tables.t(s, dir, "documents")
+      // fanOut (r10): `words` is derived twice (freq build + weight join)
+      // and each explode ran single-core on the one-row-group scan
+      val docs = graft.pipeline.Parallelism.fanOut(
+        Tables.t(s, dir, "documents"), col("doc_id"))
       val bucket = (length(col("w")) * 31 +
         ascii(substring(col("w"), 1, 1)) * 7 +
         ascii(element_at(split(col("w"), ""), -1))) % 64
@@ -1352,7 +1363,10 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.t(s, dir, "documents")
       val n = docs.count() // corpus size: one scalar, exact
-      val tf = docs.select(col("doc_id"),
+      // fanOut (r10): the tf explode ran on the scan's one-row-group
+      // partitioning — single-core map side (Parallelism scaladoc)
+      val tf = graft.pipeline.Parallelism.fanOut(docs, col("doc_id"))
+        .select(col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
