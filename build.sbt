@@ -10,7 +10,18 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// per-test durations in the report (-oD): the r10 driver's `sbt test` run
+// was cut off mid-suite with no way to see WHICH suites spend the time —
+// durations make every future run self-attributing
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 run / fork := true
+// Pass the forked run JVM's stdout through UNDECORATED: the default
+// LoggedOutput prefixes every line with "[info] ", which has broken the
+// driver's bench-JSON parse since round 7 (every BENCH_r*.json carries
+// "parsed": null because the final compact line arrives as `[info] {...}`).
+// With StdoutOutput the bare JSON is the last stdout line sbt itself does
+// not own (sbt's trailing "[success] …" goes through its logger).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -190,16 +190,26 @@ object Bench {
     // to a fixed path the round snapshot commits, and (b) RE-print a compact
     // summary — total + per-query reported minimums only — as the very LAST
     // stdout line, guaranteed to fit any tail capture and parse standalone.
-    val artifactPath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_ARTIFACT", "artifacts/BENCH_full_latest.json")
-    try {
-      val p = java.nio.file.Paths.get(artifactPath)
+    // Per-run default path (r10 verdict "what's wrong #4"): every bench run
+    // — including the driver's own — used to overwrite
+    // artifacts/BENCH_full_latest.json, so the committed best-clean-run
+    // evidence self-destructed on the next invocation. Default to a
+    // timestamped file and ALSO refresh the latest pointer; an explicit
+    // SPARK_GRAFT_BENCH_ARTIFACT writes only the named file.
+    val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+      .format(new java.util.Date())
+    val explicit = sys.env.get("SPARK_GRAFT_BENCH_ARTIFACT")
+    val artifactPath = explicit.getOrElse(s"artifacts/BENCH_full_$stamp.json")
+    def persist(path: String): Unit = try {
+      val p = java.nio.file.Paths.get(path)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
         (fullArtifact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
-      System.err.println(s"bench: could not persist full artifact to $artifactPath: $e")
+      System.err.println(s"bench: could not persist full artifact to $path: $e")
     }
+    persist(artifactPath)
+    if (explicit.isEmpty) persist("artifacts/BENCH_full_latest.json")
     spark.stop()
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","repeats":$repeats,"extra_rounds":$extraRounds,"full_artifact":"$artifactPath"}""")
   }

@@ -106,6 +106,10 @@ object MinHash {
     // computation on one core (measured ×11 on the ×30 probe corpus —
     // see graft.pipeline.Parallelism)
     graft.pipeline.CacheScope.withCached(
+      // r11 set-mode A/B: even for this signature-heavy stage the sized
+      // width (5 at sf0.1) edged out full width 32 (2.11 vs 2.24 s) — the
+      // exchange + 32-task scheduling overhead costs more than the extra
+      // cores return on a 5 000-doc corpus
       graft.pipeline.Parallelism.fanOut(
           df.select(col("id"), col("text")), col("id"))
         .withColumn("sh", array_distinct(shingles(col("text"), shingleWidth)))

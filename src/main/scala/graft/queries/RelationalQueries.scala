@@ -48,10 +48,15 @@ object RelationalQueries {
       // fanOut (r10): the fact scan is the probe side of FOUR broadcast
       // joins + the partial agg; on a one-row-group input all of it ran in
       // the single scan task. The keyed exchange moves only the narrow
-      // probe columns (Catalyst projects before the repartition) and the
-      // joins/agg run 32-way. No-op when the fact table already scans wide.
+      // probe columns (Catalyst projects before the repartition). No-op
+      // when the fact table already scans wide. Density (r11): the probe
+      // work is LIGHT per row (hash probes into broadcast tables), so one
+      // task amortizes ~128k rows — at sf0.1 (600k rows) that is width 5,
+      // not 32; the driver's r10 bench measured the full-width exchange
+      // as a 0.71× regression (verdict r10 #1).
       val li = graft.pipeline.Parallelism.fanOut(
-        Tables.t(s, dir, "lineitem"), col("l_orderkey"))
+        Tables.t(s, dir, "lineitem"), col("l_orderkey"),
+        rowsPerPartition = 131072L)
       val o = Tables.t(s, dir, "orders")
       val c = Tables.t(s, dir, "customer")
       val n = broadcast(Tables.t(s, dir, "nation"))

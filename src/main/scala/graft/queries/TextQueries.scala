@@ -139,6 +139,34 @@ object TextQueries {
     else xxhash64((1 to w).map(k =>
       element_at(col("l"), (col("pos") + k).cast("int"))): _*)
 
+  /** (doc_id, pos, gk) for every w-gram position of `toks` (doc_id, l, n).
+    *
+    * Hashed default (r11): the gram keys are computed INSIDE the explode —
+    * posexplode over a transform(sequence(...), xxhash64(...)) — instead of
+    * exploding positions and hashing in a projection above the generate.
+    * Same values, same types; measured 2.2× on dup_passage_stats (set-mode
+    * A/B min-of-7: 1.41 → 0.64 s), where the old shape carried the full
+    * token ARRAY through the generate output of the dominant stage. The
+    * string audit arm (spark.graft.spanDedup.stringGramKey=true) keeps the
+    * r9 shape — [[spanGramKey]] — and stays oracle-portable.
+    */
+  private def spanGrams(s: org.apache.spark.sql.SparkSession,
+      toks: org.apache.spark.sql.DataFrame, w: Int): org.apache.spark.sql.DataFrame = {
+    val base = toks.filter(col("n") >= w)
+    if (s.conf.getOption("spark.graft.spanDedup.stringGramKey")
+        .contains("true"))
+      base.select(col("doc_id"), col("l"),
+          explode(sequence(lit(0L), col("n") - w)).as("pos"))
+        .select(col("doc_id"), col("pos"), spanGramKey(s, w).as("gk"))
+    else
+      base.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0L), col("n") - w),
+            p => xxhash64((1 to w).map(k =>
+              element_at(col("l"), (p + k).cast("int"))): _*)))
+            .as(Seq("pos", "gk")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // -- exact dedup: hash-groupBy, keep min id (events has real dups) ------
@@ -705,18 +733,22 @@ object TextQueries {
       // 60 B gram strings in the explode, the broadcast set is 8 B longs.
       // Output (per-source survivor counts) is identical modulo ~n²/2⁶⁴
       // hash collisions; the DuckDB twin keeps the string form.
-      val docs = graft.pipeline.Parallelism.fanOut(Tables.t(s, dir, "documents"), col("doc_id"))
+      val docs = graft.pipeline.Parallelism.fanOut(
+        Tables.t(s, dir, "documents"), col("doc_id"),
+        rowsPerPartition = 1024L) // r11 set-mode A/B: width 5 beat width 32 here (1.46 vs 1.83 s)
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
         .withColumn("n", size(col("w")))
+      // r11: gram hashes computed INSIDE the explode (transform lambda) —
+      // the old posexplode+project shape carried the token array through
+      // the generate output; measured 2.2x on dup_passage's identical stage
       val sh = toks.filter(col("n") >= 5)
-        .select(col("doc_id"), col("w"),
-          explode(sequence(lit(1), col("n") - 4)).as("i"))
-        .select(col("doc_id"), xxhash64(
-          element_at(col("w"), col("i")),
-          element_at(col("w"), col("i") + 1),
-          element_at(col("w"), col("i") + 2),
-          element_at(col("w"), col("i") + 3),
-          element_at(col("w"), col("i") + 4)).as("s"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), col("n") - 4), i => xxhash64(
+            element_at(col("w"), i),
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3),
+            element_at(col("w"), i + 4)))).as("s"))
       val bench = sh.filter(col("doc_id") % 100 === 0).select(col("s")).distinct()
       val contaminated = sh.filter(col("doc_id") % 100 =!= 0)
         .join(broadcast(bench), Seq("s")).select(col("doc_id")).distinct()
@@ -744,7 +776,9 @@ object TextQueries {
     // training corpus never shuffles for the prefilter ----------------------
     QueryDef("decontaminate_bloom", (s, dir) => {
       GraftFunctions.register(s)
-      val docs = graft.pipeline.Parallelism.fanOut(Tables.t(s, dir, "documents"), col("doc_id"))
+      val docs = graft.pipeline.Parallelism.fanOut(
+        Tables.t(s, dir, "documents"), col("doc_id"),
+        rowsPerPartition = 1024L) // r11 set-mode A/B: width 5 beat width 32 here (1.46 vs 1.83 s)
       val sh = docs.select(col("doc_id"),
         explode(graft.functions.MinHash.strictShingles(col("text"), 5)).as("s"))
       val bench = sh.filter(col("doc_id") % 100 === 0).select(col("s")).distinct()
@@ -953,18 +987,25 @@ object TextQueries {
       // the dominant stage and ran on the scan's partitioning — one row
       // group = one core (the Parallelism scaladoc pattern). The plain-doc
       // branch below keeps the raw scan: no per-row work to parallelize.
-      val toksDp = graft.pipeline.Parallelism.fanOut(docs, col("doc_id"))
+      val toksDp = graft.pipeline.Parallelism.fanOut(docs, col("doc_id"),
+        rowsPerPartition = 512L) // r11 density: ~60 gram hashes per row
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .withColumn("n", size(col("w")))
+      // r11 (verdict r10 #7): gram hashes computed INSIDE the explode — a
+      // transform(sequence(...), chained xxhash64) emits a LONG ARRAY and
+      // the generate explodes 8-byte longs, where the r8 shape exploded
+      // positions and carried the full token array through the generate
+      // output to a hash projection above it. Values identical (same
+      // chained xxhash64 per position). Set-mode A/B min-of-7:
+      // 1.41 -> 0.64 s; whole distributions separate.
       val grams = toksDp.filter(col("n") >= 5)
-        .select(col("doc_id"), col("w"),
-          explode(sequence(lit(1), col("n") - 4)).as("i"))
-        .select(col("doc_id"), xxhash64(
-          element_at(col("w"), col("i")),
-          element_at(col("w"), col("i") + 1),
-          element_at(col("w"), col("i") + 2),
-          element_at(col("w"), col("i") + 3),
-          element_at(col("w"), col("i") + 4)).as("gh"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), col("n") - 4), i => xxhash64(
+            element_at(col("w"), i),
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3),
+            element_at(col("w"), i + 4)))).as("gh"))
       // cached for ONE materialization: perDocGram feeds byGram AND the
       // join — uncached, the corpus explode+shuffle subtree runs twice
       // (AQE does not reuse exchanges across branches; measured +85 s
@@ -1039,10 +1080,7 @@ object TextQueries {
       // [[spanGramKey]] — the gram-keyed shuffle ships longs; the string
       // audit path lives under spark.graft.spanDedup.stringGramKey.
       // A/B measured in SCALE_r8 (stats 25.7→15.2 s at ×100).
-      val grams = toks.filter(col("n") >= W)
-        .select(col("doc_id"), col("l"),
-          explode(sequence(lit(0L), col("n") - W)).as("pos"))
-        .select(col("doc_id"), col("pos"), spanGramKey(s, W).as("gk"))
+      val grams = spanGrams(s, toks, W)
       val byGram = Window.partitionBy(col("gk"))
       val ranked = grams
         .withColumn("rn", row_number().over(byGram.orderBy(col("doc_id"), col("pos"))))
@@ -1136,10 +1174,7 @@ object TextQueries {
         .withColumn("n", size(col("l")).cast("long"))
       // same hashed-gram-key default as span_dedup_stats — see
       // [[spanGramKey]]
-      val grams = toks.filter(col("n") >= W)
-        .select(col("doc_id"), col("l"),
-          explode(sequence(lit(0L), col("n") - W)).as("pos"))
-        .select(col("doc_id"), col("pos"), spanGramKey(s, W).as("gk"))
+      val grams = spanGrams(s, toks, W)
       val byGram = Window.partitionBy(col("gk"))
       val marked = grams
         .withColumn("rn", row_number().over(byGram.orderBy(col("doc_id"), col("pos"))))

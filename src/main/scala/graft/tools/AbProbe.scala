@@ -9,9 +9,16 @@ import org.apache.spark.sql.SparkSession
   * contention window hits both arms equally, min-of-k per arm, with
   * per-repeat steal/others stamps so a poisoned window is visible.
   *
-  * Usage: runMain graft.tools.AbProbe <conf=valA|valB> <q1,q2,...> [dir] [k]
+  * Usage: runMain graft.tools.AbProbe <conf=valA|valB> <q1,q2,...> [dir] [k] [mode]
   * e.g.   runMain graft.tools.AbProbe spark.graft.fanout=off|on \
   *          unigram_logprob_scores,bigram_logprob_scores /root/testdata/sf0.1 5
+  *
+  * mode=query (default) alternates arms per QUERY (q·A, q·B, next q) — the
+  * hot-loop pattern. mode=set runs the WHOLE query list under one arm, then
+  * the whole list under the other (A-set, B-set, A-set, …) — the pattern
+  * `graft.Bench` actually executes (18 interleaved queries per repeat), added
+  * r11 (verdict r10 #6) after r10's hot-loop A/B verdicts failed to
+  * reproduce under the driver's full-bench execution pattern.
   */
 object AbProbe {
   private def cpuStamp(): (Long, Long, Long) =
@@ -19,8 +26,11 @@ object AbProbe {
       val statSrc = scala.io.Source.fromFile("/proc/stat")
       val cpu = try statSrc.getLines().next() finally statSrc.close()
       val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      // busy excludes idle(3), iowait(4), guest(8,9) AND steal(7): steal is
+      // reported as its own signal, and counting it in busy double-charged
+      // hypervisor steal to the `others` clean-repeat filter (advice r10)
       val busy = f.zipWithIndex.collect {
-        case (v, i) if i != 3 && i != 4 && i != 8 && i != 9 => v }.sum
+        case (v, i) if i != 3 && i != 4 && i != 7 && i != 8 && i != 9 => v }.sum
       val selfSrc = scala.io.Source.fromFile("/proc/self/stat")
       val line = try selfSrc.mkString finally selfSrc.close()
       val rest = line.substring(line.lastIndexOf(')') + 2).split("\\s+")
@@ -55,10 +65,11 @@ object AbProbe {
       try Force.noop(q.run(spark, dir)) catch { case _: Throwable => () }
     }
 
+    val setMode = args.lift(4).contains("set")
     case class Rep(sec: Double, steal: Double, others: Double)
     val out = scala.collection.mutable.Map.empty[(String, String), Vector[Rep]]
       .withDefaultValue(Vector.empty)
-    for (i <- 1 to k; q <- qs; v <- Seq(valA, valB)) {
+    def runOne(q: graft.queries.QueryDef, v: String): Unit = {
       spark.conf.set(confKey, v)
       val (b0, s0, st0) = cpuStamp()
       val t0 = System.nanoTime()
@@ -70,15 +81,24 @@ object AbProbe {
                    else ((b1 - b0) - (s1 - s0)) / 100.0 / sec
       out((q.name, v)) :+= Rep(sec, steal, others)
     }
+    if (setMode) // bench-shaped: whole set per arm, arms alternated
+      for (i <- 1 to k; v <- Seq(valA, valB); q <- qs) runOne(q, v)
+    else // hot-loop: arms alternated per query
+      for (i <- 1 to k; q <- qs; v <- Seq(valA, valB)) runOne(q, v)
     for (q <- qs) {
       for (v <- Seq(valA, valB)) {
         val reps = out((q.name, v))
         val clean = reps.filter(r => r.sec >= 0 && r.others <= 1.0)
-        val m = (if (clean.nonEmpty) clean else reps.filter(_.sec >= 0))
-          .map(_.sec).min
-        println(f"[ab] ${q.name}%-30s $confKey=$v%-4s min=$m%7.3f " +
-          s"times=${reps.map(r => f"${r.sec}%.3f").mkString(",")} " +
-          s"steal=${reps.map(r => f"${r.steal}%.2f").mkString(",")}")
+        val ok = if (clean.nonEmpty) clean else reps.filter(_.sec >= 0)
+        // all k repeats failed → report loud, never .min on empty (advice r10)
+        if (ok.isEmpty)
+          println(f"[ab] ${q.name}%-30s $confKey=$v%-4s ALL $k%d REPEATS FAILED")
+        else {
+          val m = ok.map(_.sec).min
+          println(f"[ab] ${q.name}%-30s $confKey=$v%-4s min=$m%7.3f " +
+            s"times=${reps.map(r => f"${r.sec}%.3f").mkString(",")} " +
+            s"steal=${reps.map(r => f"${r.steal}%.2f").mkString(",")}")
+        }
       }
     }
     spark.stop()

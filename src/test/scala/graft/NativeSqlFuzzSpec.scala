@@ -987,9 +987,23 @@ class NativeSqlFuzzSpec extends SparkSpec {
 
   // ------------------------------------------------------------------ driver
 
-  private def seeds(n: Int, offset: Int): Seq[(Int, rng.Seed)] =
-    (0 until n).map(i => (offset + i, rng.Seed(BaseSeed + offset + i)))
+  /** Per-TEST wall budget (r11, verdict r10 #3): the unbounded case counts
+    * made this suite take ~8–10 minutes and contributed to the driver's
+    * `sbt test` cutoff. Each fuzz test stops drawing new cases once
+    * GRAFT_FUZZ_BUDGET_MS (default 15 000 here — the per-case cost is much
+    * smaller than TaskApiFuzzSpec's) has elapsed from ITS first case; a
+    * case in flight always finishes. Cases consume seeds in order, so a
+    * truncated run executes a prefix of the full run — same determinism,
+    * and `-Dgraft.fuzz.only=<i>` still replays any case directly. */
+  private def seeds(n: Int, offset: Int): Iterator[(Int, rng.Seed)] = {
+    val budgetMs =
+      sys.env.get("GRAFT_FUZZ_BUDGET_MS").map(_.toLong).getOrElse(15000L)
+    val deadline = System.nanoTime() + budgetMs * 1000000L
+    (0 until n).iterator
+      .map(i => (offset + i, rng.Seed(BaseSeed + offset + i)))
       .filter { case (i, _) => Only.forall(_ == i) }
+      .takeWhile(_ => System.nanoTime() < deadline)
+  }
 
   private def gen[T](g: Gen[T], s: rng.Seed): T =
     g.pureApply(Gen.Parameters.default, s)
