@@ -1400,10 +1400,24 @@ object TextQueries {
       val n = docs.count() // corpus size: one scalar, exact
       // fanOut (r10): the tf explode ran on the scan's one-row-group
       // partitioning — single-core map side (Parallelism scaladoc)
-      val tf = graft.pipeline.Parallelism.fanOut(docs, col("doc_id"))
+      // cached for ONE materialization (r11, verdict r10 #4): tf feeds the
+      // df branch AND the ranking join, and uncached the df branch
+      // RE-DERIVES the full corpus explode + a second corpus-sized
+      // exchange (TfidfProbe at ×100: the 446 MB total shuffle was
+      // tf-agg 158 MB + duplicate tf 119 MB + window 168 MB; AQE does not
+      // reuse the exchange because the df branch prunes the count column).
+      // Caching tf spends one corpus-sized spill-able write to save a full
+      // corpus explode + shuffle — strictly less I/O and CPU at any scale.
+      // HASHING the w key was evaluated and rejected by measurement: the
+      // ranking tie-break (tf desc, df asc, w ASC) needs the term string
+      // inside the window ordering anyway, and the probe shows the string
+      // column is short — the hash saves no bytes on the two remaining
+      // exchanges (which already ride partial-aggregated rows).
+      val tfRaw = graft.pipeline.Parallelism.fanOut(docs, col("doc_id"))
         .select(col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      graft.pipeline.CacheScope.withCached(tfRaw) { tf =>
       val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("w").asc)
@@ -1413,6 +1427,7 @@ object TextQueries {
         .select(col("doc_id"), col("rank"), col("w").as("term"),
           col("tf"), col("df"),
           round(col("tf") * log(lit(n.toDouble) / col("df")), 5).as("score"))
+      }
     },
     Some("""WITH tf AS (SELECT doc_id, w, count(*) AS tf
                         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -1443,15 +1458,32 @@ object TextQueries {
       val docs = Tables.t(s, dir, "documents")
       // fanOut (r10): split+explode+slice+join ran on the scan's one-row-
       // group partitioning — single-core map side (Parallelism scaladoc)
-      val lines = graft.pipeline.Parallelism.fanOut(docs, col("doc_id"))
+      // Hashed line key — DEFAULT since r11 (the scale shape this query's
+      // header always promised): the explode emits xxhash64(line) longs via
+      // a transform over the start offsets, so (a) the generate output
+      // carries no token array (the dup_passage 2.2x shape, r11) and (b)
+      // the line-keyed exchange ships 8-byte longs, never line strings.
+      // Output-identical modulo ~n²/2⁶⁴ collisions between distinct lines
+      // (the bigram/span envelope, COVERAGE.md "hashed shuffle keys");
+      // spark.graft.lineDedup.stringKey=true restores the literal-string
+      // key for auditing (the DuckDB twin always groups the strings).
+      val toksLd = graft.pipeline.Parallelism.fanOut(docs, col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("n_tok", size(col("toks")))
         .filter(col("n_tok") >= 1)
-        .select(col("doc_id"),
-          col("toks"),
-          explode(sequence(lit(0), col("n_tok") - 1, lit(3))).as("start"))
-        .select(col("doc_id"),
-          array_join(slice(col("toks"), col("start") + 1, lit(3)), " ").as("line"))
+      val lines =
+        if (s.conf.getOption("spark.graft.lineDedup.stringKey")
+              .contains("true"))
+          toksLd.select(col("doc_id"),
+              col("toks"),
+              explode(sequence(lit(0), col("n_tok") - 1, lit(3))).as("start"))
+            .select(col("doc_id"),
+              array_join(slice(col("toks"), col("start") + 1, lit(3)), " ")
+                .as("line"))
+        else toksLd.select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("n_tok") - 1, lit(3)),
+            st => xxhash64(
+              array_join(slice(col("toks"), st + 1, lit(3)), " ")))).as("line"))
       // one (line, doc) pre-aggregation replaces the countDistinct AND the
       // corpus-sized join of raw occurrence rows: occurrences collapse to
       // (line, doc_id, c) with map-side combine BEFORE any line-keyed

@@ -31,4 +31,19 @@ class HashKeyParitySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     assert(hashedAgain == plain)
   }
+
+  test("line_dedup_stats: hashed line key (r11 default) is row-identical to the string audit path, both directions") {
+    val q = TextQueries.all.find(_.name == "line_dedup_stats").get
+    val hashed = q.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    spark.conf.set("spark.graft.lineDedup.stringKey", "true")
+    val plain =
+      try q.run(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      finally spark.conf.unset("spark.graft.lineDedup.stringKey")
+    assert(hashed == plain)
+    val hashedAgain = q.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(hashedAgain == plain)
+  }
 }
