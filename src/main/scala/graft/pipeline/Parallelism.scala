@@ -112,11 +112,19 @@ object Parallelism {
     val openCost = sizeConf("spark.sql.files.openCostInBytes", 4L << 20)
     val minPN = conf.getOption("spark.sql.files.minPartitionNum")
       .map(_.toInt).getOrElse(target(df))
-    val maxSplit = math.min(maxPB,
-      math.max(openCost, (bytes + minPN - 1) / math.max(1, minPN)))
-    val packed = (bytes + nFiles * openCost + maxSplit - 1) /
-      math.max(1L, maxSplit)
-    math.max(nFiles.min(1), packed.toInt) // ≥1 when any file exists
+    val maxSplit = math.max(1L, math.min(maxPB,
+      math.max(openCost, (bytes + minPN - 1) / math.max(1, minPN))))
+    // two lower bounds of Spark's open-cost packing, whichever binds:
+    // pure byte mass (large files split), and per-file open cost (many
+    // small files each close a partition). A slight UNDER-estimate only
+    // makes the fan-out fire when the scan may already be wide — the
+    // exchange is then redundant but harmless; an OVER-estimate (the r11
+    // first cut charged open cost as byte mass, calling one small file a
+    // 2-partition scan — caught by ParallelismSpec) silently disables
+    // narrow fan-outs.
+    val packed = math.max((bytes + maxSplit - 1) / maxSplit,
+      (nFiles * openCost + maxSplit - 1) / maxSplit)
+    math.max(if (nFiles > 0) 1 else 0, packed.toInt)
   }
 
   /** Width for a fan-out of `rows` input rows: one partition per

@@ -1306,11 +1306,22 @@ object TextQueries {
       // partitioning — single-core map sides (Parallelism scaladoc)
       val docs = graft.pipeline.Parallelism.fanOut(
         Tables.t(s, dir, "documents"), col("doc_id"))
+      // Hashed word keys were tried and REVERTED (r11, measured): unlike
+      // bigram (struct-of-strings explode) or dup_passage (token array
+      // carried through the generate), unigram's explode(split(...)) is
+      // already a bare string-array explode, and the corpus side never
+      // rides an exchange (freq broadcasts; the doc agg partial-aggregates
+      // map-side) — so hashing only ADDED an interpreted transform pass:
+      // set-mode A/B min-of-7 0.430 s string vs 0.535 s hashed.
       val words = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
       val total = freq.agg(sum(col("c")).as("n"))
-      words.join(freq, Seq("w"))
+      // explicit hint (r11): freq is vocab-sized (Heaps-sublinear); without
+      // the hint the planner sizes the CORPUS side from width-scaled scan
+      // bytes and can build the broadcast from the exploded corpus on
+      // clone-compressed inputs (the bigram ×1000 failure mode)
+      words.join(broadcast(freq), Seq("w"))
         .crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
@@ -1619,68 +1630,100 @@ object TextQueries {
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
         .withColumn("n", size(col("t")))
         .filter(col("n") >= 2)
-      val pairs = toks.select(col("doc_id"),
-          explode(zip_with(
-            slice(col("t"), lit(1), col("n") - 1),
-            slice(col("t"), lit(2), col("n") - 1),
-            (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       // ch / cu / nb derive from cb (vocab²-sized), NOT from pairs: the
       // corpus explode runs twice (cb build + final join) instead of four
       // times — the dominant cost at scale is the corpus scan, never the
       // count-table aggregation
-      // cached for ONE materialization (CacheScope releases it after the
-      // first action — advice r7): cb (the distinct-bigram count table,
-      // vocab²-sized — corpus-SUBLINEAR, the one safely cacheable table
-      // here) feeds ch, cu, nb AND the score join; unpersisted, each
-      // derivation re-plans the full corpus scan+explode+agg (5 scans
-      // measured in the plan dump — AQE does not reuse the exchange
-      // across these branches)
-      graft.pipeline.CacheScope.withCached(
-        pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      ) { cb =>
-      val ch = cb.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
-      val cu = cb.groupBy(col("w2")).agg(sum(col("cb")).as("cu"))
-      val nb = cb.agg(sum(col("cb")).as("nb"))
-      // the logprob term depends ONLY on the bigram, so it is computed once
-      // per DISTINCT bigram on the count tables (AQE-broadcastable) and the
-      // corpus-sized pair table joins the finished score exactly ONCE —
-      // versus the naive shape where raw pairs ride through three separate
-      // count joins. No pre-dedupe of pairs: when the score table
-      // broadcasts (the common case — measured), a (doc, w1, w2)
-      // pre-aggregation is a pure-overhead extra corpus shuffle.
-      val bs0 = cb.join(ch, Seq("w1")).join(cu, Seq("w2"))
-        .crossJoin(broadcast(nb))
-        .select(col("w1"), col("w2"),
-          log(lit(0.7) * col("cb").cast("double") / col("ch") +
-            lit(0.3) * col("cu").cast("double") / col("nb")).as("term"))
-      // Hashed join key — DEFAULT since r9 (verdict r8 #4; the ×100 lever,
-      // 55.5→28.6 s, first wired flag-gated per verdict r7 #6): the SECOND
-      // corpus explode emits xxhash64(w1, w2) longs instead of two-string
-      // structs — slimmer rows through the explode AND an 8-byte join key
-      // against the (hashed) score table. The output carries no bigram
-      // strings, so hashing the key is safe to default: output-identical
-      // modulo 64-bit collisions between distinct bigrams (~vocab⁴/2⁶⁴
-      // odds — envelope in COVERAGE.md "hashed shuffle keys").
-      // spark.graft.bigram.stringJoinKey=true restores the literal-string
-      // join for auditing (HashKeyParitySpec pins both directions).
-      if (s.conf.getOption("spark.graft.bigram.stringJoinKey").contains("true"))
-        pairs.join(bs0, Seq("w1", "w2"))
+      // cb is cached for ONE materialization (CacheScope releases it after
+      // the first action — advice r7): it feeds ch, cu, nb AND the score
+      // join; unpersisted, each derivation re-plans the full corpus
+      // scan+explode+agg (5 scans measured in the plan dump — AQE does not
+      // reuse the exchange across these branches)
+      //
+      // Hashed keys END TO END — DEFAULT since r9 for the score join
+      // (verdict r8 #4: the ×100 lever, 55.5→28.6 s), extended r11 to the
+      // cb BUILD side: the first corpus explode now emits
+      // (bk, h1, h2) = (xxhash64(w1,w2), xxhash64(w1), xxhash64(w2)) longs
+      // instead of two-string structs, so no bigram string ever rides a
+      // generate output or an exchange (the dup_passage hash-inside-
+      // explode shape, measured 2.2× there), and the whole count chain
+      // (cb/ch/cu/bs) aggregates and joins on 8-byte longs. Grouping by
+      // (bk, h1, h2) has exactly cb's cardinality (bk determines the
+      // pair). Output-identical modulo 64-bit collisions between distinct
+      // bigrams/words (~vocab⁴/2⁶⁴ odds — envelope in COVERAGE.md "hashed
+      // shuffle keys"). spark.graft.bigram.stringJoinKey=true restores the
+      // full literal-string chain for auditing (HashKeyParitySpec pins
+      // both directions).
+      if (s.conf.getOption("spark.graft.bigram.stringJoinKey").contains("true")) {
+        val pairs = toks.select(col("doc_id"),
+            explode(zip_with(
+              slice(col("t"), lit(1), col("n") - 1),
+              slice(col("t"), lit(2), col("n") - 1),
+              (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        graft.pipeline.CacheScope.withCached(
+          pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        ) { cb =>
+        val ch = cb.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
+        val cu = cb.groupBy(col("w2")).agg(sum(col("cb")).as("cu"))
+        val nb = cb.agg(sum(col("cb")).as("nb"))
+        // the logprob term depends ONLY on the bigram, so it is computed
+        // once per DISTINCT bigram on the count tables (AQE-broadcastable)
+        // and the corpus-sized pair table joins the finished score exactly
+        // ONCE — versus the naive shape where raw pairs ride through three
+        // separate count joins. No pre-dedupe of pairs: when the score
+        // table broadcasts (the common case — measured), a (doc, w1, w2)
+        // pre-aggregation is a pure-overhead extra corpus shuffle.
+        val bs0 = cb.join(ch, Seq("w1")).join(cu, Seq("w2"))
+          .crossJoin(broadcast(nb))
+          .select(col("w1"), col("w2"),
+            log(lit(0.7) * col("cb").cast("double") / col("ch") +
+              lit(0.3) * col("cu").cast("double") / col("nb")).as("term"))
+        pairs.join(broadcast(bs0), Seq("w1", "w2"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
             round(avg(col("term")), 5).as("mean_logprob"))
-      else {
-        val bs = bs0.select(xxhash64(col("w1"), col("w2")).as("bk"), col("term"))
+        }
+      } else {
+        val hpairs = toks.select(
+            explode(zip_with(
+              slice(col("t"), lit(1), col("n") - 1),
+              slice(col("t"), lit(2), col("n") - 1),
+              (x, y) => struct(xxhash64(x, y).as("bk"),
+                xxhash64(x).as("h1"), xxhash64(y).as("h2")))).as("p"))
+          .select(col("p.bk").as("bk"), col("p.h1").as("h1"),
+            col("p.h2").as("h2"))
+        graft.pipeline.CacheScope.withCached(
+          hpairs.groupBy(col("bk"), col("h1"), col("h2"))
+            .agg(count(lit(1)).as("cb"))
+        ) { cb =>
+        val ch = cb.groupBy(col("h1")).agg(sum(col("cb")).as("ch"))
+        val cu = cb.groupBy(col("h2")).agg(sum(col("cb")).as("cu"))
+        val nb = cb.agg(sum(col("cb")).as("nb"))
+        val bs = cb.join(ch, Seq("h1")).join(cu, Seq("h2"))
+          .crossJoin(broadcast(nb))
+          .select(col("bk"),
+            log(lit(0.7) * col("cb").cast("double") / col("ch") +
+              lit(0.3) * col("cu").cast("double") / col("nb")).as("term"))
+        // EXPLICIT broadcast hint (r11): the score table is vocab²-sized
+        // (Heaps-sublinear — the broadcast contract at any corpus size),
+        // but the planner estimates the CORPUS side of this join from
+        // column widths over the scan bytes, and the r11 longs-only
+        // explode shrank that estimate below the threshold on a clone-
+        // compressed corpus — Spark then built the broadcast from the
+        // 500M-row exploded corpus and died on driver maxResultSize at
+        // ×1000 (the tfidf r9 build-side-flip disease, fatal form). The
+        // hint pins the build side to the score table, same as tfidf's df.
         toks.select(col("doc_id"),
             explode(zip_with(
               slice(col("t"), lit(1), col("n") - 1),
               slice(col("t"), lit(2), col("n") - 1),
               (x, y) => xxhash64(x, y))).as("bk"))
-          .join(bs, Seq("bk"))
+          .join(broadcast(bs), Seq("bk"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
             round(avg(col("term")), 5).as("mean_logprob"))
-      }
+        }
       }
     },
     Some("""WITH toks AS (
